@@ -1,0 +1,421 @@
+"""Deduplication operators for training-data pipelines:
+
+* ``dedup_exact``          — exact text dedup (hash group-by)
+* ``dedup_minhash``        — MinHash + LSH banding over word shingles
+* ``dedup_simhash``        — SimHash fingerprints + chunk-bucketed
+                             Hamming candidate pairs
+* ``dedup_ngram_jaccard``  — exact n-gram-shingle Jaccard on
+                             shingle-join candidates
+* ``dedup_embedding``      — embedding-cosine near-dup pairs with LSH
+                             bucket prefilter
+
+The fixtures contain no real near-duplicates, so the pairwise operators
+first build an *augmented* corpus: every document unioned with a copy
+(id + 100000) missing its last word — a realistic near-dup workload
+both engines construct identically, keeping the DuckDB oracle exact.
+
+Scale design: every operator is shuffle-bounded by its candidate
+structure, never O(n²) on the full corpus —
+
+* minhash: explode distinct shingles -> 8 `min` aggregates (one
+  shuffle on doc_id) -> band join (shuffle on band value; skewed hot
+  bands are handled by AQE skew-join, or salting if a band degenerates);
+* simhash: one shuffle to fold word hashes per doc, then candidates
+  join only on equal 8-bit signature chunks (pigeonhole: hamming<=6 on
+  32 bits guarantees >=1 of 4 chunks equal — no recall loss vs full
+  pairwise);
+* embedding: candidates join only within equal LSH signatures.
+
+All hashes come from functions/hashing.py so DuckDB reproduces them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.functions.hashing import (
+    duck_md5_long_sql,
+    md5_long_sql,
+)
+from substreams_sink_clickhouse_spark.operators.similarity import (
+    _bucket_expr_duck,
+    _bucket_expr_spark,
+    _dot_expr,
+    _duck_dot,
+    _duck_norm,
+    _norm_expr,
+)
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 hashes per band
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits each
+SIMHASH_MAX_HAMMING = 6
+JACCARD_THRESHOLD = 0.6
+COSINE_DUP_THRESHOLD = 0.99
+
+
+# ---------------------------------------------------------------- corpus
+
+def _aug_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-dup copies (drop last word, id + 100000)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"), " "
+        ).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+_DUCK_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) - 1), ' ') AS text
+  FROM documents)
+"""
+
+#: 3-word shingles, 0-based Spark indexing (docs always have >=3 words;
+#: guarded anyway for robustness at other SFs).
+_SHINGLES_SPARK = """
+CASE WHEN size(__words) >= 3 THEN
+  transform(sequence(0, size(__words) - 3),
+            i -> concat_ws(' ', __words[i], __words[i+1], __words[i+2]))
+ELSE array(text) END
+"""
+
+#: Same shingles, 1-based DuckDB indexing.
+_DUCK_SHINGLES = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(words) >= 3 THEN
+      list_transform(range(1, len(words) - 1),
+                     i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+    ELSE [text] END)) AS shingle
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM aug) t)
+"""
+
+
+def _shingle_rows(aug: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct 3-word shingles."""
+    return (
+        aug.withColumn("__words", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("shingle"))
+    )
+
+
+# ------------------------------------------------------------------ exact
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: distinct-count + duplicate-group count (hash
+    group-by; one shuffle on the text hash)."""
+    d = load_table(spark, sf, "documents")
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("n_dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _aug_docs(spark, sf)
+    sh = _shingle_rows(aug)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(md5_long_sql(f"CONCAT('{j}:', shingle)"))).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(":", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_val"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min({duck_md5_long_sql(f_expr)}) AS mh{j}"
+        for j in range(N_MINHASH)
+        for f_expr in [f"CONCAT('{j}:', shingle)"]
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_id, concat_ws(':', mh{2*b}, mh{2*b+1}) AS band_val FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_AUG.strip().rstrip()},
+{_DUCK_SHINGLES.strip()},
+mh AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {bands})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _aug_docs(spark, sf)
+    words = aug.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).withColumn("hw", F.expr(md5_long_sql("w")))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(hw, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = bit_sums.select("doc_id", F.expr(sim_expr).alias("sh"))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("chunk_id"),
+                F.expr(f"shiftright(sh, {8 * k}) & 255").alias("chunk_val"),
+            )
+            for k in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = fp.select("doc_id", "sh", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", "sh", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").alias("ham"),
+        )
+        .distinct()
+        .filter(F.col("ham") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle() -> str:
+    h = duck_md5_long_sql("w")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ((hw >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    chunks = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sh, {k} AS chunk_id, (sh >> {8 * k}) & 255 AS chunk_val FROM fp"
+        for k in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {_DUCK_AUG.strip()},
+w AS (
+  SELECT doc_id, {h} AS hw
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM aug) t),
+bs AS (
+  SELECT doc_id, {sums}
+  FROM w GROUP BY doc_id),
+fp AS (SELECT doc_id, {sim} AS sh FROM bs),
+chunks AS (
+  {chunks})
+SELECT doc_a, doc_b, ham FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS ham
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3) t
+WHERE ham <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _aug_docs(spark, sf)
+    sh = _shingle_rows(aug)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jacc = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jx",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jx") >= JACCARD_THRESHOLD)
+    )
+    return jacc.select("doc_a", "doc_b", F.round("jx", 4).alias("jacc")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH {_DUCK_AUG.strip()},
+{_DUCK_SHINGLES.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 4) AS jacc
+FROM common
+JOIN counts na ON na.doc_id = doc_a
+JOIN counts nb ON nb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine near-dup pairs with LSH-bucket candidate prefilter: only
+    vectors with identical hyperplane signatures are compared (the copy
+    perturbation is small, so dup pairs land in the same bucket except
+    for vectors straddling a plane — the documented recall trade)."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    copies = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + CASE WHEN i = 0 THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(copies).withColumn("__bucket", F.expr(_bucket_expr_spark()))
+    a, b = aug.alias("a"), aug.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).withColumn(
+        "simx",
+        F.expr(_dot_expr("a.embedding", "b.embedding"))
+        / (F.expr(_norm_expr("a.embedding")) * F.expr(_norm_expr("b.embedding"))),
+    )
+    return (
+        pairs.filter(F.col("simx") >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("simx", 6).alias("sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_EMBED_DUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings),
+aug AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, (x, i) -> x + CASE WHEN i = 1 THEN CAST(0.05 AS DOUBLE)
+                                                      ELSE CAST(0.0 AS DOUBLE) END) AS embedding
+  FROM base),
+b AS (SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket FROM aug),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         {_duck_dot('a.embedding', 'b2.embedding')}
+           / ({_duck_norm('a.embedding')} * {_duck_norm('b2.embedding')}) AS simx
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT vec_a, vec_b, round(simx, 6) AS sim
+FROM pairs WHERE simx >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_exact",
+        "Exact text dedup via hash group-by (Q28)",
+        _dedup_exact,
+        """
+        SELECT count(*) AS n_uniq,
+               sum(n) AS n_docs,
+               sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_rows
+        FROM (SELECT text, count(*) AS n FROM documents GROUP BY text) g
+        """,
+    ),
+    QuerySpec(
+        "dedup_minhash",
+        "MinHash+LSH near-dup pairs (8 hashes, 4 bands)",
+        _dedup_minhash,
+        _minhash_oracle(),
+    ),
+    QuerySpec(
+        "dedup_simhash",
+        "SimHash fingerprint + chunk-bucketed Hamming pairs",
+        _dedup_simhash,
+        _simhash_oracle(),
+    ),
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        "Exact shingle-Jaccard near-dup pairs",
+        _dedup_jaccard,
+        _JACCARD_ORACLE,
+    ),
+    QuerySpec(
+        "dedup_embedding",
+        "Embedding-cosine near-dup pairs with LSH prefilter",
+        _dedup_embedding,
+        _EMBED_DUP_ORACLE,
+    ),
+]

@@ -1,0 +1,212 @@
+"""Keyed-upsert merge kernel — the reference's core operator (O5/O6).
+
+Reference semantics (/root/reference/db/ops.go:11-122): between flushes
+the sink buffers at most ONE pending operation per ``(table, pk)``:
+
+* ``CREATE`` when *any* op is already pending       -> error
+  ("insert already exists", db/ops.go:29-31)
+* ``CREATE`` injects the pk into the row data        (db/ops.go:37-39)
+* ``UPDATE`` after ``CREATE``/``UPDATE``: field-wise merge,
+  last-writer-wins per field                         (db/ops.go:64-75,
+  db/operations.go:64-73)
+* ``UPDATE`` after ``DELETE``                        -> error
+  ("update after delete", db/ops.go:65-67)
+* ``DELETE`` overwrites any pending op               (db/ops.go:108-121)
+* ``UNSET`` ops are skipped                          (sinker.go:169-171)
+
+Spark-first design: the fold runs *distributively* — group the window's
+changes by ``(table, pk)``, sort each group's ops by
+``(block_num, ordinal)`` and fold them with a Catalyst higher-order
+``aggregate`` lambda (pure JVM, whole-stage codegen; no Python in the
+row path, no driver-side state).  Scale notes:
+
+* the only shuffle is the groupBy on ``(table, pk)`` — exactly the key
+  the downstream apply-join needs, so Catalyst reuses the partitioning;
+* per-group state is one struct (op, fields-map, err): memory is O(keys
+  per partition), never O(window);
+* semantic violations surface as an ``err`` field folded through the
+  lambda, checked with a cheap ``limit(1)`` probe instead of a collect.
+
+Applying the reduced ops to target-table state is a single full-outer
+shuffle join on the pk — the Parquet-world replacement for ClickHouse
+mutations (``ALTER TABLE .. UPDATE`` / ``DELETE``,
+/root/reference/db/operations.go:93-111).  At 100 TB the target should
+be bucketed/partitioned by pk so the join co-locates and only affected
+partitions rewrite (merge-on-write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+from substreams_sink_clickhouse_spark.errors import MergeSemanticsError
+from substreams_sink_clickhouse_spark.functions.coercion import coerce
+
+#: Catalyst fold of one (table, pk) group's ordered ops.
+#: State: struct(op: NONE|CREATE|UPDATE|DELETE, fields, err).
+#: The explicit comparator lambda sorts by (block_num, ordinal) — struct
+#: elements containing maps are not naturally orderable; a comparator
+#: sidesteps that and never touches the map.
+_FOLD_EXPR = """
+aggregate(
+  array_sort(
+    ops_sorted,
+    (l, r) -> CASE
+      WHEN l.block_num < r.block_num THEN -1
+      WHEN l.block_num > r.block_num THEN 1
+      WHEN l.ordinal < r.ordinal THEN -1
+      WHEN l.ordinal > r.ordinal THEN 1
+      ELSE 0 END),
+  named_struct(
+    'op', 'NONE',
+    'fields', cast(map() as map<string,string>),
+    'err', cast(null as string)),
+  (acc, x) -> CASE
+    WHEN acc.err IS NOT NULL THEN acc
+    WHEN x.op = 'CREATE' THEN
+      CASE WHEN acc.op <> 'NONE' THEN
+        named_struct('op', acc.op, 'fields', acc.fields,
+                     'err', concat('duplicate insert: pk already has a pending ', acc.op))
+      ELSE
+        named_struct('op', 'CREATE',
+                     'fields', map_concat(
+                        map_filter(coalesce(x.fields, cast(map() as map<string,string>)),
+                                   (k, v) -> k <> pk_name),
+                        map(pk_name, pk)),
+                     'err', cast(null as string))
+      END
+    WHEN x.op = 'UPDATE' THEN
+      CASE
+        WHEN acc.op = 'DELETE' THEN
+          named_struct('op', acc.op, 'fields', acc.fields,
+                       'err', 'update a deleted row')
+        WHEN acc.op = 'NONE' THEN
+          named_struct('op', 'UPDATE',
+                       'fields', coalesce(x.fields, cast(map() as map<string,string>)),
+                       'err', cast(null as string))
+        ELSE
+          named_struct('op', acc.op,
+                       'fields', map_concat(
+                          map_filter(acc.fields,
+                                     (k, v) -> NOT map_contains_key(coalesce(x.fields, cast(map() as map<string,string>)), k)),
+                          coalesce(x.fields, cast(map() as map<string,string>))),
+                       'err', cast(null as string))
+      END
+    WHEN x.op = 'DELETE' THEN
+      named_struct('op', 'DELETE',
+                   'fields', cast(map() as map<string,string>),
+                   'err', cast(null as string))
+    ELSE acc
+  END
+)
+"""
+
+
+def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFrame:
+    """Collapse a window of changes to <=1 op per (table, pk).
+
+    ``primary_keys`` maps table name -> pk column name (reference
+    default ``id``, db/db.go:121-124).  Returns
+    ``(table, pk, pk_name, op, fields, err)`` with ``op`` in
+    CREATE|UPDATE|DELETE (NONE rows — all-UNSET groups — are dropped).
+    """
+    pk_map = F.create_map(
+        *[F.lit(x) for pair in primary_keys.items() for x in pair]
+    )
+    grouped = (
+        changes.withColumn("op", F.upper("op"))
+        .filter(F.col("op").isin("CREATE", "UPDATE", "DELETE"))
+        .groupBy("table", "pk")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("block_num"),
+                    F.col("ordinal"),
+                    F.col("op"),
+                    F.col("fields"),
+                )
+            ).alias("ops_sorted")
+        )
+        .withColumn("pk_name", F.coalesce(pk_map[F.col("table")], F.lit("id")))
+    )
+    folded = grouped.withColumn("folded", F.expr(_FOLD_EXPR))
+    return folded.select(
+        "table",
+        "pk",
+        "pk_name",
+        F.col("folded.op").alias("op"),
+        F.col("folded.fields").alias("fields"),
+        F.col("folded.err").alias("err"),
+    ).filter(F.col("op") != "NONE")
+
+
+def check_merge_errors(reduced: DataFrame) -> None:
+    """Raise if any group folded to an error state (reference errors at
+    db/ops.go:30 and db/ops.go:66).  ``limit`` probe — no full collect.
+    """
+    bad = reduced.filter(F.col("err").isNotNull()).select("table", "pk", "err").limit(5).collect()
+    if bad:
+        details = "; ".join(f"{r['table']}/{r['pk']}: {r['err']}" for r in bad)
+        raise MergeSemanticsError(f"invalid change sequence: {details}")
+
+
+def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataFrame:
+    """Reconcile one table's reduced ops with its current state.
+
+    Full-outer join on pk, then per-column resolution:
+
+    * no op                        -> keep target row
+    * CREATE                       -> row built from coerced fields
+      (upsert: replaces an existing row with the same pk)
+    * UPDATE on existing row       -> per-field overwrite of present keys
+    * UPDATE on missing row        -> no-op (ClickHouse ``ALTER UPDATE``
+      on an absent pk matches nothing)
+    * DELETE                       -> row removed
+    """
+    pk = info.primary_key
+    ops_t = ops.select(
+        F.col("pk").alias("__pk"), F.col("op").alias("__op"), F.col("fields").alias("__fields")
+    )
+    joined = target.alias("t").join(
+        ops_t, F.col(f"t.{pk}").cast("string") == F.col("__pk"), "full_outer"
+    )
+    exists = F.col(f"t.{pk}").isNotNull()
+    kept = joined.filter(
+        (F.col("__op").isNull())
+        | (F.col("__op") == "CREATE")
+        | ((F.col("__op") == "UPDATE") & exists)
+    )
+    out_cols = []
+    for field in info.schema.fields:
+        new_val = coerce(F.col("__fields").getItem(field.name), field.dataType)
+        has_key = F.map_contains_key(F.col("__fields"), F.lit(field.name))
+        out = (
+            F.when(F.col("__op") == "CREATE", new_val)
+            .when((F.col("__op") == "UPDATE") & has_key, new_val)
+            .otherwise(F.col(f"t.{field.name}"))
+            .alias(field.name)
+        )
+        out_cols.append(out)
+    return kept.select(*out_cols)
+
+
+def merge_changes(
+    changes: DataFrame,
+    targets: dict[str, DataFrame],
+    catalog: Catalog,
+    check_errors: bool = True,
+) -> dict[str, DataFrame]:
+    """Full merge: reduce a changes window and apply it to every
+    affected table's state.  Returns the new state per table."""
+    reduced = reduce_changes(changes, catalog.primary_keys())
+    if check_errors:
+        check_merge_errors(reduced)
+    reduced = reduced.filter(F.col("err").isNull())
+    out: dict[str, DataFrame] = {}
+    for name, target in targets.items():
+        info = catalog.get(name)
+        ops_t = reduced.filter(F.col("table") == name)
+        out[name] = apply_table_ops(target, ops_t, info)
+    return out

@@ -1,0 +1,527 @@
+"""Relational query surface (SURVEY.md §2.2 Q1–Q22).
+
+The reference delegates all of this to ClickHouse SQL
+(/root/reference/README.md:29-52); here each category is a Spark
+DataFrame/SQL plan.  Design rules applied throughout:
+
+* declarative plans only — Catalyst does pushdown/pruning/reordering;
+* dimension tables (region/nation/part at any realistic scale) joined
+  with ``broadcast()`` hints so the 100 TB fact side never shuffles for
+  them;
+* every computed column aliased identically in the Spark plan and the
+  DuckDB oracle; floating aggregates rounded on both sides so the
+  value-hash is stable under summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table, register_views
+
+
+def _q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Full scan (parquet source, column-complete)."""
+    return load_table(spark, sf, "region").orderBy("r_regionkey")
+
+
+def _q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection: column pruning must reach the parquet reader."""
+    return (
+        load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def _q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive predicates; all pushed to the scan (TPC-H Q6 shape)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key hash aggregate (TPC-H Q1 shape); Catalyst plans the
+    partial/final split (map-side combine) automatically."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct aggregation."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("cnt"))
+
+
+def _q06(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi join, dimension broadcast: nation is tiny at every SF, so
+    the customer side never shuffles."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+def _q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join (TPC-H Q5 shape): one fact-fact shuffle join
+    (lineitem⋈orders), everything else broadcast."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        .orderBy("r_name")
+    )
+
+
+def _q08(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + grouped count (TPC-H Q13 shape)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c"))
+        .orderBy(F.desc("c"), "c_custkey")
+        .limit(100)
+    )
+
+
+def _q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (NOT IN with non-null keys ≡ left_anti)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join: equi key + range residual — Catalyst plans the hash
+    join on the equi part and evaluates the range as a post-filter."""
+    p = load_table(spark, sf, "part")
+    l = load_table(spark, sf, "lineitem")
+    return (
+        F.broadcast(p)
+        .join(l, (p.p_partkey == l.l_partkey) & (l.l_quantity < p.p_size))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+def _q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window (top-3 orders per customer)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def _q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window with ROWS frame + lag."""
+    e = load_table(spark, sf, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-2, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(F.sum("value").over(frame), 2).alias("mv"),
+            F.lag("value").over(order).alias("pv"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject (no global sort)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operation: INTERSECT (distinct semantics)."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+def _q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape); Catalyst
+    decorrelates it into an aggregate + join."""
+    register_views(spark, sf, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT count(*) AS cnt
+        FROM lineitem l1
+        WHERE l_quantity > (SELECT avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    """String functions over a LIKE-filtered scan."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("u"),
+            F.length("p_name").alias("n"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time extraction + aggregate."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("y", "m")
+    )
+
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional arithmetic (CASE WHEN inside an aggregate)."""
+    l = load_table(spark, sf, "lineitem")
+    rev = F.when(
+        F.col("l_returnflag") == "R", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).otherwise(F.lit(0.0))
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(rev), 2).alias("rev"))
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Array functions: size + higher-order fold, all JVM-side."""
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n"),
+            F.round(
+                F.expr(
+                    "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"
+                ),
+                3,
+            ).alias("s"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+def _q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Map construction/lookup (the primitive behind the CDC field
+    projection, sinker.go:147-151)."""
+    return spark.sql(
+        "SELECT element_at(map_from_entries(array(struct('a', 1), struct('b', 2))), 'b') AS v"
+    )
+
+
+def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction over the events ``props`` payload."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "q01_scan",
+        "Parquet scan (SURVEY §2.2 Q1)",
+        _q01,
+        "SELECT * FROM region ORDER BY r_regionkey",
+    ),
+    QuerySpec(
+        "q02_project",
+        "Projection with column pruning (Q2)",
+        _q02,
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    ),
+    QuerySpec(
+        "q03_filter",
+        "Predicate pushdown: range + BETWEEN + comparison (Q3)",
+        _q03,
+        """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        ORDER BY l_orderkey, l_linenumber
+        """,
+    ),
+    QuerySpec(
+        "q04_agg",
+        "Multi-key hash aggregate, TPC-H Q1 shape (Q4)",
+        _q04,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 6)      AS avg_disc,
+               count(*)                       AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    QuerySpec(
+        "q05_count_distinct",
+        "Exact count-distinct (Q5)",
+        _q05,
+        "SELECT count(DISTINCT o_custkey) AS cnt FROM orders",
+    ),
+    QuerySpec(
+        "q06_join",
+        "Broadcast equi join + aggregate (Q6)",
+        _q06,
+        """
+        SELECT n_name, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """,
+    ),
+    QuerySpec(
+        "q07_star_join",
+        "Multi-way star join, TPC-H Q5 shape (Q7)",
+        _q07,
+        """
+        SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ),
+    QuerySpec(
+        "q08_outer_join",
+        "Left outer join + grouped count, TPC-H Q13 shape (Q8)",
+        _q08,
+        """
+        SELECT c_custkey, count(o_orderkey) AS c
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q09_anti_join",
+        "Anti join / NOT IN (Q9)",
+        _q09,
+        """
+        SELECT count(*) AS cnt FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+    ),
+    QuerySpec(
+        "q10_theta_join",
+        "Theta (equi + range residual) join (Q10)",
+        _q10,
+        """
+        SELECT count(*) AS cnt
+        FROM part p JOIN lineitem l
+          ON p.p_partkey = l.l_partkey AND l.l_quantity < p.p_size
+        """,
+    ),
+    QuerySpec(
+        "q11_rollup",
+        "ROLLUP grouping sets (Q11)",
+        _q11,
+        """
+        SELECT n_name, o_orderstatus, count(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+        """,
+    ),
+    QuerySpec(
+        "q12_window_rank",
+        "Ranking window: top-3 orders per customer (Q12)",
+        _q12,
+        """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+    ),
+    QuerySpec(
+        "q13_window_frames",
+        "Analytic window: ROWS frame moving sum + lag (Q13)",
+        _q13,
+        """
+        SELECT event_id, user_id, value,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events ORDER BY user_id, event_id
+        """,
+    ),
+    QuerySpec(
+        "q14_topk",
+        "Global top-k via TakeOrderedAndProject (Q14)",
+        _q14,
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+    ),
+    QuerySpec(
+        "q15_intersect",
+        "Set operation: INTERSECT (Q15)",
+        _q15,
+        """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+        ORDER BY k
+        """,
+    ),
+    QuerySpec(
+        "q16_correlated",
+        "Correlated scalar subquery, TPC-H Q17 shape (Q16)",
+        _q16,
+        """
+        SELECT count(*) AS cnt
+        FROM lineitem l1
+        WHERE l_quantity > (SELECT avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        """,
+    ),
+    QuerySpec(
+        "q17_strings",
+        "String functions: LIKE, substring, upper, length (Q17)",
+        _q17,
+        """
+        SELECT p_partkey, upper(substring(p_name, 1, 5)) AS u,
+               CAST(length(p_name) AS INT) AS n
+        FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey
+        """,
+    ),
+    QuerySpec(
+        "q18_dates",
+        "Date extraction + aggregate (Q18)",
+        _q18,
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               count(*) AS cnt
+        FROM orders GROUP BY y, m ORDER BY y, m
+        """,
+    ),
+    QuerySpec(
+        "q19_case",
+        "Conditional arithmetic inside aggregates (Q19)",
+        _q19,
+        """
+        SELECT l_orderkey,
+               round(sum(CASE WHEN l_returnflag = 'R'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS rev
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q20_array",
+        "Array size + higher-order fold (Q20)",
+        _q20,
+        """
+        SELECT vec_id, CAST(len(embedding) AS INT) AS n,
+               round(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 (a, x) -> a + x), 3) AS s
+        FROM embeddings ORDER BY vec_id LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q21_map",
+        "Map construction + lookup (Q21)",
+        _q21,
+        "SELECT 2 AS v",
+    ),
+    QuerySpec(
+        "q22_json",
+        "JSON extraction from props payload (Q22)",
+        _q22,
+        """
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+]

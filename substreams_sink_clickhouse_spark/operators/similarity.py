@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (SURVEY Q29 + scale path).
+
+* ``sim_topk``  — exact brute-force cosine top-k against a probe
+  vector.  One scan, no shuffle until the final top-k
+  (TakeOrderedAndProject); the dot product is a JVM higher-order fold.
+  This is the correctness baseline and is already the right plan for
+  "one probe vs N vectors" at any scale (embarrassingly parallel).
+* ``sim_lsh``   — random-hyperplane LSH bucketing: the probe is only
+  compared against vectors whose 8-bit hyperplane signature matches,
+  the scale path for repeated queries / self-joins (bucket count grows
+  2^planes; per-bucket candidate sets shrink accordingly).
+
+The hyperplanes are derived from MD5 in *Python* at import time and
+inlined as literals into both the Spark plan and the DuckDB oracle, so
+both engines use bit-identical planes; dot products fold in identical
+order on both sides, making even the approximate variant exactly
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+EMBEDDING_DIM = 64
+N_PLANES = 8
+PROBE_VEC_ID = 0
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1],
+    derived from MD5 so any engine/runtime reproduces it."""
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+PLANES: list[list[float]] = [
+    [_plane_component(p, d) for d in range(EMBEDDING_DIM)] for p in range(N_PLANES)
+]
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Spark SQL: left-fold dot product of two array columns (cast to
+    double element-wise; identical fold order to the DuckDB oracle)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+def _sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for the probe vector."""
+    e = load_table(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("p"))
+    scored = (
+        e.crossJoin(F.broadcast(probe))
+        .withColumn("__dot", F.expr(_dot_expr("embedding", "p")))
+        .withColumn("__sim", F.col("__dot") / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))))
+    )
+    return (
+        scored.orderBy(F.desc("__sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("__sim", 6).alias("sim"))
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT e.vec_id,
+         {_duck_dot('e.embedding', 'probe.p')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('probe.p')}) AS simx
+  FROM embeddings e, probe)
+SELECT vec_id, round(simx, 6) AS sim
+FROM scored ORDER BY simx DESC, vec_id LIMIT 10
+"""
+
+
+def _plane_array_spark(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+
+
+def _plane_array_duck(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+
+
+def _bucket_expr_spark() -> str:
+    bits = [
+        f"(CASE WHEN {_dot_expr('embedding', _plane_array_spark(PLANES[j]))} >= 0.0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(N_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck(emb: str) -> str:
+    bits = [
+        f"(CASE WHEN {_duck_dot(emb, _plane_array_duck(PLANES[j]))} >= 0.0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(N_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+def _sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed cosine search: signature match first, exact cosine
+    only inside the probe's bucket (top-5)."""
+    e = load_table(spark, sf, "embeddings").withColumn("__bucket", F.expr(_bucket_expr_spark()))
+    probe = (
+        e.filter(F.col("vec_id") == PROBE_VEC_ID)
+        .select(F.col("embedding").alias("p"), F.col("__bucket").alias("__pbucket"))
+    )
+    candidates = e.join(
+        F.broadcast(probe), F.col("__bucket") == F.col("__pbucket"), "inner"
+    )
+    scored = candidates.withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    return (
+        scored.orderBy(F.desc("__sim"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("__sim", 6).alias("sim"))
+    )
+
+
+_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings),
+probe AS (SELECT embedding AS p, bucket AS pbucket FROM b WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT b.vec_id,
+         {_duck_dot('b.embedding', 'probe.p')}
+           / ({_duck_norm('b.embedding')} * {_duck_norm('probe.p')}) AS simx
+  FROM b, probe WHERE b.bucket = probe.pbucket)
+SELECT vec_id, round(simx, 6) AS sim
+FROM scored ORDER BY simx DESC, vec_id LIMIT 5
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("sim_topk", "Brute-force cosine top-k (Q29)", _sim_topk, _TOPK_ORACLE),
+    QuerySpec(
+        "sim_lsh",
+        "Random-hyperplane LSH bucketed cosine search (Q29 scale path)",
+        _sim_lsh,
+        _LSH_ORACLE,
+    ),
+]

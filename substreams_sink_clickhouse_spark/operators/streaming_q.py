@@ -1,0 +1,313 @@
+"""Streaming analytics + CDC queries (SURVEY.md §2.2 Q23–Q26) and the
+end-to-end merge-kernel query.
+
+Q23/Q24 use Spark's window/session_window aggregations (identical
+semantics batch vs stream — declared here in batch form so the DuckDB
+oracle can verify values; the streaming wrapper in
+``streaming/pipeline.py`` runs the same plans incrementally).
+
+Q25 (watermark) runs a *real* Structured Streaming query in append
+mode: with a terminating ``availableNow`` trigger the emitted result is
+exactly the set of windows finalized by the terminal watermark
+(``window.end <= max(ts) - delay``) — which is what the oracle SQL
+states.
+
+Q26 + ``cdc_merge`` exercise the reference's core operator O5: Q26 is
+the declarative last-op-per-key form (``max_by``), ``cdc_merge`` runs
+the actual distributed fold kernel of ``operators/merge.py`` over a
+synthetic change stream derived from ``orders`` and returns the final
+table state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+from substreams_sink_clickhouse_spark.operators.merge import merge_changes
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+
+def _q23(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate over events."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sv")
+        .orderBy("ws", "event_type")
+    )
+
+
+def _q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-minute gap) per user."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ss"), "user_id", "cnt")
+        .orderBy("user_id", "ss")
+    )
+
+
+def _q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked streaming aggregation, append mode.
+
+    Reads the events fixture as a file stream, applies a 10-minute
+    watermark and a 1-hour tumbling count, and runs to completion with
+    ``availableNow``.  Append mode emits exactly the windows whose end
+    is <= the terminal watermark — late/trailing windows stay unemitted,
+    which the oracle reproduces arithmetically.
+    """
+    from substreams_sink_clickhouse_spark.session import tune_session
+
+    tune_session(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+    sink_name = f"q25_sink_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="sscs_q25_ckpt_")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(sink_name).orderBy("ws", "event_type")
+
+
+def _q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful last-op-per-key (reference O5 as a declarative agg):
+    ≤1 surviving operation per (table, pk), chosen by highest ordinal
+    (/root/reference/db/ops.go:108-121 last-writer-wins shape)."""
+    e = load_table(spark, sf, "events")
+    changes = e.select(
+        F.col("event_type").alias("table"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.col("event_id").alias("ordinal"),
+        F.when(F.col("value") < 150, "CREATE")
+        .when(F.col("value") < 300, "UPDATE")
+        .otherwise("DELETE")
+        .alias("op"),
+    )
+    return (
+        changes.groupBy("table", "pk")
+        .agg(
+            F.expr("max_by(op, ordinal)").alias("last_op"),
+            F.count(F.lit(1)).alias("n_ops"),
+        )
+        .orderBy("table", "pk")
+    )
+
+
+#: Target-table schema for the cdc_merge replay.
+_ORDERS_T = TableInfo(
+    "orders_t",
+    T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("status", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+        ]
+    ),
+    primary_key="id",
+)
+
+
+def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end merge-kernel replay (O5/O6/O7).
+
+    Synthesizes a deterministic CDC stream from ``orders``:
+
+    * block 1: CREATE every order (id, status, price as wire strings)
+    * block 2: UPDATE price += 100 for orderkey % 3 == 0
+    * block 3: DELETE orderkey % 7 == 0
+
+    and runs the real distributed fold + reconcile
+    (``operators/merge.py``), returning the final ``orders_t`` state.
+    All values travel as strings and are re-typed by the coercion rules
+    (/root/reference/db/operations.go:150-193).
+    """
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    creates = base.select(
+        F.lit(1).cast("long").alias("block_num"),
+        F.lit("b1").alias("block_id"),
+        F.col("key").alias("ordinal"),
+        F.lit("orders_t").alias("table"),
+        F.col("key").cast("string").alias("pk"),
+        F.lit("CREATE").alias("op"),
+        F.map_from_arrays(
+            F.array(F.lit("status"), F.lit("price")),
+            F.array(F.col("status"), F.col("price").cast("string")),
+        ).alias("fields"),
+    )
+    updates = (
+        base.filter(F.col("key") % 3 == 0)
+        .select(
+            F.lit(2).cast("long").alias("block_num"),
+            F.lit("b2").alias("block_id"),
+            F.col("key").alias("ordinal"),
+            F.lit("orders_t").alias("table"),
+            F.col("key").cast("string").alias("pk"),
+            F.lit("UPDATE").alias("op"),
+            F.map_from_arrays(
+                F.array(F.lit("price")),
+                F.array((F.col("price") + 100).cast("string")),
+            ).alias("fields"),
+        )
+    )
+    deletes = (
+        base.filter(F.col("key") % 7 == 0)
+        .select(
+            F.lit(3).cast("long").alias("block_num"),
+            F.lit("b3").alias("block_id"),
+            F.col("key").alias("ordinal"),
+            F.lit("orders_t").alias("table"),
+            F.col("key").cast("string").alias("pk"),
+            F.lit("DELETE").alias("op"),
+            F.lit(None).cast("map<string,string>").alias("fields"),
+        )
+    )
+    changes = creates.unionByName(updates).unionByName(deletes)
+    catalog = Catalog()
+    catalog.register(_ORDERS_T)
+    empty_target = spark.createDataFrame([], _ORDERS_T.schema)
+    merged = merge_changes(changes, {"orders_t": empty_target}, catalog)
+    return merged["orders_t"].orderBy(F.col("id").cast("long"))
+
+
+def _cursor_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Cursor-at-highest-block resolution (O10/O11,
+    /root/reference/db/cursor.go:92-101): given a cursors table with
+    several module hashes, pick the cursor at the highest block."""
+    e = load_table(spark, sf, "events")
+    cursors = e.groupBy(F.col("event_type").alias("id")).agg(
+        F.max("event_id").alias("block_num")
+    )
+    return cursors.orderBy(F.desc("block_num"), "id").limit(1)
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "q23_tumbling_window",
+        "Tumbling 1h event-time window aggregate (Q23)",
+        _q23,
+        """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sv
+        FROM events GROUP BY ws, event_type ORDER BY ws, event_type
+        """,
+    ),
+    QuerySpec(
+        "q24_session_window",
+        "Session windows, 30-minute gap (Q24)",
+        _q24,
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM marked)
+        SELECT CAST(min(ts) AS TIMESTAMP) AS ss, user_id, count(*) AS cnt
+        FROM numbered GROUP BY user_id, sess ORDER BY user_id, ss
+        """,
+    ),
+    QuerySpec(
+        "q25_watermark",
+        "Watermarked streaming window agg, append mode (Q25)",
+        _q25,
+        """
+        WITH agg AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY ws, event_type)
+        SELECT ws, event_type, cnt FROM agg
+        WHERE ws + INTERVAL '1 hour'
+              <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
+        ORDER BY ws, event_type
+        """,
+    ),
+    QuerySpec(
+        "q26_last_op",
+        "Stateful dedup/upsert: last op per (table, pk) (Q26)",
+        _q26,
+        """
+        WITH changes AS (
+          SELECT event_type AS "table",
+                 CAST(user_id AS VARCHAR) AS pk,
+                 event_id AS ordinal,
+                 CASE WHEN value < 150 THEN 'CREATE'
+                      WHEN value < 300 THEN 'UPDATE'
+                      ELSE 'DELETE' END AS op
+          FROM events)
+        SELECT "table", pk, max_by(op, ordinal) AS last_op, count(*) AS n_ops
+        FROM changes GROUP BY "table", pk ORDER BY "table", pk
+        """,
+    ),
+    QuerySpec(
+        "cdc_merge",
+        "Full CDC merge-kernel replay: CREATE/UPDATE/DELETE fold + "
+        "coercion + reconcile (O5/O6/O7)",
+        _cdc_merge,
+        """
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               o_orderstatus AS status,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        ORDER BY o_orderkey
+        """,
+    ),
+    QuerySpec(
+        "cursor_resolution",
+        "Cursor-at-highest-block resolution (O10/O11)",
+        _cursor_resolution,
+        """
+        WITH c AS (SELECT event_type AS id, max(event_id) AS block_num
+                   FROM events GROUP BY event_type)
+        SELECT id, block_num FROM c ORDER BY block_num DESC, id LIMIT 1
+        """,
+    ),
+]

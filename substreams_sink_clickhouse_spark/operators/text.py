@@ -1,0 +1,216 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting.
+
+All expressions are built-in Catalyst functions (split / higher-order
+array ops / regexp) — zero Python in the row path, so they vectorize
+and scale linearly with the documents table.  Every operator has an
+arithmetic-identical DuckDB oracle (hash family: functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.functions.hashing import (
+    POLY_MOD,
+    POLY_MULT,
+    duck_md5_long_sql,
+    md5_long_sql,
+)
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+#: Stopword marker sets for the language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "los", "y", "que"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _marker_count(words_col, markers: list[str]):
+    in_list = ", ".join(f"'{w}'" for w in markers)
+    return F.size(F.expr(f"filter(__words, w -> w IN ({in_list}))"))
+
+
+def _langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID: per-language stopword hit counts, argmax with a
+    fixed priority order (en > es > de > fr, else 'und')."""
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    scored = d.select(
+        "doc_id",
+        *[
+            _marker_count(F.col("__words"), markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), "es")
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), "s_en", "s_es", "s_de", "s_fr"
+    ).orderBy("doc_id")
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['en'])}))) AS INT) AS s_en,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['es'])}))) AS INT) AS s_es,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['de'])}))) AS INT) AS s_de,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['fr'])}))) AS INT) AS s_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       s_en, s_es, s_de, s_fr
+FROM scored ORDER BY doc_id
+"""
+
+
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: word count, uniqueness ratio, stopword ratio,
+    and a bounded composite score — the classic cheap pre-filters for
+    LLM corpus construction."""
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    n_words = F.size("__words")
+    n_uniq = F.size(F.array_distinct("__words"))
+    stop_hits = _marker_count(F.col("__words"), _EN_STOPWORDS)
+    uniq_ratio = n_uniq.cast("double") / n_words.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_words.cast("double")
+    quality = F.round(
+        0.5 * uniq_ratio + 0.5 * F.least(n_words.cast("double") / 50.0, F.lit(1.0)), 4
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(list_distinct(words)) AS INT) AS n_uniq,
+       round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 4) AS uniq_ratio,
+       round(CAST(len(list_filter(words, x -> x IN ({_sql_list(_EN_STOPWORDS)}))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE), 4) AS stop_ratio,
+       round(0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+             + 0.5 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0), 4) AS quality
+FROM w ORDER BY doc_id
+"""
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex count."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_TOKEN_RE)).alias("re_tokens"),
+    ).orderBy("doc_id")
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS INT) AS re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling polynomial fingerprint over word hashes — order-aware
+    (unlike a bag-of-words hash) and reproducible in any engine:
+    ``h = (h * 131 + H(word) % P) % P`` folded left over the words."""
+    d = load_table(spark, sf, "documents")
+    fp = F.expr(
+        f"""
+        aggregate(
+          transform(split(lower(text), ' '), w -> {md5_long_sql('w')} % {POLY_MOD}),
+          CAST(0 AS BIGINT),
+          (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD})
+        """
+    )
+    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+                          w -> {duck_md5_long_sql('w')} % {POLY_MOD})),
+         (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus stats per language tag (SURVEY Q30 declared query)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "text_stats",
+        "Corpus stats by language (Q30)",
+        _text_stats,
+        """
+        SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    ),
+    QuerySpec("text_langid", "Language-ID stopword heuristic", _langid, _LANGID_ORACLE),
+    QuerySpec("text_quality", "Document quality scoring", _quality, _QUALITY_ORACLE),
+    QuerySpec("text_tokens", "Whitespace + BPE-ish token counting", _tokens, _TOKENS_ORACLE),
+    QuerySpec(
+        "text_fingerprint",
+        "Order-aware rolling-hash document fingerprint",
+        _fingerprint,
+        _FINGERPRINT_ORACLE,
+    ),
+]

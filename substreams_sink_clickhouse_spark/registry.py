@@ -1,0 +1,31 @@
+"""Central query registry: aggregates every operator module's specs.
+
+``__spark_entry__.py`` derives its ``queries()`` / ``oracle_sql()``
+contract from this registry, so adding a QuerySpec to any module is all
+it takes to put an operator under the correctness gate.
+"""
+
+from __future__ import annotations
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+
+
+def all_specs() -> list[QuerySpec]:
+    from substreams_sink_clickhouse_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming_q,
+        text,
+        udfs,
+    )
+
+    specs: list[QuerySpec] = []
+    for module in (relational, streaming_q, udfs, dedup, similarity, text, multimodal):
+        specs.extend(module.SPECS)
+    names = [s.name for s in specs]
+    if len(names) != len(set(names)):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate query names in registry: {dupes}")
+    return specs

@@ -1,0 +1,79 @@
+"""SparkSession construction + session tuning.
+
+The engine assumes a handful of session-level settings (UTC timestamps,
+nanos-parquet compatibility, last-wins map merge).  Because callers (and
+the correctness driver) may hand us an externally built session,
+``tune_session`` applies the runtime-settable subset idempotently and is
+called from every public query builder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every engine query depends on.
+_RUNTIME_CONFS = {
+    # Deterministic timestamp semantics regardless of host timezone —
+    # required for oracle parity (DuckDB reads parquet timestamps naive).
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's `events` fixture is written with TIMESTAMP(NANOS);
+    # Spark has no nanos timestamp type, so read as long and convert
+    # (see sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Reference merge semantics are last-writer-wins per field
+    # (/root/reference/db/operations.go:64-73).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # Runtime re-planning: join-strategy switching, skew-join splitting,
+    # partition coalescing — all essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Immutable in this deployment — accept the session's value.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "substreams-sink-clickhouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local testing runs ``local[N]``; on a real cluster the same settings
+    hold — AQE picks shuffle parallelism at runtime, so the static
+    ``shuffle.partitions`` is only an upper bound for tiny local runs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return tune_session(builder.getOrCreate())

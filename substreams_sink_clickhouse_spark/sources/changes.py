@@ -1,0 +1,129 @@
+"""The CDC ``changes`` model: schema, decode, validation.
+
+Canonical flattened form of
+``sf.substreams.sink.database.v1.DatabaseChanges``
+(/root/reference/pb/substreams/sink/database/v1/database.pb.go:75-209):
+one row per ``TableChange``:
+
+    block_num long, block_id string, ordinal long,
+    table string, pk string, op string, fields map<string,string>
+
+``fields`` carries ``Field.name -> Field.new_value``; ``old_value`` is
+carried on the wire but never read by the sink
+(/root/reference/sinker/sinker.go:147-151), so we drop it at decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from substreams_sink_clickhouse_spark.catalog import Catalog
+from substreams_sink_clickhouse_spark.errors import UnknownTableError
+
+#: Flattened TableChange schema (FIXTURES.md F1).
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("block_num", T.LongType(), False),
+        T.StructField("block_id", T.StringType(), True),
+        T.StructField("ordinal", T.LongType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("pk", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+#: JSON wire schema of one DatabaseChanges message: the raw proto shape
+#: with the per-field struct list (database.pb.go:122-209).
+DATABASE_CHANGES_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("block_num", T.LongType(), False),
+        T.StructField("block_id", T.StringType(), True),
+        T.StructField(
+            "table_changes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("table", T.StringType(), False),
+                        T.StructField("pk", T.StringType(), False),
+                        T.StructField("ordinal", T.LongType(), False),
+                        T.StructField("operation", T.StringType(), False),
+                        T.StructField(
+                            "fields",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("name", T.StringType(), False),
+                                        T.StructField("new_value", T.StringType(), True),
+                                        T.StructField("old_value", T.StringType(), True),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def decode_database_changes(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Decode serialized ``DatabaseChanges`` JSON into the flattened
+    changes schema (the Spark analog of the proto decode at
+    /root/reference/sinker/sinker.go:102-113 + field projection at
+    :147-151).  Works identically on batch and streaming DataFrames.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(json_col).cast("string"), DATABASE_CHANGES_JSON_SCHEMA).alias("msg")
+    )
+    exploded = parsed.select(
+        F.col("msg.block_num").alias("block_num"),
+        F.col("msg.block_id").alias("block_id"),
+        F.explode("msg.table_changes").alias("tc"),
+    )
+    return exploded.select(
+        "block_num",
+        "block_id",
+        F.col("tc.ordinal").alias("ordinal"),
+        F.col("tc.table").alias("table"),
+        F.col("tc.pk").alias("pk"),
+        F.col("tc.operation").alias("op"),
+        # []Field{name,new_value} -> map[col -> value] (sinker.go:147-151)
+        F.map_from_entries(
+            F.expr("transform(tc.fields, f -> struct(f.name, f.new_value))")
+        ).alias("fields"),
+    )
+
+
+def read_changes_jsonl(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Read newline-delimited DatabaseChanges JSON (batch or stream)."""
+    if streaming:
+        raw = spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())])).text(path)
+    else:
+        raw = spark.read.text(path)
+    return decode_database_changes(raw, "value")
+
+
+def validate_change_tables(changes: DataFrame, catalog: Catalog) -> None:
+    """Reject batches referencing unknown tables
+    (/root/reference/sinker/sinker.go:138-145).  Distributed check: a
+    distinct on the (tiny) table-name domain, no full collect."""
+    known = list(catalog.tables)
+    unknown = (
+        changes.select("table")
+        .distinct()
+        .filter(~F.col("table").isin(known))
+        .limit(1)
+        .collect()
+    )
+    if unknown:
+        raise UnknownTableError(unknown[0]["table"], known)
+
+
+def changes_column_check(op: Column) -> Column:
+    """Normalize operation spelling; UNSET rows are skipped upstream
+    (/root/reference/sinker/sinker.go:169-171)."""
+    return F.upper(op)

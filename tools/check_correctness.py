@@ -1,0 +1,131 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+same SF, compare row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values normalized).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def _normalize(value):
+    import datetime
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        if value == int(value) and abs(value) < 1e15:
+            return str(int(value))
+        return repr(round(value, 9))
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, (bytes, bytearray)):
+        return value.hex()
+    if isinstance(value, list):
+        return "[" + ",".join(_normalize(v) for v in value) + "]"
+    if isinstance(value, dict):
+        return "{" + ",".join(f"{k}:{_normalize(v)}" for k, v in sorted(value.items())) + "}"
+    return str(value)
+
+
+def value_hash(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x01".join(_normalize(row[i]) for i in order) for row in rows)
+    digest = hashlib.sha256()
+    for line in lines:
+        digest.update(line.encode())
+        digest.update(b"\n")
+    return digest.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    conn = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        conn.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"okNO {name}: rows={len(s_rows)} (no oracle; rows-only) [{spark_s:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            rel = conn.sql(oracles[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
+        if not problems:
+            hs, hd = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
+            if hs != hd:
+                problems.append(f"hash {hs} != {hd}")
+                for i, (sr, dr) in enumerate(zip(
+                    sorted(map(str, s_rows))[:2000], sorted(map(str, d_rows))[:2000]
+                )):
+                    if sr != dr:
+                        problems.append(f"first diff row {i}: spark={sr} duck={dr}")
+                        break
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(s_rows)} [{spark_s:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed" + (f": {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
