@@ -12,34 +12,43 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 from substreams_sink_clickhouse_spark.sources.tables import load_table
 
 
-@pandas_udf("string")
-def py_norm(s: pd.Series) -> pd.Series:
-    """Vectorized text normalization: lowercase + strip spaces."""
-    return s.str.lower().str.strip(" ")
+def make_py_norm():
+    """Vectorized scalar Pandas UDF: lowercase + strip spaces.  Built
+    lazily — pandas_udf registration needs an active session."""
+
+    def py_norm(s: "pd.Series") -> "pd.Series":
+        return s.str.lower().str.strip(" ")
+
+    return pandas_udf(py_norm, T.StringType())
 
 
-@pandas_udf("double")
-def py_mean(v: pd.Series) -> float:
+def make_py_mean():
     """Grouped-aggregate Pandas UDF: arithmetic mean."""
-    return float(v.mean())
+    from pyspark.sql.functions import PandasUDFType
+
+    def py_mean(v: "pd.Series") -> float:
+        return float(v.mean())
+
+    return pandas_udf(py_mean, T.DoubleType(), PandasUDFType.GROUPED_AGG)
 
 
 def _pandas_norm(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", py_norm("text").alias("norm")).orderBy("doc_id")
+    return d.select("doc_id", make_py_norm()("text").alias("norm")).orderBy("doc_id")
 
 
 def _pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return (
         d.groupBy("lang")
-        .agg(F.round(py_mean("n_chars"), 4).alias("mean_chars"))
+        .agg(F.round(make_py_mean()("n_chars"), 4).alias("mean_chars"))
         .orderBy("lang")
     )
 

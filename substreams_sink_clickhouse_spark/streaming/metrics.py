@@ -1,0 +1,70 @@
+"""Observability (reference O16).
+
+The reference exports three Prometheus series — flush count, flushed
+entries, flush duration (/root/reference/sinker/metrics.go:13-15) —
+and logs throughput every 15 s (sinker/stats.go:38-70).  Spark's
+native surface for this is ``StreamingQueryListener`` +
+``query.lastProgress``; this module bridges both into the same three
+counters plus a rate log line.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+logger = logging.getLogger("sscs.metrics")
+
+
+@dataclass
+class SinkStats:
+    """Counter parity with sinker/metrics.go:13-15."""
+
+    flush_count: int = 0
+    flushed_entries: int = 0
+    flush_duration_s: float = 0.0
+    last_block: int = -1
+    _started: float = field(default_factory=time.time)
+
+    def record_flush(self, entries: int, duration_s: float, last_block: int) -> None:
+        self.flush_count += 1
+        self.flushed_entries += entries
+        self.flush_duration_s += duration_s
+        self.last_block = max(self.last_block, last_block)
+
+    def log_line(self) -> str:
+        """Periodic stats line (sinker/stats.go:47-59 shape)."""
+        elapsed = max(time.time() - self._started, 1e-9)
+        return (
+            f"flushes={self.flush_count} entries={self.flushed_entries} "
+            f"rate={self.flushed_entries / elapsed:.1f}/s "
+            f"avg_flush={self.flush_duration_s / max(self.flush_count, 1):.3f}s "
+            f"last_block={self.last_block}"
+        )
+
+
+def make_listener(stats: SinkStats):
+    """StreamingQueryListener feeding SinkStats from query progress."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            logger.info("stream started: %s", event.id)
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            stats.record_flush(
+                entries=p.numInputRows,
+                duration_s=(p.batchDuration or 0) / 1000.0,
+                last_block=stats.last_block,
+            )
+            logger.info("progress: %s", stats.log_line())
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            logger.info("stream terminated: %s", event.id)
+
+    return _Listener()

@@ -1,0 +1,211 @@
+"""Streaming CDC ingest pipeline (reference run-loop, SURVEY §3.1).
+
+``readStream`` (JSONL/parquet DatabaseChanges) → decode → validate →
+distributed merge (operators/merge.py) → per-epoch versioned parquet
+table state + cursor row.  The reference's single DB transaction per
+flush (/root/reference/db/flush.go:12-69) has no parquet analog, so
+effectively-once is achieved the way Spark sinks do it:
+
+* every micro-batch (epoch) writes each affected table's NEW state to
+  a fresh versioned directory ``<warehouse>/<table>/v<epoch>``;
+* a tiny JSON manifest is then swapped atomically (``os.replace``) to
+  point readers at the new versions + record the applied epoch;
+* on restart/replay of an epoch the manifest shows it already applied
+  and the batch becomes a no-op (idempotent replay over the
+  at-least-once file source — same net semantics as the reference's
+  transactional cursor).
+
+Flush cadence (O9): the reference flushes every 1000 blocks during
+catch-up and every block when live (sinker/sinker.go:19-22,180-194).
+In Structured Streaming the micro-batch IS the flush window:
+``availableNow`` batches the whole backlog (catch-up), a
+``processingTime`` trigger approximates live cadence.
+
+Scale: table state rewrite is merge-on-write per epoch.  At 100 TB the
+state must be partitioned by pk range (``repartitionByRange`` on pk at
+write) so the full-outer reconcile join co-partitions and — with
+partition-pruning on the batch's pk ranges — only affected partitions
+rewrite.  The versioned-directory scheme is exactly what Delta/Iceberg
+formalize; we keep it explicit and dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.catalog import Catalog
+from substreams_sink_clickhouse_spark.operators.merge import merge_changes
+from substreams_sink_clickhouse_spark.sources.changes import (
+    read_changes_jsonl,
+    validate_change_tables,
+)
+from substreams_sink_clickhouse_spark.streaming.cursors import Cursor, CursorStore
+
+#: Flush cadence constants (sinker/sinker.go:19-22).
+HISTORICAL_BLOCK_FLUSH_EACH = 1000
+LIVE_BLOCK_FLUSH_EACH = 1
+
+
+class TableStateStore:
+    """Versioned parquet table state with an atomic JSON manifest."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, catalog: Catalog):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.catalog = catalog
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.warehouse_dir, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"tables": {}, "applied_epochs": []}
+        with open(self._manifest_path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, suffix=".manifest")
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    def table_state(self, name: str) -> DataFrame:
+        """Current state of a table (empty DF with catalog schema if
+        never written)."""
+        info = self.catalog.get(name)
+        manifest = self.read_manifest()
+        entry = manifest["tables"].get(name)
+        if entry is None:
+            return self.spark.createDataFrame([], info.schema)
+        return self.spark.read.schema(info.schema).parquet(entry["path"])
+
+    def epoch_applied(self, epoch_id: int) -> bool:
+        return epoch_id in self.read_manifest()["applied_epochs"]
+
+    def commit_epoch(
+        self, epoch_id: int, new_states: dict[str, DataFrame], cursor: Cursor | None,
+        cursor_store: CursorStore | None,
+    ) -> None:
+        """Write every affected table's new state, then swap the
+        manifest + cursor.  The manifest swap is the commit point."""
+        manifest = self.read_manifest()
+        for name, df in new_states.items():
+            info = self.catalog.get(name)
+            path = os.path.join(self.warehouse_dir, name, f"v{epoch_id}")
+            # pk-range partitioning: co-locates the next epoch's
+            # reconcile join and bounds rewrite at scale.
+            df.repartitionByRange(
+                max(2, df.sparkSession.sparkContext.defaultParallelism // 4),
+                F.col(info.primary_key),
+            ).write.mode("overwrite").parquet(path)
+            manifest["tables"][name] = {"path": path, "epoch": epoch_id}
+        manifest["applied_epochs"] = sorted(set(manifest["applied_epochs"]) | {epoch_id})
+        if cursor is not None and cursor_store is not None:
+            cursor_store.write_cursor(cursor)
+        self._write_manifest(manifest)
+
+
+class ChangesIngestPipeline:
+    """The reference's sinker loop on Structured Streaming."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        warehouse_dir: str,
+        checkpoint_dir: str,
+        module_hash: str = "default",
+        on_batch: Callable[[int, int], None] | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.state = TableStateStore(spark, warehouse_dir, catalog)
+        self.cursors = CursorStore(spark, os.path.join(warehouse_dir, "cursors"))
+        self.checkpoint_dir = checkpoint_dir
+        self.module_hash = module_hash
+        self.on_batch = on_batch
+        self.stats: dict[str, float] = {"flush_count": 0, "flushed_entries": 0, "flush_seconds": 0.0}
+
+    # -- batch kernel -------------------------------------------------
+
+    def process_batch(self, changes: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: one flush window
+        (/root/reference/db/flush.go:12-69 + sinker.go:119-131)."""
+        t0 = time.time()
+        if self.state.epoch_applied(epoch_id):
+            return  # replay after restart: already committed
+        changes = changes.cache()
+        try:
+            head = changes.select("block_num", "block_id").orderBy(F.desc("block_num")).limit(1).collect()
+            if not head:
+                return
+            validate_change_tables(changes, self.catalog)
+            affected = [r["table"] for r in changes.select("table").distinct().collect()]
+            targets = {name: self.state.table_state(name) for name in affected}
+            new_states = merge_changes(changes, targets, self.catalog)
+            n_entries = sum(df.count() for df in new_states.values())
+            cursor = Cursor(
+                id=self.module_hash,
+                cursor=f"epoch:{epoch_id}:block:{head[0]['block_num']}",
+                block_num=head[0]["block_num"],
+                block_id=head[0]["block_id"],
+            )
+            self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+        finally:
+            changes.unpersist()
+        self.stats["flush_count"] += 1
+        self.stats["flushed_entries"] += n_entries
+        self.stats["flush_seconds"] += time.time() - t0
+        if self.on_batch:
+            self.on_batch(epoch_id, n_entries)
+
+    # -- stream wiring ------------------------------------------------
+
+    def start(
+        self,
+        changes_path: str,
+        live: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Run the ingest stream over a JSONL DatabaseChanges directory.
+
+        ``live=False`` → ``availableNow`` (catch-up: batch the backlog,
+        the analog of the 1000-block historical flush); ``live=True`` →
+        processing-time trigger (per-arrival flush, the analog of
+        LIVE_BLOCK_FLUSH_EACH=1).
+        """
+        stream = read_changes_jsonl(self.spark, changes_path, streaming=True)
+        if max_files_per_trigger:
+            raw = (
+                self.spark.readStream.schema("value string")
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .text(changes_path)
+            )
+            from substreams_sink_clickhouse_spark.sources.changes import decode_database_changes
+
+            stream = decode_database_changes(raw, "value")
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if live:
+            writer = writer.trigger(processingTime="1 second")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, changes_path: str, timeout_s: int = 600, **kwargs) -> None:
+        query = self.start(changes_path, **kwargs)
+        query.awaitTermination(timeout_s)
+
+    def table(self, name: str) -> DataFrame:
+        return self.state.table_state(name)

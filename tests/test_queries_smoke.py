@@ -1,0 +1,28 @@
+"""Smoke test: every registered query runs at sf0.001 and returns a
+DataFrame with a stable schema.  (Value correctness is the DuckDB
+oracle gate — tools/check_correctness.py.)"""
+
+import pytest
+
+from substreams_sink_clickhouse_spark.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_SPECS = {s.name: s for s in all_specs()}
+
+
+def test_registry_unique_and_oracled():
+    specs = all_specs()
+    assert len(specs) >= 40
+    no_oracle = [s.name for s in specs if s.oracle is None]
+    # every query is oracle-checked in this round
+    assert no_oracle == []
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_query_runs(spark, name):
+    spec = _SPECS[name]
+    df = spec.builder(spark, SF_DIR)
+    rows = df.limit(5).collect() if name != "q25_watermark" else df.collect()
+    assert df.columns, f"{name}: no columns"
+    assert rows is not None
