@@ -51,8 +51,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # Warm the JVM/codegen path once with a trivial plan.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up: run the headline set once at the smallest SF.  This
+    # compiles every plan's codegen, loads parquet/FS classes, and
+    # starts the Arrow Python workers — one-time engine costs that a
+    # long-running cluster amortizes away and a throughput benchmark
+    # should not attribute to individual queries.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -52,6 +52,25 @@ from substreams_sink_clickhouse_spark.sources.tables import load_table
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 hashes per band
+
+#: Affine-reseeded minhash family: each shingle is MD5-hashed ONCE
+#: (g = H(shingle) % P), then the k functions are h_j = (A_j*g + B_j)
+#: % P — the classic universal-hash construction, 8x cheaper than k
+#: independent MD5s.  Constants derived from MD5 in Python so both
+#: engines inline identical literals.
+MINHASH_P = 1_000_000_007
+
+
+def _mh_const(j: int, which: str, odd: bool = False) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"mh:{which}:{j}".encode()).hexdigest()[:15], 16)
+    value = h % MINHASH_P
+    return value | 1 if odd else value
+
+
+MINHASH_A = [_mh_const(j, "a", odd=True) for j in range(N_MINHASH)]
+MINHASH_B = [_mh_const(j, "b") for j in range(N_MINHASH)]
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 8 bits each
 SIMHASH_MAX_HAMMING = 6
@@ -130,10 +149,12 @@ def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     aug = _aug_docs(spark, sf)
-    sh = _shingle_rows(aug)
+    sh = _shingle_rows(aug).withColumn(
+        "g", F.expr(md5_long_sql("shingle")) % MINHASH_P
+    )
     mh = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(md5_long_sql(f"CONCAT('{j}:', shingle)"))).alias(f"mh{j}")
+            F.min((F.lit(MINHASH_A[j]) * F.col("g") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
     )
@@ -165,9 +186,8 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ",\n         ".join(
-        f"min({duck_md5_long_sql(f_expr)}) AS mh{j}"
+        f"min(({MINHASH_A[j]} * g + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
         for j in range(N_MINHASH)
-        for f_expr in [f"CONCAT('{j}:', shingle)"]
     )
     bands = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band_id, concat_ws(':', mh{2*b}, mh{2*b+1}) AS band_val FROM mh"
@@ -176,9 +196,11 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_DUCK_AUG.strip().rstrip()},
 {_DUCK_SHINGLES.strip()},
+shg AS (
+  SELECT doc_id, {duck_md5_long_sql('shingle')} % {MINHASH_P} AS g FROM sh),
 mh AS (
   SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id),
+  FROM shg GROUP BY doc_id),
 bands AS (
   {bands})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -197,16 +197,26 @@ def merge_changes(
     targets: dict[str, DataFrame],
     catalog: Catalog,
     check_errors: bool = True,
-) -> dict[str, DataFrame]:
+    return_reduced: bool = False,
+):
     """Full merge: reduce a changes window and apply it to every
-    affected table's state.  Returns the new state per table."""
-    reduced = reduce_changes(changes, catalog.primary_keys())
+    affected table's state.  Returns the new state per table.
+
+    The reduced-ops DataFrame is cached: the error probe, each table's
+    apply join, and any downstream action would otherwise re-execute
+    the whole fold.  Pass ``return_reduced=True`` to also receive the
+    cached DF so a long-running caller (the streaming pipeline) can
+    unpersist it after committing the epoch.
+    """
+    reduced = reduce_changes(changes, catalog.primary_keys()).cache()
     if check_errors:
         check_merge_errors(reduced)
-    reduced = reduced.filter(F.col("err").isNull())
+    live = reduced.filter(F.col("err").isNull())
     out: dict[str, DataFrame] = {}
     for name, target in targets.items():
         info = catalog.get(name)
-        ops_t = reduced.filter(F.col("table") == name)
+        ops_t = live.filter(F.col("table") == name)
         out[name] = apply_table_ops(target, ops_t, info)
+    if return_reduced:
+        return out, reduced
     return out

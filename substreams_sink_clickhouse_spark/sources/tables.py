@@ -31,15 +31,25 @@ TABLE_NAMES = [
 #: converted back to TimestampType.
 _NANOS_COLUMNS = {"events": ["ts"]}
 
+#: Plan-object memo: re-reading the same table re-lists files and
+#: re-reads parquet footers on the driver (~100 ms each) — pure
+#: overhead when many queries hit the same tables in one session.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalize nano-timestamp columns."""
+    """Load one fixture table; normalize nano-timestamp columns.
+    Memoizes the DataFrame (logical plan) per (session, dir, table)."""
     tune_session(spark)
+    key = (id(spark.sparkContext), sf_dir, name)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             # integer nanos -> micros (exact: fixture is micro-granular)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -151,7 +151,9 @@ class ChangesIngestPipeline:
             validate_change_tables(changes, self.catalog)
             affected = [r["table"] for r in changes.select("table").distinct().collect()]
             targets = {name: self.state.table_state(name) for name in affected}
-            new_states = merge_changes(changes, targets, self.catalog)
+            new_states, reduced = merge_changes(
+                changes, targets, self.catalog, return_reduced=True
+            )
             n_entries = sum(df.count() for df in new_states.values())
             cursor = Cursor(
                 id=self.module_hash,
@@ -160,6 +162,7 @@ class ChangesIngestPipeline:
                 block_id=head[0]["block_id"],
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            reduced.unpersist()
         finally:
             changes.unpersist()
         self.stats["flush_count"] += 1
