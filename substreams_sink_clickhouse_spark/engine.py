@@ -1,0 +1,90 @@
+"""Engine facade: the single object a reference user switches to.
+
+The reference's user experience is "run the sink, then query the
+tables with ClickHouse SQL" (/root/reference/README.md:29-68).  The
+Spark equivalent:
+
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    eng = Engine.local()                      # or Engine(spark, config)
+    eng.setup(ddl_path="schema.sql")          # reference Loader.Setup
+    eng.ingest("/data/changes/", catalog)     # reference `run` loop
+    eng.sql("SELECT * FROM block_meta ORDER BY number LIMIT 10")
+    eng.table("block_meta")                   # DataFrame
+    eng.cursor("module-hash")                 # stream position
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from substreams_sink_clickhouse_spark.catalog import Catalog, setup as catalog_setup
+from substreams_sink_clickhouse_spark.config import EngineConfig
+from substreams_sink_clickhouse_spark.session import get_spark, tune_session
+from substreams_sink_clickhouse_spark.streaming.pipeline import ChangesIngestPipeline
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = tune_session(spark)
+        self.config = config or EngineConfig()
+        self._pipelines: dict[str, ChangesIngestPipeline] = {}
+
+    @classmethod
+    def local(cls, config: EngineConfig | None = None, **spark_kwargs) -> "Engine":
+        return cls(get_spark(**spark_kwargs), config)
+
+    # -- schema bootstrap (reference Loader.Setup, db/db.go:212-249) --
+
+    def setup(self, ddl_statements: list[str] | None = None, ddl_path: str | None = None) -> None:
+        catalog_setup(self.spark, ddl_statements, ddl_path)
+
+    # -- ingest (reference `run` command, SURVEY §3.1) ----------------
+
+    def pipeline(self, catalog: Catalog, module_hash: str = "default") -> ChangesIngestPipeline:
+        if module_hash not in self._pipelines:
+            self._pipelines[module_hash] = ChangesIngestPipeline(
+                self.spark,
+                catalog,
+                warehouse_dir=self.config.warehouse_dir,
+                checkpoint_dir=os.path.join(self.config.checkpoint_dir, module_hash),
+                module_hash=module_hash,
+            )
+        return self._pipelines[module_hash]
+
+    def ingest(
+        self,
+        changes_path: str,
+        catalog: Catalog,
+        module_hash: str = "default",
+        live: bool = False,
+        timeout_s: int = 600,
+    ) -> ChangesIngestPipeline:
+        pipe = self.pipeline(catalog, module_hash)
+        if live:
+            pipe.start(changes_path, live=True)
+        else:
+            pipe.run_to_completion(changes_path, timeout_s=timeout_s)
+        # expose ingested tables to SQL
+        for name in catalog.tables:
+            pipe.table(name).createOrReplaceTempView(name)
+        return pipe
+
+    # -- query surface ------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str, module_hash: str = "default") -> DataFrame:
+        pipe = self._pipelines.get(module_hash)
+        if pipe is not None and name in pipe.catalog.tables:
+            return pipe.table(name)
+        return self.spark.table(name)
+
+    def cursor(self, module_hash: str = "default", on_mismatch: str = "error"):
+        pipe = self._pipelines.get(module_hash) or next(iter(self._pipelines.values()), None)
+        if pipe is None:
+            return None
+        return pipe.cursors.get_cursor(module_hash, on_mismatch)

@@ -293,6 +293,91 @@ def _q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q09b(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q15b(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operation: EXCEPT (distinct)."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")
+
+
+def _q17b(spark: SparkSession, sf: str) -> DataFrame:
+    """More string functions: regexp_extract, split, instr, trim."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.size(F.split("p_name", " ")).alias("nw"),
+            F.instr(F.col("p_name"), "e").alias("pos_e"),
+            F.concat_ws("-", "p_brand", "p_type").alias("tag"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+def _q18b(spark: SparkSession, sf: str) -> DataFrame:
+    """More date functions: date_trunc, datediff, unix_timestamp."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("mo"),
+            F.datediff("o_orderdate", F.lit("1995-01-01")).alias("dd"),
+            F.unix_timestamp("o_orderdate").alias("ut"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def _q19b(spark: SparkSession, sf: str) -> DataFrame:
+    """More math/conditional: abs, ceil, floor, pow, nullif, coalesce."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("a"),
+            F.ceil(F.col("l_quantity") / 7).alias("c"),
+            F.floor(F.col("l_quantity") / 7).alias("f"),
+            F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("p"),
+            F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("X")).alias("cf"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def _q11b(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+def _q05b(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate count-distinct (HLL): implementation-specific value,
+    so no cross-engine oracle — the driver records a rows-only check."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cnt"))
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -523,5 +608,83 @@ SPECS: list[QuerySpec] = [
         WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
         GROUP BY event_type ORDER BY event_type
         """,
+    ),
+    QuerySpec(
+        "q09b_semi_join",
+        "Semi join / EXISTS (Q9)",
+        _q09b,
+        """
+        SELECT count(*) AS cnt FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+    ),
+    QuerySpec(
+        "q15b_except",
+        "Set operation: EXCEPT distinct (Q15)",
+        _q15b,
+        """
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT
+        SELECT s_nationkey AS k FROM supplier
+        ORDER BY k
+        """,
+    ),
+    QuerySpec(
+        "q17b_strings_regex",
+        "regexp_extract / split / instr / concat_ws (Q17)",
+        _q17b,
+        r"""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               CAST(len(string_split(p_name, ' ')) AS INT) AS nw,
+               CAST(strpos(p_name, 'e') AS INT) AS pos_e,
+               concat_ws('-', p_brand, p_type) AS tag
+        FROM part ORDER BY p_partkey LIMIT 200
+        """,
+    ),
+    QuerySpec(
+        "q18b_date_funcs",
+        "date_trunc / datediff / unix_timestamp (Q18)",
+        _q18b,
+        """
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+               CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS dd,
+               CAST(epoch(o_orderdate) AS BIGINT) AS ut
+        FROM orders ORDER BY o_orderkey LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q19b_math_funcs",
+        "abs / ceil / floor / pow / nullif / coalesce (Q19)",
+        _q19b,
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_discount - 0.05), 4) AS a,
+               CAST(ceil(l_quantity / 7) AS BIGINT) AS c,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS f,
+               round(pow(l_tax + 1, 2), 6) AS p,
+               coalesce(nullif(l_returnflag, 'N'), 'X') AS cf
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+        """,
+    ),
+    QuerySpec(
+        "q11b_cube",
+        "CUBE grouping sets (Q11)",
+        _q11b,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+    ),
+    QuerySpec(
+        "q05b_approx_distinct",
+        "Approximate count-distinct / HLL (Q5; engine-specific value, "
+        "rows-only check)",
+        _q05b,
+        None,
     ),
 ]

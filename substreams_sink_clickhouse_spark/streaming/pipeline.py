@@ -107,8 +107,16 @@ class TableStateStore:
                 max(2, df.sparkSession.sparkContext.defaultParallelism // 4),
                 F.col(info.primary_key),
             ).write.mode("overwrite").parquet(path)
-            manifest["tables"][name] = {"path": path, "epoch": epoch_id}
+            prior = manifest["tables"].get(name, {})
+            history = prior.get("history", [])
+            if prior.get("path"):
+                history = history + [{"path": prior["path"], "epoch": prior["epoch"]}]
+            manifest["tables"][name] = {"path": path, "epoch": epoch_id, "history": history}
         manifest["applied_epochs"] = sorted(set(manifest["applied_epochs"]) | {epoch_id})
+        if cursor is not None:
+            blocks = manifest.get("epoch_blocks", {})
+            blocks[str(epoch_id)] = cursor.block_num
+            manifest["epoch_blocks"] = blocks
         if cursor is not None and cursor_store is not None:
             cursor_store.write_cursor(cursor)
         self._write_manifest(manifest)
@@ -212,3 +220,40 @@ class ChangesIngestPipeline:
 
     def table(self, name: str) -> DataFrame:
         return self.state.table_state(name)
+
+    # -- reorg / undo -------------------------------------------------
+
+    def handle_block_undo_signal(self, last_valid_block: int) -> None:
+        """Reorg handling.
+
+        The reference stubs this out entirely — its handler returns an
+        error and relies on the upstream ``--undo-buffer-size`` to only
+        deliver final blocks (/root/reference/sinker/sinker.go:176-178).
+        Our versioned table state can do better: every committed epoch
+        retains its predecessor's directories, so rolling back to the
+        newest epoch at-or-below the fork point is a manifest edit.
+        """
+        manifest = self.state.read_manifest()
+        history = manifest.get("epoch_blocks", {})
+        valid = [int(e) for e, b in history.items() if b <= last_valid_block]
+        if not valid:
+            raise RuntimeError(
+                f"no committed epoch at or below block {last_valid_block}; "
+                "re-sync from genesis (reference behavior: error out, "
+                "sinker.go:176-178)"
+            )
+        target_epoch = max(valid)
+        for name, entry in list(manifest["tables"].items()):
+            candidates = entry.get("history", [])
+            rollback = [h for h in candidates if h["epoch"] <= target_epoch]
+            if rollback:
+                newest = max(rollback, key=lambda h: h["epoch"])
+                manifest["tables"][name] = {
+                    "path": newest["path"],
+                    "epoch": newest["epoch"],
+                    "history": candidates,
+                }
+            else:
+                del manifest["tables"][name]
+        manifest["applied_epochs"] = [e for e in manifest["applied_epochs"] if e <= target_epoch]
+        self.state._write_manifest(manifest)

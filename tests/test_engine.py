@@ -1,0 +1,116 @@
+"""Engine facade + undo/rollback tests."""
+
+import json
+
+from substreams_sink_clickhouse_spark.catalog import BLOCK_META_SCHEMA, Catalog, TableInfo
+from substreams_sink_clickhouse_spark.config import EngineConfig
+from substreams_sink_clickhouse_spark.engine import Engine
+
+
+def _msg(block_num, changes):
+    return json.dumps(
+        {
+            "block_num": block_num,
+            "block_id": f"0x{block_num:04x}",
+            "table_changes": [
+                {
+                    "table": t,
+                    "pk": pk,
+                    "ordinal": o,
+                    "operation": op,
+                    "fields": [
+                        {"name": n, "new_value": v, "old_value": None}
+                        for n, v in (fields or {}).items()
+                    ],
+                }
+                for (t, pk, o, op, fields) in changes
+            ],
+        }
+    )
+
+
+def _catalog():
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    return cat
+
+
+def test_engine_ingest_then_sql(spark, tmp_path):
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            _msg(i, [("block_meta", f"blk{i}", 1, "CREATE", {"number": str(i * 10)})])
+            for i in (1, 2, 3)
+        )
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), _catalog())
+    rows = eng.sql(
+        "SELECT id, number FROM block_meta ORDER BY number DESC LIMIT 2"
+    ).collect()
+    assert [(r["id"], r["number"]) for r in rows] == [("blk3", 30), ("blk2", 20)]
+    cursor = eng.cursor()
+    assert cursor.block_num == 3
+
+
+def test_undo_rolls_back_to_fork_point(spark, tmp_path):
+    """Versioned state makes reorg rollback a manifest edit — stronger
+    than the reference's error-out stub (sinker.go:176-178)."""
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    # epoch 0: blocks 1-2
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})]),
+                _msg(2, [("block_meta", "k2", 1, "CREATE", {"number": "2"})]),
+            ]
+        )
+    )
+    pipe = eng.ingest(str(stream), cat)
+    # epoch 1: block 3 (will be orphaned by the reorg)
+    (stream / "b2.jsonl").write_text(
+        _msg(3, [("block_meta", "k3", 1, "CREATE", {"number": "3"}),
+                 ("block_meta", "k1", 2, "UPDATE", {"number": "111"})])
+    )
+    eng.ingest(str(stream), cat)
+    assert {r["id"]: r["number"] for r in pipe.table("block_meta").collect()} == {
+        "k1": 111, "k2": 2, "k3": 3,
+    }
+
+    pipe.handle_block_undo_signal(last_valid_block=2)
+    assert {r["id"]: r["number"] for r in pipe.table("block_meta").collect()} == {
+        "k1": 1, "k2": 2,
+    }
+
+
+def test_undo_below_history_errors(spark, tmp_path):
+    import pytest
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _msg(5, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    pipe = eng.ingest(str(stream), _catalog())
+    with pytest.raises(RuntimeError, match="re-sync"):
+        pipe.handle_block_undo_signal(last_valid_block=1)

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, top-k.
+
+These pin the physical properties that matter at 100 TB (SURVEY §4):
+pushed filters reach the parquet scan, projections prune the read
+schema, dimension joins broadcast, top-k avoids a global sort.
+"""
+
+import pytest
+
+from substreams_sink_clickhouse_spark.operators import relational as R
+from substreams_sink_clickhouse_spark.plans.explain import (
+    count_shuffles,
+    has_broadcast,
+    read_columns,
+    scan_info,
+    simple_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_projection_prunes_scan(spark):
+    df = R._q02(spark, SF)
+    cols = read_columns(df, "orders")
+    assert cols == {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_filters_pushed_to_scan(spark):
+    df = R._q03(spark, SF)
+    scans = scan_info(df)
+    assert scans, "no parquet scan found"
+    pushed = scans[0]["pushed_filters"]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    # projection pruning too: only the 4 referenced columns are read
+    cols = read_columns(df, "lineitem")
+    assert cols == {"l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_quantity"}
+
+
+def test_dimension_join_broadcasts(spark):
+    assert has_broadcast(R._q06(spark, SF))
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = R._q07(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_topk_avoids_global_sort(spark):
+    df = R._q14(spark, SF)
+    assert "TakeOrderedAndProject" in simple_plan(df)
+    assert count_shuffles(df) == 0
+
+
+def test_agg_has_partial_and_final(spark):
+    # Catalyst plans two-phase hash aggregation (map-side combine)
+    plan = simple_plan(R._q04(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_scan_has_codegen(spark):
+    from substreams_sink_clickhouse_spark.plans.explain import codegen_spans
+
+    assert codegen_spans(R._q04(spark, SF)) >= 1
