@@ -148,15 +148,24 @@ def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- minhash
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-shuffle signature computation: the shingle set stays an
+    array column, each shingle MD5-hashed once (``g``), and the k
+    minhashes are per-row ``array_min`` folds — no explode, no groupBy;
+    the only shuffle in the whole operator is the band join."""
     aug = _aug_docs(spark, sf)
-    sh = _shingle_rows(aug).withColumn(
-        "g", F.expr(md5_long_sql("shingle")) % MINHASH_P
+    with_g = (
+        aug.withColumn("__words", F.split("text", " "))
+        .withColumn("__sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
+        .withColumn("__g", F.expr(f"transform(__sh, s -> {md5_long_sql('s')} % {MINHASH_P})"))
     )
-    mh = sh.groupBy("doc_id").agg(
+    mh = with_g.select(
+        "doc_id",
         *[
-            F.min((F.lit(MINHASH_A[j]) * F.col("g") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"mh{j}")
+            F.expr(
+                f"array_min(transform(__g, g -> ({MINHASH_A[j]}L * g + {MINHASH_B[j]}L) % {MINHASH_P}))"
+            ).alias(f"mh{j}")
             for j in range(N_MINHASH)
-        ]
+        ],
     )
     band_structs = F.array(
         *[
@@ -213,17 +222,23 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------- simhash
 
 def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-shuffle fingerprints: word hashes stay an array column and
+    every bit's ±1 sum is a per-row higher-order fold (the explode +
+    32-way groupBy formulation shuffles the full word list; this one
+    shuffles nothing until the chunk join)."""
     aug = _aug_docs(spark, sf)
-    words = aug.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    ).withColumn("hw", F.expr(md5_long_sql("w")))
-    bit_sums = words.groupBy("doc_id").agg(
+    hashed = aug.withColumn(
+        "__hw", F.expr(f"transform(split(lower(text), ' '), w -> {md5_long_sql('w')})")
+    )
+    bit_sums = hashed.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(hw, {j}) & 1) = 1"), 1).otherwise(-1)
+            F.expr(
+                f"aggregate(__hw, 0, (acc, h) -> acc + "
+                f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
             ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sim_expr = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"

@@ -132,6 +132,10 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
         .withColumn("pk_name", F.coalesce(pk_map[F.col("table")], F.lit("id")))
     )
     folded = grouped.withColumn("folded", F.expr(_FOLD_EXPR))
+    # NOTE: no ``op != 'NONE'`` filter here — Catalyst would push it
+    # through the projection and re-inline the entire fold expression,
+    # evaluating it twice per row.  NONE groups (all-UNSET) are rare
+    # and handled as no-ops by ``apply_table_ops``.
     return folded.select(
         "table",
         "pk",
@@ -139,7 +143,7 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
         F.col("folded.op").alias("op"),
         F.col("folded.fields").alias("fields"),
         F.col("folded.err").alias("err"),
-    ).filter(F.col("op") != "NONE")
+    )
 
 
 def check_merge_errors(reduced: DataFrame) -> None:
@@ -176,7 +180,7 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     kept = joined.filter(
         (F.col("__op").isNull())
         | (F.col("__op") == "CREATE")
-        | ((F.col("__op") == "UPDATE") & exists)
+        | (F.col("__op").isin("UPDATE", "NONE") & exists)
     )
     out_cols = []
     for field in info.schema.fields:
