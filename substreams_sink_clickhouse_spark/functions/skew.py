@@ -51,6 +51,29 @@ def salted_join(
     return out.drop("__salt")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Decouple a compute-dense stage's parallelism from its input
+    splits.
+
+    A small parquet file (one row group) scans as ONE partition, so a
+    per-row-expensive stage downstream (per-shingle hashing, UDF feature
+    extraction) runs on one core no matter how many the cluster has.
+    Round-robin repartition fans it out.  No-op when the scan already
+    has enough splits — always the case at real scale, where inputs
+    have thousands of row groups — so this only fires on small inputs,
+    where the extra shuffle is cheap.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= min(8, target):
+        return df
+    return df.repartition(target)
+
+
 def two_phase_agg(
     df: DataFrame,
     keys: list[str],

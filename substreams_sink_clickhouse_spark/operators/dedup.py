@@ -39,6 +39,7 @@ from substreams_sink_clickhouse_spark.functions.hashing import (
     duck_md5_long_sql,
     md5_long_sql,
 )
+from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
 from substreams_sink_clickhouse_spark.operators.similarity import (
     _bucket_expr_duck,
     _bucket_expr_spark,
@@ -81,8 +82,13 @@ COSINE_DUP_THRESHOLD = 0.99
 # ---------------------------------------------------------------- corpus
 
 def _aug_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """documents ∪ near-dup copies (drop last word, id + 100000)."""
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    """documents ∪ near-dup copies (drop last word, id + 100000).
+
+    The corpus feeds per-shingle/per-word hashing — the most CPU-dense
+    stages in the engine — so parallelism must not be bounded by the
+    input's split count (a small file scans as one partition).
+    ``ensure_parallelism`` is a no-op at real scale."""
+    d = ensure_parallelism(load_table(spark, sf, "documents").select("doc_id", "text"))
     copies = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.array_join(
@@ -145,6 +151,16 @@ def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pair_expand(arr: str, fields: str) -> str:
+    """SQL for all ordered pairs (i < j) of a sorted array column:
+    ``struct(<fields>)`` is built from pair elements ``x`` and ``y``."""
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr}) - i - 1), "
+        f"y -> struct({fields}))))"
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -179,15 +195,20 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Bucket expansion instead of a self-join: a self-join would evaluate
+    # the whole signature pipeline TWICE (once per side) and shuffle it
+    # twice; grouping by band computes signatures once and emits each
+    # bucket's ordered pairs with one shuffle.  Hot buckets (a degenerate
+    # band shared by a large fraction of the corpus) are the known LSH
+    # hazard — at scale, pre-count bucket sizes and drop/salt outliers.
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
@@ -257,19 +278,27 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     chunks = fp.select("doc_id", "sh", F.explode(chunk_structs).alias("c")).select(
         "doc_id", "sh", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Bucket expansion (see _dedup_minhash): fingerprints computed once,
+    # one shuffle on the chunk key; Hamming distance evaluated inside
+    # the per-bucket pair lambda.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    _pair_expand(
+                        "ds",
+                        "x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                        "CAST(bit_count(x.sh ^ y.sh) AS INT) AS ham",
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").alias("ham"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.ham")
         .distinct()
         .filter(F.col("ham") <= SIMHASH_MAX_HAMMING)
     )
@@ -318,10 +347,23 @@ def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     aug = _aug_docs(spark, sf)
     sh = _shingle_rows(aug)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Common-shingle counting via bucket expansion: group docs per
+    # shingle, emit each bucket's ordered pairs, count per pair.  The
+    # self-join formulation computes the shingle explosion twice and
+    # shuffles it twice; this computes it once.  A stop-shingle shared
+    # by a large share of docs makes a quadratic bucket — at scale,
+    # drop shingles with document frequency above a cutoff first
+    # (standard near-dup practice).
+    shingle_buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        shingle_buckets.select(
+            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -375,21 +417,34 @@ def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
             "transform(embedding, (x, i) -> x + CASE WHEN i = 0 THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
         ).alias("embedding"),
     )
-    aug = e.unionByName(copies).withColumn("__bucket", F.expr(_bucket_expr_spark()))
-    a, b = aug.alias("a"), aug.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).withColumn(
-        "simx",
-        F.expr(_dot_expr("a.embedding", "b.embedding"))
-        / (F.expr(_norm_expr("a.embedding")) * F.expr(_norm_expr("b.embedding"))),
+    aug = (
+        ensure_parallelism(e.unionByName(copies))
+        .withColumn("__bucket", F.expr(_bucket_expr_spark()))
     )
+    # Bucket expansion (see _dedup_minhash): signatures computed once;
+    # the cosine runs inside the per-bucket pair lambda.
+    buckets = (
+        aug.groupBy("__bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs"))
+        .filter(F.size("vs") > 1)
+    )
+    dot = _dot_expr("x.embedding", "y.embedding")
+    nx, ny = _norm_expr("x.embedding"), _norm_expr("y.embedding")
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                _pair_expand(
+                    "vs",
+                    f"x.vec_id AS vec_a, y.vec_id AS vec_b, ({dot}) / (({nx}) * ({ny})) AS simx",
+                )
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b", "p.simx")
     return (
         pairs.filter(F.col("simx") >= COSINE_DUP_THRESHOLD)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("vec_a"),
+            F.col("vec_b"),
             F.round("simx", 6).alias("sim"),
         )
         .orderBy("vec_a", "vec_b")

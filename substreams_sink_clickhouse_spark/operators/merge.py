@@ -156,6 +156,26 @@ def check_merge_errors(reduced: DataFrame) -> None:
         raise MergeSemanticsError(f"invalid change sequence: {details}")
 
 
+#: Executor-side guard: any errored group poisons its pk expression so
+#: the FIRST action touching it raises — no separate probe job, no
+#: cache.  ``raise_error`` is non-foldable, and pk feeds the apply join
+#: key, so Catalyst cannot prune it.
+_GUARD_PK = """
+CASE WHEN err IS NOT NULL THEN
+  raise_error(concat('invalid change sequence: ', table, '/', pk, ': ', err))
+ELSE pk END
+"""
+
+
+def guard_merge_errors(reduced: DataFrame) -> DataFrame:
+    """Inline equivalent of :func:`check_merge_errors`: rewrites ``pk``
+    so evaluating an errored group raises inside the job itself.  Turns
+    reduce+check+apply into ONE action (the fold is evaluated once)
+    at the cost of the error surfacing as a ``SparkException`` at
+    action time instead of a ``MergeSemanticsError`` eagerly."""
+    return reduced.withColumn("pk", F.expr(_GUARD_PK))
+
+
 def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataFrame:
     """Reconcile one table's reduced ops with its current state.
 
@@ -206,16 +226,34 @@ def merge_changes(
     """Full merge: reduce a changes window and apply it to every
     affected table's state.  Returns the new state per table.
 
-    The reduced-ops DataFrame is cached: the error probe, each table's
-    apply join, and any downstream action would otherwise re-execute
-    the whole fold.  Pass ``return_reduced=True`` to also receive the
-    cached DF so a long-running caller (the streaming pipeline) can
-    unpersist it after committing the epoch.
+    ``check_errors`` modes:
+
+    * ``True`` (default) — eager: cache the reduced ops, probe for
+      errors, raise ``MergeSemanticsError`` before anything is applied.
+      The right mode when the caller must not write ANY table on a bad
+      window (the streaming pipeline).
+    * ``"inline"`` — single-pass: no cache, no probe job; errored
+      groups raise from inside the apply job itself
+      (:func:`guard_merge_errors`).  Halves the work for one-shot
+      batch replays over a single table.
+    * ``False`` — skip checking entirely.
+
+    In the eager mode the reduced-ops DataFrame is cached (the probe,
+    each table's apply join, and any downstream action would otherwise
+    re-execute the whole fold); pass ``return_reduced=True`` to also
+    receive the cached DF so a long-running caller (the streaming
+    pipeline) can unpersist it after committing the epoch.
     """
-    reduced = reduce_changes(changes, catalog.primary_keys()).cache()
-    if check_errors:
-        check_merge_errors(reduced)
-    live = reduced.filter(F.col("err").isNull())
+    reduced = reduce_changes(changes, catalog.primary_keys())
+    if check_errors == "inline":
+        live = guard_merge_errors(reduced)
+        if len(targets) > 1:
+            live = live.cache()
+    else:
+        reduced = reduced.cache()
+        if check_errors:
+            check_merge_errors(reduced)
+        live = reduced.filter(F.col("err").isNull())
     out: dict[str, DataFrame] = {}
     for name, target in targets.items():
         info = catalog.get(name)

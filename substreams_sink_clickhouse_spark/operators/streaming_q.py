@@ -206,7 +206,12 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     catalog = Catalog()
     catalog.register(_ORDERS_T)
     empty_target = spark.createDataFrame([], _ORDERS_T.schema)
-    merged = merge_changes(changes, {"orders_t": empty_target}, catalog)
+    # Single-pass mode: the fixture stream is error-free by construction,
+    # so the inline guard (raises from inside the job if that ever
+    # changes) avoids the eager probe's extra evaluation of the fold.
+    merged = merge_changes(
+        changes, {"orders_t": empty_target}, catalog, check_errors="inline"
+    )
     return merged["orders_t"].orderBy(F.col("id").cast("long"))
 
 
