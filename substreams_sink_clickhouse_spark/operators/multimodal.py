@@ -60,6 +60,98 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def decode_video(payload: bytes) -> "object":
+    """Decode a video payload to frames.  STUB: no ffmpeg/av in this
+    container."""
+    raise NotImplementedError(
+        "video decoding requires ffmpeg/pyav not present in this "
+        "container; wire it here in a real deployment"
+    )
+
+
+#: Deterministic stand-ins for the decoded paths, so the Spark-side
+#: plumbing (schemas, Arrow batch shapes, fan-out) is oracle-checkable:
+#: "resize" keeps every RESIZE_STRIDE-th byte up to RESIZE_MAX bytes;
+#: "frame sampling" treats the payload as FRAME_BYTES-sized frames and
+#: keeps every FRAME_STRIDE-th frame.
+RESIZE_STRIDE = 4
+RESIZE_MAX = 64
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("orig_len", T.IntegerType(), True),
+        T.StructField("thumb_len", T.IntegerType(), True),
+        T.StructField("thumb_sum", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_len", T.IntegerType(), True),
+        T.StructField("frame_sum", T.IntegerType(), True),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Stand-in resize: downsample the byte stream (a real deployment
+    decodes + PIL-resizes here; same schema, same batch shape)."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        thumbs = payloads.map(lambda b: b[:: RESIZE_STRIDE][:RESIZE_MAX])
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "orig_len": payloads.map(len).astype("int32"),
+                "thumb_len": thumbs.map(len).astype("int32"),
+                "thumb_sum": thumbs.map(lambda t: sum(t) % 65536).astype("int32"),
+            }
+        )
+
+
+def _frame_sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Stand-in frame sampler: fan-out — each asset row yields one row
+    per sampled frame (the Arrow batch out is LARGER than the batch
+    in, the shape a real video pipeline has)."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids, idxs, lens, sums = [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                ids.append(asset_id)
+                idxs.append(i)
+                lens.append(len(frame))
+                sums.append(sum(frame) % 65536)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_len": pd.Series(lens, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int32"),
+            }
+        )
+
+
+def resize_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas resize (stand-in byte downsample; decode stubbed)."""
+    return assets.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """mapInPandas frame sampling with per-row fan-out."""
+    return assets.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
 def _extract_features_batches(
     batches: Iterator["pd.DataFrame"],
 ) -> Iterator["pd.DataFrame"]:
@@ -117,6 +209,48 @@ FROM documents ORDER BY asset_id
 """
 
 
+def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return resize_assets(assets_from_documents(docs)).orderBy("asset_id")
+
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id AS asset_id,
+       CAST(len(text) AS INT) AS orig_len,
+       CAST(least((len(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE}, {RESIZE_MAX}) AS INT) AS thumb_len,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  range(0, least((len(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE}, {RESIZE_MAX})),
+                  i -> CAST(unicode(substr(text, 1 + i * {RESIZE_STRIDE}, 1)) AS BIGINT))),
+              (a, b) -> a + b) % 65536 AS INT) AS thumb_sum
+FROM documents ORDER BY asset_id
+"""
+
+
+def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return sample_frames(assets_from_documents(docs)).orderBy("asset_id", "frame_idx")
+
+
+_FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id AS asset_id, text, len(text) AS L,
+         unnest(range(0, (len(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES}, {FRAME_STRIDE})) AS fi
+  FROM documents)
+SELECT asset_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(least(L - fi * {FRAME_BYTES}, {FRAME_BYTES}) AS INT) AS frame_len,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  range(1, least(L - fi * {FRAME_BYTES}, {FRAME_BYTES}) + 1),
+                  j -> CAST(unicode(substr(text, fi * {FRAME_BYTES} + j, 1)) AS BIGINT))),
+              (a, b) -> a + b) % 65536 AS INT) AS frame_sum
+FROM f ORDER BY asset_id, frame_idx
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "multimodal_features",
@@ -124,5 +258,17 @@ SPECS: list[QuerySpec] = [
         "(decode step stubbed; plumbing real)",
         _multimodal_features,
         _FEATURES_ORACLE,
+    ),
+    QuerySpec(
+        "multimodal_resize",
+        "Binary-payload resize via mapInPandas (byte-downsample stand-in)",
+        _multimodal_resize,
+        _RESIZE_ORACLE,
+    ),
+    QuerySpec(
+        "multimodal_frames",
+        "Video-frame sampling via mapInPandas with per-row fan-out",
+        _multimodal_frames,
+        _FRAMES_ORACLE,
     ),
 ]

@@ -162,6 +162,89 @@ FROM scored ORDER BY simx DESC, vec_id LIMIT 5
 """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat approximate search: an inverted-file index with a
+    deterministic coarse quantizer.
+
+    * centroids — the first ``N_CENTROIDS`` corpus vectors (a real
+      deployment would k-means a sample; a fixed pick keeps both
+      engines bit-identical);
+    * assignment — every vector joins its nearest centroid by cosine
+      (broadcast of the tiny centroid set; ties break to the lower
+      centroid id);
+    * search — the probe scans only the ``N_PROBE`` inverted lists
+      nearest to it, then exact cosine + top-5 inside them.
+
+    At scale the inverted lists are the partitioning: cluster the
+    stored corpus by ``cid`` so a query touches ``N_PROBE``/``nlist``
+    of the data — the IVF contract.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    sims = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__csim",
+            F.expr(_dot_expr("embedding", "cemb"))
+            / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("cemb"))),
+        )
+        .select("vec_id", "embedding", "cid", "__csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.col("cid"))
+    ranked = sims.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    probed_lists = (
+        ranked.filter((F.col("vec_id") == PROBE_VEC_ID) & (F.col("rn") <= N_PROBE))
+        .select("cid")
+    )
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("p"))
+    cands = assign.join(F.broadcast(probed_lists), "cid", "left_semi")
+    scored = cands.crossJoin(F.broadcast(probe)).withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    return (
+        scored.orderBy(F.desc("__sim"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("__sim", 6).alias("sim"))
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_duck_dot('e.embedding', 'c.cemb')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('c.cemb')}) AS csim
+  FROM embeddings e CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+  FROM sims),
+assign AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+probed AS (SELECT cid FROM ranked WHERE vec_id = {PROBE_VEC_ID} AND rn <= {N_PROBE}),
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT a.vec_id,
+         {_duck_dot('a.embedding', 'probe.p')}
+           / ({_duck_norm('a.embedding')} * {_duck_norm('probe.p')}) AS simx
+  FROM assign a, probe
+  WHERE a.cid IN (SELECT cid FROM probed))
+SELECT vec_id, round(simx, 6) AS sim
+FROM scored ORDER BY simx DESC, vec_id LIMIT 5
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sim_topk", "Brute-force cosine top-k (Q29)", _sim_topk, _TOPK_ORACLE),
     QuerySpec(
@@ -169,5 +252,11 @@ SPECS: list[QuerySpec] = [
         "Random-hyperplane LSH bucketed cosine search (Q29 scale path)",
         _sim_lsh,
         _LSH_ORACLE,
+    ),
+    QuerySpec(
+        "sim_ivf",
+        "IVF-Flat inverted-list search, nprobe=2 (Q29 scale path)",
+        _sim_ivf,
+        _IVF_ORACLE,
     ),
 ]
