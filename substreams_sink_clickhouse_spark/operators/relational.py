@@ -378,6 +378,45 @@ def _q05b(spark: SparkSession, sf: str) -> DataFrame:
     return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cnt"))
 
 
+def _q31_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join — absent from both the reference and Spark built-ins
+    (SURVEY §2.2 "out of scope … can be added later"); implemented
+    Spark-first as the union+window formulation: tag both sides, union,
+    one window sorted by (ts, side) per key, carry the last quote value
+    forward, keep tagged probe rows.
+
+    Scale: ONE shuffle+sort on the join key — no range-join candidate
+    explosion, no per-key collect.  Skewed keys split fine because the
+    window is a running ``last`` (AQE cannot split a window partition,
+    but the state is O(1) per row, so even a hot key streams).  Ties
+    (equal ts) resolve quote-before-probe, matching ASOF's ``>=``.
+    """
+    e = load_table(spark, sf, "events")
+    probes = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("__q"), "event_id", "value",
+        F.lit(None).cast("double").alias("__qv"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("__q"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("value").alias("__qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("__q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = quotes.unionByName(probes).withColumn(
+        "quote_value", F.last("__qv", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter((F.col("__q") == 0) & F.col("quote_value").isNotNull())
+        .select("event_id", "user_id", "ts", "value", "quote_value")
+        .orderBy("event_id")
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -686,5 +725,19 @@ SPECS: list[QuerySpec] = [
         "rows-only check)",
         _q05b,
         None,
+    ),
+    QuerySpec(
+        "q31_asof_join",
+        "As-of join (click events matched to latest prior view per "
+        "user) — union+window formulation; oracle is DuckDB's native "
+        "ASOF JOIN",
+        _q31_asof,
+        """
+        SELECT t.event_id, t.user_id, t.ts, t.value, q.value AS quote_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') t
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') q
+          ON t.user_id = q.user_id AND t.ts >= q.ts
+        ORDER BY t.event_id
+        """,
     ),
 ]
