@@ -474,7 +474,40 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-row selection: one surviving row per duplicate group,
+    deterministically the lowest doc_id (``dropDuplicates`` keeps an
+    arbitrary row; a data pipeline needs a stable choice).  ``min_by``
+    aggregation — one shuffle on the group key, map-side partials, no
+    window sort."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.expr("min_by(lang, doc_id)").alias("lang"),
+        )
+        .select("keeper", "group_size", "lang")
+        .orderBy("keeper")
+    )
+
+
+_KEEP_FIRST_ORACLE = """
+SELECT min(doc_id) AS keeper,
+       count(*) AS group_size,
+       arg_min(lang, doc_id) AS lang
+FROM documents GROUP BY text ORDER BY keeper
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_keep_first",
+        "Deterministic canonical-row selection per duplicate group",
+        _dedup_keep_first,
+        _KEEP_FIRST_ORACLE,
+    ),
     QuerySpec(
         "dedup_exact",
         "Exact text dedup via hash group-by (Q28)",

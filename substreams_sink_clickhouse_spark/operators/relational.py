@@ -378,6 +378,71 @@ def _q05b(spark: SparkSession, sf: str) -> DataFrame:
     return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cnt"))
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _q32_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts by status × priority.  Explicit pivot values
+    — at scale, never let pivot() run its distinct-scan planning pass;
+    with declared values it is a single pass (one groupBy, map-side
+    partials), exactly a CASE-WHEN aggregate."""
+    o = load_table(spark, sf, "orders")
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    out = df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in _PRIORITIES],
+    )
+    return out.orderBy("o_orderstatus")
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _q33_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible alternative to
+    TABLESAMPLE for a 100 TB corpus: rows where a stable hash of the
+    key lands in the sample bucket.  Same rows on every engine, every
+    run, every partitioning (rand()-based sampling is none of those).
+    """
+    from substreams_sink_clickhouse_spark.functions.hashing import md5_long_sql
+
+    l = load_table(spark, sf, "lineitem")
+    keyed = l.withColumn(
+        "__h", F.expr(md5_long_sql("concat(cast(l_orderkey AS string), ':', cast(l_linenumber AS string))"))
+    )
+    sample = keyed.filter(F.col("__h") % 20 == 0)
+    return sample.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+def _q33_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import duck_md5_long_sql
+
+    h = duck_md5_long_sql("concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))")
+    return f"""
+SELECT count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem WHERE {h} % 20 = 0
+"""
+
+
 def _q31_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join — absent from both the reference and Spark built-ins
     (SURVEY §2.2 "out of scope … can be added later"); implemented
@@ -739,5 +804,17 @@ SPECS: list[QuerySpec] = [
           ON t.user_id = q.user_id AND t.ts >= q.ts
         ORDER BY t.event_id
         """,
+    ),
+    QuerySpec(
+        "q32_pivot",
+        "PIVOT with declared values (single-pass CASE-WHEN aggregate)",
+        _q32_pivot,
+        _PIVOT_ORACLE,
+    ),
+    QuerySpec(
+        "q33_sample",
+        "Deterministic hash sampling (reproducible TABLESAMPLE)",
+        _q33_sample,
+        _q33_oracle(),
     ),
 ]
