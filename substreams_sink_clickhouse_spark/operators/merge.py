@@ -193,6 +193,31 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     ops_t = ops.select(
         F.col("pk").alias("__pk"), F.col("op").alias("__op"), F.col("fields").alias("__fields")
     )
+    # Initial-load fast path: with no existing state (the reference's
+    # main use case is a from-genesis sync) the full-outer reconcile is
+    # provably CREATE-rows-only — UPDATE/DELETE on an absent pk match
+    # nothing.  A one-row probe detects it; skipping the join removes a
+    # sort+shuffle of the whole window.  The keep-predicate evaluates
+    # the err column for EVERY row so inline-guarded windows still
+    # raise even though non-CREATE rows are dropped.
+    if not target.take(1):
+        if "err" in ops.columns:
+            keep = F.when(
+                F.col("err").isNotNull(),
+                F.expr(
+                    "raise_error(concat('invalid change sequence: ', "
+                    "coalesce(pk, '?'), ': ', coalesce(err, '?')))"
+                ).cast("boolean"),
+            ).otherwise(F.col("op") == "CREATE")
+        else:
+            keep = F.col("op") == "CREATE"
+        created = ops.filter(keep)
+        return created.select(
+            *[
+                coerce(F.col("fields").getItem(field.name), field.dataType).alias(field.name)
+                for field in info.schema.fields
+            ]
+        )
     joined = target.alias("t").join(
         ops_t, F.col(f"t.{pk}").cast("string") == F.col("__pk"), "full_outer"
     )

@@ -143,3 +143,31 @@ def test_reduce_is_distributed_no_collect(spark, changes_df):
     assert len(out) == 200
     assert all(r["op"] == "CREATE" for r in out)
     assert all(r["err"] is None for r in out)
+
+
+def test_inline_guard_raises_through_empty_target_fast_path(spark, changes_df, catalog):
+    """check_errors='inline' + empty target takes the initial-load fast
+    path (no reconcile join); semantic violations must STILL raise from
+    inside the job."""
+    changes = changes_df(
+        [
+            (1, "blk", 1, "t", "k1", "CREATE", {"a": "1"}),
+            (1, "blk", 2, "t", "k1", "CREATE", {"a": "2"}),
+        ]
+    )
+    out = merge_changes(changes, {"t": _state(spark, [])}, catalog, check_errors="inline")
+    with pytest.raises(Exception, match="invalid change sequence"):
+        out["t"].collect()
+
+
+def test_inline_mode_happy_path_empty_target(spark, changes_df, catalog):
+    changes = changes_df(
+        [
+            (1, "blk", 1, "t", "k1", "CREATE", {"a": "1", "b": "x"}),
+            (1, "blk", 2, "t", "k1", "UPDATE", {"a": "5"}),
+            (1, "blk", 3, "t", "k2", "DELETE", {}),
+        ]
+    )
+    out = merge_changes(changes, {"t": _state(spark, [])}, catalog, check_errors="inline")
+    rows = {r["id"]: (r["a"], r["b"]) for r in out["t"].collect()}
+    assert rows == {"k1": (5, "x")}
