@@ -151,6 +151,21 @@ def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Optional guard for degenerate LSH buckets: a band/chunk value shared
+#: by a large fraction of the corpus makes pair expansion quadratic on
+#: one task.  ``None`` (default) expands everything — required for
+#: oracle equality on the fixtures; at 100 TB set a cap (e.g. 10_000)
+#: and treat over-cap buckets as "trivially duplicate everything"
+#: clusters handled out-of-band, the standard near-dup practice.
+MAX_BUCKET_SIZE: int | None = None
+
+
+def _cap_buckets(buckets: DataFrame, arr_col: str) -> DataFrame:
+    if MAX_BUCKET_SIZE is None:
+        return buckets
+    return buckets.filter(F.size(arr_col) <= MAX_BUCKET_SIZE)
+
+
 def _pair_expand(arr: str, fields: str) -> str:
     """SQL for all ordered pairs (i < j) of a sorted array column:
     ``struct(<fields>)`` is built from pair elements ``x`` and ``y``."""
@@ -206,6 +221,7 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    buckets = _cap_buckets(buckets, "ids")
     pairs = (
         buckets.select(F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -286,6 +302,7 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    buckets = _cap_buckets(buckets, "ds")
     pairs = (
         buckets.select(
             F.explode(
@@ -359,6 +376,7 @@ def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    shingle_buckets = _cap_buckets(shingle_buckets, "ids")
     common = (
         shingle_buckets.select(
             F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
@@ -428,6 +446,7 @@ def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs"))
         .filter(F.size("vs") > 1)
     )
+    buckets = _cap_buckets(buckets, "vs")
     dot = _dot_expr("x.embedding", "y.embedding")
     nx, ny = _norm_expr("x.embedding"), _norm_expr("y.embedding")
     pairs = buckets.select(

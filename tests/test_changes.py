@@ -63,3 +63,17 @@ def test_validate_known_table_passes(spark, changes_df):
     cat.register(TableInfo("known", T.StructType([T.StructField("id", T.StringType())]), "id"))
     changes = changes_df([(1, "b", 1, "known", "k", "CREATE", {"id": "1"})])
     validate_change_tables(changes, cat)  # no raise
+
+
+def test_protobuf_decode_gated(spark):
+    """No spark-protobuf connector in this container: the protobuf wire
+    path must degrade to an actionable error, not a raw ClassNotFound."""
+    import pytest
+
+    from substreams_sink_clickhouse_spark.sources.changes import (
+        decode_database_changes_protobuf,
+    )
+
+    raw = spark.createDataFrame([(bytearray(b"\x01"),)], "value: binary")
+    with pytest.raises(NotImplementedError, match="spark-protobuf"):
+        decode_database_changes_protobuf(raw, "/tmp/nonexistent.desc").collect()

@@ -171,3 +171,22 @@ def test_inline_mode_happy_path_empty_target(spark, changes_df, catalog):
     out = merge_changes(changes, {"t": _state(spark, [])}, catalog, check_errors="inline")
     rows = {r["id"]: (r["a"], r["b"]) for r in out["t"].collect()}
     assert rows == {"k1": (5, "x")}
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    """MAX_BUCKET_SIZE guard: capped runs drop over-size LSH buckets
+    (scale escape hatch); default None is the identity."""
+    from pyspark.sql import functions as F
+
+    import substreams_sink_clickhouse_spark.operators.dedup as dd
+
+    buckets = spark.createDataFrame(
+        [(1, list(range(3))), (2, list(range(10)))], "b: int, ids: array<int>"
+    )
+    assert dd._cap_buckets(buckets, "ids").count() == 2
+    dd.MAX_BUCKET_SIZE = 5
+    try:
+        kept = dd._cap_buckets(buckets, "ids").collect()
+        assert [r["b"] for r in kept] == [1]
+    finally:
+        dd.MAX_BUCKET_SIZE = None
