@@ -194,6 +194,66 @@ def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language top-3 terms by TF-IDF.
+
+    Classic two-aggregate shape: term frequency per (lang, term) and
+    document frequency per term are independent group-bys over the
+    token explosion; N (corpus size) broadcasts as a 1-row cross join.
+    Ranking rounds the score to 6 decimals before ordering so a 1-ulp
+    ``ln`` difference between engines can never flip a rank.
+    At scale: both aggregates are map-side partial; the explode never
+    materializes — it feeds straight into hash aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents")
+    tokens = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tf = tokens.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tfsum"))
+    df_term = tokens.select("doc_id", "w").distinct().groupBy("w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_term, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tfsum") * F.log((F.col("n") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc(F.round("score", 6)), F.col("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "rn", F.col("w").alias("term"), F.round("score", 4).alias("score"))
+        .orderBy("lang", "rn")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+tf AS (SELECT lang, w, count(*) AS tfsum FROM tokens GROUP BY lang, w),
+df_term AS (
+  SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tokens) t GROUP BY w),
+n_docs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.w, tf.tfsum * ln((n_docs.n + 1.0) / (df_term.df + 1.0)) AS score
+  FROM tf JOIN df_term ON tf.w = df_term.w CROSS JOIN n_docs),
+ranked AS (
+  SELECT lang, w,
+         row_number() OVER (PARTITION BY lang ORDER BY round(score, 6) DESC, w) AS rn,
+         score
+  FROM scored)
+SELECT lang, rn, w AS term, round(score, 4) AS score
+FROM ranked WHERE rn <= 3 ORDER BY lang, rn
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_stats",
@@ -212,5 +272,11 @@ SPECS: list[QuerySpec] = [
         "Order-aware rolling-hash document fingerprint",
         _fingerprint,
         _FINGERPRINT_ORACLE,
+    ),
+    QuerySpec(
+        "text_tfidf",
+        "Per-language top terms by TF-IDF",
+        _tfidf,
+        _TFIDF_ORACLE,
     ),
 ]
