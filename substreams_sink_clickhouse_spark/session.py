@@ -39,6 +39,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # Immutable in this deployment — accept the session's value.
             pass
+    try:
+        # An externally built session often still carries Spark's stock
+        # shuffle.partitions=200 — 6x task overhead on a 32-core local
+        # box, and AQE coalescing alone can't fix the map side.  Only
+        # retune when the value is exactly the stock default, so a
+        # deliberate setting (any cluster deployment) is never touched.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(32, cores)))
+    except Exception:
+        pass
     return spark
 
 
