@@ -30,13 +30,13 @@ def make_py_norm():
 
 
 def make_py_mean():
-    """Grouped-aggregate Pandas UDF: arithmetic mean."""
-    from pyspark.sql.functions import PandasUDFType
+    """Grouped-aggregate Pandas UDF (type-hint form: Series -> scalar
+    marks it GROUPED_AGG without the deprecated PandasUDFType)."""
 
-    def py_mean(v: "pd.Series") -> float:
+    def py_mean(v: pd.Series) -> float:
         return float(v.mean())
 
-    return pandas_udf(py_mean, T.DoubleType(), PandasUDFType.GROUPED_AGG)
+    return pandas_udf(py_mean, T.DoubleType())
 
 
 def _pandas_norm(spark: SparkSession, sf: str) -> DataFrame:

@@ -62,3 +62,44 @@ def test_scan_has_codegen(spark):
     from substreams_sink_clickhouse_spark.plans.explain import codegen_spans
 
     assert codegen_spans(R._q04(spark, SF)) >= 1
+
+
+def test_minhash_has_no_join(spark):
+    # bucket expansion replaced the band self-join: signatures are
+    # computed once; candidate pairs come from groupBy + per-bucket
+    # expansion, so the plan has no join operator at all
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    plan = simple_plan(D._dedup_minhash(spark, SF))
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_simhash_has_no_join(spark):
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    plan = simple_plan(D._dedup_simhash(spark, SF))
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_asof_join_is_union_plus_window(spark):
+    # one window over the union — no join operator, no range explosion
+    plan = simple_plan(R._q31_asof(spark, SF))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_cdc_merge_empty_target_skips_reconcile_join(spark):
+    from substreams_sink_clickhouse_spark.operators import streaming_q as S
+
+    plan = simple_plan(S._cdc_merge(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_ivf_uses_broadcast_only(spark):
+    # centroid assignment + probed-list semi join must broadcast; the
+    # corpus side never shuffles for a join
+    from substreams_sink_clickhouse_spark.operators import similarity as SIM
+
+    plan = simple_plan(SIM._sim_ivf(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Broadcast" in plan
