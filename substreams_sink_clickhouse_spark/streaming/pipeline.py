@@ -122,6 +122,34 @@ class TableStateStore:
         self._write_manifest(manifest)
 
 
+    def vacuum(self, keep_epochs: int = 2) -> list[str]:
+        """Garbage-collect superseded state versions (the operational
+        cost of versioned merge-on-write — what Delta calls VACUUM).
+
+        Keeps the live version plus the newest ``keep_epochs`` history
+        entries per table (the reorg-rollback window); deletes older
+        version directories and drops them from the manifest.  Returns
+        the deleted paths.  Retention bounds storage at
+        ``(1 + keep_epochs) × table size`` regardless of how many
+        epochs have run.
+        """
+        import shutil
+
+        manifest = self.read_manifest()
+        deleted: list[str] = []
+        for name, entry in manifest["tables"].items():
+            history = entry.get("history", [])
+            keep = sorted(history, key=lambda h: h["epoch"])[-keep_epochs:] if keep_epochs else []
+            keep_paths = {h["path"] for h in keep} | {entry["path"]}
+            for h in history:
+                if h["path"] not in keep_paths and os.path.isdir(h["path"]):
+                    shutil.rmtree(h["path"], ignore_errors=True)
+                    deleted.append(h["path"])
+            entry["history"] = keep
+        self._write_manifest(manifest)
+        return deleted
+
+
 class ChangesIngestPipeline:
     """The reference's sinker loop on Structured Streaming."""
 

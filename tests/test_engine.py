@@ -114,3 +114,33 @@ def test_undo_below_history_errors(spark, tmp_path):
     pipe = eng.ingest(str(stream), _catalog())
     with pytest.raises(RuntimeError, match="re-sync"):
         pipe.handle_block_undo_signal(last_valid_block=1)
+
+
+def test_vacuum_bounds_history(spark, tmp_path):
+    """vacuum keeps the live version + keep_epochs of history and
+    deletes older version dirs; the table stays readable."""
+    import os
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    pipe = None
+    for i in (1, 2, 3, 4):
+        (stream / f"b{i}.jsonl").write_text(
+            _msg(i, [("block_meta", f"k{i}", 1, "CREATE", {"number": str(i)})])
+        )
+        pipe = eng.ingest(str(stream), cat)
+    manifest = pipe.state.read_manifest()
+    assert len(manifest["tables"]["block_meta"]["history"]) == 3
+    deleted = pipe.state.vacuum(keep_epochs=1)
+    assert len(deleted) == 2
+    assert all(not os.path.isdir(p) for p in deleted)
+    manifest = pipe.state.read_manifest()
+    assert len(manifest["tables"]["block_meta"]["history"]) == 1
+    assert pipe.table("block_meta").count() == 4
