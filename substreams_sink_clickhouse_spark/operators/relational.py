@@ -544,6 +544,83 @@ SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node ORDER BY nod
 """
 
 
+def _q35_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram (data profiling): 10 buckets over a
+    declared [0, 600000) price domain.  One map-side-partial groupBy —
+    the profiling pattern that scales to any corpus."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.least(F.greatest(F.floor(F.col("o_totalprice") / 60000), F.lit(0)), F.lit(9))
+    return (
+        o.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(greatest(floor(o_totalprice / 60000), 0), 9) AS INT) AS bucket,
+       count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _q36_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional array explosion (posexplode) over embeddings."""
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 4)
+        .select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       round(CAST(embedding[i] AS DOUBLE), 6) AS val
+FROM embeddings, range(1, 5) r(i)
+WHERE vec_id < 5
+ORDER BY vec_id, pos
+"""
+
+
+def _q37_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE quartiles per order priority (unique sort key makes tile
+    assignment deterministic across engines)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "tile")
+    )
+
+
+_NTILE_ORACLE = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders)
+SELECT o_orderpriority, tile, count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM t GROUP BY o_orderpriority, tile ORDER BY o_orderpriority, tile
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -885,5 +962,23 @@ SPECS: list[QuerySpec] = [
         "fixpoint loop; oracle = DuckDB WITH RECURSIVE)",
         _q34_reachability,
         _REACHABILITY_ORACLE,
+    ),
+    QuerySpec(
+        "q35_histogram",
+        "Fixed-width value histogram (profiling aggregate)",
+        _q35_histogram,
+        _HISTOGRAM_ORACLE,
+    ),
+    QuerySpec(
+        "q36_posexplode",
+        "Positional array explosion (posexplode)",
+        _q36_posexplode,
+        _POSEXPLODE_ORACLE,
+    ),
+    QuerySpec(
+        "q37_ntile",
+        "NTILE quartiles per group (deterministic tie-break)",
+        _q37_ntile,
+        _NTILE_ORACLE,
     ),
 ]
