@@ -17,14 +17,19 @@ both engines construct identically, keeping the DuckDB oracle exact.
 Scale design: every operator is shuffle-bounded by its candidate
 structure, never O(n²) on the full corpus —
 
-* minhash: explode distinct shingles -> 8 `min` aggregates (one
-  shuffle on doc_id) -> band join (shuffle on band value; skewed hot
-  bands are handled by AQE skew-join, or salting if a band degenerates);
-* simhash: one shuffle to fold word hashes per doc, then candidates
-  join only on equal 8-bit signature chunks (pigeonhole: hamming<=6 on
-  32 bits guarantees >=1 of 4 chunks equal — no recall loss vs full
-  pairwise);
-* embedding: candidates join only within equal LSH signatures.
+* signatures are per-row array folds (minhash: one MD5 per distinct
+  shingle + 8 affine ``array_min`` folds; simhash: 32 bit-sum folds
+  over word hashes) — ZERO shuffle until the candidate stage;
+* candidate pairs come from bucket expansion, not a self-join: group
+  doc ids per band/chunk/shingle/LSH-bucket value and expand each
+  bucket's ordered pairs in place, so the signature pipeline is
+  evaluated once and shuffled once (a self-join would do both twice).
+  Plans contain no join operator at all (tests/test_plans.py pins
+  this).  Simhash chunks are pigeonhole-complete: hamming<=6 on 32
+  bits guarantees >=1 of 4 equal 8-bit chunks — no recall loss vs
+  full pairwise;
+* degenerate hot buckets (the known LSH hazard) have an explicit cap
+  escape hatch (``MAX_BUCKET_SIZE``), default-off for oracle parity.
 
 All hashes come from functions/hashing.py so DuckDB reproduces them
 bit-for-bit.
