@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.catalog import Catalog
-from substreams_sink_clickhouse_spark.operators.merge import merge_changes
+from substreams_sink_clickhouse_spark.operators.merge import (
+    apply_table_ops,
+    check_merge_errors,
+    reduce_changes,
+)
 from substreams_sink_clickhouse_spark.sources.changes import (
     read_changes_jsonl,
     validate_change_tables,
@@ -54,13 +58,43 @@ LIVE_BLOCK_FLUSH_EACH = 1
 
 
 class TableStateStore:
-    """Versioned parquet table state with an atomic JSON manifest."""
+    """Versioned, hash-bucketed parquet table state with an atomic JSON
+    manifest.
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str, catalog: Catalog):
+    Layout: every table's rows hash into ``n_buckets`` pk-buckets
+    (``pmod(xxhash64(pk), n)``); a committed epoch writes version
+    directories ONLY for the buckets its change window touched, and
+    the manifest maps ``bucket -> current path``.  Untouched buckets
+    keep their existing files — so per-epoch rewrite cost is
+    O(affected buckets), not O(table).  At 100 TB this is the
+    difference between a sink that keeps up and one that rewrites the
+    world every flush; it answers SURVEY §7's "updates/deletes on
+    immutable files" hazard.  (Delta/Iceberg formalize the same idea
+    as file-level rewrite + snapshot manifest; we keep it explicit and
+    dependency-free.)
+
+    ``history`` holds full bucket-map snapshots, so reorg rollback
+    (a manifest edit) and vacuum (drop unreferenced bucket dirs) work
+    unchanged on the bucketed layout.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        catalog: Catalog,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.catalog = catalog
+        self.n_buckets = n_buckets
         os.makedirs(warehouse_dir, exist_ok=True)
+
+    def bucket_expr(self, pk_col: str):
+        """Deterministic pk-bucket: stable across engines, sessions,
+        and partitionings (never rand())."""
+        return F.pmod(F.xxhash64(F.col(pk_col).cast("string")), F.lit(self.n_buckets))
 
     @property
     def _manifest_path(self) -> str:
@@ -78,40 +112,75 @@ class TableStateStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
 
-    def table_state(self, name: str) -> DataFrame:
-        """Current state of a table (empty DF with catalog schema if
-        never written)."""
-        info = self.catalog.get(name)
-        manifest = self.read_manifest()
-        entry = manifest["tables"].get(name)
+    def _bucket_paths(self, name: str, buckets: list[int] | None = None) -> list[str]:
+        entry = self.read_manifest()["tables"].get(name)
         if entry is None:
+            return []
+        bmap = entry["buckets"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
+        return [bmap[k] for k in keys if bmap.get(k)]
+
+    def table_state(self, name: str) -> DataFrame:
+        """Current full state of a table (empty DF with catalog schema
+        if never written)."""
+        return self.bucket_state(name, None)
+
+    def bucket_state(self, name: str, buckets: list[int] | None) -> DataFrame:
+        """State restricted to the given pk-buckets — what the
+        reconcile join reads, so a flush window touching 3 of 16
+        buckets scans 3/16 of the table."""
+        info = self.catalog.get(name)
+        paths = self._bucket_paths(name, buckets)
+        if not paths:
             return self.spark.createDataFrame([], info.schema)
-        return self.spark.read.schema(info.schema).parquet(entry["path"])
+        return self.spark.read.schema(info.schema).parquet(*paths)
 
     def epoch_applied(self, epoch_id: int) -> bool:
         return epoch_id in self.read_manifest()["applied_epochs"]
 
     def commit_epoch(
-        self, epoch_id: int, new_states: dict[str, DataFrame], cursor: Cursor | None,
+        self,
+        epoch_id: int,
+        new_states: dict[str, tuple[DataFrame, list[int]]],
+        cursor: Cursor | None,
         cursor_store: CursorStore | None,
     ) -> None:
-        """Write every affected table's new state, then swap the
-        manifest + cursor.  The manifest swap is the commit point."""
+        """Write each affected bucket's new state, then swap the
+        manifest + cursor.  ``new_states`` maps table -> (bucket-subset
+        state DF, affected bucket ids).  The manifest swap is the
+        commit point; untouched buckets are carried forward by
+        reference, never rewritten."""
         manifest = self.read_manifest()
-        for name, df in new_states.items():
+        for name, (df, affected) in new_states.items():
             info = self.catalog.get(name)
-            path = os.path.join(self.warehouse_dir, name, f"v{epoch_id}")
-            # pk-range partitioning: co-locates the next epoch's
-            # reconcile join and bounds rewrite at scale.
-            df.repartitionByRange(
-                max(2, df.sparkSession.sparkContext.defaultParallelism // 4),
-                F.col(info.primary_key),
-            ).write.mode("overwrite").parquet(path)
-            prior = manifest["tables"].get(name, {})
-            history = prior.get("history", [])
-            if prior.get("path"):
-                history = history + [{"path": prior["path"], "epoch": prior["epoch"]}]
-            manifest["tables"][name] = {"path": path, "epoch": epoch_id, "history": history}
+            vdir = os.path.join(self.warehouse_dir, name, f"v{epoch_id}")
+            (
+                df.withColumn("__b", self.bucket_expr(info.primary_key))
+                .repartition(max(2, len(affected)), F.col("__b"))
+                .write.mode("overwrite")
+                .partitionBy("__b")
+                .parquet(vdir)
+            )
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(vdir)
+                if d.startswith("__b=")
+            }
+            prior = manifest["tables"].get(name)
+            bmap = dict(prior["buckets"]) if prior else {}
+            history = prior.get("history", []) if prior else []
+            if prior is not None:
+                history = history + [
+                    {"epoch": prior["epoch"], "buckets": dict(prior["buckets"])}
+                ]
+            for b in affected:
+                # a bucket whose rows were all deleted writes no dir
+                bmap[str(b)] = os.path.join(vdir, f"__b={b}") if b in written else None
+            manifest["tables"][name] = {
+                "epoch": epoch_id,
+                "buckets": bmap,
+                "history": history,
+            }
         manifest["applied_epochs"] = sorted(set(manifest["applied_epochs"]) | {epoch_id})
         if cursor is not None:
             blocks = manifest.get("epoch_blocks", {})
@@ -121,30 +190,43 @@ class TableStateStore:
             cursor_store.write_cursor(cursor)
         self._write_manifest(manifest)
 
-
     def vacuum(self, keep_epochs: int = 2) -> list[str]:
-        """Garbage-collect superseded state versions (the operational
-        cost of versioned merge-on-write — what Delta calls VACUUM).
+        """Garbage-collect unreferenced bucket versions (the
+        operational cost of versioned merge-on-write — what Delta
+        calls VACUUM).
 
-        Keeps the live version plus the newest ``keep_epochs`` history
-        entries per table (the reorg-rollback window); deletes older
-        version directories and drops them from the manifest.  Returns
-        the deleted paths.  Retention bounds storage at
-        ``(1 + keep_epochs) × table size`` regardless of how many
-        epochs have run.
-        """
+        Keeps every bucket directory referenced by the live bucket map
+        or by the newest ``keep_epochs`` history snapshots (the
+        reorg-rollback window); deletes the rest and returns the
+        deleted paths.  Retention bounds storage regardless of how
+        many epochs have run."""
         import shutil
 
         manifest = self.read_manifest()
         deleted: list[str] = []
         for name, entry in manifest["tables"].items():
             history = entry.get("history", [])
-            keep = sorted(history, key=lambda h: h["epoch"])[-keep_epochs:] if keep_epochs else []
-            keep_paths = {h["path"] for h in keep} | {entry["path"]}
-            for h in history:
-                if h["path"] not in keep_paths and os.path.isdir(h["path"]):
-                    shutil.rmtree(h["path"], ignore_errors=True)
-                    deleted.append(h["path"])
+            keep = (
+                sorted(history, key=lambda h: h["epoch"])[-keep_epochs:]
+                if keep_epochs
+                else []
+            )
+            referenced = {p for p in entry["buckets"].values() if p}
+            for snap in keep:
+                referenced |= {p for p in snap["buckets"].values() if p}
+            table_dir = os.path.join(self.warehouse_dir, name)
+            if os.path.isdir(table_dir):
+                for vname in sorted(os.listdir(table_dir)):
+                    vdir = os.path.join(table_dir, vname)
+                    if not (vname.startswith("v") and os.path.isdir(vdir)):
+                        continue
+                    for bname in sorted(os.listdir(vdir)):
+                        bdir = os.path.join(vdir, bname)
+                        if bname.startswith("__b=") and bdir not in referenced:
+                            shutil.rmtree(bdir, ignore_errors=True)
+                            deleted.append(bdir)
+                    if not any(d.startswith("__b=") for d in os.listdir(vdir)):
+                        shutil.rmtree(vdir, ignore_errors=True)
             entry["history"] = keep
         self._write_manifest(manifest)
         return deleted
@@ -185,12 +267,23 @@ class ChangesIngestPipeline:
             if not head:
                 return
             validate_change_tables(changes, self.catalog)
-            affected = [r["table"] for r in changes.select("table").distinct().collect()]
-            targets = {name: self.state.table_state(name) for name in affected}
-            new_states, reduced = merge_changes(
-                changes, targets, self.catalog, return_reduced=True
-            )
-            n_entries = sum(df.count() for df in new_states.values())
+            # Reduce first, then read ONLY the pk-buckets this window
+            # touches: the reconcile join scans O(affected buckets) of
+            # the table, and commit rewrites the same subset.
+            reduced = reduce_changes(changes, self.catalog.primary_keys()).cache()
+            check_merge_errors(reduced)
+            live = reduced.filter(F.col("err").isNull())
+            affected: dict[str, list[int]] = {}
+            bucket = self.state.bucket_expr("pk").alias("b")
+            for row in live.select("table", bucket).distinct().collect():
+                affected.setdefault(row["table"], []).append(int(row["b"]))
+            new_states: dict[str, tuple[DataFrame, list[int]]] = {}
+            for name, buckets in affected.items():
+                info = self.catalog.get(name)
+                target = self.state.bucket_state(name, buckets)
+                ops = live.filter(F.col("table") == name)
+                new_states[name] = (apply_table_ops(target, ops, info), buckets)
+            n_entries = sum(df.count() for df, _ in new_states.values())
             cursor = Cursor(
                 id=self.module_hash,
                 cursor=f"epoch:{epoch_id}:block:{head[0]['block_num']}",
@@ -272,13 +365,15 @@ class ChangesIngestPipeline:
             )
         target_epoch = max(valid)
         for name, entry in list(manifest["tables"].items()):
+            if entry["epoch"] <= target_epoch:
+                continue  # already at or before the fork point
             candidates = entry.get("history", [])
             rollback = [h for h in candidates if h["epoch"] <= target_epoch]
             if rollback:
                 newest = max(rollback, key=lambda h: h["epoch"])
                 manifest["tables"][name] = {
-                    "path": newest["path"],
                     "epoch": newest["epoch"],
+                    "buckets": dict(newest["buckets"]),
                     "history": candidates,
                 }
             else:

@@ -117,8 +117,9 @@ def test_undo_below_history_errors(spark, tmp_path):
 
 
 def test_vacuum_bounds_history(spark, tmp_path):
-    """vacuum keeps the live version + keep_epochs of history and
-    deletes older version dirs; the table stays readable."""
+    """vacuum keeps the bucket dirs referenced by the live map +
+    keep_epochs history snapshots and deletes older versions of
+    rewritten buckets; the table stays readable."""
     import os
 
     stream = tmp_path / "changes"
@@ -130,17 +131,66 @@ def test_vacuum_bounds_history(spark, tmp_path):
         ),
     )
     cat = _catalog()
-    pipe = None
-    for i in (1, 2, 3, 4):
+    # same pk every epoch -> every epoch rewrites the SAME bucket, so
+    # superseded bucket versions accumulate deterministically
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+    for i in (2, 3, 4):
         (stream / f"b{i}.jsonl").write_text(
-            _msg(i, [("block_meta", f"k{i}", 1, "CREATE", {"number": str(i)})])
+            _msg(i, [("block_meta", "k1", 1, "UPDATE", {"number": str(i)})])
         )
         pipe = eng.ingest(str(stream), cat)
     manifest = pipe.state.read_manifest()
     assert len(manifest["tables"]["block_meta"]["history"]) == 3
     deleted = pipe.state.vacuum(keep_epochs=1)
-    assert len(deleted) == 2
+    assert len(deleted) == 2  # live + 1 snapshot kept, 2 older versions dropped
     assert all(not os.path.isdir(p) for p in deleted)
     manifest = pipe.state.read_manifest()
     assert len(manifest["tables"]["block_meta"]["history"]) == 1
-    assert pipe.table("block_meta").count() == 4
+    rows = pipe.table("block_meta").collect()
+    assert [(r["id"], r["number"]) for r in rows] == [("k1", 4)]
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    """The bounded merge-on-write contract: an epoch must carry
+    untouched pk-buckets forward BY REFERENCE (same path), rewriting
+    only the buckets its window touched."""
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    # epoch 0: many keys spread over several buckets
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            _msg(i, [("block_meta", f"k{i}", 1, "CREATE", {"number": str(i)})])
+            for i in range(1, 9)
+        )
+    )
+    pipe = eng.ingest(str(stream), cat)
+    before = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    touched = int(
+        spark.range(1)
+        .select(pipe.state.bucket_expr("id").alias("b"))
+        .selectExpr("pmod(xxhash64(cast('k1' as string)), 16) as b")
+        .collect()[0]["b"]
+    )
+    # epoch 1: update ONLY k1 -> only k1's bucket may change
+    (stream / "b2.jsonl").write_text(
+        _msg(9, [("block_meta", "k1", 1, "UPDATE", {"number": "999"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+    after = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    assert after[str(touched)] != before.get(str(touched))
+    unchanged = {b: p for b, p in before.items() if b != str(touched)}
+    for b, p in unchanged.items():
+        assert after[b] == p, f"bucket {b} was rewritten without being touched"
+    # data is intact
+    rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert rows["k1"] == 999 and len(rows) == 8
