@@ -42,6 +42,103 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, sf_dir: str) -> float:
+    """End-to-end ingest throughput: synthesize a DatabaseChanges JSONL
+    stream from ``orders`` (one CREATE per order + UPDATEs for 1/3 +
+    DELETEs for 1/7), run the full streaming pipeline (decode →
+    validate → bucket-bounded merge → versioned commit + cursor), and
+    return the wall-clock of the pipeline run (stream start to final
+    state committed; JSONL synthesis excluded)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+    from substreams_sink_clickhouse_spark.streaming.pipeline import ChangesIngestPipeline
+
+    workdir = tempfile.mkdtemp(prefix="sscs_ingest_bench_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        base = o.select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+        def msg(block, op, fields_expr):
+            return F.to_json(
+                F.struct(
+                    F.lit(block).cast("long").alias("block_num"),
+                    F.concat(F.lit("b"), F.lit(block)).alias("block_id"),
+                    F.array(
+                        F.struct(
+                            F.lit("orders_t").alias("table"),
+                            F.col("key").cast("string").alias("pk"),
+                            F.col("key").alias("ordinal"),
+                            F.lit(op).alias("operation"),
+                            fields_expr.alias("fields"),
+                        )
+                    ).alias("table_changes"),
+                )
+            )
+
+        def fields(*pairs):
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("name"),
+                        v.alias("new_value"),
+                        F.lit(None).cast("string").alias("old_value"),
+                    )
+                    for n, v in pairs
+                ]
+            )
+
+        creates = base.select(
+            msg(1, "CREATE", fields(("status", F.col("status")), ("price", F.col("price").cast("string")))).alias("value")
+        )
+        updates = base.filter(F.col("key") % 3 == 0).select(
+            msg(2, "UPDATE", fields(("price", (F.col("price") + 100).cast("string")))).alias("value")
+        )
+        deletes = base.filter(F.col("key") % 7 == 0).select(
+            msg(3, "DELETE", F.lit(None).cast(
+                "array<struct<name:string,new_value:string,old_value:string>>"
+            )).alias("value")
+        )
+        changes_dir = os.path.join(workdir, "changes")
+        creates.unionByName(updates).unionByName(deletes).coalesce(4).write.text(changes_dir)
+
+        cat = Catalog()
+        cat.register(
+            TableInfo(
+                "orders_t",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType(), False),
+                        T.StructField("status", T.StringType(), True),
+                        T.StructField("price", T.DoubleType(), True),
+                    ]
+                ),
+                primary_key="id",
+            )
+        )
+        pipe = ChangesIngestPipeline(
+            spark,
+            cat,
+            warehouse_dir=os.path.join(workdir, "wh"),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+        )
+        t0 = time.time()
+        pipe.run_to_completion(changes_dir, timeout_s=300)
+        pipe.table("orders_t").count()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -78,6 +175,13 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    # End-to-end streaming-ingest throughput (the reference's whole
+    # reason to exist).  Reported as its own field, not in the query
+    # sum: it is a pipeline run with no DuckDB counterpart.
+    try:
+        ingest_sec = round(bench_ingest(spark, sf_dir), 3)
+    except Exception:
+        ingest_sec = None
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_e2e_sec": ingest_sec,
             }
         )
     )

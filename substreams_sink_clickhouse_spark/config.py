@@ -83,3 +83,7 @@ class EngineConfig:
     flush_interval: int = 1000  # historical blocks per flush
     live_flush_interval: int = 1  # live blocks per flush
     on_module_hash_mismatch: str = "error"  # error | warn | ignore
+    #: pk-buckets per table: per-epoch rewrite cost is O(touched
+    #: buckets / n_buckets of the table); size so one bucket's state
+    #: fits an executor comfortably (at 100 TB: thousands).
+    n_buckets: int = 16

@@ -51,6 +51,7 @@ class Engine:
                 warehouse_dir=self.config.warehouse_dir,
                 checkpoint_dir=os.path.join(self.config.checkpoint_dir, module_hash),
                 module_hash=module_hash,
+                n_buckets=self.config.n_buckets,
             )
         return self._pipelines[module_hash]
 

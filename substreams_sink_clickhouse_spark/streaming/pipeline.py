@@ -37,7 +37,7 @@ import tempfile
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.catalog import Catalog
@@ -243,10 +243,11 @@ class ChangesIngestPipeline:
         checkpoint_dir: str,
         module_hash: str = "default",
         on_batch: Callable[[int, int], None] | None = None,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.catalog = catalog
-        self.state = TableStateStore(spark, warehouse_dir, catalog)
+        self.state = TableStateStore(spark, warehouse_dir, catalog, n_buckets=n_buckets)
         self.cursors = CursorStore(spark, os.path.join(warehouse_dir, "cursors"))
         self.checkpoint_dir = checkpoint_dir
         self.module_hash = module_hash
@@ -278,12 +279,21 @@ class ChangesIngestPipeline:
             for row in live.select("table", bucket).distinct().collect():
                 affected.setdefault(row["table"], []).append(int(row["b"]))
             new_states: dict[str, tuple[DataFrame, list[int]]] = {}
+            observations = []
             for name, buckets in affected.items():
                 info = self.catalog.get(name)
                 target = self.state.bucket_state(name, buckets)
                 ops = live.filter(F.col("table") == name)
-                new_states[name] = (apply_table_ops(target, ops, info), buckets)
-            n_entries = sum(df.count() for df, _ in new_states.values())
+                new_state = apply_table_ops(target, ops, info)
+                # row count rides along with the commit write via the
+                # Observation API — no separate counting action re-running
+                # the reconcile join per table
+                obs = Observation(f"flush_{epoch_id}_{name}")
+                new_states[name] = (
+                    new_state.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    buckets,
+                )
+                observations.append(obs)
             cursor = Cursor(
                 id=self.module_hash,
                 cursor=f"epoch:{epoch_id}:block:{head[0]['block_num']}",
@@ -291,6 +301,7 @@ class ChangesIngestPipeline:
                 block_id=head[0]["block_id"],
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            n_entries = sum(int(o.get["rows"]) for o in observations)
             reduced.unpersist()
         finally:
             changes.unpersist()
