@@ -21,12 +21,11 @@ In Structured Streaming the micro-batch IS the flush window:
 ``availableNow`` batches the whole backlog (catch-up), a
 ``processingTime`` trigger approximates live cadence.
 
-Scale: table state rewrite is merge-on-write per epoch.  At 100 TB the
-state must be partitioned by pk range (``repartitionByRange`` on pk at
-write) so the full-outer reconcile join co-partitions and — with
-partition-pruning on the batch's pk ranges — only affected partitions
-rewrite.  The versioned-directory scheme is exactly what Delta/Iceberg
-formalize; we keep it explicit and dependency-free.
+Scale: merge-on-write is BOUNDED — state is hash-bucketed by pk and an
+epoch reads/rewrites only the buckets its window touched (see
+``TableStateStore``), so per-flush cost is O(affected buckets), not
+O(table).  The versioned-directory + manifest scheme is exactly what
+Delta/Iceberg formalize; we keep it explicit and dependency-free.
 """
 
 from __future__ import annotations
@@ -43,7 +42,7 @@ from pyspark.sql import functions as F
 from substreams_sink_clickhouse_spark.catalog import Catalog
 from substreams_sink_clickhouse_spark.operators.merge import (
     apply_table_ops,
-    check_merge_errors,
+    guard_merge_errors,
     reduce_changes,
 )
 from substreams_sink_clickhouse_spark.sources.changes import (
@@ -268,16 +267,26 @@ class ChangesIngestPipeline:
             if not head:
                 return
             validate_change_tables(changes, self.catalog)
-            # Reduce first, then read ONLY the pk-buckets this window
-            # touches: the reconcile join scans O(affected buckets) of
-            # the table, and commit rewrites the same subset.
-            reduced = reduce_changes(changes, self.catalog.primary_keys()).cache()
-            check_merge_errors(reduced)
-            live = reduced.filter(F.col("err").isNull())
+            # Affected pk-buckets come straight from the (cached) raw
+            # changes; the reconcile join then scans O(affected
+            # buckets) of the table and commit rewrites the same
+            # subset.  Merge-rule violations raise from INSIDE the
+            # commit write via the inline guard — safe because the
+            # manifest swap is the commit point: an aborted write
+            # leaves only an uncommitted version dir (vacuumable),
+            # never corrupt state.  Single-table windows therefore
+            # evaluate the merge fold exactly once, with no eager
+            # probe job and no cache materialization.
             affected: dict[str, list[int]] = {}
             bucket = self.state.bucket_expr("pk").alias("b")
-            for row in live.select("table", bucket).distinct().collect():
+            for row in changes.select("table", bucket).distinct().collect():
                 affected.setdefault(row["table"], []).append(int(row["b"]))
+            reduced = reduce_changes(changes, self.catalog.primary_keys())
+            live = guard_merge_errors(reduced)
+            if len(affected) > 1:
+                # several tables each filter the reduced ops — cache so
+                # the fold is computed once, not once per table
+                live = live.cache()
             new_states: dict[str, tuple[DataFrame, list[int]]] = {}
             observations = []
             for name, buckets in affected.items():
@@ -302,7 +311,7 @@ class ChangesIngestPipeline:
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
             n_entries = sum(int(o.get["rows"]) for o in observations)
-            reduced.unpersist()
+            live.unpersist()
         finally:
             changes.unpersist()
         self.stats["flush_count"] += 1

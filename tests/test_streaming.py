@@ -157,3 +157,20 @@ def test_unknown_table_fails_stream_batch(spark, tmp_path, block_meta_catalog, c
     batch = changes_df([(1, "0x1", 1, "mystery", "k", "CREATE", {"a": "1"})])
     with pytest.raises(UnknownTableError):
         pipe.process_batch(batch, epoch_id=0)
+
+
+def test_merge_violation_fails_stream_batch(spark, tmp_path, block_meta_catalog, changes_df):
+    """A semantically invalid window (duplicate CREATE per pk) must fail
+    the batch — the inline guard raises from inside the commit write,
+    BEFORE the manifest swap, so no state is committed."""
+    pipe = _pipeline(spark, block_meta_catalog, tmp_path)
+    batch = changes_df(
+        [
+            (1, "0x1", 1, "block_meta", "k1", "CREATE", {"number": "1"}),
+            (1, "0x1", 2, "block_meta", "k1", "CREATE", {"number": "2"}),
+        ]
+    )
+    with pytest.raises(Exception, match="invalid change sequence"):
+        pipe.process_batch(batch, epoch_id=0)
+    assert not pipe.state.epoch_applied(0)
+    assert pipe.table("block_meta").count() == 0
