@@ -56,6 +56,18 @@ HISTORICAL_BLOCK_FLUSH_EACH = 1000
 LIVE_BLOCK_FLUSH_EACH = 1
 
 
+def _observed_rows(obs) -> int:
+    """Best-effort read of a flush observation: an epoch whose commit
+    write produced no rows can leave the observation unset inside
+    foreachBatch (Spark returns an opaque assertion from ``get``).
+    Counters are observability, not correctness — treat unreadable as
+    0 rather than failing the committed batch."""
+    try:
+        return int(obs.get["rows"])
+    except Exception:
+        return 0
+
+
 class TableStateStore:
     """Versioned, hash-bucketed parquet table state with an atomic JSON
     manifest.
@@ -310,7 +322,7 @@ class ChangesIngestPipeline:
                 block_id=head[0]["block_id"],
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
-            n_entries = sum(int(o.get["rows"]) for o in observations)
+            n_entries = sum(_observed_rows(o) for o in observations)
             live.unpersist()
         finally:
             changes.unpersist()

@@ -174,3 +174,34 @@ def test_merge_violation_fails_stream_batch(spark, tmp_path, block_meta_catalog,
         pipe.process_batch(batch, epoch_id=0)
     assert not pipe.state.epoch_applied(0)
     assert pipe.table("block_meta").count() == 0
+
+
+def test_multi_epoch_single_run(spark, tmp_path, block_meta_catalog):
+    """maxFilesPerTrigger=1 forces one micro-batch per file within a
+    single availableNow run: epochs sequence, later epochs fold onto
+    earlier state, and the cursor lands on the last block."""
+    import os
+    import time as _time
+
+    stream = tmp_path / "stream"
+    stream.mkdir()
+    files = [
+        ("a.jsonl", _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])),
+        ("b.jsonl", _msg(2, [("block_meta", "k1", 1, "UPDATE", {"number": "11"}),
+                              ("block_meta", "k2", 2, "CREATE", {"number": "2"})])),
+        ("c.jsonl", _msg(3, [("block_meta", "k2", 1, "DELETE", None)])),
+    ]
+    for i, (fname, text) in enumerate(files):
+        p = stream / fname
+        p.write_text(text)
+        # FileStreamSource orders by modification time — pin it
+        ts = 1_700_000_000 + i
+        os.utime(p, (ts, ts))
+        _time.sleep(0.01)
+    pipe = _pipeline(spark, block_meta_catalog, tmp_path, name="multi")
+    query = pipe.start(str(stream), max_files_per_trigger=1)
+    query.awaitTermination(300)
+    rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert rows == {"k1": 11}
+    assert pipe.cursors.get_cursor("mod-hash-1").block_num == 3
+    assert pipe.stats["flush_count"] == 3
