@@ -45,6 +45,7 @@ from substreams_sink_clickhouse_spark.operators.merge import (
     guard_merge_errors,
     reduce_changes,
 )
+from substreams_sink_clickhouse_spark.sinks.clickhouse import cursor_update_statement
 from substreams_sink_clickhouse_spark.sources.changes import (
     read_changes_jsonl,
     validate_change_tables,
@@ -255,10 +256,16 @@ class ChangesIngestPipeline:
         module_hash: str = "default",
         on_batch: Callable[[int, int], None] | None = None,
         n_buckets: int = 16,
+        clickhouse_sink=None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.state = TableStateStore(spark, warehouse_dir, catalog, n_buckets=n_buckets)
+        #: Optional wire-parity sink: when set (a
+        #: sinks.clickhouse.ClickHouseHTTPSink), every committed
+        #: epoch's reduced ops are also emitted as the reference's
+        #: three SQL statement shapes to a live ClickHouse.
+        self.clickhouse_sink = clickhouse_sink
         self.cursors = CursorStore(spark, os.path.join(warehouse_dir, "cursors"))
         self.checkpoint_dir = checkpoint_dir
         self.module_hash = module_hash
@@ -322,6 +329,18 @@ class ChangesIngestPipeline:
                 block_id=head[0]["block_id"],
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            if self.clickhouse_sink is not None:
+                # wire parity: emit the same window as ClickHouse SQL
+                # (INSERT / ALTER UPDATE / DELETE + cursor update,
+                # /root/reference/db/flush.go:12-63)
+                self.clickhouse_sink.write_batch(
+                    live.filter(F.col("err").isNull()), epoch_id
+                )
+                self.clickhouse_sink.execute_statement(
+                    cursor_update_statement(
+                        cursor.id, cursor.cursor, cursor.block_num, cursor.block_id
+                    )
+                )
             n_entries = sum(_observed_rows(o) for o in observations)
             live.unpersist()
         finally:

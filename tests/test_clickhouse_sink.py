@@ -80,3 +80,63 @@ def test_cursor_update_statement():
         'ALTER TABLE "cursors" UPDATE "cursor"=\'cur\', "block_num"=42, '
         "\"block_id\"='0xa' WHERE \"id\" = 'hash1'"
     )
+
+
+def test_pipeline_emits_wire_statements(spark, tmp_path):
+    """Wire parity: a pipeline with a ClickHouse sink attached emits
+    the reference's statement shapes for every committed epoch
+    (INSERT for creates + cursor ALTER UPDATE, db/flush.go:12-63)."""
+    import json as _json
+
+    from substreams_sink_clickhouse_spark.catalog import (
+        BLOCK_META_SCHEMA,
+        Catalog,
+        TableInfo,
+    )
+    from substreams_sink_clickhouse_spark.sinks.clickhouse import ClickHouseHTTPSink
+    from substreams_sink_clickhouse_spark.streaming.pipeline import ChangesIngestPipeline
+
+    capture = tmp_path / "statements.log"
+
+    class RecordingSink(ClickHouseHTTPSink):
+        # executes in local-mode worker processes -> capture via file
+        def execute_statement(self, sql: str) -> None:
+            with open(str(capture), "a", encoding="utf-8") as fh:
+                fh.write(sql.replace("\n", " ") + "\n")
+
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    sink = RecordingSink("clickhouse://u:p@localhost:8123/db", cat)
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _json.dumps(
+            {
+                "block_num": 7,
+                "block_id": "0x7",
+                "table_changes": [
+                    {
+                        "table": "block_meta",
+                        "pk": "k1",
+                        "ordinal": 1,
+                        "operation": "CREATE",
+                        "fields": [{"name": "number", "new_value": "7", "old_value": None}],
+                    }
+                ],
+            }
+        )
+    )
+    pipe = ChangesIngestPipeline(
+        spark,
+        cat,
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        module_hash="mh",
+        clickhouse_sink=sink,
+    )
+    pipe.run_to_completion(str(stream), timeout_s=300)
+    stmts = capture.read_text().strip().split("\n")
+    assert any(s.startswith('INSERT INTO "block_meta"') for s in stmts), stmts
+    assert any("cursors" in s and "UPDATE" in s for s in stmts), stmts
+    # parquet state still committed alongside the wire emit
+    assert pipe.table("block_meta").count() == 1
