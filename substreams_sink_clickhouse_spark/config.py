@@ -87,3 +87,6 @@ class EngineConfig:
     #: buckets / n_buckets of the table); size so one bucket's state
     #: fits an executor comfortably (at 100 TB: thousands).
     n_buckets: int = 16
+    #: Optional clickhouse:// DSN — when set, every committed epoch is
+    #: also emitted to ClickHouse as the reference's statement shapes.
+    clickhouse_dsn: str | None = None

@@ -43,6 +43,13 @@ class Engine:
 
     # -- ingest (reference `run` command, SURVEY §3.1) ----------------
 
+    def _make_sink(self, catalog: Catalog):
+        if not self.config.clickhouse_dsn:
+            return None
+        from substreams_sink_clickhouse_spark.sinks.clickhouse import ClickHouseHTTPSink
+
+        return ClickHouseHTTPSink(self.config.clickhouse_dsn, catalog)
+
     def pipeline(self, catalog: Catalog, module_hash: str = "default") -> ChangesIngestPipeline:
         if module_hash not in self._pipelines:
             self._pipelines[module_hash] = ChangesIngestPipeline(
@@ -52,6 +59,7 @@ class Engine:
                 checkpoint_dir=os.path.join(self.config.checkpoint_dir, module_hash),
                 module_hash=module_hash,
                 n_buckets=self.config.n_buckets,
+                clickhouse_sink=self._make_sink(catalog),
             )
         return self._pipelines[module_hash]
 
