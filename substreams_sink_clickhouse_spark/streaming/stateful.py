@@ -68,25 +68,7 @@ def _fold_pending(
 
     rows = pd.concat(list(batches), ignore_index=True)
     rows = rows.sort_values(["block_num", "ordinal"])
-    for _, row in rows.iterrows():
-        kind = str(row["op"]).upper()
-        new_fields: dict[str, Any] = dict(row["fields"] or {})
-        if err is not None:
-            break
-        if kind == "CREATE":
-            if op != "NONE":
-                err = f"duplicate insert: pk already has a pending {op}"
-            else:
-                op, fields = "CREATE", {**new_fields, "__pk__": pk}
-        elif kind == "UPDATE":
-            if op == "DELETE":
-                err = "update a deleted row"
-            elif op == "NONE":
-                op, fields = "UPDATE", new_fields
-            else:
-                fields = {**fields, **new_fields}
-        elif kind == "DELETE":
-            op, fields = "DELETE", {}
+    op, fields, err = _fold_rows(op, fields, err, rows)
     state.update((op, json.dumps(fields), err))
     yield pd.DataFrame(
         [{"table": table, "pk": pk, "op": op, "fields_json": json.dumps(fields), "err": err}]
@@ -105,5 +87,93 @@ def streaming_pending_ops(changes_stream: DataFrame) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _fold_rows(op, fields, err, rows) -> tuple:
+    """Pure fold of ordered change rows onto (op, fields, err) state —
+    shared by both stateful implementations."""
+    for _, row in rows.iterrows():
+        kind = str(row["op"]).upper()
+        new_fields = dict(row["fields"] or {})
+        if err is not None:
+            break
+        if kind == "CREATE":
+            if op != "NONE":
+                err = f"duplicate insert: pk already has a pending {op}"
+            else:
+                op, fields = "CREATE", {**new_fields, "__pk__": row["pk"]}
+        elif kind == "UPDATE":
+            if op == "DELETE":
+                err = "update a deleted row"
+            elif op == "NONE":
+                op, fields = "UPDATE", new_fields
+            else:
+                fields = {**fields, **new_fields}
+        elif kind == "DELETE":
+            op, fields = "DELETE", {}
+    return op, fields, err
+
+
+def streaming_pending_ops_tws(changes_stream: DataFrame) -> DataFrame:
+    """The same cross-batch fold on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (typed state handles,
+    RocksDB-backed).  Functionally identical to
+    :func:`streaming_pending_ops`; kept as the forward path since
+    ``applyInPandasWithState`` is the legacy API.  Requires the
+    RocksDB state-store provider on the session:
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    plus the ``protobuf`` python package (the API's state protocol is
+    protobuf-serialized); environments without it should use
+    :func:`streaming_pending_ops`.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class PendingOpProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("pending", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> "pd.DataFrame":
+            table, pk = key
+            if self._state.exists():
+                op, fields_json, err = self._state.get()
+                fields = json.loads(fields_json) if fields_json else {}
+            else:
+                op, fields, err = "NONE", {}, None
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["block_num", "ordinal"])
+            op, fields, err = _fold_rows(op, fields, err, batch)
+            self._state.update((op, json.dumps(fields), err))
+            yield pd.DataFrame(
+                [
+                    {
+                        "table": table,
+                        "pk": pk,
+                        "op": op,
+                        "fields_json": json.dumps(fields),
+                        "err": err,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        changes_stream.withColumn("op", F.upper("op"))
+        .filter(F.col("op").isin("CREATE", "UPDATE", "DELETE"))
+        .groupBy("table", "pk")
+        .transformWithStateInPandas(
+            statefulProcessor=PendingOpProcessor(),
+            outputStructType=PENDING_OP_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
