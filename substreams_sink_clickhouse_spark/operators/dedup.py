@@ -172,11 +172,15 @@ def _cap_buckets(buckets: DataFrame, arr_col: str) -> DataFrame:
 
 
 def _pair_expand(arr: str, fields: str) -> str:
-    """SQL for all ordered pairs (i < j) of a sorted array column:
-    ``struct(<fields>)`` is built from pair elements ``x`` and ``y``."""
+    """SQL for all strictly-ordered pairs (x < y) of a sorted array
+    column: ``struct(<fields>)`` is built from pair elements ``x`` and
+    ``y``.  The ``y > x`` filter makes the expansion value-identical
+    to a ``a.id < b.id`` self-join even when an id appears twice in a
+    bucket (the fixture operators emit per-bucket-distinct ids, but
+    the helper keeps join semantics regardless)."""
     return (
         f"flatten(transform({arr}, (x, i) -> "
-        f"transform(slice({arr}, i + 2, size({arr}) - i - 1), "
+        f"transform(filter(slice({arr}, i + 2, size({arr}) - i - 1), y -> y > x), "
         f"y -> struct({fields}))))"
     )
 

@@ -103,3 +103,42 @@ def test_ivf_uses_broadcast_only(spark):
     plan = simple_plan(SIM._sim_ivf(spark, SF))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Broadcast" in plan
+
+
+def test_bucket_expansion_equals_self_join(spark):
+    """The pair-generation rewrite must be value-identical to the
+    self-join it replaced, including duplicate ids within a bucket and
+    multi-bucket membership."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.operators.dedup import _pair_expand
+
+    rows = [(b, d) for b, ds in
+            [(0, [3, 1, 2]), (1, [5]), (2, [7, 7, 8]), (3, [9, 4, 6, 2])]
+            for d in ds]
+    bands = spark.createDataFrame(rows, "band: int, doc_id: int")
+    a, b = bands.alias("a"), bands.alias("b")
+    join_pairs = sorted(
+        (r["da"], r["db"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .collect()
+    )
+    buckets = (
+        bands.groupBy("band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    expand_pairs = sorted(
+        (r["p"]["doc_a"], r["p"]["doc_b"])
+        for r in buckets.select(
+            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    assert expand_pairs == join_pairs
