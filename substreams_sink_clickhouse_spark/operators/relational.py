@@ -621,6 +621,67 @@ FROM t GROUP BY o_orderpriority, tile ORDER BY o_orderpriority, tile
 """
 
 
+def _q38_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group median without a percentile function: rank from
+    both ends and average the middle element(s) — the same arithmetic
+    on both engines, so no interpolation-convention risk.  Shape: one
+    window sort per group + one aggregate."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    # middle position(s): (n+1)//2 and (n+2)//2 coincide for odd n
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_MEDIAN_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+mid AS (
+  SELECT * FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+SELECT o_orderpriority, round(avg(o_totalprice), 4) AS median_price
+FROM mid GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q39_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nations per
+    region, sorted then joined — deterministic on both engines."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -980,5 +1041,18 @@ SPECS: list[QuerySpec] = [
         "NTILE quartiles per group (deterministic tie-break)",
         _q37_ntile,
         _NTILE_ORACLE,
+    ),
+    QuerySpec(
+        "q38_median",
+        "Exact per-group median via rank arithmetic (no percentile "
+        "interpolation convention)",
+        _q38_median,
+        _MEDIAN_ORACLE,
+    ),
+    QuerySpec(
+        "q39_listagg",
+        "Ordered string aggregation (LISTAGG/string_agg)",
+        _q39_listagg,
+        _LISTAGG_ORACLE,
     ),
 ]
