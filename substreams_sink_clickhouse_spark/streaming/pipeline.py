@@ -147,6 +147,29 @@ class TableStateStore:
             return self.spark.createDataFrame([], info.schema)
         return self.spark.read.schema(info.schema).parquet(*paths)
 
+    def table_state_as_of(self, name: str, epoch_id: int) -> DataFrame:
+        """Time travel: the table's state as of a committed epoch —
+        free with snapshot history (subject to vacuum retention).
+        Raises if no snapshot at or below ``epoch_id`` survives."""
+        info = self.catalog.get(name)
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            return self.spark.createDataFrame([], info.schema)
+        candidates = [h for h in entry.get("history", []) if h["epoch"] <= epoch_id]
+        if entry["epoch"] <= epoch_id:
+            bmap = entry["buckets"]
+        elif candidates:
+            bmap = max(candidates, key=lambda h: h["epoch"])["buckets"]
+        else:
+            raise ValueError(
+                f"no retained snapshot of '{name}' at or below epoch "
+                f"{epoch_id} (vacuumed?)"
+            )
+        paths = [p for p in bmap.values() if p]
+        if not paths:
+            return self.spark.createDataFrame([], info.schema)
+        return self.spark.read.schema(info.schema).parquet(*paths)
+
     def epoch_applied(self, epoch_id: int) -> bool:
         return epoch_id in self.read_manifest()["applied_epochs"]
 

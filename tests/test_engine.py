@@ -194,3 +194,34 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     # data is intact
     rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
     assert rows["k1"] == 999 and len(rows) == 8
+
+
+def test_time_travel_read(spark, tmp_path):
+    """table_state_as_of reads a prior epoch's state off the snapshot
+    history — free time travel within vacuum retention."""
+    import pytest
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+    (stream / "b2.jsonl").write_text(
+        _msg(2, [("block_meta", "k1", 1, "UPDATE", {"number": "2"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+    now = {r["id"]: r["number"] for r in pipe.state.table_state("block_meta").collect()}
+    old = {r["id"]: r["number"] for r in pipe.state.table_state_as_of("block_meta", 0).collect()}
+    assert now == {"k1": 2}
+    assert old == {"k1": 1}
+    pipe.state.vacuum(keep_epochs=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        pipe.state.table_state_as_of("block_meta", 0)
