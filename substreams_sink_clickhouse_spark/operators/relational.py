@@ -682,6 +682,32 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def _q40_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance,
+    sample stddev per group.  Rounded to 6 decimals — the parallel
+    partial-aggregation order differs from a serial engine only in the
+    last ulps."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+       round(stddev_samp(l_discount), 6) AS sd_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -1054,5 +1080,11 @@ SPECS: list[QuerySpec] = [
         "Ordered string aggregation (LISTAGG/string_agg)",
         _q39_listagg,
         _LISTAGG_ORACLE,
+    ),
+    QuerySpec(
+        "q40_stats",
+        "Statistical aggregates: corr / covar_samp / stddev_samp",
+        _q40_stats,
+        _STATS_ORACLE,
     ),
 ]
