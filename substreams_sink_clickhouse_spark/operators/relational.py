@@ -708,6 +708,45 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _q41_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort/retention matrix: users grouped by first-event day,
+    counted per day-offset of later activity — the classic composite
+    workload (two aggregates + a join + date arithmetic).  The cohort
+    aggregate broadcasts (one row per user); activity never shuffles
+    twice."""
+    e = load_table(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    joined = activity.join(F.broadcast(first), "user_id").withColumn(
+        "offset", F.datediff("day", "cohort")
+    )
+    return (
+        joined.filter(F.col("offset") <= 7)
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events)
+SELECT f.cohort, date_diff('day', f.cohort, a.day) AS "offset",
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort, a.day) <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -1086,5 +1125,11 @@ SPECS: list[QuerySpec] = [
         "Statistical aggregates: corr / covar_samp / stddev_samp",
         _q40_stats,
         _STATS_ORACLE,
+    ),
+    QuerySpec(
+        "q41_cohort",
+        "Cohort/retention matrix (first-touch cohorts x day offsets)",
+        _q41_cohort,
+        _COHORT_ORACLE,
     ),
 ]
