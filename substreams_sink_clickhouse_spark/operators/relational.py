@@ -732,6 +732,83 @@ def _q41_cohort(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q42_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel: view -> later click -> later purchase per user;
+    users counted by deepest stage reached.  SURVEY lists
+    MATCH_RECOGNIZE as out of scope everywhere — this is the practical
+    sequencing workload it would serve, as three conditional min-
+    aggregates chained on strictly-later timestamps (each stage's
+    aggregate is tiny and broadcasts into the next).  Restricted to
+    the first two fixture days so the four stages all materialize."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    staged = (
+        users.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .withColumn(
+            "stage",
+            F.when(F.col("s3") == 1, 3)
+            .when(F.col("s2") == 1, 2)
+            .when(F.col("s1") == 1, 1)
+            .otherwise(0),
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+v AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id)
+SELECT stage, count(*) AS n_users FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 _COHORT_ORACLE = """
 WITH first AS (
   SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
@@ -1131,5 +1208,12 @@ SPECS: list[QuerySpec] = [
         "Cohort/retention matrix (first-touch cohorts x day offsets)",
         _q41_cohort,
         _COHORT_ORACLE,
+    ),
+    QuerySpec(
+        "q42_funnel",
+        "Ordered event funnel (sequencing workload; MATCH_RECOGNIZE "
+        "substitute)",
+        _q42_funnel,
+        _FUNNEL_ORACLE,
     ),
 ]
