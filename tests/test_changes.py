@@ -77,3 +77,14 @@ def test_protobuf_decode_gated(spark):
     raw = spark.createDataFrame([(bytearray(b"\x01"),)], "value: binary")
     with pytest.raises(NotImplementedError, match="spark-protobuf"):
         decode_database_changes_protobuf(raw, "/tmp/nonexistent.desc").collect()
+
+
+def test_kafka_source_gated(spark):
+    """No spark-sql-kafka connector in this container: the Kafka
+    transport must degrade to an actionable error."""
+    import pytest
+
+    from substreams_sink_clickhouse_spark.sources.changes import read_changes_kafka
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        read_changes_kafka(spark, "localhost:9092", "changes")
