@@ -57,6 +57,105 @@ def _q24(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The events fixture as a genuine file stream (nanos → timestamp)."""
+    from substreams_sink_clickhouse_spark.session import tune_session
+
+    tune_session(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
+    """Run a streaming DF to completion into a memory sink; returns the
+    sink table name."""
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"sscs_{prefix}_ckpt_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return sink_name
+
+
+def _q43_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    static nation dimension (broadcast — the static side re-reads per
+    micro-batch but never shuffles the stream), then aggregated in
+    complete mode.  The canonical 'enrich a CDC/event stream with a
+    dimension' pattern."""
+    stream = _events_stream(spark, sf)
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    enriched = stream.join(
+        F.broadcast(n), (F.col("user_id") % 25) == F.col("n_nationkey")
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    sink = _run_to_memory(agg, "q43", "complete")
+    return spark.table(sink).orderBy("n_name")
+
+
+def _q44_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to
+    the same user's views in the preceding 10 minutes; both sides
+    watermarked so join state is bounded (the watermark + interval
+    bound the buffered range — THE requirement for an unbounded 100 TB
+    stream join).  Pair counts per user."""
+    stream = _events_stream(spark, sf)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    sink = _run_to_memory(pairs, "q44", "append")
+    return (
+        spark.table(sink)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def _q25(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked streaming aggregation, append mode.
 
@@ -313,6 +412,32 @@ SPECS: list[QuerySpec] = [
         WITH c AS (SELECT event_type AS id, max(event_id) AS block_num
                    FROM events GROUP BY event_type)
         SELECT id, block_num FROM c ORDER BY block_num DESC, id LIMIT 1
+        """,
+    ),
+    QuerySpec(
+        "q43_stream_enrich",
+        "Stream-static enrichment join (broadcast dimension into a "
+        "true Structured Streaming run)",
+        _q43_stream_enrich,
+        """
+        SELECT n_name, count(*) AS cnt, round(sum(value), 2) AS sv
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """,
+    ),
+    QuerySpec(
+        "q44_stream_stream_join",
+        "Watermarked stream-stream interval join (clicks x prior views "
+        "within 10 minutes)",
+        _q44_stream_stream_join,
+        """
+        SELECT c.user_id, count(*) AS n_pairs
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND v.ts <= c.ts
+         AND v.ts >= c.ts - INTERVAL '10 minutes'
+        GROUP BY c.user_id ORDER BY c.user_id
         """,
     ),
 ]
