@@ -97,7 +97,12 @@ class IncrementalAggregate:
             stored = self.spark.read.parquet(current_dir)
             o = stored.alias("o")
             n = partials.alias("n")
-            cond = [o[k].eqNullSafe(n[k]) for k in self.keys]
+            # keys=[] is a global rollup: one stored row, combine 1:1
+            cond = (
+                [o[k].eqNullSafe(n[k]) for k in self.keys]
+                if self.keys
+                else F.lit(True)
+            )
             merged = o.join(n, cond, "full_outer").select(
                 *[F.coalesce(o[k], n[k]).alias(k) for k in self.keys],
                 *[

@@ -289,11 +289,24 @@ class ChangesIngestPipeline:
         #: epoch's reduced ops are also emitted as the reference's
         #: three SQL statement shapes to a live ClickHouse.
         self.clickhouse_sink = clickhouse_sink
+        #: table name -> attached IncrementalAggregate rollups,
+        #: updated with each epoch's CREATE rows (ClickHouse
+        #: materialized-view semantics: MVs see inserted rows).
+        self._rollups: dict[str, list] = {}
         self.cursors = CursorStore(spark, os.path.join(warehouse_dir, "cursors"))
         self.checkpoint_dir = checkpoint_dir
         self.module_hash = module_hash
         self.on_batch = on_batch
         self.stats: dict[str, float] = {"flush_count": 0, "flushed_entries": 0, "flush_seconds": 0.0}
+
+    def attach_rollup(self, table: str, rollup) -> None:
+        """Attach an :class:`~...streaming.mataggs.IncrementalAggregate`
+        to a table: every committed epoch folds that epoch's inserted
+        rows into the rollup — the ClickHouse materialized-view pattern
+        (updates/deletes are not retracted, exactly like ClickHouse MVs
+        over a MergeTree insert stream)."""
+        self.catalog.get(table)  # validate
+        self._rollups.setdefault(table, []).append(rollup)
 
     # -- batch kernel -------------------------------------------------
 
@@ -352,6 +365,22 @@ class ChangesIngestPipeline:
                 block_id=head[0]["block_id"],
             )
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            for name, rollups in self._rollups.items():
+                if name not in affected or not rollups:
+                    continue
+                info = self.catalog.get(name)
+                from substreams_sink_clickhouse_spark.functions.coercion import coerce
+
+                created = live.filter(
+                    (F.col("table") == name) & (F.col("op") == "CREATE")
+                ).select(
+                    *[
+                        coerce(F.col("fields").getItem(f.name), f.dataType).alias(f.name)
+                        for f in info.schema.fields
+                    ]
+                )
+                for rollup in rollups:
+                    rollup.update(created, version=epoch_id)
             if self.clickhouse_sink is not None:
                 # wire parity: emit the same window as ClickHouse SQL
                 # (INSERT / ALTER UPDATE / DELETE + cursor update,

@@ -59,3 +59,63 @@ def test_rejects_unknown_measure(spark, tmp_path):
         IncrementalAggregate(
             spark, str(tmp_path / "agg3"), keys=["k"], measures={"x": ("median", "v")}
         )
+
+
+def test_rollup_attached_to_pipeline(spark, tmp_path):
+    """A rollup attached to an ingest table is maintained per epoch
+    from that epoch's inserted rows (materialized-view semantics)."""
+    import json as _json
+
+    from substreams_sink_clickhouse_spark.catalog import (
+        BLOCK_META_SCHEMA,
+        Catalog,
+        TableInfo,
+    )
+    from substreams_sink_clickhouse_spark.streaming.pipeline import (
+        ChangesIngestPipeline,
+    )
+
+    def msg(block, pk, number):
+        return _json.dumps(
+            {
+                "block_num": block,
+                "block_id": f"0x{block}",
+                "table_changes": [
+                    {
+                        "table": "block_meta",
+                        "pk": pk,
+                        "ordinal": 1,
+                        "operation": "CREATE",
+                        "fields": [
+                            {"name": "number", "new_value": str(number), "old_value": None}
+                        ],
+                    }
+                ],
+            }
+        )
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    pipe = ChangesIngestPipeline(
+        spark,
+        cat,
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rollup = IncrementalAggregate(
+        spark,
+        str(tmp_path / "rollup"),
+        keys=[],
+        measures={"cnt": ("count", "number"), "mx": ("max", "number")},
+    )
+    pipe.attach_rollup("block_meta", rollup)
+
+    (stream / "b1.jsonl").write_text("\n".join([msg(1, "k1", 10), msg(2, "k2", 20)]))
+    pipe.run_to_completion(str(stream))
+    (stream / "b2.jsonl").write_text(msg(3, "k3", 5))
+    pipe.run_to_completion(str(stream))
+
+    row = rollup.current().collect()[0]
+    assert row["cnt"] == 3 and row["mx"] == 20
