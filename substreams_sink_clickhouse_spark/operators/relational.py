@@ -824,6 +824,35 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q45_array_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / filter-count
+    over the embedding vectors — all JVM lambda evaluation, no Python."""
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.expr("exists(embedding, x -> x > CAST(0.4 AS DOUBLE))").alias("has_big"),
+            F.expr("forall(embedding, x -> x > CAST(-0.45 AS DOUBLE))").alias("all_ok"),
+            F.expr("size(filter(embedding, x -> x < CAST(0.0 AS DOUBLE)))").alias("n_neg"),
+        )
+        .groupBy("has_big", "all_ok")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_neg").alias("sum_neg"))
+        .orderBy("has_big", "all_ok")
+    )
+
+
+_ARRAY_PRED_ORACLE = """
+WITH t AS (
+  SELECT vec_id,
+         len(list_filter(embedding, x -> x > CAST(0.4 AS DOUBLE))) > 0 AS has_big,
+         len(list_filter(embedding, x -> NOT (x > CAST(-0.45 AS DOUBLE)))) = 0 AS all_ok,
+         len(list_filter(embedding, x -> x < CAST(0.0 AS DOUBLE))) AS n_neg
+  FROM embeddings)
+SELECT has_big, all_ok, count(*) AS cnt, sum(n_neg) AS sum_neg
+FROM t GROUP BY has_big, all_ok ORDER BY has_big, all_ok
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -1215,5 +1244,11 @@ SPECS: list[QuerySpec] = [
         "substitute)",
         _q42_funnel,
         _FUNNEL_ORACLE,
+    ),
+    QuerySpec(
+        "q45_array_predicates",
+        "Higher-order array predicates (exists/forall/filter)",
+        _q45_array_predicates,
+        _ARRAY_PRED_ORACLE,
     ),
 ]
