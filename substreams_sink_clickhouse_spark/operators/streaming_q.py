@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
 from substreams_sink_clickhouse_spark.operators.merge import merge_changes
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 from substreams_sink_clickhouse_spark.sources.tables import load_table
@@ -257,51 +258,69 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     (/root/reference/db/operations.go:150-193).
     """
     o = load_table(spark, sf, "orders")
-    base = o.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
+    # One scan, not three: each order row fans out to its CREATE plus
+    # (key-dependent) UPDATE/DELETE change structs via a single explode
+    # — a 3-way union of filtered scans reads the parquet three times.
+    # The fan-out + map building + shuffle write is compute-dense, and a
+    # small single-row-group parquet scans as ONE partition, so decouple
+    # stage parallelism from the input's split count.
+    base = ensure_parallelism(
+        o.select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
     )
-    creates = base.select(
-        F.lit(1).cast("long").alias("block_num"),
-        F.lit("b1").alias("block_id"),
-        F.col("key").alias("ordinal"),
-        F.lit("orders_t").alias("table"),
+    null_map = F.lit(None).cast("map<string,string>")
+
+    def change(block, op, fields):
+        return F.struct(
+            F.lit(block).cast("long").alias("block_num"),
+            F.lit(f"b{block}").alias("block_id"),
+            F.col("key").alias("ordinal"),
+            F.lit(op).alias("op"),
+            fields.alias("fields"),
+        )
+
+    fanned = base.select(
         F.col("key").cast("string").alias("pk"),
-        F.lit("CREATE").alias("op"),
-        F.map_from_arrays(
-            F.array(F.lit("status"), F.lit("price")),
-            F.array(F.col("status"), F.col("price").cast("string")),
-        ).alias("fields"),
+        F.explode(
+            F.filter(
+                F.array(
+                    change(
+                        1,
+                        "CREATE",
+                        F.map_from_arrays(
+                            F.array(F.lit("status"), F.lit("price")),
+                            F.array(F.col("status"), F.col("price").cast("string")),
+                        ),
+                    ),
+                    F.when(
+                        F.col("key") % 3 == 0,
+                        change(
+                            2,
+                            "UPDATE",
+                            F.map_from_arrays(
+                                F.array(F.lit("price")),
+                                F.array((F.col("price") + 100).cast("string")),
+                            ),
+                        ),
+                    ),
+                    F.when(F.col("key") % 7 == 0, change(3, "DELETE", null_map)),
+                ),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("c"),
     )
-    updates = (
-        base.filter(F.col("key") % 3 == 0)
-        .select(
-            F.lit(2).cast("long").alias("block_num"),
-            F.lit("b2").alias("block_id"),
-            F.col("key").alias("ordinal"),
-            F.lit("orders_t").alias("table"),
-            F.col("key").cast("string").alias("pk"),
-            F.lit("UPDATE").alias("op"),
-            F.map_from_arrays(
-                F.array(F.lit("price")),
-                F.array((F.col("price") + 100).cast("string")),
-            ).alias("fields"),
-        )
+    changes = fanned.select(
+        F.col("c.block_num").alias("block_num"),
+        F.col("c.block_id").alias("block_id"),
+        F.col("c.ordinal").alias("ordinal"),
+        F.lit("orders_t").alias("table"),
+        "pk",
+        F.col("c.op").alias("op"),
+        F.col("c.fields").alias("fields"),
     )
-    deletes = (
-        base.filter(F.col("key") % 7 == 0)
-        .select(
-            F.lit(3).cast("long").alias("block_num"),
-            F.lit("b3").alias("block_id"),
-            F.col("key").alias("ordinal"),
-            F.lit("orders_t").alias("table"),
-            F.col("key").cast("string").alias("pk"),
-            F.lit("DELETE").alias("op"),
-            F.lit(None).cast("map<string,string>").alias("fields"),
-        )
-    )
-    changes = creates.unionByName(updates).unionByName(deletes)
     catalog = Catalog()
     catalog.register(_ORDERS_T)
     empty_target = spark.createDataFrame([], _ORDERS_T.schema)
