@@ -37,7 +37,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.functions.hashing import (
@@ -187,14 +187,15 @@ def _pair_expand(arr: str, fields: str) -> str:
 
 # ---------------------------------------------------------------- minhash
 
-def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Zero-shuffle signature computation: the shingle set stays an
-    array column, each shingle MD5-hashed once (``g``), and the k
-    minhashes are per-row ``array_min`` folds — no explode, no groupBy;
-    the only shuffle in the whole operator is the band join."""
-    aug = _aug_docs(spark, sf)
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) for a (doc_id, text) DataFrame.
+
+    Zero-shuffle signature computation: the shingle set stays an array
+    column, each shingle MD5-hashed once (``g``), and the k minhashes
+    are per-row ``array_min`` folds — no explode, no groupBy; callers
+    pay their first shuffle at the band join/group they stack on top."""
     with_g = (
-        aug.withColumn("__words", F.split("text", " "))
+        docs.withColumn("__words", F.split("text", " "))
         .withColumn("__sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
         .withColumn("__g", F.expr(f"transform(__sh, s -> {md5_long_sql('s')} % {MINHASH_P})"))
     )
@@ -216,9 +217,15 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("band")).select(
+    return mh.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
     )
+
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs (see
+    :func:`_minhash_bands`; the only shuffle is the band group-by)."""
+    bands = _minhash_bands(_aug_docs(spark, sf))
     # Bucket expansion instead of a self-join: a self-join would evaluate
     # the whole signature pipeline TWICE (once per side) and shuffle it
     # twice; grouping by band computes signatures once and emits each
@@ -239,7 +246,11 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_band_ctes() -> str:
+    """DuckDB CTE chain ``sh -> shg -> mh -> bands`` computing per-doc
+    minhash band values from a CTE named ``aug(doc_id, text)``.  Shared
+    by the minhash-pairs, duplicate-cluster, and incremental-dedup
+    oracles so all three reproduce the Spark side bit-for-bit."""
     mins = ",\n         ".join(
         f"min(({MINHASH_A[j]} * g + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
         for j in range(N_MINHASH)
@@ -248,20 +259,33 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band_id, concat_ws(':', mh{2*b}, mh{2*b+1}) AS band_val FROM mh"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {_DUCK_AUG.strip().rstrip()},
-{_DUCK_SHINGLES.strip()},
+    return f"""{_DUCK_SHINGLES.strip()},
 shg AS (
   SELECT doc_id, {duck_md5_long_sql('shingle')} % {MINHASH_P} AS g FROM sh),
 mh AS (
   SELECT doc_id, {mins}
   FROM shg GROUP BY doc_id),
 bands AS (
-  {bands})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-GROUP BY 1, 2 ORDER BY 1, 2
+  {bands})"""
+
+
+#: DuckDB CTE producing the deduped ordered minhash candidate pairs
+#: (follows ``bands``).
+_DUCK_PAIRS = """
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_DUCK_AUG.strip().rstrip()},
+{_minhash_band_ctes()},
+{_DUCK_PAIRS.strip()}
+SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2
 """
 
 
@@ -502,6 +526,186 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ------------------------------------------------------ duplicate clusters
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` where ``cluster_id``
+    is the smallest doc_id reachable from each node.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round every node takes the min of its own and its neighbors'
+    labels; fixpoint when no label changes.  Converges in O(diameter)
+    rounds — near-dup clusters are shallow (a few hops), so this is a
+    handful of rounds in practice.  Each round is ONE shuffle join on
+    the node key, and ``localCheckpoint`` truncates lineage per round
+    (an iterative plan otherwise re-executes the whole history each
+    action — the classic Spark fixpoint trap).
+
+    This is the canonical "duplicate clusters" step of a training-data
+    pipeline: candidate pairs from MinHash/SimHash become clusters, and
+    one canonical doc per cluster survives.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node")).localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("nbr"), F.col("label").alias("nbr_label")), "nbr")
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("u.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: MinHash candidate pairs → connected
+    components → (doc_id, cluster_id, cluster_size) per clustered doc."""
+    pairs = _dedup_minhash(spark, sf)
+    comp = connected_components(pairs)
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_AUG.strip().rstrip()},
+{_minhash_band_ctes()},
+{_DUCK_PAIRS.strip()},
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs),
+reach(node, r) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM edges) t
+  UNION
+  SELECT e.node, r.r FROM edges e JOIN reach r ON r.node = e.nbr),
+comp AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- incremental dedup
+
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against an existing
+    corpus — the steady-state shape of a training-data pipeline (the
+    corpus is the accumulated dataset; each new crawl batch must be
+    checked against it, never corpus-vs-corpus):
+
+    * batch = docs with ``doc_id % 5 == 0``, re-keyed ``+200000``;
+      every other one an exact copy, the rest near-dup (last word
+      dropped);
+    * ``exact_dup``: batch text already in the corpus (hash semi-join);
+    * ``near_dup``: batch doc shares a MinHash band with ANY corpus doc
+      (band semi-join against corpus signatures — at scale these are
+      precomputed once and stored, so a batch costs only its own
+      signatures plus a semi-join);
+    * ``unique`` otherwise.
+    """
+    docs = ensure_parallelism(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    corpus = docs
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.col("text")
+        ).otherwise(
+            F.array_join(
+                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"), " "
+            )
+        ).alias("text"),
+    )
+    exact_ids = (
+        batch.join(corpus.select("text"), "text", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    near_ids = (
+        _minhash_bands(batch)
+        .join(_minhash_bands(corpus), ["band_id", "band_val"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 200000 AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text
+              ELSE array_to_string(list_slice(string_split(text, ' '), 1,
+                                              len(string_split(text, ' ')) - 1), ' ')
+         END AS text
+  FROM documents WHERE doc_id % 5 = 0),
+aug AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id, text FROM batch),
+{_minhash_band_ctes()},
+exact_ids AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text),
+near_ids AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.doc_id >= 200000 AND b.doc_id < 200000)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM batch b
+LEFT JOIN exact_ids e ON b.doc_id = e.doc_id
+LEFT JOIN near_ids n ON b.doc_id = n.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def _dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-row selection: one surviving row per duplicate group,
     deterministically the lowest doc_id (``dropDuplicates`` keeps an
@@ -564,6 +768,18 @@ SPECS: list[QuerySpec] = [
         "Exact shingle-Jaccard near-dup pairs",
         _dedup_jaccard,
         _JACCARD_ORACLE,
+    ),
+    QuerySpec(
+        "dedup_clusters",
+        "Duplicate clusters: candidate pairs -> connected components",
+        _dedup_clusters,
+        _clusters_oracle(),
+    ),
+    QuerySpec(
+        "dedup_incremental",
+        "Incremental batch-vs-corpus dedup (exact + MinHash band)",
+        _dedup_incremental,
+        _incremental_oracle(),
     ),
     QuerySpec(
         "dedup_embedding",

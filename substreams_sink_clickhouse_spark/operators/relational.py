@@ -853,6 +853,126 @@ FROM t GROUP BY has_big, all_ok ORDER BY has_big, all_ok
 """
 
 
+def _q46_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt: wide measure columns to long (measure, val)
+    rows — the Spark ``unpivot`` relational op (ClickHouse serves this
+    with ARRAY JOIN).  One Generate per row, no shuffle before the
+    final order."""
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        l.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+#: Portable oracle: UNPIVOT via UNION ALL (identical in any engine).
+_UNPIVOT_ORACLE = """
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM src
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src) t
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+def _q47_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill + forward fill: per-user hourly spine
+    (``sequence`` + explode) left-joined with observed hourly values,
+    missing hours filled with the last observed value
+    (``last(ignorenulls)`` running window).  The spine generation is
+    per-group and partition-local; the only shuffles are the hourly
+    aggregate and the window partitioning — both on user_id."""
+    e = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    rn_w = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", F.col("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.col("v").isNull().alias("gap"),
+            F.round(F.last("v", ignorenulls=True).over(fill_w), 3).alias("val"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH e AS (SELECT * FROM events WHERE user_id < 10),
+ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e),
+hourly AS (SELECT user_id, h, v FROM ranked WHERE rn = 1),
+bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds)
+SELECT s.user_id, s.h, hy.v IS NULL AS gap,
+       round(last_value(hy.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS val
+FROM spine s LEFT JOIN hourly hy ON s.user_id = hy.user_id AND s.h = hy.h
+ORDER BY s.user_id, s.h
+"""
+
+
+def _q48_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (10% of
+    the dominant 'en' stratum, 40% of the rest), membership decided by
+    a stable content hash — reproducible across runs, engines, and
+    partitionings, unlike ``TABLESAMPLE``/``rand()``.  Pure map-side
+    filter: no shuffle until the output ordering."""
+    from substreams_sink_clickhouse_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    key = md5_long(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    return (
+        d.filter(key % 100 < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import duck_md5_long_sql
+
+    key = duck_md5_long_sql("CONCAT('strat:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {key} % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q01_scan",
@@ -1250,5 +1370,23 @@ SPECS: list[QuerySpec] = [
         "Higher-order array predicates (exists/forall/filter)",
         _q45_array_predicates,
         _ARRAY_PRED_ORACLE,
+    ),
+    QuerySpec(
+        "q46_unpivot",
+        "UNPIVOT/melt wide measures to long rows",
+        _q46_unpivot,
+        _UNPIVOT_ORACLE,
+    ),
+    QuerySpec(
+        "q47_gapfill",
+        "Time-series gap-fill: hourly spine + forward fill",
+        _q47_gapfill,
+        _GAPFILL_ORACLE,
+    ),
+    QuerySpec(
+        "q48_stratified_sample",
+        "Deterministic stratified sampling (per-language rates)",
+        _q48_stratified_sample,
+        _stratified_oracle(),
     ),
 ]
