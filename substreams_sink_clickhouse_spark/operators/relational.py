@@ -17,7 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from substreams_sink_clickhouse_spark.functions.localdata import local_df
 
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 from substreams_sink_clickhouse_spark.sources.tables import load_table, register_views
@@ -503,7 +506,18 @@ def _q34_reachability(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(n.select("src", ((F.col("src") * 11 + 5) % 25).alias("dst")))
         .distinct()
     )
-    visited = spark.createDataFrame([(0, 0)], "node: long, dist: int")
+    # JVM-local seed row (a Python-list createDataFrame would cost one
+    # Python-worker round-trip per partition on every BFS iteration)
+    visited = local_df(
+        spark,
+        [(0, 0)],
+        T.StructType(
+            [
+                T.StructField("node", T.LongType(), True),
+                T.StructField("dist", T.IntegerType(), True),
+            ]
+        ),
+    )
     frontier = visited
     for _ in range(24):
         # rename before joining: later frontiers descend from `edges`,

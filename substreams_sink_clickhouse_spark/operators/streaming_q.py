@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+from substreams_sink_clickhouse_spark.functions.localdata import empty_df
 from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
 from substreams_sink_clickhouse_spark.operators.merge import merge_changes
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
@@ -323,7 +324,7 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
     catalog = Catalog()
     catalog.register(_ORDERS_T)
-    empty_target = spark.createDataFrame([], _ORDERS_T.schema)
+    empty_target = empty_df(spark, _ORDERS_T.schema)
     # Single-pass mode: the fixture stream is error-free by construction,
     # so the inline guard (raises from inside the job if that ever
     # changes) avoids the eager probe's extra evaluation of the fold.

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.catalog import CURSORS_SCHEMA, validate_cursors_schema
 from substreams_sink_clickhouse_spark.errors import EngineError
+from substreams_sink_clickhouse_spark.functions.localdata import empty_df, local_df
 
 
 @dataclass
@@ -51,7 +52,7 @@ class CursorStore:
 
     def read(self) -> DataFrame:
         if not self._exists():
-            return self.spark.createDataFrame([], CURSORS_SCHEMA)
+            return empty_df(self.spark, CURSORS_SCHEMA)
         df = self.spark.read.parquet(self.path)
         validate_cursors_schema(df.schema)
         return df
@@ -91,7 +92,8 @@ class CursorStore:
         (InsertCursor/UpdateCursor, db/cursor.go:104-125)."""
         current = self.read().filter(F.col("id") != cursor.id)
         updated = current.unionByName(
-            self.spark.createDataFrame(
+            local_df(
+                self.spark,
                 [(cursor.id, cursor.cursor, cursor.block_num, cursor.block_id)],
                 CURSORS_SCHEMA,
             )

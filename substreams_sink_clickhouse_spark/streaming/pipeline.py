@@ -40,16 +40,15 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.catalog import Catalog
+from substreams_sink_clickhouse_spark.functions.localdata import empty_df
 from substreams_sink_clickhouse_spark.operators.merge import (
     apply_table_ops,
     guard_merge_errors,
     reduce_changes,
 )
+from substreams_sink_clickhouse_spark.errors import UnknownTableError
 from substreams_sink_clickhouse_spark.sinks.clickhouse import cursor_update_statement
-from substreams_sink_clickhouse_spark.sources.changes import (
-    read_changes_jsonl,
-    validate_change_tables,
-)
+from substreams_sink_clickhouse_spark.sources.changes import read_changes_jsonl
 from substreams_sink_clickhouse_spark.streaming.cursors import Cursor, CursorStore
 
 #: Flush cadence constants (sinker/sinker.go:19-22).
@@ -144,7 +143,7 @@ class TableStateStore:
         info = self.catalog.get(name)
         paths = self._bucket_paths(name, buckets)
         if not paths:
-            return self.spark.createDataFrame([], info.schema)
+            return empty_df(self.spark, info.schema)
         return self.spark.read.schema(info.schema).parquet(*paths)
 
     def table_state_as_of(self, name: str, epoch_id: int) -> DataFrame:
@@ -154,7 +153,7 @@ class TableStateStore:
         info = self.catalog.get(name)
         entry = self.read_manifest()["tables"].get(name)
         if entry is None:
-            return self.spark.createDataFrame([], info.schema)
+            return empty_df(self.spark, info.schema)
         candidates = [h for h in entry.get("history", []) if h["epoch"] <= epoch_id]
         if entry["epoch"] <= epoch_id:
             bmap = entry["buckets"]
@@ -167,7 +166,7 @@ class TableStateStore:
             )
         paths = [p for p in bmap.values() if p]
         if not paths:
-            return self.spark.createDataFrame([], info.schema)
+            return empty_df(self.spark, info.schema)
         return self.spark.read.schema(info.schema).parquet(*paths)
 
     def epoch_applied(self, epoch_id: int) -> bool:
@@ -314,14 +313,40 @@ class ChangesIngestPipeline:
         """foreachBatch body: one flush window
         (/root/reference/db/flush.go:12-69 + sinker.go:119-131)."""
         t0 = time.time()
+        phases = self.stats.setdefault("phase_seconds", {})
+
+        def mark(phase: str, since: float) -> float:
+            now = time.time()
+            phases[phase] = phases.get(phase, 0.0) + (now - since)
+            return now
+
         if self.state.epoch_applied(epoch_id):
             return  # replay after restart: already committed
         changes = changes.cache()
         try:
-            head = changes.select("block_num", "block_id").orderBy(F.desc("block_num")).limit(1).collect()
-            if not head:
+            # ONE summary aggregation replaces three separate actions
+            # (head block, table validation, affected buckets): the
+            # per-(table, pk-bucket) group-by yields the bucket list,
+            # the table-name domain for validation (checked driver-side
+            # against the catalog — same UnknownTableError contract as
+            # validate_change_tables), and the cursor head via max_by.
+            # It is also the action that materializes the batch cache.
+            bucket = self.state.bucket_expr("pk").alias("b")
+            summary = (
+                changes.groupBy("table", bucket)
+                .agg(
+                    F.max("block_num").alias("max_block"),
+                    F.expr("max_by(block_id, block_num)").alias("max_block_id"),
+                )
+                .collect()
+            )
+            tp = mark("window_summary", t0)
+            if not summary:
                 return
-            validate_change_tables(changes, self.catalog)
+            known = list(self.catalog.tables)
+            unknown = sorted({r["table"] for r in summary} - set(known))
+            if unknown:
+                raise UnknownTableError(unknown[0], known)
             # Affected pk-buckets come straight from the (cached) raw
             # changes; the reconcile join then scans O(affected
             # buckets) of the table and commit rewrites the same
@@ -333,9 +358,12 @@ class ChangesIngestPipeline:
             # evaluate the merge fold exactly once, with no eager
             # probe job and no cache materialization.
             affected: dict[str, list[int]] = {}
-            bucket = self.state.bucket_expr("pk").alias("b")
-            for row in changes.select("table", bucket).distinct().collect():
+            for row in summary:
                 affected.setdefault(row["table"], []).append(int(row["b"]))
+            head_num = max(r["max_block"] for r in summary)
+            head_id = next(
+                r["max_block_id"] for r in summary if r["max_block"] == head_num
+            )
             reduced = reduce_changes(changes, self.catalog.primary_keys())
             live = guard_merge_errors(reduced)
             if len(affected) > 1:
@@ -360,11 +388,13 @@ class ChangesIngestPipeline:
                 observations.append(obs)
             cursor = Cursor(
                 id=self.module_hash,
-                cursor=f"epoch:{epoch_id}:block:{head[0]['block_num']}",
-                block_num=head[0]["block_num"],
-                block_id=head[0]["block_id"],
+                cursor=f"epoch:{epoch_id}:block:{head_num}",
+                block_num=head_num,
+                block_id=head_id,
             )
+            tp = mark("plan", tp)
             self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            tp = mark("commit", tp)
             for name, rollups in self._rollups.items():
                 if name not in affected or not rollups:
                     continue
