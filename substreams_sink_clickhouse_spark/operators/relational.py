@@ -958,6 +958,94 @@ ORDER BY s.user_id, s.h
 """
 
 
+def _q49_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact multi-quantile aggregation (ClickHouse ``quantiles(...)``
+    family): linear-interpolated percentiles per group in one pass.
+    ``percentile`` is an exact ordered-accumulation aggregate — at
+    100 TB swap for ``approx_percentile`` (t-digest, mergeable
+    partials); declared exact here so the oracle can hash-match."""
+    l = load_table(spark, sf, "lineitem")
+    qs = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
+            " x -> round(x, 4))"
+        ).alias("quantity_q"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("price_median"),
+    )
+    return qs.orderBy("l_returnflag")
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS quantity_q,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q50_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value over per-customer order history."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_WINDOW_DIST_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def _q11c_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q11's ROLLUP/CUBE): two
+    single-dimension sets plus the grand total, with ``grouping()``
+    flags disambiguating real NULLs from subtotal rows."""
+    register_views(spark, sf, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               grouping(n_name) AS g_nation,
+               grouping(o_orderstatus) AS g_status,
+               count(*) AS cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+        ORDER BY g_nation, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT n_name, o_orderstatus,
+       grouping(n_name) AS g_nation,
+       grouping(o_orderstatus) AS g_status,
+       count(*) AS cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+ORDER BY g_nation, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 def _q48_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified deterministic sampling: per-language rates (10% of
     the dominant 'en' stratum, 40% of the rest), membership decided by
@@ -1402,5 +1490,23 @@ SPECS: list[QuerySpec] = [
         "Deterministic stratified sampling (per-language rates)",
         _q48_stratified_sample,
         _stratified_oracle(),
+    ),
+    QuerySpec(
+        "q49_quantiles",
+        "Exact multi-quantile aggregation per group",
+        _q49_quantiles,
+        _QUANTILES_ORACLE,
+    ),
+    QuerySpec(
+        "q50_window_distribution",
+        "Distribution windows: percent_rank/cume_dist/nth_value",
+        _q50_window_distribution,
+        _WINDOW_DIST_ORACLE,
+    ),
+    QuerySpec(
+        "q11c_grouping_sets",
+        "Explicit GROUPING SETS with grouping() flags",
+        _q11c_grouping_sets,
+        _GROUPING_SETS_ORACLE,
     ),
 ]

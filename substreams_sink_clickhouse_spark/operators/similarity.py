@@ -245,8 +245,69 @@ FROM scored ORDER BY simx DESC, vec_id LIMIT 5
 """
 
 
+N_KNN_PROBES = 20
+KNN_K = 3
+
+
+def _sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN JOIN: top-k cosine neighbors for EVERY vector of a probe
+    set at once — the batch shape of embedding search (dedup a whole
+    crawl, retrieve for a whole query file), not one probe at a time.
+
+    Plan: the (small) probe set broadcasts, the corpus streams past it
+    embarrassingly parallel — the corpus is never shuffled; the only
+    exchange is the per-probe top-k window over (corpus x probes)
+    scored pairs, keyed by probe id.  At 100 TB with a large probe set
+    you'd LSH/IVF-partition both sides first (see sim_lsh / sim_ivf);
+    the query-side contract — per-probe ordered top-k — stays exactly
+    this."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_KNN_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("p")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_KNN_PROBES)
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("qid", F.col("rn").alias("rank"), "vec_id", F.round("__sim", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )
+
+
+_KNN_JOIN_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS qid, embedding AS p FROM embeddings WHERE vec_id < {N_KNN_PROBES}),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_KNN_PROBES}),
+scored AS (
+  SELECT pr.qid, c.vec_id,
+         {_duck_dot('c.embedding', 'pr.p')}
+           / ({_duck_norm('c.embedding')} * {_duck_norm('pr.p')}) AS simx
+  FROM corpus c CROSS JOIN probes pr),
+ranked AS (
+  SELECT qid, vec_id, simx,
+         row_number() OVER (PARTITION BY qid ORDER BY simx DESC, vec_id) AS rn
+  FROM scored)
+SELECT qid, rn AS rank, vec_id, round(simx, 6) AS sim
+FROM ranked WHERE rn <= {KNN_K} ORDER BY qid, rank
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sim_topk", "Brute-force cosine top-k (Q29)", _sim_topk, _TOPK_ORACLE),
+    QuerySpec(
+        "sim_knn_join",
+        "Batch k-NN join: per-probe top-k over a probe set",
+        _sim_knn_join,
+        _KNN_JOIN_ORACLE,
+    ),
     QuerySpec(
         "sim_lsh",
         "Random-hyperplane LSH bucketed cosine search (Q29 scale path)",

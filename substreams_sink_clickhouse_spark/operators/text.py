@@ -254,7 +254,52 @@ FROM ranked WHERE rn <= 3 ORDER BY lang, rn
 """
 
 
+def _normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Text normalization — the first stage of every training-data
+    pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    whitespace, trim.  Pure regexp/string Catalyst expressions (one
+    map-side pass, no shuffle before the output ordering); emits a
+    prefix + token count so the oracle hash stays readable."""
+    d = load_table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.substring(norm, 1, 40).alias("prefix"),
+            F.size(F.split(norm, " ")).alias("n_tokens"),
+            F.length(norm).alias("n_chars_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NORMALIZE_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+       substr(t, 1, 40) AS prefix,
+       len(string_split(t, ' ')) AS n_tokens,
+       length(t) AS n_chars_norm
+FROM norm ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "text_normalize",
+        "Normalization pass: lowercase/strip/collapse whitespace",
+        _normalize,
+        _NORMALIZE_ORACLE,
+    ),
     QuerySpec(
         "text_stats",
         "Corpus stats by language (Q30)",
