@@ -53,7 +53,57 @@ def _pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def make_sentence_udtf():
+    """Python UDTF (Spark 4 table function): one input doc row →
+    one output row per '. '-separated sentence, with its position.
+    UDTFs are the row-multiplying Python surface (SURVEY Q27); like
+    all Python-in-the-row-path, reserve for logic Catalyst can't
+    express — this one IS expressible (posexplode(split(...))), which
+    is exactly what makes it oracle-checkable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for pos, sentence in enumerate(text.split(". ")):
+                yield pos, sentence
+
+    return SentenceSplit
+
+
+def _udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    SentenceSplit = make_sentence_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM __udtf_docs d,
+             LATERAL sentence_split(d.doc_id, d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
+
+
+_UDTF_ORACLE = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, '. '), 1) - 1 AS INT) AS pos,
+       unnest(string_split(text, '. ')) AS sentence
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id, pos
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "q27c_udtf",
+        "Python UDTF: per-row sentence fan-out via LATERAL (Q27)",
+        _udtf_sentences,
+        _UDTF_ORACLE,
+    ),
     QuerySpec(
         "q27_pandas_udf",
         "Scalar Pandas UDF (Arrow-vectorized normalization, Q27)",

@@ -1,0 +1,164 @@
+"""ClickHouse DDL → engine catalog translation.
+
+The reference assumes target tables are created from a user-supplied
+ClickHouse schema file (``Loader.Setup`` executes it verbatim,
+/root/reference/db/db.go:212-229; the example workload's
+``devel/schema.sql:1-12`` is MergeTree DDL).  For a user switching to
+this engine, that schema file is the contract they already have — so
+the engine parses ClickHouse ``CREATE TABLE`` statements directly into
+``TableInfo`` entries: column types mapped to Spark types with the
+same coercion targets as the reference's scan-type switch
+(/root/reference/db/operations.go:150-193), primary key taken from
+``PRIMARY KEY (...)`` or MergeTree ``ORDER BY`` (ClickHouse semantics:
+PRIMARY KEY defaults to the ORDER BY key), default ``id``
+(/root/reference/db/db.go:121-124).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+
+#: ClickHouse scalar type → Spark type.  UInt64 maps to Decimal(20,0)
+#: (full unsigned range does not fit a signed long — SURVEY §1.2).
+_SCALARS: dict[str, T.DataType] = {
+    "STRING": T.StringType(),
+    "UUID": T.StringType(),
+    "BOOL": T.BooleanType(),
+    "BOOLEAN": T.BooleanType(),
+    "INT8": T.ByteType(),
+    "INT16": T.ShortType(),
+    "INT32": T.IntegerType(),
+    "INT64": T.LongType(),
+    "UINT8": T.ShortType(),
+    "UINT16": T.IntegerType(),
+    "UINT32": T.LongType(),
+    "UINT64": T.DecimalType(20, 0),
+    "FLOAT32": T.FloatType(),
+    "FLOAT64": T.DoubleType(),
+    "DATE": T.DateType(),
+    "DATE32": T.DateType(),
+    "DATETIME": T.TimestampType(),
+}
+
+
+def parse_clickhouse_type(ch_type: str) -> T.DataType:
+    """One ClickHouse column type → Spark type (raises on unknown —
+    mirroring the reference's hard error on unknown tables rather than
+    silently guessing)."""
+    s = ch_type.strip()
+    upper = s.upper()
+    # wrapper types that do not change the storage type for our purposes
+    for wrapper in ("NULLABLE", "LOWCARDINALITY"):
+        if upper.startswith(wrapper + "("):
+            return parse_clickhouse_type(s[len(wrapper) + 1 : -1])
+    if upper in _SCALARS:
+        return _SCALARS[upper]
+    if upper.startswith("FIXEDSTRING("):
+        return T.StringType()
+    if upper.startswith("DATETIME64"):
+        return T.TimestampType()
+    if upper.startswith("DATETIME("):  # DateTime('UTC') — zone variant
+        return T.TimestampType()
+    if upper.startswith("ENUM8(") or upper.startswith("ENUM16("):
+        return T.StringType()
+    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", upper)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.match(r"ARRAY\((.*)\)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return T.ArrayType(parse_clickhouse_type(m.group(1)))
+    m = re.match(r"MAP\((.*)\)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        key_s, val_s = _split_top_level(m.group(1))
+        return T.MapType(parse_clickhouse_type(key_s), parse_clickhouse_type(val_s))
+    raise ValueError(f"unsupported ClickHouse type: {ch_type!r}")
+
+
+def _split_top_level(s: str) -> tuple[str, str]:
+    """Split 'K, V' at the top-level comma (Map type arguments)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i], s[i + 1 :]
+    raise ValueError(f"expected two type arguments in {s!r}")
+
+
+_CREATE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*?)\)\s*"
+    r"ENGINE\s*=\s*\w+(?:\(\))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>\(?[^;\n]+\)?))?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_columns(body: str) -> list[str]:
+    """Split the column-definition body on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_clickhouse_ddl(ddl: str) -> list[TableInfo]:
+    """Parse every ``CREATE TABLE ... ENGINE = ...`` statement in a
+    ClickHouse schema file into :class:`TableInfo` entries."""
+    tables: list[TableInfo] = []
+    for m in _CREATE_RE.finditer(ddl):
+        name = m.group("name").split(".")[-1]
+        fields: list[T.StructField] = []
+        primary_key: str | None = None
+        for part in _split_columns(m.group("body")):
+            pk_m = re.match(r"PRIMARY\s+KEY\s*\(\s*([\w`\"]+)\s*\)", part, re.IGNORECASE)
+            if pk_m:
+                primary_key = pk_m.group(1).strip('`"')
+                continue
+            col_m = re.match(r"([\w`\"]+)\s+(.+)", part, re.DOTALL)
+            if not col_m:
+                raise ValueError(f"table {name!r}: cannot parse column {part!r}")
+            col = col_m.group(1).strip('`"')
+            # drop column-level options (DEFAULT/CODEC/COMMENT/TTL)
+            type_s = re.split(
+                r"\s+(?:DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\b",
+                col_m.group(2).strip(),
+                flags=re.IGNORECASE,
+            )[0].strip()
+            fields.append(T.StructField(col, parse_clickhouse_type(type_s), True))
+        if primary_key is None and m.group("order"):
+            # MergeTree: PRIMARY KEY defaults to the (first) ORDER BY column
+            primary_key = m.group("order").strip().strip("()").split(",")[0].strip().strip('`"')
+        if primary_key is None:
+            primary_key = "id"  # reference default, db/db.go:121-124
+        fields = [
+            T.StructField(f.name, f.dataType, nullable=(f.name != primary_key))
+            for f in fields
+        ]
+        tables.append(TableInfo(name, T.StructType(fields), primary_key=primary_key))
+    return tables
+
+
+def catalog_from_clickhouse_ddl(ddl: str) -> Catalog:
+    """Build an engine catalog straight from a ClickHouse schema file —
+    the drop-in path for a reference deployment's existing schema."""
+    catalog = Catalog()
+    for info in parse_clickhouse_ddl(ddl):
+        catalog.register(info)
+    return catalog

@@ -1,0 +1,115 @@
+"""ClickHouse DDL → catalog translation tests (the setup-path parity
+surface: a reference deployment's schema.sql must translate directly,
+/root/reference/devel/schema.sql:1-12 shape)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+    catalog_from_clickhouse_ddl,
+    parse_clickhouse_ddl,
+    parse_clickhouse_type,
+)
+
+#: Same shape as the reference's example workload schema
+#: (block_meta + cursors, ClickHouse MergeTree DDL with inline
+#: PRIMARY KEY and no statement terminators).
+_REFERENCE_SHAPE_DDL = """
+CREATE TABLE block_meta
+(
+    id          String,
+\tPRIMARY KEY (id),
+    at          String,
+    number      Int32,
+    hash        String,
+    parent_hash String,
+    timestamp   String
+)
+ENGINE = MergeTree()
+ORDER BY id
+
+CREATE TABLE IF NOT EXISTS cursors
+(
+    id         String,
+    cursor     String,
+    block_num  Int64,
+    block_id   String,
+    PRIMARY KEY (id)
+) ENGINE = MergeTree()
+ORDER BY id
+"""
+
+
+def test_reference_shape_schema_parses():
+    tables = {t.name: t for t in parse_clickhouse_ddl(_REFERENCE_SHAPE_DDL)}
+    assert set(tables) == {"block_meta", "cursors"}
+    bm = tables["block_meta"]
+    assert bm.primary_key == "id"
+    assert bm.schema.fieldNames() == [
+        "id", "at", "number", "hash", "parent_hash", "timestamp",
+    ]
+    assert bm.schema["number"].dataType == T.IntegerType()
+    assert bm.schema["id"].nullable is False
+    cur = tables["cursors"]
+    assert cur.schema["block_num"].dataType == T.LongType()
+    assert cur.primary_key == "id"
+
+
+def test_order_by_supplies_primary_key():
+    ddl = """
+    CREATE TABLE t (key String, v Float64) ENGINE = MergeTree()
+    ORDER BY key
+    """
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.primary_key == "key"
+    assert t.schema["key"].nullable is False
+
+
+@pytest.mark.parametrize(
+    "ch, spark",
+    [
+        ("String", T.StringType()),
+        ("FixedString(16)", T.StringType()),
+        ("UInt8", T.ShortType()),
+        ("UInt64", T.DecimalType(20, 0)),
+        ("Int64", T.LongType()),
+        ("Float32", T.FloatType()),
+        ("DateTime", T.TimestampType()),
+        ("DateTime64(3)", T.TimestampType()),
+        ("Date", T.DateType()),
+        ("Decimal(18, 4)", T.DecimalType(18, 4)),
+        ("Nullable(Int32)", T.IntegerType()),
+        ("LowCardinality(String)", T.StringType()),
+        ("Enum8('a' = 1, 'b' = 2)", T.StringType()),
+        ("Array(UInt32)", T.ArrayType(T.LongType())),
+        ("Map(String, Nullable(Int64))", T.MapType(T.StringType(), T.LongType())),
+        ("Array(Array(Float64))", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ],
+)
+def test_type_mapping(ch, spark):
+    assert parse_clickhouse_type(ch) == spark
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError, match="unsupported ClickHouse type"):
+        parse_clickhouse_type("AggregateFunction(sum, UInt64)")
+
+
+def test_column_options_dropped():
+    ddl = """
+    CREATE TABLE t (
+        id String,
+        n Int32 DEFAULT 0,
+        s String CODEC(ZSTD),
+        PRIMARY KEY (id)
+    ) ENGINE = MergeTree()
+    """
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.schema["n"].dataType == T.IntegerType()
+    assert t.schema["s"].dataType == T.StringType()
+
+
+def test_catalog_from_ddl_registers_everything():
+    catalog = catalog_from_clickhouse_ddl(_REFERENCE_SHAPE_DDL)
+    assert "block_meta" in catalog.tables
+    assert catalog.get("cursors").primary_key == "id"
