@@ -41,6 +41,24 @@ class Engine:
     def setup(self, ddl_statements: list[str] | None = None, ddl_path: str | None = None) -> None:
         catalog_setup(self.spark, ddl_statements, ddl_path)
 
+    def catalog_from_clickhouse_schema(
+        self, ddl: str | None = None, ddl_path: str | None = None
+    ) -> Catalog:
+        """Build the ingest catalog from a ClickHouse schema file — the
+        schema a reference deployment already has (its Loader.Setup
+        input, /root/reference/db/db.go:212-229).  Pass the returned
+        catalog to :meth:`ingest`."""
+        from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+            catalog_from_clickhouse_ddl,
+        )
+
+        if ddl is None:
+            if ddl_path is None:
+                raise ValueError("provide ddl or ddl_path")
+            with open(ddl_path, encoding="utf-8") as fh:
+                ddl = fh.read()
+        return catalog_from_clickhouse_ddl(ddl)
+
     # -- ingest (reference `run` command, SURVEY §3.1) ----------------
 
     def _make_sink(self, catalog: Catalog):

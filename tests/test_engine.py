@@ -59,6 +59,44 @@ def test_engine_ingest_then_sql(spark, tmp_path):
     assert cursor.block_num == 3
 
 
+def test_engine_ingest_with_clickhouse_schema(spark, tmp_path):
+    """The reference user's migration path end-to-end: their existing
+    ClickHouse schema.sql builds the catalog, the same change stream
+    ingests, Spark SQL answers the query."""
+    ddl = """
+    CREATE TABLE block_meta
+    (
+        id          String,
+        PRIMARY KEY (id),
+        at          String,
+        number      Int32,
+        hash        String,
+        parent_hash String,
+        timestamp   String
+    )
+    ENGINE = MergeTree()
+    ORDER BY id
+    """
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            _msg(i, [("block_meta", f"blk{i}", 1, "CREATE", {"number": str(i * 10)})])
+            for i in (1, 2)
+        )
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    catalog = eng.catalog_from_clickhouse_schema(ddl=ddl)
+    eng.ingest(str(stream), catalog)
+    rows = eng.sql("SELECT id, number FROM block_meta ORDER BY number").collect()
+    assert [(r["id"], r["number"]) for r in rows] == [("blk1", 10), ("blk2", 20)]
+
+
 def test_undo_rolls_back_to_fork_point(spark, tmp_path):
     """Versioned state makes reorg rollback a manifest edit — stronger
     than the reference's error-out stub (sinker.go:176-178)."""
