@@ -39,6 +39,7 @@ HEADLINE = [
     "sim_topk",
     "text_fingerprint",
     "multimodal_features",
+    "corpus_prep",
 ]
 
 

@@ -293,7 +293,132 @@ FROM norm ORDER BY doc_id
 """
 
 
+#: corpus_prep thresholds — quality floor + per-language keep rates.
+_PREP_MIN_QUALITY = 0.5
+_PREP_RATE_EN = 50
+_PREP_RATE_OTHER = 80
+
+
+def _lang_pred_cols(df: DataFrame) -> DataFrame:
+    """Stopword-hit columns + argmax language prediction (shared by
+    _langid and corpus_prep so both stay bit-identical)."""
+    scored = df.select(
+        "*",
+        *[
+            _marker_count(F.col("__words"), markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), "es")
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.withColumn("lang_pred", pred)
+
+
+def _corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus-preparation pipeline as ONE Spark plan —
+    what this engine exists to run at 100 TB:
+
+    1. tokenize (map-side),
+    2. quality score; drop low-quality docs (map-side filter),
+    3. language-ID; drop unidentified docs (map-side filter),
+    4. exact-dedup, deterministic lowest-id keeper (one shuffle on the
+       text key — the FIRST shuffle in the whole pipeline, and it runs
+       on the already-filtered survivors),
+    5. per-language stratified sample by stable content hash
+       (map-side filter; reproducible across runs/engines/partitions).
+
+    Filters run before the dedup shuffle, so the only wide exchange
+    handles the post-filter survivor set — the ordering that matters
+    when steps 1-3 drop most of a crawl.
+    """
+    from pyspark.sql import Window
+
+    from substreams_sink_clickhouse_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    n_words = F.size("__words")
+    n_uniq = F.size(F.array_distinct("__words"))
+    quality = F.round(
+        0.5 * (n_uniq.cast("double") / n_words.cast("double"))
+        + 0.5 * F.least(n_words.cast("double") / 50.0, F.lit(1.0)),
+        4,
+    )
+    staged = _lang_pred_cols(d.select("doc_id", "text", "__words")).withColumn(
+        "quality", quality
+    )
+    filtered = staged.filter(
+        (F.col("quality") >= _PREP_MIN_QUALITY) & (F.col("lang_pred") != "und")
+    )
+    keep_w = Window.partitionBy("text")
+    deduped = (
+        filtered.withColumn("__keeper", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("__keeper"))
+    )
+    rate = F.when(F.col("lang_pred") == "en", _PREP_RATE_EN).otherwise(_PREP_RATE_OTHER)
+    sampled = deduped.filter(
+        md5_long(F.concat(F.lit("corpus:"), F.col("doc_id").cast("string"))) % 100 < rate
+    )
+    return sampled.select("doc_id", "lang_pred", "quality").orderBy("doc_id")
+
+
+def _corpus_prep_oracle() -> str:
+    langs = {
+        lang: f"CAST(len(list_filter(words, w -> w IN ({_sql_list(markers)}))) AS INT)"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    key = duck_md5_long_sql("CONCAT('corpus:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         {langs['en']} AS s_en,
+         {langs['es']} AS s_es,
+         {langs['de']} AS s_de,
+         {langs['fr']} AS s_fr,
+         round(0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE))
+               + 0.5 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0), 4) AS quality
+  FROM w),
+pred AS (
+  SELECT *,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+  FROM scored),
+filtered AS (
+  SELECT * FROM pred WHERE quality >= {_PREP_MIN_QUALITY} AND lang_pred <> 'und'),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM filtered) t
+  WHERE doc_id = keeper)
+SELECT doc_id, lang_pred, quality
+FROM deduped
+WHERE {key} % 100 < CASE WHEN lang_pred = 'en' THEN {_PREP_RATE_EN} ELSE {_PREP_RATE_OTHER} END
+ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "corpus_prep",
+        "End-to-end corpus prep: tokenize, quality-filter, lang-ID, "
+        "dedup-keeper, stratified sample — one plan",
+        _corpus_prep,
+        _corpus_prep_oracle(),
+    ),
     QuerySpec(
         "text_normalize",
         "Normalization pass: lowercase/strip/collapse whitespace",
