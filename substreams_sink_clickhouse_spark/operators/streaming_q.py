@@ -31,7 +31,6 @@ from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
 from substreams_sink_clickhouse_spark.functions.localdata import empty_df
-from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
 from substreams_sink_clickhouse_spark.operators.merge import merge_changes
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 from substreams_sink_clickhouse_spark.sources.tables import load_table
@@ -262,16 +261,20 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     # One scan, not three: each order row fans out to its CREATE plus
     # (key-dependent) UPDATE/DELETE change structs via a single explode
     # — a 3-way union of filtered scans reads the parquet three times.
-    # The fan-out + map building + shuffle write is compute-dense, and a
-    # small single-row-group parquet scans as ONE partition, so decouple
-    # stage parallelism from the input's split count.
-    base = ensure_parallelism(
-        o.select(
-            F.col("o_orderkey").alias("key"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
+    # Partition by the merge key BEFORE the fan-out: HashPartitioning(pk)
+    # satisfies the fold's ClusteredDistribution(table, pk), so the
+    # groupBy in reduce_changes reuses this partitioning and the window's
+    # exploded change structs (with their field maps) are NEVER shuffled
+    # — only the narrow pre-fan-out rows move.  This also fans the
+    # compute-dense map-building stage out to every core (a small
+    # single-row-group parquet scans as ONE partition).  Measured at
+    # sf0.1: one exchange instead of two, ~0.4 s saved on the replay.
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    ).withColumn("pk", F.col("key").cast("string"))
+    base = base.repartition(spark.sparkContext.defaultParallelism, "pk")
     null_map = F.lit(None).cast("map<string,string>")
 
     def change(block, op, fields):
@@ -284,7 +287,7 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     fanned = base.select(
-        F.col("key").cast("string").alias("pk"),
+        "pk",
         F.explode(
             F.filter(
                 F.array(
