@@ -12,6 +12,7 @@ from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 
 def all_specs() -> list[QuerySpec]:
     from substreams_sink_clickhouse_spark.operators import (
+        clickhouse_compat,
         dedup,
         multimodal,
         relational,
@@ -22,7 +23,16 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for module in (relational, streaming_q, udfs, dedup, similarity, text, multimodal):
+    for module in (
+        relational,
+        streaming_q,
+        clickhouse_compat,
+        udfs,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    ):
         specs.extend(module.SPECS)
     names = [s.name for s in specs]
     if len(names) != len(set(names)):
