@@ -1,0 +1,207 @@
+"""Command-line interface — parity with the reference's CLI surface.
+
+The reference is a Go CLI (`/root/reference/cmd/substreams-sink-clickhouse/
+main.go:19-58`) whose `run` command wires `<clickhouse_dsn> <endpoint>
+<manifest> <module> [<start>:<stop>]` into the sink loop
+(`run.go:21-40`).  The Spark engine's equivalents:
+
+* the gRPC endpoint + manifest + module → a *changes source path*
+  (JSONL files of serialized ``DatabaseChanges``) plus a schema that
+  declares the target tables, and a ``--module-hash`` identifying the
+  stream for cursor keying;
+* the ClickHouse DSN → optional: when given, every committed epoch is
+  ALSO emitted to ClickHouse as the reference's wire statements
+  (`sinks/clickhouse.py`); table state itself lives in the parquet
+  warehouse;
+* flags kept name-for-name where they exist in the reference:
+  ``--flush-interval`` (`run.go:28`) and ``--on-module-hash-mismatch``
+  (`run.go:29-37`; the reference spells the flag "mistmatch" — we use
+  the corrected spelling).
+
+Subcommands::
+
+    run <changes_path> --schema ddl.sql [--dsn clickhouse://...]
+    setup --schema ddl.sql | --clickhouse-schema schema.sql
+    cursors list|delete|delete-all [--module-hash H]
+    sql "SELECT ..."   (over the warehouse's ingested tables)
+
+Usage: ``python -m substreams_sink_clickhouse_spark <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from substreams_sink_clickhouse_spark.config import EngineConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="substreams-sink-clickhouse-spark",
+        description="PySpark-native substreams sink + analytics engine",
+    )
+    p.add_argument("--master", default=None, help="Spark master (default: $SPARK_GRAFT_MASTER or local[*])")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_warehouse_flags(sp):
+        sp.add_argument("--warehouse", default="/tmp/sscs_warehouse", help="parquet table-state directory")
+        sp.add_argument("--checkpoint", default="/tmp/sscs_checkpoints", help="streaming checkpoint directory")
+        sp.add_argument("--module-hash", default="default", help="output-module hash keying the cursor row")
+        sp.add_argument("--n-buckets", type=int, default=16, help="pk hash-buckets per table")
+
+    def add_schema_flags(sp):
+        g = sp.add_mutually_exclusive_group(required=True)
+        g.add_argument("--schema", help="Spark-SQL DDL file declaring target tables")
+        g.add_argument(
+            "--clickhouse-schema",
+            help="reference-style ClickHouse schema.sql (MergeTree DDL) translated into the catalog",
+        )
+
+    run = sub.add_parser("run", help="run the sink loop over a changes source (reference `run`, run.go:21-40)")
+    run.add_argument("changes_path", help="directory of DatabaseChanges JSONL files (the stream source)")
+    add_schema_flags(run)
+    add_warehouse_flags(run)
+    run.add_argument("--dsn", default=None, help="clickhouse:// DSN for wire-statement emission (optional)")
+    run.add_argument("--flush-interval", type=int, default=1000, help="catch-up blocks per flush (run.go:28)")
+    run.add_argument(
+        "--on-module-hash-mismatch",
+        choices=["error", "warn", "ignore"],
+        default="error",
+        help="cursor policy when the stored module hash differs (run.go:29-37)",
+    )
+    run.add_argument("--live", action="store_true", help="keep the stream running (processingTime trigger)")
+    run.add_argument("--timeout-s", type=int, default=600, help="backfill completion timeout")
+
+    setup = sub.add_parser("setup", help="execute schema DDL (reference Loader.Setup, db/db.go:212-249)")
+    add_schema_flags(setup)
+    add_warehouse_flags(setup)
+
+    cursors = sub.add_parser("cursors", help="inspect/delete stream cursors (db/cursor.go:26-143)")
+    cursors.add_argument("action", choices=["list", "delete", "delete-all"])
+    add_warehouse_flags(cursors)
+
+    sql = sub.add_parser("sql", help="query the warehouse's ingested tables with Spark SQL")
+    sql.add_argument("query")
+    add_schema_flags(sql)
+    add_warehouse_flags(sql)
+    sql.add_argument("--limit", type=int, default=100, help="max rows printed")
+
+    return p
+
+
+def _catalog(spark, args):
+    """Build the ingest catalog from whichever schema flag was given."""
+    from substreams_sink_clickhouse_spark.catalog import Catalog, setup as catalog_setup
+    from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+        catalog_from_clickhouse_ddl,
+    )
+
+    if getattr(args, "clickhouse_schema", None):
+        with open(args.clickhouse_schema, encoding="utf-8") as fh:
+            return catalog_from_clickhouse_ddl(fh.read())
+    catalog_setup(spark, ddl_path=args.schema)
+    return Catalog.from_spark_catalog(spark)
+
+
+def _pipeline(spark, catalog, args):
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    config = EngineConfig(
+        warehouse_dir=args.warehouse,
+        checkpoint_dir=args.checkpoint,
+        flush_interval=getattr(args, "flush_interval", 1000),
+        on_module_hash_mismatch=getattr(args, "on_module_hash_mismatch", "error"),
+        n_buckets=getattr(args, "n_buckets", 16),
+        clickhouse_dsn=getattr(args, "dsn", None),
+    )
+    return Engine(spark, config).pipeline(catalog, module_hash=args.module_hash)
+
+
+def cmd_run(spark, args) -> int:
+    catalog = _catalog(spark, args)
+    pipe = _pipeline(spark, catalog, args)
+    if args.live:
+        query = pipe.start(args.changes_path, live=True)
+        print("stream started (live mode); Ctrl-C to stop", file=sys.stderr)
+        query.awaitTermination()
+    else:
+        pipe.run_to_completion(args.changes_path, timeout_s=args.timeout_s)
+    cursor = pipe.cursors.get_cursor(args.module_hash, args.on_module_hash_mismatch)
+    summary = {
+        "tables": {name: pipe.table(name).count() for name in catalog.tables},
+        "cursor": None
+        if cursor is None
+        else {"block_num": cursor.block_num, "block_id": cursor.block_id},
+        "stats": pipe.stats,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_setup(spark, args) -> int:
+    catalog = _catalog(spark, args)
+    print(json.dumps({"tables": sorted(catalog.tables)}))
+    return 0
+
+
+def cmd_cursors(spark, args) -> int:
+    from substreams_sink_clickhouse_spark.streaming.cursors import CursorStore
+    import os
+
+    store = CursorStore(spark, os.path.join(args.warehouse, "cursors"))
+    if args.action == "list":
+        rows = [
+            {
+                "id": c.id,
+                "cursor": c.cursor,
+                "block_num": c.block_num,
+                "block_id": c.block_id,
+            }
+            for c in store.all_cursors().values()
+        ]
+        print(json.dumps(rows))
+    elif args.action == "delete":
+        store.delete_cursor(args.module_hash)
+        print(json.dumps({"deleted": args.module_hash}))
+    else:
+        store.delete_all()
+        print(json.dumps({"deleted": "all"}))
+    return 0
+
+
+def cmd_sql(spark, args) -> int:
+    import os
+
+    from substreams_sink_clickhouse_spark.streaming.pipeline import TableStateStore
+
+    catalog = _catalog(spark, args)
+    state = TableStateStore(spark, args.warehouse, catalog, n_buckets=args.n_buckets)
+    for name in catalog.tables:
+        state.table_state(name).createOrReplaceTempView(name)
+    rows = spark.sql(args.query).limit(args.limit).collect()
+    for row in rows:
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+_COMMANDS = {
+    "run": cmd_run,
+    "setup": cmd_setup,
+    "cursors": cmd_cursors,
+    "sql": cmd_sql,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("sscs-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    return _COMMANDS[args.command](spark, args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,113 @@
+"""CLI parity tests (reference cmd/substreams-sink-clickhouse):
+run -> ingest + summary, cursors list/delete, sql over the warehouse."""
+
+import json
+
+from substreams_sink_clickhouse_spark import cli
+
+_SCHEMA = """
+CREATE TABLE block_meta
+(
+    id          String,
+    PRIMARY KEY (id),
+    at          String,
+    number      Int64,
+    hash        String,
+    parent_hash String,
+    timestamp   String
+)
+ENGINE = MergeTree()
+ORDER BY id
+"""
+
+
+def _msg(block_num, changes):
+    return json.dumps(
+        {
+            "block_num": block_num,
+            "block_id": f"0x{block_num:04x}",
+            "table_changes": [
+                {
+                    "table": t,
+                    "pk": pk,
+                    "ordinal": ordinal,
+                    "operation": op,
+                    "fields": [
+                        {"name": n, "new_value": v, "old_value": None}
+                        for n, v in (fields or {}).items()
+                    ],
+                }
+                for (t, pk, ordinal, op, fields) in changes
+            ],
+        }
+    )
+
+
+def _write_fixture(tmp_path):
+    schema = tmp_path / "schema.sql"
+    schema.write_text(_SCHEMA)
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "a.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1", "hash": "h1"})]),
+                _msg(2, [("block_meta", "k2", 1, "CREATE", {"number": "2", "hash": "h2"})]),
+                _msg(3, [("block_meta", "k1", 2, "UPDATE", {"number": "11"})]),
+            ]
+        )
+    )
+    return schema, stream
+
+
+def _common(tmp_path, schema=None):
+    flags = [
+        "--warehouse",
+        str(tmp_path / "wh"),
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+        "--module-hash",
+        "mod-1",
+    ]
+    if schema is not None:
+        flags += ["--clickhouse-schema", str(schema)]
+    return flags
+
+
+def test_cli_run_and_sql(spark, tmp_path, capsys):
+    schema, stream = _write_fixture(tmp_path)
+    rc = cli.main(["run", str(stream)] + _common(tmp_path, schema))
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["tables"]["block_meta"] == 2
+    assert summary["cursor"]["block_num"] == 3
+
+    rc = cli.main(
+        ["sql", "SELECT id, number FROM block_meta ORDER BY id"]
+        + _common(tmp_path, schema)
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert [(r["id"], r["number"]) for r in rows] == [("k1", 11), ("k2", 2)]
+
+
+def test_cli_cursors(spark, tmp_path, capsys):
+    schema, stream = _write_fixture(tmp_path)
+    assert cli.main(["run", str(stream)] + _common(tmp_path, schema)) == 0
+    capsys.readouterr()
+
+    assert cli.main(["cursors", "list"] + _common(tmp_path)) == 0
+    rows = json.loads(capsys.readouterr().out.strip())
+    assert rows and rows[0]["id"] == "mod-1" and rows[0]["block_num"] == 3
+
+    assert cli.main(["cursors", "delete"] + _common(tmp_path)) == 0
+    capsys.readouterr()
+    assert cli.main(["cursors", "list"] + _common(tmp_path)) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == []
+
+
+def test_cli_setup_lists_tables(spark, tmp_path, capsys):
+    schema, _ = _write_fixture(tmp_path)
+    assert cli.main(["setup"] + _common(tmp_path, schema)) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "block_meta" in out["tables"]
