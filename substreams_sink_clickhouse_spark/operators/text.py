@@ -293,6 +293,69 @@ FROM norm ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------- PII scrub
+
+#: PII redaction — a standard corpus-prep step (emails/phone numbers
+#: masked before training).  The fixture text carries no PII, so both
+#: engines inject it identically first (every 10th doc gains a
+#: deterministic email + phone tail), then scrub: patterns are kept to
+#: the regex subset where Java regex (Spark) and RE2 (DuckDB) agree.
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+def _pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Inject-then-scrub: redact emails/phones to <EMAIL>/<PHONE> and
+    count redactions per doc.  Row-parallel regexp passes (JVM codegen,
+    no shuffle until the final order) — the scrub step costs one scan
+    at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    tail = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" asap"),
+    )
+    injected = d.withColumn(
+        "t", F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), tail)).otherwise(F.col("text"))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return (
+        injected.select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).alias("n_phones"),
+            scrubbed.alias("scrubbed"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+        .orderBy("doc_id")
+    )
+
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com or call 555-',
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' asap')
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM injected
+WHERE len(regexp_extract_all(t, '{_PII_EMAIL}')) > 0
+   OR len(regexp_extract_all(t, '{_PII_PHONE}')) > 0
+ORDER BY doc_id
+"""
+
+
 #: corpus_prep thresholds — quality floor + per-language keep rates.
 _PREP_MIN_QUALITY = 0.5
 _PREP_RATE_EN = 50
@@ -448,5 +511,11 @@ SPECS: list[QuerySpec] = [
         "Per-language top terms by TF-IDF",
         _tfidf,
         _TFIDF_ORACLE,
+    ),
+    QuerySpec(
+        "text_pii_scrub",
+        "PII redaction: mask emails/phones, count redactions",
+        _pii_scrub,
+        _PII_ORACLE,
     ),
 ]
