@@ -18,16 +18,27 @@ family Spark-first, with a DuckDB oracle:
   aggregation with ``FILTER`` clauses / ``count_if``.
 * ``q55_sequence_match``   — ``sequenceMatch('(?1).*(?2).*(?3)')``
   event-pattern matching: per-user ordered event string + regex.
+* ``q56_topk``             — ``topK(k)`` heavy hitters: rank over
+  pre-compressed (group, value) counts, never over raw rows.
+* ``q57_retention``        — the ``retention(cond1, ...)`` aggregate:
+  per-user condition flags in one pass, chained AND, summed.
+* ``q58_summap``           — ``sumMap`` / ``-Map`` combinators:
+  map-valued aggregation state as explode → re-aggregate → rebuild.
+* ``q60_window_funnel``    — ``windowFunnel(window)``-style funnel
+  with a time-window constraint on chain completion, one shuffle.
 
 Scale design: every aggregate here is algebraic (map-side partials,
 one shuffle on the group key); the only collect-based state is
 q55's per-user event string, which is bounded by events-per-user —
 the same bound ClickHouse's sequenceMatch state carries per group.
+q56 ranks (event_type, user_id) count pairs — cardinality is the
+distinct-pair count, not the event count — and q60 reuses a single
+hash partitioning by user for all three chained stage columns.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
@@ -259,6 +270,211 @@ FROM seqs
 """
 
 
+# ------------------------------------------------------------- topK
+def _q56_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``topK(5)(user_id)`` per event type (heavy hitters).
+
+    Spark-first shape: compress to (event_type, user_id) counts FIRST
+    (algebraic, map-side combined), then rank the compressed pairs.
+    The ranking window runs over distinct-pair cardinality, not raw
+    events — at 100 TB the raw table never feeds a sort.  ClickHouse's
+    topK is approximate (SpaceSaving); the deterministic exact top-k
+    with a total tie-break is the oracle-checkable contract.
+    """
+    e = load_table(spark, sf, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    ranked = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(rk, user_id))),"
+                " x -> CAST(x.user_id AS STRING)), ',')"
+            ).alias("top_users"),
+            F.sum("cnt").alias("top_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q56_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk
+  FROM c)
+SELECT event_type,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rk) AS top_users,
+       CAST(sum(cnt) AS BIGINT) AS top_events
+FROM r WHERE rk <= 5 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------- retention
+def _q57_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, cond3)``: per-user boolean
+    per condition in ONE pass (max-of-case, algebraic), chained AND
+    exactly as ClickHouse defines it (cond_n counts only if cond_1
+    held), then summed across users.  Two aggregations, one shuffle on
+    user_id; the second input is one row per user.
+    """
+    e = load_table(spark, sf, "events")
+    d = F.to_date("ts")
+
+    def hit(day: str):
+        return F.max(F.when(d == F.lit(day).cast("date"), 1).otherwise(0))
+
+    per_user = e.groupBy("user_id").agg(
+        hit("2024-01-01").alias("c1"),
+        hit("2024-01-02").alias("c2"),
+        hit("2024-01-03").alias("c3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c1").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("r2"),
+        F.sum(F.col("c1") * F.col("c2") * F.col("c3")).alias("r3"),
+    )
+
+
+_Q57_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01' THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03' THEN 1 ELSE 0 END) AS c3
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       CAST(sum(c1) AS BIGINT) AS r1,
+       CAST(sum(c1 * c2) AS BIGINT) AS r2,
+       CAST(sum(c1 * c2 * c3) AS BIGINT) AS r3
+FROM per_user
+"""
+
+
+# ----------------------------------------------------------- sumMap
+def _q58_summap(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``sumMap`` (the ``-Map`` combinator family): per day,
+    a map event_type → sum(value), keys sorted.
+
+    Spark-first mapping of map-valued aggregation state: aggregate the
+    exploded (group, key) pairs — algebraic, map-side combinable —
+    then rebuild the map column per group.  This is strictly more
+    scalable than carrying map state through the shuffle: partial
+    aggregation compresses on (day, event_type) before any map exists.
+    Rendered as a deterministic ``k:v`` string so the oracle compares
+    content, not engine-specific map encodings.
+    """
+    e = load_table(spark, sf, "events")
+    per = e.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type").agg(
+        F.round(F.sum("value"), 2).alias("s")
+    )
+    return (
+        per.groupBy("d")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(event_type, s))),"
+                " x -> concat(x.event_type, ':', CAST(x.s AS STRING))), ';')"
+            ).alias("sum_map")
+        )
+        .orderBy("d")
+    )
+
+
+_Q58_ORACLE = """
+WITH per AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+         round(sum(value), 2) AS s
+  FROM events GROUP BY d, event_type)
+SELECT d,
+       string_agg(concat(event_type, ':', CAST(s AS VARCHAR)), ';' ORDER BY event_type) AS sum_map
+FROM per GROUP BY d ORDER BY d
+"""
+
+
+# ----------------------------------------------------- windowFunnel
+def _q60_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """``windowFunnel(86400)``-style time-constrained funnel: deepest
+    stage of view → click → purchase whose chain (first view, first
+    later click, first later purchase) completes within 24h of the
+    chain start.
+
+    One shuffle total: all three chained stage timestamps are window
+    minima over the SAME ``partitionBy(user_id)`` hash partitioning
+    (no orderBy → no per-partition sort), so Catalyst reuses one
+    exchange for t1 → t2 → t3 → the final per-user collapse.  Contrast
+    q42_funnel, which stages through broadcast joins; both shapes are
+    valid at scale, this one never materializes per-stage tables.
+    """
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s = (
+        e.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    level = (
+        F.when(F.col("t3") <= F.col("t1") + day, 3)
+        .when(F.col("t2") <= F.col("t1") + day, 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+_Q60_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+lv AS (
+  SELECT u.user_id,
+         CASE WHEN t3.t3 <= t1.t1 + INTERVAL 24 HOUR THEN 3
+              WHEN t2.t2 <= t1.t1 + INTERVAL 24 HOUR THEN 2
+              WHEN t1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS level
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id)
+SELECT level, count(*) AS n_users FROM lv GROUP BY level ORDER BY level
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -289,5 +505,29 @@ SPECS: list[QuerySpec] = [
         "sequenceMatch event-pattern matching over ordered history",
         _q55_sequence_match,
         _Q55_ORACLE,
+    ),
+    QuerySpec(
+        "q56_topk",
+        "topK heavy hitters over compressed counts",
+        _q56_topk,
+        _Q56_ORACLE,
+    ),
+    QuerySpec(
+        "q57_retention",
+        "retention() chained-condition aggregate",
+        _q57_retention,
+        _Q57_ORACLE,
+    ),
+    QuerySpec(
+        "q58_summap",
+        "sumMap / -Map combinator (map-valued aggregation)",
+        _q58_summap,
+        _Q58_ORACLE,
+    ),
+    QuerySpec(
+        "q60_window_funnel",
+        "windowFunnel-style time-constrained funnel (one shuffle)",
+        _q60_window_funnel,
+        _Q60_ORACLE,
     ),
 ]

@@ -733,7 +733,64 @@ FROM documents GROUP BY text ORDER BY keeper
 """
 
 
+# -------------------------------------------------- decontamination
+
+def _dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-shingle with a held-out benchmark set — the standard
+    train/test-overlap scrub a pretraining pipeline runs before
+    training (n-gram overlap against eval benchmarks).
+
+    Benchmark membership is deterministic (``doc_id % 97 == 3``
+    stands in for the external eval set).  Shape: the benchmark's
+    distinct shingle set is benchmark-sized (small by definition), so
+    it BROADCASTS and the corpus side never shuffles its shingle
+    explosion — the only shuffle is the final narrow (doc_id, count)
+    aggregation.  At 100 TB this is the only formulation that works:
+    a shuffle join on shingles would move the entire exploded corpus.
+    """
+    d = ensure_parallelism(load_table(spark, sf, "documents").select("doc_id", "text"))
+    sh = _shingle_rows(d)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == F.lit(3))
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != F.lit(3))
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(words) >= 3 THEN
+      list_transform(range(1, len(words) - 1),
+                     i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+    ELSE [text] END)) AS shingle
+  FROM w),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 3)
+SELECT doc_id, count(*) AS n_hits
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % 97 <> 3
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "dedup_decontaminate",
+        "Benchmark decontamination (shingle overlap vs held-out set)",
+        _dedup_decontaminate,
+        _DECONTAMINATE_ORACLE,
+    ),
     QuerySpec(
         "dedup_keep_first",
         "Deterministic canonical-row selection per duplicate group",

@@ -17,6 +17,7 @@ from substreams_sink_clickhouse_spark.functions.hashing import (
     POLY_MOD,
     POLY_MULT,
     duck_md5_long_sql,
+    md5_long,
     md5_long_sql,
 )
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
@@ -474,7 +475,76 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ chunking
+
+#: Context-window chunking: windows of CHUNK_WORDS words at
+#: CHUNK_STRIDE spacing (overlap = CHUNK_WORDS - CHUNK_STRIDE).
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
+
+def _chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking for context-window training: split each doc
+    into overlapping ``CHUNK_WORDS``-word windows every
+    ``CHUNK_STRIDE`` words — the standard pretraining-tokenizer prep
+    stage (every word is covered; consecutive chunks overlap by 8
+    words so no training example spans a hard cut).
+
+    Spark shape: ``sequence`` + ``explode`` fan-out, then pure
+    column-level ``slice``/``array_join`` — narrow (no shuffle at
+    all), so at 100 TB it streams: output partitioning = input
+    partitioning, each task emitting ~n_words/stride rows per doc.
+    Chunks are emitted as 60-bit content hashes (the downstream
+    contract for dedup/contamination checks) plus word counts.
+    """
+    d = load_table(spark, sf, "documents")
+    chunks = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n_words", F.size("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, CAST(floor((n_words - 1) / {CHUNK_STRIDE}) AS INT))")
+            ).alias("chunk_ix"),
+        )
+        .select(
+            "doc_id",
+            "chunk_ix",
+            F.expr(f"slice(w, chunk_ix * {CHUNK_STRIDE} + 1, {CHUNK_WORDS})").alias("cw"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_ix",
+        F.size("cw").alias("n_chunk_words"),
+        md5_long(F.array_join("cw", " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_ix")
+
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents),
+idx AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(floor((nw - 1) / {CHUNK_STRIDE}) AS INT) + 1)) AS chunk_ix
+  FROM w)
+SELECT doc_id, chunk_ix,
+       len(w[chunk_ix * {CHUNK_STRIDE} + 1 : chunk_ix * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_chunk_words,
+       {duck_md5_long_sql(f"array_to_string(w[chunk_ix * {CHUNK_STRIDE} + 1 : chunk_ix * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ')")} AS chunk_hash
+FROM idx ORDER BY doc_id, chunk_ix
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "text_chunk",
+        "Context-window chunking (overlapping strided word windows)",
+        _chunk,
+        _CHUNK_ORACLE,
+    ),
     QuerySpec(
         "corpus_prep",
         "End-to-end corpus prep: tokenize, quality-filter, lang-ID, "

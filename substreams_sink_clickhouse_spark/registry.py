@@ -14,6 +14,7 @@ def all_specs() -> list[QuerySpec]:
     from substreams_sink_clickhouse_spark.operators import (
         clickhouse_compat,
         dedup,
+        dictionary,
         multimodal,
         relational,
         similarity,
@@ -27,6 +28,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         streaming_q,
         clickhouse_compat,
+        dictionary,
         udfs,
         dedup,
         similarity,
