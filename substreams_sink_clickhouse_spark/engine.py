@@ -115,3 +115,60 @@ class Engine:
         if pipe is None:
             return None
         return pipe.cursors.get_cursor(module_hash, on_mismatch)
+
+    # -- storage maintenance (OPTIMIZE FINAL / TTL / system.parts) ----
+
+    def _state(self, module_hash: str = "default"):
+        pipe = self._pipelines.get(module_hash) or next(iter(self._pipelines.values()), None)
+        if pipe is None:
+            raise ValueError("no ingest pipeline active; call ingest()/pipeline() first")
+        return pipe.state
+
+    def optimize(self, name: str, module_hash: str = "default") -> dict | None:
+        """``OPTIMIZE TABLE <name> FINAL``: compact each pk-bucket of
+        the sunk table to one pk-sorted file."""
+        return self._state(module_hash).optimize(name)
+
+    def apply_ttl(self, name: str, expire_predicate: str, module_hash: str = "default") -> int:
+        """ClickHouse TTL mutation: delete rows matching the expiry
+        predicate; only buckets holding expired rows are rewritten."""
+        return self._state(module_hash).apply_ttl(name, expire_predicate)
+
+    def rebucket(self, name: str, new_n_buckets: int, module_hash: str = "default") -> dict | None:
+        """Rescale a table's pk-bucket fan-out online (the epoch
+        rewrite unit must grow with the table)."""
+        return self._state(module_hash).rebucket(name, new_n_buckets)
+
+    def parts(self, name: str, module_hash: str = "default") -> DataFrame:
+        """``system.parts``: per-bucket storage metadata (files, bytes,
+        rows) of the live table state, as a DataFrame."""
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from substreams_sink_clickhouse_spark.functions.localdata import (
+            empty_df,
+            local_df,
+        )
+
+        schema = StructType(
+            [
+                StructField("table", StringType()),
+                StructField("bucket", IntegerType()),
+                StructField("path", StringType()),
+                StructField("n_files", IntegerType()),
+                StructField("bytes", LongType()),
+                StructField("rows", LongType()),
+            ]
+        )
+        rows = [
+            (p["table"], p["bucket"], p["path"], p["n_files"], p["bytes"], p["rows"])
+            for p in self._state(module_hash).parts(name)
+        ]
+        if not rows:
+            return empty_df(self.spark, schema)
+        return local_df(self.spark, rows, schema)

@@ -102,10 +102,39 @@ class TableStateStore:
         self.n_buckets = n_buckets
         os.makedirs(warehouse_dir, exist_ok=True)
 
-    def bucket_expr(self, pk_col: str):
+    def bucket_expr(self, pk_col: str, n: int | None = None):
         """Deterministic pk-bucket: stable across engines, sessions,
         and partitionings (never rand())."""
-        return F.pmod(F.xxhash64(F.col(pk_col).cast("string")), F.lit(self.n_buckets))
+        return F.pmod(
+            F.xxhash64(F.col(pk_col).cast("string")), F.lit(n or self.n_buckets)
+        )
+
+    def table_n_buckets(self, name: str) -> int:
+        """Per-table bucket fan-out: manifest metadata (set by
+        ``rebucket``), defaulting to the store-wide setting.  Bucket
+        count must scale with the table — 16 buckets bounding epoch
+        rewrites at GB scale become multi-TB rewrite units at 100 TB —
+        so it is table state, not engine config."""
+        entry = self.read_manifest()["tables"].get(name)
+        if entry and "n_buckets" in entry:
+            return int(entry["n_buckets"])
+        return self.n_buckets
+
+    def batch_bucket_expr(self, tables: list[str]):
+        """Bucket id for a mixed-table changes batch (column ``pk``
+        against column ``table``), honoring each table's own modulus.
+        Collapses to a single literal when all modulî agree (the
+        common case — no per-row branching in the plan)."""
+        moduli = {t: self.table_n_buckets(t) for t in tables}
+        values = set(moduli.values())
+        if len(values) <= 1:
+            n = values.pop() if values else self.n_buckets
+            return self.bucket_expr("pk", n)
+        mapping = F.create_map(
+            *[x for t, n in moduli.items() for x in (F.lit(t), F.lit(n))]
+        )
+        modulus = F.coalesce(mapping.getItem(F.col("table")), F.lit(self.n_buckets))
+        return F.pmod(F.xxhash64(F.col("pk").cast("string")), modulus)
 
     @property
     def _manifest_path(self) -> str:
@@ -187,9 +216,10 @@ class TableStateStore:
         manifest = self.read_manifest()
         for name, (df, affected) in new_states.items():
             info = self.catalog.get(name)
+            n_b = self.table_n_buckets(name)
             vdir = os.path.join(self.warehouse_dir, name, f"v{epoch_id}")
             (
-                df.withColumn("__b", self.bucket_expr(info.primary_key))
+                df.withColumn("__b", self.bucket_expr(info.primary_key, n_b))
                 .repartition(max(2, len(affected)), F.col("__b"))
                 .write.mode("overwrite")
                 .partitionBy("__b")
@@ -214,6 +244,7 @@ class TableStateStore:
                 "epoch": epoch_id,
                 "buckets": bmap,
                 "history": history,
+                "n_buckets": n_b,
             }
         manifest["applied_epochs"] = sorted(set(manifest["applied_epochs"]) | {epoch_id})
         if cursor is not None:
@@ -264,6 +295,196 @@ class TableStateStore:
             entry["history"] = keep
         self._write_manifest(manifest)
         return deleted
+
+    # ------------------------------------------- storage maintenance
+    # ClickHouse counterparts: OPTIMIZE TABLE ... FINAL (background
+    # part merges forced to completion), TTL mutations (row expiry),
+    # and the system.parts catalog.  The reference's sunk tables rely
+    # on all three server-side; here they are explicit store
+    # operations on the same versioned-bucket layout.
+
+    def _commit_maintenance(
+        self,
+        name: str,
+        df: DataFrame,
+        affected: list[int],
+        kind: str,
+        sort_col: str | None = None,
+        new_n_buckets: int | None = None,
+    ) -> str:
+        """Shared commit path for non-epoch mutations (OPTIMIZE / TTL /
+        REBUCKET): write the affected buckets' new state under
+        ``<table>/<kind><seq>``, snapshot the prior bucket map to
+        history, swap the manifest atomically.  ``applied_epochs`` is
+        untouched — mutations are storage maintenance, not stream
+        progress, so epoch replay/idempotency semantics are unaffected.
+        With ``new_n_buckets`` the bucket map is REPLACED under the new
+        modulus (``affected`` then lists the new bucket ids)."""
+        info = self.catalog.get(name)
+        manifest = self.read_manifest()
+        seq = int(manifest.get("mutation_seq", 0)) + 1
+        manifest["mutation_seq"] = seq
+        n_b = new_n_buckets or self.table_n_buckets(name)
+        vdir = os.path.join(self.warehouse_dir, name, f"{kind}{seq}")
+        out = df.withColumn(
+            "__b", self.bucket_expr(info.primary_key, n_b)
+        ).repartition(max(2, len(affected)), F.col("__b"))
+        if sort_col is not None:
+            # Pre-sorting by (__b, sort_col) satisfies the file
+            # writer's required ordering, so no extra sort is inserted
+            # and rows land pk-clustered inside each bucket file.
+            out = out.sortWithinPartitions("__b", sort_col)
+        out.write.mode("overwrite").partitionBy("__b").parquet(vdir)
+        written = {
+            int(d.split("=", 1)[1]) for d in os.listdir(vdir) if d.startswith("__b=")
+        }
+        prior = manifest["tables"][name]
+        bmap = {} if new_n_buckets else dict(prior["buckets"])
+        history = prior.get("history", []) + [
+            {"epoch": prior["epoch"], "buckets": dict(prior["buckets"])}
+        ]
+        for b in affected:
+            bmap[str(b)] = os.path.join(vdir, f"__b={b}") if b in written else None
+        manifest["tables"][name] = {
+            "epoch": prior["epoch"],
+            "buckets": bmap,
+            "history": history,
+            "n_buckets": n_b,
+        }
+        self._write_manifest(manifest)
+        return vdir
+
+    def optimize(self, name: str) -> dict | None:
+        """``OPTIMIZE TABLE <name> FINAL`` parity: compact every live
+        bucket to ONE pk-sorted file.
+
+        Epoch commits append one file per touched bucket per flush, so
+        a long-running ingest accumulates many small files per bucket
+        (ClickHouse accumulates parts the same way and merges them in
+        the background).  Compaction rewrites each bucket's current
+        rows into a single file, clustered by primary key — restoring
+        scan locality and bounding open-file cost.  Content is
+        unchanged; superseded versions stay reclaimable via
+        ``vacuum``.  Returns ``{"files_before": n, "files_after": m}``
+        or None for an empty/unknown table.
+
+        Scale: cost is one full-table read + write, but per-bucket
+        parallel and shuffle-free (the bucket column is derived, not
+        exchanged — ``repartition`` on the precomputed ``__b`` is a
+        hash exchange on n_buckets keys, the minimal movement that
+        achieves one-file-per-bucket).  Run it on the cadence ClickHouse
+        runs background merges, not per flush.
+        """
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            return None
+        affected = [int(b) for b, p in entry["buckets"].items() if p]
+        if not affected:
+            return None
+        before = sum(p["n_files"] for p in self.parts(name))
+        info = self.catalog.get(name)
+        self._commit_maintenance(
+            name, self.table_state(name), affected, "opt", sort_col=info.primary_key
+        )
+        after = sum(p["n_files"] for p in self.parts(name))
+        return {"files_before": before, "files_after": after}
+
+    def apply_ttl(self, name: str, expire_predicate: str) -> int:
+        """ClickHouse ``TTL`` parity: delete rows where
+        ``expire_predicate`` (SQL, e.g. ``ts < TIMESTAMP '2024-02-01'``)
+        holds, rewriting ONLY the buckets that contain expired rows.
+        The cutoff is explicit rather than ``now()`` so expiry is
+        deterministic and replayable.  Returns the expired-row count.
+
+        Scale: one metadata-light scan computes per-bucket expiry
+        counts (aggregate on the derived bucket id — map-side partial,
+        n_buckets result rows); untouched buckets are carried forward
+        by reference exactly as in epoch commits.
+        """
+        info = self.catalog.get(name)
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            return 0
+        state = self.table_state(name)
+        n_b = self.table_n_buckets(name)
+        per_bucket = (
+            state.groupBy(self.bucket_expr(info.primary_key, n_b).alias("__b"))
+            .agg(
+                F.sum(F.expr(expire_predicate).cast("long")).alias("n_exp")
+            )
+            .filter(F.col("n_exp") > 0)
+            .collect()
+        )
+        if not per_bucket:
+            return 0
+        affected = [int(r["__b"]) for r in per_bucket]
+        n_expired = sum(int(r["n_exp"]) for r in per_bucket)
+        kept = self.bucket_state(name, affected).filter(f"NOT ({expire_predicate})")
+        self._commit_maintenance(name, kept, affected, "ttl")
+        return n_expired
+
+    def rebucket(self, name: str, new_n_buckets: int) -> dict | None:
+        """Online bucket-count rescaling — the maintenance op that keeps
+        the bounded-merge contract true as a table grows.
+
+        The pk-bucket is the epoch rewrite unit: with N buckets a flush
+        rewrites O(touched buckets × table_size/N).  A fan-out chosen
+        at GB scale makes each bucket a multi-TB rewrite unit at
+        100 TB, so the fan-out must be re-scalable WITHOUT stopping
+        ingest.  This rewrites the table once under the new modulus and
+        records it in the manifest; the next epoch's bucket math picks
+        it up automatically (``batch_bucket_expr`` reads per-table
+        modulî).  One full-table shuffle-light pass (hash exchange on
+        the derived bucket id only), exactly like ClickHouse resharding
+        a MergeTree by re-inserting.  Returns ``{"n_buckets_before",
+        "n_buckets_after"}``; no-op (None) if the modulus is unchanged
+        or the table is empty/unknown."""
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None or new_n_buckets == self.table_n_buckets(name):
+            return None
+        before = self.table_n_buckets(name)
+        self._commit_maintenance(
+            name,
+            self.table_state(name),
+            list(range(new_n_buckets)),
+            "rbk",
+            sort_col=self.catalog.get(name).primary_key,
+            new_n_buckets=new_n_buckets,
+        )
+        return {"n_buckets_before": before, "n_buckets_after": new_n_buckets}
+
+    def parts(self, name: str) -> list[dict]:
+        """``system.parts`` parity: per-bucket storage metadata of the
+        LIVE table state — file count, bytes, rows — read from parquet
+        footers and the filesystem (pure metadata, no Spark job), the
+        same way ClickHouse serves system.parts from part headers."""
+        import pyarrow.parquet as pq
+
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            return []
+        out: list[dict] = []
+        for b, path in sorted(entry["buckets"].items(), key=lambda kv: int(kv[0])):
+            if not path or not os.path.isdir(path):
+                continue
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            n_bytes = 0
+            n_rows = 0
+            for f in files:
+                fp = os.path.join(path, f)
+                n_bytes += os.path.getsize(fp)
+                n_rows += pq.ParquetFile(fp).metadata.num_rows
+            out.append(
+                {
+                    "table": name,
+                    "bucket": int(b),
+                    "path": path,
+                    "n_files": len(files),
+                    "bytes": n_bytes,
+                    "rows": n_rows,
+                }
+            )
+        return out
 
 
 class ChangesIngestPipeline:
@@ -331,7 +552,7 @@ class ChangesIngestPipeline:
             # against the catalog — same UnknownTableError contract as
             # validate_change_tables), and the cursor head via max_by.
             # It is also the action that materializes the batch cache.
-            bucket = self.state.bucket_expr("pk").alias("b")
+            bucket = self.state.batch_bucket_expr(list(self.catalog.tables)).alias("b")
             summary = (
                 changes.groupBy("table", bucket)
                 .agg(

@@ -1,0 +1,204 @@
+"""Storage-maintenance parity: OPTIMIZE TABLE FINAL (bucket
+compaction), TTL mutations (row expiry), system.parts introspection."""
+
+import json
+import os
+
+from substreams_sink_clickhouse_spark.catalog import BLOCK_META_SCHEMA, Catalog, TableInfo
+from substreams_sink_clickhouse_spark.config import EngineConfig
+from substreams_sink_clickhouse_spark.engine import Engine
+
+
+def _msg(block_num, changes):
+    return json.dumps(
+        {
+            "block_num": block_num,
+            "block_id": f"0x{block_num:04x}",
+            "table_changes": [
+                {
+                    "table": t,
+                    "pk": pk,
+                    "ordinal": o,
+                    "operation": op,
+                    "fields": [
+                        {"name": n, "new_value": v, "old_value": None}
+                        for n, v in (fields or {}).items()
+                    ],
+                }
+                for (t, pk, o, op, fields) in changes
+            ],
+        }
+    )
+
+
+def _catalog():
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    return cat
+
+
+def _engine_with_epochs(spark, tmp_path, n_epochs=3, keys_per_epoch=6):
+    """n_epochs flushes over an overlapping key set -> several files
+    accumulate per bucket."""
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    pipe = None
+    block = 0
+    for e in range(n_epochs):
+        block += 1
+        lines = []
+        for k in range(keys_per_epoch):
+            op = "CREATE" if e == 0 else "UPDATE"
+            lines.append(
+                _msg(
+                    block,
+                    [
+                        (
+                            "block_meta",
+                            f"k{k}",
+                            1,
+                            op,
+                            {"number": str(e * 100 + k), "timestamp": str(1700000000 + e * 86400)},
+                        )
+                    ],
+                )
+            )
+        (stream / f"b{e}.jsonl").write_text("\n".join(lines))
+        pipe = eng.ingest(str(stream), cat)
+    return eng, pipe
+
+
+def test_optimize_compacts_to_one_file_per_bucket(spark, tmp_path):
+    # Fragment the bucket files (as a size-capped writer would at
+    # scale), then OPTIMIZE back to one file per bucket.
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=12)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    before = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    parts_before = pipe.state.parts("block_meta")
+    assert sum(p["n_files"] for p in parts_before) > len(parts_before), (
+        "fixture should accumulate multiple files per bucket"
+    )
+    stats = pipe.state.optimize("block_meta")
+    parts_after = pipe.state.parts("block_meta")
+    assert all(p["n_files"] == 1 for p in parts_after), parts_after
+    assert stats["files_after"] < stats["files_before"]
+    # content unchanged
+    after = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert after == before
+    # superseded versions are vacuumable, table still readable after
+    pipe.state.vacuum(keep_epochs=0)
+    assert {r["id"]: r["number"] for r in pipe.table("block_meta").collect()} == before
+
+
+def test_rebucket_rescales_and_ingest_continues(spark, tmp_path):
+    """rebucket rewrites under the new modulus; the NEXT epoch buckets
+    by the manifest modulus and the bounded-rewrite contract holds."""
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=2, keys_per_epoch=8)
+    before = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    stats = pipe.state.rebucket("block_meta", 4)
+    assert stats == {"n_buckets_before": 16, "n_buckets_after": 4}
+    assert pipe.state.table_n_buckets("block_meta") == 4
+    entry = pipe.state.read_manifest()["tables"]["block_meta"]
+    assert set(int(b) for b in entry["buckets"]) <= set(range(4))
+    assert {r["id"]: r["number"] for r in pipe.table("block_meta").collect()} == before
+    # rebucket to the same modulus is a no-op
+    assert pipe.state.rebucket("block_meta", 4) is None
+    # next epoch: update ONE key -> only that key's NEW-modulus bucket rewrites
+    stream = tmp_path / "changes"
+    (stream / "b_post.jsonl").write_text(
+        _msg(99, [("block_meta", "k0", 1, "UPDATE", {"number": "777"})])
+    )
+    mb_before = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    pipe = eng.ingest(str(stream), _catalog())
+    mb_after = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    touched = int(
+        spark.sql("SELECT pmod(xxhash64(cast('k0' as string)), 4) AS b").collect()[0]["b"]
+    )
+    assert mb_after[str(touched)] != mb_before.get(str(touched))
+    for b, p in mb_before.items():
+        if b != str(touched):
+            assert mb_after[b] == p, f"bucket {b} rewritten after rebucket"
+    rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert rows["k0"] == 777 and len(rows) == 8
+
+
+def test_optimize_sorts_by_pk_within_bucket(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    eng, pipe = _engine_with_epochs(spark, tmp_path, keys_per_epoch=12)
+    pipe.state.optimize("block_meta")
+    for p in pipe.state.parts("block_meta"):
+        files = [f for f in os.listdir(p["path"]) if f.endswith(".parquet")]
+        assert len(files) == 1
+        ids = pq.read_table(os.path.join(p["path"], files[0]), columns=["id"])[
+            "id"
+        ].to_pylist()
+        assert ids == sorted(ids), f"bucket {p['bucket']} not pk-sorted"
+
+
+def test_ttl_expires_only_matching_rows(spark, tmp_path):
+    """TTL on the timestamp column: epochs wrote increasing timestamps
+    per key; expire rows older than a cutoff."""
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=8)
+    # make timestamps differ per key: re-ingest updates with spread ts
+    stream = tmp_path / "changes"
+    (stream / "b_ttl.jsonl").write_text(
+        "\n".join(
+            _msg(
+                10 + k,
+                [
+                    (
+                        "block_meta",
+                        f"k{k}",
+                        1,
+                        "UPDATE",
+                        {"timestamp": str(1700000000 + k * 86400)},
+                    )
+                ],
+            )
+            for k in range(8)
+        )
+    )
+    pipe = eng.ingest(str(stream), _catalog())
+    cutoff = "timestamp < to_timestamp(1700000000 + 4 * 86400)"
+    manifest_before = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    n = pipe.state.apply_ttl("block_meta", cutoff)
+    assert n == 4
+    rows = {r["id"] for r in pipe.table("block_meta").collect()}
+    assert rows == {f"k{k}" for k in range(4, 8)}
+    # idempotent second run: nothing left to expire, no rewrite
+    manifest_mid = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    assert pipe.state.apply_ttl("block_meta", cutoff) == 0
+    assert dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"]) == manifest_mid
+    # only buckets holding expired keys were rewritten
+    expired_buckets = {
+        int(r["b"])
+        for r in spark.sql(
+            "SELECT pmod(xxhash64(cast(concat('k', id) as string)), 16) AS b "
+            "FROM range(0, 4) AS t(id)"
+        ).collect()
+    }
+    for b, path in manifest_before.items():
+        if int(b) not in expired_buckets and path is not None:
+            assert manifest_mid[b] == path, f"untouched bucket {b} was rewritten"
+
+
+def test_parts_metadata_and_engine_df(spark, tmp_path):
+    eng, pipe = _engine_with_epochs(spark, tmp_path)
+    parts = pipe.state.parts("block_meta")
+    assert parts and all(p["rows"] > 0 and p["bytes"] > 0 for p in parts)
+    assert sum(p["rows"] for p in parts) == pipe.table("block_meta").count()
+    df = eng.parts("block_meta")
+    got = {(r["bucket"], r["n_files"], r["rows"]) for r in df.collect()}
+    want = {(p["bucket"], p["n_files"], p["rows"]) for p in parts}
+    assert got == want
