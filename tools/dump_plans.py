@@ -88,6 +88,34 @@ SHOWCASE = [
         "sort — the exchange carries one row per key, which is what a "
         "latest-version read over a 100 TB upsert table must do.",
     ),
+    (
+        "q59_dict_get",
+        "dictGet as a plan-literal map: the dimension lookup is a "
+        "projection, not a join — NO join operator and NO dimension "
+        "exchange appears; the only shuffle is the final aggregation. "
+        "This is ClickHouse's replicated-dictionary execution, on Spark.",
+    ),
+    (
+        "q60_window_funnel",
+        "windowFunnel: all three chained stage minima are windows over "
+        "the SAME user_id hash partitioning with no orderBy — one "
+        "exchange total for t1 -> t2 -> t3 -> per-user collapse; the "
+        "raw events table is shuffled exactly once and never sorted.",
+    ),
+    (
+        "text_chunk",
+        "Context-window chunking is a NARROW plan: sequence+explode "
+        "fan-out, slice/hash projection, zero exchanges — at 100 TB it "
+        "streams through executors at scan speed, output partitioning "
+        "= input partitioning.",
+    ),
+    (
+        "dedup_decontaminate",
+        "Decontamination: the benchmark shingle set broadcasts; the "
+        "corpus shingle explosion is joined map-side and only (doc_id, "
+        "count) rows reach the exchange — the exploded corpus never "
+        "shuffles.",
+    ),
 ]
 
 
