@@ -77,6 +77,31 @@ class Catalog:
             raise UnknownTableError(name, list(self.tables))
         return self.tables[name]
 
+    def add_column(self, table: str, column: str, dtype) -> TableInfo:
+        """Schema evolution — ``ALTER TABLE <t> ADD COLUMN`` parity.
+
+        ClickHouse ALTERs are metadata-only for added columns: existing
+        parts serve the column's default (NULL) until rewritten.  The
+        bucketed parquet state behaves identically — the store reads
+        every file through the CATALOG schema, and parquet scans fill
+        absent columns with nulls — so adding a nullable column here is
+        likewise pure metadata: no rewrite of existing state, old rows
+        read as NULL, and the next flush starts coercing the new field
+        from incoming changes.  ``dtype`` is a Spark DataType or a DDL
+        type string (``"bigint"``, ``"decimal(20,0)"``).
+        """
+        info = self.get(table)
+        if column in info.schema.fieldNames():
+            raise ValueError(f"table {table!r}: column {column!r} already exists")
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        new_schema = T.StructType(
+            list(info.schema.fields) + [T.StructField(column, dtype, True)]
+        )
+        new_info = TableInfo(info.name, new_schema, info.primary_key)
+        self.register(new_info)
+        return new_info
+
     def validate_tables(self, names: list[str]) -> None:
         """Reject unknown tables, like sinker/sinker.go:138-145."""
         for name in names:

@@ -116,6 +116,22 @@ class Engine:
             return None
         return pipe.cursors.get_cursor(module_hash, on_mismatch)
 
+    def add_column(
+        self, table: str, column: str, dtype, module_hash: str = "default"
+    ):
+        """``ALTER TABLE ... ADD COLUMN`` on a sunk table: metadata-only
+        (existing state reads the new column as NULL; subsequent flushes
+        coerce it from incoming change fields).  Applies to the active
+        pipeline's catalog so a running ingest picks it up at its next
+        micro-batch."""
+        pipe = self._pipelines.get(module_hash) or next(iter(self._pipelines.values()), None)
+        if pipe is None:
+            raise ValueError("no ingest pipeline active; call ingest()/pipeline() first")
+        info = pipe.catalog.add_column(table, column, dtype)
+        # refresh the SQL view to expose the widened schema
+        pipe.table(table).createOrReplaceTempView(table)
+        return info
+
     # -- storage maintenance (OPTIMIZE FINAL / TTL / system.parts) ----
 
     def _state(self, module_hash: str = "default"):

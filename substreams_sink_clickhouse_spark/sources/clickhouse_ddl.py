@@ -155,10 +155,30 @@ def parse_clickhouse_ddl(ddl: str) -> list[TableInfo]:
     return tables
 
 
+_ALTER_ADD_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ADD\s+COLUMN\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<col>[\w`\"]+)\s+(?P<type>[^;,\n]+)",
+    re.IGNORECASE,
+)
+
+
 def catalog_from_clickhouse_ddl(ddl: str) -> Catalog:
     """Build an engine catalog straight from a ClickHouse schema file —
-    the drop-in path for a reference deployment's existing schema."""
+    the drop-in path for a reference deployment's existing schema.
+    ``ALTER TABLE ... ADD COLUMN`` statements (the migrations such a
+    deployment accumulates) are applied on top of the CREATEs."""
     catalog = Catalog()
     for info in parse_clickhouse_ddl(ddl):
         catalog.register(info)
+    for m in _ALTER_ADD_RE.finditer(ddl):
+        name = m.group("name").split(".")[-1]
+        col = m.group("col").strip('`"')
+        type_s = re.split(
+            r"\s+(?:DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL|AFTER|FIRST)\b",
+            m.group("type").strip(),
+            flags=re.IGNORECASE,
+        )[0].strip()
+        if m.group("ine") and col in catalog.get(name).schema.fieldNames():
+            continue
+        catalog.add_column(name, col, parse_clickhouse_type(type_s))
     return catalog

@@ -113,3 +113,20 @@ def test_catalog_from_ddl_registers_everything():
     catalog = catalog_from_clickhouse_ddl(_REFERENCE_SHAPE_DDL)
     assert "block_meta" in catalog.tables
     assert catalog.get("cursors").primary_key == "id"
+
+
+def test_alter_add_column_applied():
+    ddl = """
+CREATE TABLE t (id String, PRIMARY KEY (id), v Int64) ENGINE = MergeTree() ORDER BY id;
+ALTER TABLE t ADD COLUMN gas_used UInt64;
+ALTER TABLE t ADD COLUMN IF NOT EXISTS gas_used UInt64;
+ALTER TABLE db.t ADD COLUMN note String DEFAULT '' AFTER v;
+"""
+    cat = catalog_from_clickhouse_ddl(ddl)
+    schema = cat.get("t").schema
+    assert "gas_used" in schema.fieldNames()
+    assert "note" in schema.fieldNames()
+    assert isinstance(schema["note"].dataType, T.StringType)
+    # duplicate add WITHOUT IF NOT EXISTS raises
+    with pytest.raises(ValueError, match="already exists"):
+        catalog_from_clickhouse_ddl(ddl + "\nALTER TABLE t ADD COLUMN v Int64;")

@@ -193,6 +193,35 @@ def test_ttl_expires_only_matching_rows(spark, tmp_path):
             assert manifest_mid[b] == path, f"untouched bucket {b} was rewritten"
 
 
+def test_add_column_schema_evolution(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: metadata-only — existing rows read NULL,
+    the next flush coerces the new field from incoming changes, and no
+    pre-ALTER file is rewritten."""
+    import pytest
+
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=4)
+    buckets_before = dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"])
+    info = eng.add_column("block_meta", "gas_used", "bigint")
+    assert info.schema["gas_used"].dataType.typeName() == "long"
+    # old state: new column readable as NULL, nothing rewritten
+    rows = {r["id"]: r["gas_used"] for r in pipe.table("block_meta").collect()}
+    assert rows == {f"k{k}": None for k in range(4)}
+    assert dict(pipe.state.read_manifest()["tables"]["block_meta"]["buckets"]) == buckets_before
+    # duplicate / pk-colliding ALTERs refused
+    with pytest.raises(ValueError, match="already exists"):
+        eng.add_column("block_meta", "gas_used", "bigint")
+    # next flush carries the new field
+    stream = tmp_path / "changes"
+    (stream / "b_alter.jsonl").write_text(
+        _msg(50, [("block_meta", "k1", 1, "UPDATE", {"gas_used": "12345"})])
+    )
+    pipe.run_to_completion(str(stream))
+    got = {r["id"]: r["gas_used"] for r in pipe.table("block_meta").collect()}
+    assert got == {"k0": None, "k1": 12345, "k2": None, "k3": None}
+    # SQL view exposes the widened schema
+    assert "gas_used" in eng.table("block_meta").columns
+
+
 def test_parts_metadata_and_engine_df(spark, tmp_path):
     eng, pipe = _engine_with_epochs(spark, tmp_path)
     parts = pipe.state.parts("block_meta")
