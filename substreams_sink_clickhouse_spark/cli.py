@@ -24,6 +24,9 @@ Subcommands::
     setup --schema ddl.sql | --clickhouse-schema schema.sql
     cursors list|delete|delete-all [--module-hash H]
     sql "SELECT ..."   (over the warehouse's ingested tables)
+    maintain optimize|ttl|parts|rebucket|vacuum <table>
+             (OPTIMIZE TABLE FINAL / TTL mutation / system.parts /
+              bucket-fanout rescaling / snapshot GC)
 
 Usage: ``python -m substreams_sink_clickhouse_spark <subcommand> ...``.
 """
@@ -87,6 +90,18 @@ def build_parser() -> argparse.ArgumentParser:
     add_schema_flags(sql)
     add_warehouse_flags(sql)
     sql.add_argument("--limit", type=int, default=100, help="max rows printed")
+
+    maintain = sub.add_parser(
+        "maintain",
+        help="storage maintenance on a sunk table (OPTIMIZE FINAL / TTL / parts / rebucket)",
+    )
+    maintain.add_argument("action", choices=["optimize", "ttl", "parts", "rebucket", "vacuum"])
+    maintain.add_argument("table", nargs="?", help="target table (not needed for vacuum)")
+    add_schema_flags(maintain)
+    add_warehouse_flags(maintain)
+    maintain.add_argument("--predicate", help="TTL expiry predicate (SQL), e.g. \"ts < TIMESTAMP '2024-02-01'\"")
+    maintain.add_argument("--new-n-buckets", type=int, help="target bucket fan-out for rebucket")
+    maintain.add_argument("--keep-epochs", type=int, default=2, help="history snapshots kept by vacuum")
 
     return p
 
@@ -186,11 +201,41 @@ def cmd_sql(spark, args) -> int:
     return 0
 
 
+def cmd_maintain(spark, args) -> int:
+    from substreams_sink_clickhouse_spark.streaming.pipeline import TableStateStore
+
+    catalog = _catalog(spark, args)
+    state = TableStateStore(spark, args.warehouse, catalog, n_buckets=args.n_buckets)
+    if args.action == "vacuum":
+        deleted = state.vacuum(keep_epochs=args.keep_epochs)
+        print(json.dumps({"deleted_paths": len(deleted)}))
+        return 0
+    if not args.table:
+        print("error: table argument required", file=sys.stderr)
+        return 2
+    if args.action == "optimize":
+        print(json.dumps(state.optimize(args.table)))
+    elif args.action == "ttl":
+        if not args.predicate:
+            print("error: --predicate required for ttl", file=sys.stderr)
+            return 2
+        print(json.dumps({"expired_rows": state.apply_ttl(args.table, args.predicate)}))
+    elif args.action == "parts":
+        print(json.dumps(state.parts(args.table)))
+    else:  # rebucket
+        if not args.new_n_buckets:
+            print("error: --new-n-buckets required for rebucket", file=sys.stderr)
+            return 2
+        print(json.dumps(state.rebucket(args.table, args.new_n_buckets)))
+    return 0
+
+
 _COMMANDS = {
     "run": cmd_run,
     "setup": cmd_setup,
     "cursors": cmd_cursors,
     "sql": cmd_sql,
+    "maintain": cmd_maintain,
 }
 
 

@@ -111,3 +111,37 @@ def test_cli_setup_lists_tables(spark, tmp_path, capsys):
     assert cli.main(["setup"] + _common(tmp_path, schema)) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert "block_meta" in out["tables"]
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    schema, stream = _write_fixture(tmp_path)
+    assert cli.main(["run", str(stream)] + _common(tmp_path, schema)) == 0
+    capsys.readouterr()
+
+    assert cli.main(["maintain", "parts", "block_meta"] + _common(tmp_path, schema)) == 0
+    parts = json.loads(capsys.readouterr().out.strip())
+    assert sum(p["rows"] for p in parts) == 2
+
+    assert cli.main(["maintain", "optimize", "block_meta"] + _common(tmp_path, schema)) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["files_after"] >= 1
+
+    assert (
+        cli.main(["maintain", "rebucket", "block_meta", "--new-n-buckets", "4"] + _common(tmp_path, schema))
+        == 0
+    )
+    assert json.loads(capsys.readouterr().out.strip())["n_buckets_after"] == 4
+
+    assert (
+        cli.main(["maintain", "ttl", "block_meta", "--predicate", "number > 10"] + _common(tmp_path, schema))
+        == 0
+    )
+    assert json.loads(capsys.readouterr().out.strip())["expired_rows"] == 1
+
+    assert cli.main(["maintain", "vacuum"] + _common(tmp_path, schema)) == 0
+    assert json.loads(capsys.readouterr().out.strip())["deleted_paths"] >= 0
+
+    rc = cli.main(["sql", "SELECT id FROM block_meta ORDER BY id"] + _common(tmp_path, schema))
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["id"] for r in rows] == ["k2"]
