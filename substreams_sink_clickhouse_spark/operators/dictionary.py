@@ -74,7 +74,7 @@ def dict_get(
     mapping = F.create_map(*pairs)
 
     def lookup(probe: Column) -> Column:
-        got = mapping.getItem(probe)
+        got = mapping[probe]
         if default is not None:
             return F.coalesce(got, F.lit(default))
         return got

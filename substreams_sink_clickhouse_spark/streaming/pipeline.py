@@ -133,7 +133,7 @@ class TableStateStore:
         mapping = F.create_map(
             *[x for t, n in moduli.items() for x in (F.lit(t), F.lit(n))]
         )
-        modulus = F.coalesce(mapping.getItem(F.col("table")), F.lit(self.n_buckets))
+        modulus = F.coalesce(mapping[F.col("table")], F.lit(self.n_buckets))
         return F.pmod(F.xxhash64(F.col("pk").cast("string")), modulus)
 
     @property
