@@ -90,3 +90,9 @@ class EngineConfig:
     #: Optional clickhouse:// DSN — when set, every committed epoch is
     #: also emitted to ClickHouse as the reference's statement shapes.
     clickhouse_dsn: str | None = None
+    #: Malformed-payload policy: "fail" (reference decode contract —
+    #: stop the stream, sinker.go:102-113) or "drop".
+    on_decode_error: str = "fail"
+    #: When set, malformed payloads go to <dir>/epoch=<id> instead of
+    #: failing/vanishing, and the stream continues (dead-letter queue).
+    dead_letter_dir: str | None = None

@@ -78,6 +78,8 @@ class Engine:
                 module_hash=module_hash,
                 n_buckets=self.config.n_buckets,
                 clickhouse_sink=self._make_sink(catalog),
+                on_decode_error=self.config.on_decode_error,
+                dead_letter_dir=self.config.dead_letter_dir,
             )
         return self._pipelines[module_hash]
 

@@ -70,19 +70,63 @@ DATABASE_CHANGES_JSON_SCHEMA = T.StructType(
 )
 
 
-def decode_database_changes(raw: DataFrame, json_col: str = "value") -> DataFrame:
+def malformed_changes(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Rows of ``raw`` that do NOT parse as ``DatabaseChanges`` JSON —
+    the dead-letter side output.  A payload parses iff ``from_json``
+    yields a message with a block number (the only non-null-able wire
+    field); same predicate the decoder's ``on_error`` guard uses."""
+    parsed = F.from_json(F.col(json_col).cast("string"), DATABASE_CHANGES_JSON_SCHEMA)
+    return raw.filter(
+        F.col(json_col).isNotNull() & parsed.getField("block_num").isNull()
+    )
+
+
+def decode_database_changes(
+    raw: DataFrame, json_col: str = "value", on_error: str = "fail"
+) -> DataFrame:
     """Decode serialized ``DatabaseChanges`` JSON into the flattened
     changes schema (the Spark analog of the proto decode at
     /root/reference/sinker/sinker.go:102-113 + field projection at
     :147-151).  Works identically on batch and streaming DataFrames.
+
+    ``on_error`` controls malformed payloads (unparseable JSON / wrong
+    message shape):
+
+    * ``"fail"`` (default) — raise with the offending payload, the
+      reference's behavior (its decode error stops the sink,
+      sinker.go:102-113).  The check is an inline ``raise_error``
+      guard — zero extra passes over the stream.
+    * ``"drop"`` — skip malformed rows.  Pair with
+      :func:`malformed_changes` to route them to a dead-letter
+      location instead of losing them.
     """
+    if on_error not in ("fail", "drop"):
+        raise ValueError(f"on_error must be 'fail' or 'drop', got {on_error!r}")
     parsed = raw.select(
-        F.from_json(F.col(json_col).cast("string"), DATABASE_CHANGES_JSON_SCHEMA).alias("msg")
+        F.col(json_col).cast("string").alias("__raw"),
+        F.from_json(F.col(json_col).cast("string"), DATABASE_CHANGES_JSON_SCHEMA).alias("msg"),
     )
+    bad = F.col("__raw").isNotNull() & F.col("msg.block_num").isNull()
+    tc_array = F.col("msg.table_changes")
+    if on_error == "fail":
+        # Poison the explode INPUT (merge.py guard idiom): a malformed
+        # row raises from whatever action first touches the stream —
+        # explode would otherwise silently drop the null-array row, and
+        # any guard on a plain projected column would be pruned away.
+        tc_type = DATABASE_CHANGES_JSON_SCHEMA["table_changes"].dataType.simpleString()
+        tc_array = F.when(
+            bad,
+            F.expr(
+                "raise_error(concat('malformed DatabaseChanges message: ', "
+                "substring(__raw, 1, 200)))"
+            ).cast(tc_type),
+        ).otherwise(tc_array)
+    else:
+        parsed = parsed.filter(~bad)
     exploded = parsed.select(
         F.col("msg.block_num").alias("block_num"),
         F.col("msg.block_id").alias("block_id"),
-        F.explode("msg.table_changes").alias("tc"),
+        F.explode(tc_array).alias("tc"),
     )
     return exploded.select(
         "block_num",

@@ -500,10 +500,17 @@ class ChangesIngestPipeline:
         on_batch: Callable[[int, int], None] | None = None,
         n_buckets: int = 16,
         clickhouse_sink=None,
+        on_decode_error: str = "fail",
+        dead_letter_dir: str | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.state = TableStateStore(spark, warehouse_dir, catalog, n_buckets=n_buckets)
+        #: Malformed-payload policy ("fail" | "drop"); with
+        #: dead_letter_dir set, malformed payloads are preserved under
+        #: <dir>/epoch=<id> and the stream continues.
+        self.on_decode_error = on_decode_error
+        self.dead_letter_dir = dead_letter_dir
         #: Optional wire-parity sink: when set (a
         #: sinks.clickhouse.ClickHouseHTTPSink), every committed
         #: epoch's reduced ops are also emitted as the reference's
@@ -656,6 +663,26 @@ class ChangesIngestPipeline:
 
     # -- stream wiring ------------------------------------------------
 
+    def _process_raw_batch(self, raw: DataFrame, epoch_id: int) -> None:
+        """Decode one raw-text micro-batch with the configured error
+        policy, route malformed payloads to the dead-letter directory
+        when one is set, then run the normal flush kernel."""
+        from substreams_sink_clickhouse_spark.sources.changes import (
+            decode_database_changes,
+            malformed_changes,
+        )
+
+        on_error = self.on_decode_error
+        if self.dead_letter_dir:
+            on_error = "drop"
+            if not self.state.epoch_applied(epoch_id):
+                (
+                    malformed_changes(raw, "value")
+                    .write.mode("overwrite")
+                    .text(os.path.join(self.dead_letter_dir, f"epoch={epoch_id}"))
+                )
+        self.process_batch(decode_database_changes(raw, "value", on_error), epoch_id)
+
     def start(
         self,
         changes_path: str,
@@ -668,19 +695,20 @@ class ChangesIngestPipeline:
         the analog of the 1000-block historical flush); ``live=True`` →
         processing-time trigger (per-arrival flush, the analog of
         LIVE_BLOCK_FLUSH_EACH=1).
-        """
-        stream = read_changes_jsonl(self.spark, changes_path, streaming=True)
-        if max_files_per_trigger:
-            raw = (
-                self.spark.readStream.schema("value string")
-                .option("maxFilesPerTrigger", str(max_files_per_trigger))
-                .text(changes_path)
-            )
-            from substreams_sink_clickhouse_spark.sources.changes import decode_database_changes
 
-            stream = decode_database_changes(raw, "value")
+        Malformed payloads follow ``on_decode_error`` ("fail" = stop
+        the stream with the offending payload, the reference's decode
+        contract; "drop" = skip); with ``dead_letter_dir`` set they are
+        instead preserved under ``<dir>/epoch=<id>`` and the stream
+        continues — at scale, one poison message must not stall a
+        100k-blocks/s backfill, but must stay replayable.
+        """
+        reader = self.spark.readStream.schema("value string")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        raw = reader.text(changes_path)
         writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
+            raw.writeStream.foreachBatch(self._process_raw_batch)
             .option("checkpointLocation", self.checkpoint_dir)
         )
         if live:

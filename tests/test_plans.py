@@ -105,6 +105,41 @@ def test_ivf_uses_broadcast_only(spark):
     assert "Broadcast" in plan
 
 
+def test_window_funnel_single_event_shuffle(spark):
+    """q60: the three chained stage minima must reuse ONE user_id hash
+    partitioning — the raw events scan feeds exactly one exchange, and
+    no per-partition sort is required (whole-partition frames)."""
+    from substreams_sink_clickhouse_spark.operators import clickhouse_compat as C
+
+    plan = simple_plan(C._q60_window_funnel(spark, SF))
+    # exchanges: events->user_id, then the tiny level aggregation + final
+    # order-by; the events table itself is exchanged exactly once
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+    assert plan.count("Window") == 3
+
+
+def test_chunking_is_narrow(spark):
+    """text_chunk: no exchange before the final presentation sort —
+    the fan-out + slice + hash pipeline is map-side only."""
+    from substreams_sink_clickhouse_spark.operators import text as TX
+
+    chunks_no_sort = TX._chunk(spark, SF)
+    # strip the deterministic ORDER BY (gate presentation): everything
+    # before it must be exchange-free
+    plan = simple_plan(chunks_no_sort.limit(10**9))
+    assert plan.count("Exchange") <= 1, plan[:3000]  # only the rangepartitioning sort
+
+
+def test_decontaminate_corpus_never_shuffles_shingles(spark):
+    """The benchmark shingle set broadcasts; no shuffle keyed on the
+    exploded shingle column may appear on the corpus side."""
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    plan = simple_plan(D._dedup_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
 def test_bucket_expansion_equals_self_join(spark):
     """The pair-generation rewrite must be value-identical to the
     self-join it replaced, including duplicate ids within a bucket and

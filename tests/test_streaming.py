@@ -205,3 +205,84 @@ def test_multi_epoch_single_run(spark, tmp_path, block_meta_catalog):
     assert rows == {"k1": 11}
     assert pipe.cursors.get_cursor("mod-hash-1").block_num == 3
     assert pipe.stats["flush_count"] == 3
+
+
+# -- malformed payloads: fail / drop / dead-letter --------------------
+
+def test_malformed_payload_fails_stream(spark, tmp_path, block_meta_catalog):
+    """Reference decode contract: a payload that does not parse stops
+    the sink (sinker.go:102-113)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    (stream_dir / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})]),
+                "this is not a DatabaseChanges message",
+            ]
+        )
+    )
+    pipe = _pipeline(spark, block_meta_catalog, tmp_path, name="badfail")
+    with pytest.raises(StreamingQueryException, match="malformed DatabaseChanges"):
+        query = pipe.start(str(stream_dir))
+        query.awaitTermination(120)
+        query.processAllAvailable()
+
+
+def test_malformed_payload_dead_letter(spark, tmp_path, block_meta_catalog):
+    """With a dead-letter directory the stream continues, good rows
+    commit, and the poison payload is preserved verbatim."""
+    import os
+
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    (stream_dir / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})]),
+                '{"bad json',
+                _msg(2, [("block_meta", "k2", 1, "CREATE", {"number": "2"})]),
+            ]
+        )
+    )
+    dlq = tmp_path / "dlq"
+    pipe = ChangesIngestPipeline(
+        spark,
+        block_meta_catalog,
+        warehouse_dir=str(tmp_path / "dl_warehouse"),
+        checkpoint_dir=str(tmp_path / "dl_ckpt"),
+        module_hash="mod-hash-1",
+        dead_letter_dir=str(dlq),
+    )
+    pipe.run_to_completion(str(stream_dir))
+    rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert rows == {"k1": 1, "k2": 2}
+    epochs = [d for d in os.listdir(dlq) if d.startswith("epoch=")]
+    assert epochs
+    letters = spark.read.text(str(dlq / epochs[0])).collect()
+    assert [r["value"] for r in letters] == ['{"bad json']
+
+
+def test_malformed_payload_drop_mode(spark, tmp_path, block_meta_catalog):
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    (stream_dir / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})]),
+                "garbage",
+            ]
+        )
+    )
+    pipe = ChangesIngestPipeline(
+        spark,
+        block_meta_catalog,
+        warehouse_dir=str(tmp_path / "drop_warehouse"),
+        checkpoint_dir=str(tmp_path / "drop_ckpt"),
+        module_hash="mod-hash-1",
+        on_decode_error="drop",
+    )
+    pipe.run_to_completion(str(stream_dir))
+    assert {r["id"] for r in pipe.table("block_meta").collect()} == {"k1"}
