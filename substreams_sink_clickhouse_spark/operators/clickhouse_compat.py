@@ -475,6 +475,209 @@ SELECT level, count(*) AS n_users FROM lv GROUP BY level ORDER BY level
 """
 
 
+# ------------------------------------------------- array manipulation family
+
+def _q61_array_manipulation(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse array-manipulation family (``arraySort`` /
+    ``arraySlice`` / ``arrayDistinct`` / ``arrayStringConcat``) over
+    tokenized documents.
+
+    Everything is a Catalyst higher-order function on one row — no
+    shuffle at all until the final presentation sort, so the operator
+    is a pure narrow scan that scales linearly with the corpus.
+    """
+    d = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    head8 = F.slice(toks, 1, 8)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(head8)).alias("n_uniq8"),
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(head8)), 1, 3), "|"
+            ).alias("head3"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+_Q61_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks[1:8])) AS n_uniq8,
+       array_to_string(list_sort(list_distinct(toks[1:8]))[1:3], '|') AS head3
+FROM t ORDER BY doc_id LIMIT 200
+"""
+
+
+# ------------------------------------------------- uniq combinator family
+
+def _q62_uniq_combinators(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``uniq`` combinator family — ``uniqExact``,
+    ``uniqUpTo(N)`` (capped distinct count), ``uniqExactIf`` — in one
+    single-pass aggregation per event_type.
+
+    All three reduce to one hash aggregate over (event_type, user_id)
+    partials; Catalyst plans the distinct expansion with map-side
+    partial aggregation, so the shuffle carries distinct pairs, not
+    raw events.
+    """
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_exact"),
+            F.least(F.countDistinct("user_id"), F.lit(100)).alias("uniq_upto_100"),
+            F.countDistinct(
+                F.when(F.col("value") > 50.0, F.col("user_id"))
+            ).alias("uniq_if_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q62_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS uniq_exact,
+       least(count(DISTINCT user_id), 100) AS uniq_upto_100,
+       count(DISTINCT CASE WHEN value > 50.0 THEN user_id END) AS uniq_if_hi
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- quantileExactWeighted
+
+def _q63_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """``quantileExactWeighted(0.5)(price, weight)`` — exact weighted
+    median of l_extendedprice weighted by l_quantity per return flag:
+    the smallest price whose cumulative weight reaches half the total.
+
+    One shuffle on l_returnflag feeds both window functions (the
+    cumulative sum and the partition total reuse the same exchange +
+    sort), then the qualifying rows collapse with an algebraic ``min``.
+    Ties in price are safe: within a tied run the answer is the tied
+    price regardless of intra-run row order.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    c = li.withColumn("cum", F.sum("wt").over(w_cum)).withColumn(
+        "tot", F.sum("wt").over(w_tot)
+    )
+    return (
+        c.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("flag")
+        .agg(F.round(F.min("price"), 2).alias("wmedian"))
+        .orderBy("flag")
+    )
+
+
+_Q63_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT flag, round(min(price), 2) AS wmedian
+FROM w WHERE cum >= tot / 2 GROUP BY flag ORDER BY flag
+"""
+
+
+# ------------------------------------------------- bitmap cohort algebra
+
+def _q64_bitmap_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse bitmap family (``groupBitmap``, ``bitmapAnd``,
+    ``bitmapOr``, ``bitmapAndnot`` cardinalities) as cohort set algebra:
+    users who clicked vs users who purchased.
+
+    ClickHouse materializes roaring bitmaps; the Spark-first shape is
+    one hash aggregate to per-user membership flags (the "bitmap"),
+    then a global algebraic fold of the flag vectors — two map-side
+    partial aggregations, one row out.  No joins, no distinct over the
+    raw stream.
+    """
+    e = load_table(spark, sf, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    return flags.select(
+        F.sum("a").alias("card_click"),
+        F.sum("b").alias("card_purchase"),
+        F.sum(F.col("a") * F.col("b")).alias("card_and"),
+        F.sum(F.least(F.col("a") + F.col("b"), F.lit(1))).alias("card_or"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("card_andnot"),
+    )
+
+
+_Q64_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id)
+SELECT sum(a) AS card_click,
+       sum(b) AS card_purchase,
+       sum(a * b) AS card_and,
+       sum(least(a + b, 1)) AS card_or,
+       sum(a * (1 - b)) AS card_andnot
+FROM u
+"""
+
+
+# ------------------------------------------------- running difference
+
+def _q65_running_difference(spark: SparkSession, sf: str) -> DataFrame:
+    """``runningDifference`` / ``runningAccumulate`` parity: daily
+    revenue series with day-over-day delta and running total.
+
+    The window ordering runs over the *aggregated* daily series (rows
+    = distinct days, a few hundred even at 100 TB of raw events), so
+    the single-partition window after the groupBy is bounded by the
+    calendar, not the data — the same state bound ClickHouse's
+    runningDifference carries.
+    """
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn(
+            "delta", F.round(F.col("total") - F.lag("total").over(w), 2)
+        )
+        .withColumn("running", F.round(F.sum("total").over(w_run), 2))
+        .orderBy("day")
+    )
+
+
+_Q65_ORACLE = """
+WITH d AS (
+  SELECT cast(date_trunc('day', ts) AS DATE) AS day, round(sum(value), 2) AS total
+  FROM events GROUP BY 1)
+SELECT day, total,
+       round(total - lag(total) OVER (ORDER BY day), 2) AS delta,
+       round(sum(total) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW), 2) AS running
+FROM d ORDER BY day
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -529,5 +732,35 @@ SPECS: list[QuerySpec] = [
         "windowFunnel-style time-constrained funnel (one shuffle)",
         _q60_window_funnel,
         _Q60_ORACLE,
+    ),
+    QuerySpec(
+        "q61_array_manipulation",
+        "arraySort/arraySlice/arrayDistinct/arrayStringConcat family",
+        _q61_array_manipulation,
+        _Q61_ORACLE,
+    ),
+    QuerySpec(
+        "q62_uniq_combinators",
+        "uniqExact / uniqUpTo(N) / uniqExactIf in one pass",
+        _q62_uniq_combinators,
+        _Q62_ORACLE,
+    ),
+    QuerySpec(
+        "q63_weighted_median",
+        "quantileExactWeighted(0.5) via cumulative-weight windows",
+        _q63_weighted_median,
+        _Q63_ORACLE,
+    ),
+    QuerySpec(
+        "q64_bitmap_ops",
+        "bitmap And/Or/Andnot cardinalities as cohort set algebra",
+        _q64_bitmap_ops,
+        _Q64_ORACLE,
+    ),
+    QuerySpec(
+        "q65_running_difference",
+        "runningDifference/runningAccumulate over a daily series",
+        _q65_running_difference,
+        _Q65_ORACLE,
     ),
 ]

@@ -59,26 +59,39 @@ def _q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """The events fixture as a genuine file stream (nanos → timestamp)."""
+    """The events fixture as a genuine file stream.
+
+    The fixture's ``ts`` physical type varies by generation run —
+    TIMESTAMP(NANOS) (readable only as long nanos under
+    ``nanosAsLong``) or plain TIMESTAMP(MICROS).  ``readStream``
+    needs an explicit schema, so probe the batch reader's resolved
+    dtype once (footer-only, no job) and convert only when the column
+    really arrives as nanos — mirroring ``load_table``.
+    """
     from substreams_sink_clickhouse_spark.session import tune_session
 
     tune_session(spark)
+    ts_is_long = (
+        dict(spark.read.parquet(f"{sf}/events.parquet").dtypes).get("ts") == "bigint"
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("ts", T.LongType() if ts_is_long else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
@@ -166,25 +179,7 @@ def _q25(spark: SparkSession, sf: str) -> DataFrame:
     is <= the terminal watermark — late/trailing windows stay unemitted,
     which the oracle reproduces arithmetically.
     """
-    from substreams_sink_clickhouse_spark.session import tune_session
-
-    tune_session(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -10,7 +10,7 @@ arithmetic-identical DuckDB oracle (hash family: functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.functions.hashing import (
@@ -538,6 +538,111 @@ FROM idx ORDER BY doc_id, chunk_ix
 """
 
 
+def _repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and duplicate-bigram fraction, plus a keep/drop flag.
+
+    Both signals are pure higher-order array expressions on one row —
+    ``array_distinct`` over the token list and over a generated bigram
+    list — so the operator is a narrow, shuffle-free scan; the filter
+    flag makes it directly usable as a corpus-prep quality gate.
+    """
+    d = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    c = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ).alias("bigrams"),
+    )
+    word_rep = F.round(1.0 - F.col("n_uniq") / F.col("n_tokens"), 4)
+    bigram_rep = F.round(
+        1.0 - F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 4
+    )
+    return (
+        c.filter(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            word_rep.alias("word_rep"),
+            bigram_rep.alias("bigram_rep"),
+            (word_rep <= F.lit(0.2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_uniq,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t)
+SELECT doc_id, n_tokens,
+       round(1.0 - n_uniq * 1.0 / n_tokens, 4) AS word_rep,
+       round(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 4) AS bigram_rep,
+       round(1.0 - n_uniq * 1.0 / n_tokens, 4) <= 0.2 AS keep
+FROM c WHERE n_tokens >= 2 ORDER BY doc_id
+"""
+
+
+def _packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for context windows: assign documents (ordered
+    by doc_id within each language) to contiguous bins of a 512-token
+    budget via the exclusive prefix sum of token counts, then report
+    per-bin document count and token totals.
+
+    This is the cumulative-budget formulation of packing (bin =
+    floor(exclusive_prefix / budget)): deterministic, one shuffle on
+    lang, and the window never materializes the documents — only their
+    token counts.  Greedy first-fit packing is order-dependent and
+    non-relational; the contiguous form is what a distributed pipeline
+    actually runs before a pack-local consolidation pass.
+    """
+    d = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    t = d.select("doc_id", "lang", F.size(toks).alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)).cast("long"),
+    )
+    return (
+        c.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+_PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT lang, n_tok,
+         cast(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              / 512) AS BIGINT) AS bin
+  FROM t)
+SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+FROM c GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_chunk",
@@ -587,5 +692,17 @@ SPECS: list[QuerySpec] = [
         "PII redaction: mask emails/phones, count redactions",
         _pii_scrub,
         _PII_ORACLE,
+    ),
+    QuerySpec(
+        "text_repetition",
+        "Gopher-style duplicate word/bigram repetition signals",
+        _repetition,
+        _REPETITION_ORACLE,
+    ),
+    QuerySpec(
+        "text_packing",
+        "Context-window sequence packing by cumulative token budget",
+        _packing,
+        _PACKING_ORACLE,
     ),
 ]

@@ -1,10 +1,12 @@
 """Parquet fixture-table loading.
 
 All query-surface operators read the driver's TPC-H-ish parquet tables
-(TESTDATA.md).  The ``events`` fixture is written with parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read it
-via ``spark.sql.legacy.parquet.nanosAsLong`` and convert (the data is
-microsecond-granular, so the conversion is lossless).
+(TESTDATA.md).  The ``events`` fixture's ``ts`` physical type varies by
+generation run: TIMESTAMP(NANOS) (which Spark's vectorized reader
+rejects — read via ``spark.sql.legacy.parquet.nanosAsLong`` and
+convert, losslessly, since the data is microsecond-granular) or plain
+TIMESTAMP(MICROS) (read natively).  The conversion is applied only
+when the column actually resolves as bigint, so both shapes work.
 """
 
 from __future__ import annotations

@@ -53,3 +53,43 @@ def test_decontaminate_excludes_benchmark_and_finds_planted(spark):
     bench_texts = {r["text"] for r in docs if r["doc_id"] % 97 == 3}
     copies = {r["doc_id"] for r in docs if r["doc_id"] % 97 != 3 and r["text"] in bench_texts}
     assert copies <= flagged
+
+
+def test_repetition_signal_bounds_and_keep_flag(spark):
+    from substreams_sink_clickhouse_spark.operators.text import _repetition
+
+    rows = _repetition(spark, SF).collect()
+    assert rows, "repetition signals must cover the corpus"
+    for r in rows:
+        assert r["n_tokens"] >= 2
+        assert 0.0 <= r["word_rep"] <= 1.0
+        assert 0.0 <= r["bigram_rep"] <= 1.0
+        # A fully-distinct token list can't have repeated bigrams.
+        if r["word_rep"] == 0.0:
+            assert r["bigram_rep"] == 0.0
+        assert r["keep"] == (r["word_rep"] <= 0.2)
+
+
+def test_packing_bins_are_contiguous_and_budgeted(spark):
+    from substreams_sink_clickhouse_spark.operators.text import _packing
+
+    rows = _packing(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    n_docs_corpus = load_table(spark, SF, "documents").count()
+    assert n_docs_total == n_docs_corpus
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r["bin"])
+        # Bins are contiguous from 0 (cumulative prefix can't skip one
+        # unless a single doc spans multiple budgets, in which case the
+        # skipped bin holds no doc start -- allow gaps only forward).
+        assert bins[0]["bin"] == 0
+        # Every bin except possibly the last one must have crossed its
+        # 512-token budget boundary: a bin closes only when the running
+        # total passes it, so cumulative tokens through bin k are > 512*k.
+        cum = 0
+        for r in bins[:-1]:
+            cum += r["n_tokens"]
+            assert cum > 512 * r["bin"]
