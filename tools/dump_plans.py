@@ -116,6 +116,27 @@ SHOWCASE = [
         "count) rows reach the exchange — the exploded corpus never "
         "shuffles.",
     ),
+    (
+        "q63_weighted_median",
+        "quantileExactWeighted: the cumulative-weight window and the "
+        "partition-total window share ONE exchange+sort on the group "
+        "key, then the qualifying rows collapse with an algebraic min — "
+        "no second shuffle, no per-group collect.",
+    ),
+    (
+        "q64_bitmap_ops",
+        "Bitmap cohort algebra: two stacked algebraic aggregates (per-"
+        "user flags, then a global fold) with map-side partials at both "
+        "levels — no join, no distinct over raw events; the second "
+        "exchange carries one row per user, the final one row total.",
+    ),
+    (
+        "text_packing",
+        "Sequence packing: the window runs over (doc_id, lang, n_tok) "
+        "projections — token counts, never document text; one shuffle "
+        "on lang for the prefix sum, then the bin aggregate reuses the "
+        "same partitioning.",
+    ),
 ]
 
 
