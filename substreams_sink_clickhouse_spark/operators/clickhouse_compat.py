@@ -678,6 +678,93 @@ FROM d ORDER BY day
 """
 
 
+# ------------------------------------------------- LIMIT BY
+
+def _q66_limit_by(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY col`` — the top-2 highest-value events
+    per user, with a deterministic tiebreak on event_id.
+
+    ``row_number`` over a hash-partitioned window: one exchange on the
+    group key, per-partition sort only.  At scale this beats a global
+    sort because each group's candidates never leave their partition —
+    exactly how ClickHouse streams LIMIT BY per block.
+    """
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "rn", "event_id", F.round("value", 2).alias("value"))
+        .orderBy("user_id", "rn")
+    )
+
+
+_Q66_ORACLE = """
+SELECT user_id, rn, event_id, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 2 ORDER BY user_id, rn
+"""
+
+
+# ------------------------------------------------- formatDateTime
+
+def _q67_format_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    """``formatDateTime`` / ``toString(DateTime)`` parity: string
+    formatting of timestamps (day string + zero-padded hour) as
+    aggregation keys.  Pure JVM projection into a hash aggregate."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_format("ts", "HH").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day", "hour")
+    )
+
+
+_Q67_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%H') AS hour,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2 ORDER BY day, hour
+"""
+
+
+# ------------------------------------------------- groupUniqArray
+
+def _q68_group_uniq_array(spark: SparkSession, sf: str) -> DataFrame:
+    """``groupUniqArray`` — distinct-set aggregation per key, emitted
+    as a sorted array for determinism.
+
+    ``collect_set`` is an algebraic aggregate (map-side partial sets
+    merge in the combiner), bounded here by the event-type cardinality
+    — the state per key is the distinct set, not the row stream.
+    """
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("types"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q68_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list(DISTINCT event_type)) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -762,5 +849,23 @@ SPECS: list[QuerySpec] = [
         "runningDifference/runningAccumulate over a daily series",
         _q65_running_difference,
         _Q65_ORACLE,
+    ),
+    QuerySpec(
+        "q66_limit_by",
+        "LIMIT n BY group (per-group top-n, partition-local sort)",
+        _q66_limit_by,
+        _Q66_ORACLE,
+    ),
+    QuerySpec(
+        "q67_format_datetime",
+        "formatDateTime string formatting as aggregation keys",
+        _q67_format_datetime,
+        _Q67_ORACLE,
+    ),
+    QuerySpec(
+        "q68_group_uniq_array",
+        "groupUniqArray distinct-set aggregation (sorted arrays)",
+        _q68_group_uniq_array,
+        _Q68_ORACLE,
     ),
 ]

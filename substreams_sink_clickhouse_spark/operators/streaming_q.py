@@ -343,6 +343,34 @@ def _cursor_resolution(spark: SparkSession, sf: str) -> DataFrame:
     return cursors.orderBy(F.desc("block_num"), "id").limit(1)
 
 
+def _q69_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over a
+    genuine file stream, emitting each key's first occurrence.
+
+    The watermark bounds the dedup state the way the reference's flush
+    window bounds its per-PK buffer (/root/reference/db/ops.go:11-122):
+    keys older than the watermark horizon are evicted, so state is
+    O(keys per horizon), not O(stream).  Output = the distinct key set
+    (first-seen rows projected to their key), which makes the result
+    order- and timing-independent and therefore oracle-checkable.
+    """
+    stream = _events_stream(spark, sf)
+    deduped = (
+        stream.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = _run_to_memory(deduped, "q69", "append")
+    return spark.table(sink).orderBy("user_id", "event_type")
+
+
+_Q69_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q23_tumbling_window",
@@ -457,5 +485,12 @@ SPECS: list[QuerySpec] = [
          AND v.ts >= c.ts - INTERVAL '10 minutes'
         GROUP BY c.user_id ORDER BY c.user_id
         """,
+    ),
+    QuerySpec(
+        "q69_stream_dedup",
+        "Streaming dedup with bounded state "
+        "(dropDuplicatesWithinWatermark on a real file stream)",
+        _q69_stream_dedup,
+        _Q69_ORACLE,
     ),
 ]
