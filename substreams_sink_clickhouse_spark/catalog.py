@@ -49,11 +49,25 @@ class TableInfo:
     name: str
     schema: T.StructType
     primary_key: str = "id"
+    #: ClickHouse table engine this table was declared with (informational
+    #: for plain MergeTree; ReplacingMergeTree drives version-collapse
+    #: reads — see ``operators.merge.collapse_versions``).
+    engine: str = "MergeTree"
+    #: ReplacingMergeTree's optional version column: on FINAL-style reads
+    #: the highest version per primary key wins (ClickHouse keeps the
+    #: last-inserted row when no version column is declared; we require
+    #: an explicit version column for deterministic distributed reads).
+    version_column: str | None = None
 
     def __post_init__(self) -> None:
         if self.primary_key not in self.schema.fieldNames():
             raise ValueError(
                 f"table {self.name!r}: primary key {self.primary_key!r} "
+                f"not among columns {self.schema.fieldNames()}"
+            )
+        if self.version_column is not None and self.version_column not in self.schema.fieldNames():
+            raise ValueError(
+                f"table {self.name!r}: version column {self.version_column!r} "
                 f"not among columns {self.schema.fieldNames()}"
             )
 

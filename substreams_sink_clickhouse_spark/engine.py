@@ -106,11 +106,28 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
-    def table(self, name: str, module_hash: str = "default") -> DataFrame:
+    def table(
+        self, name: str, module_hash: str = "default", final: bool = False
+    ) -> DataFrame:
+        """Read a sunk table.  ``final=True`` gives ReplacingMergeTree
+        ``SELECT ... FINAL`` semantics: for a table declared with
+        ``ENGINE = ReplacingMergeTree(version)`` only the highest
+        version per primary key is returned (no-op for other engines
+        or when no version column is declared)."""
         pipe = self._pipelines.get(module_hash)
         if pipe is not None and name in pipe.catalog.tables:
-            return pipe.table(name)
-        return self.spark.table(name)
+            df = pipe.table(name)
+            info = pipe.catalog.get(name)
+        else:
+            df = self.spark.table(name)
+            info = None
+        if final and info is not None and info.version_column is not None:
+            from substreams_sink_clickhouse_spark.operators.merge import (
+                collapse_versions,
+            )
+
+            df = collapse_versions(df, info.primary_key, info.version_column)
+        return df
 
     def cursor(self, module_hash: str = "default", on_mismatch: str = "error"):
         pipe = self._pipelines.get(module_hash) or next(iter(self._pipelines.values()), None)

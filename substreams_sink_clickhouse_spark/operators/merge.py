@@ -305,3 +305,25 @@ def merge_changes(
     if return_reduced:
         return out, reduced
     return out
+
+
+def collapse_versions(df: DataFrame, primary_key: str, version_column: str) -> DataFrame:
+    """ReplacingMergeTree ``SELECT ... FINAL`` semantics on a table
+    DataFrame: keep the row with the highest version per primary key.
+
+    ``max_by(struct(all columns), version)`` — an algebraic aggregate
+    (map-side partials collapse versions before the shuffle, one row
+    per key crosses the exchange, no window sort), the same shape as
+    q51_replacing_final.  ClickHouse resolves equal versions by
+    insertion order; distributed reads have no such order, so equal
+    versions break deterministically on the full row ordering (the
+    remaining struct fields).
+    """
+    cols = df.columns
+    packed = F.struct(
+        F.col(version_column).alias("__v"), *[F.col(c) for c in cols]
+    )
+    agg = df.groupBy(F.col(primary_key).alias("__pk")).agg(
+        F.max(packed).alias("__row")
+    )
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])

@@ -94,10 +94,32 @@ def _split_top_level(s: str) -> tuple[str, str]:
 _CREATE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*\((?P<body>.*?)\)\s*"
-    r"ENGINE\s*=\s*\w+(?:\(\))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<order>\(?[^;\n]+\)?))?",
+    r"ENGINE\s*=\s*(?P<engine>\w+)(?:\((?P<eargs>[^)]*)\))?"
+    # table-level clauses up to the end of this statement: a semicolon
+    # OR the next statement (ClickHouse schema files often omit the
+    # separator — the reference's devel/schema.sql does)
+    r"(?P<tail>(?:(?!CREATE\s+TABLE|ALTER\s+TABLE|;).)*)",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: Clauses that may follow ENGINE in any order (PARTITION BY / ORDER BY
+#: / PRIMARY KEY / SAMPLE BY / TTL / SETTINGS).  Each captures up to the
+#: next clause keyword so the clauses can be interleaved arbitrarily.
+_TAIL_CLAUSE_RE = re.compile(
+    r"(?P<kw>PARTITION\s+BY|ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|TTL|SETTINGS)\s+"
+    r"(?P<expr>.*?)(?=PARTITION\s+BY|ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|TTL|SETTINGS|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _first_key_column(expr: str) -> str:
+    """First column of an ORDER BY / PRIMARY KEY expression:
+    ``(a, b)`` → a, ``a`` → a, ``tuple()`` → '' (no key)."""
+    s = expr.strip().strip(";").strip()
+    if s.lower().startswith("tuple"):
+        s = s[5:].strip()
+    s = s.strip("()").split(",")[0].strip().strip('`"')
+    return s
 
 
 def _split_columns(body: str) -> list[str]:
@@ -142,16 +164,37 @@ def parse_clickhouse_ddl(ddl: str) -> list[TableInfo]:
                 flags=re.IGNORECASE,
             )[0].strip()
             fields.append(T.StructField(col, parse_clickhouse_type(type_s), True))
-        if primary_key is None and m.group("order"):
-            # MergeTree: PRIMARY KEY defaults to the (first) ORDER BY column
-            primary_key = m.group("order").strip().strip("()").split(",")[0].strip().strip('`"')
+        # Table-level clauses after ENGINE (in any order): PARTITION BY /
+        # ORDER BY / PRIMARY KEY / SAMPLE BY / TTL / SETTINGS.  ClickHouse
+        # semantics: PRIMARY KEY defaults to the ORDER BY key.
+        order_key: str | None = None
+        for cm in _TAIL_CLAUSE_RE.finditer(m.group("tail") or ""):
+            kw = re.sub(r"\s+", " ", cm.group("kw").upper())
+            if kw == "PRIMARY KEY" and primary_key is None:
+                primary_key = _first_key_column(cm.group("expr")) or None
+            elif kw == "ORDER BY":
+                order_key = _first_key_column(cm.group("expr")) or None
+        if primary_key is None and order_key:
+            primary_key = order_key
         if primary_key is None:
             primary_key = "id"  # reference default, db/db.go:121-124
+        engine = m.group("engine")
+        version_column: str | None = None
+        if engine.upper() == "REPLACINGMERGETREE" and (m.group("eargs") or "").strip():
+            version_column = m.group("eargs").strip().strip('`"')
         fields = [
             T.StructField(f.name, f.dataType, nullable=(f.name != primary_key))
             for f in fields
         ]
-        tables.append(TableInfo(name, T.StructType(fields), primary_key=primary_key))
+        tables.append(
+            TableInfo(
+                name,
+                T.StructType(fields),
+                primary_key=primary_key,
+                engine=engine,
+                version_column=version_column,
+            )
+        )
     return tables
 
 

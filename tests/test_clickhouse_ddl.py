@@ -130,3 +130,57 @@ ALTER TABLE db.t ADD COLUMN note String DEFAULT '' AFTER v;
     # duplicate add WITHOUT IF NOT EXISTS raises
     with pytest.raises(ValueError, match="already exists"):
         catalog_from_clickhouse_ddl(ddl + "\nALTER TABLE t ADD COLUMN v Int64;")
+
+
+def test_replacing_mergetree_with_clauses():
+    """Real-world MergeTree DDL: engine arguments, PARTITION BY before
+    ORDER BY, SETTINGS tail — all previously silently unparsed."""
+    ddl = """
+CREATE TABLE positions (
+    id String,
+    owner String,
+    balance Float64,
+    block_num UInt32
+) ENGINE = ReplacingMergeTree(block_num)
+PARTITION BY owner
+ORDER BY (id, owner)
+SETTINGS index_granularity = 8192;
+"""
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.primary_key == "id"  # first ORDER BY column, despite PARTITION BY in between
+    assert t.engine == "ReplacingMergeTree"
+    assert t.version_column == "block_num"
+
+
+def test_table_level_primary_key_clause_after_engine():
+    ddl = """
+CREATE TABLE t (a String, b Int64)
+ENGINE = MergeTree
+PRIMARY KEY a
+ORDER BY (a, b)
+TTL now() + INTERVAL 1 DAY;
+"""
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.primary_key == "a"
+    assert t.engine == "MergeTree"
+    assert t.version_column is None
+
+
+def test_tuple_order_by_falls_back_to_id_default():
+    ddl = "CREATE TABLE t (id String, v Int64) ENGINE = MergeTree ORDER BY tuple();"
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.primary_key == "id"
+
+
+def test_collapse_versions_final_read(spark):
+    from substreams_sink_clickhouse_spark.operators.merge import collapse_versions
+
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 3, "new"), ("b", 2, "only"), ("a", 2, "mid")],
+        "id string, ver int, payload string",
+    )
+    got = {
+        (r["id"], r["ver"], r["payload"])
+        for r in collapse_versions(df, "id", "ver").collect()
+    }
+    assert got == {("a", 3, "new"), ("b", 2, "only")}
