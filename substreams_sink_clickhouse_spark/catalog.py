@@ -58,6 +58,9 @@ class TableInfo:
     #: last-inserted row when no version column is declared; we require
     #: an explicit version column for deterministic distributed reads).
     version_column: str | None = None
+    #: SummingMergeTree's summed columns (None = all numeric non-key
+    #: columns, ClickHouse's default).
+    sum_columns: list[str] | None = None
 
     def __post_init__(self) -> None:
         if self.primary_key not in self.schema.fieldNames():
@@ -65,11 +68,12 @@ class TableInfo:
                 f"table {self.name!r}: primary key {self.primary_key!r} "
                 f"not among columns {self.schema.fieldNames()}"
             )
-        if self.version_column is not None and self.version_column not in self.schema.fieldNames():
-            raise ValueError(
-                f"table {self.name!r}: version column {self.version_column!r} "
-                f"not among columns {self.schema.fieldNames()}"
-            )
+        for col in [self.version_column, *(self.sum_columns or [])]:
+            if col is not None and col not in self.schema.fieldNames():
+                raise ValueError(
+                    f"table {self.name!r}: engine column {col!r} "
+                    f"not among columns {self.schema.fieldNames()}"
+                )
 
     @property
     def column_types(self) -> dict[str, T.DataType]:

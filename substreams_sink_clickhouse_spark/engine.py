@@ -121,12 +121,16 @@ class Engine:
         else:
             df = self.spark.table(name)
             info = None
-        if final and info is not None and info.version_column is not None:
+        if final and info is not None:
             from substreams_sink_clickhouse_spark.operators.merge import (
+                collapse_summing,
                 collapse_versions,
             )
 
-            df = collapse_versions(df, info.primary_key, info.version_column)
+            if info.version_column is not None:
+                df = collapse_versions(df, info.primary_key, info.version_column)
+            elif info.engine.upper() == "SUMMINGMERGETREE":
+                df = collapse_summing(df, info.primary_key, info.sum_columns)
         return df
 
     def cursor(self, module_hash: str = "default", on_mismatch: str = "error"):

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
 from substreams_sink_clickhouse_spark.errors import MergeSemanticsError
@@ -327,3 +328,38 @@ def collapse_versions(df: DataFrame, primary_key: str, version_column: str) -> D
         F.max(packed).alias("__row")
     )
     return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
+def collapse_summing(
+    df: DataFrame, primary_key: str, sum_columns: list[str] | None = None
+) -> DataFrame:
+    """SummingMergeTree ``SELECT ... FINAL`` semantics: per primary
+    key, sum the declared columns (or every numeric non-key column,
+    ClickHouse's default) and keep one value for the rest.
+
+    All-algebraic single aggregation (map-side partials).  ClickHouse
+    keeps an arbitrary merge-order value for non-summed columns; a
+    distributed read has no merge order, so we take ``max`` for
+    determinism (documented deviation).
+    """
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+    }
+    targets = (
+        [c for c in sum_columns if c != primary_key]
+        if sum_columns is not None
+        else [c for c in df.columns if c in numeric and c != primary_key]
+    )
+    aggs = []
+    for c in df.columns:
+        if c == primary_key:
+            continue
+        fn = F.sum if c in targets else F.max
+        aggs.append(fn(c).alias(c))
+    return df.groupBy(primary_key).agg(*aggs).select(*df.columns)

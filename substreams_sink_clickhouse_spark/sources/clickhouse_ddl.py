@@ -180,8 +180,15 @@ def parse_clickhouse_ddl(ddl: str) -> list[TableInfo]:
             primary_key = "id"  # reference default, db/db.go:121-124
         engine = m.group("engine")
         version_column: str | None = None
-        if engine.upper() == "REPLACINGMERGETREE" and (m.group("eargs") or "").strip():
-            version_column = m.group("eargs").strip().strip('`"')
+        sum_columns: list[str] | None = None
+        eargs = (m.group("eargs") or "").strip().strip("()").strip()
+        if engine.upper() == "REPLACINGMERGETREE" and eargs:
+            # ReplacingMergeTree(ver) / ReplacingMergeTree(ver, is_deleted):
+            # the first argument is the version column.
+            version_column = eargs.split(",")[0].strip().strip('`"')
+        elif engine.upper() == "SUMMINGMERGETREE" and eargs:
+            # SummingMergeTree(col) / SummingMergeTree((a, b))
+            sum_columns = [c.strip().strip('`"') for c in eargs.split(",") if c.strip()]
         fields = [
             T.StructField(f.name, f.dataType, nullable=(f.name != primary_key))
             for f in fields
@@ -193,6 +200,7 @@ def parse_clickhouse_ddl(ddl: str) -> list[TableInfo]:
                 primary_key=primary_key,
                 engine=engine,
                 version_column=version_column,
+                sum_columns=sum_columns,
             )
         )
     return tables

@@ -184,3 +184,34 @@ def test_collapse_versions_final_read(spark):
         for r in collapse_versions(df, "id", "ver").collect()
     }
     assert got == {("a", 3, "new"), ("b", 2, "only")}
+
+
+def test_summing_mergetree_parse_and_collapse(spark):
+    from substreams_sink_clickhouse_spark.operators.merge import collapse_summing
+
+    ddl = """
+CREATE TABLE daily_totals (day String, clicks Int64, cost Float64, note String)
+ENGINE = SummingMergeTree((clicks, cost))
+ORDER BY day;
+"""
+    (t,) = parse_clickhouse_ddl(ddl)
+    assert t.engine == "SummingMergeTree"
+    assert t.sum_columns == ["clicks", "cost"]
+    assert t.primary_key == "day"
+
+    df = spark.createDataFrame(
+        [("d1", 2, 1.5, "a"), ("d1", 3, 2.5, "b"), ("d2", 1, 1.0, "z")],
+        "day string, clicks long, cost double, note string",
+    )
+    got = {
+        (r["day"], r["clicks"], r["cost"], r["note"])
+        for r in collapse_summing(df, t.primary_key, t.sum_columns).collect()
+    }
+    assert got == {("d1", 5, 4.0, "b"), ("d2", 1, 1.0, "z")}
+
+    # default (no engine args): every numeric non-key column sums
+    got_default = {
+        (r["day"], r["clicks"], r["cost"])
+        for r in collapse_summing(df.drop("note"), "day", None).collect()
+    }
+    assert got_default == {("d1", 5, 4.0), ("d2", 1, 1.0)}
