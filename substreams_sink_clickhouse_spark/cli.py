@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 from substreams_sink_clickhouse_spark.config import EngineConfig
 
@@ -46,6 +47,25 @@ def build_parser() -> argparse.ArgumentParser:
         description="PySpark-native substreams sink + analytics engine",
     )
     p.add_argument("--master", default=None, help="Spark master (default: $SPARK_GRAFT_MASTER or local[*])")
+    # Reference operator flags (cmd/.../main.go:27-29).  pprof has no
+    # Python/Spark analog (use the Spark UI); accepted and ignored so
+    # reference deployment manifests work unchanged.
+    p.add_argument(
+        "--delay-before-start",
+        type=float,
+        default=0.0,
+        help="[Operator] seconds to wait before starting (main.go:27)",
+    )
+    p.add_argument(
+        "--metrics-listen-addr",
+        default=None,
+        help="[Operator] host:port serving the reference's Prometheus series (main.go:28)",
+    )
+    p.add_argument(
+        "--pprof-listen-addr",
+        default=None,
+        help="[Operator] accepted for manifest parity; profiling is served by the Spark UI instead (main.go:29)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     def add_warehouse_flags(sp):
@@ -70,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--flush-interval", type=int, default=1000, help="catch-up blocks per flush (run.go:28)")
     run.add_argument(
         "--on-module-hash-mismatch",
+        # the reference spells the flag "--on-module-hash-mistmatch"
+        # (run.go:29) — accept that spelling too so reference invocations
+        # work verbatim
+        "--on-module-hash-mistmatch",
         choices=["error", "warn", "ignore"],
         default="error",
         help="cursor policy when the stored module hash differs (run.go:29-37)",
@@ -137,6 +161,7 @@ def _pipeline(spark, catalog, args):
 def cmd_run(spark, args) -> int:
     catalog = _catalog(spark, args)
     pipe = _pipeline(spark, catalog, args)
+    args._metrics_pipe = pipe  # live Prometheus scrapes (see main())
     if args.live:
         query = pipe.start(args.changes_path, live=True)
         print("stream started (live mode); Ctrl-C to stop", file=sys.stderr)
@@ -243,9 +268,34 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from substreams_sink_clickhouse_spark.session import get_spark
 
+    if args.delay_before_start > 0:
+        time.sleep(args.delay_before_start)
     spark = get_spark("sscs-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
-    return _COMMANDS[args.command](spark, args)
+    metrics_server = None
+    if args.metrics_listen_addr:
+        from substreams_sink_clickhouse_spark.streaming.metrics import (
+            SinkStats,
+            serve_metrics,
+        )
+
+        def _live_stats() -> SinkStats:
+            # cmd_run parks its pipeline on args so live scrapes see the
+            # current flush counters (reference sinker/sinker.go:119-131).
+            pipe = getattr(args, "_metrics_pipe", None)
+            s = SinkStats()
+            if pipe is not None:
+                s.flush_count = int(pipe.stats.get("flush_count", 0))
+                s.flushed_entries = int(pipe.stats.get("flushed_entries", 0))
+                s.flush_duration_s = float(pipe.stats.get("flush_seconds", 0.0))
+            return s
+
+        metrics_server = serve_metrics(_live_stats, args.metrics_listen_addr)
+    try:
+        return _COMMANDS[args.command](spark, args)
+    finally:
+        if metrics_server is not None:
+            metrics_server.shutdown()
 
 
 if __name__ == "__main__":

@@ -68,3 +68,47 @@ def make_listener(stats: SinkStats):
             logger.info("stream terminated: %s", event.id)
 
     return _Listener()
+
+
+def render_prometheus(stats: SinkStats) -> str:
+    """Prometheus text exposition of the reference's three series,
+    name-for-name (/root/reference/sinker/metrics.go:13-15; duration
+    there is nanoseconds — kept for scrape-config compatibility)."""
+    return (
+        "# TYPE substreams_sink_clickhouse_store_flush_count counter\n"
+        f"substreams_sink_clickhouse_store_flush_count {stats.flush_count}\n"
+        "# TYPE substreams_sink_clickhouse_flushed_entries_count gauge\n"
+        f"substreams_sink_clickhouse_flushed_entries_count {stats.flushed_entries}\n"
+        "# TYPE substreams_sink_clickhouse_store_flush_duration counter\n"
+        f"substreams_sink_clickhouse_store_flush_duration {int(stats.flush_duration_s * 1e9)}\n"
+    )
+
+
+def serve_metrics(stats, listen_addr: str):
+    """Serve :func:`render_prometheus` over HTTP (reference
+    ``--metrics-listen-addr``, cmd/.../main.go:28).  ``stats`` is a
+    :class:`SinkStats` or a zero-arg callable returning one (so the
+    scrape always sees the live counters).  Returns the daemon-threaded
+    server; call ``.shutdown()`` to stop."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    host, _, port_s = listen_addr.rpartition(":")
+    provider = stats if callable(stats) else (lambda: stats)
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            body = render_prometheus(provider()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    server = HTTPServer((host or "localhost", int(port_s)), _Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

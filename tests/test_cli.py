@@ -145,3 +145,20 @@ def test_cli_maintain(spark, tmp_path, capsys):
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [r["id"] for r in rows] == ["k2"]
+
+
+def test_reference_flag_spellings_accepted():
+    from substreams_sink_clickhouse_spark.cli import build_parser
+
+    p = build_parser()
+    # the reference misspells its flag (run.go:29) — both spellings work
+    a1 = p.parse_args(["run", "/x", "--schema", "s.sql", "--on-module-hash-mistmatch", "warn"])
+    a2 = p.parse_args(["run", "/x", "--schema", "s.sql", "--on-module-hash-mismatch", "warn"])
+    assert a1.on_module_hash_mismatch == a2.on_module_hash_mismatch == "warn"
+    # operator flags from main.go:27-29 parse
+    a3 = p.parse_args(
+        ["--delay-before-start", "0.5", "--metrics-listen-addr", "localhost:9102",
+         "--pprof-listen-addr", "localhost:6060", "setup", "--schema", "s.sql"]
+    )
+    assert a3.delay_before_start == 0.5
+    assert a3.metrics_listen_addr == "localhost:9102"

@@ -41,3 +41,31 @@ def test_listener_feeds_stats(spark):
     assert stats.flush_count == 1
     assert stats.flushed_entries == 42
     assert abs(stats.flush_duration_s - 0.5) < 1e-9
+
+
+def test_prometheus_exposition_names_match_reference():
+    from substreams_sink_clickhouse_spark.streaming.metrics import render_prometheus
+
+    stats = SinkStats()
+    stats.record_flush(entries=7, duration_s=0.5, last_block=3)
+    body = render_prometheus(stats)
+    # name-for-name with /root/reference/sinker/metrics.go:13-15
+    assert "substreams_sink_clickhouse_store_flush_count 1" in body
+    assert "substreams_sink_clickhouse_flushed_entries_count 7" in body
+    assert "substreams_sink_clickhouse_store_flush_duration 500000000" in body
+
+
+def test_serve_metrics_http_scrape():
+    import urllib.request
+
+    from substreams_sink_clickhouse_spark.streaming.metrics import serve_metrics
+
+    stats = SinkStats()
+    stats.record_flush(entries=2, duration_s=0.1, last_block=1)
+    server = serve_metrics(stats, "localhost:0")  # ephemeral port
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(f"http://localhost:{port}/metrics").read().decode()
+        assert "substreams_sink_clickhouse_store_flush_count 1" in body
+    finally:
+        server.shutdown()
