@@ -100,6 +100,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     run.add_argument("--live", action="store_true", help="keep the stream running (processingTime trigger)")
     run.add_argument("--timeout-s", type=int, default=600, help="backfill completion timeout")
+    run.add_argument(
+        "--range",
+        default=None,
+        metavar="START:STOP",
+        help="block range, stop exclusive (the reference's positional [<start>:<stop>], run.go:22)",
+    )
+    run.add_argument(
+        "--undo-buffer-size",
+        type=int,
+        default=0,
+        help="accepted for parity: the file/Kafka transports deliver final blocks only "
+        "(the reference forwards this to its gRPC client; reorgs here arrive as explicit "
+        "undo signals handled by handle_block_undo_signal)",
+    )
+    run.add_argument(
+        "--final-blocks-only",
+        action="store_true",
+        help="accepted for parity: always true for the file/Kafka transports",
+    )
 
     setup = sub.add_parser("setup", help="execute schema DDL (reference Loader.Setup, db/db.go:212-249)")
     add_schema_flags(setup)
@@ -147,6 +166,11 @@ def _catalog(spark, args):
 def _pipeline(spark, catalog, args):
     from substreams_sink_clickhouse_spark.engine import Engine
 
+    start_block = stop_block = None
+    if getattr(args, "range", None):
+        start_s, _, stop_s = args.range.partition(":")
+        start_block = int(start_s) if start_s else None
+        stop_block = int(stop_s) if stop_s else None
     config = EngineConfig(
         warehouse_dir=args.warehouse,
         checkpoint_dir=args.checkpoint,
@@ -154,6 +178,8 @@ def _pipeline(spark, catalog, args):
         on_module_hash_mismatch=getattr(args, "on_module_hash_mismatch", "error"),
         n_buckets=getattr(args, "n_buckets", 16),
         clickhouse_dsn=getattr(args, "dsn", None),
+        start_block=start_block,
+        stop_block=stop_block,
     )
     return Engine(spark, config).pipeline(catalog, module_hash=args.module_hash)
 

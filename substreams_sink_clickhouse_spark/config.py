@@ -96,3 +96,7 @@ class EngineConfig:
     #: When set, malformed payloads go to <dir>/epoch=<id> instead of
     #: failing/vanishing, and the stream continues (dead-letter queue).
     dead_letter_dir: str | None = None
+    #: Block-range bounds (reference positional ``[<start>:<stop>]``,
+    #: run.go:22,53-60); stop is exclusive.  None = unbounded.
+    start_block: int | None = None
+    stop_block: int | None = None

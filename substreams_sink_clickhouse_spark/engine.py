@@ -80,6 +80,8 @@ class Engine:
                 clickhouse_sink=self._make_sink(catalog),
                 on_decode_error=self.config.on_decode_error,
                 dead_letter_dir=self.config.dead_letter_dir,
+                start_block=self.config.start_block,
+                stop_block=self.config.stop_block,
             )
         return self._pipelines[module_hash]
 

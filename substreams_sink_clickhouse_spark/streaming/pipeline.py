@@ -502,9 +502,17 @@ class ChangesIngestPipeline:
         clickhouse_sink=None,
         on_decode_error: str = "fail",
         dead_letter_dir: str | None = None,
+        start_block: int | None = None,
+        stop_block: int | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
+        #: Block-range bounds (reference positional ``[<start>:<stop>]``,
+        #: run.go:22,53-60): changes outside [start_block, stop_block)
+        #: are dropped before the merge — a narrow filter on the decoded
+        #: stream, applied before any shuffle.
+        self.start_block = start_block
+        self.stop_block = stop_block
         self.state = TableStateStore(spark, warehouse_dir, catalog, n_buckets=n_buckets)
         #: Malformed-payload policy ("fail" | "drop"); with
         #: dead_letter_dir set, malformed payloads are preserved under
@@ -550,6 +558,11 @@ class ChangesIngestPipeline:
 
         if self.state.epoch_applied(epoch_id):
             return  # replay after restart: already committed
+        if self.start_block is not None:
+            changes = changes.filter(F.col("block_num") >= self.start_block)
+        if self.stop_block is not None:
+            # exclusive stop, matching the reference's range convention
+            changes = changes.filter(F.col("block_num") < self.stop_block)
         changes = changes.cache()
         try:
             # ONE summary aggregation replaces three separate actions

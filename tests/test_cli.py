@@ -162,3 +162,22 @@ def test_reference_flag_spellings_accepted():
     )
     assert a3.delay_before_start == 0.5
     assert a3.metrics_listen_addr == "localhost:9102"
+
+
+def test_cli_run_block_range(spark, tmp_path, capsys):
+    """--range start:stop (the reference's positional [<start>:<stop>],
+    run.go:22): blocks outside the range never reach the merge."""
+    schema, stream = _write_fixture(tmp_path)
+    rc = cli.main(["run", str(stream), "--range", "1:3"] + _common(tmp_path, schema))
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # block 3 (the k1 UPDATE) is outside the exclusive stop: both
+    # CREATEs land, k1 keeps number=1
+    assert summary["tables"]["block_meta"] == 2
+    rc = cli.main(
+        ["sql", "SELECT id, number FROM block_meta ORDER BY id"]
+        + _common(tmp_path, schema)
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert [(r["id"], r["number"]) for r in rows] == [("k1", 1), ("k2", 2)]
