@@ -300,8 +300,142 @@ FROM ranked WHERE rn <= {KNN_K} ORDER BY qid, rank
 """
 
 
+
+
+# ------------------------------------------------------------------ k-means
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_ROUND = 6  #: centroid rounding (decimals) after each update
+
+
+def _sqdist_spark(emb_col: str, centroid: list[float]) -> str:
+    """Spark SQL squared-L2 distance to a literal centroid: ordered
+    left fold, bit-identical to the oracle's list_sum."""
+    arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({emb_col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def _sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means as an iterative DataFrame loop: the trainer for
+    sim_ivf's coarse quantizer (IVF lists are k-means cells; the
+    deterministic quantizer there is the zero-training stand-in).
+
+    Scale shape per iteration: assignment is a narrow scan (k literal
+    centroids folded into the plan — no join, no shuffle), the update
+    is one partial-aggregated shuffle of (cluster, dim) means, and the
+    k x d centroid matrix collected to the driver is a few KB
+    regardless of corpus size — the same driver loop Spark MLlib's
+    KMeans runs.  Centroids round to 6 decimals each round so
+    cross-partition summation order cannot leak into the assignment
+    argmin (which compares exact doubles).
+    """
+    # Embeddings pre-rounded to KMEANS_ROUND decimals (SQL round =
+    # half-away-from-zero in both engines, unlike Python's round): all
+    # downstream arithmetic starts from bit-identical values.
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> round(CAST(x AS DOUBLE), {KMEANS_ROUND}))"
+        ).alias("emb"),
+    )
+    # deterministic init: the first K vectors by vec_id
+    centroids = [
+        [float(x) for x in r["emb"]]
+        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+
+    def argmin_expr(cents: list[list[float]]) -> str:
+        structs = ", ".join(
+            f"named_struct('d', {_sqdist_spark('emb', c)}, 'c', {j})"
+            for j, c in enumerate(cents)
+        )
+        return f"array_min(array({structs}))"
+
+    for _ in range(KMEANS_ITERS):
+        assigned = e.withColumn("cluster", F.expr(argmin_expr(centroids))["c"])
+        means = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), KMEANS_ROUND).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [dims[p] for p in sorted(dims)]
+            for _, dims in sorted(by_cluster.items())
+        ]
+    final = e.withColumn("a", F.expr(argmin_expr(centroids)))
+    return (
+        final.groupBy(F.col("a")["c"].alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("a")["d"]), 4).alias("avg_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle() -> str:
+    """The same algorithm, unrolled as DuckDB CTEs."""
+    k, nround = KMEANS_K, KMEANS_ROUND
+    dist = "list_sum(list_transform(list_zip(e.emb, c.cent), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+    def assign(i: int, csrc: str) -> str:
+        return f"""
+a{i} AS (
+  SELECT vec_id, emb, cluster, d FROM (
+    SELECT vec_id, emb, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM (SELECT e.vec_id, e.emb, c.cluster, {dist} AS d
+          FROM e CROSS JOIN {csrc} c))
+  WHERE rn = 1)"""
+
+    def update(i: int) -> str:
+        return f"""
+c{i + 1} AS (
+  SELECT cluster, list(round(m, {nround}) ORDER BY i) AS cent FROM (
+    SELECT cluster, u.i AS i, avg(u.v) AS m FROM (
+      SELECT cluster,
+             unnest(list_transform(list_zip(emb, range(1, len(emb) + 1)),
+                                   p -> {{'v': p[1], 'i': p[2]}})) AS u
+      FROM a{i}) GROUP BY cluster, i)
+  GROUP BY cluster)"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> round(CAST(x AS DOUBLE), {nround})) AS emb "
+        "FROM embeddings),",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent "
+        f"FROM e ORDER BY vec_id LIMIT {k}),",
+    ]
+    for i in range(KMEANS_ITERS):
+        parts.append(assign(i, f"c{i}") + ",")
+        parts.append(update(i) + ",")
+    parts.append(assign(KMEANS_ITERS, f"c{KMEANS_ITERS}"))
+    parts.append(
+        f"SELECT cluster, count(*) AS n, round(avg(d), 4) AS avg_sqdist "
+        f"FROM a{KMEANS_ITERS} GROUP BY cluster ORDER BY cluster"
+    )
+    return "\n".join(parts)
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sim_topk", "Brute-force cosine top-k (Q29)", _sim_topk, _TOPK_ORACLE),
+    QuerySpec(
+        "sim_kmeans",
+        "Lloyd k-means coarse-quantizer training (iterative DataFrame loop)",
+        _sim_kmeans,
+        _KMEANS_ORACLE,
+    ),
     QuerySpec(
         "sim_knn_join",
         "Batch k-NN join: per-probe top-k over a probe set",
