@@ -765,6 +765,117 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ------------------------------------------------- multiSearch / position
+
+def _q70_multi_search(spark: SparkSession, sf: str) -> DataFrame:
+    """``multiSearchAny`` / ``position`` family: per language, how many
+    documents contain any of a set of needles, and the average first
+    position of a common marker.  Pure string projections into one
+    hash aggregate — narrow scan, single shuffle on lang."""
+    d = load_table(spark, sf, "documents")
+    any_hit = (
+        F.col("text").contains("data")
+        | F.col("text").contains("model")
+        | F.col("text").contains("neural")
+    )
+    pos = F.locate("the", F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_hit.cast("int")).alias("n_any_hit"),
+            F.round(F.avg(F.when(pos > 0, pos)), 2).alias("avg_marker_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q70_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN contains(text, 'data') OR contains(text, 'model')
+                  OR contains(text, 'neural') THEN 1 ELSE 0 END) AS n_any_hit,
+       round(avg(CASE WHEN position('the' IN text) > 0
+                      THEN position('the' IN text) END), 2) AS avg_marker_pos
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------- arrayZip / tupleElement
+
+def _q71_array_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """``arrayZip`` + ``tupleElement`` + ``arrayMax over tuples``: the
+    argmax dimension of each embedding's first 8 components.  Zipping
+    values with their indices and taking the struct max is the
+    canonical argmax-without-explode — per-row higher-order ops, zero
+    shuffle before the presentation sort."""
+    e = load_table(spark, sf, "embeddings")
+    head8 = F.expr(
+        "slice(transform(embedding, x -> round(CAST(x AS DOUBLE), 6)), 1, 8)"
+    )
+    best = F.array_max(
+        F.expr(
+            "zip_with(emb8, sequence(1, size(emb8)), (v, i) -> struct(v AS v, i AS i))"
+        )
+    )
+    return (
+        e.select("vec_id", head8.alias("emb8"))
+        .select(
+            "vec_id",
+            best["i"].alias("argmax_dim"),
+            F.round(best["v"], 4).alias("max_val"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+_Q71_ORACLE = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding[1:8], x -> round(CAST(x AS DOUBLE), 6)) AS emb8
+  FROM embeddings),
+m AS (
+  SELECT vec_id,
+         list_max(list_transform(list_zip(emb8, range(1, len(emb8) + 1)),
+                                 p -> [p[1], CAST(p[2] AS DOUBLE)])) AS best
+  FROM t)
+SELECT vec_id,
+       CAST(best[2] AS BIGINT) AS argmax_dim,
+       round(best[1], 4) AS max_val
+FROM m ORDER BY vec_id LIMIT 200
+"""
+
+
+# ------------------------------------------------- pad / trim / affix tests
+
+def _q72_pad_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """``leftPad``/``rightPad``/``trimBoth``/``startsWith``/``endsWith``
+    string family as aggregation keys and flags over part names."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.trim(F.col("p_name")).alias("name"),
+            F.col("p_name").startswith("b").alias("starts_b"),
+            F.col("p_name").endswith("d").alias("ends_d"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+_Q72_ORACLE = """
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       trim(p_name) AS name,
+       starts_with(p_name, 'b') AS starts_b,
+       suffix(p_name, 'd') AS ends_d
+FROM part ORDER BY p_partkey LIMIT 200
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -867,5 +978,23 @@ SPECS: list[QuerySpec] = [
         "groupUniqArray distinct-set aggregation (sorted arrays)",
         _q68_group_uniq_array,
         _Q68_ORACLE,
+    ),
+    QuerySpec(
+        "q70_multi_search",
+        "multiSearchAny / position substring family",
+        _q70_multi_search,
+        _Q70_ORACLE,
+    ),
+    QuerySpec(
+        "q71_array_zip",
+        "arrayZip + tuple argmax without explode",
+        _q71_array_zip,
+        _Q71_ORACLE,
+    ),
+    QuerySpec(
+        "q72_pad_trim",
+        "leftPad/rightPad/trim/startsWith/endsWith string family",
+        _q72_pad_trim,
+        _Q72_ORACLE,
     ),
 ]

@@ -137,6 +137,14 @@ SHOWCASE = [
         "on lang for the prefix sum, then the bin aggregate reuses the "
         "same partitioning.",
     ),
+    (
+        "sim_kmeans",
+        "k-means assignment: the k centroids are PLAN LITERALS, so "
+        "cluster assignment is a narrow scan (no join, no broadcast, "
+        "no shuffle) and the only exchange is the final per-cluster "
+        "aggregate — each Lloyd iteration costs one scan + one "
+        "(cluster, dim) shuffle regardless of corpus size.",
+    ),
 ]
 
 
