@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_schema_flags(sql)
     add_warehouse_flags(sql)
     sql.add_argument("--limit", type=int, default=100, help="max rows printed")
+    sql.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows (ClickHouse EXPLAIN parity)",
+    )
 
     maintain = sub.add_parser(
         "maintain",
@@ -242,11 +247,24 @@ def cmd_sql(spark, args) -> int:
 
     from substreams_sink_clickhouse_spark.streaming.pipeline import TableStateStore
 
+    from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+        register_system_views,
+    )
+
     catalog = _catalog(spark, args)
     state = TableStateStore(spark, args.warehouse, catalog, n_buckets=args.n_buckets)
     for name in catalog.tables:
         state.table_state(name).createOrReplaceTempView(name)
-    rows = spark.sql(args.query).limit(args.limit).collect()
+    register_system_views(spark, catalog)
+    df = spark.sql(args.query)
+    if args.explain:
+        # ClickHouse `EXPLAIN` parity: print the physical plan instead
+        # of the rows
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        ))
+        return 0
+    rows = df.limit(args.limit).collect()
     for row in rows:
         print(json.dumps(row.asDict(), default=str))
     return 0

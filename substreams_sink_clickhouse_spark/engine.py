@@ -98,9 +98,17 @@ class Engine:
             pipe.start(changes_path, live=True)
         else:
             pipe.run_to_completion(changes_path, timeout_s=timeout_s)
-        # expose ingested tables to SQL
+        # expose ingested tables to SQL, plus ClickHouse-style system
+        # catalog views (the reference introspects via system.tables /
+        # system.columns, db/operations.go:211-277; dots aren't legal
+        # in Spark view names, so: system_tables / system_columns)
         for name in catalog.tables:
             pipe.table(name).createOrReplaceTempView(name)
+        from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+            register_system_views,
+        )
+
+        register_system_views(self.spark, catalog)
         return pipe
 
     # -- query surface ------------------------------------------------

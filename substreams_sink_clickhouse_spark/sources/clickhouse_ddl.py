@@ -233,3 +233,68 @@ def catalog_from_clickhouse_ddl(ddl: str) -> Catalog:
             continue
         catalog.add_column(name, col, parse_clickhouse_type(type_s))
     return catalog
+
+
+def clickhouse_type_name(dtype: T.DataType) -> str:
+    """Spark type → ClickHouse type name (inverse of
+    :func:`parse_clickhouse_type`, for the system-catalog views)."""
+    if isinstance(dtype, T.DecimalType):
+        if (dtype.precision, dtype.scale) == (20, 0):
+            return "UInt64"
+        return f"Decimal({dtype.precision}, {dtype.scale})"
+    if isinstance(dtype, T.ArrayType):
+        return f"Array({clickhouse_type_name(dtype.elementType)})"
+    if isinstance(dtype, T.MapType):
+        return (
+            f"Map({clickhouse_type_name(dtype.keyType)}, "
+            f"{clickhouse_type_name(dtype.valueType)})"
+        )
+    simple = {
+        T.StringType(): "String",
+        T.BooleanType(): "Bool",
+        T.ByteType(): "Int8",
+        T.ShortType(): "Int16",
+        T.IntegerType(): "Int32",
+        T.LongType(): "Int64",
+        T.FloatType(): "Float32",
+        T.DoubleType(): "Float64",
+        T.DateType(): "Date",
+        T.TimestampType(): "DateTime",
+    }
+    if dtype in simple:
+        return simple[dtype]
+    raise ValueError(f"no ClickHouse name for Spark type {dtype!r}")
+
+
+def register_system_views(spark, catalog: Catalog, database: str = "default") -> None:
+    """Expose the catalog as ClickHouse-style system tables so the
+    reference's own introspection queries work against the engine
+    (it discovers tables via ``SELECT name FROM system.tables`` and
+    primary keys via ``system.columns ... is_in_primary_key ORDER BY
+    position``, /root/reference/db/operations.go:211-277).  Spark view
+    names cannot contain dots, so ``system.tables`` / ``system.columns``
+    map to ``system_tables`` / ``system_columns``.
+    """
+    tables_rows = []
+    columns_rows = []
+    for info in catalog.tables.values():
+        tables_rows.append((database, info.name, info.engine))
+        for pos, f in enumerate(info.schema.fields, start=1):
+            columns_rows.append(
+                (
+                    database,
+                    info.name,
+                    f.name,
+                    clickhouse_type_name(f.dataType),
+                    pos,
+                    f.name == info.primary_key,
+                )
+            )
+    spark.createDataFrame(
+        tables_rows, "database string, name string, engine string"
+    ).createOrReplaceTempView("system_tables")
+    spark.createDataFrame(
+        columns_rows,
+        "database string, table string, name string, type string, "
+        "position int, is_in_primary_key boolean",
+    ).createOrReplaceTempView("system_columns")

@@ -181,3 +181,34 @@ def test_cli_run_block_range(spark, tmp_path, capsys):
     assert rc == 0
     rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert [(r["id"], r["number"]) for r in rows] == [("k1", 1), ("k2", 2)]
+
+
+def test_cli_system_views_and_explain(spark, tmp_path, capsys):
+    """The reference's own introspection queries work against the
+    engine (db/operations.go:211-277), modulo dots in view names."""
+    schema, stream = _write_fixture(tmp_path)
+    assert cli.main(["run", str(stream)] + _common(tmp_path, schema)) == 0
+    capsys.readouterr()
+
+    assert cli.main(
+        ["sql", "SELECT name FROM system_tables WHERE database = 'default' ORDER BY name"]
+        + _common(tmp_path, schema)
+    ) == 0
+    names = [json.loads(l)["name"] for l in capsys.readouterr().out.strip().splitlines()]
+    assert "block_meta" in names
+
+    assert cli.main(
+        ["sql",
+         "SELECT name FROM system_columns WHERE table = 'block_meta' "
+         "AND is_in_primary_key ORDER BY position"]
+        + _common(tmp_path, schema)
+    ) == 0
+    pks = [json.loads(l)["name"] for l in capsys.readouterr().out.strip().splitlines()]
+    assert pks == ["id"]
+
+    assert cli.main(
+        ["sql", "--explain", "SELECT count(*) FROM block_meta"]
+        + _common(tmp_path, schema)
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
