@@ -876,6 +876,51 @@ FROM part ORDER BY p_partkey LIMIT 200
 """
 
 
+# ------------------------------------------------- avgWeighted / deltaSum
+
+def _q73_weighted_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """``avgWeighted(x, w)`` and ``deltaSum(x)`` (sum of positive
+    deltas over the ordered series) per user.
+
+    avgWeighted is algebraic (two sums).  deltaSum needs the ordered
+    neighbor difference: one window pass over the SAME user_id
+    partitioning the aggregate then reuses — a single exchange total,
+    with per-user state bounded by one previous value, exactly the
+    running state ClickHouse's deltaSum carries per group."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = e.withColumn("prev", F.lag("value").over(w))
+    delta = F.when(
+        F.col("prev").isNotNull() & (F.col("value") > F.col("prev")),
+        F.col("value") - F.col("prev"),
+    ).otherwise(0.0)
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("event_id"))
+                / F.sum(F.col("event_id")),
+                4,
+            ).alias("avg_weighted"),
+            F.round(F.sum(delta), 2).alias("delta_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q73_ORACLE = """
+WITH d AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events)
+SELECT user_id,
+       round(sum(value * event_id) / sum(event_id), 4) AS avg_weighted,
+       round(sum(CASE WHEN prev IS NOT NULL AND value > prev
+                      THEN value - prev ELSE 0.0 END), 2) AS delta_sum
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -996,5 +1041,11 @@ SPECS: list[QuerySpec] = [
         "leftPad/rightPad/trim/startsWith/endsWith string family",
         _q72_pad_trim,
         _Q72_ORACLE,
+    ),
+    QuerySpec(
+        "q73_weighted_aggs",
+        "avgWeighted + deltaSum (ordered positive-delta aggregate)",
+        _q73_weighted_aggs,
+        _Q73_ORACLE,
     ),
 ]
