@@ -1,6 +1,12 @@
 """Deduplication operators for training-data pipelines:
 
 * ``dedup_exact``          — exact text dedup (hash group-by)
+(Hash-family lineage: MinHash resemblance sketches are Broder 1997
+"On the resemblance and containment of documents"; SimHash is Charikar
+2002 "Similarity estimation techniques from rounding algorithms"; LSH
+banding follows Indyk & Motwani 1998 and the formulation in Leskovec/
+Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3.)
+
 * ``dedup_minhash``        — MinHash + LSH banding over word shingles
 * ``dedup_simhash``        — SimHash fingerprints + chunk-bucketed
                              Hamming candidate pairs

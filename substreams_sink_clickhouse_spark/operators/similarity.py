@@ -10,6 +10,10 @@
   the scale path for repeated queries / self-joins (bucket count grows
   2^planes; per-bucket candidate sets shrink accordingly).
 
+(Random-hyperplane signatures: Charikar 2002; IVF inverted-list search:
+Jegou/Douze/Schmid 2011 "Product quantization for nearest neighbor
+search" — the IVF-Flat variant without PQ codes; k-means: Lloyd 1982.)
+
 The hyperplanes are derived from MD5 in *Python* at import time and
 inlined as literals into both the Spark plan and the DuckDB oracle, so
 both engines use bit-identical planes; dot products fold in identical
