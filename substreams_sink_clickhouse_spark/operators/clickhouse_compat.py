@@ -921,6 +921,121 @@ FROM d GROUP BY user_id ORDER BY user_id
 """
 
 
+# ------------------------------------------------- arrayCumSum / arrayDifference
+
+def _q74_array_cum(spark: SparkSession, sf: str) -> DataFrame:
+    """``arrayCumSum`` / ``arrayDifference`` on the first 8 embedding
+    components — per-row higher-order expressions, no shuffle.  The
+    O(k^2) prefix-slice form keeps the arithmetic order identical in
+    both engines (k is a constant 8)."""
+    e = load_table(spark, sf, "embeddings")
+    head8 = F.expr(
+        "slice(transform(embedding, x -> round(CAST(x AS DOUBLE), 6)), 1, 8)"
+    )
+    cum = F.expr(
+        "transform(sequence(1, size(emb8)), i -> "
+        "round(aggregate(slice(emb8, 1, i), CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6))"
+    )
+    diff = F.expr(
+        "transform(sequence(2, size(emb8)), i -> "
+        "round(element_at(emb8, i) - element_at(emb8, i - 1), 6))"
+    )
+    return (
+        e.select("vec_id", head8.alias("emb8"))
+        .select("vec_id", cum.alias("cumsum"), diff.alias("diffs"))
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+_Q74_ORACLE = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding[1:8], x -> round(CAST(x AS DOUBLE), 6)) AS emb8
+  FROM embeddings)
+SELECT vec_id,
+       list_transform(range(1, len(emb8) + 1),
+                      i -> round(list_sum(emb8[1:i]), 6)) AS cumsum,
+       list_transform(range(2, len(emb8) + 1),
+                      i -> round(emb8[i] - emb8[i - 1], 6)) AS diffs
+FROM t ORDER BY vec_id LIMIT 200
+"""
+
+
+# ------------------------------------------------- entropy
+
+def _q75_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``entropy()`` aggregate: Shannon entropy of each
+    user's event-type distribution.  Two stacked algebraic aggregates
+    — (user, type) counts, then the -sum(p log2 p) fold — both with
+    map-side partials; no window, no collect."""
+    e = load_table(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.round(F.log2("n") - F.col("clog") / F.col("n"), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q75_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type),
+per_user AS (
+  SELECT user_id, sum(c) AS n, sum(c * log2(c)) AS clog
+  FROM counts GROUP BY user_id)
+SELECT user_id, round(log2(n) - clog / n, 6) AS entropy
+FROM per_user ORDER BY user_id
+"""
+
+
+# ------------------------------------------------- simpleLinearRegression
+
+def _q76_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    """``simpleLinearRegression(x, y)``: least-squares slope/intercept
+    of l_extendedprice on l_quantity per return flag, computed from the
+    four algebraic sums (one pass, map-side partials) rather than a
+    second centered pass."""
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        "flag",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 2).alias("intercept"),
+    ).orderBy("flag")
+
+
+_Q76_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag AS flag, count(*) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT flag,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 2) AS intercept
+FROM agg ORDER BY flag
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "q51_replacing_final",
@@ -1047,5 +1162,23 @@ SPECS: list[QuerySpec] = [
         "avgWeighted + deltaSum (ordered positive-delta aggregate)",
         _q73_weighted_aggs,
         _Q73_ORACLE,
+    ),
+    QuerySpec(
+        "q74_array_cum",
+        "arrayCumSum / arrayDifference per-row folds",
+        _q74_array_cum,
+        _Q74_ORACLE,
+    ),
+    QuerySpec(
+        "q75_entropy",
+        "entropy() aggregate (Shannon entropy per key)",
+        _q75_entropy,
+        _Q75_ORACLE,
+    ),
+    QuerySpec(
+        "q76_linreg",
+        "simpleLinearRegression via algebraic sums",
+        _q76_linreg,
+        _Q76_ORACLE,
     ),
 ]
