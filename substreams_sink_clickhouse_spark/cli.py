@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print the formatted physical plan instead of rows (ClickHouse EXPLAIN parity)",
     )
+    sql.add_argument(
+        "--format",
+        choices=["jsonl", "csv"],
+        default="jsonl",
+        help="output format (ClickHouse FORMAT JSONEachRow / CSVWithNames parity)",
+    )
 
     maintain = sub.add_parser(
         "maintain",
@@ -265,8 +271,19 @@ def cmd_sql(spark, args) -> int:
         ))
         return 0
     rows = df.limit(args.limit).collect()
-    for row in rows:
-        print(json.dumps(row.asDict(), default=str))
+    if getattr(args, "format", "jsonl") == "csv":
+        import csv as _csv
+        import io
+
+        buf = io.StringIO()
+        writer = _csv.writer(buf)
+        writer.writerow(df.columns)  # CSVWithNames
+        for row in rows:
+            writer.writerow(["" if v is None else v for v in row])
+        sys.stdout.write(buf.getvalue())
+    else:
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
     return 0
 
 

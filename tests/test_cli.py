@@ -212,3 +212,16 @@ def test_cli_system_views_and_explain(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_cli_sql_csv_format(spark, tmp_path, capsys):
+    schema, stream = _write_fixture(tmp_path)
+    assert cli.main(["run", str(stream)] + _common(tmp_path, schema)) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["sql", "--format", "csv", "SELECT id, number FROM block_meta ORDER BY id"]
+        + _common(tmp_path, schema)
+    ) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "id,number"
+    assert lines[1:] == ["k1,11", "k2,2"]
