@@ -69,6 +69,15 @@ def decode_video(payload: bytes) -> "object":
     )
 
 
+def decode_audio(payload: bytes) -> "object":
+    """Decode an audio payload to samples.  STUB: no soundfile/librosa
+    in this container."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/librosa not present in this "
+        "container; wire it here in a real deployment"
+    )
+
+
 #: Deterministic stand-ins for the decoded paths, so the Spark-side
 #: plumbing (schemas, Arrow batch shapes, fan-out) is oracle-checkable:
 #: "resize" keeps every RESIZE_STRIDE-th byte up to RESIZE_MAX bytes;
@@ -228,6 +237,73 @@ FROM documents ORDER BY asset_id
 """
 
 
+#: Audio stand-in: treat the payload as 8-bit PCM; per-window energy
+#: (sum of squared samples) over AUDIO_WINDOW-byte windows, first
+#: AUDIO_MAX_WINDOWS windows — the batch shape of a real spectrogram /
+#: VAD feature stage (decode stubbed like image/video).
+AUDIO_WINDOW = 16
+AUDIO_MAX_WINDOWS = 4
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("energies", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _audio_energy_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    def energies(b: bytes) -> list[int]:
+        n = (len(b) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+        out = []
+        for w in range(min(n, AUDIO_MAX_WINDOWS)):
+            win = b[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+            out.append(sum(x * x for x in win))
+        return out
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "n_windows": payloads.map(
+                    lambda b: (len(b) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+                ).astype("int32"),
+                "energies": payloads.map(energies),
+            }
+        )
+
+
+def audio_energies(assets: DataFrame) -> DataFrame:
+    """mapInPandas windowed-energy extraction (decode stubbed)."""
+    return assets.mapInPandas(_audio_energy_batches, schema=AUDIO_SCHEMA)
+
+
+def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return audio_energies(assets_from_documents(docs)).orderBy("asset_id")
+
+
+_AUDIO_ORACLE = f"""
+SELECT doc_id AS asset_id,
+       CAST((len(text) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW} AS INT) AS n_windows,
+       list_transform(
+         range(0, least((len(text) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW},
+                        {AUDIO_MAX_WINDOWS})),
+         w -> list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    range(1, least(len(text) - w * {AUDIO_WINDOW}, {AUDIO_WINDOW}) + 1),
+                    j -> CAST(unicode(substr(text, w * {AUDIO_WINDOW} + j, 1)) AS BIGINT)
+                         * CAST(unicode(substr(text, w * {AUDIO_WINDOW} + j, 1)) AS BIGINT))),
+                (a, b) -> a + b)) AS energies
+FROM documents ORDER BY asset_id
+"""
+
+
 def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return sample_frames(assets_from_documents(docs)).orderBy("asset_id", "frame_idx")
@@ -270,5 +346,11 @@ SPECS: list[QuerySpec] = [
         "Video-frame sampling via mapInPandas with per-row fan-out",
         _multimodal_frames,
         _FRAMES_ORACLE,
+    ),
+    QuerySpec(
+        "multimodal_audio",
+        "Audio windowed-energy features via mapInPandas (decode stubbed)",
+        _multimodal_audio,
+        _AUDIO_ORACLE,
     ),
 ]
