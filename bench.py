@@ -176,6 +176,21 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    # Concurrent submission: the same 20 queries submitted from 20
+    # threads (Spark's scheduler interleaves them across local[32]).
+    # This is how a query server actually runs — per-query fixed costs
+    # (stage launch, py4j, AQE replanning) overlap instead of
+    # serializing, so the delta between this and the sequential sum
+    # measures exactly the scheduling floor discussed in BASELINE.md.
+    import concurrent.futures
+
+    t0 = time.time()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(HEADLINE)) as pool:
+        futures = [pool.submit(lambda n=n: queries[n](spark, sf_dir).count()) for n in HEADLINE]
+        for f in futures:
+            f.result()
+    concurrent_total = round(time.time() - t0, 3)
+
     # End-to-end streaming-ingest throughput (the reference's whole
     # reason to exist).  Reported as its own field, not in the query
     # sum: it is a pipeline run with no DuckDB counterpart.
@@ -195,6 +210,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "concurrent_total_sec": concurrent_total,
                 "ingest_e2e_sec": ingest_sec,
             }
         )
