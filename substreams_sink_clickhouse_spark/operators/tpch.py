@@ -1,0 +1,299 @@
+"""TPC-H-shaped analytical queries adapted to the fixture schema.
+
+The reference's users run ad-hoc ClickHouse SQL over the sunk tables
+(/root/reference/README.md:29-52); the TPC-H query set is the standard
+proxy for that analytics surface.  SURVEY.md §2.2 already carries the
+Q1/Q5/Q13/Q17 shapes (q04/q07/q08/q16); this module adds the remaining
+classic shapes expressible over the driver fixtures (which lack
+l_commitdate / l_receiptdate / l_shipmode, so Q12-style queries are out
+of reach by schema, not by engine capability):
+
+* ``tpch_q3``  — shipping-priority: 3-way join, filtered both sides of
+  the date cutoff, grouped revenue, top-k.
+* ``tpch_q4``  — order-priority checking: EXISTS → correlated left-semi
+  join with a non-equi conjunct (l_shipdate > o_orderdate).
+* ``tpch_q10`` — returned-item reporting: 4-way join, revenue per
+  customer, top-k by revenue.
+* ``tpch_q14`` — promotion effect: conditional revenue ratio in one
+  single-pass aggregate (no self-join).
+* ``tpch_q18`` — large-volume customer: HAVING on a grouped fact,
+  re-joined to the fact's parents.
+* ``tpch_q19`` — discounted revenue: disjunction of brand/size/quantity
+  brackets — a pushdown torture test (the OR of AND-brackets reaches
+  the scan as one filter).
+
+Scale design: lineitem→orders joins shuffle on the join key once and
+reuse it; ``part`` and other dimensions are ``broadcast()`` so the fact
+side never shuffles for them (at 100 TB part may exceed broadcast — the
+plans degrade to shuffle joins without rewrite).  All revenue sums are
+algebraic aggregates (map-side partials), rounded identically in the
+oracle so the value-hash is stable under summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+def _rev():
+    # built lazily: classic-mode Column construction needs a live SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping priority: revenue of unshipped BUILDING orders."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 100
+"""
+
+
+def _tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking: EXISTS as a left-semi join whose
+    condition mixes an equi key with a non-equi date conjunct.  Spark
+    plans the equi part as the shuffle key and evaluates the date
+    predicate as a join residual — one shuffle, no decorrelation UDF.
+    """
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item reporting: revenue lost to returns per customer."""
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion effect: PROMO share of revenue in one month — a
+    conditional ratio computed in a single aggregate pass (the naive
+    form self-joins; this is the single-scan rewrite)."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_TPCH_Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def _tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume customers: orders whose total quantity exceeds the
+    threshold, re-joined to the order/customer parents.  The HAVING
+    aggregate runs first and is tiny; it broadcasts back against the
+    parents, so the big fact is scanned exactly once."""
+    l = load_table(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def _tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted revenue over OR'd brand/size/quantity brackets.  The
+    disjunction stays one Catalyst predicate: the part-side conjuncts
+    (brand, size) are pushed to the broadcast build side and the mixed
+    conjuncts evaluate as join residuals — no union-of-three-scans."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+_TPCH_Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "tpch_q3",
+        "TPC-H Q3 shape: shipping-priority top-k revenue",
+        _tpch_q3,
+        _TPCH_Q3_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q4",
+        "TPC-H Q4 shape: EXISTS via semi join with non-equi residual",
+        _tpch_q4,
+        _TPCH_Q4_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q10",
+        "TPC-H Q10 shape: returned-item revenue per customer",
+        _tpch_q10,
+        _TPCH_Q10_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q14",
+        "TPC-H Q14 shape: conditional revenue ratio, single pass",
+        _tpch_q14,
+        _TPCH_Q14_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q18",
+        "TPC-H Q18 shape: HAVING-filtered fact re-joined to parents",
+        _tpch_q18,
+        _TPCH_Q18_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q19",
+        "TPC-H Q19 shape: OR'd bracket predicates with pushdown",
+        _tpch_q19,
+        _TPCH_Q19_ORACLE,
+    ),
+]

@@ -20,12 +20,14 @@ def all_specs() -> list[QuerySpec]:
         similarity,
         streaming_q,
         text,
+        tpch,
         udfs,
     )
 
     specs: list[QuerySpec] = []
     for module in (
         relational,
+        tpch,
         streaming_q,
         clickhouse_compat,
         dictionary,
