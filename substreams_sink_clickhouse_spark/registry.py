@@ -13,6 +13,7 @@ from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 def all_specs() -> list[QuerySpec]:
     from substreams_sink_clickhouse_spark.operators import (
         clickhouse_compat,
+        clickhouse_compat_ext,
         dedup,
         dictionary,
         multimodal,
@@ -30,6 +31,7 @@ def all_specs() -> list[QuerySpec]:
         tpch,
         streaming_q,
         clickhouse_compat,
+        clickhouse_compat_ext,
         dictionary,
         udfs,
         dedup,
