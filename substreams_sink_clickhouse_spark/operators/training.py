@@ -1,0 +1,300 @@
+"""Training-data curation operators: mixture control, splits, epochs.
+
+A 100 TB pretraining pipeline doesn't just clean documents (dedup.py,
+text.py) — it *composes* the corpus: reweight sources toward a target
+mixture, carve deterministic train/val/test splits, fix a reproducible
+global shuffle order, and upsample scarce high-quality sources.  Every
+operator here is driven by the cross-engine MD5 hash family
+(``functions/hashing.py``), so the SAME rows are selected on every
+engine, every run, every partitioning — the property rand()-based
+sampling lacks and the one that makes ablations comparable.
+
+Plus the embedding-side preprocessing a retrieval/ANN stack needs:
+L2 normalization and int8 scalar quantization (the IVF/LSH operators
+in similarity.py consume normalized vectors; quantization is how a
+100 TB embedding store fits hot storage).
+
+Scale notes: mixture / split / upsample are map-only row filters or
+flat-map expansions followed by one algebraic aggregate — no joins, no
+window sorts; the shuffle-order query is a global sort, which Spark
+executes as a range-partitioned sort (sample → range boundaries →
+partition-local sort), the standard distributed topological order for
+writing training shards.  Embedding ops are zero-shuffle per-row
+higher-order folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.functions.hashing import (
+    duck_md5_long_sql,
+    md5_long,
+)
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+#: keep-rate percent per source tier (source index mod 3)
+_MIX_RATES = {0: 100, 1: 50, 2: 20}
+
+
+def _tier(src_col):
+    # source names are 'srcN'; tier = N mod 3
+    return (F.regexp_extract(src_col, r"(\d+)", 1).cast("int") % 3).alias("tier")
+
+
+def _train_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Source reweighting toward a target mixture: per-tier keep rates
+    applied by deterministic hash — a map-only filter, so at 100 TB it
+    rides the scan with zero extra passes."""
+    d = load_table(spark, sf, "documents")
+    h = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    rate = (
+        F.when(_tier(F.col("source")) == 0, F.lit(_MIX_RATES[0]))
+        .when(_tier(F.col("source")) == 1, F.lit(_MIX_RATES[1]))
+        .otherwise(F.lit(_MIX_RATES[2]))
+    )
+    return (
+        d.filter(h < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _train_mix_oracle() -> str:
+    h = duck_md5_long_sql("CONCAT('mix:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT source, count(*) AS kept, sum(n_chars) AS kept_chars
+FROM documents
+WHERE {h} % 100 < (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
+                   WHEN 0 THEN {_MIX_RATES[0]} WHEN 1 THEN {_MIX_RATES[1]}
+                   ELSE {_MIX_RATES[2]} END)
+GROUP BY source ORDER BY source
+"""
+
+
+def _train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test carve (80/10/10 by content hash).
+    Split membership is a pure function of doc_id — stable across
+    engines and reshards, so no document ever migrates between splits
+    when the corpus is re-partitioned."""
+    d = load_table(spark, sf, "documents")
+    b = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _train_split_oracle() -> str:
+    h = duck_md5_long_sql("CONCAT('split:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         n_chars
+  FROM documents)
+GROUP BY split ORDER BY split
+"""
+
+
+def _train_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible global shuffle order for epoch 1: sort by a seeded
+    content hash.  Spark executes this as a range-partitioned sort —
+    the distributed way to lay out training shards in a fixed
+    pseudo-random order without a single-node bottleneck."""
+    d = load_table(spark, sf, "documents")
+    key = md5_long(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(200)
+    )
+
+
+def _train_shuffle_oracle() -> str:
+    h = duck_md5_long_sql("CONCAT('epoch1:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, source, {h} AS shuffle_key
+FROM documents ORDER BY shuffle_key, doc_id LIMIT 200
+"""
+
+
+def _train_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-level upsampling: tier-0 sources repeat 3x per epoch
+    (scarce high-quality data), the rest 1x.  The repeat is a flat-map
+    (``explode(sequence(...))``) — no join, no shuffle; the aggregate
+    confirms the resulting mixture."""
+    d = load_table(spark, sf, "documents")
+    factor = F.when(_tier(F.col("source")) == 0, F.lit(3)).otherwise(F.lit(1))
+    return (
+        d.withColumn("rep", F.explode(F.sequence(F.lit(1), factor)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("epoch_rows"),
+            F.countDistinct("doc_id").alias("unique_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_TRAIN_UPSAMPLE_ORACLE = """
+SELECT source, count(*) AS epoch_rows, count(DISTINCT doc_id) AS unique_docs
+FROM documents, LATERAL unnest(range(CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 = 0
+                                          THEN 3 ELSE 1 END)) u(r)
+GROUP BY source ORDER BY source
+"""
+
+
+def _emb_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 normalization of the embedding column: per-row higher-order
+    fold (norm) + transform (scale) — zero shuffles; the normalized
+    vectors are what similarity.py's cosine operators consume."""
+    v = load_table(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    normalized = F.transform("embedding", lambda x: x.cast("double") / F.col("l2_norm"))
+    check = F.sqrt(
+        F.aggregate("unit", F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        v.withColumn("l2_norm", norm)
+        .withColumn("unit", normalized)
+        .select(
+            "vec_id",
+            F.round("l2_norm", 6).alias("l2_norm_r"),
+            F.round(F.element_at("unit", 1), 6).alias("u1"),
+            F.round(check, 6).alias("unit_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(500)
+    )
+
+
+_EMB_NORMALIZE_ORACLE = """
+SELECT vec_id,
+       round(l2_norm, 6) AS l2_norm_r,
+       round(unit[1], 6) AS u1,
+       round(sqrt(list_sum(list_transform(unit, x -> x * x))), 6) AS unit_norm
+FROM (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS l2_norm,
+         list_transform(embedding, x -> x::DOUBLE
+           / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS unit
+  FROM embeddings)
+ORDER BY vec_id LIMIT 500
+"""
+
+
+def _emb_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization: per-vector scale = 127 / max|x|,
+    values rounded to [-127, 127] — 4x storage reduction for a 100 TB
+    embedding store.  Row-local arithmetic only; the aggregate reports
+    round-trip error so quality is measured, not assumed."""
+    v = load_table(spark, sf, "embeddings")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * F.col("scale")).cast("int")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "embedding", "q", lambda x, qq: F.abs(x.cast("double") - qq / F.col("scale"))
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return (
+        v.withColumn("scale", F.lit(127.0) / absmax)
+        .withColumn("q", q)
+        .withColumn("max_err", err)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+            F.min(F.array_min("q")).alias("q_min"),
+            F.max(F.array_max("q")).alias("q_max"),
+        )
+    )
+
+
+_EMB_QUANTIZE_ORACLE = """
+SELECT count(*) AS n_vecs,
+       round(avg(max_err), 6) AS avg_max_err,
+       round(max(max_err), 6) AS worst_err,
+       min(list_min(q)) AS q_min,
+       max(list_max(q)) AS q_max
+FROM (
+  SELECT list_max(list_transform(list_zip(embedding, q),
+           p -> abs(p[1]::DOUBLE - p[2] / scale))) AS max_err,
+         q
+  FROM (
+    SELECT embedding, scale,
+           list_transform(embedding, x -> round(x::DOUBLE * scale)::INT) AS q
+    FROM (
+      SELECT embedding,
+             127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+      FROM embeddings)))
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "train_mix",
+        "Corpus mixture control: per-source keep rates by stable hash",
+        _train_mix,
+        _train_mix_oracle(),
+    ),
+    QuerySpec(
+        "train_split",
+        "Deterministic train/val/test split (80/10/10 by content hash)",
+        _train_split,
+        _train_split_oracle(),
+    ),
+    QuerySpec(
+        "train_shuffle",
+        "Reproducible global shuffle order (range-partitioned sort)",
+        _train_shuffle,
+        _train_shuffle_oracle(),
+    ),
+    QuerySpec(
+        "train_upsample",
+        "Epoch upsampling: scarce sources repeated via flat-map",
+        _train_upsample,
+        _TRAIN_UPSAMPLE_ORACLE,
+    ),
+    QuerySpec(
+        "emb_normalize",
+        "L2-normalize embedding vectors (zero-shuffle fold)",
+        _emb_normalize,
+        _EMB_NORMALIZE_ORACLE,
+    ),
+    QuerySpec(
+        "emb_quantize",
+        "Int8 scalar quantization of embeddings + round-trip error",
+        _emb_quantize,
+        _EMB_QUANTIZE_ORACLE,
+    ),
+]

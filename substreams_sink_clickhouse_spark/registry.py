@@ -22,6 +22,7 @@ def all_specs() -> list[QuerySpec]:
         streaming_q,
         text,
         tpch,
+        training,
         udfs,
     )
 
@@ -37,6 +38,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         similarity,
         text,
+        training,
         multimodal,
     ):
         specs.extend(module.SPECS)

@@ -93,3 +93,34 @@ def test_packing_bins_are_contiguous_and_budgeted(spark):
         for r in bins[:-1]:
             cum += r["n_tokens"]
             assert cum > 512 * r["bin"]
+
+
+def test_split_partitions_corpus(spark):
+    from substreams_sink_clickhouse_spark.operators.training import _train_split
+
+    rows = {r["split"]: r["n_docs"] for r in _train_split(spark, SF).collect()}
+    total = load_table(spark, SF, "documents").count()
+    # Every document lands in exactly one split.
+    assert sum(rows.values()) == total
+    assert set(rows) <= {"train", "val", "test"}
+    # Hash carve should be roughly 80/10/10 (loose bound at sf0.001).
+    assert rows["train"] > rows.get("val", 0)
+    assert rows["train"] > rows.get("test", 0)
+
+
+def test_upsample_multiplies_exactly(spark):
+    from substreams_sink_clickhouse_spark.operators.training import _train_upsample
+
+    rows = _train_upsample(spark, SF).collect()
+    for r in rows:
+        tier = int("".join(ch for ch in r["source"] if ch.isdigit())) % 3
+        factor = 3 if tier == 0 else 1
+        assert r["epoch_rows"] == factor * r["unique_docs"], r
+
+
+def test_quantized_values_fit_int8(spark):
+    from substreams_sink_clickhouse_spark.operators.training import _emb_quantize
+
+    row = _emb_quantize(spark, SF).collect()[0]
+    assert -127 <= row["q_min"] <= row["q_max"] <= 127
+    assert row["worst_err"] >= row["avg_max_err"] >= 0.0
