@@ -145,6 +145,27 @@ SHOWCASE = [
         "aggregate — each Lloyd iteration costs one scan + one "
         "(cluster, dim) shuffle regardless of corpus size.",
     ),
+    (
+        "tpch_q3",
+        "Classic 3-way analytic join: both fact-side date filters reach "
+        "their scans before the join, the customer side reduces to one "
+        "pruned column, and the orderkey shuffle is shared by join and "
+        "aggregation.",
+    ),
+    (
+        "tpch_q19",
+        "The OR of brand/size/quantity brackets stays ONE predicate: "
+        "part-side conjuncts are pushed into the broadcast build side, "
+        "mixed conjuncts evaluate as join residuals — no "
+        "union-of-three-scans blowup.",
+    ),
+    (
+        "train_mix",
+        "Mixture control is a map-only filter riding the scan: the "
+        "MD5-hash keep-rate predicate evaluates inside the same "
+        "WholeStageCodegen span as the parquet read — reweighting 100 TB "
+        "costs exactly one pass, no shuffle before the tiny aggregate.",
+    ),
 ]
 
 
