@@ -14,6 +14,7 @@ def all_specs() -> list[QuerySpec]:
     from substreams_sink_clickhouse_spark.operators import (
         clickhouse_compat,
         clickhouse_compat_ext,
+        clickhouse_stats,
         dedup,
         dictionary,
         multimodal,
@@ -33,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
         streaming_q,
         clickhouse_compat,
         clickhouse_compat_ext,
+        clickhouse_stats,
         dictionary,
         udfs,
         dedup,
