@@ -333,3 +333,61 @@ SPECS = [
         _Q90_ORACLE,
     ),
 ]
+
+
+# --------------------------------------------------- skew-salted join
+
+def _q91_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key join through the skew-salting path: l_returnflag has 3
+    values, so a returnflag-keyed fact⋈dim join is maximally skewed —
+    the worst case for one reducer.  ``salted_join`` scatters each hot
+    key over 16 sub-partitions and ``two_phase_agg`` combines salted
+    partial sums, so no single task ever owns a whole key.  The oracle
+    is the PLAIN join+group SQL: salting must be invisible in the
+    result (functions/skew.py's contract).
+    """
+    from substreams_sink_clickhouse_spark.functions.skew import (
+        salted_join,
+        two_phase_agg,
+    )
+
+    l = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    flags = (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag")
+        .distinct()
+        .withColumn("flag_tag", F.concat(F.lit("flag:"), F.col("l_returnflag")))
+    )
+    joined = salted_join(l, flags, on=["l_returnflag"], n_salts=16)
+    return two_phase_agg(
+        joined,
+        keys=["flag_tag"],
+        partial_aggs=[
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ps"),
+            F.count(F.lit(1)).alias("pc"),
+        ],
+        final_aggs=[
+            F.round(F.sum("ps"), 2).alias("revenue"),
+            F.sum("pc").alias("n_rows"),
+        ],
+    ).orderBy("flag_tag")
+
+
+_Q91_ORACLE = """
+SELECT concat('flag:', l_returnflag) AS flag_tag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY flag_tag
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q91_skew_salted_join",
+        "Hot-key join via salting + two-phase agg; oracle is the plain join",
+        _q91_skew_salted_join,
+        _Q91_ORACLE,
+    )
+)
