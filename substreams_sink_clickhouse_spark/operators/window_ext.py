@@ -1,0 +1,199 @@
+"""Window/array-semantics completions (q92–q95).
+
+Last gaps in the ClickHouse-user query surface (the reference
+delegates all querying to ClickHouse SQL, /root/reference/README.md:29-52):
+
+* ``q92_array_join_outer``  — ``LEFT ARRAY JOIN`` (rows with empty
+  arrays survive with NULL element) via ``posexplode_outer``.
+* ``q93_ignore_nulls``      — ``first_value/last_value ... IGNORE
+  NULLS`` / ClickHouse ``-OrNull``+``anyLast`` gap-filling idiom.
+* ``q94_percentile_disc``   — ``quantileExact`` discrete convention
+  (smallest value whose cumulative rank reaches the quantile) by rank
+  arithmetic — no interpolation, engine-convention-free.
+* ``q95_multi_positions``   — ``multiSearchAllPositions``: per-needle
+  match positions as an int array.
+
+Scale notes: q92/q95 are row-local fan-out/projections (no shuffle
+until the final aggregate/sort); q93 sorts within user partitions
+only; q94 is the q38_median shape — one partition-local sort per
+group key feeding rank arithmetic, never a global collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+
+# -------------------------------------------------- LEFT ARRAY JOIN
+
+def _q92_array_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ARRAY JOIN: explode each document's long words (>= 9
+    chars); documents with NO long word keep one row with NULL word —
+    exactly ClickHouse's LEFT ARRAY JOIN row-preservation rule, via
+    ``posexplode_outer`` on an empty-able filtered array."""
+    d = load_table(spark, sf, "documents")
+    longs = F.filter(F.split("text", " "), lambda x: F.length(x) >= 9)
+    return (
+        d.select("doc_id", F.posexplode_outer(longs).alias("pos", "word"))
+        .select("doc_id", "pos", "word")
+        .orderBy("doc_id", "pos")
+        .limit(800)
+    )
+
+
+_Q92_ORACLE = """
+SELECT d.doc_id, u.e.pos AS pos, u.e.word AS word
+FROM (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 9) AS ws
+  FROM documents) d,
+LATERAL unnest(CASE WHEN len(ws) = 0 THEN [{'pos': NULL, 'word': NULL}]
+               ELSE list_transform(range(1, len(ws) + 1),
+                                   i -> {'pos': i - 1, 'word': ws[i]}) END) u(e)
+ORDER BY doc_id, pos
+LIMIT 800
+"""
+
+
+# ----------------------------------------------------- IGNORE NULLS
+
+def _q93_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last IGNORE NULLS: carry the last non-null 'purchase'
+    value forward along each user's event history (the gap-fill idiom
+    ClickHouse spells ``anyLastOrNull`` over a sorted group)."""
+    e = load_table(spark, sf, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("pv", pv)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.last("pv", ignorenulls=True).over(w), 4).alias("last_purchase"),
+            F.round(F.first("pv", ignorenulls=True).over(w), 4).alias("first_purchase"),
+            F.row_number().over(wf).alias("rn"),
+        )
+        .orderBy("user_id", "rn")
+        .limit(500)
+    )
+
+
+_Q93_ORACLE = """
+SELECT event_id, user_id,
+       round(last_value(pv IGNORE NULLS) OVER w, 4) AS last_purchase,
+       round(first_value(pv IGNORE NULLS) OVER w, 4) AS first_purchase,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, rn LIMIT 500
+"""
+
+
+# ------------------------------------------------- discrete quantile
+
+def _q94_percentile_disc(spark: SparkSession, sf: str) -> DataFrame:
+    """quantileExact (discrete): the smallest value whose cumulative
+    rank reaches p — pure rank arithmetic, so both engines agree
+    without any interpolation convention.  One partition-local sort
+    per group (q38_median's shape)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    out = []
+    for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        out.append(
+            F.min(
+                F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("o_totalprice"))
+            ).alias(p_name)
+        )
+    return ranked.groupBy("o_orderstatus").agg(*out).orderBy("o_orderstatus")
+
+
+_Q94_ORACLE = """
+SELECT o_orderstatus,
+       min(CASE WHEN rn >= ceil(0.5 * n) THEN o_totalprice END) AS p50,
+       min(CASE WHEN rn >= ceil(0.9 * n) THEN o_totalprice END) AS p90,
+       min(CASE WHEN rn >= ceil(0.99 * n) THEN o_totalprice END) AS p99
+FROM (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ------------------------------------------ multiSearchAllPositions
+
+def _q95_multi_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """multiSearchAllPositions(p_name, ['red','blue','green']): the
+    1-based first position of each needle (0 when absent) as an int
+    array — a row-local projection that stays in codegen."""
+    p = load_table(spark, sf, "part")
+    positions = F.array(
+        *[F.instr(F.col("p_name"), lit) for lit in ("red", "blue", "green")]
+    )
+    return (
+        p.select("p_partkey", positions.alias("positions"))
+        .filter(F.exists("positions", lambda x: x > 0))
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+_Q95_ORACLE = """
+SELECT p_partkey,
+       [coalesce(position('red' IN p_name), 0),
+        coalesce(position('blue' IN p_name), 0),
+        coalesce(position('green' IN p_name), 0)] AS positions
+FROM part
+WHERE len(list_filter([coalesce(position('red' IN p_name), 0),
+                       coalesce(position('blue' IN p_name), 0),
+                       coalesce(position('green' IN p_name), 0)], x -> x > 0)) > 0
+ORDER BY p_partkey LIMIT 300
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q92_array_join_outer",
+        "LEFT ARRAY JOIN row preservation via posexplode_outer",
+        _q92_array_join_outer,
+        _Q92_ORACLE,
+    ),
+    QuerySpec(
+        "q93_ignore_nulls",
+        "first/last IGNORE NULLS gap-fill along user history",
+        _q93_ignore_nulls,
+        _Q93_ORACLE,
+    ),
+    QuerySpec(
+        "q94_percentile_disc",
+        "Discrete quantile by rank arithmetic (convention-free)",
+        _q94_percentile_disc,
+        _Q94_ORACLE,
+    ),
+    QuerySpec(
+        "q95_multi_positions",
+        "multiSearchAllPositions needle-position arrays",
+        _q95_multi_positions,
+        _Q95_ORACLE,
+    ),
+]

@@ -25,6 +25,7 @@ def all_specs() -> list[QuerySpec]:
         tpch,
         training,
         udfs,
+        window_ext,
     )
 
     specs: list[QuerySpec] = []
@@ -41,6 +42,7 @@ def all_specs() -> list[QuerySpec]:
         similarity,
         text,
         training,
+        window_ext,
         multimodal,
     ):
         specs.extend(module.SPECS)
