@@ -297,3 +297,153 @@ SPECS = [
         _TPCH_Q19_ORACLE,
     ),
 ]
+
+
+def _tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): NATION_7's share of
+    ASIA-customer revenue per order year.  Six joins — the two nation
+    roles (customer's and supplier's) are separate broadcast builds of
+    the same tiny table; the fact side shuffles only for orders."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("y")
+    )
+
+
+_TPCH_Q8_ORACLE = """
+SELECT year(o_orderdate) AS y,
+       round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY y ORDER BY y
+"""
+
+
+def _tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-line profit (TPC-H Q9 shape, sans supplycost — absent
+    from the fixtures): revenue on '%red%' parts by supplier nation
+    and order year.  part filters before its broadcast; lineitem
+    shuffles once on orderkey."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("y"))
+        .agg(F.round(F.sum(rev), 2).alias("profit"))
+        .orderBy("nation", F.desc("y"))
+    )
+
+
+_TPCH_Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS y,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate) ORDER BY nation, y DESC
+"""
+
+
+def _tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): wealthy customers
+    (balance above the positive-balance average) with no order since
+    2000.  Scalar-subquery average folds to a plan literal; the
+    NOT-EXISTS is a left-anti join against the date-filtered orders —
+    the filter prunes the anti side before the shuffle."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    wealthy = c.filter(F.col("c_acctbal") > avg_bal)
+    return (
+        wealthy.join(o, wealthy.c_custkey == o.o_custkey, "left_anti")
+        .withColumn("band", (F.col("c_nationkey") % 5).cast("int"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("band")
+    )
+
+
+_TPCH_Q22_ORACLE = """
+SELECT band, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT c_nationkey % 5 AS band, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01'))
+GROUP BY band ORDER BY band
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "tpch_q8",
+            "TPC-H Q8 shape: national market share, dual nation roles",
+            _tpch_q8,
+            _TPCH_Q8_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q9",
+            "TPC-H Q9 shape: product-line profit by nation and year",
+            _tpch_q9,
+            _TPCH_Q9_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q22",
+            "TPC-H Q22 shape: wealthy inactive customers via anti join",
+            _tpch_q22,
+            _TPCH_Q22_ORACLE,
+        ),
+    ]
+)
