@@ -395,10 +395,12 @@ def _tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # scalar subquery as a broadcast 1-row join — fully lazy, no
+    # driver-side collect at plan-build time
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    wealthy = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
     )
-    wealthy = c.filter(F.col("c_acctbal") > avg_bal)
     return (
         wealthy.join(o, wealthy.c_custkey == o.o_custkey, "left_anti")
         .withColumn("band", (F.col("c_nationkey") % 5).cast("int"))

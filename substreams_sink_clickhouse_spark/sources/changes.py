@@ -191,13 +191,24 @@ def decode_database_changes_protobuf(
                 F.expr("transform(tc.fields, f -> struct(f.name, f.new_value))")
             ).alias("fields"),
         )
-    except Exception as exc:  # connector jar absent in this deployment
+    except Exception:
+        # connector jar absent in this deployment: fall back to the
+        # dependency-free wire parser (sources/protobuf_wire.py) when
+        # the envelope columns are present — same output schema, Arrow
+        # mapInPandas instead of the JVM connector.
+        from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
+            decode_database_changes_protobuf_pure,
+        )
+
+        if "block_num" in raw.columns and "block_id" in raw.columns:
+            return decode_database_changes_protobuf_pure(raw, binary_col=binary_col)
         raise NotImplementedError(
-            "protobuf decode requires the spark-protobuf connector "
-            "(org.apache.spark:spark-protobuf) and a compiled descriptor "
-            "set for database.proto; use decode_database_changes (JSON) "
-            f"in environments without it. Underlying error: {exc}"
-        ) from exc
+            "protobuf decode needs either the spark-protobuf connector "
+            "(org.apache.spark:spark-protobuf + descriptor set) or "
+            "block_num/block_id envelope columns for the pure-Python "
+            "wire parser (sources/protobuf_wire.py); use "
+            "decode_database_changes (JSON) otherwise."
+        )
 
 
 def read_changes_jsonl(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:

@@ -177,3 +177,32 @@ def test_bucket_expansion_equals_self_join(spark):
         .collect()
     )
     assert expand_pairs == join_pairs
+
+
+def test_tpch_q19_single_predicate_broadcast(spark):
+    # the OR'd brackets must stay one BroadcastHashJoin + residual,
+    # not a union of three scans
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q19
+
+    plan = simple_plan(_tpch_q19(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
+    assert plan.count("FileScan parquet") == 2, plan[:2000]
+
+
+def test_tpch_q18_scans_lineitem_once(spark):
+    # the HAVING aggregate broadcasts back; lineitem is read one time
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q18
+
+    plan = simple_plan(_tpch_q18(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+
+
+def test_train_mix_filter_rides_scan(spark):
+    # mixture control must be a map-only filter on the scan: no
+    # shuffle before the aggregate's exchange pair (agg + sort)
+    from substreams_sink_clickhouse_spark.operators.training import _train_mix
+
+    df = _train_mix(spark, SF)
+    assert count_shuffles(df) <= 2, simple_plan(df)[:2000]
+    cols = read_columns(df, "documents")
+    assert cols == {"doc_id", "source", "n_chars"}, cols
