@@ -730,8 +730,53 @@ class ChangesIngestPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_protobuf(
+        self,
+        changes_path: str,
+        live: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Run the ingest stream over the reference's BINARY wire
+        format: a parquet stream of BlockScopedData-shaped rows
+        ``(block_num long, block_id string, value binary)`` where
+        ``value`` is a serialized ``DatabaseChanges`` message
+        (sinker/sinker.go:95-113).  Decoding uses the spark-protobuf
+        connector when present, else the dependency-free wire codec
+        (``sources/protobuf_wire.py``) — either way the flush kernel
+        downstream is identical to the JSONL path."""
+        from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
+            decode_database_changes_protobuf_pure,
+        )
+
+        reader = self.spark.readStream.schema(
+            "block_num long, block_id string, value binary"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        raw = reader.parquet(changes_path)
+
+        def process(raw_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(
+                decode_database_changes_protobuf_pure(raw_df), epoch_id
+            )
+
+        writer = raw.writeStream.foreachBatch(process).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if live:
+            writer = writer.trigger(processingTime="1 second")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def run_to_completion(self, changes_path: str, timeout_s: int = 600, **kwargs) -> None:
         query = self.start(changes_path, **kwargs)
+        query.awaitTermination(timeout_s)
+
+    def run_protobuf_to_completion(
+        self, changes_path: str, timeout_s: int = 600, **kwargs
+    ) -> None:
+        query = self.start_protobuf(changes_path, **kwargs)
         query.awaitTermination(timeout_s)
 
     def table(self, name: str) -> DataFrame:

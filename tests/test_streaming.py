@@ -286,3 +286,46 @@ def test_malformed_payload_drop_mode(spark, tmp_path, block_meta_catalog):
     )
     pipe.run_to_completion(str(stream_dir))
     assert {r["id"] for r in pipe.table("block_meta").collect()} == {"k1"}
+
+
+def test_end_to_end_protobuf_wire(spark, tmp_path, block_meta_catalog):
+    """Same replay as test_end_to_end_block_meta but over the
+    reference's BINARY wire format (serialized DatabaseChanges inside
+    a BlockScopedData-shaped envelope), decoded by the pure-Python
+    wire codec — the final table state must be identical."""
+    from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
+        encode_database_changes,
+    )
+
+    blocks = [
+        (1, "0xb1", [
+            {"table": "block_meta", "pk": "day:20240101", "ordinal": 1,
+             "op": "CREATE",
+             "fields": {"at": "2024-01-01", "number": "100", "hash": "0xaa",
+                        "parent_hash": "0x99", "timestamp": "1704067200"}},
+        ]),
+        (2, "0xb2", [
+            {"table": "block_meta", "pk": "day:20240101", "ordinal": 1,
+             "op": "UPDATE", "fields": {"number": "101", "hash": "0xbb"}},
+            {"table": "block_meta", "pk": "day:20240102", "ordinal": 2,
+             "op": "CREATE",
+             "fields": {"at": "2024-01-02", "number": "200", "hash": "0xcc",
+                        "parent_hash": "0xaa", "timestamp": "1704153600"}},
+        ]),
+    ]
+    wire_dir = tmp_path / "wire"
+    spark.createDataFrame(
+        [(bn, bid, bytearray(encode_database_changes(tcs))) for bn, bid, tcs in blocks],
+        "block_num long, block_id string, value binary",
+    ).write.parquet(str(wire_dir))
+
+    pipe = _pipeline(spark, block_meta_catalog, tmp_path)
+    pipe.run_protobuf_to_completion(str(wire_dir))
+
+    rows = {r["id"]: r for r in pipe.table("block_meta").collect()}
+    assert set(rows) == {"day:20240101", "day:20240102"}
+    r1 = rows["day:20240101"]
+    assert (r1["number"], r1["hash"], r1["parent_hash"]) == (101, "0xbb", "0x99")
+    assert r1["timestamp"].year == 2024
+    cursor = pipe.cursors.get_cursor("mod-hash-1")
+    assert cursor is not None and cursor.block_num == 2
