@@ -494,3 +494,54 @@ SPECS: list[QuerySpec] = [
         _Q69_ORACLE,
     ),
 ]
+
+
+def _q96_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view parity under the oracle gate: feed the events
+    table through ``IncrementalAggregate`` in three epoch chunks, then
+    read the maintained store.  The invariant the oracle checks is the
+    whole point of AggregatingMergeTree: incrementally-folded partials
+    == the one-shot aggregate over all the data.  Per epoch the cost is
+    O(batch + touched groups); history is never rescanned."""
+    import tempfile
+
+    from substreams_sink_clickhouse_spark.streaming.mataggs import (
+        IncrementalAggregate,
+    )
+
+    e = load_table(spark, sf, "events")
+    agg = IncrementalAggregate(
+        spark,
+        tempfile.mkdtemp(prefix="mv_rollup_"),
+        keys=["event_type"],
+        measures={
+            "n": ("count", "value"),
+            "sv": ("sum", "value"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+        },
+    )
+    for chunk in range(3):
+        agg.update(e.filter(F.col("event_id") % 3 == chunk), version=chunk + 1)
+    cur = agg.current()
+    return cur.select(
+        "event_type",
+        "n",
+        F.round("sv", 2).alias("sv"),
+        F.round("mn", 4).alias("mn"),
+        F.round("mx", 4).alias("mx"),
+    ).orderBy("event_type")
+
+
+SPECS.append(
+    QuerySpec(
+        "q96_incremental_rollup",
+        "Incrementally-maintained rollup == one-shot aggregate",
+        _q96_incremental_rollup,
+        """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv,
+               round(min(value), 4) AS mn, round(max(value), 4) AS mx
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    )
+)
