@@ -459,3 +459,52 @@ SPECS: list[QuerySpec] = [
         _IVF_ORACLE,
     ),
 ]
+
+
+def _sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Range search (the ANN dual of top-k): ALL corpus vectors within
+    a cosine-similarity radius of the probe, not a fixed count.  The
+    predicate filters map-side right after the fold — nothing but hits
+    reaches the sort, so result size (not corpus size) bounds the
+    post-scan work.  The threshold compares the ROUNDED similarity so
+    a 1-ulp fold difference between engines can't flip membership."""
+    e = load_table(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("p"))
+    scored = (
+        e.crossJoin(F.broadcast(probe))
+        .withColumn("__dot", F.expr(_dot_expr("embedding", "p")))
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("__dot")
+                / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("sim") >= 0.15)
+        .select("vec_id", "sim")
+        .orderBy(F.desc("sim"), "vec_id")
+    )
+
+
+_RANGE_ORACLE = f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT e.vec_id,
+         round({_duck_dot('e.embedding', 'probe.p')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('probe.p')}), 6) AS sim
+  FROM embeddings e, probe)
+SELECT vec_id, sim FROM scored WHERE sim >= 0.15 ORDER BY sim DESC, vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_range_search",
+        "Cosine range search: all vectors within a similarity radius",
+        _sim_range_search,
+        _RANGE_ORACLE,
+    )
+)

@@ -706,3 +706,67 @@ SPECS: list[QuerySpec] = [
         _PACKING_ORACLE,
     ),
 ]
+
+
+def _unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring — the classic corpus-level
+    quality/outlier signal a pretraining pipeline computes before any
+    neural model exists: train unigram counts on the corpus itself,
+    then score each document by its average token log-probability and
+    roll the scores up per language.
+
+    Two map-side-partial aggregates (unigram counts; per-doc sums) and
+    one broadcast of the vocabulary — the fact-side token explosion
+    never materializes and is consumed by hash aggregation.  Rounded
+    before the final fold so summation order can't leak into the hash.
+    """
+    d = load_table(spark, sf, "documents")
+    tokens = d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tokens.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_lp")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_lp"),
+            F.round(F.min("avg_lp"), 4).alias("worst_lp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_UNIGRAM_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents),
+uni AS (SELECT w, count(*) AS c FROM tokens GROUP BY w),
+total AS (SELECT count(*) AS n FROM tokens),
+scored AS (
+  SELECT doc_id, lang, round(avg(ln(c::DOUBLE / n)), 6) AS avg_lp
+  FROM tokens JOIN uni USING (w) CROSS JOIN total
+  GROUP BY doc_id, lang)
+SELECT lang, count(*) AS n_docs,
+       round(avg(avg_lp), 4) AS mean_lp,
+       round(min(avg_lp), 4) AS worst_lp
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_unigram_logprob",
+        "Unigram LM scoring: per-doc avg log-prob, per-lang rollup",
+        _unigram_logprob,
+        _UNIGRAM_ORACLE,
+    )
+)

@@ -197,3 +197,38 @@ SPECS = [
         _Q95_ORACLE,
     ),
 ]
+
+
+def _q97_date_bin(spark: SparkSession, sf: str) -> DataFrame:
+    """toStartOfInterval / date_bin: 15-minute event buckets via the
+    window() TVF (epoch-aligned, same convention as DuckDB's floored
+    epoch arithmetic) feeding one hash aggregate."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "15 minutes").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("bucket", "event_type")
+        .limit(600)
+    )
+
+
+_Q97_ORACLE = """
+SELECT to_timestamp((floor(epoch(ts) / 900) * 900)::BIGINT)::TIMESTAMP AS bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS sv
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type LIMIT 600
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q97_date_bin",
+        "toStartOfInterval/date_bin 15-minute buckets via window() TVF",
+        _q97_date_bin,
+        _Q97_ORACLE,
+    )
+)
