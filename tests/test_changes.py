@@ -189,3 +189,35 @@ def test_protobuf_connector_falls_back_to_pure_decoder(spark):
     assert [(r["block_num"], r["table"], r["op"], dict(r["fields"])) for r in rows] == [
         (9, "t", "CREATE", {"a": "1"})
     ]
+
+
+def test_protobuf_wire_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
+        encode_database_changes,
+        parse_database_changes,
+    )
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+    change = st.fixed_dictionaries(
+        {
+            "table": st.sampled_from(["t1", "t2", "block_meta"]),
+            "pk": text,
+            "ordinal": st.integers(min_value=0, max_value=2**63 - 1),
+            "op": st.sampled_from(["UNSET", "CREATE", "UPDATE", "DELETE"]),
+            "fields": st.dictionaries(
+                st.text(min_size=1, max_size=10), text, max_size=4
+            ),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(change, max_size=6))
+    def roundtrip(changes):
+        assert parse_database_changes(encode_database_changes(changes)) == changes
+
+    roundtrip()

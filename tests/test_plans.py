@@ -6,6 +6,7 @@ schema, dimension joins broadcast, top-k avoids a global sort.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.operators import relational as R
 from substreams_sink_clickhouse_spark.plans.explain import (
@@ -206,3 +207,47 @@ def test_train_mix_filter_rides_scan(spark):
     assert count_shuffles(df) <= 2, simple_plan(df)[:2000]
     cols = read_columns(df, "documents")
     assert cols == {"doc_id", "source", "n_chars"}, cols
+
+
+def test_shuffle_hash_hint_respected(spark):
+    # physical-strategy control: a SHUFFLE_HASH hint must produce a
+    # ShuffledHashJoin (no sort on either side) — the right choice when
+    # one side is small-ish but over the broadcast threshold
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+    l = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").hint("shuffle_hash")
+    plan = simple_plan(l.join(o, l.l_orderkey == o.o_orderkey))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # bucketing = the 100 TB co-located-join tool: two tables bucketed
+    # by the join key join with ZERO Exchange operators in the plan
+    import uuid
+
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    lt, ot = f"l_bkt_{suffix}", f"o_bkt_{suffix}"
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (load_table(spark, SF, "lineitem")
+         .select("l_orderkey", "l_quantity")
+         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(lt))
+        (load_table(spark, SF, "orders")
+         .select("o_orderkey", "o_totalprice")
+         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(ot))
+        joined = spark.table(lt).join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = simple_plan(joined)
+        assert "Exchange" not in plan, plan[:3000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
