@@ -391,3 +391,107 @@ SPECS.append(
         _Q91_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------------ arrayAUC
+
+def _q98_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC AUC (ClickHouse ``arrayAUC``) of ``value`` as a score for
+    "event is a purchase", by the Mann-Whitney U statistic with exact
+    tie handling: group scores to distinct values (np/nn counts), one
+    ordered pass accumulates negatives-below, and
+    AUC = Σ np·(nn_below + nn_at/2) / (P·N).  The only sort is over
+    DISTINCT score values — score cardinality, not event count — and
+    every aggregate is algebraic."""
+    e = load_table(spark, sf, "events")
+    labeled = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_score = labeled.groupBy("score").agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    stats = per_score.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
+    )
+    return stats.agg(
+        F.round(
+            F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc")
+    )
+
+
+_Q98_ORACLE = """
+WITH labeled AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+per_score AS (
+  SELECT score, sum(y) AS np, sum(1 - y) AS nn
+  FROM labeled GROUP BY score),
+stats AS (
+  SELECT np, nn,
+         coalesce(sum(nn) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+  FROM per_score)
+SELECT round(sum(np * (nn_below + nn / 2.0)) / (sum(np) * sum(nn)), 6) AS auc
+FROM stats
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q98_auc",
+        "ROC AUC (arrayAUC) via Mann-Whitney with exact tie handling",
+        _q98_auc,
+        _Q98_ORACLE,
+    )
+)
+
+
+# -------------------------------------------- array set algebra
+
+def _q99_array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """arrayIntersect / arrayUnion (as distinct concat) / arrayExcept:
+    row-local set algebra between each part name's word set and a
+    reference vocabulary — pure codegen projections; both engines'
+    results sorted so internal ordering conventions can't differ."""
+    p = load_table(spark, sf, "part")
+    vocab = F.array(*[F.lit(x) for x in ("red", "ring", "bolt")])
+    words = F.array_distinct(F.split("p_name", " "))
+    return (
+        p.select(
+            "p_partkey",
+            F.sort_array(F.array_intersect(words, vocab)).alias("common"),
+            F.sort_array(F.array_union(words, vocab)).alias("united"),
+            F.sort_array(F.array_except(words, vocab)).alias("only_name"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+_Q99_ORACLE = """
+SELECT p_partkey,
+       list_sort(list_intersect(ws, ['red', 'ring', 'bolt'])) AS common,
+       list_sort(list_distinct(ws || ['red', 'ring', 'bolt'])) AS united,
+       list_sort(list_filter(ws, x -> NOT list_contains(['red', 'ring', 'bolt'], x))) AS only_name
+FROM (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS ws FROM part)
+ORDER BY p_partkey LIMIT 300
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q99_array_setops",
+        "arrayIntersect/arrayUnion/arrayExcept row-local set algebra",
+        _q99_array_setops,
+        _Q99_ORACLE,
+    )
+)
