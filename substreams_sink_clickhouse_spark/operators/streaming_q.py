@@ -545,3 +545,124 @@ SPECS.append(
         """,
     )
 )
+
+
+def _q100_stateful_stream_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's cross-flush buffer as a TRUE streaming operator
+    under the oracle gate: CREATEs arrive in micro-batch 1, UPDATEs
+    for half the keys in micro-batch 2, and ``applyInPandasWithState``
+    must fold them field-wise through persisted state (db/ops.go:64-75
+    surviving between flushes).  The oracle reproduces the merge in
+    plain SQL over orders — state handling must be invisible in the
+    result.  Update-mode emissions are disambiguated by a version
+    field folded INTO the state: final = max_by(emission, version)."""
+    import json as _json
+    import os
+    import tempfile
+    import time
+
+    from substreams_sink_clickhouse_spark.sources.changes import (
+        decode_database_changes,
+    )
+    from substreams_sink_clickhouse_spark.streaming.stateful import (
+        streaming_pending_ops,
+    )
+
+    o = load_table(spark, sf, "orders")
+    subset = (
+        o.filter(F.col("o_orderkey") % 200 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .collect()
+    )
+
+    def msg(block_num, pk, op, fields):
+        return _json.dumps(
+            {
+                "block_num": block_num,
+                "block_id": f"0x{block_num:x}",
+                "table_changes": [
+                    {
+                        "table": "orders_state",
+                        "pk": str(pk),
+                        "ordinal": 1,
+                        "operation": op,
+                        "fields": [
+                            {"name": n, "new_value": v, "old_value": None}
+                            for n, v in fields.items()
+                        ],
+                    }
+                ],
+            }
+        )
+
+    stream_dir = tempfile.mkdtemp(prefix="q100_changes_")
+    creates = [
+        msg(1, r["o_orderkey"], "CREATE",
+            {"price": repr(r["o_totalprice"]), "status": r["o_orderstatus"], "v": "1"})
+        for r in subset
+    ]
+    updates = [
+        msg(2, r["o_orderkey"], "UPDATE",
+            {"status": r["o_orderstatus"] + "+u", "v": "2"})
+        for r in subset
+        if r["o_orderkey"] % 400 == 0
+    ]
+    now = time.time()
+    f1 = os.path.join(stream_dir, "a_batch1.jsonl")
+    with open(f1, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(creates))
+    os.utime(f1, (now - 60, now - 60))
+    f2 = os.path.join(stream_dir, "b_batch2.jsonl")
+    with open(f2, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(updates))
+    os.utime(f2, (now, now))
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .text(stream_dir)
+    )
+    pending = streaming_pending_ops(decode_database_changes(raw, "value"))
+    sink = _run_to_memory(pending, "q100", "update")
+    emitted = spark.table(sink)
+    fields = F.from_json(
+        "fields_json", "map<string,string>"
+    )
+    parsed = emitted.select(
+        F.col("pk").cast("long").alias("pk"),
+        "op",
+        fields.getField("v").cast("int").alias("v"),
+        fields.getField("price").cast("double").alias("price"),
+        fields.getField("status").alias("status"),
+    )
+    return (
+        parsed.groupBy("pk")
+        .agg(
+            F.expr("max_by(op, v)").alias("op"),
+            F.round(F.expr("max_by(price, v)"), 2).alias("price"),
+            F.expr("max_by(status, v)").alias("status"),
+        )
+        .orderBy("pk")
+    )
+
+
+_Q100_ORACLE = """
+SELECT o_orderkey AS pk,
+       'CREATE' AS op,
+       round(o_totalprice, 2) AS price,
+       CASE WHEN o_orderkey % 400 = 0 THEN o_orderstatus || '+u'
+            ELSE o_orderstatus END AS status
+FROM orders
+WHERE o_orderkey % 200 = 0
+ORDER BY pk
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q100_stateful_stream_merge",
+        "Cross-batch stateful merge (applyInPandasWithState) == SQL merge",
+        _q100_stateful_stream_merge,
+        _Q100_ORACLE,
+    )
+)
