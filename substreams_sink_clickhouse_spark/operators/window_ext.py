@@ -232,3 +232,116 @@ SPECS.append(
         _Q97_ORACLE,
     )
 )
+
+
+def _q101_top_with_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """LIMIT n WITH TIES (ClickHouse supports it; Spark has no native
+    form): the rank()-rewrite — every row tying the nth value
+    survives.  rank() over one global ordering here; per-group ties
+    use the same shape partitioned (q12's top-k-per-key)."""
+    o = load_table(spark, sf, "orders")
+    # coarsen to whole dollars so ties actually exist in the fixture
+    w = Window.orderBy(F.desc(F.floor("o_totalprice")))
+    return (
+        o.withColumn("price_floor", F.floor("o_totalprice"))
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", "price_floor", "rk")
+        .orderBy("rk", "o_orderkey")
+    )
+
+
+_Q101_ORACLE = """
+SELECT o_orderkey, price_floor, rk
+FROM (
+  SELECT o_orderkey, floor(o_totalprice) AS price_floor,
+         rank() OVER (ORDER BY floor(o_totalprice) DESC) AS rk
+  FROM orders)
+WHERE rk <= 10
+ORDER BY rk, o_orderkey
+"""
+
+
+def _q102_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """OFFSET/FETCH pagination (page 3, 20 rows/page) over a total
+    order.  Spark's ``offset`` pushes into the same
+    TakeOrderedAndProject as the limit — the driver materializes
+    offset+limit rows, never the full sort."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+_Q102_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+def _q103_bag_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — bag (multiplicity-preserving)
+    set operations, a different operator from q15's DISTINCT set ops:
+    Catalyst plans them as multiplicity-tracking aggregates, not
+    dedup + join."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersectAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("n_inter"))
+    only_c = c.exceptAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("n_except"))
+    return (
+        both.join(only_c, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            F.coalesce("n_except", F.lit(0)).alias("n_except"),
+        )
+        .orderBy("k")
+    )
+
+
+_Q103_ORACLE = """
+WITH inter AS (
+  SELECT k, count(*) AS n_inter FROM (
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier) GROUP BY k),
+exc AS (
+  SELECT k, count(*) AS n_except FROM (
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier) GROUP BY k)
+SELECT coalesce(inter.k, exc.k) AS k,
+       coalesce(n_inter, 0) AS n_inter,
+       coalesce(n_except, 0) AS n_except
+FROM inter FULL OUTER JOIN exc ON inter.k = exc.k
+ORDER BY k
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "q101_top_with_ties",
+            "LIMIT n WITH TIES via the rank() rewrite",
+            _q101_top_with_ties,
+            _Q101_ORACLE,
+        ),
+        QuerySpec(
+            "q102_pagination",
+            "OFFSET/FETCH pagination inside TakeOrderedAndProject",
+            _q102_pagination,
+            _Q102_ORACLE,
+        ),
+        QuerySpec(
+            "q103_bag_setops",
+            "EXCEPT ALL / INTERSECT ALL multiplicity-preserving set ops",
+            _q103_bag_setops,
+            _Q103_ORACLE,
+        ),
+    ]
+)
