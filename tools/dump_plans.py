@@ -160,6 +160,19 @@ SHOWCASE = [
         "union-of-three-scans blowup.",
     ),
     (
+        "q102_pagination",
+        "OFFSET folds into the same TakeOrderedAndProject as LIMIT: the "
+        "driver materializes offset+limit rows from per-partition "
+        "top-(offset+limit) heaps — never a global sort.",
+    ),
+    (
+        "q98_auc",
+        "ROC AUC sorts DISTINCT score values, not events: the window "
+        "runs after a hash aggregate whose output is score cardinality — "
+        "the single-partition window is bounded by value diversity, not "
+        "data volume.",
+    ),
+    (
         "train_mix",
         "Mixture control is a map-only filter riding the scan: the "
         "MD5-hash keep-rate predicate evaluates inside the same "
