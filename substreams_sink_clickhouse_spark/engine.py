@@ -116,6 +116,19 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
+    def register_external(
+        self, name: str, path: str, fmt: str = "parquet", schema=None
+    ) -> DataFrame:
+        """ClickHouse ``file()`` table-function parity at the engine
+        level: expose a file-based table (parquet/ORC/CSV/TSV/JSONL —
+        see ``sources/formats.py``) as a queryable view for
+        ``engine.sql``.  Text formats require an explicit schema."""
+        from substreams_sink_clickhouse_spark.sources.formats import read_table
+
+        df = read_table(self.spark, path, fmt, schema=schema)
+        df.createOrReplaceTempView(name)
+        return df
+
     def table(
         self, name: str, module_hash: str = "default", final: bool = False
     ) -> DataFrame:

@@ -36,3 +36,17 @@ def test_wire_codec_rejects_garbage():
         parse_database_changes(b"\xff" * 12)  # unterminated varint
     with pytest.raises(ValueError):
         parse_database_changes(b"\x0a\x7f")  # length past end of buffer
+
+
+def test_engine_register_external_queryable(spark, tmp_path):
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_table(src, path, "csv")
+    eng = Engine(spark)
+    eng.register_external("nation_ext", path, "csv", schema=src.schema)
+    out = eng.sql(
+        "SELECT count(*) AS n, max(n_nationkey) AS mx FROM nation_ext"
+    ).collect()[0]
+    assert out["n"] == src.count()
