@@ -449,3 +449,79 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def _tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting revenue change (TPC-H Q6 proper — q03 reuses this
+    filter but projects; this is the canonical single-scan aggregate).
+    Everything folds into one map-side partial sum over a fully
+    pushed-down scan: the cheapest possible shape at 100 TB."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_TPCH_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <= TIMESTAMP '1996-12-31'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _ch_any_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN``: at most ONE right-side row per
+    left row (the first match), vs standard SQL's row multiplication.
+    Spark-first: reduce the right side to one deterministic row per
+    key with ``min_by`` BEFORE the join — the join input shrinks to
+    key cardinality, strictly cheaper than joining then deduping."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.expr("min_by(o_orderkey, o_orderkey)").alias("first_orderkey"),
+        F.round(F.expr("min_by(o_totalprice, o_orderkey)"), 2).alias("first_price"),
+    )
+    return (
+        c.join(first_order, c.c_custkey == first_order.o_custkey, "left")
+        .select("c_custkey", "first_orderkey", "first_price")
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+_ANY_JOIN_ORACLE = """
+SELECT c_custkey, first_orderkey, round(first_price, 2) AS first_price
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, min(o_orderkey) AS first_orderkey,
+         min_by(o_totalprice, o_orderkey) AS first_price
+  FROM orders GROUP BY o_custkey) f ON c_custkey = f.o_custkey
+ORDER BY c_custkey LIMIT 500
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "tpch_q6",
+            "TPC-H Q6 proper: single-scan pushed-down revenue aggregate",
+            _tpch_q6,
+            _TPCH_Q6_ORACLE,
+        ),
+        QuerySpec(
+            "ch_any_join",
+            "ClickHouse ANY LEFT JOIN: one right row per key via min_by",
+            _ch_any_join,
+            _ANY_JOIN_ORACLE,
+        ),
+    ]
+)
