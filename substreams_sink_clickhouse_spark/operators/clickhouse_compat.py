@@ -750,7 +750,7 @@ def _q68_group_uniq_array(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("types"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
             F.size(F.collect_set("event_type")).alias("n_types"),
         )
         .orderBy("user_id")
@@ -759,7 +759,7 @@ def _q68_group_uniq_array(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q68_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       list_aggregate(list_sort(list(DISTINCT event_type)), 'string_agg', ',') AS types,
        len(list(DISTINCT event_type)) AS n_types
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -932,13 +932,19 @@ def _q74_array_cum(spark: SparkSession, sf: str) -> DataFrame:
     head8 = F.expr(
         "slice(transform(embedding, x -> round(CAST(x AS DOUBLE), 6)), 1, 8)"
     )
+    # Driver-canonicalizable output: render the arrays as fixed-scale
+    # decimal CSV strings (the pandas-based harness cannot sort/hash
+    # raw array columns).  DECIMAL(18,6) string form is identical in
+    # Spark and DuckDB, sidestepping double-formatting drift.
     cum = F.expr(
-        "transform(sequence(1, size(emb8)), i -> "
-        "round(aggregate(slice(emb8, 1, i), CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6))"
+        "array_join(transform(sequence(1, size(emb8)), i -> "
+        "CAST(CAST(round(aggregate(slice(emb8, 1, i), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x), 6) AS DECIMAL(18, 6)) AS STRING)), ',')"
     )
     diff = F.expr(
-        "transform(sequence(2, size(emb8)), i -> "
-        "round(element_at(emb8, i) - element_at(emb8, i - 1), 6))"
+        "array_join(transform(sequence(2, size(emb8)), i -> "
+        "CAST(CAST(round(element_at(emb8, i) - element_at(emb8, i - 1), 6)"
+        " AS DECIMAL(18, 6)) AS STRING)), ',')"
     )
     return (
         e.select("vec_id", head8.alias("emb8"))
@@ -954,10 +960,12 @@ WITH t AS (
          list_transform(embedding[1:8], x -> round(CAST(x AS DOUBLE), 6)) AS emb8
   FROM embeddings)
 SELECT vec_id,
-       list_transform(range(1, len(emb8) + 1),
-                      i -> round(list_sum(emb8[1:i]), 6)) AS cumsum,
-       list_transform(range(2, len(emb8) + 1),
-                      i -> round(emb8[i] - emb8[i - 1], 6)) AS diffs
+       list_aggregate(list_transform(range(1, len(emb8) + 1),
+                      i -> CAST(CAST(round(list_sum(emb8[1:i]), 6) AS DECIMAL(18,6)) AS VARCHAR)),
+                      'string_agg', ',') AS cumsum,
+       list_aggregate(list_transform(range(2, len(emb8) + 1),
+                      i -> CAST(CAST(round(emb8[i] - emb8[i - 1], 6) AS DECIMAL(18,6)) AS VARCHAR)),
+                      'string_agg', ',') AS diffs
 FROM t ORDER BY vec_id LIMIT 200
 """
 

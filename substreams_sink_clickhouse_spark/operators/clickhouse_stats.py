@@ -460,17 +460,18 @@ SPECS.append(
 def _q99_array_setops(spark: SparkSession, sf: str) -> DataFrame:
     """arrayIntersect / arrayUnion (as distinct concat) / arrayExcept:
     row-local set algebra between each part name's word set and a
-    reference vocabulary — pure codegen projections; both engines'
-    results sorted so internal ordering conventions can't differ."""
+    reference vocabulary — pure codegen projections; results rendered
+    as sorted CSV strings so the driver's pandas canonicalizer can
+    hash them and internal ordering conventions can't differ."""
     p = load_table(spark, sf, "part")
     vocab = F.array(*[F.lit(x) for x in ("red", "ring", "bolt")])
     words = F.array_distinct(F.split("p_name", " "))
     return (
         p.select(
             "p_partkey",
-            F.sort_array(F.array_intersect(words, vocab)).alias("common"),
-            F.sort_array(F.array_union(words, vocab)).alias("united"),
-            F.sort_array(F.array_except(words, vocab)).alias("only_name"),
+            F.array_join(F.sort_array(F.array_intersect(words, vocab)), ",").alias("common"),
+            F.array_join(F.sort_array(F.array_union(words, vocab)), ",").alias("united"),
+            F.array_join(F.sort_array(F.array_except(words, vocab)), ",").alias("only_name"),
         )
         .orderBy("p_partkey")
         .limit(300)
@@ -479,9 +480,9 @@ def _q99_array_setops(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q99_ORACLE = """
 SELECT p_partkey,
-       list_sort(list_intersect(ws, ['red', 'ring', 'bolt'])) AS common,
-       list_sort(list_distinct(ws || ['red', 'ring', 'bolt'])) AS united,
-       list_sort(list_filter(ws, x -> NOT list_contains(['red', 'ring', 'bolt'], x))) AS only_name
+       coalesce(list_aggregate(list_sort(list_intersect(ws, ['red', 'ring', 'bolt'])), 'string_agg', ','), '') AS common,
+       coalesce(list_aggregate(list_sort(list_distinct(ws || ['red', 'ring', 'bolt'])), 'string_agg', ','), '') AS united,
+       coalesce(list_aggregate(list_sort(list_filter(ws, x -> NOT list_contains(['red', 'ring', 'bolt'], x))), 'string_agg', ','), '') AS only_name
 FROM (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS ws FROM part)
 ORDER BY p_partkey LIMIT 300
 """

@@ -248,7 +248,9 @@ AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("n_windows", T.IntegerType(), True),
-        T.StructField("energies", T.ArrayType(T.LongType()), True),
+        # CSV-rendered (the external driver's pandas canonicalizer
+        # cannot sort/hash raw array columns).
+        T.StructField("energies", T.StringType(), True),
     ]
 )
 
@@ -256,13 +258,13 @@ AUDIO_SCHEMA = T.StructType(
 def _audio_energy_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    def energies(b: bytes) -> list[int]:
+    def energies(b: bytes) -> str:
         n = (len(b) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
         out = []
         for w in range(min(n, AUDIO_MAX_WINDOWS)):
             win = b[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
             out.append(sum(x * x for x in win))
-        return out
+        return ",".join(str(x) for x in out)
 
     for pdf in batches:
         payloads = pdf["payload"]
@@ -290,7 +292,7 @@ def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
 _AUDIO_ORACLE = f"""
 SELECT doc_id AS asset_id,
        CAST((len(text) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW} AS INT) AS n_windows,
-       list_transform(
+       coalesce(list_aggregate(list_transform(list_transform(
          range(0, least((len(text) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW},
                         {AUDIO_MAX_WINDOWS})),
          w -> list_reduce(
@@ -299,7 +301,7 @@ SELECT doc_id AS asset_id,
                     range(1, least(len(text) - w * {AUDIO_WINDOW}, {AUDIO_WINDOW}) + 1),
                     j -> CAST(unicode(substr(text, w * {AUDIO_WINDOW} + j, 1)) AS BIGINT)
                          * CAST(unicode(substr(text, w * {AUDIO_WINDOW} + j, 1)) AS BIGINT))),
-                (a, b) -> a + b)) AS energies
+                (a, b) -> a + b)), x -> CAST(x AS VARCHAR)), 'string_agg', ','), '') AS energies
 FROM documents ORDER BY asset_id
 """
 

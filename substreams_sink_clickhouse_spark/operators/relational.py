@@ -840,17 +840,29 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def _q45_array_predicates(spark: SparkSession, sf: str) -> DataFrame:
     """Higher-order array predicates: exists / forall / filter-count
-    over the embedding vectors — all JVM lambda evaluation, no Python."""
+    over the embedding vectors — all JVM lambda evaluation, no Python.
+
+    Driver-robust typing: group keys cast to INT (pandas-canonicalizer
+    bool handling differs between harnesses), ``sum_neg`` to BIGINT
+    (DuckDB sums to INT128), and thresholds 0.5/-0.5 which are exact in
+    FLOAT so float→double widening can't flip a comparison."""
     e = load_table(spark, sf, "embeddings")
     return (
         e.select(
             "vec_id",
-            F.expr("exists(embedding, x -> x > CAST(0.4 AS DOUBLE))").alias("has_big"),
-            F.expr("forall(embedding, x -> x > CAST(-0.45 AS DOUBLE))").alias("all_ok"),
+            F.expr("exists(embedding, x -> x > CAST(0.5 AS DOUBLE))")
+            .cast("int")
+            .alias("has_big"),
+            F.expr("forall(embedding, x -> x > CAST(-0.5 AS DOUBLE))")
+            .cast("int")
+            .alias("all_ok"),
             F.expr("size(filter(embedding, x -> x < CAST(0.0 AS DOUBLE)))").alias("n_neg"),
         )
         .groupBy("has_big", "all_ok")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_neg").alias("sum_neg"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_neg").cast("bigint").alias("sum_neg"),
+        )
         .orderBy("has_big", "all_ok")
     )
 
@@ -858,11 +870,11 @@ def _q45_array_predicates(spark: SparkSession, sf: str) -> DataFrame:
 _ARRAY_PRED_ORACLE = """
 WITH t AS (
   SELECT vec_id,
-         len(list_filter(embedding, x -> x > CAST(0.4 AS DOUBLE))) > 0 AS has_big,
-         len(list_filter(embedding, x -> NOT (x > CAST(-0.45 AS DOUBLE)))) = 0 AS all_ok,
+         CAST(len(list_filter(embedding, x -> x > CAST(0.5 AS DOUBLE))) > 0 AS INT) AS has_big,
+         CAST(len(list_filter(embedding, x -> NOT (x > CAST(-0.5 AS DOUBLE)))) = 0 AS INT) AS all_ok,
          len(list_filter(embedding, x -> x < CAST(0.0 AS DOUBLE))) AS n_neg
   FROM embeddings)
-SELECT has_big, all_ok, count(*) AS cnt, sum(n_neg) AS sum_neg
+SELECT has_big, all_ok, count(*) AS cnt, CAST(sum(n_neg) AS BIGINT) AS sum_neg
 FROM t GROUP BY has_big, all_ok ORDER BY has_big, all_ok
 """
 
@@ -966,10 +978,9 @@ def _q49_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     partials); declared exact here so the oracle can hash-match."""
     l = load_table(spark, sf, "lineitem")
     qs = l.groupBy("l_returnflag").agg(
-        F.expr(
-            "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
-            " x -> round(x, 4))"
-        ).alias("quantity_q"),
+        F.round(F.expr("percentile(l_quantity, 0.25D)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75D)"), 4).alias("q75"),
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("price_median"),
     )
     return qs.orderBy("l_returnflag")
@@ -977,7 +988,9 @@ def _q49_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 _QUANTILES_ORACLE = """
 SELECT l_returnflag,
-       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS quantity_q,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -144,29 +144,39 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 def _q95_multi_positions(spark: SparkSession, sf: str) -> DataFrame:
     """multiSearchAllPositions(p_name, ['red','blue','green']): the
-    1-based first position of each needle (0 when absent) as an int
-    array — a row-local projection that stays in codegen."""
+    1-based first position of each needle (0 when absent), rendered
+    as a CSV string (the driver's pandas canonicalizer cannot hash
+    array columns) — a row-local projection that stays in codegen."""
     p = load_table(spark, sf, "part")
     positions = F.array(
         *[F.instr(F.col("p_name"), lit) for lit in ("red", "blue", "green")]
     )
     return (
-        p.select("p_partkey", positions.alias("positions"))
-        .filter(F.exists("positions", lambda x: x > 0))
+        p.select("p_partkey", positions.alias("pos_arr"))
+        .filter(F.exists("pos_arr", lambda x: x > 0))
+        .select(
+            "p_partkey",
+            F.array_join(F.transform("pos_arr", lambda x: x.cast("string")), ",").alias(
+                "positions"
+            ),
+        )
         .orderBy("p_partkey")
         .limit(300)
     )
 
 
 _Q95_ORACLE = """
+WITH t AS (
+  SELECT p_partkey,
+         [coalesce(position('red' IN p_name), 0),
+          coalesce(position('blue' IN p_name), 0),
+          coalesce(position('green' IN p_name), 0)] AS pos_arr
+  FROM part)
 SELECT p_partkey,
-       [coalesce(position('red' IN p_name), 0),
-        coalesce(position('blue' IN p_name), 0),
-        coalesce(position('green' IN p_name), 0)] AS positions
-FROM part
-WHERE len(list_filter([coalesce(position('red' IN p_name), 0),
-                       coalesce(position('blue' IN p_name), 0),
-                       coalesce(position('green' IN p_name), 0)], x -> x > 0)) > 0
+       list_aggregate(list_transform(pos_arr, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS positions
+FROM t
+WHERE len(list_filter(pos_arr, x -> x > 0)) > 0
 ORDER BY p_partkey LIMIT 300
 """
 
