@@ -3,12 +3,17 @@ processed with Arrow-batched ``mapInPandas``.
 
 Real pipelines carry images/audio/video as ``binary`` columns next to
 typed metadata and run decode / resize / feature-extraction as
-vectorized Pandas stages.  The decode libraries (PIL/ffmpeg/…) are not
-in this container, so the *decode* step is stubbed behind
-``NotImplementedError`` while everything Spark-side — schema, binary
-column handling, Arrow batch shape, partitioning — is real and tested.
-A deterministic byte-level feature extractor stands in for the decoded
-path so the operator is oracle-checkable end-to-end.
+vectorized Pandas stages.  The decode step is REAL for the container
+formats implementable without native libraries: WAV via the stdlib
+RIFF parser (``decode_audio``), 24-bit BMP with stride-padding /
+BGR / bottom-up handling and binary PPM (``decode_image``), and a
+raw concatenated-frame video container (``decode_video``).
+Compressed codecs (JPEG/PNG/H.264/MP3) raise ``ValueError`` — they
+need PIL/ffmpeg/soundfile, not present in this container; the Arrow
+plumbing around them is identical either way.  The byte-level
+feature extractors remain as the oracle-checkable fast path; the
+``multimodal_wav_decode`` / ``multimodal_bmp_decode`` gate entries
+run encode -> real decode -> features end-to-end.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — per-task memory is
 one batch, not one partition; binary payloads should be size-bucketed
@@ -51,31 +56,125 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels.  STUB: the decode libraries
-    are not available in this environment."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; wire PIL/torchvision here in a real deployment"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to ``(width, height, rgb_bytes)``.
+
+    Real pure-Python decoders for the two uncompressed container
+    formats this engine ships with:
+
+    * **BMP** (``BM`` magic): 24-bit BITMAPINFOHEADER files.  Handles
+      the three things naive parsers get wrong — the 4-byte row-stride
+      padding, the bottom-up row order (positive ``biHeight``), and
+      the BGR channel order — returning top-down RGB.
+    * **PPM** (``P6`` magic): binary Portable Pixmap; whitespace/
+      comment-tolerant header parse, raw RGB payload.
+
+    Compressed formats (JPEG/PNG/WebP) need an imaging library not in
+    this container; they raise ``ValueError`` with the detected magic.
+    """
+    import struct
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off_bits = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        if hdr_size < 40 or planes != 1 or bpp != 24:
+            raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        rows = []
+        for y in range(h):
+            src_y = (h - 1 - y) if bottom_up else y
+            row = payload[off_bits + src_y * stride : off_bits + src_y * stride + w * 3]
+            if len(row) != w * 3:
+                raise ValueError("truncated BMP pixel data")
+            # BGR -> RGB
+            rows.append(bytes(b for px in range(w) for b in row[px * 3 : px * 3 + 3][::-1]))
+        return w, h, b"".join(rows)
+    if payload[:2] == b"P6":
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        rgb = payload[i : i + w * h * 3]
+        if len(rgb) != w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, rgb
+    raise ValueError(f"unsupported image format (magic={payload[:2]!r}); "
+                     "JPEG/PNG need an imaging library not in this container")
 
 
-def decode_video(payload: bytes) -> "object":
-    """Decode a video payload to frames.  STUB: no ffmpeg/av in this
-    container."""
-    raise NotImplementedError(
-        "video decoding requires ffmpeg/pyav not present in this "
-        "container; wire it here in a real deployment"
-    )
+#: Magic + layout of the engine's raw video container: concatenated
+#: length-prefixed PPM frames.  Interframe codecs (H.264/VP9) need
+#: ffmpeg; a raw frame container is what a decode stage downstream of
+#: a demuxer actually consumes.
+VIDEO_MAGIC = b"VID0"
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Decode an audio payload to samples.  STUB: no soundfile/librosa
-    in this container."""
-    raise NotImplementedError(
-        "audio decoding requires soundfile/librosa not present in this "
-        "container; wire it here in a real deployment"
-    )
+def decode_video(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Decode a raw-container video payload to a list of
+    ``(width, height, rgb_bytes)`` frames.
+
+    Container layout: ``b"VID0"`` + u32-LE frame count, then each
+    frame as u32-LE length + PPM bytes (see :func:`decode_image`).
+    Compressed codecs raise ``ValueError`` — they need ffmpeg/pyav,
+    not present in this container.
+    """
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError(f"unsupported video container (magic={payload[:4]!r}); "
+                         "compressed codecs need ffmpeg/pyav")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    frames = []
+    pos = 8
+    for _ in range(n_frames):
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        frames.append(decode_image(payload[pos : pos + flen]))
+        pos += flen
+    return frames
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a WAV payload to ``(nchannels, sampwidth, framerate,
+    sample_bytes)`` using the stdlib RIFF/WAVE parser.
+
+    Real container decode: the ``wave`` module validates the RIFF
+    chunk structure, fmt chunk, and PCM encoding.  Perceptual codecs
+    (MP3/Opus/FLAC) raise ``ValueError`` — they need an audio library
+    not present in this container.
+    """
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF":
+        raise ValueError(f"unsupported audio container (magic={payload[:4]!r}); "
+                         "compressed codecs need soundfile/librosa")
+    with wave.open(io.BytesIO(payload), "rb") as rd:
+        return (
+            rd.getnchannels(),
+            rd.getsampwidth(),
+            rd.getframerate(),
+            rd.readframes(rd.getnframes()),
+        )
 
 
 #: Deterministic stand-ins for the decoded paths, so the Spark-side
@@ -152,13 +251,23 @@ def _frame_sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 
 
 def resize_assets(assets: DataFrame) -> DataFrame:
-    """mapInPandas resize (stand-in byte downsample; decode stubbed)."""
-    return assets.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+    """mapInPandas resize (stand-in byte downsample).
+
+    Projects to (asset_id, payload) before the Arrow exchange — the
+    batch function touches nothing else, and shipping the metadata map
+    through Arrow would be pure transfer cost (mapInPandas consumes
+    whole rows; Catalyst cannot column-prune through it)."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
 
 
 def sample_frames(assets: DataFrame) -> DataFrame:
-    """mapInPandas frame sampling with per-row fan-out."""
-    return assets.mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+    """mapInPandas frame sampling with per-row fan-out (input projected
+    to the two consumed columns before the Arrow exchange)."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _frame_sample_batches, schema=FRAME_SCHEMA
+    )
 
 
 def _extract_features_batches(
@@ -195,8 +304,11 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads."""
-    return assets.mapInPandas(_extract_features_batches, schema=FEATURE_SCHEMA)
+    """mapInPandas feature extraction over binary payloads (input
+    projected to the two consumed columns before the Arrow exchange)."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract_features_batches, schema=FEATURE_SCHEMA
+    )
 
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -280,8 +392,12 @@ def _audio_energy_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 
 
 def audio_energies(assets: DataFrame) -> DataFrame:
-    """mapInPandas windowed-energy extraction (decode stubbed)."""
-    return assets.mapInPandas(_audio_energy_batches, schema=AUDIO_SCHEMA)
+    """mapInPandas windowed-energy extraction over raw payload bytes
+    (for container decode see :func:`decode_audio` / the
+    ``multimodal_wav_decode`` gate entry)."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _audio_energy_batches, schema=AUDIO_SCHEMA
+    )
 
 
 def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
@@ -303,6 +419,191 @@ SELECT doc_id AS asset_id,
                          * CAST(unicode(substr(text, w * {AUDIO_WINDOW} + j, 1)) AS BIGINT))),
                 (a, b) -> a + b)), x -> CAST(x AS VARCHAR)), 'string_agg', ','), '') AS energies
 FROM documents ORDER BY asset_id
+"""
+
+
+# ---------------------------------------------------------------- real
+# decode paths: encode each document's bytes into a genuine media
+# container (WAV / BMP), then run the real decoder inside the Arrow
+# batch — container parse, stride/channel-order handling and all —
+# and extract features from the DECODED samples/pixels.  The features
+# are pure integer functions of the original text bytes, so DuckDB
+# can verify them end-to-end.
+
+#: WAV synthesis parameters: 8-bit unsigned mono PCM at 8 kHz, first
+#: AUDIO_MAX_BYTES text bytes as samples.
+AUDIO_RATE = 8000
+AUDIO_MAX_BYTES = 256
+
+#: BMP synthesis parameters: 24-bit, WIDTH x HEIGHT, top-left pixel =
+#: first 3 text bytes.  WIDTH=17 makes the row stride (51) non-4-byte-
+#: aligned, so the decoder's padding handling is actually exercised.
+BMP_WIDTH = 17
+BMP_HEIGHT = 4
+
+
+def encode_wav(samples: bytes) -> bytes:
+    """Frame raw 8-bit PCM samples as a WAV file (stdlib writer)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wr:
+        wr.setnchannels(1)
+        wr.setsampwidth(1)
+        wr.setframerate(AUDIO_RATE)
+        wr.writeframes(samples)
+    return buf.getvalue()
+
+
+def encode_bmp(rgb_topdown: bytes, width: int, height: int) -> bytes:
+    """Frame raw top-down RGB bytes as a 24-bit BMP: bottom-up row
+    order, BGR channel order, 4-byte row-stride padding — the layout
+    every real .bmp on disk has."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = rgb_topdown[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))  # BGR
+        row += b"\x00" * (stride - len(row))
+        img += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(img), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return header + bytes(img)
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("framerate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def _wav_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real WAV decode -> features, per Arrow batch."""
+    import pandas as pd
+
+    def feats(b: bytes):
+        wav = encode_wav(b[:AUDIO_MAX_BYTES])
+        nch, sw, rate, samples = decode_audio(wav)
+        assert nch == 1 and sw == 1
+        return rate, len(samples), sum(samples), sum(x * x for x in samples)
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "framerate": pd.Series([r[1] for r in rows], dtype="int32"),
+                "n_samples": pd.Series([r[2] for r in rows], dtype="int32"),
+                "sum_amp": pd.Series([r[3] for r in rows], dtype="int64"),
+                "sum_sq": pd.Series([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def _multimodal_wav(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA).orderBy("asset_id")
+
+
+_WAV_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, least(len(text), {AUDIO_MAX_BYTES}) + 1),
+                        i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS samp
+  FROM documents)
+SELECT asset_id,
+       {AUDIO_RATE} AS framerate,
+       CAST(len(samp) AS INT) AS n_samples,
+       CAST(coalesce(list_sum(samp), 0) AS BIGINT) AS sum_amp,
+       CAST(coalesce(list_sum(list_transform(samp, x -> x * x)), 0) AS BIGINT) AS sum_sq
+FROM s ORDER BY asset_id
+"""
+
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("first_r", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def _bmp_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real BMP decode (stride/BGR/bottom-up) -> channel
+    stats, per Arrow batch."""
+    import pandas as pd
+
+    npx = BMP_WIDTH * BMP_HEIGHT
+
+    def feats(b: bytes):
+        rgb = (b[: npx * 3] + b"\x00" * (npx * 3))[: npx * 3]
+        w, h, pixels = decode_image(encode_bmp(rgb, BMP_WIDTH, BMP_HEIGHT))
+        assert (w, h) == (BMP_WIDTH, BMP_HEIGHT) and pixels == rgb
+        return (
+            w,
+            h,
+            pixels[0],
+            sum(pixels[0::3]),
+            sum(pixels[1::3]),
+            sum(pixels[2::3]),
+        )
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                "first_r": pd.Series([r[3] for r in rows], dtype="int32"),
+                "sum_r": pd.Series([r[4] for r in rows], dtype="int64"),
+                "sum_g": pd.Series([r[5] for r in rows], dtype="int64"),
+                "sum_b": pd.Series([r[6] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA).orderBy("asset_id")
+
+
+_BMP_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT * 3}),
+                        j -> CASE WHEN j < len(text)
+                                  THEN CAST(unicode(substr(text, j + 1, 1)) AS BIGINT)
+                                  ELSE 0 END) AS b
+  FROM documents)
+SELECT asset_id,
+       {BMP_WIDTH} AS width,
+       {BMP_HEIGHT} AS height,
+       CAST(b[1] AS INT) AS first_r,
+       CAST(list_sum(list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT}), p -> b[3 * p + 1])) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT}), p -> b[3 * p + 2])) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT}), p -> b[3 * p + 3])) AS BIGINT) AS sum_b
+FROM px ORDER BY asset_id
 """
 
 
@@ -354,5 +655,19 @@ SPECS: list[QuerySpec] = [
         "Audio windowed-energy features via mapInPandas (decode stubbed)",
         _multimodal_audio,
         _AUDIO_ORACLE,
+    ),
+    QuerySpec(
+        "multimodal_wav_decode",
+        "Real WAV container decode (stdlib RIFF parser) inside Arrow "
+        "batches: encode -> decode -> PCM sample stats",
+        _multimodal_wav,
+        _WAV_ORACLE,
+    ),
+    QuerySpec(
+        "multimodal_bmp_decode",
+        "Real BMP decode (stride padding, BGR, bottom-up) inside Arrow "
+        "batches: encode -> decode -> channel stats",
+        _multimodal_bmp,
+        _BMP_ORACLE,
     ),
 ]

@@ -1,0 +1,81 @@
+"""Unit tests for the real multimodal container codecs (no Spark).
+
+The Spark-side plumbing (schemas, Arrow batch shapes, gate entries) is
+covered by tests/test_queries_smoke.py + the oracle gate; these pin the
+decoder semantics: WAV RIFF parse, BMP stride/BGR/bottom-up handling,
+PPM header tolerance, the raw video container, and the explicit
+rejection of compressed codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from substreams_sink_clickhouse_spark.operators.multimodal import (
+    VIDEO_MAGIC,
+    decode_audio,
+    decode_image,
+    decode_video,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip():
+    samples = bytes(range(256))
+    nch, sw, rate, out = decode_audio(encode_wav(samples))
+    assert (nch, sw, rate) == (1, 1, 8000)
+    assert out == samples
+
+
+def test_wav_rejects_compressed():
+    with pytest.raises(ValueError, match="audio container"):
+        decode_audio(b"ID3\x04" + b"\x00" * 64)
+
+
+def test_bmp_roundtrip_unaligned_stride():
+    # width 17 -> stride 51 -> padded to 52; decoder must strip padding,
+    # flip bottom-up rows, and swap BGR back to RGB.
+    rgb = bytes((i * 13) % 256 for i in range(17 * 4 * 3))
+    w, h, out = decode_image(encode_bmp(rgb, 17, 4))
+    assert (w, h) == (17, 4)
+    assert out == rgb
+
+
+def test_bmp_first_pixel_is_topleft():
+    rgb = bytes([200, 100, 50] + [0] * (17 * 4 * 3 - 3))
+    _, _, out = decode_image(encode_bmp(rgb, 17, 4))
+    assert out[:3] == bytes([200, 100, 50])
+
+
+def test_ppm_header_with_comment():
+    ppm = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))
+    assert decode_image(ppm) == (3, 2, bytes(range(18)))
+
+
+def test_image_rejects_png():
+    with pytest.raises(ValueError, match="image format"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_video_container_roundtrip():
+    f1 = b"P6\n2 1\n255\n" + bytes(6)
+    f2 = b"P6\n1 1\n255\n" + bytes((9, 8, 7))
+    vid = (
+        VIDEO_MAGIC
+        + struct.pack("<I", 2)
+        + struct.pack("<I", len(f1))
+        + f1
+        + struct.pack("<I", len(f2))
+        + f2
+    )
+    frames = decode_video(vid)
+    assert [f[:2] for f in frames] == [(2, 1), (1, 1)]
+    assert frames[1][2] == bytes((9, 8, 7))
+
+
+def test_video_rejects_compressed():
+    with pytest.raises(ValueError, match="video container"):
+        decode_video(b"\x00\x00\x01\xba mpeg-ps")
