@@ -249,7 +249,9 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    # unordered result set (SQL semantics): the presentation sort cost
+    # a range exchange + sampler job on top of the distinct shuffle
+    return pairs
 
 
 def _minhash_band_ctes() -> str:

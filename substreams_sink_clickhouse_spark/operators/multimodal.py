@@ -313,7 +313,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return extract_features(assets_from_documents(docs)).orderBy("asset_id")
+    # unordered result set (SQL semantics): presentation sorts cost
+    # a range exchange + sampler job per execution
+    return extract_features(assets_from_documents(docs))
 
 
 #: Oracle: the fixture text is pure ASCII, so utf-8 bytes == codepoints.
@@ -332,7 +334,7 @@ FROM documents ORDER BY asset_id
 
 def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return resize_assets(assets_from_documents(docs)).orderBy("asset_id")
+    return resize_assets(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
 _RESIZE_ORACLE = f"""
@@ -402,7 +404,7 @@ def audio_energies(assets: DataFrame) -> DataFrame:
 
 def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return audio_energies(assets_from_documents(docs)).orderBy("asset_id")
+    return audio_energies(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
 _AUDIO_ORACLE = f"""
@@ -516,7 +518,7 @@ def _wav_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 def _multimodal_wav(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     assets = assets_from_documents(docs).select("asset_id", "payload")
-    return assets.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA).orderBy("asset_id")
+    return assets.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA)  # unordered
 
 
 _WAV_ORACLE = f"""
@@ -585,7 +587,7 @@ def _bmp_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     assets = assets_from_documents(docs).select("asset_id", "payload")
-    return assets.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA).orderBy("asset_id")
+    return assets.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA)  # unordered
 
 
 _BMP_ORACLE = f"""
@@ -609,7 +611,7 @@ FROM px ORDER BY asset_id
 
 def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return sample_frames(assets_from_documents(docs)).orderBy("asset_id", "frame_idx")
+    return sample_frames(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
 _FRAMES_ORACLE = f"""

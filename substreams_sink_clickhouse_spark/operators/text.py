@@ -171,7 +171,9 @@ def _fingerprint(spark: SparkSession, sf: str) -> DataFrame:
           (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD})
         """
     )
-    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+    # unordered result set (SQL semantics): skipping the presentation
+    # sort saves a range exchange + sampler job per execution
+    return d.select("doc_id", fp.alias("fp"))
 
 
 _FINGERPRINT_ORACLE = f"""
@@ -433,7 +435,8 @@ def _corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     sampled = deduped.filter(
         md5_long(F.concat(F.lit("corpus:"), F.col("doc_id").cast("string"))) % 100 < rate
     )
-    return sampled.select("doc_id", "lang_pred", "quality").orderBy("doc_id")
+    # unordered result set; see _text_fingerprint's note
+    return sampled.select("doc_id", "lang_pred", "quality")
 
 
 def _corpus_prep_oracle() -> str:
