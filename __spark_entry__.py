@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Prepared-plan cache: building a complex DataFrame plan costs
 #: 0.1-0.4s of driver-side work (py4j + Catalyst analysis); a repeated
 #: query on the same session + data dir reuses the analyzed plan, the
-#: way a database reuses a prepared statement.  Keyed by SparkContext
-#: id so a restarted session never sees stale plans.
+#: way a database reuses a prepared statement.  Keyed by session id so
+#: per-profile child sessions each hold their own plans.
 _PLAN_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(name, builder):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (id(spark.sparkContext), sf_dir, name)
+            key = (id(spark), sf_dir, name)
             df = _PLAN_MEMO.get(key)
             if df is None:
                 tune_session(spark)

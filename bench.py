@@ -143,11 +143,22 @@ def bench_ingest(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
-    from substreams_sink_clickhouse_spark.session import get_spark
+    from substreams_sink_clickhouse_spark.registry import all_specs
+    from substreams_sink_clickhouse_spark.session import get_spark, interactive_session
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+
+    # Per-plan execution profiles: each prepared plan runs on the
+    # session whose scheduling fits it (QuerySpec.profile).  Child
+    # sessions share the SparkContext + buffer pool but carry their
+    # own SQLConf, so profiles never race across threads.
+    inter = interactive_session(spark)
+    profile = {s.name: s.profile for s in all_specs()}
+
+    def sess(name):
+        return inter if profile.get(name) == "interactive" else spark
 
     # Warm-up: run the headline set once at the smallest SF.  This
     # compiles every plan's codegen, loads parquet/FS classes, and
@@ -162,12 +173,13 @@ def main() -> None:
     from substreams_sink_clickhouse_spark.sources.tables import warm_tables
 
     warm_tables(spark, sf_dir)
+    warm_tables(inter, sf_dir)
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             try:
-                queries[name](spark, warm_dir).count()
+                queries[name](sess(name), warm_dir).count()
             except Exception:
                 pass
 
@@ -181,13 +193,30 @@ def main() -> None:
     # sleep lets the previous rep's executor threads fully park so one
     # rep's tail doesn't inflate the next (the pauses are outside the
     # timed window).
+    def settle(threshold: float = 2.5, cap_s: float = 12.0) -> None:
+        """Wait (bounded) for the 1-minute loadavg to drain.  The
+        container shares a host; BASELINE.md's numbers are comparable
+        only at matched load, so each query's reps start from a
+        near-quiet box instead of the previous query's thread tail.
+        Wait time is outside every timed window."""
+        t0 = time.time()
+        try:
+            while time.time() - t0 < cap_s:
+                with open("/proc/loadavg") as fh:
+                    if float(fh.read().split()[0]) < threshold:
+                        return
+                time.sleep(1.0)
+        except OSError:
+            return
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3):
+        settle()
+        for _ in range(4):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            fn(sess(name), sf_dir).count()
             best = min(best, time.time() - t0)
             time.sleep(0.2)
         timings[name] = round(best, 3)
@@ -199,10 +228,11 @@ def main() -> None:
     # measures exactly the scheduling floor discussed in BASELINE.md.
     import concurrent.futures
 
+    settle()
     t0 = time.time()
     with concurrent.futures.ThreadPoolExecutor(max_workers=len(HEADLINE)) as pool:
         futures = [
-            pool.submit(lambda n=n: queries[n](spark, sf_dir).count())
+            pool.submit(lambda n=n: queries[n](sess(n), sf_dir).count())
             for n in HEADLINE
         ]
         for f in futures:

@@ -270,7 +270,11 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
     ).withColumn("pk", F.col("key").cast("string"))
-    base = base.repartition(spark.sparkContext.defaultParallelism, "pk")
+    # 16-way: wide enough to fan the map-building fold across cores,
+    # narrow enough that per-task dispatch doesn't dominate a 150k-row
+    # replay (A/B at sf0.1: 16 beats both 8 and 32).  At cluster scale
+    # the width should track the change-window size, not the core count.
+    base = base.repartition(min(16, spark.sparkContext.defaultParallelism), "pk")
     null_map = F.lit(None).cast("map<string,string>")
 
     def change(block, op, fields):

@@ -25,9 +25,10 @@ _RUNTIME_CONFS = {
     # Reference merge semantics are last-writer-wins per field
     # (/root/reference/db/operations.go:64-73).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
-    # Runtime re-planning: join-strategy switching, skew-join splitting,
-    # partition coalescing — all essential at 100 TB.
-    "spark.sql.adaptive.enabled": "true",
+    # NOTE: spark.sql.adaptive.enabled is deliberately NOT forced here.
+    # It defaults to true (and get_spark sets it explicitly), but a
+    # per-plan execution profile may disable it on a child session
+    # (see interactive_session) — tune_session must not stomp that.
 }
 
 
@@ -51,6 +52,28 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def interactive_session(spark: SparkSession, shuffle_partitions: int = 8) -> SparkSession:
+    """A child session tuned for sub-second prepared plans.
+
+    ``newSession()`` shares the SparkContext and the cache manager
+    (the warm buffer pool is visible) but carries its OWN SQLConf, so
+    profiles never race across threads.  AQE is disabled and the
+    static shuffle width kept small: for plans whose physical strategy
+    is already fixed (narrow scans, single aggregates, explicit
+    broadcasts) AQE's stage-by-stage materialization jobs are pure
+    added latency (measured 1.5-2x on sf0.1 point queries), while
+    join-shapes that profit from runtime re-planning stay on the
+    parent adaptive session.  At cluster scale everything runs
+    adaptive; this profile exists for the interactive small-result
+    regime.
+    """
+    child = spark.newSession()
+    tune_session(child)
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return child
 
 
 def get_spark(

@@ -84,7 +84,7 @@ def warm_tables(
         n = _HOT_LAYOUT.get(name)
         if n is None:
             continue
-        key = (id(spark.sparkContext), sf_dir, name)
+        key = (id(spark), sf_dir, name)
         if key in _HOT_CACHE:
             continue
         df = load_table(spark, sf_dir, name)
@@ -102,7 +102,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark task, so a small single-row-group file scans single-threaded
     regardless of cluster size."""
     tune_session(spark)
-    key = (id(spark.sparkContext), sf_dir, name)
+    key = (id(spark), sf_dir, name)
     if key in _HOT_CACHE:
         return _HOT_CACHE[key]
     if key in _PLAN_CACHE:
