@@ -66,6 +66,15 @@ _HOT_LAYOUT = {
     "events": 8,
     "orders": 8,
     "lineitem": 8,
+    # Dimensions: 1-2 partitions — cached mainly so broadcast builds
+    # read from memory and carry exact size statistics for the static
+    # planner (wider layouts measurably hurt: a 5-row scan shouldn't
+    # launch 32 tasks).
+    "customer": 2,
+    "part": 2,
+    "supplier": 1,
+    "nation": 1,
+    "region": 1,
 }
 
 
