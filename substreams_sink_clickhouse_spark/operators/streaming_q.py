@@ -21,7 +21,9 @@ table state.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -95,11 +97,26 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     return stream
 
 
+#: Scratch root for checkpoint/stream fixture dirs created by gate
+#: queries: everything lands under one process-lifetime directory that
+#: is removed at interpreter exit, so repeated gate runs don't leak a
+#: tempdir per query execution (round-1 advisory).
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sscs_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
     """Run a streaming DF to completion into a memory sink; returns the
     sink table name."""
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"sscs_{prefix}_ckpt_")
+    checkpoint = _scratch_dir(f"sscs_{prefix}_ckpt_")
     query = (
         df.writeStream.format("memory")
         .queryName(sink_name)
@@ -188,7 +205,7 @@ def _q25(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("ws"), "event_type", "cnt")
     )
     sink_name = f"q25_sink_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="sscs_q25_ckpt_")
+    checkpoint = _scratch_dir("sscs_q25_ckpt_")
     query = (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -510,8 +527,6 @@ def _q96_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     whole point of AggregatingMergeTree: incrementally-folded partials
     == the one-shot aggregate over all the data.  Per epoch the cost is
     O(batch + touched groups); history is never rescanned."""
-    import tempfile
-
     from substreams_sink_clickhouse_spark.streaming.mataggs import (
         IncrementalAggregate,
     )
@@ -519,7 +534,7 @@ def _q96_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     agg = IncrementalAggregate(
         spark,
-        tempfile.mkdtemp(prefix="mv_rollup_"),
+        _scratch_dir("mv_rollup_"),
         keys=["event_type"],
         measures={
             "n": ("count", "value"),
@@ -563,9 +578,6 @@ def _q100_stateful_stream_merge(spark: SparkSession, sf: str) -> DataFrame:
     plain SQL over orders — state handling must be invisible in the
     result.  Update-mode emissions are disambiguated by a version
     field folded INTO the state: final = max_by(emission, version)."""
-    import json as _json
-    import os
-    import tempfile
     import time
 
     from substreams_sink_clickhouse_spark.sources.changes import (
@@ -576,58 +588,86 @@ def _q100_stateful_stream_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     o = load_table(spark, sf, "orders")
-    subset = (
-        o.filter(F.col("o_orderkey") % 200 == 0)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-        .collect()
+    # Change-stream fixture generated DISTRIBUTED: the JSONL batches are
+    # built with to_json projections and written by executors — no
+    # driver-side collect, so the fixture path scales with sf like any
+    # real ingest would (round-1 advisory: the old version collected
+    # the subset to the driver and wrote files from Python).
+    subset = o.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
     )
 
-    def msg(block_num, pk, op, fields):
-        return _json.dumps(
-            {
-                "block_num": block_num,
-                "block_id": f"0x{block_num:x}",
-                "table_changes": [
-                    {
-                        "table": "orders_state",
-                        "pk": str(pk),
-                        "ordinal": 1,
-                        "operation": op,
-                        "fields": [
-                            {"name": n, "new_value": v, "old_value": None}
-                            for n, v in fields.items()
-                        ],
-                    }
-                ],
-            }
+    def fields_arr(pairs):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("name"),
+                    v.alias("new_value"),
+                    F.lit(None).cast("string").alias("old_value"),
+                )
+                for n, v in pairs
+            ]
         )
 
-    stream_dir = tempfile.mkdtemp(prefix="q100_changes_")
-    creates = [
-        msg(1, r["o_orderkey"], "CREATE",
-            {"price": repr(r["o_totalprice"]), "status": r["o_orderstatus"], "v": "1"})
-        for r in subset
-    ]
-    updates = [
-        msg(2, r["o_orderkey"], "UPDATE",
-            {"status": r["o_orderstatus"] + "+u", "v": "2"})
-        for r in subset
-        if r["o_orderkey"] % 400 == 0
-    ]
+    def msg_col(block_num, op, fields):
+        return F.to_json(
+            F.struct(
+                F.lit(block_num).cast("long").alias("block_num"),
+                F.lit(f"0x{block_num:x}").alias("block_id"),
+                F.array(
+                    F.struct(
+                        F.lit("orders_state").alias("table"),
+                        F.col("o_orderkey").cast("string").alias("pk"),
+                        F.lit(1).cast("long").alias("ordinal"),
+                        F.lit(op).alias("operation"),
+                        fields.alias("fields"),
+                    )
+                ).alias("table_changes"),
+            )
+        )
+
+    creates = subset.select(
+        msg_col(
+            1,
+            "CREATE",
+            fields_arr(
+                [
+                    ("price", F.col("o_totalprice").cast("string")),
+                    ("status", F.col("o_orderstatus")),
+                    ("v", F.lit("1")),
+                ]
+            ),
+        ).alias("value")
+    )
+    updates = subset.filter(F.col("o_orderkey") % 400 == 0).select(
+        msg_col(
+            2,
+            "UPDATE",
+            fields_arr(
+                [
+                    ("status", F.concat("o_orderstatus", F.lit("+u"))),
+                    ("v", F.lit("2")),
+                ]
+            ),
+        ).alias("value")
+    )
+    stream_dir = _scratch_dir("q100_changes_")
+    creates.write.text(os.path.join(stream_dir, "batch1"))
+    updates.write.text(os.path.join(stream_dir, "batch2"))
+    # Deterministic micro-batch order: the file stream sorts by
+    # modification time, so stamp batch1's parts strictly older
+    # (metadata-only touch-up; the data itself never saw the driver).
     now = time.time()
-    f1 = os.path.join(stream_dir, "a_batch1.jsonl")
-    with open(f1, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(creates))
-    os.utime(f1, (now - 60, now - 60))
-    f2 = os.path.join(stream_dir, "b_batch2.jsonl")
-    with open(f2, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(updates))
-    os.utime(f2, (now, now))
+    for sub, ts in (("batch1", now - 60), ("batch2", now)):
+        d = os.path.join(stream_dir, sub)
+        for fname in os.listdir(d):
+            if not fname.startswith(("_", ".")):
+                os.utime(os.path.join(d, fname), (ts, ts))
 
     raw = (
         spark.readStream.schema("value string")
         .option("maxFilesPerTrigger", "1")
-        .text(stream_dir)
+        .text(os.path.join(stream_dir, "*"))
     )
     pending = streaming_pending_ops(decode_database_changes(raw, "value"))
     sink = _run_to_memory(pending, "q100", "update")

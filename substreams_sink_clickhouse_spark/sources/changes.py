@@ -148,6 +148,36 @@ def decode_database_changes(
 #: accepted there).
 DATABASE_CHANGES_MESSAGE = "sf.substreams.sink.database.v1.DatabaseChanges"
 
+#: Session -> is the spark-protobuf connector jar loaded?  Probed once.
+_PB_CONNECTOR_STATE: dict[int, bool] = {}
+
+
+def protobuf_connector_available(spark: SparkSession) -> bool:
+    """True iff the spark-protobuf connector jar is loaded.
+
+    Probed with a throwaway ``from_protobuf`` plan against an empty
+    binary descriptor: an absent jar fails analysis with
+    ``[PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE]`` (a loaded jar
+    instead complains about the descriptor — which means it's there).
+    Cached per SparkContext so callers can branch on availability
+    instead of guessing from arbitrary exceptions.
+    """
+    key = id(spark.sparkContext)
+    if key not in _PB_CONNECTOR_STATE:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            probe = spark.range(1).select(F.lit(b"").alias("v"))
+            probe.select(
+                from_protobuf(F.col("v"), "Probe", binaryDescriptorSet=b"")
+            ).schema
+            _PB_CONNECTOR_STATE[key] = True
+        except ImportError:
+            _PB_CONNECTOR_STATE[key] = False
+        except Exception as exc:  # noqa: BLE001 - classify probe outcome
+            _PB_CONNECTOR_STATE[key] = "PROTOBUF_NOT_LOADED" not in str(exc)
+    return _PB_CONNECTOR_STATE[key]
+
 
 def decode_database_changes_protobuf(
     raw: DataFrame,
@@ -167,35 +197,20 @@ def decode_database_changes_protobuf(
     the engine's semantics: same flattened schema, same field
     projection.
     """
-    try:
-        from pyspark.sql.protobuf.functions import from_protobuf
-
-        parsed = raw.select(
-            from_protobuf(
-                F.col(binary_col), message_name, descFilePath=descriptor_path
-            ).alias("msg")
-        )
-        exploded = parsed.select(
-            F.col("msg.block_num").alias("block_num"),
-            F.col("msg.block_id").alias("block_id"),
-            F.explode("msg.table_changes").alias("tc"),
-        )
-        return exploded.select(
-            "block_num",
-            "block_id",
-            F.col("tc.ordinal").alias("ordinal"),
-            F.col("tc.table").alias("table"),
-            F.col("tc.pk").alias("pk"),
-            F.col("tc.operation").alias("op"),
-            F.map_from_entries(
-                F.expr("transform(tc.fields, f -> struct(f.name, f.new_value))")
-            ).alias("fields"),
-        )
-    except Exception:
-        # connector jar absent in this deployment: fall back to the
-        # dependency-free wire parser (sources/protobuf_wire.py) when
-        # the envelope columns are present — same output schema, Arrow
-        # mapInPandas instead of the JVM connector.
+    if not protobuf_connector_available(raw.sparkSession):
+        # Connector jar absent: fall back to the dependency-free wire
+        # parser — but ONLY for the one message type it implements and
+        # only when the envelope columns it needs are present.  With
+        # the connector PRESENT every failure (missing/bad descriptor,
+        # unknown message, decode errors) surfaces raw below: silently
+        # switching decoders on a real error would decode a different
+        # message type wrongly (round-1 advisory).
+        if message_name != DATABASE_CHANGES_MESSAGE:
+            raise NotImplementedError(
+                f"spark-protobuf connector unavailable and the pure wire "
+                f"parser only decodes {DATABASE_CHANGES_MESSAGE!r}, not "
+                f"{message_name!r}"
+            )
         from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
             decode_database_changes_protobuf_pure,
         )
@@ -209,6 +224,30 @@ def decode_database_changes_protobuf(
             "wire parser (sources/protobuf_wire.py); use "
             "decode_database_changes (JSON) otherwise."
         )
+
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    parsed = raw.select(
+        from_protobuf(
+            F.col(binary_col), message_name, descFilePath=descriptor_path
+        ).alias("msg")
+    )
+    exploded = parsed.select(
+        F.col("msg.block_num").alias("block_num"),
+        F.col("msg.block_id").alias("block_id"),
+        F.explode("msg.table_changes").alias("tc"),
+    )
+    return exploded.select(
+        "block_num",
+        "block_id",
+        F.col("tc.ordinal").alias("ordinal"),
+        F.col("tc.table").alias("table"),
+        F.col("tc.pk").alias("pk"),
+        F.col("tc.operation").alias("op"),
+        F.map_from_entries(
+            F.expr("transform(tc.fields, f -> struct(f.name, f.new_value))")
+        ).alias("fields"),
+    )
 
 
 def read_changes_jsonl(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:

@@ -46,6 +46,10 @@ OP_CODES = {v: k for k, v in OP_NAMES.items()}
 # any protobuf library)
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints encode uint64; Python's arithmetic right shift
+        # never zeroes a negative, so this would loop forever
+        raise ValueError(f"varint requires a non-negative integer, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -506,6 +506,14 @@ class ChangesIngestPipeline:
         stop_block: int | None = None,
     ):
         self.spark = spark
+        # Duplicate field names within one change must resolve
+        # last-wins in BOTH decode paths (the wire codec is last-wins
+        # by construction, mirroring sinker.go's map assignment; the
+        # JSON path's map_from_entries would THROW under Spark's stock
+        # EXCEPTION dedup policy).  Pin it here so the pipeline is
+        # correct on an externally built session, not only behind
+        # tune_session.
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         self.catalog = catalog
         #: Block-range bounds (reference positional ``[<start>:<stop>]``,
         #: run.go:22,53-60): changes outside [start_block, stop_block)
@@ -735,15 +743,26 @@ class ChangesIngestPipeline:
         changes_path: str,
         live: bool = False,
         max_files_per_trigger: int | None = None,
+        descriptor_path: str | None = None,
     ):
         """Run the ingest stream over the reference's BINARY wire
         format: a parquet stream of BlockScopedData-shaped rows
         ``(block_num long, block_id string, value binary)`` where
         ``value`` is a serialized ``DatabaseChanges`` message
-        (sinker/sinker.go:95-113).  Decoding uses the spark-protobuf
-        connector when present, else the dependency-free wire codec
-        (``sources/protobuf_wire.py``) — either way the flush kernel
-        downstream is identical to the JSONL path."""
+        (sinker/sinker.go:95-113).
+
+        With ``descriptor_path`` set, decoding goes through
+        ``decode_database_changes_protobuf`` — the spark-protobuf
+        connector when its jar is loaded, else the dependency-free
+        wire codec.  Without a descriptor it uses the wire codec
+        directly (``sources/protobuf_wire.py``).  Duplicate field
+        names within a change resolve last-wins on every path
+        (pinned at pipeline init), matching sinker.go's map
+        assignment.  Either way the flush kernel downstream is
+        identical to the JSONL path."""
+        from substreams_sink_clickhouse_spark.sources.changes import (
+            decode_database_changes_protobuf,
+        )
         from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
             decode_database_changes_protobuf_pure,
         )
@@ -756,9 +775,11 @@ class ChangesIngestPipeline:
         raw = reader.parquet(changes_path)
 
         def process(raw_df: DataFrame, epoch_id: int) -> None:
-            self.process_batch(
-                decode_database_changes_protobuf_pure(raw_df), epoch_id
-            )
+            if descriptor_path is not None:
+                decoded = decode_database_changes_protobuf(raw_df, descriptor_path)
+            else:
+                decoded = decode_database_changes_protobuf_pure(raw_df)
+            self.process_batch(decoded, epoch_id)
 
         writer = raw.writeStream.foreachBatch(process).option(
             "checkpointLocation", self.checkpoint_dir
@@ -772,6 +793,75 @@ class ChangesIngestPipeline:
     def run_to_completion(self, changes_path: str, timeout_s: int = 600, **kwargs) -> None:
         query = self.start(changes_path, **kwargs)
         query.awaitTermination(timeout_s)
+
+    def run_with_retries(
+        self,
+        changes_path: str,
+        max_restarts: int = 5,
+        backoff_s: float = 0.5,
+        backoff_cap_s: float = 30.0,
+        timeout_s: int = 600,
+        on_restart: Callable[[int, Exception], None] | None = None,
+        **kwargs,
+    ) -> int:
+        """Supervised ingest: restart-on-failure with capped exponential
+        backoff, resuming from the streaming checkpoint.
+
+        This is the liveness policy the reference outsources to its
+        ``substreams-sink`` library (run.go:92-98: the sinker loops on
+        stream errors with backoff, resuming from the stored cursor).
+        The engine's analog composes three existing guarantees:
+
+        * the file/Kafka source checkpoint replays the in-flight epoch
+          after a crash (exactly-once source progress);
+        * ``process_batch`` commits are idempotent per epoch (the
+          manifest is the commit point — a replayed epoch rewrites the
+          same buckets or no-ops), so the retry loop can never
+          double-apply a flush;
+        * the cursor table advances only inside the committed batch.
+
+        Together: no loss, no duplication, across any number of
+        restarts.  Returns the number of restarts performed.  Raises
+        the final error when ``max_restarts`` is exhausted or the
+        deadline passes.
+        """
+        import time as _time
+
+        restarts = 0
+        deadline = _time.time() + timeout_s
+        while True:
+            query = self.start(changes_path, **kwargs)
+            # A failed query surfaces either as a raise from
+            # awaitTermination (failure while waiting) or, depending on
+            # timing, as a normal return with query.exception() set —
+            # handle both.
+            exc: Exception | None = None
+            terminated = True
+            try:
+                terminated = query.awaitTermination(
+                    max(1.0, deadline - _time.time())
+                )
+            except Exception as wait_exc:  # noqa: BLE001
+                exc = wait_exc
+            if exc is None:
+                exc = query.exception()
+            if exc is None:
+                if terminated:
+                    return restarts
+                query.stop()
+                raise TimeoutError(
+                    f"ingest stream did not complete within {timeout_s}s"
+                )
+            try:
+                query.stop()
+            except Exception:
+                pass
+            restarts += 1
+            if restarts > max_restarts or _time.time() >= deadline:
+                raise exc
+            if on_restart is not None:
+                on_restart(restarts, exc)
+            _time.sleep(min(backoff_s * 2 ** (restarts - 1), backoff_cap_s))
 
     def run_protobuf_to_completion(
         self, changes_path: str, timeout_s: int = 600, **kwargs

@@ -221,3 +221,30 @@ def test_protobuf_wire_roundtrip_property():
         assert parse_database_changes(encode_database_changes(changes)) == changes
 
     roundtrip()
+
+
+def test_varint_rejects_negative():
+    from substreams_sink_clickhouse_spark.sources.protobuf_wire import _varint
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _varint(-1)
+
+
+def test_protobuf_fallback_refuses_other_message_types(spark):
+    """Connector absent: the pure wire parser must only stand in for
+    DatabaseChanges — any other message type is an error, not a silent
+    mis-decode (round-1 advisory)."""
+    from substreams_sink_clickhouse_spark.sources.changes import (
+        decode_database_changes_protobuf,
+        protobuf_connector_available,
+    )
+
+    if protobuf_connector_available(spark):
+        pytest.skip("spark-protobuf connector present in this deployment")
+    raw = spark.createDataFrame(
+        [(1, "b1", bytearray(b"\x01"))], "block_num: long, block_id: string, value: binary"
+    )
+    with pytest.raises(NotImplementedError, match="only decodes"):
+        decode_database_changes_protobuf(
+            raw, "/tmp/whatever.desc", message_name="other.v1.Message"
+        )

@@ -329,3 +329,80 @@ def test_end_to_end_protobuf_wire(spark, tmp_path, block_meta_catalog):
     assert r1["timestamp"].year == 2024
     cursor = pipe.cursors.get_cursor("mod-hash-1")
     assert cursor is not None and cursor.block_num == 2
+
+
+def test_run_with_retries_injected_failure_no_loss_no_dup(
+    spark, tmp_path, block_meta_catalog
+):
+    """O1 liveness policy (the part the reference delegates to its
+    substreams-sink lib, run.go:92-98): inject a failure AFTER the
+    first epoch commits, let the supervisor restart with backoff, and
+    prove the final state equals an uninterrupted run — no loss (all
+    files applied), no duplication (idempotent epoch replay), cursor
+    at the highest block."""
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    (stream_dir / "b1.jsonl").write_text(
+        _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    (stream_dir / "b2.jsonl").write_text(
+        _msg(2, [("block_meta", "k2", 1, "CREATE", {"number": "2"}),
+                 ("block_meta", "k1", 2, "UPDATE", {"number": "11"})])
+    )
+
+    boom = {"armed": True}
+
+    def explode_once(epoch_id, n_entries):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected post-commit failure")
+
+    pipe = ChangesIngestPipeline(
+        spark,
+        block_meta_catalog,
+        warehouse_dir=str(tmp_path / "rw_warehouse"),
+        checkpoint_dir=str(tmp_path / "rw_ckpt"),
+        module_hash="mod-hash-1",
+        on_batch=explode_once,
+    )
+    restart_log = []
+    restarts = pipe.run_with_retries(
+        str(stream_dir),
+        backoff_s=0.05,
+        max_files_per_trigger=1,  # one epoch per file: failure lands mid-stream
+        on_restart=lambda n, exc: restart_log.append(str(exc)),
+    )
+
+    assert restarts == 1
+    assert "injected post-commit failure" in restart_log[0]
+    rows = {r["id"]: r["number"] for r in pipe.table("block_meta").collect()}
+    assert rows == {"k1": 11, "k2": 2}
+    cursor = pipe.cursors.get_cursor("mod-hash-1")
+    assert cursor is not None and cursor.block_num == 2
+
+
+def test_run_with_retries_exhausts_and_raises(spark, tmp_path, block_meta_catalog):
+    """A permanently failing stream (poison message under the
+    reference's fail-on-decode contract) surfaces the error after
+    max_restarts instead of looping forever."""
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    (stream_dir / "b1.jsonl").write_text("this is not json\n")
+
+    pipe = ChangesIngestPipeline(
+        spark,
+        block_meta_catalog,
+        warehouse_dir=str(tmp_path / "rf_warehouse"),
+        checkpoint_dir=str(tmp_path / "rf_ckpt"),
+        module_hash="mod-hash-1",
+        on_decode_error="fail",
+    )
+    restart_log = []
+    with pytest.raises(Exception):
+        pipe.run_with_retries(
+            str(stream_dir),
+            max_restarts=2,
+            backoff_s=0.05,
+            on_restart=lambda n, exc: restart_log.append(n),
+        )
+    assert restart_log == [1, 2]
