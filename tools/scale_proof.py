@@ -1,0 +1,105 @@
+"""Scale proof for the dedup/ANN paths: run ``dedup_minhash`` and
+``sim_lsh`` at sf0.1 and at a synthesized 10x corpus (sf1-equivalent;
+the driver ships no sf1 fixtures), recording wall time and shuffle
+read/write bytes from the Spark REST API.  Results land in SCALE.md.
+
+The 10x corpus is deterministic: each sf0.1 document/embedding row is
+expanded into 10 variants (distinct suffix token / perturbed tail
+component), preserving the near-dup structure the operators exercise.
+
+Usage: python tools/scale_proof.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SCRATCH = "/tmp/sscs_scale"
+
+
+def synth_10x(spark, src_dir: str, out_dir: str) -> None:
+    """Expand documents/embeddings 10x, distributed (no driver rows)."""
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    docs10 = (
+        d.select("*", reps)
+        .select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            # rep 0 keeps the original text; others append a distinct
+            # token, so every original near-dup relation survives and
+            # each family gains in-family near-dups: realistic growth.
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" variant"), F.col("rep")))
+            .alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+        )
+    )
+    docs10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    e = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    emb10 = (
+        e.select("*", reps)
+        .select(
+            (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + (CASE WHEN i = size(embedding) - 1 "
+                "THEN rep * 0.001 ELSE 0.0 END) AS FLOAT))"
+            ).alias("embedding"),
+            *[c for c in e.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    emb10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def rest_stage_totals(ui_port: int) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages."""
+    base = f"http://localhost:{ui_port}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(base, timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(f"{base}/{app_id}/stages", timeout=10))
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return rd, wr
+
+
+def main() -> None:
+    from substreams_sink_clickhouse_spark.operators.dedup import _dedup_minhash
+    from substreams_sink_clickhouse_spark.operators.similarity import _sim_lsh
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("scale-proof", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui_port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
+
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = SCRATCH + "/sf1"
+    synth_10x(spark, sf01, sf1)
+
+    results = {}
+    for name, builder in (("dedup_minhash", _dedup_minhash), ("sim_lsh", _sim_lsh)):
+        for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
+            builder(spark, d).count()  # warm codegen
+            rd0, wr0 = rest_stage_totals(ui_port)
+            t0 = time.time()
+            n = builder(spark, d).count()
+            wall = time.time() - t0
+            rd1, wr1 = rest_stage_totals(ui_port)
+            results[f"{name}@{label}"] = {
+                "rows": n,
+                "wall_s": round(wall, 3),
+                "shuffle_read_mb": round((rd1 - rd0) / 1e6, 2),
+                "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
+            }
+            print(f"{name}@{label}: {results[f'{name}@{label}']}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
