@@ -46,6 +46,7 @@ def all_specs() -> list[QuerySpec]:
     from substreams_sink_clickhouse_spark.operators import (
         clickhouse_compat,
         clickhouse_compat_ext,
+        clickhouse_compat_ext2,
         clickhouse_stats,
         dedup,
         dictionary,
@@ -67,6 +68,7 @@ def all_specs() -> list[QuerySpec]:
         streaming_q,
         clickhouse_compat,
         clickhouse_compat_ext,
+        clickhouse_compat_ext2,
         clickhouse_stats,
         dictionary,
         udfs,
