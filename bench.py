@@ -244,8 +244,13 @@ def main() -> None:
     # sum: it is a pipeline run with no DuckDB counterpart.
     try:
         # best-of-2: the pipeline run is long enough that a single
-        # sample is hostage to host-load spikes (see BASELINE.md)
-        ingest_sec = round(min(bench_ingest(spark, sf_dir) for _ in range(2)), 3)
+        # sample is hostage to host-load spikes (see BASELINE.md).
+        # The replay runs on the interactive profile: the kernel's
+        # plan shape is fixed (pre-partitioned fold + bucket writes),
+        # so AQE's stage materialization is pure latency here too
+        # (A/B-measured 3.3s -> 2.0s at sf0.1).
+        settle()
+        ingest_sec = round(min(bench_ingest(inter, sf_dir) for _ in range(2)), 3)
     except Exception:
         ingest_sec = None
     total = round(sum(timings.values()), 3)
