@@ -52,8 +52,14 @@ def value_hash(columns, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -74,6 +80,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = 0
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -86,11 +93,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": "spark error"}
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"okNO {name}: rows={len(s_rows)} (no oracle; rows-only) [{spark_s:.1f}s]")
             n_pass += 1
+            report[name] = {"status": "ROWS_ONLY", "spark_rows": len(s_rows)}
             continue
         try:
             rel = conn.sql(oracles[name])
@@ -100,12 +109,14 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": "duckdb error"}
             continue
         problems = []
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
+        hs = hd = None
         if not problems:
             hs, hd = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
             if hs != hd:
@@ -120,10 +131,32 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": "; ".join(problems)[:400]}
         else:
             print(f"PASS {name}: rows={len(s_rows)} [{spark_s:.1f}s]")
             n_pass += 1
+            report[name] = {
+                "status": "PASS",
+                "rows": len(s_rows),
+                "value_hash": hs,
+                "spark_s": round(spark_s, 2),
+            }
     print(f"\n{n_pass} passed, {n_fail} failed" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w", encoding="utf-8") as fh:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
