@@ -79,3 +79,42 @@ def test_video_container_roundtrip():
 def test_video_rejects_compressed():
     with pytest.raises(ValueError, match="video container"):
         decode_video(b"\x00\x00\x01\xba mpeg-ps")
+
+
+# --------------------------------------------------------- properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @given(
+        w=st.integers(min_value=1, max_value=23),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_roundtrip_property(w, h, data):
+        """encode->decode is identity for every (w, h) — including the
+        widths whose stride is already 4-aligned and those that pad."""
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_image(encode_bmp(rgb, w, h)) == (w, h, rgb)
+
+    @given(samples=st.binary(min_size=0, max_size=512))
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_property(samples):
+        nch, sw, rate, out = decode_audio(encode_wav(samples))
+        assert (nch, sw, rate) == (1, 1, 8000)
+        assert out == samples
