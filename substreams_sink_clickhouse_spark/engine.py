@@ -36,6 +36,23 @@ class Engine:
     def local(cls, config: EngineConfig | None = None, **spark_kwargs) -> "Engine":
         return cls(get_spark(**spark_kwargs), config)
 
+    def warm(self, sf_dir: str, names: list[str] | None = None) -> "Engine":
+        """Pin hot tables in the in-memory buffer pool with a
+        scan-parallel layout (sources/tables.warm_tables) — what a
+        long-running query server does at startup.  Idempotent."""
+        from substreams_sink_clickhouse_spark.sources.tables import warm_tables
+
+        warm_tables(self.spark, sf_dir, names)
+        return self
+
+    def interactive(self, shuffle_partitions: int = 8) -> SparkSession:
+        """A child session tuned for sub-second prepared plans (shares
+        the context + buffer pool, own SQLConf; see
+        session.interactive_session)."""
+        from substreams_sink_clickhouse_spark.session import interactive_session
+
+        return interactive_session(self.spark, shuffle_partitions)
+
     # -- schema bootstrap (reference Loader.Setup, db/db.go:212-249) --
 
     def setup(self, ddl_statements: list[str] | None = None, ddl_path: str | None = None) -> None:
