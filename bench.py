@@ -172,8 +172,13 @@ def main() -> None:
     # page cache + its sub-row-group parallel reader.
     from substreams_sink_clickhouse_spark.sources.tables import warm_tables
 
-    warm_tables(spark, sf_dir)
-    warm_tables(inter, sf_dir)
+    try:
+        warm_tables(spark, sf_dir)
+        warm_tables(inter, sf_dir)
+    except Exception:
+        # the bench must degrade to cold scans, never die, if the pool
+        # can't materialize (e.g. memory-constrained host)
+        pass
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:

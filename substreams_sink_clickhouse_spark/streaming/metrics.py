@@ -84,12 +84,32 @@ def render_prometheus(stats: SinkStats) -> str:
     )
 
 
+def render_thread_dump() -> str:
+    """Driver thread dump — the engine's analog of the reference's
+    ``--pprof-listen-addr`` goroutine profile (cmd/.../main.go:44-57).
+    Executor-side profiling lives in the Spark UI / REST API; this
+    covers the Python driver, where a stuck ingest loop would live."""
+    import sys
+    import threading
+    import traceback
+
+    frames = sys._current_frames()
+    names = {t.ident: t.name for t in threading.enumerate()}
+    out = []
+    for ident, frame in frames.items():
+        out.append(f"--- thread {names.get(ident, '?')} ({ident}) ---")
+        out.extend(line.rstrip() for line in traceback.format_stack(frame))
+    return "\n".join(out) + "\n"
+
+
 def serve_metrics(stats, listen_addr: str):
     """Serve :func:`render_prometheus` over HTTP (reference
-    ``--metrics-listen-addr``, cmd/.../main.go:28).  ``stats`` is a
-    :class:`SinkStats` or a zero-arg callable returning one (so the
-    scrape always sees the live counters).  Returns the daemon-threaded
-    server; call ``.shutdown()`` to stop."""
+    ``--metrics-listen-addr``, cmd/.../main.go:28), plus
+    ``/debug/threads`` — the pprof-style liveness probe (main.go:44-57
+    serves Go pprof; here it's a Python driver thread dump).  ``stats``
+    is a :class:`SinkStats` or a zero-arg callable returning one (so
+    the scrape always sees the live counters).  Returns the
+    daemon-threaded server; call ``.shutdown()`` to stop."""
     import threading
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -98,7 +118,10 @@ def serve_metrics(stats, listen_addr: str):
 
     class _Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API)
-            body = render_prometheus(provider()).encode()
+            if self.path.startswith("/debug/threads"):
+                body = render_thread_dump().encode()
+            else:
+                body = render_prometheus(provider()).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")
             self.send_header("Content-Length", str(len(body)))

@@ -69,3 +69,22 @@ def test_serve_metrics_http_scrape():
         assert "substreams_sink_clickhouse_store_flush_count 1" in body
     finally:
         server.shutdown()
+
+
+def test_debug_threads_endpoint():
+    import urllib.request
+
+    from substreams_sink_clickhouse_spark.streaming.metrics import (
+        SinkStats,
+        serve_metrics,
+    )
+
+    server = serve_metrics(SinkStats(), "localhost:0")
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(
+            f"http://localhost:{port}/debug/threads", timeout=5
+        ).read().decode()
+        assert "--- thread" in body and "MainThread" in body
+    finally:
+        server.shutdown()
