@@ -101,6 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--live", action="store_true", help="keep the stream running (processingTime trigger)")
     run.add_argument("--timeout-s", type=int, default=600, help="backfill completion timeout")
     run.add_argument(
+        "--max-restarts",
+        type=int,
+        default=5,
+        help="supervised restarts on stream failure with capped backoff, "
+        "resuming from checkpoint + cursor (the liveness policy the "
+        "reference inherits from its sink library, run.go:92-98); "
+        "0 disables supervision",
+    )
+    run.add_argument(
         "--range",
         default=None,
         metavar="START:STOP",
@@ -199,10 +208,20 @@ def cmd_run(spark, args) -> int:
     catalog = _catalog(spark, args)
     pipe = _pipeline(spark, catalog, args)
     args._metrics_pipe = pipe  # live Prometheus scrapes (see main())
+    max_restarts = getattr(args, "max_restarts", 5)
     if args.live:
         query = pipe.start(args.changes_path, live=True)
         print("stream started (live mode); Ctrl-C to stop", file=sys.stderr)
         query.awaitTermination()
+    elif max_restarts > 0:
+        pipe.run_with_retries(
+            args.changes_path,
+            max_restarts=max_restarts,
+            timeout_s=args.timeout_s,
+            on_restart=lambda n, exc: print(
+                f"stream failed (restart {n}/{max_restarts}): {exc}", file=sys.stderr
+            ),
+        )
     else:
         pipe.run_to_completion(args.changes_path, timeout_s=args.timeout_s)
     cursor = pipe.cursors.get_cursor(args.module_hash, args.on_module_hash_mismatch)
