@@ -508,3 +508,97 @@ SPECS.append(
         _RANGE_ORACLE,
     )
 )
+
+
+# ------------------------------------------------- product quantization
+
+#: PQ geometry: 64-dim vectors split into PQ_M subspaces of PQ_SUB dims
+#: each; PQ_K centroids per subspace.  Codebook = the subvectors of the
+#: first PQ_K corpus vectors — the same deterministic "fixed pick"
+#: convention as sim_ivf's coarse quantizer, so both engines derive a
+#: bit-identical codebook (a real deployment k-means a sample instead;
+#: sim_kmeans demonstrates that training loop).
+PQ_M = 4
+PQ_SUB = EMBEDDING_DIM // PQ_M
+PQ_K = 8
+
+
+def _sim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode (IVF-PQ's storage half, Jegou et al.
+    2011): each vector becomes PQ_M uint8 codes — a 64x compression of
+    a float32 64-dim embedding — plus the exact reconstruction error.
+
+    Plan shape: the codebook (PQ_K x PQ_M subvectors) is collected to
+    the driver — K rows, the same bounded collect as sim_ivf's
+    centroid pick — and inlined as plan literals, so encoding is a
+    ZERO-SHUFFLE row-local projection: per subspace, squared L2 to
+    each centroid via a zip_with fold, argmin via array_min over
+    (dist, cid) structs (lexicographic: exact ties break to the lower
+    code in both engines).  At 100 TB this is the right shape: the
+    codebook ships with the plan; the corpus is never joined, never
+    shuffled, and the encoded table is what an ADC search scans.
+    """
+    e = load_table(spark, sf, "embeddings")
+    cents = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    best_exprs = []
+    for m in range(PQ_M):
+        start = m * PQ_SUB + 1  # 1-based slice
+        cands = []
+        for cid in range(PQ_K):
+            sub = [float(x) for x in cents[cid][m * PQ_SUB : (m + 1) * PQ_SUB]]
+            arr = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in sub) + ")"
+            dist = (
+                f"aggregate(zip_with(slice(embedding, {start}, {PQ_SUB}), {arr}, "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            cands.append(f"struct({dist} AS d, {cid} AS c)")
+        best_exprs.append(f"array_min(array({', '.join(cands)}))")
+    codes = F.concat_ws(
+        ",", *[F.expr(f"{b}.c").cast("string") for b in best_exprs]
+    )
+    total = " + ".join(f"{b}.d" for b in best_exprs)
+    return e.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(F.expr(f"sqrt({total})"), 6).alias("recon_err"),
+    )
+
+
+def _pq_oracle() -> str:
+    dists = []
+    for m in range(PQ_M):
+        dists.append(
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1), j -> "
+            f"(CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE))"
+            f" * (CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE)))) AS d{m}"
+        )
+    bests = ", ".join(
+        f"list_min(list({{'d': d{m}, 'c': cid}})) AS b{m}" for m in range(PQ_M)
+    )
+    codes = ", ".join(f"CAST(b{m}.c AS VARCHAR)" for m in range(PQ_M))
+    total = " + ".join(f"b{m}.d" for m in range(PQ_M))
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {PQ_K}),
+pair AS (
+  SELECT e.vec_id, c.cid, {', '.join(dists)}
+  FROM embeddings e CROSS JOIN cent c),
+best AS (SELECT vec_id, {bests} FROM pair GROUP BY vec_id)
+SELECT vec_id, concat_ws(',', {codes}) AS codes,
+       round(sqrt({total}), 6) AS recon_err
+FROM best ORDER BY vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_pq",
+        "Product-quantization encode: per-subspace codes + exact "
+        "reconstruction error, zero-shuffle with a plan-literal codebook",
+        _sim_pq,
+        _pq_oracle(),
+    )
+)
