@@ -602,3 +602,107 @@ SPECS.append(
         _pq_oracle(),
     )
 )
+
+
+def _sim_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC search over PQ codes (IVF-PQ's query half): the probe is
+    never compared to raw vectors — per subspace, a PQ_K-entry lookup
+    table of probe-to-centroid distances is built ONCE at plan time
+    (driver: PQ_K x PQ_M doubles), and each stored vector's
+    approximate distance is the sum of PQ_M table lookups on its
+    codes.  Top-5 by approximate distance.
+
+    At 100 TB this is why PQ exists: the scan touches 4 bytes of codes
+    per vector instead of 256 bytes of floats, the tables ship as plan
+    literals, and the whole search is a zero-shuffle scan + top-k.
+    The lookup tables are computed with an explicit left fold in
+    Python doubles — the same IEEE operation sequence as the engines'
+    folds — so the DuckDB oracle reproduces every distance bit-for-bit.
+    """
+    e = load_table(spark, sf, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(
+            (F.col("vec_id") < PQ_K) | (F.col("vec_id") == PROBE_VEC_ID)
+        ).collect()
+    }
+    probe = rows[PROBE_VEC_ID]
+
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    best_exprs = []
+    for m in range(PQ_M):
+        start = m * PQ_SUB + 1
+        cands = []
+        for cid in range(PQ_K):
+            sub = rows[cid][m * PQ_SUB : (m + 1) * PQ_SUB]
+            arr = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in sub) + ")"
+            dist = (
+                f"aggregate(zip_with(slice(embedding, {start}, {PQ_SUB}), {arr}, "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            cands.append(f"struct({dist} AS d, {cid} AS c)")
+        best_exprs.append(f"array_min(array({', '.join(cands)}))")
+
+    score_terms = []
+    for m in range(PQ_M):
+        table = [
+            sqdist(
+                probe[m * PQ_SUB : (m + 1) * PQ_SUB],
+                rows[cid][m * PQ_SUB : (m + 1) * PQ_SUB],
+            )
+            for cid in range(PQ_K)
+        ]
+        tab = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in table) + ")"
+        score_terms.append(f"element_at({tab}, {best_exprs[m]}.c + 1)")
+    adc = " + ".join(score_terms)
+    return (
+        e.select("vec_id", F.round(F.expr(f"sqrt({adc})"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
+
+
+def _pq_adc_oracle() -> str:
+    dists = []
+    for m in range(PQ_M):
+        dists.append(
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1), j -> "
+            f"(CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE))"
+            f" * (CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE)))) AS d{m}"
+        )
+    bests = ", ".join(
+        f"list_min(list({{'d': d{m}, 'c': cid}})) AS b{m}" for m in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN ptab t{m} ON t{m}.cid = b.b{m}.c" for m in range(PQ_M)
+    )
+    total = " + ".join(f"t{m}.d{m}" for m in range(PQ_M))
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {PQ_K}),
+pair AS (
+  SELECT e.vec_id, c.cid, {', '.join(dists)}
+  FROM embeddings e CROSS JOIN cent c),
+best AS (SELECT vec_id, {bests} FROM pair GROUP BY vec_id),
+ptab AS (SELECT cid, {', '.join(f'd{m}' for m in range(PQ_M))}
+         FROM pair WHERE vec_id = {PROBE_VEC_ID})
+SELECT b.vec_id, round(sqrt({total}), 6) AS adc_dist
+FROM best b {joins}
+ORDER BY adc_dist, b.vec_id LIMIT 5
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_pq_adc",
+        "ADC search over PQ codes: plan-literal distance tables, "
+        "zero-shuffle scan + top-k",
+        _sim_pq_adc,
+        _pq_adc_oracle(),
+    )
+)
