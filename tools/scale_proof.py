@@ -13,6 +13,7 @@ Usage: python tools/scale_proof.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -25,7 +26,46 @@ SCRATCH = "/tmp/sscs_scale"
 
 
 def synth_10x(spark, src_dir: str, out_dir: str) -> None:
-    """Expand documents/embeddings 10x, distributed (no driver rows)."""
+    """Expand the big tables 10x, distributed (no driver rows); small
+    dimensions are copied as-is so joins keep their shape."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    os.makedirs(out_dir, exist_ok=True)
+    for small in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copyfile(
+            f"{src_dir}/{small}.parquet", f"{out_dir}/{small}.parquet"
+        )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+
+    # lineitem + orders expand together: l_orderkey/o_orderkey scale as
+    # key*10+rep, so the fact-fact join keeps exactly 10x its matches.
+    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    o10 = o.select("*", reps).select(
+        (F.col("o_orderkey") * 10 + F.col("rep")).alias("o_orderkey"),
+        *[c for c in o.columns if c != "o_orderkey"],
+    ).drop("rep")
+    o10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    l = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    l10 = l.select("*", reps).select(
+        (F.col("l_orderkey") * 10 + F.col("rep")).alias("l_orderkey"),
+        *[c for c in l.columns if c != "l_orderkey"],
+    ).drop("rep")
+    l10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    e = spark.read.parquet(f"{src_dir}/events.parquet")
+    e10 = e.select("*", reps).select(
+        (F.col("event_id") * 10 + F.col("rep")).alias("event_id"),
+        *[c for c in e.columns if c != "event_id"],
+    ).drop("rep")
+    e10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    _synth_corpus_10x(spark, src_dir, out_dir)
+
+
+def _synth_corpus_10x(spark, src_dir: str, out_dir: str) -> None:
     d = spark.read.parquet(f"{src_dir}/documents.parquet")
     reps = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
     docs10 = (
@@ -71,7 +111,15 @@ def rest_stage_totals(ui_port: int) -> tuple[int, int]:
 
 def main() -> None:
     from substreams_sink_clickhouse_spark.operators.dedup import _dedup_minhash
+    from substreams_sink_clickhouse_spark.operators.relational import (
+        _q04,
+        _q07,
+        _q12,
+        _q22,
+    )
     from substreams_sink_clickhouse_spark.operators.similarity import _sim_lsh
+    from substreams_sink_clickhouse_spark.operators.streaming_q import _q24
+    from substreams_sink_clickhouse_spark.operators.text import _corpus_prep
     from substreams_sink_clickhouse_spark.session import get_spark
 
     spark = get_spark("scale-proof", extra_conf={"spark.ui.enabled": "true"})
@@ -83,7 +131,16 @@ def main() -> None:
     synth_10x(spark, sf01, sf1)
 
     results = {}
-    for name, builder in (("dedup_minhash", _dedup_minhash), ("sim_lsh", _sim_lsh)):
+    for name, builder in (
+        ("dedup_minhash", _dedup_minhash),
+        ("sim_lsh", _sim_lsh),
+        ("q04_agg", _q04),
+        ("q07_star_join", _q07),
+        ("q12_window_rank", _q12),
+        ("q22_json", _q22),
+        ("q24_session_window", _q24),
+        ("corpus_prep", _corpus_prep),
+    ):
         for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
             builder(spark, d).count()  # warm codegen
             rd0, wr0 = rest_stage_totals(ui_port)
