@@ -184,3 +184,42 @@ SPECS = [
         _Q107_ORACLE,
     ),
 ]
+
+
+def _q108_with_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` — ClickHouse emits the per-group
+    rows plus one extra row aggregating everything.  Expressed as a
+    rollup filtered to exactly those two grouping levels (Catalyst
+    expands rollup map-side; no second scan), with the totals row
+    flagged the way clients detect it (NULL key -> 'TOTALS')."""
+    o = load_table(spark, sf, "orders")
+    g = (
+        o.rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("TOTALS")).alias("status"),
+            "n",
+            "revenue",
+        )
+    )
+    return g
+
+
+_Q108_ORACLE = """
+SELECT coalesce(o_orderstatus, 'TOTALS') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus) ORDER BY status
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q108_with_totals",
+        "GROUP BY WITH TOTALS via single-dimension rollup",
+        _q108_with_totals,
+        _Q108_ORACLE,
+    )
+)
