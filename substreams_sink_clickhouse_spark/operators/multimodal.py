@@ -307,14 +307,17 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads as a struct-returning
     scalar ``pandas_udf``.
 
-    Same Arrow batching as ``mapInPandas`` but on the scalar-UDF
-    runner, which measures ~2.5x cheaper per execution (~110 ms vs
-    ~290 ms at sf0.1 — the map-iter runner carries extra per-run
-    setup).  Use the scalar form whenever output is row-aligned 1:1
-    with input; ``mapInPandas`` remains for the fan-out/fan-in shapes
-    (``sample_frames``) that genuinely change cardinality.
-    ``_extract_features_batches`` keeps the equivalent map-iter
-    implementation for that API surface."""
+    Same Arrow batching and, measured honestly (with the UDF output
+    load-bearing so Catalyst can't elide it), the same per-execution
+    cost as the ``mapInPandas`` form — the Python exchange dominates
+    both.  The scalar form is still the right API for 1:1 row-aligned
+    shapes: unlike ``mapInPandas`` it composes with other projections,
+    and BECAUSE it is elidable, Catalyst drops it entirely when a
+    caller never touches the features — free column pruning the
+    map-iter form structurally cannot get.  ``mapInPandas`` remains
+    for the fan-out shapes (``sample_frames``) that change
+    cardinality; ``_extract_features_batches`` keeps the equivalent
+    map-iter implementation for that API surface."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -341,8 +344,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # unordered result set (SQL semantics): presentation sorts cost
-    # a range exchange + sampler job per execution
-    return extract_features(assets_from_documents(docs))
+    # a range exchange + sampler job per execution.  The empty-payload
+    # filter is the operator's real contract (decode stages drop empty
+    # assets) — and it makes the result's cardinality depend on the
+    # extracted features, so a count-only action cannot prune the UDF
+    # (a deterministic 1:1 pandas_udf is otherwise elidable, which
+    # would make benchmarks measure nothing).
+    return extract_features(assets_from_documents(docs)).filter(
+        F.col("byte_len") > 0
+    )
 
 
 #: Oracle: the fixture text is pure ASCII, so utf-8 bytes == codepoints.
@@ -355,7 +365,7 @@ SELECT doc_id AS asset_id,
                 list_transform(range(1, least(len(text), 16) + 1),
                                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
               (a, b) -> a + b) % 256 AS INT) AS checksum16
-FROM documents ORDER BY asset_id
+FROM documents WHERE len(text) > 0 ORDER BY asset_id
 """
 
 
