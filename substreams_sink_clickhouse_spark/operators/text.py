@@ -172,8 +172,13 @@ def _fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     # unordered result set (SQL semantics): skipping the presentation
-    # sort saves a range exchange + sampler job per execution
-    return d.select("doc_id", fp.alias("fp"))
+    # sort saves a range exchange + sampler job per execution.  The
+    # fp >= 0 predicate makes the fingerprint load-bearing: without it
+    # a count-only action lets Catalyst prune the whole hash fold (a
+    # deterministic projection is elidable), and a benchmark would
+    # measure nothing.  Rows are unchanged (the fold is mod-P,
+    # always non-negative) — the oracle carries the same predicate.
+    return d.select("doc_id", fp.alias("fp")).filter(F.col("fp") >= 0)
 
 
 _FINGERPRINT_ORACLE = f"""
@@ -183,7 +188,13 @@ SELECT doc_id,
            list_transform(string_split(lower(text), ' '),
                           w -> {duck_md5_long_sql('w')} % {POLY_MOD})),
          (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}) AS fp
-FROM documents ORDER BY doc_id
+FROM documents
+WHERE list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(lower(text), ' '),
+                         w -> {duck_md5_long_sql('w')} % {POLY_MOD})),
+        (acc, x) -> (acc * {POLY_MULT} + x) % {POLY_MOD}) >= 0
+ORDER BY doc_id
 """
 
 
