@@ -223,3 +223,57 @@ SPECS.append(
         _Q108_ORACLE,
     )
 )
+
+
+def _q109_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (the ClickHouse ``avgWeighted`` pattern
+    over event durations): each reading holds until the next one, so
+    its weight is the seconds to the user's next event; the last
+    reading of a series carries no duration and drops out.  One lead()
+    window inside the user partition + one algebraic aggregate."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Exact microsecond durations: the fixture carries sub-second ts,
+    # and second-level truncation (Spark) vs rounding (DuckDB) would
+    # diverge.  TIMESTAMP_NTZ -> TIMESTAMP is an identity instant under
+    # the engine's pinned UTC session.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    step = e.select(
+        "user_id",
+        "value",
+        (us(F.lead("ts").over(w)) - us(F.col("ts"))).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        step.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twa"),
+            F.sum("dur_us").alias("span_us"),
+        )
+        .filter(F.col("user_id") < 40)
+    )
+
+
+_Q109_ORACLE = """
+WITH s AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT user_id,
+       round(sum(value * dur_us) / sum(dur_us), 4) AS twa,
+       CAST(sum(dur_us) AS BIGINT) AS span_us
+FROM s WHERE dur_us IS NOT NULL AND user_id < 40
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q109_time_weighted_avg",
+        "Time-weighted average per key (hold-until-next semantics)",
+        _q109_time_weighted_avg,
+        _Q109_ORACLE,
+    )
+)
