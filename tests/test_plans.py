@@ -251,3 +251,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    """sim_pq: the codebook is plan literals; encoding must be a pure
+    row-local projection — no Exchange anywhere above the scan."""
+    from substreams_sink_clickhouse_spark.operators.similarity import _sim_pq
+
+    df = _sim_pq(spark, SF)
+    assert count_shuffles(df) == 0, simple_plan(df)
+
+
+def test_pq_adc_search_is_scan_plus_topk(spark):
+    """sim_pq_adc: distance tables are plan literals; the search is a
+    scan + TakeOrdered — no Exchange, no join."""
+    from substreams_sink_clickhouse_spark.operators.similarity import _sim_pq_adc
+
+    df = _sim_pq_adc(spark, SF)
+    plan = simple_plan(df)
+    assert count_shuffles(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_with_totals_is_single_scan_expand(spark):
+    """q108: WITH TOTALS must come from ONE scan via rollup Expand,
+    never a union of two aggregations."""
+    from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext2 import (
+        _q108_with_totals,
+    )
+
+    df = _q108_with_totals(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
