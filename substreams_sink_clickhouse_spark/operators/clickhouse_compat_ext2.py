@@ -277,3 +277,48 @@ SPECS.append(
         _Q109_ORACLE,
     )
 )
+
+
+def _q110_array_enumerate(spark: SparkSession, sf: str) -> DataFrame:
+    """``arrayEnumerate`` / ``arrayEnumerateUniq``: 1-based position
+    and per-value occurrence number inside each array — row-local
+    higher-order lambdas (the occurrence scan is O(k^2) over k<=~20
+    words, constant at any corpus size), rendered as CSV."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    words = F.split("p_name", " ")
+    enum = F.expr(
+        "array_join(transform(split(p_name, ' '), (w, i) -> CAST(i + 1 AS STRING)), ',')"
+    )
+    enum_uniq = F.expr(
+        "array_join(transform(split(p_name, ' '), (w, i) -> "
+        "CAST(size(filter(slice(split(p_name, ' '), 1, i + 1), x -> x = w)) AS STRING)), ',')"
+    )
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        enum.alias("enum"),
+        enum_uniq.alias("enum_uniq"),
+    )
+
+
+_Q110_ORACLE = """
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+       list_aggregate(list_transform(range(1, len(string_split(p_name, ' ')) + 1),
+                                     i -> CAST(i AS VARCHAR)), 'string_agg', ',') AS enum,
+       list_aggregate(list_transform(range(1, len(string_split(p_name, ' ')) + 1),
+                      i -> CAST(len(list_filter(string_split(p_name, ' ')[1:i],
+                                                x -> x = string_split(p_name, ' ')[i])) AS VARCHAR)),
+                      'string_agg', ',') AS enum_uniq
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q110_array_enumerate",
+        "arrayEnumerate/arrayEnumerateUniq position + occurrence numbering",
+        _q110_array_enumerate,
+        _Q110_ORACLE,
+    )
+)

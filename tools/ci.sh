@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# One-command reproduction of everything the external gates check:
+#   bash tools/ci.sh [sf_dir]
+# 1. schema audit  — no driver-hostile complex output columns
+# 2. oracle gate   — every queries() entry vs its DuckDB oracle
+# 3. unit tests    — merge kernel, streaming, codecs, plan shapes, ...
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+
+echo "== schema audit =="
+python tools/audit_schemas.py
+
+echo "== oracle gate ($SF_DIR) =="
+python tools/check_correctness.py "$SF_DIR"
+
+echo "== unit tests =="
+python -m pytest tests/ -q
+
+echo "CI green."
