@@ -298,3 +298,69 @@ SPECS = [
         _EMB_QUANTIZE_ORACLE,
     ),
 ]
+
+
+#: Context-window size the packing-efficiency stats are computed for.
+SEQ_WINDOW = 512
+
+
+def _train_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length planning stats: per power-of-two length bucket,
+    document count, token mass, and the packing efficiency a naive
+    one-doc-per-window loader would get at SEQ_WINDOW (tokens /
+    windows*SEQ_WINDOW) vs the ideal greedy bound.
+
+    This is the profile a training-data pipeline computes before
+    choosing packing strategy — one map-side projection (whitespace
+    token count + log2 bucket) into one hash aggregate; no shuffle
+    beyond the aggregate exchange at any corpus size."""
+    d = load_table(spark, sf, "documents")
+    toks = F.size(F.split("text", " "))
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(toks, F.lit(1)).cast("double")))
+    ).cast("long")
+    per_doc = d.select(
+        toks.alias("n_tok"),
+        bucket.alias("len_bucket"),
+    )
+    naive_windows = F.ceil(F.col("n_tok") / F.lit(SEQ_WINDOW).cast("double")).cast(
+        "long"
+    )
+    return (
+        per_doc.withColumn("n_windows", naive_windows)
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.round(
+                F.sum("n_tok")
+                / (F.sum("n_windows") * F.lit(SEQ_WINDOW)).cast("double"),
+                4,
+            ).alias("naive_pack_eff"),
+        )
+    )
+
+
+_TRAIN_LENGTH_BUCKETS_ORACLE = f"""
+WITH p AS (
+  SELECT len(string_split(text, ' ')) AS n_tok,
+         CAST(power(2.0, ceil(log2(CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)))) AS BIGINT) AS len_bucket,
+         CAST(ceil(len(string_split(text, ' ')) / CAST({SEQ_WINDOW} AS DOUBLE)) AS BIGINT) AS n_windows
+  FROM documents)
+SELECT len_bucket,
+       count(*) AS n_docs,
+       sum(n_tok) AS tokens,
+       round(sum(n_tok) / CAST(sum(n_windows) * {SEQ_WINDOW} AS DOUBLE), 4) AS naive_pack_eff
+FROM p GROUP BY len_bucket ORDER BY len_bucket
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_length_buckets",
+        "Sequence-length histogram + naive packing efficiency at a "
+        "fixed context window",
+        _train_length_buckets,
+        _TRAIN_LENGTH_BUCKETS_ORACLE,
+    )
+)
