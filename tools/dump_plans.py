@@ -179,6 +179,26 @@ SHOWCASE = [
         "WholeStageCodegen span as the parquet read — reweighting 100 TB "
         "costs exactly one pass, no shuffle before the tiny aggregate.",
     ),
+    (
+        "sim_pq",
+        "Product-quantization encode with a plan-literal codebook: the "
+        "per-subspace argmin over (dist, cid) structs is a row-local "
+        "projection — ZERO exchanges; encoding 100 TB of vectors is one "
+        "map pass, and the codebook ships with the plan.",
+    ),
+    (
+        "sim_pq_adc",
+        "ADC search reads 4 bytes of codes per vector instead of 256 "
+        "bytes of floats: plan-literal distance tables + sum of lookups "
+        "+ TakeOrderedAndProject.  No exchange, no join — the IVF-PQ "
+        "query path at any corpus size.",
+    ),
+    (
+        "q108_with_totals",
+        "WITH TOTALS must come from ONE scan: the rollup Expand emits "
+        "each row twice (group + grand-total replicas) map-side, so the "
+        "totals row costs no second pass over 100 TB.",
+    ),
 ]
 
 
