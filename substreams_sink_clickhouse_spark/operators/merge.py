@@ -27,6 +27,18 @@ row path, no driver-side state).  Scale notes:
 * semantic violations surface as an ``err`` field folded through the
   lambda, checked with a cheap ``limit(1)`` probe instead of a collect.
 
+A flat-aggregate rewrite (error flags from group scalars — ``n_create``
+/ ``first_create_seq`` / ``first_delete_seq`` / ``last_update_seq`` —
+plus per-field last-wins via exploded ``(pk, field)`` ``max_by`` and a
+regroup) was prototyped and measured against this fold on the sf0.1
+``cdc_merge`` replay: values match exactly, but the flat plan needs
+three exchanges (group scalars, field-level, regroup) versus the fold's
+one and ran 2.0x SLOWER (median 1.35 s vs 0.68 s, local[32]).  The
+fold's collect_list is bounded by ops-per-pk-per-window (the
+reference's own buffer bound, db/ops.go:11), so the single-shuffle
+shape wins at cluster scale too; the rewrite is documented here as a
+rejected alternative, not kept as code.
+
 Applying the reduced ops to target-table state is a single full-outer
 shuffle join on the pk — the Parquet-world replacement for ClickHouse
 mutations (``ALTER TABLE .. UPDATE`` / ``DELETE``,
