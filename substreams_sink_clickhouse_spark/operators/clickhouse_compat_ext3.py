@@ -1,0 +1,418 @@
+"""ClickHouse compatibility, fourth batch (q111–q117): interval
+aggregates, nonparametric tests, and bitwise aggregates.
+
+The reference delegates its entire query surface to ClickHouse
+(/root/reference/README.md:29-52); these are the remaining analytics
+families a ClickHouse user would reach for that earlier batches don't
+cover:
+
+* ``q111_interval_length_sum`` — ``intervalLengthSum(start, end)``:
+  total length of the union of (possibly overlapping) segments per
+  key.  Gaps-and-islands: running max of interval ends marks island
+  starts, islands aggregate to ``max(end) - min(start)``.
+* ``q112_max_intersections`` — ``maxIntersections(start, end)``: the
+  maximum number of simultaneously-open half-open intervals, via the
+  classic sweep (explode to +1/-1 events, running sum, max).
+* ``q113_theils_u``   — ``theilsU(x, y)``: uncertainty coefficient
+  U(x|y) = (H(x) − H(x|y)) / H(x) from contingency-cell counts.
+* ``q114_ks_test``    — ``kolmogorovSmirnovTest``: two-sample exact
+  KS D statistic as the max ECDF gap over value-grouped counts.
+* ``q115_mannwhitney_u`` — ``mannWhitneyUTest``: rank-sum U with
+  average ranks for ties (computed from value-grouped counts, no
+  per-row ranking) and the normal-approximation z score (no tie
+  correction — documented deviation).
+* ``q116_bit_aggs``   — ``groupBitAnd/Or/Xor``: Spark's bit_and /
+  bit_or / bit_xor aggregates.
+* ``q117_bounding_ratio`` — ``boundingRatio(x, y)``: slope of the
+  bounding box, (max y − min y) / (max x − min x), pure algebraic
+  moments.
+
+Scale notes.  q111/q112 sort only inside their group partitions (the
+per-key interval set is the state bound, exactly ClickHouse's).
+q113/q116/q117 are stacked algebraic aggregates — constant state,
+map-side partials, one exchange each.  q114/q115 first collapse rows
+to (value, per-sample counts) — the exchange carries value
+*cardinality*, not row count — then window over the grouped values;
+at extreme value cardinality the ECDF should be binned (approximate
+KS), which is the documented 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+
+# ------------------------------------------------- intervalLengthSum
+
+def _intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic integer intervals derived from orders: start =
+    orderkey mod 1000, end = start + custkey mod 50 + 1, keyed by
+    order status.  Integer arithmetic only — oracle-exact."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderstatus").alias("k"),
+        F.col("o_orderkey").alias("oid"),
+        (F.col("o_orderkey") % 1000).alias("s"),
+        ((F.col("o_orderkey") % 1000) + F.col("o_custkey") % 50 + 1).alias("e"),
+    )
+
+
+def _q111_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """intervalLengthSum(s, e) per key: union length of overlapping
+    segments.  prev_max(end) over the start-ordered group marks island
+    boundaries; islands collapse to max(e) - min(s).  Touching
+    segments may split islands — the summed length is identical either
+    way, so both engines agree without a tie policy."""
+    iv = _intervals(spark, sf)
+    w = Window.partitionBy("k").orderBy("s", "e", "oid")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("k", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return (
+        per_island.groupBy("k")
+        .agg(F.sum("len").alias("union_len"))
+        .orderBy("k")
+    )
+
+
+_Q111_ORACLE = """
+WITH iv AS (
+  SELECT o_orderstatus AS k, o_orderkey AS oid,
+         o_orderkey % 1000 AS s,
+         o_orderkey % 1000 + o_custkey % 50 + 1 AS e
+  FROM orders),
+flagged AS (
+  SELECT k, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e, oid
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY k ORDER BY s, e, oid
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         oid
+  FROM iv),
+islands AS (
+  SELECT k, s, e,
+         sum(new_island) OVER (PARTITION BY k ORDER BY s, e, oid
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT k, sum(len) AS union_len FROM (
+  SELECT k, island, max(e) - min(s) AS len FROM islands GROUP BY k, island)
+GROUP BY k ORDER BY k
+"""
+
+
+# ------------------------------------------------- maxIntersections
+
+def _q112_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
+    """maxIntersections(s, e) per key over half-open [s, e): sweep the
+    +1/-1 endpoint events in (position, delta) order — at equal
+    position the -1 sorts first, so a segment ending where another
+    starts does not count as an intersection (half-open semantics)."""
+    iv = _intervals(spark, sf)
+    pts = iv.select(
+        "k", F.col("s").alias("pos"), F.lit(1).alias("delta")
+    ).unionAll(iv.select("k", F.col("e").alias("pos"), F.lit(-1).alias("delta")))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = pts.withColumn("open", F.sum("delta").over(w))
+    return (
+        running.groupBy("k")
+        .agg(F.max("open").cast("int").alias("max_intersections"))
+        .orderBy("k")
+    )
+
+
+_Q112_ORACLE = """
+WITH iv AS (
+  SELECT o_orderstatus AS k,
+         o_orderkey % 1000 AS s,
+         o_orderkey % 1000 + o_custkey % 50 + 1 AS e
+  FROM orders),
+pts AS (
+  SELECT k, s AS pos, 1 AS delta FROM iv
+  UNION ALL
+  SELECT k, e AS pos, -1 AS delta FROM iv)
+SELECT k, CAST(max(open) AS INT) AS max_intersections FROM (
+  SELECT k, sum(delta) OVER (PARTITION BY k ORDER BY pos, delta
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM pts)
+GROUP BY k ORDER BY k
+"""
+
+
+# ------------------------------------------------------- theilsU
+
+def _q113_theils_u(spark: SparkSession, sf: str) -> DataFrame:
+    """theilsU(event_type, user_id mod 7): uncertainty coefficient
+    U(x|y) = (H(x) - H(x|y)) / H(x) with natural-log entropies.  All
+    terms derive from contingency-cell counts (|x|*|y| rows cross the
+    exchange, not the event count)."""
+    e = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("x"), (F.col("user_id") % 7).alias("y")
+    )
+    cells = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    n = cells.agg(F.sum("nxy").alias("n"))
+    # H(x): from x-marginals; H(x|y) = -sum_y p(y) sum_x p(x|y) ln p(x|y)
+    xm = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ym = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    hx = (
+        xm.crossJoin(F.broadcast(n))
+        .select(((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))).alias("t"))
+        .agg((-F.sum("t")).alias("hx"))
+    )
+    hxy = (
+        cells.join(F.broadcast(ym), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                (F.col("ny") / F.col("n"))
+                * (F.col("nxy") / F.col("ny"))
+                * F.log(F.col("nxy") / F.col("ny"))
+            ).alias("t")
+        )
+        .agg((-F.sum("t")).alias("hxy"))
+    )
+    return (
+        hx.crossJoin(hxy)
+        .select(
+            F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 6).alias("theils_u")
+        )
+    )
+
+
+_Q113_ORACLE = """
+WITH e AS (SELECT event_type AS x, user_id % 7 AS y FROM events),
+cells AS (SELECT x, y, count(*)::DOUBLE AS nxy FROM e GROUP BY x, y),
+tot AS (SELECT sum(nxy) AS n FROM cells),
+hx AS (
+  SELECT -sum((nx / n) * ln(nx / n)) AS hx
+  FROM (SELECT x, sum(nxy) AS nx FROM cells GROUP BY x), tot),
+hxy AS (
+  SELECT -sum((ny / n) * (nxy / ny) * ln(nxy / ny)) AS hxy
+  FROM cells
+  JOIN (SELECT y, sum(nxy) AS ny FROM cells GROUP BY y) USING (y), tot)
+SELECT round((hx - hxy) / hx, 6) AS theils_u FROM hx, hxy
+"""
+
+
+# ------------------------------------------------------- KS test
+
+def _q114_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """kolmogorovSmirnovTest over events.value, 'click' vs 'purchase':
+    exact two-sample D = max |ECDF_a - ECDF_b|.  Rows first collapse
+    to per-distinct-value counts, so the window runs over value
+    cardinality; the running sums use a ROWS frame over the grouped
+    (hence tie-free) values."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    byv = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("ca"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double").alias("cb"),
+    )
+    tot = byv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")).alias("gap"))
+        .agg(F.round(F.max("gap"), 6).alias("ks_d"))
+    )
+
+
+_Q114_ORACLE = """
+WITH e AS (SELECT value AS v, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+byv AS (
+  SELECT v,
+         count(*) FILTER (event_type = 'click')::DOUBLE AS ca,
+         count(*) FILTER (event_type = 'purchase')::DOUBLE AS cb
+  FROM e GROUP BY v),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM byv),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+  FROM byv)
+SELECT round(max(abs(cca / na - ccb / nb)), 6) AS ks_d FROM cum, tot
+"""
+
+
+# ------------------------------------------------- mannWhitneyUTest
+
+def _q115_mannwhitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """mannWhitneyUTest over events.value, 'click' vs 'purchase':
+    rank-sum U1 with average ranks for ties, computed from
+    per-distinct-value counts (rank of a tied block = preceding count
+    + (block + 1) / 2 — no per-row ranking pass), plus the normal
+    z approximation without tie correction (documented deviation)."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    byv = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("ca"),
+        F.count(F.lit(1)).cast("double").alias("ct"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.withColumn("before", F.coalesce(F.sum("ct").over(w), F.lit(0.0)))
+    rsum = ranked.select(
+        (F.col("ca") * (F.col("before") + (F.col("ct") + 1) / 2)).alias("ra"),
+        "ca",
+        "ct",
+    ).agg(
+        F.sum("ra").alias("r1"),
+        F.sum("ca").alias("n1"),
+        (F.sum("ct") - F.sum("ca")).alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return rsum.select(
+        F.round(u1, 2).alias("u1"), F.round((u1 - mu) / sigma, 6).alias("z")
+    )
+
+
+_Q115_ORACLE = """
+WITH e AS (SELECT value AS v, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')),
+byv AS (
+  SELECT v,
+         count(*) FILTER (event_type = 'click')::DOUBLE AS ca,
+         count(*)::DOUBLE AS ct
+  FROM e GROUP BY v),
+ranked AS (
+  SELECT ca, ct,
+         coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS before
+  FROM byv),
+s AS (
+  SELECT sum(ca * (before + (ct + 1) / 2)) AS r1,
+         sum(ca) AS n1, sum(ct) - sum(ca) AS n2
+  FROM ranked)
+SELECT round(r1 - n1 * (n1 + 1) / 2, 2) AS u1,
+       round((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z
+FROM s
+"""
+
+
+# ------------------------------------------------------- bit aggregates
+
+def _q116_bit_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBitAnd / groupBitOr / groupBitXor of orderkey mod 4096 per
+    order priority — single algebraic aggregate, map-side partials."""
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"), (F.col("o_orderkey") % 4096).alias("b")
+    )
+    return (
+        o.groupBy("pri")
+        .agg(
+            F.bit_and("b").alias("band"),
+            F.bit_or("b").alias("bor"),
+            F.bit_xor("b").alias("bxor"),
+        )
+        .orderBy("pri")
+    )
+
+
+_Q116_ORACLE = """
+SELECT o_orderpriority AS pri,
+       bit_and(o_orderkey % 4096) AS band,
+       bit_or(o_orderkey % 4096) AS bor,
+       bit_xor(o_orderkey % 4096) AS bxor
+FROM orders GROUP BY pri ORDER BY pri
+"""
+
+
+# ------------------------------------------------------ boundingRatio
+
+def _q117_bounding_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """boundingRatio(epoch(ts), value) per event type: the slope of
+    the min/max bounding box — four algebraic moments."""
+    e = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return (
+        e.groupBy("et")
+        .agg(
+            F.round(
+                (F.max("y") - F.min("y")) / (F.max("x") - F.min("x")), 9
+            ).alias("bounding_ratio")
+        )
+        .orderBy("et")
+    )
+
+
+_Q117_ORACLE = """
+SELECT event_type AS et,
+       round((max(value) - min(value)) / (max(epoch(ts)) - min(epoch(ts))), 9)
+         AS bounding_ratio
+FROM events GROUP BY et ORDER BY et
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q111_interval_length_sum",
+        "intervalLengthSum: union length of overlapping segments per key",
+        _q111_interval_length_sum,
+        _Q111_ORACLE,
+    ),
+    QuerySpec(
+        "q112_max_intersections",
+        "maxIntersections: peak concurrent half-open intervals per key",
+        _q112_max_intersections,
+        _Q112_ORACLE,
+    ),
+    QuerySpec(
+        "q113_theils_u",
+        "theilsU: uncertainty coefficient U(x|y) from contingency cells",
+        _q113_theils_u,
+        _Q113_ORACLE,
+    ),
+    QuerySpec(
+        "q114_ks_test",
+        "kolmogorovSmirnovTest: exact two-sample KS D over grouped values",
+        _q114_ks_test,
+        _Q114_ORACLE,
+    ),
+    QuerySpec(
+        "q115_mannwhitney_u",
+        "mannWhitneyUTest: tie-averaged rank-sum U and z approximation",
+        _q115_mannwhitney_u,
+        _Q115_ORACLE,
+    ),
+    QuerySpec(
+        "q116_bit_aggs",
+        "groupBitAnd/Or/Xor bitwise aggregates",
+        _q116_bit_aggs,
+        _Q116_ORACLE,
+    ),
+    QuerySpec(
+        "q117_bounding_ratio",
+        "boundingRatio: bounding-box slope from algebraic moments",
+        _q117_bounding_ratio,
+        _Q117_ORACLE,
+    ),
+]

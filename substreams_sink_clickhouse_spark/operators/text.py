@@ -784,3 +784,139 @@ SPECS.append(
         _UNIGRAM_ORACLE,
     )
 )
+
+
+# -------------------------------------------------- Gopher quality rules
+
+#: The Gopher corpus-filtering stop words (Rae et al. 2021, "Scaling
+#: Language Models: Methods, Analysis & Insights from Training
+#: Gopher", appendix A1.1 — public paper): a document must contain at
+#: least two of these to pass.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, app. A1.1)
+    as per-document flags plus the composite verdict:
+
+    * 50 <= word count <= 100000
+    * 3 <= mean word length <= 10
+    * symbol-to-word ratio ('#' or '...') <= 0.1
+    * <= 90% of lines start with a bullet ('-', '*', or the bullet
+      glyph)
+    * <= 30% of lines end with an ellipsis
+    * >= 80% of words contain an alphabetic character
+    * >= 2 distinct Gopher stop words present
+
+    Everything is JVM higher-order functions over the split word/line
+    arrays — one narrow projection, no shuffle, no Python.  At 100 TB
+    this is a map-only stage that pipelines into whatever filter or
+    aggregation consumes the verdict."""
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    n_words = F.size("__words").cast("double")
+    mean_wlen = (
+        F.expr("aggregate(__words, 0L, (a, w) -> a + length(w))").cast("double")
+        / n_words
+    )
+    sym = (
+        F.regexp_count(F.col("text"), F.lit(r"#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("double")
+    alpha_frac = (
+        F.size(F.expr("filter(__words, w -> w rlike '[a-z]')")).cast("double")
+        / n_words
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("..."))).cast("double")
+        / n_lines
+    )
+    stop_in = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    stop_present = F.size(
+        F.expr(f"filter(array_distinct(__words), w -> w IN ({stop_in}))")
+    )
+    r_count = (n_words >= 50) & (n_words <= 100000)
+    r_wlen = (mean_wlen >= 3) & (mean_wlen <= 10)
+    r_sym = (sym / n_words) <= 0.1
+    r_bullet = bullet_frac <= 0.9
+    r_ellipsis = ellipsis_frac <= 0.3
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_present >= 2
+    gopher_pass = r_count & r_wlen & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(sym / n_words, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        stop_present.alias("stop_present"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split(lower(text), ' ') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words)::DOUBLE AS n_words,
+         list_sum(list_transform(words, x -> length(x)))::DOUBLE
+           / len(words)::DOUBLE AS mean_wlen,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS sym,
+         len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / len(words)::DOUBLE AS alpha_frac,
+         len(lines)::DOUBLE AS n_lines,
+         len(list_filter(lines, l -> starts_with(trim(l), '-')
+                                   OR starts_with(trim(l), '*')
+                                   OR starts_with(trim(l), chr(8226))))::DOUBLE
+           / len(lines)::DOUBLE AS bullet_frac,
+         len(list_filter(lines, l -> ends_with(trim(l), '...')))::DOUBLE
+           / len(lines)::DOUBLE AS ellipsis_frac,
+         len(list_filter(list_distinct(words),
+                         x -> x IN ({_sql_list(_GOPHER_STOPWORDS)}))) AS stop_present
+  FROM w)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       round(mean_wlen, 4) AS mean_wlen,
+       round(sym / n_words, 4) AS symbol_ratio,
+       round(alpha_frac, 4) AS alpha_frac,
+       round(bullet_frac, 4) AS bullet_frac,
+       round(ellipsis_frac, 4) AS ellipsis_frac,
+       stop_present,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_wlen BETWEEN 3 AND 10
+            AND sym / n_words <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8
+            AND stop_present >= 2 AS INT) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_gopher_rules",
+        "Gopher quality-rule flags + composite verdict per document",
+        _gopher_rules,
+        _GOPHER_ORACLE,
+    )
+)

@@ -47,6 +47,7 @@ def all_specs() -> list[QuerySpec]:
         clickhouse_compat,
         clickhouse_compat_ext,
         clickhouse_compat_ext2,
+        clickhouse_compat_ext3,
         clickhouse_stats,
         dedup,
         dictionary,
@@ -69,6 +70,7 @@ def all_specs() -> list[QuerySpec]:
         clickhouse_compat,
         clickhouse_compat_ext,
         clickhouse_compat_ext2,
+        clickhouse_compat_ext3,
         clickhouse_stats,
         dictionary,
         udfs,
