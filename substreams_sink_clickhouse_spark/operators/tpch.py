@@ -525,3 +525,120 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def _tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue flow between two
+    nations by ship year, with the nation pair taken in BOTH
+    directions (supplier nation <-> customer nation).
+
+    Plan shape: lineitem joins orders on the fact key (one shuffle,
+    reused), while supplier / customer / both nation roles broadcast.
+    The nation-pair disjunction evaluates post-join on two broadcast
+    columns — at 100 TB the fact side still only shuffles once."""
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the revenue 'view' is a grouped
+    aggregate over a quarter of lineitem; the scalar max of that view
+    broadcasts back onto it (two uses of ONE aggregation — Spark
+    reuses the shuffle via ReusedExchange), then the winning row joins
+    the supplier dimension.  Revenue is rounded to cents before the
+    max-equality so both engines compare identical values."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "tpch_q7",
+            "TPC-H Q7 shape: bidirectional nation-pair volume by year",
+            _tpch_q7,
+            _TPCH_Q7_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q15",
+            "TPC-H Q15 shape: top supplier vs scalar max of a revenue view",
+            _tpch_q15,
+            _TPCH_Q15_ORACLE,
+        ),
+    ]
+)
