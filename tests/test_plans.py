@@ -286,3 +286,76 @@ def test_with_totals_is_single_scan_expand(spark):
     assert plan.count("Scan parquet") <= 1, plan
     assert "Expand" in plan, plan
     assert "Union" not in plan, plan
+
+
+def test_interval_ops_sort_within_key_partitions_only(spark):
+    # q111/q112 sort only inside the per-key window partitions: one
+    # exchange on the group key, no global sort before the final
+    # presentation orderBy
+    from substreams_sink_clickhouse_spark.operators import clickhouse_compat_ext3 as C3
+
+    for fn in (C3._q111_interval_length_sum, C3._q112_max_intersections):
+        plan = simple_plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan, plan[:1500]
+
+
+def test_ks_and_mwu_window_over_grouped_values(spark):
+    # q114/q115 must aggregate per distinct value BEFORE the ordered
+    # window: the exchange carries value cardinality, not row count.
+    # In the optimized plan the HashAggregate sits below the Window.
+    from substreams_sink_clickhouse_spark.operators import clickhouse_compat_ext3 as C3
+
+    for fn in (C3._q114_ks_test, C3._q115_mannwhitney_u):
+        plan = simple_plan(fn(spark, SF))
+        assert "Window" in plan
+        i_agg = plan.find("HashAggregate")
+        assert i_agg != -1
+        i_win = plan.find("Window")
+        # the plan prints top-down: the *last* HashAggregate line is the
+        # pre-window per-value rollup and must appear after Window
+        assert plan.rfind("HashAggregate") > i_win, plan[:1500]
+
+
+def test_bit_aggs_single_exchange_partial_final(spark):
+    from substreams_sink_clickhouse_spark.operators import clickhouse_compat_ext3 as C3
+
+    df = C3._q116_bit_aggs(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    cols = read_columns(df, "orders")
+    assert cols == {"o_orderpriority", "o_orderkey"}, cols
+
+
+def test_tpch_q7_fact_joins_once_dims_broadcast(spark):
+    from substreams_sink_clickhouse_spark.operators import tpch as T
+
+    df = T._tpch_q7(spark, SF)
+    plan = simple_plan(df)
+    # supplier, customer, and both nation roles broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # ship-date filter reaches the lineitem scan
+    scans = scan_info(df)
+    li = [s for s in scans if "lineitem" in s.get("location", "")]
+    assert li and "l_shipdate" in li[0]["pushed_filters"], scans
+
+
+def test_tpch_q15_reuses_revenue_aggregate(spark):
+    from substreams_sink_clickhouse_spark.operators import tpch as T
+
+    plan = simple_plan(T._tpch_q15(spark, SF))
+    # the revenue view feeds both the scalar max and the equality probe
+    # off one aggregation (ReusedExchange or a reused subquery stage)
+    assert "ReusedExchange" in plan or plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_gopher_rules_is_narrow_map_only(spark):
+    from substreams_sink_clickhouse_spark.operators import text as TX
+
+    df = TX._gopher_rules(spark, SF)
+    # one parquet scan of exactly (doc_id, text); no join, no mid-plan
+    # exchange besides the presentation sort
+    cols = read_columns(df, "documents")
+    assert cols == {"doc_id", "text"}, cols
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:1500]
