@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from substreams_sink_clickhouse_spark.functions.hashing import (
     duck_md5_long_sql,
+    md5_long,
     md5_long_sql,
 )
 from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
@@ -853,3 +854,136 @@ SPECS: list[QuerySpec] = [
         _EMBED_DUP_ORACLE,
     ),
 ]
+
+
+# ----------------------------------------- corpus k-gram duplication stats
+
+#: 5-word k-grams, instance-level (NOT per-doc-distinct: duplication
+#: statistics count every occurrence — Lee et al. 2021, "Deduplicating
+#: Training Data Makes Language Models Better", public paper).
+_KGRAMS_SPARK = """
+CASE WHEN size(__words) >= 5 THEN
+  transform(sequence(0, size(__words) - 5),
+            i -> concat_ws(' ', __words[i], __words[i+1], __words[i+2],
+                           __words[i+3], __words[i+4]))
+ELSE array(text) END
+"""
+
+_KGRAMS_DUCK = """
+SELECT doc_id, source, unnest(
+  CASE WHEN len(words) >= 5 THEN
+    list_transform(range(1, len(words) - 3),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2],
+                                  words[i+3], words[i+4]))
+  ELSE [text] END) AS g
+FROM (SELECT doc_id, source, text, string_split(lower(text), ' ') AS words
+      FROM documents) t
+"""
+
+
+def _kgram_rows(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").withColumn(
+        "__words", F.split(F.lower("text"), " ")
+    )
+    return d.select(
+        "doc_id", "source", F.explode(F.expr(_KGRAMS_SPARK)).alias("g")
+    )
+
+
+def _dedup_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus 5-gram duplication statistics per source (the headline
+    metric of Lee et al. 2021): total k-gram instances, distinct
+    k-grams, and the fraction of instances whose k-gram occurs more
+    than once ANYWHERE in the corpus.
+
+    Shape: instances collapse to (source, gram-hash) cells first (the
+    exchange carries cell cardinality), global occurrence counts come
+    from a second aggregate over the cells, and the join back runs on
+    the gram-hash key both sides — no row-level join ever happens.
+    Grams travel as 60-bit MD5 hashes, not strings, so exchange rows
+    stay narrow at 100 TB."""
+    grams = _kgram_rows(spark, sf).select(
+        "source", md5_long(F.col("g")).alias("h")
+    )
+    cells = grams.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n_sg"))
+    glob = cells.groupBy("h").agg(F.sum("n_sg").alias("c_g"))
+    joined = cells.join(glob, "h")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_sg").alias("total_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.round(
+                F.sum(F.when(F.col("c_g") > 1, F.col("n_sg")).otherwise(0)).cast("double")
+                / F.sum("n_sg").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _ngram_stats_oracle() -> str:
+    h = duck_md5_long_sql("g")
+    return f"""
+WITH grams AS ({_KGRAMS_DUCK}),
+cells AS (
+  SELECT source, {h} AS h, count(*) AS n_sg FROM grams GROUP BY source, h),
+gcount AS (SELECT h, sum(n_sg) AS c_g FROM cells GROUP BY h)
+SELECT source,
+       sum(n_sg) AS total_grams,
+       count(*) AS distinct_grams,
+       round(sum(CASE WHEN c_g > 1 THEN n_sg ELSE 0 END)::DOUBLE
+             / sum(n_sg)::DOUBLE, 4) AS dup_frac
+FROM cells JOIN gcount USING (h)
+GROUP BY source ORDER BY source
+"""
+
+
+def _corpus_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate mining: the 15 most frequent corpus 5-grams with
+    their occurrence share — the standard probe for template/boilerplate
+    contamination before training.  Pure partial/final hash aggregate
+    into a TakeOrdered top-k; ties break on the gram text so the
+    result is deterministic on both engines."""
+    grams = _kgram_rows(spark, sf)
+    total = grams.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("g").alias("gram"),
+            "n_occ",
+            F.round(F.col("n_occ").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_occ"), "gram")
+        .limit(15)
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH grams AS ({_KGRAMS_DUCK}),
+total AS (SELECT count(*) AS total FROM grams)
+SELECT g AS gram, count(*) AS n_occ,
+       round(count(*)::DOUBLE / any_value(total), 6) AS share
+FROM grams, total
+GROUP BY g ORDER BY n_occ DESC, gram LIMIT 15
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "dedup_ngram_stats",
+            "Corpus 5-gram duplication fraction per source (Lee et al. 2021)",
+            _dedup_ngram_stats,
+            _ngram_stats_oracle(),
+        ),
+        QuerySpec(
+            "corpus_boilerplate",
+            "Top-15 corpus 5-grams with occurrence share (boilerplate probe)",
+            _corpus_boilerplate,
+            _BOILERPLATE_ORACLE,
+        ),
+    ]
+)
