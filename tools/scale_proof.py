@@ -110,7 +110,10 @@ def rest_stage_totals(ui_port: int) -> tuple[int, int]:
 
 
 def main() -> None:
-    from substreams_sink_clickhouse_spark.operators.dedup import _dedup_minhash
+    from substreams_sink_clickhouse_spark.operators.dedup import (
+        _dedup_minhash,
+        _dedup_ngram_stats,
+    )
     from substreams_sink_clickhouse_spark.operators.relational import (
         _q04,
         _q07,
@@ -133,6 +136,7 @@ def main() -> None:
     results = {}
     for name, builder in (
         ("dedup_minhash", _dedup_minhash),
+        ("dedup_ngram_stats", _dedup_ngram_stats),
         ("sim_lsh", _sim_lsh),
         ("q04_agg", _q04),
         ("q07_star_join", _q07),
