@@ -416,3 +416,180 @@ SPECS = [
         _Q117_ORACLE,
     ),
 ]
+
+
+# ------------------------------------------------------- PASTE JOIN
+
+def _q118_paste_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` (positional zip of two result sets):
+    the i-th row of the left side pairs with the i-th row of the
+    right.  Spark-first: both sides are made *deterministically
+    ordered and bounded* (top-100 with full tie-breaks), positions
+    assigned with row_number, then an equi-join on position.
+
+    Scale contract: positional semantics require a total order, so
+    the sides must be bounded (LIMIT) or carry an explicit ordering
+    column — same contract ClickHouse imposes (block order).  Bounded
+    sides broadcast; nothing shuffles."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    t1 = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+            ),
+        )
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+    t2 = (
+        c.orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(100)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("c_acctbal"), "c_custkey")),
+        )
+        .select("rn", "c_custkey", "c_acctbal")
+    )
+    return (
+        t1.join(F.broadcast(t2), "rn")
+        .select("rn", "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal")
+        .orderBy("rn")
+    )
+
+
+_Q118_ORACLE = """
+WITH t1 AS (
+  SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         o_orderkey, o_totalprice
+  FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)),
+t2 AS (
+  SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+         c_custkey, c_acctbal
+  FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 100))
+SELECT rn, o_orderkey, o_totalprice, c_custkey, c_acctbal
+FROM t1 JOIN t2 USING (rn) ORDER BY rn
+"""
+
+
+# --------------------------------------- WITH FILL ... INTERPOLATE
+
+def _q119_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``ORDER BY h WITH FILL STEP 1 HOUR INTERPOLATE``:
+    the per-user hourly spine of q47, but gaps filled by LINEAR
+    interpolation between the surrounding observed values (edges
+    clamp to the nearest observation).
+
+    Same scale shape as q47: spine generation is partition-local, the
+    two ignore-nulls windows sort once per user partition."""
+    e = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    rn_w = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", F.col("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    g = spine.join(hourly, ["user_id", "h"], "left").withColumn(
+        "pos", (F.unix_timestamp("h") / 3600).cast("long")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_pos = F.when(F.col("v").isNotNull(), F.col("pos"))
+    pval = F.last("v", ignorenulls=True).over(back)
+    nval = F.first("v", ignorenulls=True).over(fwd)
+    ppos = F.max(known_pos).over(back)
+    npos = F.min(known_pos).over(fwd)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pval.isNull(), nval)
+        .when(nval.isNull(), pval)
+        .otherwise(
+            pval
+            + (nval - pval)
+            * (F.col("pos") - ppos).cast("double")
+            / (npos - ppos).cast("double")
+        )
+    )
+    # NOT F.round: interpolation fractions (k/m for small m) times
+    # low-decimal values land on exact .xxxx5 halves, where Spark
+    # (decimal-string HALF_UP) and DuckDB (binary-exact) disagree.
+    # floor(x*1e4 + 0.5)/1e4 is pure IEEE arithmetic — identical bits
+    # on both engines, no tie policy involved.
+    val4 = F.floor(interp * 10000 + F.lit(0.5)).cast("double") / 10000
+    return g.select(
+        "user_id",
+        "h",
+        F.col("v").isNull().cast("int").alias("gap"),
+        val4.alias("val"),
+    ).orderBy("user_id", "h")
+
+
+_Q119_ORACLE = """
+WITH e AS (SELECT * FROM events WHERE user_id < 10),
+hourly AS (
+  SELECT user_id, h, v FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) t WHERE rn = 1),
+bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+g AS (
+  SELECT s.user_id, s.h, v, CAST(epoch(s.h) / 3600 AS BIGINT) AS pos
+  FROM spine s LEFT JOIN hourly USING (user_id, h)),
+w AS (
+  SELECT user_id, h, v, pos,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nval,
+         max(CASE WHEN v IS NOT NULL THEN pos END) OVER (PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ppos,
+         min(CASE WHEN v IS NOT NULL THEN pos END) OVER (PARTITION BY user_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS npos
+  FROM g)
+SELECT user_id, h, CAST(v IS NULL AS INT) AS gap,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pval IS NULL THEN nval
+                   WHEN nval IS NULL THEN pval
+                   ELSE pval + (nval - pval) * (pos - ppos)::DOUBLE
+                        / (npos - ppos)::DOUBLE END) * 10000 + 0.5) / 10000 AS val
+FROM w ORDER BY user_id, h
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "q118_paste_join",
+            "PASTE JOIN: positional zip of two bounded ordered result sets",
+            _q118_paste_join,
+            _Q118_ORACLE,
+        ),
+        QuerySpec(
+            "q119_interpolate",
+            "WITH FILL INTERPOLATE: linear interpolation over the hourly spine",
+            _q119_interpolate,
+            _Q119_ORACLE,
+        ),
+    ]
+)
