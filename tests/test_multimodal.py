@@ -55,8 +55,15 @@ def test_ppm_header_with_comment():
     assert decode_image(ppm) == (3, 2, bytes(range(18)))
 
 
-def test_image_rejects_png():
+def test_image_rejects_jpeg():
     with pytest.raises(ValueError, match="image format"):
+        decode_image(b"\xff\xd8\xff\xe0jfif...")
+
+
+def test_truncated_png_signature_errors():
+    # a bare signature routes to the PNG decoder, which must fail
+    # cleanly (missing IHDR/IDAT), not return garbage
+    with pytest.raises(ValueError, match="IHDR|IDAT"):
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
@@ -118,3 +125,81 @@ if _HAVE_HYPOTHESIS:
         nch, sw, rate, out = decode_audio(encode_wav(samples))
         assert (nch, sw, rate) == (1, 1, 8000)
         assert out == samples
+
+
+def test_png_roundtrip_all_filters():
+    """Height 5 cycles through every PNG filter type (None/Sub/Up/
+    Average/Paeth) — the decode must unfilter all of them."""
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes((i * 37 + 11) % 256 for i in range(13 * 5 * 3))
+    png = encode_png(rgb, 13, 5)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png(png) == (13, 5, rgb)
+    assert decode_image(png) == (13, 5, rgb)
+
+
+def test_png_grayscale_expands_to_rgb():
+    import struct
+    import zlib
+
+    from substreams_sink_clickhouse_spark.operators.multimodal import decode_png
+
+    # hand-build a 3x2 grayscale PNG (color type 0), filter 0 rows
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    gray = bytes([10, 20, 30, 40, 50, 60])
+    raw = b"\x00" + gray[:3] + b"\x00" + gray[3:]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, rgb = decode_png(png)
+    assert (w, h) == (3, 2)
+    assert rgb == bytes(b for g in gray for b in (g, g, g))
+
+
+def test_png_rejects_corrupt_crc():
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = bytearray(encode_png(b"\x01" * 4 * 1 * 3, 4, 1))
+    png[20] ^= 0xFF  # flip a byte inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+
+if _HAVE_HYPOTHESIS:
+
+    @given(
+        w=st.integers(min_value=1, max_value=19),
+        h=st.integers(min_value=1, max_value=11),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_property(w, h, data):
+        from substreams_sink_clickhouse_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_image(encode_png(rgb, w, h)) == (w, h, rgb)
