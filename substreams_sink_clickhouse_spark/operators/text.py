@@ -920,3 +920,101 @@ SPECS.append(
         _GOPHER_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------------ BM25
+
+#: Query terms drawn from the fixture vocabulary.
+_BM25_TERMS = ["table", "join", "fast"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 (Robertson et al., public IR baseline) for a fixed
+    3-term query over ``documents``: idf from document frequencies,
+    per-doc tf via array filters.
+
+    Spark-first shape: per-term tf is ``size(filter(words, = term))``
+    — a map-only projection, no explode, no posting-list shuffle.  The
+    corpus stats (N, avgdl, per-term df) reduce to ONE tiny aggregate
+    that broadcasts back; the scan is read once for stats and once for
+    scoring (a cluster would cache the corpus).  Top-20 by score is a
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    dl = F.size("__words")
+    tf_cols = [
+        F.size(F.expr(f"filter(__words, w -> w = '{t}')")).alias(f"tf_{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    scored = d.select("doc_id", dl.alias("dl"), *tf_cols)
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).cast("double").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = scored.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        term = idf * (
+            tf
+            * (_BM25_K1 + 1.0)
+            / (
+                tf
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(words, w -> w = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ",\n         ".join(
+        f"count(*) FILTER (tf_{i} > 0)::DOUBLE AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0)"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, len(words)::DOUBLE AS dl,
+         {tf_exprs}
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents) t),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         {df_exprs}
+  FROM scored)
+SELECT doc_id, round({terms}, 6) AS bm25
+FROM scored, stats
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bm25",
+        "Okapi BM25 top-20 for a fixed query (map-only tf, one stats broadcast)",
+        _bm25,
+        _bm25_oracle(),
+    )
+)
