@@ -199,6 +199,33 @@ SHOWCASE = [
         "each row twice (group + grand-total replicas) map-side, so the "
         "totals row costs no second pass over 100 TB.",
     ),
+    (
+        "q114_ks_test",
+        "Exact two-sample KS: rows collapse to per-distinct-value "
+        "counts FIRST (a partial/final hash aggregate), so the ordered "
+        "ECDF window runs over value cardinality, not event count — the "
+        "single-partition window is bounded by value diversity.",
+    ),
+    (
+        "dedup_ngram_stats",
+        "Corpus duplication statistics: the explode is narrow, the first "
+        "exchange carries (source, gram-hash) CELLS and the second "
+        "carries distinct grams — 60-bit hashes on the wire, no "
+        "row-level join; 10x corpus measured at +8% wall (SCALE.md).",
+    ),
+    (
+        "text_bm25",
+        "BM25: per-term tf is an array-filter projection riding the "
+        "scan (no explode, no posting-list shuffle); corpus stats are "
+        "ONE tiny broadcast aggregate; top-20 is TakeOrderedAndProject.",
+    ),
+    (
+        "tpch_q7",
+        "Bidirectional nation-pair volume: the fact shuffles once on "
+        "the order key; supplier/customer and BOTH nation roles "
+        "broadcast, and the pair disjunction evaluates post-join on "
+        "broadcast columns.",
+    ),
 ]
 
 
