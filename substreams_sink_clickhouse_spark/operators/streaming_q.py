@@ -713,3 +713,72 @@ SPECS.append(
         _Q100_ORACLE,
     )
 )
+
+
+def _q121_dynamic_session_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-gap session windows: ``session_window`` with a per-event
+    gap expression (clicks close after 5 minutes of inactivity, other
+    events after 20) — the Spark 3.2+ dynamic-gap form of q24, equally
+    valid under ``groupBy`` in a streaming query.
+
+    A session extends while the next event starts before the current
+    session end (``max(ts + gap)`` so far); an event exactly AT the end
+    opens a new session.  The oracle reproduces that as gaps-and-islands
+    over per-event ``[ts, ts + gap)`` intervals.  One shuffle+sort on
+    user_id; per-user session state is the bound, exactly the streaming
+    state-store bound."""
+    e = load_table(spark, sf, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")).otherwise(
+        F.lit("20 minutes")
+    )
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q121_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'click'
+                   THEN INTERVAL 5 MINUTE ELSE INTERVAL 20 MINUTE END AS e_end
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN max(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR ts >= max(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM e),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid)
+SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+       max(n) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q121_dynamic_session_gap",
+        "Dynamic-gap session windows (per-event gap expression)",
+        _q121_dynamic_session_gap,
+        _Q121_ORACLE,
+    )
+)
