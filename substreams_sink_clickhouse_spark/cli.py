@@ -143,6 +143,13 @@ def build_parser() -> argparse.ArgumentParser:
     add_warehouse_flags(sql)
     sql.add_argument("--limit", type=int, default=100, help="max rows printed")
     sql.add_argument(
+        "--dialect",
+        choices=["spark", "clickhouse"],
+        default="spark",
+        help="SQL dialect; 'clickhouse' translates the documented "
+        "ClickHouse subset (functions/dialect.py) before execution",
+    )
+    sql.add_argument(
         "--explain",
         action="store_true",
         help="print the formatted physical plan instead of rows (ClickHouse EXPLAIN parity)",
@@ -281,7 +288,14 @@ def cmd_sql(spark, args) -> int:
     for name in catalog.tables:
         state.table_state(name).createOrReplaceTempView(name)
     register_system_views(spark, catalog)
-    df = spark.sql(args.query)
+    query = args.query
+    if getattr(args, "dialect", "spark") == "clickhouse":
+        from substreams_sink_clickhouse_spark.functions.dialect import (
+            clickhouse_to_spark_sql,
+        )
+
+        query = clickhouse_to_spark_sql(query)
+    df = spark.sql(query)
     if args.explain:
         # ClickHouse `EXPLAIN` parity: print the physical plan instead
         # of the rows

@@ -130,7 +130,18 @@ class Engine:
 
     # -- query surface ------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, dialect: str | None = None) -> DataFrame:
+        """Run SQL.  ``dialect="clickhouse"`` first translates the
+        documented ClickHouse-SQL subset (functions/dialect.py) so the
+        reference's user-facing queries run unchanged."""
+        if dialect == "clickhouse":
+            from substreams_sink_clickhouse_spark.functions.dialect import (
+                clickhouse_to_spark_sql,
+            )
+
+            query = clickhouse_to_spark_sql(query)
+        elif dialect not in (None, "spark"):
+            raise ValueError(f"unknown SQL dialect: {dialect!r}")
         return self.spark.sql(query)
 
     def register_external(

@@ -1,0 +1,218 @@
+"""ClickHouse → Spark SQL dialect translation.
+
+The reference's entire query surface is ClickHouse SQL typed by its
+users (/root/reference/README.md:29-52); this module lets those
+queries run on the engine unchanged: ``Engine.sql(q,
+dialect="clickhouse")`` translates the documented subset below and
+hands the result to Spark SQL.
+
+Translation is deliberately conservative and *lexical*: the query is
+split into quoted-string / identifier-quote / code segments first, so
+rewrites never touch string literals or backquoted identifiers, and
+every function rewrite is either a pure name swap or a
+paren-matched argument rewrap — no grammar, no guessing.
+
+Supported rewrites:
+
+* name swaps   — ``uniq``→``approx_count_distinct``,
+  ``countIf``→``count_if``,
+  ``groupArray``→``collect_list``, ``groupUniqArray``→``collect_set``,
+  ``arrayStringConcat``→``array_join``, ``any``→``any_value``,
+  ``today()``/``yesterday()`` zero-arg forms.
+* type casts   — ``toInt8/16/32/64``, ``toUInt*`` (widened),
+  ``toFloat32/64``, ``toString``, ``toDate`` → ``CAST(x AS t)``.
+* ``toDateTime(x)`` — the reference's own coercion rule
+  (db/operations.go:169-176): integer strings parse as Unix seconds,
+  anything else casts to timestamp.
+* ``-If`` combinators — ``sumIf/avgIf/minIf/maxIf(x, cond)`` →
+  ``agg(CASE WHEN cond THEN x END)`` (top-level comma split inside
+  the matched parens).
+* ``toYYYYMM(d)`` → ``CAST(date_format(d, 'yyyyMM') AS INT)``;
+  ``uniqExact(x)`` → ``count(DISTINCT x)``.
+* ``numbers(N)`` table function → ``(SELECT id AS number FROM
+  range(N))``.
+* a trailing ``FORMAT <name>`` clause is stripped (output formatting
+  is the client's job in Spark).
+
+Anything outside this list passes through verbatim — Spark SQL
+already accepts a large shared core (SELECT/JOIN/GROUP BY/window
+functions/CTEs), which is why a lexical shim is enough for the
+reference's documented workloads.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: name -> replacement, applied on word boundaries followed by ``(``.
+_NAME_SWAPS = {
+    "uniq": "approx_count_distinct",
+    "countIf": "count_if",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "arrayStringConcat": "array_join",
+    "any": "any_value",
+    "anyLast": "any_value",
+    "ifNull": "coalesce",
+    "lengthUTF8": "length",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "position": "instr",
+    "match": "rlike",
+}
+
+#: zero-argument forms (replaced including their parens).
+_ZERO_ARG = {
+    "today()": "current_date()",
+    "yesterday()": "date_sub(current_date(), 1)",
+}
+
+#: func -> CAST target for the to<Type> family.
+_CAST_FUNCS = {
+    "toInt8": "TINYINT",
+    "toInt16": "SMALLINT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toUInt8": "SMALLINT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "DECIMAL(20,0)",
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+    "toDate": "DATE",
+}
+
+#: -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
+_IF_COMBINATORS = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+}
+
+
+def _segments(sql: str):
+    """Yield (is_code, text) with single-quoted strings and backquoted
+    identifiers kept opaque.  Quote escaping by doubling ('' / ``) is
+    honored."""
+    i, n = 0, len(sql)
+    buf = []
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", "`"):
+            if buf:
+                yield True, "".join(buf)
+                buf = []
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            yield False, sql[i : j + 1]
+            i = j + 1
+        else:
+            buf.append(ch)
+            i += 1
+    if buf:
+        yield True, "".join(buf)
+
+
+def _match_paren(code: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``(`` at open_idx (same segment)."""
+    depth = 0
+    for k in range(open_idx, len(code)):
+        if code[k] == "(":
+            depth += 1
+        elif code[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    raise ValueError("unbalanced parentheses in ClickHouse query")
+
+
+def _split_top_commas(args: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for k, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(args[start:k])
+            start = k + 1
+    out.append(args[start:])
+    return [a.strip() for a in out]
+
+
+def _rewrite_wraps(code: str) -> str:
+    """Paren-matched rewrites (casts, -If combinators, toYYYYMM,
+    numbers) applied innermost-last by rescanning until stable."""
+    pat = re.compile(
+        r"\b(" + "|".join(
+            list(_CAST_FUNCS)
+            + list(_IF_COMBINATORS)
+            + ["toDateTime", "toYYYYMM", "numbers", "uniqExact"]
+        ) + r")\s*\("
+    )
+    while True:
+        m = pat.search(code)
+        if not m:
+            return code
+        name = m.group(1)
+        op = code.index("(", m.end(1))
+        cp = _match_paren(code, op)
+        inner = _rewrite_wraps(code[op + 1 : cp])
+        if name in _CAST_FUNCS:
+            repl = f"CAST({inner} AS {_CAST_FUNCS[name]})"
+        elif name in _IF_COMBINATORS:
+            x, cond = _split_top_commas(inner)
+            repl = f"{_IF_COMBINATORS[name]}(CASE WHEN {cond} THEN {x} END)"
+        elif name == "toDateTime":
+            repl = (
+                f"(CASE WHEN CAST({inner} AS STRING) RLIKE '^[0-9]+$' "
+                f"THEN to_timestamp(from_unixtime(CAST({inner} AS BIGINT))) "
+                f"ELSE CAST({inner} AS TIMESTAMP) END)"
+            )
+        elif name == "toYYYYMM":
+            repl = f"CAST(date_format({inner}, 'yyyyMM') AS INT)"
+        elif name == "uniqExact":
+            repl = f"count(DISTINCT {inner})"
+        else:  # numbers(N)
+            repl = f"(SELECT id AS number FROM range({inner}))"
+        code = code[: m.start(1)] + repl + code[cp + 1 :]
+
+
+def _rewrite_code(code: str) -> str:
+    for z, repl in _ZERO_ARG.items():
+        code = code.replace(z, repl)
+    code = _rewrite_wraps(code)
+    for name, repl in _NAME_SWAPS.items():
+        code = re.sub(rf"\b{name}(\s*\()", repl + r"\1", code)
+    return code
+
+
+def clickhouse_to_spark_sql(query: str) -> str:
+    """Translate the documented ClickHouse SQL subset to Spark SQL.
+
+    Quoted strings / backquoted identifiers are masked with sentinels
+    first (they may contain parens and commas), the whole query is
+    rewritten as one code stream, then the literals are restored."""
+    literals: list[str] = []
+    masked_parts: list[str] = []
+    for is_code, text in _segments(query):
+        if is_code:
+            masked_parts.append(text)
+        else:
+            masked_parts.append(f"\x01{len(literals)}\x01")
+            literals.append(text)
+    out = _rewrite_code("".join(masked_parts))
+    out = re.sub(
+        r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
+    )
+    # trailing FORMAT clause (client-side concern)
+    out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    return out

@@ -1,0 +1,136 @@
+"""ClickHouse→Spark SQL dialect translation: string-level rewrites and
+executed results, including the reference's user-facing query shape
+(ClickHouse SQL over a sunk block_meta table, README.md:29-52)."""
+
+import json
+
+from substreams_sink_clickhouse_spark.catalog import BLOCK_META_SCHEMA, Catalog, TableInfo
+from substreams_sink_clickhouse_spark.config import EngineConfig
+from substreams_sink_clickhouse_spark.engine import Engine
+from substreams_sink_clickhouse_spark.functions.dialect import clickhouse_to_spark_sql
+
+
+def test_name_swaps_and_literals_untouched():
+    out = clickhouse_to_spark_sql(
+        "SELECT uniq(u), countIf(v > 5), groupArray(x), 'countIf(lit)' AS s FROM t"
+    )
+    assert "approx_count_distinct(u)" in out
+    assert "count_if(v > 5)" in out
+    assert "collect_list(x)" in out
+    assert "'countIf(lit)'" in out  # string literal preserved verbatim
+
+
+def test_if_combinator_with_string_arg():
+    out = clickhouse_to_spark_sql("SELECT sumIf(value, event_type = 'click') FROM e")
+    assert "sum(CASE WHEN event_type = 'click' THEN value END)" in out
+
+
+def test_nested_casts_and_numbers():
+    out = clickhouse_to_spark_sql("SELECT toInt64(toString(number)) FROM numbers(5)")
+    assert "CAST(CAST(number AS STRING) AS BIGINT)" in out
+    assert "FROM (SELECT id AS number FROM range(5))" in out
+
+
+def test_todatetime_unix_seconds_rule():
+    out = clickhouse_to_spark_sql("SELECT toDateTime(ts_str) FROM t")
+    assert "RLIKE '^[0-9]+$'" in out and "from_unixtime" in out
+
+
+def test_format_clause_stripped():
+    out = clickhouse_to_spark_sql("SELECT 1 FORMAT JSONEachRow")
+    assert out.strip() == "SELECT 1"
+
+
+def test_executed_results_match_spark_equivalents(spark):
+    spark.range(100).selectExpr(
+        "id AS user_id",
+        "CAST(id % 7 AS DOUBLE) AS value",
+        "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+    ).createOrReplaceTempView("dialect_events")
+    got = spark.sql(
+        clickhouse_to_spark_sql(
+            "SELECT uniqExact(user_id) AS u, "
+            "countIf(event_type = 'click') AS c, "
+            "sumIf(value, event_type = 'click') AS s, "
+            "toInt32(maxIf(value, event_type = 'view')) AS m "
+            "FROM dialect_events"
+        )
+    ).collect()[0]
+    assert got["u"] == 100
+    assert got["c"] == 50
+    assert got["s"] == sum(i % 7 for i in range(0, 100, 2))
+    assert got["m"] == 6
+
+
+def test_numbers_table_function_executes(spark):
+    rows = spark.sql(
+        clickhouse_to_spark_sql("SELECT toInt64(number) * 2 AS n FROM numbers(4)")
+    ).collect()
+    assert sorted(r["n"] for r in rows) == [0, 2, 4, 6]
+
+
+def _msg(block_num, changes):
+    return json.dumps(
+        {
+            "block_num": block_num,
+            "block_id": f"0x{block_num:04x}",
+            "table_changes": [
+                {
+                    "table": t,
+                    "pk": pk,
+                    "ordinal": o,
+                    "operation": op,
+                    "fields": [
+                        {"name": n, "new_value": v, "old_value": None}
+                        for n, v in (fields or {}).items()
+                    ],
+                }
+                for (t, pk, o, op, fields) in changes
+            ],
+        }
+    )
+
+
+def test_engine_sql_clickhouse_dialect_end_to_end(spark, tmp_path):
+    """The reference's workload: sink block_meta changes, then query
+    with ClickHouse SQL — unchanged — through the dialect shim."""
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            _msg(
+                i,
+                [
+                    (
+                        "block_meta",
+                        f"blk{i}",
+                        1,
+                        "CREATE",
+                        {"number": str(i), "timestamp": str(1700000000 + i)},
+                    )
+                ],
+            )
+            for i in (1, 2, 3)
+        )
+    )
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), cat)
+    row = eng.sql(
+        "SELECT uniqExact(id) AS n_blocks, any(hash) AS h, "
+        "toInt64(maxIf(number, number < 3)) AS m "
+        "FROM block_meta FORMAT JSONEachRow",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert row["n_blocks"] == 3
+    assert row["m"] == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="dialect"):
+        eng.sql("SELECT 1", dialect="oracle")
