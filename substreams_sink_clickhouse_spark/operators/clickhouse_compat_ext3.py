@@ -593,3 +593,59 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# ------------------------------------------- dialect shim under the gate
+
+#: The ClickHouse-SQL text a reference user would type; the builder
+#: runs it through functions/dialect.py and executes the translation.
+_Q122_CLICKHOUSE_SQL = """
+SELECT event_type,
+       uniqExact(user_id)                    AS n_users,
+       countIf(value > 50)                   AS n_big,
+       round(sumIf(value, user_id % 2 = 0), 2) AS even_sum,
+       round(avgIf(value, value > 0), 4)     AS pos_avg,
+       toInt64(maxIf(user_id, value < 10))   AS m
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+FORMAT JSONEachRow
+"""
+
+
+def _q122_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """The ClickHouse dialect shim under the correctness gate: the
+    query above is ClickHouse SQL verbatim (uniqExact / -If
+    combinators / toInt64 / FORMAT clause); the builder translates it
+    (functions/dialect.py) and executes the translation over the
+    events view.  The oracle states the same semantics in portable
+    SQL — so the gate checks the TRANSLATION, not just the plan."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q122_CLICKHOUSE_SQL))
+
+
+_Q122_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) FILTER (value > 50) AS n_big,
+       round(sum(CASE WHEN user_id % 2 = 0 THEN value END), 2) AS even_sum,
+       round(avg(CASE WHEN value > 0 THEN value END), 4) AS pos_avg,
+       CAST(max(CASE WHEN value < 10 THEN user_id END) AS BIGINT) AS m
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q122_clickhouse_dialect",
+        "ClickHouse-SQL text executed via the dialect shim == portable SQL",
+        _q122_dialect,
+        _Q122_ORACLE,
+    )
+)
