@@ -159,6 +159,21 @@ def main() -> None:
                 "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
             }
             print(f"{name}@{label}: {results[f'{name}@{label}']}")
+    # ingest e2e (decode -> validate -> merge -> versioned commit +
+    # cursor) at both scales: the full streaming pipeline on the
+    # synthesized orders change stream
+    from bench import bench_ingest
+
+    for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
+        rd0, wr0 = rest_stage_totals(ui_port)
+        wall = bench_ingest(spark, d)
+        rd1, wr1 = rest_stage_totals(ui_port)
+        results[f"ingest_e2e@{label}"] = {
+            "wall_s": round(wall, 3),
+            "shuffle_read_mb": round((rd1 - rd0) / 1e6, 2),
+            "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
+        }
+        print(f"ingest_e2e@{label}: {results[f'ingest_e2e@{label}']}")
     print(json.dumps(results))
 
 
