@@ -952,3 +952,107 @@ SPECS.append(
         _PNG_ORACLE,
     )
 )
+
+
+# -------------------------------------------------- decoded resize
+
+RESIZE_W, RESIZE_H = 8, 2  # target dims for the decoded-resize entry
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, w2: int, h2: int
+) -> bytes:
+    """Nearest-neighbor resample of top-down RGB pixels (the standard
+    decode-stage resize; floor mapping ``src = dst * src_dim //
+    dst_dim``)."""
+    out = bytearray()
+    for y2 in range(h2):
+        y = y2 * h // h2
+        for x2 in range(w2):
+            x = x2 * w // w2
+            out += pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+    return bytes(out)
+
+
+def _resize_decoded_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Encode -> real BMP decode -> nearest-neighbor resize on DECODED
+    pixels -> channel stats of the resized image, per Arrow batch."""
+    import pandas as pd
+
+    npx = BMP_WIDTH * BMP_HEIGHT
+
+    def feats(b: bytes):
+        rgb = (b[: npx * 3] + b"\x00" * (npx * 3))[: npx * 3]
+        w, h, pixels = decode_image(encode_bmp(rgb, BMP_WIDTH, BMP_HEIGHT))
+        small = resize_nearest(pixels, w, h, RESIZE_W, RESIZE_H)
+        return (
+            RESIZE_W,
+            RESIZE_H,
+            small[0],
+            sum(small[0::3]),
+            sum(small[1::3]),
+            sum(small[2::3]),
+        )
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                "first_r": pd.Series([r[3] for r in rows], dtype="int32"),
+                "sum_r": pd.Series([r[4] for r in rows], dtype="int64"),
+                "sum_g": pd.Series([r[5] for r in rows], dtype="int64"),
+                "sum_b": pd.Series([r[6] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def _multimodal_resize_decoded(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_resize_decoded_batches, schema=BMP_SCHEMA)  # unordered
+
+
+#: The oracle replays the same floor-mapped nearest-neighbor gather on
+#: the deterministic source bytes: src index = (y2*H//H2)*W + (x2*W//W2).
+_RESIZE_DECODED_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT * 3}),
+                        j -> CASE WHEN j < len(text)
+                                  THEN CAST(unicode(substr(text, j + 1, 1)) AS BIGINT)
+                                  ELSE 0 END) AS b
+  FROM documents),
+small AS (
+  SELECT asset_id,
+         flatten(list_transform(range(0, {RESIZE_H * RESIZE_W}), p ->
+           [b[3 * ((p // {RESIZE_W} * {BMP_HEIGHT} // {RESIZE_H}) * {BMP_WIDTH}
+                   + (p % {RESIZE_W}) * {BMP_WIDTH} // {RESIZE_W}) + 1],
+            b[3 * ((p // {RESIZE_W} * {BMP_HEIGHT} // {RESIZE_H}) * {BMP_WIDTH}
+                   + (p % {RESIZE_W}) * {BMP_WIDTH} // {RESIZE_W}) + 2],
+            b[3 * ((p // {RESIZE_W} * {BMP_HEIGHT} // {RESIZE_H}) * {BMP_WIDTH}
+                   + (p % {RESIZE_W}) * {BMP_WIDTH} // {RESIZE_W}) + 3]])) AS s
+  FROM px)
+SELECT asset_id,
+       {RESIZE_W} AS width,
+       {RESIZE_H} AS height,
+       CAST(s[1] AS INT) AS first_r,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}), p -> s[3 * p + 1])) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}), p -> s[3 * p + 2])) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(0, {RESIZE_W * RESIZE_H}), p -> s[3 * p + 3])) AS BIGINT) AS sum_b
+FROM small ORDER BY asset_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_resize_decoded",
+        "Real decode -> nearest-neighbor pixel resize -> channel stats",
+        _multimodal_resize_decoded,
+        _RESIZE_DECODED_ORACLE,
+    )
+)
