@@ -186,7 +186,52 @@ def _rewrite_wraps(code: str) -> str:
         code = code[: m.start(1)] + repl + code[cp + 1 :]
 
 
+def _rewrite_clauses(code: str) -> str:
+    """Clause-level ClickHouse-isms:
+
+    * ``[LEFT] ARRAY JOIN <expr> AS <alias>`` → ``LATERAL VIEW
+      [OUTER] explode(<expr>) _aj_<alias> AS <alias>``
+    * ``GLOBAL JOIN`` / ``GLOBAL IN`` — a distributed-execution hint
+      with no Spark meaning; the keyword is dropped.
+    * ``PREWHERE`` → ``WHERE`` when the query level has no WHERE of
+      its own (Catalyst pushes predicates regardless, so PREWHERE is
+      purely syntactic); a query using BOTH clauses must merge them —
+      we raise rather than guess.
+    * ``FROM t FINAL`` — needs the engine's version-column metadata
+      (``Engine.table(name, final=True)``); raise with that pointer
+      instead of silently dropping the keyword.
+    """
+    if re.search(r"\bFINAL\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "FROM ... FINAL needs table metadata: read the table with "
+            "Engine.table(name, final=True) instead"
+        )
+    if re.search(r"\bPREWHERE\b", code, flags=re.IGNORECASE):
+        if re.search(r"\bWHERE\b", code, flags=re.IGNORECASE):
+            raise ValueError(
+                "query uses both PREWHERE and WHERE - merge PREWHERE "
+                "into the WHERE clause (Spark pushes predicates to the "
+                "scan either way)"
+            )
+        code = re.sub(r"\bPREWHERE\b", "WHERE", code, flags=re.IGNORECASE)
+    code = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b)", "", code, flags=re.IGNORECASE)
+    code = re.sub(
+        r"\bLEFT\s+ARRAY\s+JOIN\s+(\w+(?:\.\w+)?)\s+AS\s+(\w+)",
+        r"LATERAL VIEW OUTER explode(\1) _aj_\2 AS \2",
+        code,
+        flags=re.IGNORECASE,
+    )
+    code = re.sub(
+        r"\bARRAY\s+JOIN\s+(\w+(?:\.\w+)?)\s+AS\s+(\w+)",
+        r"LATERAL VIEW explode(\1) _aj_\2 AS \2",
+        code,
+        flags=re.IGNORECASE,
+    )
+    return code
+
+
 def _rewrite_code(code: str) -> str:
+    code = _rewrite_clauses(code)
     for z, repl in _ZERO_ARG.items():
         code = code.replace(z, repl)
     code = _rewrite_wraps(code)

@@ -134,3 +134,36 @@ def test_engine_sql_clickhouse_dialect_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dialect"):
         eng.sql("SELECT 1", dialect="oracle")
+
+
+def test_array_join_clause(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT id, v FROM arr_t ARRAY JOIN vals AS v ORDER BY id, v"
+    )
+    assert "LATERAL VIEW explode(vals) _aj_v AS v" in out
+    spark.sql(
+        "SELECT 1 AS id, array(10, 20) AS vals "
+        "UNION ALL SELECT 2, array() "
+    ).createOrReplaceTempView("arr_t")
+    rows = spark.sql(out).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 10), (1, 20)]
+    # LEFT ARRAY JOIN keeps the empty-array row with NULL
+    left = clickhouse_to_spark_sql(
+        "SELECT id, v FROM arr_t LEFT ARRAY JOIN vals AS v ORDER BY id, v"
+    )
+    assert "LATERAL VIEW OUTER explode" in left
+    rows = spark.sql(left).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 10), (1, 20), (2, None)]
+
+
+def test_prewhere_and_global():
+    out = clickhouse_to_spark_sql("SELECT a FROM t PREWHERE a > 1")
+    assert "WHERE a > 1" in out and "PREWHERE" not in out
+    out = clickhouse_to_spark_sql("SELECT a FROM t GLOBAL JOIN u ON t.k = u.k")
+    assert "GLOBAL" not in out
+    import pytest
+
+    with pytest.raises(ValueError, match="PREWHERE"):
+        clickhouse_to_spark_sql("SELECT a FROM t PREWHERE a > 1 WHERE b < 2")
+    with pytest.raises(ValueError, match="FINAL"):
+        clickhouse_to_spark_sql("SELECT a FROM t FINAL")
