@@ -214,10 +214,16 @@ class Engine:
             raise ValueError("no ingest pipeline active; call ingest()/pipeline() first")
         return pipe.state
 
-    def optimize(self, name: str, module_hash: str = "default") -> dict | None:
+    def optimize(
+        self,
+        name: str,
+        module_hash: str = "default",
+        zorder: list[str] | None = None,
+    ) -> dict | None:
         """``OPTIMIZE TABLE <name> FINAL``: compact each pk-bucket of
-        the sunk table to one pk-sorted file."""
-        return self._state(module_hash).optimize(name)
+        the sunk table to one pk-sorted file.  ``zorder=[c1, c2]``
+        clusters by the Morton key instead (OPTIMIZE ZORDER parity)."""
+        return self._state(module_hash).optimize(name, zorder=zorder)
 
     def apply_ttl(self, name: str, expire_predicate: str, module_hash: str = "default") -> int:
         """ClickHouse TTL mutation: delete rows matching the expiry

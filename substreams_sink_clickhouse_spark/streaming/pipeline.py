@@ -311,6 +311,7 @@ class TableStateStore:
         kind: str,
         sort_col: str | None = None,
         new_n_buckets: int | None = None,
+        sort_expr=None,
     ) -> str:
         """Shared commit path for non-epoch mutations (OPTIMIZE / TTL /
         REBUCKET): write the affected buckets' new state under
@@ -329,7 +330,12 @@ class TableStateStore:
         out = df.withColumn(
             "__b", self.bucket_expr(info.primary_key, n_b)
         ).repartition(max(2, len(affected)), F.col("__b"))
-        if sort_col is not None:
+        if sort_expr is not None:
+            # Z-order maintenance: cluster inside each bucket by the
+            # Morton key so row-group min/max stats stay narrow on
+            # EVERY participating column (functions/zorder.py).
+            out = out.sortWithinPartitions("__b", sort_expr)
+        elif sort_col is not None:
             # Pre-sorting by (__b, sort_col) satisfies the file
             # writer's required ordering, so no extra sort is inserted
             # and rows land pk-clustered inside each bucket file.
@@ -354,9 +360,15 @@ class TableStateStore:
         self._write_manifest(manifest)
         return vdir
 
-    def optimize(self, name: str) -> dict | None:
+    def optimize(self, name: str, zorder: list[str] | None = None) -> dict | None:
         """``OPTIMIZE TABLE <name> FINAL`` parity: compact every live
-        bucket to ONE pk-sorted file.
+        bucket to ONE pk-sorted file.  With ``zorder=[c1, c2, ...]``
+        the bucket files cluster by the Morton key over those columns
+        instead (OPTIMIZE ... ZORDER BY parity): min/max row-group
+        stats stay narrow on every listed column, so post-compaction
+        scans skip files for predicates on ANY of them — the
+        data-skipping lever that matters once a bucket holds many
+        row groups at 100 TB.
 
         Epoch commits append one file per touched bucket per flush, so
         a long-running ingest accumulates many small files per bucket
@@ -383,8 +395,15 @@ class TableStateStore:
             return None
         before = sum(p["n_files"] for p in self.parts(name))
         info = self.catalog.get(name)
+        state = self.table_state(name)
+        sort_expr = None
+        if zorder:
+            from substreams_sink_clickhouse_spark.functions.zorder import zorder_key
+
+            sort_expr = zorder_key(state, zorder)
         self._commit_maintenance(
-            name, self.table_state(name), affected, "opt", sort_col=info.primary_key
+            name, state, affected, "opt",
+            sort_col=info.primary_key, sort_expr=sort_expr,
         )
         after = sum(p["n_files"] for p in self.parts(name))
         return {"files_before": before, "files_after": after}

@@ -231,3 +231,84 @@ def test_parts_metadata_and_engine_df(spark, tmp_path):
     got = {(r["bucket"], r["n_files"], r["rows"]) for r in df.collect()}
     want = {(p["bucket"], p["n_files"], p["rows"]) for p in parts}
     assert got == want
+
+
+def test_zorder_key_interleaves(spark):
+    from substreams_sink_clickhouse_spark.functions.zorder import zorder_key
+
+    df = spark.range(256).selectExpr("id % 16 AS a", "CAST(id / 16 AS INT) AS b")
+    keyed = df.select("a", "b", zorder_key(df, ["a", "b"], bits=4).alias("z")).collect()
+    # spot-check the Morton interleave: a-bits at even positions,
+    # b-bits at odd positions
+    for r in keyed:
+        expect = 0
+        for i in range(4):
+            expect |= ((r["a"] >> i) & 1) << (2 * i)
+            expect |= ((r["b"] >> i) & 1) << (2 * i + 1)
+        assert r["z"] == expect, (r["a"], r["b"], r["z"], expect)
+
+
+def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y), per-file min/max spread on the
+    SECOND column must be materially narrower than a pk-only sort —
+    the property parquet row-group skipping depends on."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+    from substreams_sink_clickhouse_spark.streaming.pipeline import TableStateStore
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("x", T.LongType(), True),
+            T.StructField("y", T.LongType(), True),
+        ]
+    )
+    cat = Catalog()
+    cat.register(TableInfo("pts", schema, "id"))
+    store = TableStateStore(spark, str(tmp_path / "wh"), cat, n_buckets=1)
+    # pk uncorrelated with (x, y): pk-clustered files sample y
+    # uniformly, z-clustered files cover narrow Morton ranges
+    rows = spark.range(4096).selectExpr(
+        "CAST(hash(id) AS STRING) AS id", "id % 64 AS x", "CAST(id / 64 AS LONG) AS y"
+    )
+    store.commit_epoch(1, {"pts": (rows, [0])}, None, None)
+    # fragment each optimize output into ~16 files so per-file min/max
+    # stats are observable (the row-group granularity stand-in)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+
+    def y_spread(paths):
+        import os as _os
+
+        spreads = []
+        paths = [
+            _os.path.join(d, f)
+            for d in paths
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        for f in paths:
+            agg = spark.read.parquet(f).agg(
+                (F.max("y") - F.min("y")).alias("s")
+            ).first()
+            spreads.append(agg["s"])
+        return sum(spreads) / len(spreads)
+
+    store.optimize("pts")  # pk clustering
+    pk_files = glob.glob(str(tmp_path / "wh" / "pts" / "opt*" / "__b=*" ))
+    pk_spread = y_spread(pk_files)
+
+    store.optimize("pts", zorder=["x", "y"])
+    z_files = glob.glob(str(tmp_path / "wh" / "pts" / "opt*" / "__b=*"))
+    # latest mutation dir only
+    z_latest = sorted(z_files)[-1:]
+    z_spread = y_spread(z_latest)
+    spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    # a z-clustered file covers a narrow band of y; a pk-clustered one
+    # samples the full range
+    assert z_spread < pk_spread / 2, (z_spread, pk_spread)
+    # content unchanged
+    assert store.table_state("pts").count() == 4096
