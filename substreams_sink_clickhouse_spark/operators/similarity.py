@@ -262,8 +262,9 @@ def _sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     embarrassingly parallel — the corpus is never shuffled; the only
     exchange is the per-probe top-k window over (corpus x probes)
     scored pairs, keyed by probe id.  At 100 TB with a large probe set
-    you'd LSH/IVF-partition both sides first (see sim_lsh / sim_ivf);
-    the query-side contract — per-probe ordered top-k — stays exactly
+    you'd LSH/IVF-partition both sides first — ``sim_knn_join_lsh``
+    below IS that route (equi-join on bucket, no crossJoin); the
+    query-side contract — per-probe ordered top-k — stays exactly
     this."""
     from pyspark.sql import Window
 
@@ -704,5 +705,77 @@ SPECS.append(
         "zero-shuffle scan + top-k",
         _sim_pq_adc,
         _pq_adc_oracle(),
+    )
+)
+
+
+def _sim_knn_join_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN join at scale: the LSH-bucketed route the plain
+    ``sim_knn_join`` docstring points to for large probe sets.
+
+    Both sides hash to the same random-hyperplane bucket; candidates
+    come from an EQUI-join on the bucket id — the corpus shuffles once
+    on a key, never crossJoins — then exact cosine + per-probe top-k
+    inside the candidates.  Probe-set size stops mattering: cost is
+    corpus-linear in signatures plus bucket-local scoring, the
+    standard two-tower retrieval layout.  Recall is bucket-limited by
+    construction (a probe whose true neighbor hashes elsewhere misses
+    it) — the documented LSH trade; both engines agree exactly."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings").withColumn(
+        "__bucket", F.expr(_bucket_expr_spark())
+    )
+    probes = e.filter(F.col("vec_id") < N_KNN_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("p"),
+        F.col("__bucket").alias("__pb"),
+    )
+    corpus = e.filter(F.col("vec_id") >= N_KNN_PROBES)
+    cand = corpus.join(probes, F.col("__bucket") == F.col("__pb"), "inner")
+    scored = cand.withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "qid", F.col("rn").alias("rank"), "vec_id",
+            F.round("__sim", 6).alias("sim"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_KNN_JOIN_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS qid, embedding AS p, bucket AS pb FROM b
+  WHERE vec_id < {N_KNN_PROBES}),
+corpus AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= {N_KNN_PROBES}),
+scored AS (
+  SELECT pr.qid, c.vec_id,
+         {_duck_dot('c.embedding', 'pr.p')}
+           / ({_duck_norm('c.embedding')} * {_duck_norm('pr.p')}) AS simx
+  FROM corpus c JOIN probes pr ON c.bucket = pr.pb),
+ranked AS (
+  SELECT qid, vec_id, simx,
+         row_number() OVER (PARTITION BY qid ORDER BY simx DESC, vec_id) AS rn
+  FROM scored)
+SELECT qid, rn AS rank, vec_id, round(simx, 6) AS sim
+FROM ranked WHERE rn <= {KNN_K} ORDER BY qid, rank
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_knn_join_lsh",
+        "LSH-bucketed k-NN join: equi-join on bucket, no crossJoin",
+        _sim_knn_join_lsh,
+        _KNN_JOIN_LSH_ORACLE,
     )
 )

@@ -359,3 +359,13 @@ def test_gopher_rules_is_narrow_map_only(spark):
     assert cols == {"doc_id", "text"}, cols
     plan = simple_plan(df)
     assert "Join" not in plan, plan[:1500]
+
+
+def test_knn_join_lsh_has_no_cross_join(spark):
+    # the scale route for batch retrieval: candidates from an
+    # equi-join on the bucket id, never a cartesian/cross product
+    from substreams_sink_clickhouse_spark.operators import similarity as S2
+
+    plan = simple_plan(S2._sim_knn_join_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
