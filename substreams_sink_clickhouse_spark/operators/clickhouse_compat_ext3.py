@@ -649,3 +649,112 @@ SPECS.append(
         _Q122_ORACLE,
     )
 )
+
+
+# ------------------------------- categoricalInformationValue / studentTTest
+
+def _q123_cat_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """categoricalInformationValue(category, label): per-category
+    weight of evidence ``ln((good_i/good)/(bad_i/bad))`` and the total
+    information value — the standard categorical-predictiveness
+    screen.  Label = (value > 50); category = event_type.  Cell counts
+    pre-aggregate (|categories| rows cross the exchange); totals
+    broadcast back."""
+    e = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("cat"),
+        (F.col("value") > 50).cast("int").alias("label"),
+    )
+    cells = e.groupBy("cat").agg(
+        F.sum("label").cast("double").alias("good"),
+        F.sum(1 - F.col("label")).cast("double").alias("bad"),
+    )
+    tot = cells.agg(
+        F.sum("good").alias("gt"), F.sum("bad").alias("bt")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    woe = F.log((F.col("good") / F.col("gt")) / (F.col("bad") / F.col("bt")))
+    iv_term = ((F.col("good") / F.col("gt")) - (F.col("bad") / F.col("bt"))) * woe
+    return (
+        j.select(
+            "cat",
+            F.round(woe, 6).alias("woe"),
+            F.round(iv_term, 6).alias("iv_term"),
+        )
+        .orderBy("cat")
+    )
+
+
+_Q123_ORACLE = """
+WITH e AS (
+  SELECT event_type AS cat, CAST(value > 50 AS INT) AS label FROM events),
+cells AS (
+  SELECT cat, sum(label)::DOUBLE AS good, sum(1 - label)::DOUBLE AS bad
+  FROM e GROUP BY cat),
+tot AS (SELECT sum(good) AS gt, sum(bad) AS bt FROM cells)
+SELECT cat,
+       round(ln((good / gt) / (bad / bt)), 6) AS woe,
+       round(((good / gt) - (bad / bt)) * ln((good / gt) / (bad / bt)), 6) AS iv_term
+FROM cells, tot ORDER BY cat
+"""
+
+
+def _q124_student_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """studentTTest(value of 'click', value of 'purchase'): the
+    pooled-variance two-sample t (vs q85's Welch form) — six algebraic
+    moments, one aggregate pass."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    j = a.crossJoin(b)
+    df_ = F.col("n1") + F.col("n2") - 2
+    sp2 = (
+        (F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2")
+    ) / df_
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        sp2 * (1 / F.col("n1") + 1 / F.col("n2"))
+    )
+    return j.select(
+        F.round(t, 6).alias("t_stat"),
+        df_.cast("long").alias("dof"),
+    )
+
+
+_Q124_ORACLE = """
+WITH a AS (SELECT count(*)::DOUBLE n1, avg(value) m1, var_samp(value) v1
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT count(*)::DOUBLE n2, avg(value) m2, var_samp(value) v2
+      FROM events WHERE event_type = 'purchase')
+SELECT round((m1 - m2) / sqrt((((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+             * (1 / n1 + 1 / n2)), 6) AS t_stat,
+       CAST(n1 + n2 - 2 AS BIGINT) AS dof
+FROM a, b
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "q123_cat_iv",
+            "categoricalInformationValue: WoE + IV terms per category",
+            _q123_cat_iv,
+            _Q123_ORACLE,
+        ),
+        QuerySpec(
+            "q124_student_ttest",
+            "studentTTest: pooled-variance two-sample t statistic",
+            _q124_student_ttest,
+            _Q124_ORACLE,
+        ),
+    ]
+)
