@@ -172,6 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
     maintain.add_argument("--predicate", help="TTL expiry predicate (SQL), e.g. \"ts < TIMESTAMP '2024-02-01'\"")
     maintain.add_argument("--new-n-buckets", type=int, help="target bucket fan-out for rebucket")
     maintain.add_argument("--keep-epochs", type=int, default=2, help="history snapshots kept by vacuum")
+    maintain.add_argument(
+        "--zorder",
+        help="comma-separated columns for OPTIMIZE ZORDER BY clustering "
+        "(multi-column data skipping) instead of pk clustering",
+    )
 
     return p
 
@@ -333,7 +338,12 @@ def cmd_maintain(spark, args) -> int:
         print("error: table argument required", file=sys.stderr)
         return 2
     if args.action == "optimize":
-        print(json.dumps(state.optimize(args.table)))
+        zcols = (
+            [c.strip() for c in args.zorder.split(",") if c.strip()]
+            if getattr(args, "zorder", None)
+            else None
+        )
+        print(json.dumps(state.optimize(args.table, zorder=zcols)))
     elif args.action == "ttl":
         if not args.predicate:
             print("error: --predicate required for ttl", file=sys.stderr)

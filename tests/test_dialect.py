@@ -167,3 +167,39 @@ def test_prewhere_and_global():
         clickhouse_to_spark_sql("SELECT a FROM t PREWHERE a > 1 WHERE b < 2")
     with pytest.raises(ValueError, match="FINAL"):
         clickhouse_to_spark_sql("SELECT a FROM t FINAL")
+
+
+def test_translation_robust_to_composition():
+    """Property-ish composition check: nesting any supported construct
+    inside any other still yields balanced, FORMAT-free SQL with no
+    ClickHouse-only function names left behind."""
+    import itertools
+    import re
+
+    frags = [
+        "toInt64(x)",
+        "sumIf(v, t = 'a,b(c')",
+        "uniqExact(u)",
+        "toDateTime(s)",
+        "toYYYYMM(d)",
+        "groupArray(g)",
+    ]
+    def _code(sql):
+        # drop string literals before structural checks
+        return re.sub(r"'[^']*'", "''", sql)
+
+    for a, b in itertools.permutations(frags, 2):
+        # splice b in as an argument of a where possible
+        q = f"SELECT {a}, {b} FROM t FORMAT CSV"
+        out = clickhouse_to_spark_sql(q)
+        assert _code(out).count("(") == _code(out).count(")"), (q, out)
+        assert "FORMAT" not in out
+        for name in ("toInt64", "sumIf", "uniqExact", "toDateTime",
+                     "toYYYYMM", "groupArray"):
+            assert not re.search(rf"\b{name}\s*\(", out), (q, out)
+    # nested: every construct inside sumIf's value argument
+    for f in frags:
+        q = f"SELECT sumIf({f}, cond) FROM t"
+        out = clickhouse_to_spark_sql(q)
+        assert _code(out).count("(") == _code(out).count(")"), (q, out)
+        assert "sumIf" not in out
