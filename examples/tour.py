@@ -1,0 +1,141 @@
+"""End-to-end tour: every layer of the engine in one short run.
+
+    python examples/tour.py [sf_dir]     (default /root/testdata/sf0.001)
+
+1. **Ingest** — synthesize a `DatabaseChanges` JSONL stream (the
+   reference's wire payload, pb/.../database.pb.go:75-209) and run the
+   full pipeline: decode -> validate -> keyed merge -> versioned
+   commit + cursor.
+2. **Query** — the sunk table with VERBATIM ClickHouse SQL through the
+   dialect shim, plus a TPC-H shape over the analytics fixtures.
+3. **LLM data pipeline** — Gopher quality rules -> MinHash near-dup
+   pairs -> deterministic train/val/test split -> BM25 retrieval.
+4. **Maintenance** — OPTIMIZE (pk clustering), parts introspection,
+   cursor state.
+
+Each step prints one JSON line; the driver-facing correctness gate
+(tools/check_correctness.py) is the exhaustive version of step 2/3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run(spark, sf_dir: str, workdir: str) -> dict:
+    from substreams_sink_clickhouse_spark.catalog import (
+        BLOCK_META_SCHEMA,
+        Catalog,
+        TableInfo,
+    )
+    from substreams_sink_clickhouse_spark.config import EngineConfig
+    from substreams_sink_clickhouse_spark.engine import Engine
+    from substreams_sink_clickhouse_spark.operators.dedup import _dedup_minhash
+    from substreams_sink_clickhouse_spark.operators.text import _bm25, _gopher_rules
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q3
+    from substreams_sink_clickhouse_spark.operators.training import _train_split
+
+    out: dict = {}
+
+    # -- 1. ingest ----------------------------------------------------
+    stream = os.path.join(workdir, "changes")
+    os.makedirs(stream, exist_ok=True)
+    msgs = []
+    for i in range(1, 51):
+        msgs.append(
+            json.dumps(
+                {
+                    "block_num": i,
+                    "block_id": f"0x{i:04x}",
+                    "table_changes": [
+                        {
+                            "table": "block_meta",
+                            "pk": f"blk{i}",
+                            "ordinal": 1,
+                            "operation": "CREATE",
+                            "fields": [
+                                {"name": "number", "new_value": str(i), "old_value": None},
+                                {
+                                    "name": "timestamp",
+                                    "new_value": str(1700000000 + 12 * i),
+                                    "old_value": None,
+                                },
+                            ],
+                        }
+                    ],
+                }
+            )
+        )
+    with open(os.path.join(stream, "blocks.jsonl"), "w") as fh:
+        fh.write("\n".join(msgs))
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=os.path.join(workdir, "wh"),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+        ),
+    )
+    pipe = eng.ingest(stream, cat)
+    out["ingest"] = {
+        "rows": eng.table("block_meta").count(),
+        "cursor_block": eng.cursor().block_num if eng.cursor() else None,
+    }
+
+    # -- 2. query: ClickHouse SQL unchanged + a TPC-H shape -----------
+    row = eng.sql(
+        "SELECT uniqExact(id) AS n, toInt64(maxIf(number, number < 40)) AS m "
+        "FROM block_meta FORMAT JSONEachRow",
+        dialect="clickhouse",
+    ).collect()[0]
+    out["clickhouse_sql"] = {"n_blocks": row["n"], "max_under_40": row["m"]}
+    out["tpch_q3_rows"] = _tpch_q3(spark, sf_dir).count()
+
+    # -- 3. LLM data pipeline -----------------------------------------
+    gopher = _gopher_rules(spark, sf_dir)
+    g = gopher.selectExpr(
+        "avg(gopher_pass) AS pass_rate",
+        "avg(n_words) AS avg_words",
+        "avg(alpha_frac) AS alpha",
+    ).collect()[0]
+    # tiny fixtures fail the 50-word floor; the per-rule flags show
+    # which rule gates (the point of emitting flags, not one boolean)
+    out["gopher"] = {
+        "pass_rate": round(g["pass_rate"], 3),
+        "avg_words": round(g["avg_words"], 1),
+        "avg_alpha_frac": round(g["alpha"], 3),
+    }
+    out["minhash_dup_pairs"] = _dedup_minhash(spark, sf_dir).count()
+    out["train_split"] = {
+        r["split"]: r["n_docs"] for r in _train_split(spark, sf_dir).collect()
+    }
+    out["bm25_top"] = [
+        (r["doc_id"], r["bm25"]) for r in _bm25(spark, sf_dir).limit(3).collect()
+    ]
+
+    # -- 4. maintenance ------------------------------------------------
+    out["optimize"] = pipe.state.optimize("block_meta")
+    out["parts"] = pipe.state.parts("block_meta")[:1]
+    return out
+
+
+def main() -> int:
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("tour")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory(prefix="sscs_tour_") as workdir:
+        for step, payload in run(spark, sf_dir, workdir).items():
+            print(json.dumps({step: payload}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
