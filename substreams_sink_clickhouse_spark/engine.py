@@ -31,6 +31,9 @@ class Engine:
         self.spark = tune_session(spark)
         self.config = config or EngineConfig()
         self._pipelines: dict[str, ChangesIngestPipeline] = {}
+        #: query-result cache (ClickHouse ``use_query_cache`` parity):
+        #: translated-query text -> (epoch fingerprint, persisted DF).
+        self._query_cache: dict[str, tuple[tuple, DataFrame]] = {}
 
     @classmethod
     def local(cls, config: EngineConfig | None = None, **spark_kwargs) -> "Engine":
@@ -130,10 +133,38 @@ class Engine:
 
     # -- query surface ------------------------------------------------
 
-    def sql(self, query: str, dialect: str | None = None) -> DataFrame:
+    def _epoch_fingerprint(self) -> tuple:
+        """(module_hash, table, epoch) triples across live pipelines —
+        changes whenever any ingest commits, which is exactly when
+        cached results go stale."""
+        fp = []
+        for mh, pipe in sorted(self._pipelines.items()):
+            try:
+                manifest = pipe.state.read_manifest()
+            except Exception:
+                continue
+            for name, entry in sorted(manifest.get("tables", {}).items()):
+                fp.append((mh, name, entry.get("epoch")))
+            fp.append((mh, "__mutation_seq", manifest.get("mutation_seq", 0)))
+        return tuple(fp)
+
+    _QUERY_CACHE_MAX = 32
+
+    def sql(
+        self,
+        query: str,
+        dialect: str | None = None,
+        use_query_cache: bool = False,
+    ) -> DataFrame:
         """Run SQL.  ``dialect="clickhouse"`` first translates the
         documented ClickHouse-SQL subset (functions/dialect.py) so the
-        reference's user-facing queries run unchanged."""
+        reference's user-facing queries run unchanged.
+
+        ``use_query_cache=True`` is ClickHouse query-cache parity: the
+        result DataFrame is persisted and returned for repeats of the
+        same (translated) query text, invalidated automatically when
+        any ingest epoch or storage mutation advances.  Opt-in, like
+        ClickHouse's setting — correctness-sensitive callers skip it."""
         if dialect == "clickhouse":
             from substreams_sink_clickhouse_spark.functions.dialect import (
                 clickhouse_to_spark_sql,
@@ -142,7 +173,23 @@ class Engine:
             query = clickhouse_to_spark_sql(query)
         elif dialect not in (None, "spark"):
             raise ValueError(f"unknown SQL dialect: {dialect!r}")
-        return self.spark.sql(query)
+        if not use_query_cache:
+            return self.spark.sql(query)
+        fp = self._epoch_fingerprint()
+        hit = self._query_cache.get(query)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        if hit is not None:
+            hit[1].unpersist()
+        df = self.spark.sql(query).persist()
+        if len(self._query_cache) >= self._QUERY_CACHE_MAX:
+            # drop the oldest entry (insertion order = LRU-enough for a
+            # bounded interactive cache)
+            old_key, (_, old_df) = next(iter(self._query_cache.items()))
+            old_df.unpersist()
+            del self._query_cache[old_key]
+        self._query_cache[query] = (fp, df)
+        return df
 
     def register_external(
         self, name: str, path: str, fmt: str = "parquet", schema=None

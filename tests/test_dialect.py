@@ -203,3 +203,35 @@ def test_translation_robust_to_composition():
         out = clickhouse_to_spark_sql(q)
         assert _code(out).count("(") == _code(out).count(")"), (q, out)
         assert "sumIf" not in out
+
+
+def test_query_cache_hits_and_invalidates(spark, tmp_path):
+    """ClickHouse use_query_cache parity: repeats return the persisted
+    result; an ingest epoch advance invalidates."""
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), cat)
+    q = "SELECT count(*) AS n FROM block_meta"
+    df1 = eng.sql(q, use_query_cache=True)
+    assert df1.collect()[0]["n"] == 1
+    df2 = eng.sql(q, use_query_cache=True)
+    assert df2 is df1  # cache hit returns the same persisted frame
+    # new epoch -> invalidated
+    (stream / "b2.jsonl").write_text(
+        _msg(2, [("block_meta", "k2", 1, "CREATE", {"number": "2"})])
+    )
+    eng.ingest(str(stream), cat)
+    df3 = eng.sql(q, use_query_cache=True)
+    assert df3 is not df1
+    assert df3.collect()[0]["n"] == 2
