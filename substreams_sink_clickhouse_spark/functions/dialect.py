@@ -15,7 +15,8 @@ paren-matched argument rewrap — no grammar, no guessing.
 Supported rewrites:
 
 * name swaps   — ``uniq``→``approx_count_distinct``,
-  ``countIf``→``count_if``,
+  ``countIf``→``count_if``, ``has``→``array_contains``,
+  ``indexOf``→``array_position``, ``arrayElement``→``element_at``,
   ``groupArray``→``collect_list``, ``groupUniqArray``→``collect_set``,
   ``arrayStringConcat``→``array_join``, ``any``→``any_value``,
   ``today()``/``yesterday()`` zero-arg forms.
@@ -28,7 +29,8 @@ Supported rewrites:
   ``agg(CASE WHEN cond THEN x END)`` (top-level comma split inside
   the matched parens).
 * ``toYYYYMM(d)`` → ``CAST(date_format(d, 'yyyyMM') AS INT)``;
-  ``uniqExact(x)`` → ``count(DISTINCT x)``.
+  ``uniqExact(x)`` → ``count(DISTINCT x)``;
+  ``multiIf(c1, v1, ..., e)`` → the equivalent ``CASE`` chain.
 * ``numbers(N)`` table function → ``(SELECT id AS number FROM
   range(N))``.
 * a trailing ``FORMAT <name>`` clause is stripped (output formatting
@@ -59,6 +61,15 @@ _NAME_SWAPS = {
     "upperUTF8": "upper",
     "position": "instr",
     "match": "rlike",
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "arrayElement": "element_at",
+    "arrayConcat": "concat",
+    "arraySort": "sort_array",
+    "arrayDistinct": "array_distinct",
+    "arrayReverse": "reverse",
+    "assumeNotNull": "coalesce",
+    "toUnixTimestamp": "unix_timestamp",
 }
 
 #: zero-argument forms (replaced including their parens).
@@ -155,7 +166,7 @@ def _rewrite_wraps(code: str) -> str:
         r"\b(" + "|".join(
             list(_CAST_FUNCS)
             + list(_IF_COMBINATORS)
-            + ["toDateTime", "toYYYYMM", "numbers", "uniqExact"]
+            + ["toDateTime", "toYYYYMM", "numbers", "uniqExact", "multiIf"]
         ) + r")\s*\("
     )
     while True:
@@ -181,6 +192,17 @@ def _rewrite_wraps(code: str) -> str:
             repl = f"CAST(date_format({inner}, 'yyyyMM') AS INT)"
         elif name == "uniqExact":
             repl = f"count(DISTINCT {inner})"
+        elif name == "multiIf":
+            parts = _split_top_commas(inner)
+            if len(parts) < 3 or len(parts) % 2 == 0:
+                raise ValueError(
+                    "multiIf needs cond1, val1, ..., else (odd argument count)"
+                )
+            whens = "".join(
+                f" WHEN {parts[k]} THEN {parts[k + 1]}"
+                for k in range(0, len(parts) - 1, 2)
+            )
+            repl = f"(CASE{whens} ELSE {parts[-1]} END)"
         else:  # numbers(N)
             repl = f"(SELECT id AS number FROM range({inner}))"
         code = code[: m.start(1)] + repl + code[cp + 1 :]

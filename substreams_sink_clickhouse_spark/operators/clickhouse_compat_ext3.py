@@ -758,3 +758,67 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# ------------------------------------------------- ngramSearch / ngramDistance
+
+_NGRAM_QUERY = "green metallic"
+
+
+def _q125_ngram_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ngramSearch-style fuzzy match: trigram-set Jaccard similarity of
+    every part name against a fixed query string, top-20.
+
+    The query's trigram set folds into the plan as a literal array; the
+    per-row work is a narrow higher-order projection (trigram explode
+    never happens — ``filter``/``size`` over the per-row array), so the
+    scan streams at full speed and top-20 is a TakeOrdered.  ClickHouse
+    normalizes by max set size (ngramDistance); Jaccard here —
+    documented choice, identical on both engines."""
+    q = _NGRAM_QUERY.lower()
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    qlit = "array(" + ", ".join(f"'{g}'" for g in qgrams) + ")"
+    p = load_table(spark, sf, "part")
+    name = F.lower(F.col("p_name"))
+    grams = (
+        "array_distinct(transform(sequence(1, greatest(length({n}) - 2, 1)),"
+        " i -> substring({n}, i, 3)))"
+    ).format(n="lower(p_name)")
+    inter = f"size(array_intersect({grams}, {qlit}))"
+    uni = f"size(array_union({grams}, {qlit}))"
+    return (
+        p.select(
+            "p_partkey",
+            name.alias("name"),
+            F.round(F.expr(f"{inter} / {uni}"), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "p_partkey")
+        .limit(20)
+    )
+
+
+def _q125_oracle() -> str:
+    q = _NGRAM_QUERY.lower()
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    qlit = "[" + ", ".join(f"'{g}'" for g in qgrams) + "]"
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(lower(p_name)) - 1, 2)),"
+        " i -> substr(lower(p_name), i, 3)))"
+    )
+    return f"""
+SELECT p_partkey, lower(p_name) AS name,
+       round(len(list_intersect({grams}, {qlit}))::DOUBLE
+             / len(list_distinct(list_concat({grams}, {qlit})))::DOUBLE, 6) AS sim
+FROM part
+ORDER BY sim DESC, p_partkey LIMIT 20
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q125_ngram_search",
+        "ngramSearch: trigram-Jaccard fuzzy match vs a literal query, top-20",
+        _q125_ngram_search,
+        _q125_oracle(),
+    )
+)

@@ -235,3 +235,22 @@ def test_query_cache_hits_and_invalidates(spark, tmp_path):
     df3 = eng.sql(q, use_query_cache=True)
     assert df3 is not df1
     assert df3.collect()[0]["n"] == 2
+
+
+def test_multiif_and_array_functions(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT multiIf(x > 2, 'big', x > 0, 'small', 'neg') AS c, "
+        "has(a, 2) AS h, indexOf(a, 3) AS i, arrayElement(a, 1) AS e "
+        "FROM t"
+    )
+    assert "CASE WHEN x > 2 THEN 'big' WHEN x > 0 THEN 'small' ELSE 'neg' END" in out
+    assert "array_contains(a, 2)" in out
+    assert "array_position(a, 3)" in out
+    assert "element_at(a, 1)" in out
+    spark.sql("SELECT 3 AS x, array(1, 2, 3) AS a").createOrReplaceTempView("t")
+    r = spark.sql(out).collect()[0]
+    assert (r["c"], r["h"], r["i"], r["e"]) == ("big", True, 3, 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="multiIf"):
+        clickhouse_to_spark_sql("SELECT multiIf(a, b) FROM t")
