@@ -254,3 +254,56 @@ def test_multiif_and_array_functions(spark):
 
     with pytest.raises(ValueError, match="multiIf"):
         clickhouse_to_spark_sql("SELECT multiIf(a, b) FROM t")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _IDENT = st.sampled_from(["x", "y", "v", "t", "arr"])
+    _LIT = st.sampled_from(["1", "2.5", "'a,b(c'", "'it''s'", "NULL"])
+
+    def _exprs(depth):
+        if depth == 0:
+            return st.one_of(_IDENT, _LIT)
+        sub = _exprs(depth - 1)
+        return st.one_of(
+            _IDENT,
+            _LIT,
+            st.builds(lambda a: f"toInt64({a})", sub),
+            st.builds(lambda a: f"toDateTime({a})", sub),
+            st.builds(lambda a: f"toYYYYMM({a})", sub),
+            st.builds(lambda a: f"uniqExact({a})", sub),
+            st.builds(lambda a, b: f"sumIf({a}, {b})", sub, sub),
+            st.builds(lambda a, b: f"avgIf({a}, {b})", sub, sub),
+            st.builds(
+                lambda a, b, c: f"multiIf({a}, {b}, {c})", sub, sub, sub
+            ),
+            st.builds(lambda a: f"groupArray({a})", sub),
+            st.builds(lambda a, b: f"has({a}, {b})", sub, sub),
+        )
+
+    @given(e1=_exprs(3), e2=_exprs(2))
+    @settings(max_examples=200, deadline=None)
+    def test_dialect_fuzz_deep_nesting(e1, e2):
+        """Random deep compositions of every supported construct stay
+        balanced and fully translated — no ClickHouse-only names
+        survive outside string literals."""
+        import re
+
+        q = f"SELECT {e1} AS a, {e2} AS b FROM t FORMAT Values"
+        out = clickhouse_to_spark_sql(q)
+        code = re.sub(r"'(?:[^']|'')*'", "''", out)
+        assert code.count("(") == code.count(")"), (q, out)
+        assert "FORMAT" not in code
+        for name in (
+            "toInt64", "toDateTime", "toYYYYMM", "uniqExact", "sumIf",
+            "avgIf", "multiIf", "groupArray",
+        ):
+            assert not re.search(rf"\b{name}\s*\(", code), (q, out)
