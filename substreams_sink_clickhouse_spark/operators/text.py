@@ -1018,3 +1018,75 @@ SPECS.append(
         _bm25_oracle(),
     )
 )
+
+
+# ------------------------------------------------------- dataset card
+
+def _corpus_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary — the one-row corpus report a training-data
+    release ships with: document/token/char volume, language and
+    source breadth, exact-duplicate rate, and the Gopher-pass rate.
+
+    One scan, two stacked aggregates (the text-hash distinct count
+    rides the same pass via count_distinct on the 60-bit content
+    hash); everything is map-side-partial-friendly, so the report
+    costs a single pass over 100 TB."""
+    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    n_words = F.size("__words").cast("long")
+    h = F.expr(
+        "CAST(CONV(SUBSTR(MD5(text), 1, 15), 16, 10) AS BIGINT)"
+    )
+    stop_in = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (
+            F.size(F.expr(f"filter(array_distinct(__words), w -> w IN ({stop_in}))"))
+            >= 2
+        )
+    ).cast("int")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words).alias("total_words"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.count_distinct(h).alias("distinct_texts"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct(h)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(F.avg(gopher_pass), 4).alias("gopher_pass_rate"),
+    )
+
+
+_CORPUS_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT text, lang, source,
+         string_split(lower(text), ' ') AS words,
+         {duck_md5_long_sql('text')} AS h
+  FROM documents)
+SELECT count(*) AS n_docs,
+       sum(len(words))::BIGINT AS total_words,
+       sum(length(text))::BIGINT AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT h) AS distinct_texts,
+       round((count(*) - count(DISTINCT h))::DOUBLE / count(*), 6) AS exact_dup_rate,
+       round(avg(CAST(len(words) BETWEEN 50 AND 100000
+                 AND len(list_filter(list_distinct(words),
+                         w -> w IN ({_sql_list(_GOPHER_STOPWORDS)}))) >= 2 AS INT)), 4)
+         AS gopher_pass_rate
+FROM d
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "corpus_card",
+        "Dataset-card summary: volume, breadth, dup rate, quality pass rate",
+        _corpus_card,
+        _CORPUS_CARD_ORACLE,
+    )
+)

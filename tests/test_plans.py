@@ -369,3 +369,14 @@ def test_knn_join_lsh_has_no_cross_join(spark):
     plan = simple_plan(S2._sim_knn_join_lsh(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_q08_aggregates_below_outer_join(spark):
+    # TPC-H Q13 shape: per-custkey counts collapse BEFORE the outer
+    # join — the join input carries customer cardinality, not order
+    # cardinality (the printed plan shows the aggregate under the
+    # join's build/stream side, not above the join)
+    plan = simple_plan(R._q08(spark, SF))
+    i_join = plan.find("Join")
+    assert i_join != -1, plan[:1500]
+    assert "HashAggregate" in plan[i_join:], plan[:2000]
