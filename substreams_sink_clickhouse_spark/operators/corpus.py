@@ -1,0 +1,168 @@
+"""Composable corpus-pipeline API over ANY documents DataFrame.
+
+The gate entries (``text_*`` / ``dedup_*`` / ``train_*``) are
+oracle-verified against the driver fixtures; this module packages the
+same operators as a fluent API a user points at their own data:
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    c = Corpus(df, id_col="id", text_col="body")
+    clean = c.gopher_filter().dedup_exact().dedup_minhash()
+    clean.split().groupBy("split").count().show()
+    clean.card().show()
+
+Every method is a thin composition of the SAME column expressions the
+gate entries run — ``tests/test_corpus_api.py`` pins equivalence
+against the oracle-verified paths, so this surface cannot drift from
+the verified one.  All transformations are lazy DataFrames; nothing
+collects to the driver.
+
+Scale notes are inherited from the underlying operators: gopher/token
+passes are map-only; exact dedup is one hash aggregate on the 60-bit
+content hash; minhash pairs shuffle once on the band value with the
+hot-bucket cap (dedup.py); the split is a pure hash function of the
+id (reshard-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.functions.hashing import md5_long
+
+
+class Corpus:
+    """Fluent wrapper over a documents DataFrame.
+
+    ``id_col`` must be unique per document; ``text_col`` holds the
+    raw text.  Other columns ride along untouched.
+    """
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        if id_col != "doc_id":
+            df = df.withColumnRenamed(id_col, "doc_id")
+        if text_col != "text":
+            df = df.withColumnRenamed(text_col, "text")
+        self.df = df
+
+    # -- quality -------------------------------------------------------
+
+    def gopher_flags(self) -> DataFrame:
+        """Per-document Gopher rule flags + verdict (text.py)."""
+        from substreams_sink_clickhouse_spark.operators.text import gopher_flags
+
+        return gopher_flags(self.df)
+
+    def gopher_filter(self) -> "Corpus":
+        """Keep only documents passing all Gopher rules."""
+        keep = self.gopher_flags().filter(F.col("gopher_pass") == 1).select("doc_id")
+        return Corpus(self.df.join(keep, "doc_id", "left_semi"))
+
+    # -- dedup ---------------------------------------------------------
+
+    def _content_hash(self):
+        return md5_long(F.col("text"))
+
+    def dedup_exact(self) -> "Corpus":
+        """One survivor per distinct text: the lowest doc_id (an
+        algebraic ``min_by`` per content hash — map-side partials, one
+        exchange on the 60-bit hash)."""
+        keep = (
+            self.df.select("doc_id", self._content_hash().alias("__h"))
+            .groupBy("__h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return Corpus(self.df.join(keep, "doc_id", "left_semi"))
+
+    def minhash_dup_pairs(self) -> DataFrame:
+        """Near-dup candidate pairs (doc_a < doc_b) via MinHash+LSH
+        banding — the exact machinery of the ``dedup_minhash`` gate
+        entry (band-bucket expansion, hot-bucket cap, no self-join)."""
+        from substreams_sink_clickhouse_spark.operators.dedup import (
+            _cap_buckets,
+            _minhash_bands,
+            _pair_expand,
+        )
+
+        bands = _minhash_bands(self.df.select("doc_id", "text"))
+        buckets = (
+            bands.groupBy("band_id", "band_val")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        buckets = _cap_buckets(buckets, "ids")
+        return (
+            buckets.select(
+                F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+
+    def dedup_minhash(self) -> "Corpus":
+        """Drop the higher-id side of every near-dup pair (keep-first
+        policy; for clique-exact survivors route through
+        ``dedup_clusters``'s connected components instead)."""
+        losers = self.minhash_dup_pairs().select(F.col("doc_b").alias("doc_id")).distinct()
+        return Corpus(self.df.join(losers, "doc_id", "left_anti"))
+
+    # -- composition ---------------------------------------------------
+
+    def split(
+        self, train: float = 0.8, val: float = 0.1, seed: str = "split"
+    ) -> DataFrame:
+        """Deterministic train/val/test carve by content-stable hash of
+        the id: membership survives resharding and re-runs (the
+        ``train_split`` gate semantics, thresholds parameterized)."""
+        b = md5_long(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))) % 100
+        split = (
+            F.when(b < int(train * 100), F.lit("train"))
+            .when(b < int((train + val) * 100), F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return self.df.withColumn("split", split)
+
+    def card(self) -> DataFrame:
+        """One-row dataset-card summary (the ``corpus_card`` gate
+        semantics): volume, breadth, exact-dup rate, Gopher pass
+        rate."""
+        from substreams_sink_clickhouse_spark.operators.text import (
+            _GOPHER_STOPWORDS,
+            _words,
+        )
+
+        d = self.df.withColumn("__words", _words())
+        n_words = F.size("__words").cast("long")
+        h = self._content_hash()
+        stop_in = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+        gopher_pass = (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (
+                F.size(
+                    F.expr(f"filter(array_distinct(__words), w -> w IN ({stop_in}))")
+                )
+                >= 2
+            )
+        ).cast("int")
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_words).alias("total_words"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.count_distinct(h).alias("distinct_texts"),
+            F.round(
+                (F.count(F.lit(1)) - F.count_distinct(h)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(F.avg(gopher_pass), 4).alias("gopher_pass_rate"),
+        ]
+        for extra in ("lang", "source"):
+            if extra in self.df.columns:
+                aggs.append(F.count_distinct(F.col(extra)).alias(f"n_{extra}s"))
+        return d.agg(*aggs)
+
+    def count(self) -> int:
+        return self.df.count()

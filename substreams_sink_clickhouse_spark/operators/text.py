@@ -795,8 +795,10 @@ SPECS.append(
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+def gopher_flags(d: DataFrame) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, app. A1.1)
+    over any ``(doc_id, text, ...)`` DataFrame — shared by the gate
+    entry below and the composable :class:`~.corpus.Corpus` API —
     as per-document flags plus the composite verdict:
 
     * 50 <= word count <= 100000
@@ -812,7 +814,7 @@ def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     arrays — one narrow projection, no shuffle, no Python.  At 100 TB
     this is a map-only stage that pipelines into whatever filter or
     aggregation consumes the verdict."""
-    d = load_table(spark, sf, "documents").withColumn("__words", _words())
+    d = d.withColumn("__words", _words())
     n_words = F.size("__words").cast("double")
     mean_wlen = (
         F.expr("aggregate(__words, 0L, (a, w) -> a + length(w))").cast("double")
@@ -865,7 +867,11 @@ def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
         stop_present.alias("stop_present"),
         gopher_pass.cast("int").alias("gopher_pass"),
-    ).orderBy("doc_id")
+    )
+
+
+def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    return gopher_flags(load_table(spark, sf, "documents")).orderBy("doc_id")
 
 
 _GOPHER_ORACLE = f"""

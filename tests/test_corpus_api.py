@@ -1,0 +1,83 @@
+"""The composable Corpus API must agree exactly with the oracle-
+verified gate entries it packages (no second implementation to
+drift)."""
+
+from pyspark.sql import functions as F
+
+from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_gopher_flags_match_gate(spark):
+    from substreams_sink_clickhouse_spark.operators.text import _gopher_rules
+
+    api = Corpus(_docs(spark)).gopher_flags().orderBy("doc_id").collect()
+    gate = _gopher_rules(spark, SF).collect()
+    assert api == gate
+
+
+def test_minhash_pairs_match_gate(spark):
+    from substreams_sink_clickhouse_spark.operators.dedup import (
+        _aug_docs,
+        _dedup_minhash,
+    )
+
+    api = {
+        (r["doc_a"], r["doc_b"])
+        for r in Corpus(_aug_docs(spark, SF)).minhash_dup_pairs().collect()
+    }
+    gate = {(r["doc_a"], r["doc_b"]) for r in _dedup_minhash(spark, SF).collect()}
+    assert api == gate and api
+
+
+def test_split_matches_gate_counts(spark):
+    from substreams_sink_clickhouse_spark.operators.training import _train_split
+
+    api = {
+        r["split"]: r["n"]
+        for r in Corpus(_docs(spark))
+        .split()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    gate = {r["split"]: r["n_docs"] for r in _train_split(spark, SF).collect()}
+    assert api == gate
+
+
+def test_card_matches_gate(spark):
+    from substreams_sink_clickhouse_spark.operators.text import _corpus_card
+
+    api = Corpus(_docs(spark)).card().collect()[0].asDict()
+    gate = _corpus_card(spark, SF).collect()[0].asDict()
+    for k, v in gate.items():
+        assert api[k] == v, (k, api[k], v)
+
+
+def test_fluent_pipeline_and_custom_columns(spark):
+    df = _docs(spark).withColumnRenamed("doc_id", "id").withColumnRenamed(
+        "text", "body"
+    )
+    c = Corpus(df, id_col="id", text_col="body")
+    n0 = c.count()
+    exact = c.dedup_exact()
+    assert exact.count() <= n0
+    cleaned = exact.dedup_minhash()
+    assert cleaned.count() <= exact.count()
+    # filters keep ride-along columns
+    assert "lang" in cleaned.df.columns
+    # exact dedup keeps the LOWEST id per duplicated text
+    dupes = (
+        df.groupBy("body").agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("lo"))
+        .filter("n > 1")
+        .collect()
+    )
+    kept_ids = {r["doc_id"] for r in exact.df.select("doc_id").collect()}
+    for r in dupes:
+        assert r["lo"] in kept_ids
