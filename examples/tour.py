@@ -118,6 +118,16 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
     out["bm25_top"] = [
         (r["doc_id"], r["bm25"]) for r in _bm25(spark, sf_dir).limit(3).collect()
     ]
+    # the same operators, fluently, over any documents DataFrame
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+    c = Corpus(load_table(spark, sf_dir, "documents"))
+    out["corpus_api"] = {
+        "n_docs": c.count(),
+        "after_exact_dedup": c.dedup_exact().count(),
+        "after_minhash_dedup": c.dedup_exact().dedup_minhash().count(),
+    }
 
     # -- 4. maintenance ------------------------------------------------
     out["optimize"] = pipe.state.optimize("block_meta")

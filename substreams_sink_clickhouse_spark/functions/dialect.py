@@ -36,6 +36,12 @@ Supported rewrites:
 * a trailing ``FORMAT <name>`` clause is stripped (output formatting
   is the client's job in Spark).
 
+Known lexical limits (documented, raise-or-passthrough rather than
+guess): ``any(``/``match(``/``position(`` swap by NAME, so a
+lower-case standard-SQL ``= any(SELECT ...)`` quantified comparison
+would mistranslate — ClickHouse queries use ``IN``, and the upper-case
+forms pass through untouched.
+
 Anything outside this list passes through verbatim — Spark SQL
 already accepts a large shared core (SELECT/JOIN/GROUP BY/window
 functions/CTEs), which is why a lexical shim is enough for the

@@ -822,3 +822,46 @@ SPECS.append(
         _q125_oracle(),
     )
 )
+
+
+# ------------------------------------------------------- regr_* family
+
+def _q128_regr_family(spark: SparkSession, sf: str) -> DataFrame:
+    """simpleLinearRegression / regr_* aggregate family via the
+    BUILT-IN regression aggregates (Spark >= 3.4, identical in
+    DuckDB): slope, intercept, r², counts — all algebraic moments,
+    map-side partials (q76 builds the same from raw sums; this is the
+    engine-native form)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q128_ORACLE = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q128_regr_family",
+        "regr_slope/intercept/r2/count built-in regression aggregates",
+        _q128_regr_family,
+        _Q128_ORACLE,
+    )
+)
