@@ -34,6 +34,9 @@ class Engine:
         #: query-result cache (ClickHouse ``use_query_cache`` parity):
         #: translated-query text -> (epoch fingerprint, persisted DF).
         self._query_cache: dict[str, tuple[tuple, DataFrame]] = {}
+        #: bounded in-memory query history (system.query_log parity);
+        #: surfaced as the ``system_query_log`` view on demand.
+        self._query_log: list[tuple] = []
 
     @classmethod
     def local(cls, config: EngineConfig | None = None, **spark_kwargs) -> "Engine":
@@ -149,6 +152,31 @@ class Engine:
         return tuple(fp)
 
     _QUERY_CACHE_MAX = 32
+    _QUERY_LOG_MAX = 1000
+
+    def _log_query(self, query: str, dialect, cached: bool) -> None:
+        import time as _time
+
+        self._query_log.append(
+            (len(self._query_log) + 1, query, dialect or "spark", cached,
+             float(_time.time()))
+        )
+        if len(self._query_log) > self._QUERY_LOG_MAX:
+            del self._query_log[0 : len(self._query_log) - self._QUERY_LOG_MAX]
+
+    def query_log(self) -> DataFrame:
+        """ClickHouse ``system.query_log`` parity (bounded, in-memory):
+        one row per ``Engine.sql`` call — id, translated query text,
+        dialect, cache flag, wall-clock timestamp.  Also registered as
+        the ``system_query_log`` view for SQL access."""
+        df = self.spark.createDataFrame(
+            self._query_log or [(0, "", "spark", False, 0.0)],
+            "query_id long, query string, dialect string, used_cache boolean, ts double",
+        )
+        if not self._query_log:
+            df = df.limit(0)
+        df.createOrReplaceTempView("system_query_log")
+        return df
 
     def sql(
         self,
@@ -173,6 +201,7 @@ class Engine:
             query = clickhouse_to_spark_sql(query)
         elif dialect not in (None, "spark"):
             raise ValueError(f"unknown SQL dialect: {dialect!r}")
+        self._log_query(query, dialect, bool(use_query_cache))
         if not use_query_cache:
             return self.spark.sql(query)
         fp = self._epoch_fingerprint()

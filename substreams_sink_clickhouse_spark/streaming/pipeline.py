@@ -360,7 +360,12 @@ class TableStateStore:
         self._write_manifest(manifest)
         return vdir
 
-    def optimize(self, name: str, zorder: list[str] | None = None) -> dict | None:
+    def optimize(
+        self,
+        name: str,
+        zorder: list[str] | None = None,
+        deduplicate: bool = False,
+    ) -> dict | None:
         """``OPTIMIZE TABLE <name> FINAL`` parity: compact every live
         bucket to ONE pk-sorted file.  With ``zorder=[c1, c2, ...]``
         the bucket files cluster by the Morton key over those columns
@@ -396,6 +401,11 @@ class TableStateStore:
         before = sum(p["n_files"] for p in self.parts(name))
         info = self.catalog.get(name)
         state = self.table_state(name)
+        if deduplicate:
+            # OPTIMIZE ... DEDUPLICATE parity: drop fully-identical
+            # rows during the compaction rewrite (one extra exchange
+            # on the full row, the same cost class as the rewrite)
+            state = state.distinct()
         sort_expr = None
         if zorder:
             from substreams_sink_clickhouse_spark.functions.zorder import zorder_key

@@ -307,3 +307,21 @@ if _HAVE_HYP:
             "avgIf", "multiIf", "groupArray",
         ):
             assert not re.search(rf"\b{name}\s*\(", code), (q, out)
+
+
+def test_query_log_records_and_views(spark, tmp_path):
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.sql("SELECT 1 AS one").collect()
+    eng.sql("SELECT uniqExact(1) AS u", dialect="clickhouse").collect()
+    log = eng.query_log().collect()
+    assert len(log) == 2
+    assert log[1]["dialect"] == "clickhouse"
+    assert "count(DISTINCT" in log[1]["query"]  # stores the translation
+    assert spark.sql(
+        "SELECT count(*) AS n FROM system_query_log"
+    ).collect()[0]["n"] == 2

@@ -312,3 +312,29 @@ def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
     assert z_spread < pk_spread / 2, (z_spread, pk_spread)
     # content unchanged
     assert store.table_state("pts").count() == 4096
+
+
+def test_optimize_deduplicate_drops_identical_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+    from substreams_sink_clickhouse_spark.streaming.pipeline import TableStateStore
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    cat = Catalog()
+    cat.register(TableInfo("dups", schema, "id"))
+    store = TableStateStore(spark, str(tmp_path / "wh"), cat, n_buckets=2)
+    rows = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 3)], schema
+    )
+    store.commit_epoch(1, {"dups": (rows, [0, 1])}, None, None)
+    assert store.table_state("dups").count() == 4
+    store.optimize("dups", deduplicate=True)
+    got = sorted(tuple(r) for r in store.table_state("dups").collect())
+    # fully-identical rows collapse; same-pk-different-value rows stay
+    assert got == [("a", 1), ("b", 2), ("b", 3)]
