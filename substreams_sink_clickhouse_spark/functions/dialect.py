@@ -30,7 +30,9 @@ Supported rewrites:
   the matched parens).
 * ``toYYYYMM(d)`` → ``CAST(date_format(d, 'yyyyMM') AS INT)``;
   ``uniqExact(x)`` → ``count(DISTINCT x)``;
-  ``multiIf(c1, v1, ..., e)`` → the equivalent ``CASE`` chain.
+  ``multiIf(c1, v1, ..., e)`` → the equivalent ``CASE`` chain;
+  higher-order ``arrayMap/Filter/Exists/All/Count/Sum(x -> e, arr)``
+  → Spark's collection-first ``transform/filter/exists/forall/...``.
 * ``numbers(N)`` table function → ``(SELECT id AS number FROM
   range(N))``.
 * a trailing ``FORMAT <name>`` clause is stripped (output formatting
@@ -108,6 +110,19 @@ _IF_COMBINATORS = {
     "maxIf": "max",
 }
 
+#: higher-order array functions: ClickHouse takes the lambda FIRST
+#: (``arrayMap(x -> e, arr)``); Spark takes the collection first.
+#: value is (spark_name, wrap) where wrap='count' renders
+#: ``size(filter(arr, f))``.
+_HOF_SWAP = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+    "arrayCount": "__count__",
+    "arraySum": "__sum__",
+}
+
 
 def _segments(sql: str):
     """Yield (is_code, text) with single-quoted strings and backquoted
@@ -172,6 +187,7 @@ def _rewrite_wraps(code: str) -> str:
         r"\b(" + "|".join(
             list(_CAST_FUNCS)
             + list(_IF_COMBINATORS)
+            + list(_HOF_SWAP)
             + ["toDateTime", "toYYYYMM", "numbers", "uniqExact", "multiIf"]
         ) + r")\s*\("
     )
@@ -198,6 +214,29 @@ def _rewrite_wraps(code: str) -> str:
             repl = f"CAST(date_format({inner}, 'yyyyMM') AS INT)"
         elif name == "uniqExact":
             repl = f"count(DISTINCT {inner})"
+        elif name in _HOF_SWAP:
+            parts = _split_top_commas(inner)
+            if name == "arraySum":
+                # arraySum(arr) or arraySum(f, arr)
+                if len(parts) == 1:
+                    repl = f"aggregate({parts[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                else:
+                    f_, arr = parts
+                    var = f_.split("->", 1)[0].strip()
+                    body = f_.split("->", 1)[1].strip()
+                    repl = (
+                        f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                        f"(acc, {var}) -> acc + ({body}))"
+                    )
+            else:
+                if len(parts) != 2:
+                    raise ValueError(f"{name} needs (lambda, array)")
+                f_, arr = parts
+                tgt = _HOF_SWAP[name]
+                if tgt == "__count__":
+                    repl = f"size(filter({arr}, {f_}))"
+                else:
+                    repl = f"{tgt}({arr}, {f_})"
         elif name == "multiIf":
             parts = _split_top_commas(inner)
             if len(parts) < 3 or len(parts) % 2 == 0:

@@ -325,3 +325,24 @@ def test_query_log_records_and_views(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM system_query_log"
     ).collect()[0]["n"] == 2
+
+
+def test_higher_order_array_functions(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT arrayMap(x -> x * 2, a) AS m, arrayFilter(x -> x > 1, a) AS f, "
+        "arrayExists(x -> x = 3, a) AS e, arrayAll(x -> x > 0, a) AS l, "
+        "arrayCount(x -> x % 2 = 1, a) AS c, arraySum(a) AS s, "
+        "arraySum(x -> x * x, a) AS sq FROM t"
+    )
+    assert "transform(a, x -> x * 2)" in out
+    assert "filter(a, x -> x > 1)" in out
+    assert "exists(a, x -> x = 3)" in out
+    assert "forall(a, x -> x > 0)" in out
+    assert "size(filter(a, x -> x % 2 = 1))" in out
+    spark.sql("SELECT array(1, 2, 3) AS a").createOrReplaceTempView("t")
+    r = spark.sql(out).collect()[0]
+    assert r["m"] == [2, 4, 6]
+    assert r["f"] == [2, 3]
+    assert r["e"] is True and r["l"] is True
+    assert r["c"] == 2
+    assert r["s"] == 6.0 and r["sq"] == 14.0
