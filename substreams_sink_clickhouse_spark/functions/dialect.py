@@ -273,6 +273,22 @@ def _rewrite_clauses(code: str) -> str:
             "FROM ... FINAL needs table metadata: read the table with "
             "Engine.table(name, final=True) instead"
         )
+    if re.search(r"\bLIMIT\s+\d+\s+BY\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "LIMIT n BY col needs the query's ordering context - express "
+            "it as a row_number() window <= n (the q66_limit_by shape)"
+        )
+    if re.search(r"\bWITH\s+TOTALS\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "GROUP BY ... WITH TOTALS - use a rollup on the group keys "
+            "and keep the grand-total row (the q108_with_totals shape)"
+        )
+    if re.search(r"\bSAMPLE\s+[\d.]+", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "SAMPLE k is keyed deterministic sampling in ClickHouse; use "
+            "a hash predicate (the q33_sample shape) or TABLESAMPLE "
+            "explicitly if approximate sampling is acceptable"
+        )
     if re.search(r"\bPREWHERE\b", code, flags=re.IGNORECASE):
         if re.search(r"\bWHERE\b", code, flags=re.IGNORECASE):
             raise ValueError(

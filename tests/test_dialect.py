@@ -346,3 +346,17 @@ def test_higher_order_array_functions(spark):
     assert r["e"] is True and r["l"] is True
     assert r["c"] == 2
     assert r["s"] == 6.0 and r["sq"] == 14.0
+
+
+def test_untranslatable_clauses_raise_with_guidance():
+    import pytest
+
+    for q, msg in [
+        ("SELECT a FROM t LIMIT 3 BY a", "q66_limit_by"),
+        ("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS", "q108_with_totals"),
+        ("SELECT a FROM t SAMPLE 0.1", "q33_sample"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            clickhouse_to_spark_sql(q)
+    # plain LIMIT still passes through
+    assert "LIMIT 3" in clickhouse_to_spark_sql("SELECT a FROM t LIMIT 3")
