@@ -987,3 +987,84 @@ SPECS.extend(
         ),
     ]
 )
+
+
+# ------------------------------------------------- per-doc span duplication
+
+_SPAN_W = 20  # words per span window (stride = width: disjoint spans)
+
+
+def _dedup_span_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document span-duplication report: split each document into
+    disjoint 20-word spans, hash them, and flag documents whose spans
+    also occur elsewhere in the corpus — the actionable per-document
+    form of the corpus-wide statistic (``dedup_ngram_stats``): filter
+    pipelines drop or trim documents by ``dup_span_frac``.
+
+    Shape: narrow span explode -> one exchange on the 60-bit span hash
+    (count per span, map-side partials) -> join back on the hash ->
+    per-doc rollup.  Exchange rows = span instances, never characters;
+    at 100 TB spans hash corpus-wide without a row-level self-join."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "__words", F.split(F.lower("text"), " ")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(__words) >= {_SPAN_W} THEN
+                  transform(sequence(0, CAST(size(__words) / {_SPAN_W} AS INT) - 1),
+                            i -> concat_ws(' ', slice(__words, i * {_SPAN_W} + 1, {_SPAN_W})))
+                ELSE array(concat_ws(' ', __words)) END
+                """
+            )
+        ).alias("span"),
+    ).select("doc_id", md5_long(F.col("span")).alias("h"))
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    joined = spans.join(counts, "h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_flags_oracle() -> str:
+    h = duck_md5_long_sql("span")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+spans AS (
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(words) >= {_SPAN_W} THEN
+        list_transform(range(0, CAST(len(words) // {_SPAN_W} AS INT)),
+                       i -> concat_ws(' ', words[i * {_SPAN_W} + 1 : i * {_SPAN_W} + {_SPAN_W}]))
+      ELSE [concat_ws(' ', words)] END) AS span
+    FROM d) t),
+counts AS (SELECT h, count(*) AS c FROM spans GROUP BY h)
+SELECT doc_id, count(*) AS n_spans,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_spans,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS dup_span_frac
+FROM spans JOIN counts USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_span_flags",
+        "Per-document duplicated-span fraction (disjoint 20-word spans)",
+        _dedup_span_flags,
+        _span_flags_oracle(),
+    )
+)

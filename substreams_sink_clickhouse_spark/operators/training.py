@@ -364,3 +364,61 @@ SPECS.append(
         _TRAIN_LENGTH_BUCKETS_ORACLE,
     )
 )
+
+
+# ------------------------------------------------- token-budget selection
+
+_TOKEN_BUDGET = 200_000
+
+
+def _train_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection: walk the deterministic shuffle
+    order (seeded content hash) and keep the maximal prefix whose
+    cumulative whitespace-token count fits the budget — how a training
+    run carves "the first N tokens" reproducibly from a larger corpus.
+
+    The cumulative sum is a single ordered window over (hash, doc_id)
+    — Spark executes it as a range-partitioned sort, and the output
+    reports the carve (docs kept, tokens used, budget headroom), so
+    the result is one row regardless of scale."""
+    d = load_table(spark, sf, "documents")
+    key = md5_long(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    toks = F.size(F.split("text", " ")).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        d.select(key.alias("k"), "doc_id", toks.alias("t"))
+        .withColumn("cum", F.sum("t").over(w))
+        .filter(F.col("cum") <= _TOKEN_BUDGET)
+    )
+    return cum.agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.max("cum").alias("tokens_used"),
+        (F.lit(_TOKEN_BUDGET) - F.max("cum")).alias("headroom"),
+    )
+
+
+def _token_budget_oracle() -> str:
+    h = duck_md5_long_sql("CONCAT('budget:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH cum AS (
+  SELECT doc_id,
+         sum(len(string_split(text, ' '))::BIGINT)
+           OVER (ORDER BY {h}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT count(*) AS docs_kept, max(cum) AS tokens_used,
+       {_TOKEN_BUDGET} - max(cum) AS headroom
+FROM cum WHERE cum <= {_TOKEN_BUDGET}
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_token_budget",
+        "Maximal shuffle-order prefix under a token budget",
+        _train_token_budget,
+        _token_budget_oracle(),
+    )
+)
