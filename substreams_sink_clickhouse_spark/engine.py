@@ -144,7 +144,10 @@ class Engine:
         for mh, pipe in sorted(self._pipelines.items()):
             try:
                 manifest = pipe.state.read_manifest()
-            except Exception:
+            except (OSError, ValueError, KeyError):
+                # a pipeline whose warehouse is mid-initialization has
+                # no manifest yet; treat as epoch-less rather than
+                # failing the cache probe
                 continue
             for name, entry in sorted(manifest.get("tables", {}).items()):
                 fp.append((mh, name, entry.get("epoch")))

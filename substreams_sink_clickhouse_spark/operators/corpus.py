@@ -40,6 +40,12 @@ class Corpus:
     """
 
     def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        missing = [c for c in (id_col, text_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"Corpus: column(s) {missing} not in DataFrame "
+                f"(columns: {df.columns})"
+            )
         if id_col != "doc_id":
             df = df.withColumnRenamed(id_col, "doc_id")
         if text_col != "text":
