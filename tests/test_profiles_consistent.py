@@ -47,3 +47,24 @@ def test_profile_parity(sessions, name):
     a = sorted(map(str, qs[name](spark, SF).collect()))
     b = sorted(map(str, qs[name](inter, SF).collect()))
     assert a == b
+
+
+def test_concurrent_submission_matches_sequential(sessions):
+    """The concurrent bench mode is how a query server runs; results
+    under 8-way thread interleaving must equal the sequential ones
+    (shared SparkContext + buffer pool, per-thread Dataset builds)."""
+    import concurrent.futures as cf
+
+    spark, inter = sessions
+    qs = E.queries()
+    names = SAMPLE[:8]
+    sequential = {
+        n: sorted(map(str, qs[n](inter, SF).collect())) for n in names
+    }
+
+    def run(n):
+        return n, sorted(map(str, qs[n](inter, SF).collect()))
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        concurrent = dict(ex.map(run, names))
+    assert concurrent == sequential
