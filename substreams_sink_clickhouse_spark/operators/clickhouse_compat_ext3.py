@@ -162,7 +162,10 @@ def _q113_theils_u(spark: SparkSession, sf: str) -> DataFrame:
     """theilsU(event_type, user_id mod 7): uncertainty coefficient
     U(x|y) = (H(x) - H(x|y)) / H(x) with natural-log entropies.  All
     terms derive from contingency-cell counts (|x|*|y| rows cross the
-    exchange, not the event count)."""
+    exchange, not the event count).  The plan stacks several more
+    exchanges than most entries (tools/plan_sweep.py flags it), but
+    every one past the first carries cell cardinality (~35 rows here)
+    — the event-volume exchange happens exactly once."""
     e = load_table(spark, sf, "events").select(
         F.col("event_type").alias("x"), (F.col("user_id") % 7).alias("y")
     )

@@ -774,37 +774,37 @@ def _q42_funnel(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").filter(
         F.col("ts") < F.lit("2024-01-03").cast("timestamp")
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # Single scan, single user shuffle: per user collect the first
+    # view time plus the (sorted) click/purchase times, then resolve
+    # the stage chain with array folds — t2 = first click after t1,
+    # t3 = first purchase after t2.  Per-user state = that user's
+    # event times (the windowFunnel state bound); the old 4-scan
+    # chained-aggregate form cost 9 exchanges (tools/plan_sweep.py),
+    # this one costs 2.
+    g = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    users = e.select("user_id").distinct()
-    staged = (
-        users.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
-        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
-        .withColumn(
-            "stage",
-            F.when(F.col("s3") == 1, 3)
-            .when(F.col("s2") == 1, 2)
-            .when(F.col("s1") == 1, 1)
-            .otherwise(0),
-        )
+    staged = g.select(
+        F.expr(
+            """
+            CASE
+              WHEN t1 IS NULL THEN 0
+              ELSE CASE
+                WHEN array_min(filter(clicks, c -> c > t1)) IS NULL THEN 1
+                ELSE CASE
+                  WHEN array_min(filter(purchases,
+                       p -> p > array_min(filter(clicks, c -> c > t1)))) IS NULL
+                  THEN 2 ELSE 3 END
+              END
+            END
+            """
+        ).alias("stage")
     )
     return (
         staged.groupBy("stage")
