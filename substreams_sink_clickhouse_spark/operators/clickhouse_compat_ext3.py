@@ -61,13 +61,9 @@ def _intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q111_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
-    """intervalLengthSum(s, e) per key: union length of overlapping
-    segments.  prev_max(end) over the start-ordered group marks island
-    boundaries; islands collapse to max(e) - min(s).  Touching
-    segments may split islands — the summed length is identical either
-    way, so both engines agree without a tie policy."""
-    iv = _intervals(spark, sf)
+def interval_length_sum(iv: DataFrame) -> DataFrame:
+    """intervalLengthSum core over any ``(k, oid, s, e)`` DataFrame —
+    shared by the gate entry and the brute-force property tests."""
     w = Window.partitionBy("k").orderBy("s", "e", "oid")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = iv.withColumn(
@@ -85,6 +81,15 @@ def _q111_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("len").alias("union_len"))
         .orderBy("k")
     )
+
+
+def _q111_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """intervalLengthSum(s, e) per key: union length of overlapping
+    segments.  prev_max(end) over the start-ordered group marks island
+    boundaries; islands collapse to max(e) - min(s).  Touching
+    segments may split islands — the summed length is identical either
+    way, so both engines agree without a tie policy."""
+    return interval_length_sum(_intervals(spark, sf))
 
 
 _Q111_ORACLE = """
@@ -116,12 +121,8 @@ GROUP BY k ORDER BY k
 
 # ------------------------------------------------- maxIntersections
 
-def _q112_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
-    """maxIntersections(s, e) per key over half-open [s, e): sweep the
-    +1/-1 endpoint events in (position, delta) order — at equal
-    position the -1 sorts first, so a segment ending where another
-    starts does not count as an intersection (half-open semantics)."""
-    iv = _intervals(spark, sf)
+def max_intersections(iv: DataFrame) -> DataFrame:
+    """maxIntersections core over any ``(k, s, e)`` DataFrame."""
     pts = iv.select(
         "k", F.col("s").alias("pos"), F.lit(1).alias("delta")
     ).unionAll(iv.select("k", F.col("e").alias("pos"), F.lit(-1).alias("delta")))
@@ -136,6 +137,14 @@ def _q112_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max("open").cast("int").alias("max_intersections"))
         .orderBy("k")
     )
+
+
+def _q112_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
+    """maxIntersections(s, e) per key over half-open [s, e): sweep the
+    +1/-1 endpoint events in (position, delta) order — at equal
+    position the -1 sorts first, so a segment ending where another
+    starts does not count as an intersection (half-open semantics)."""
+    return max_intersections(_intervals(spark, sf))
 
 
 _Q112_ORACLE = """
