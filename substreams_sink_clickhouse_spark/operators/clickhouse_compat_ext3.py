@@ -234,9 +234,18 @@ def _q114_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    byv = e.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("ca"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double").alias("cb"),
+    samples = e.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+    return ks_test(samples)
+
+
+def ks_test(samples: DataFrame) -> DataFrame:
+    """Two-sample KS core over any ``(v, is_a)`` DataFrame."""
+    byv = samples.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("double").alias("ca"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("double").alias("cb"),
     )
     tot = byv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -278,8 +287,17 @@ def _q115_mannwhitney_u(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    byv = e.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("ca"),
+    samples = e.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+    return mannwhitney_u(samples)
+
+
+def mannwhitney_u(samples: DataFrame) -> DataFrame:
+    """Rank-sum U core over any ``(v, is_a)`` DataFrame."""
+    byv = samples.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("double").alias("ca"),
         F.count(F.lit(1)).cast("double").alias("ct"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)

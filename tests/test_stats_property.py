@@ -1,0 +1,57 @@
+"""Brute-force property tests for KS and Mann-Whitney U: the
+value-grouped distributed formulations must agree with direct Python
+computations over arbitrary samples (independent of the DuckDB oracle,
+which shares the SQL formulation)."""
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext3 import (
+    ks_test,
+    mannwhitney_u,
+)
+
+#: small integer-valued samples force heavy ties — the hard case
+_S = st.lists(st.integers(0, 6), min_size=2, max_size=15)
+
+
+def _ks_py(a, b):
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    d = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / na
+        fb = sum(1 for x in b if x <= v) / nb
+        d = max(d, abs(fa - fb))
+    return round(d, 6)
+
+
+def _u_py(a, b):
+    allv = sorted(a + b)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        i = j
+    r1 = sum(ranks[x] for x in a)
+    return round(r1 - len(a) * (len(a) + 1) / 2, 2)
+
+
+@given(a=_S, b=_S)
+@settings(max_examples=10, deadline=None)
+def test_ks_and_u_match_bruteforce(spark, a, b):
+    rows = [(float(x), True) for x in a] + [(float(x), False) for x in b]
+    df = spark.createDataFrame(rows, "v double, is_a boolean")
+    got_d = ks_test(df).collect()[0]["ks_d"]
+    assert got_d == pytest.approx(_ks_py(a, b), abs=1e-6)
+    got_u = mannwhitney_u(df).collect()[0]["u1"]
+    assert got_u == pytest.approx(_u_py(a, b), abs=1e-2)
