@@ -524,6 +524,12 @@ def _q119_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "h", F.col("value").alias("v"))
     )
+    return interpolate_hourly(hourly)
+
+
+def interpolate_hourly(hourly: DataFrame) -> DataFrame:
+    """WITH FILL INTERPOLATE core over any ``(user_id, h, v)`` hourly
+    DataFrame (one observation per hour at most)."""
     bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = bounds.select(
         "user_id",

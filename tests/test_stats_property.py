@@ -55,3 +55,53 @@ def test_ks_and_u_match_bruteforce(spark, a, b):
     assert got_d == pytest.approx(_ks_py(a, b), abs=1e-6)
     got_u = mannwhitney_u(df).collect()[0]["u1"]
     assert got_u == pytest.approx(_u_py(a, b), abs=1e-2)
+
+
+_HOURS = st.lists(
+    st.tuples(st.integers(0, 23), st.floats(-5, 5, allow_nan=False)),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+def _interp_py(obs):
+    """Python model: hour spine between min and max observed hour,
+    linear interpolation between neighbors, edges clamp."""
+    obs = dict(obs)
+    hours = sorted(obs)
+    out = {}
+    for h in range(hours[0], hours[-1] + 1):
+        if h in obs:
+            out[h] = obs[h]
+            continue
+        prevs = [x for x in hours if x < h]
+        nexts = [x for x in hours if x > h]
+        p, n = prevs[-1], nexts[0]
+        v = obs[p] + (obs[n] - obs[p]) * (h - p) / (n - p)
+        out[h] = v
+    import math
+
+    return {h: math.floor(v * 10000 + 0.5) / 10000 for h, v in out.items()}
+
+
+@given(obs=_HOURS)
+@settings(max_examples=8, deadline=None)
+def test_interpolate_matches_bruteforce(spark, obs):
+    from datetime import datetime
+
+    from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext3 import (
+        interpolate_hourly,
+    )
+
+    rows = [
+        (7, datetime(2024, 1, 1, h), float(v)) for h, v in obs
+    ]
+    hourly = spark.createDataFrame(rows, "user_id long, h timestamp, v double")
+    got = {
+        r["h"].hour: r["val"] for r in interpolate_hourly(hourly).collect()
+    }
+    want = _interp_py(obs)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=1e-9), (h, got[h], want[h])
