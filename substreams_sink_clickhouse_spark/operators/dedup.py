@@ -1005,9 +1005,12 @@ def _dedup_span_flags(spark: SparkSession, sf: str) -> DataFrame:
     (count per span, map-side partials) -> join back on the hash ->
     per-doc rollup.  Exchange rows = span instances, never characters;
     at 100 TB spans hash corpus-wide without a row-level self-join."""
-    d = load_table(spark, sf, "documents").withColumn(
-        "__words", F.split(F.lower("text"), " ")
-    )
+    return span_flags(load_table(spark, sf, "documents"))
+
+
+def span_flags(d: DataFrame) -> DataFrame:
+    """Span-duplication core over any ``(doc_id, text)`` DataFrame."""
+    d = d.withColumn("__words", F.split(F.lower("text"), " "))
     spans = d.select(
         "doc_id",
         F.explode(

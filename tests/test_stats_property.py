@@ -105,3 +105,45 @@ def test_interpolate_matches_bruteforce(spark, obs):
     assert set(got) == set(want)
     for h in want:
         assert got[h] == pytest.approx(want[h], abs=1e-9), (h, got[h], want[h])
+
+
+_DOC = st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=55)
+
+
+def _span_py(docs):
+    """Python model of the per-doc duplicated-span fraction."""
+    W = 20
+    spans = {}
+    per_doc = {}
+    for did, words in docs.items():
+        if len(words) >= W:
+            ds = [
+                " ".join(words[i * W : (i + 1) * W])
+                for i in range(len(words) // W)
+            ]
+        else:
+            ds = [" ".join(words)]
+        per_doc[did] = ds
+        for sp in ds:
+            spans[sp] = spans.get(sp, 0) + 1
+    out = {}
+    for did, ds in per_doc.items():
+        dup = sum(1 for sp in ds if spans[sp] > 1)
+        out[did] = (len(ds), dup, round(dup / len(ds), 4))
+    return out
+
+
+@given(ws=st.lists(_DOC, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_span_flags_match_bruteforce(spark, ws):
+    from substreams_sink_clickhouse_spark.operators.dedup import span_flags
+
+    docs = {i: w for i, w in enumerate(ws)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_span_frac"])
+        for r in span_flags(df).collect()
+    }
+    assert got == _span_py(docs)
