@@ -178,7 +178,12 @@ def _q113_theils_u(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").select(
         F.col("event_type").alias("x"), (F.col("user_id") % 7).alias("y")
     )
-    cells = e.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    return theils_u(e)
+
+
+def theils_u(pairs: DataFrame) -> DataFrame:
+    """Uncertainty-coefficient core over any ``(x, y)`` DataFrame."""
+    cells = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("nxy"))
     n = cells.agg(F.sum("nxy").alias("n"))
     # H(x): from x-marginals; H(x|y) = -sum_y p(y) sum_x p(x|y) ln p(x|y)
     xm = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))

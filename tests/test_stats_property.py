@@ -147,3 +147,37 @@ def test_span_flags_match_bruteforce(spark, ws):
         for r in span_flags(df).collect()
     }
     assert got == _span_py(docs)
+
+
+def _theils_py(pairs):
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    cx = Counter(x for x, _ in pairs)
+    cy = Counter(y for _, y in pairs)
+    cxy = Counter(pairs)
+    hx = -sum((c / n) * math.log(c / n) for c in cx.values())
+    hxy = -sum(
+        (cy[y] / n) * (c / cy[y]) * math.log(c / cy[y])
+        for (x, y), c in cxy.items()
+    )
+    return round((hx - hxy) / hx, 6)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 2)),
+        min_size=4,
+        max_size=30,
+    ).filter(lambda ps: len({x for x, _ in ps}) >= 2)
+)
+@settings(max_examples=8, deadline=None)
+def test_theils_u_matches_bruteforce(spark, pairs):
+    from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext3 import (
+        theils_u,
+    )
+
+    df = spark.createDataFrame(pairs, "x string, y long")
+    got = theils_u(df).collect()[0]["theils_u"]
+    assert got == pytest.approx(_theils_py(pairs), abs=1e-6)
