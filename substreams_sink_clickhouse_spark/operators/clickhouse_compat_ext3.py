@@ -705,7 +705,12 @@ def _q123_cat_iv(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").alias("cat"),
         (F.col("value") > 50).cast("int").alias("label"),
     )
-    cells = e.groupBy("cat").agg(
+    return cat_iv(e)
+
+
+def cat_iv(labeled: DataFrame) -> DataFrame:
+    """WoE/IV core over any ``(cat, label)`` DataFrame (binary label)."""
+    cells = labeled.groupBy("cat").agg(
         F.sum("label").cast("double").alias("good"),
         F.sum(1 - F.col("label")).cast("double").alias("bad"),
     )

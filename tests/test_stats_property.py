@@ -181,3 +181,50 @@ def test_theils_u_matches_bruteforce(spark, pairs):
     df = spark.createDataFrame(pairs, "x string, y long")
     got = theils_u(df).collect()[0]["theils_u"]
     assert got == pytest.approx(_theils_py(pairs), abs=1e-6)
+
+
+def _iv_py(pairs):
+    import math
+    from collections import defaultdict
+
+    good = defaultdict(int)
+    bad = defaultdict(int)
+    for c, l in pairs:
+        (good if l else bad)[c] += 1
+    gt, bt = sum(good.values()), sum(bad.values())
+    out = {}
+    for c in set(good) | set(bad):
+        woe = math.log((good[c] / gt) / (bad[c] / bt))
+        out[c] = (
+            round(woe, 6),
+            round(((good[c] / gt) - (bad[c] / bt)) * woe, 6),
+        )
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("uvw"), st.integers(0, 1)),
+        min_size=6,
+        max_size=40,
+    ).filter(
+        lambda ps: all(
+            any(l == v for c2, l in ps if c2 == c) for c in {c for c, _ in ps}
+            for v in (0, 1)
+        )
+        and any(l == 1 for _, l in ps)
+        and any(l == 0 for _, l in ps)
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cat_iv_matches_bruteforce(spark, pairs):
+    from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext3 import (
+        cat_iv,
+    )
+
+    df = spark.createDataFrame(pairs, "cat string, label int")
+    got = {r["cat"]: (r["woe"], r["iv_term"]) for r in cat_iv(df).collect()}
+    want = _iv_py(pairs)
+    for c in want:
+        assert got[c][0] == pytest.approx(want[c][0], abs=1e-6)
+        assert got[c][1] == pytest.approx(want[c][1], abs=1e-6)

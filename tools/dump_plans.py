@@ -220,6 +220,13 @@ SHOWCASE = [
         "ONE tiny broadcast aggregate; top-20 is TakeOrderedAndProject.",
     ),
     (
+        "q42_funnel",
+        "Ordered funnel in ONE scan + one user shuffle: per-user stage "
+        "times collect in a single groupBy, the view->click->purchase "
+        "chain resolves with array folds — the chained-aggregate "
+        "alternative cost 4 fact scans and 9 exchanges.",
+    ),
+    (
         "tpch_q7",
         "Bidirectional nation-pair volume: the fact shuffles once on "
         "the order key; supplier/customer and BOTH nation roles "
