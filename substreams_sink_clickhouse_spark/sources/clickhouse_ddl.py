@@ -298,3 +298,60 @@ def register_system_views(spark, catalog: Catalog, database: str = "default") ->
         "database string, table string, name string, type string, "
         "position int, is_in_primary_key boolean",
     ).createOrReplaceTempView("system_columns")
+
+
+# -------------------------------------------------------- DDL export
+
+#: Spark type -> canonical ClickHouse type for DDL rendering (the
+#: inverse of _SCALARS; lossy wrappers like LowCardinality are not
+#: reconstructed).
+_RENDER_TYPES: dict[type, str] = {
+    T.StringType: "String",
+    T.BooleanType: "Bool",
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.DateType: "Date",
+    T.TimestampType: "DateTime",
+}
+
+
+def render_clickhouse_type(dt: T.DataType) -> str:
+    """One Spark type → ClickHouse DDL type text."""
+    if isinstance(dt, T.DecimalType):
+        if (dt.precision, dt.scale) == (20, 0):
+            return "UInt64"
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"Array({render_clickhouse_type(dt.elementType)})"
+    r = _RENDER_TYPES.get(type(dt))
+    if r is None:
+        raise ValueError(f"no ClickHouse rendering for Spark type {dt}")
+    return r
+
+
+def render_clickhouse_ddl(info) -> str:
+    """``SHOW CREATE TABLE`` parity: render a catalog ``TableInfo``
+    back to ClickHouse DDL — the inverse of
+    :func:`catalog_from_clickhouse_ddl`, so schemas round-trip between
+    the engine and a real ClickHouse deployment
+    (``catalog_from_clickhouse_ddl(render_clickhouse_ddl(t))`` yields
+    the same TableInfo; tested in test_clickhouse_ddl.py)."""
+    cols = ",\n".join(
+        f"    {f.name} {render_clickhouse_type(f.dataType)}"
+        for f in info.schema.fields
+    )
+    if info.engine == "ReplacingMergeTree" and info.version_column:
+        engine = f"ReplacingMergeTree({info.version_column})"
+    elif info.engine == "SummingMergeTree" and info.sum_columns:
+        engine = f"SummingMergeTree(({', '.join(info.sum_columns)}))"
+    else:
+        engine = f"{info.engine}()"
+    return (
+        f"CREATE TABLE {info.name}\n(\n{cols},\n"
+        f"    PRIMARY KEY ({info.primary_key})\n)\n"
+        f"ENGINE = {engine}\nORDER BY {info.primary_key};"
+    )

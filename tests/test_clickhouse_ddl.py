@@ -215,3 +215,65 @@ ORDER BY day;
         for r in collapse_summing(df.drop("note"), "day", None).collect()
     }
     assert got_default == {("d1", 5, 4.0), ("d2", 1, 1.0)}
+
+
+def test_ddl_roundtrip_render_then_parse():
+    """SHOW CREATE parity: rendering a TableInfo to ClickHouse DDL and
+    re-parsing it yields the same schema, pk, engine, and modifiers."""
+    from pyspark.sql import types as T
+
+    from substreams_sink_clickhouse_spark.catalog import TableInfo
+    from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+        catalog_from_clickhouse_ddl,
+        render_clickhouse_ddl,
+    )
+
+    infos = [
+        TableInfo(
+            "plain",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("n", T.LongType()),
+                    T.StructField("u", T.DecimalType(20, 0)),
+                    T.StructField("tags", T.ArrayType(T.StringType())),
+                    T.StructField("at", T.TimestampType()),
+                ]
+            ),
+            "id",
+        ),
+        TableInfo(
+            "versions",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("ver", T.LongType()),
+                ]
+            ),
+            "id",
+            engine="ReplacingMergeTree",
+            version_column="ver",
+        ),
+        TableInfo(
+            "sums",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("a", T.LongType()),
+                    T.StructField("b", T.DoubleType()),
+                ]
+            ),
+            "id",
+            engine="SummingMergeTree",
+            sum_columns=["a", "b"],
+        ),
+    ]
+    for info in infos:
+        ddl = render_clickhouse_ddl(info)
+        cat = catalog_from_clickhouse_ddl(ddl)
+        back = cat.get(info.name)
+        assert back.schema == info.schema, (info.name, ddl)
+        assert back.primary_key == info.primary_key
+        assert back.engine == info.engine
+        assert back.version_column == info.version_column
+        assert back.sum_columns == info.sum_columns
