@@ -223,6 +223,21 @@ class Engine:
         self._query_cache[query] = (fp, df)
         return df
 
+    def show_create(self, name: str, module_hash: str = "default") -> str:
+        """ClickHouse ``SHOW CREATE TABLE`` parity: the table's DDL
+        rendered from the engine catalog (round-trips through
+        ``catalog_from_clickhouse_ddl``)."""
+        from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+            render_clickhouse_ddl,
+        )
+
+        pipe = self._pipelines.get(module_hash) or next(
+            iter(self._pipelines.values()), None
+        )
+        if pipe is None or name not in pipe.catalog.tables:
+            raise ValueError(f"unknown table: {name!r}")
+        return render_clickhouse_ddl(pipe.catalog.get(name))
+
     def register_external(
         self, name: str, path: str, fmt: str = "parquet", schema=None
     ) -> DataFrame:

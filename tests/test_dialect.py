@@ -360,3 +360,33 @@ def test_untranslatable_clauses_raise_with_guidance():
             clickhouse_to_spark_sql(q)
     # plain LIMIT still passes through
     assert "LIMIT 3" in clickhouse_to_spark_sql("SELECT a FROM t LIMIT 3")
+
+
+def test_show_create_round_trips(spark, tmp_path):
+    from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+        catalog_from_clickhouse_ddl,
+    )
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    cat = Catalog()
+    cat.register(TableInfo("block_meta", BLOCK_META_SCHEMA, "id"))
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), cat)
+    ddl = eng.show_create("block_meta")
+    assert ddl.startswith("CREATE TABLE block_meta")
+    back = catalog_from_clickhouse_ddl(ddl).get("block_meta")
+    assert back.primary_key == "id"
+    assert set(back.schema.fieldNames()) == set(BLOCK_META_SCHEMA.fieldNames())
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.show_create("nope")
