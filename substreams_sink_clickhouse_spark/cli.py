@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 
@@ -294,6 +295,18 @@ def cmd_sql(spark, args) -> int:
         state.table_state(name).createOrReplaceTempView(name)
     register_system_views(spark, catalog)
     query = args.query
+    m_show = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", query, re.IGNORECASE)
+    if m_show:
+        from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+            render_clickhouse_ddl,
+        )
+
+        name = m_show.group(1)
+        if name not in catalog.tables:
+            print(f"error: unknown table {name!r}", file=sys.stderr)
+            return 2
+        print(render_clickhouse_ddl(catalog.get(name)))
+        return 0
     if getattr(args, "dialect", "spark") == "clickhouse":
         from substreams_sink_clickhouse_spark.functions.dialect import (
             clickhouse_to_spark_sql,

@@ -225,3 +225,27 @@ def test_cli_sql_csv_format(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0] == "id,number"
     assert lines[1:] == ["k1,11", "k2,2"]
+
+
+def test_cli_show_create_table(spark, tmp_path, capsys):
+    schema = tmp_path / "schema.sql"
+    schema.write_text(
+        "CREATE TABLE block_meta (id String, number Int64, PRIMARY KEY (id)) "
+        "ENGINE = MergeTree() ORDER BY id;"
+    )
+    from substreams_sink_clickhouse_spark import cli
+
+    rc = cli.main(
+        [
+            "sql",
+            "SHOW CREATE TABLE block_meta",
+            "--clickhouse-schema",
+            str(schema),
+            "--warehouse",
+            str(tmp_path / "wh"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.startswith("CREATE TABLE block_meta")
+    assert "ENGINE = MergeTree()" in out
