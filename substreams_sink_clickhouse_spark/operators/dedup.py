@@ -902,9 +902,13 @@ def _dedup_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
     the gram-hash key both sides — no row-level join ever happens.
     Grams travel as 60-bit MD5 hashes, not strings, so exchange rows
     stay narrow at 100 TB."""
-    grams = _kgram_rows(spark, sf).select(
-        "source", md5_long(F.col("g")).alias("h")
-    )
+    return ngram_stats(_kgram_rows(spark, sf))
+
+
+def ngram_stats(kgrams: DataFrame) -> DataFrame:
+    """Duplication-statistics core over any ``(source, g)`` k-gram
+    instance DataFrame."""
+    grams = kgrams.select("source", md5_long(F.col("g")).alias("h"))
     cells = grams.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n_sg"))
     glob = cells.groupBy("h").agg(F.sum("n_sg").alias("c_g"))
     joined = cells.join(glob, "h")

@@ -228,3 +228,37 @@ def test_cat_iv_matches_bruteforce(spark, pairs):
     for c in want:
         assert got[c][0] == pytest.approx(want[c][0], abs=1e-6)
         assert got[c][1] == pytest.approx(want[c][1], abs=1e-6)
+
+
+def _ngram_py(rows):
+    from collections import Counter, defaultdict
+
+    total = Counter(g for _, g in rows)
+    by_src = defaultdict(list)
+    for s_, g in rows:
+        by_src[s_].append(g)
+    out = {}
+    for s_, gs in by_src.items():
+        n = len(gs)
+        dup = sum(1 for g in gs if total[g] > 1)
+        out[s_] = (n, len(set(gs)), round(dup / n, 4))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("st"), st.sampled_from(["g1", "g2", "g3", "g4"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ngram_stats_match_bruteforce(spark, rows):
+    from substreams_sink_clickhouse_spark.operators.dedup import ngram_stats
+
+    df = spark.createDataFrame(rows, "source string, g string")
+    got = {
+        r["source"]: (r["total_grams"], r["distinct_grams"], r["dup_frac"])
+        for r in ngram_stats(df).collect()
+    }
+    assert got == _ngram_py(rows)
