@@ -157,7 +157,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sql.add_argument(
         "--format",
-        choices=["jsonl", "csv"],
+        choices=["jsonl", "csv", "tsv"],
         default="jsonl",
         help="output format (ClickHouse FORMAT JSONEachRow / CSVWithNames parity)",
     )
@@ -322,13 +322,14 @@ def cmd_sql(spark, args) -> int:
         ))
         return 0
     rows = df.limit(args.limit).collect()
-    if getattr(args, "format", "jsonl") == "csv":
+    fmt = getattr(args, "format", "jsonl")
+    if fmt in ("csv", "tsv"):
         import csv as _csv
         import io
 
         buf = io.StringIO()
-        writer = _csv.writer(buf)
-        writer.writerow(df.columns)  # CSVWithNames
+        writer = _csv.writer(buf, delimiter="\t" if fmt == "tsv" else ",")
+        writer.writerow(df.columns)  # CSVWithNames / TSVWithNames
         for row in rows:
             writer.writerow(["" if v is None else v for v in row])
         sys.stdout.write(buf.getvalue())

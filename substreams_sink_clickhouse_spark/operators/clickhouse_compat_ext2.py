@@ -322,3 +322,52 @@ SPECS.append(
         _Q110_ORACLE,
     )
 )
+
+
+def _q129_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """groupArrayMovingAvg(k): the moving-average sibling of q105's
+    moving sum — same bounded ROWS frame in the user partition, mean
+    instead of sum, DECIMAL-CSV rendering for the driver."""
+    e = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(MOVING_K - 1), 0)
+    )
+    per_row = e.select(
+        "user_id",
+        "event_id",
+        F.avg("value").over(w).alias("mv"),
+    )
+    return per_row.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", F.col("mv")))),
+                lambda s: s["mv"].cast("decimal(18,4)").cast("string"),
+            ),
+            ",",
+        ).alias("moving_avgs")
+    )
+
+
+_Q129_ORACLE = f"""
+WITH m AS (
+  SELECT user_id, event_id,
+         avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN {MOVING_K - 1} PRECEDING AND CURRENT ROW) AS mv
+  FROM events WHERE user_id < 20)
+SELECT user_id,
+       string_agg(CAST(CAST(mv AS DECIMAL(18,4)) AS VARCHAR), ',' ORDER BY event_id)
+         AS moving_avgs
+FROM m GROUP BY user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q129_moving_avg",
+        "groupArrayMovingAvg(k): bounded-frame mean inside the key partition",
+        _q129_moving_avg,
+        _Q129_ORACLE,
+    )
+)
