@@ -911,3 +911,57 @@ SPECS.append(
         _Q128_ORACLE,
     )
 )
+
+
+# --------------------------------------- quantileExactLow / quantileExactHigh
+
+def _q126_quantile_exact_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """quantileExactLow / quantileExactHigh(0.5) per return flag: the
+    two exact order-statistic conventions (lower / upper of the
+    straddling pair at rank (n-1)*q).  Ranks come from one window
+    inside the group partition; the picked rows collapse with
+    conditional min/max — no per-group collect, no second shuffle."""
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("rf").orderBy("v", "l_orderkey", "l_linenumber")
+    ranked = l.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("rf"))
+    )
+    lo_rank = (F.floor((F.col("n") - 1) * 0.5) + 1).cast("long")
+    hi_rank = (F.ceil((F.col("n") - 1) * 0.5) + 1).cast("long")
+    return (
+        ranked.groupBy("rf")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rank, F.col("v"))).alias("q50_low"),
+            F.min(F.when(F.col("rn") == hi_rank, F.col("v"))).alias("q50_high"),
+        )
+        .orderBy("rf")
+    )
+
+
+_Q126_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag AS rf, l_quantity AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT rf,
+       min(CASE WHEN rn = CAST(floor((n - 1) * 0.5) + 1 AS BIGINT) THEN v END) AS q50_low,
+       min(CASE WHEN rn = CAST(ceil((n - 1) * 0.5) + 1 AS BIGINT) THEN v END) AS q50_high
+FROM ranked GROUP BY rf ORDER BY rf
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q126_quantile_exact_bounds",
+        "quantileExactLow/High: straddling order statistics, one window",
+        _q126_quantile_exact_bounds,
+        _Q126_ORACLE,
+    )
+)
