@@ -965,3 +965,70 @@ SPECS.append(
         _Q126_ORACLE,
     )
 )
+
+
+# ------------------------------------- sequenceMatch with time constraint
+
+def _q127_sequence_match_timed(spark: SparkSession, sf: str) -> DataFrame:
+    """sequenceMatch('(?1)(?t<600)(?2)') per user: a click followed by
+    a purchase within 10 minutes.  One window per user partition — the
+    running latest-click time; a purchase row matches when it falls
+    inside the constraint window.  Counts matching users.
+
+    Per-user state is one timestamp (the ClickHouse automaton state);
+    the single exchange is the user partitioning."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    flagged = e.withColumn(
+        "hit",
+        (
+            (F.col("event_type") == "purchase")
+            & last_click.isNotNull()
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp(last_click)
+                < F.lit(600)
+            )
+        ).cast("int"),
+    )
+    return flagged.agg(
+        F.count_distinct(F.when(F.col("hit") == 1, F.col("user_id"))).alias(
+            "matched_users"
+        )
+    )
+
+
+_Q127_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM e)
+SELECT count(DISTINCT CASE WHEN event_type = 'purchase'
+                            AND last_click IS NOT NULL
+                            AND epoch(ts) - epoch(last_click) < 600
+                           THEN user_id END) AS matched_users
+FROM flagged
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q127_sequence_match_timed",
+        "sequenceMatch (?1)(?t<600)(?2): timed event chain per user",
+        _q127_sequence_match_timed,
+        _Q127_ORACLE,
+    )
+)
