@@ -1032,3 +1032,62 @@ SPECS.append(
         _Q127_ORACLE,
     )
 )
+
+
+# ------------------------------------------------- runningConcurrency
+
+def _q130_running_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """runningConcurrency(s, e): at every interval START, how many
+    intervals are open — the per-event timeline maxIntersections
+    (q112) reduces to its maximum.  Same endpoint sweep, filtered to
+    the +1 events; first 200 of one key for a bounded result."""
+    iv = _intervals(spark, sf).filter(F.col("k") == "O")
+    pts = iv.select(
+        "k", F.col("s").alias("pos"), F.lit(1).alias("delta"), F.col("oid")
+    ).unionAll(
+        iv.select("k", F.col("e").alias("pos"), F.lit(-1).alias("delta"),
+                  F.col("oid"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos", "delta", "oid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = pts.withColumn("open", F.sum("delta").over(w))
+    return (
+        running.filter(F.col("delta") == 1)
+        .select("pos", F.col("oid").alias("interval_id"), F.col("open").cast("int").alias("concurrency"))
+        .orderBy("pos", "interval_id")
+        .limit(200)
+    )
+
+
+_Q130_ORACLE = """
+WITH iv AS (
+  SELECT o_orderstatus AS k, o_orderkey AS oid,
+         o_orderkey % 1000 AS s,
+         o_orderkey % 1000 + o_custkey % 50 + 1 AS e
+  FROM orders WHERE o_orderstatus = 'O'),
+pts AS (
+  SELECT k, s AS pos, 1 AS delta, oid FROM iv
+  UNION ALL
+  SELECT k, e AS pos, -1 AS delta, oid FROM iv),
+running AS (
+  SELECT pos, delta, oid,
+         sum(delta) OVER (PARTITION BY k ORDER BY pos, delta, oid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM pts)
+SELECT pos, oid AS interval_id, CAST(open AS INT) AS concurrency
+FROM running WHERE delta = 1
+ORDER BY pos, interval_id LIMIT 200
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q130_running_concurrency",
+        "runningConcurrency: open-interval count at every interval start",
+        _q130_running_concurrency,
+        _Q130_ORACLE,
+    )
+)
