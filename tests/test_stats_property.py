@@ -262,3 +262,71 @@ def test_ngram_stats_match_bruteforce(spark, rows):
         for r in ngram_stats(df).collect()
     }
     assert got == _ngram_py(rows)
+
+
+_TXT = st.text(alphabet="ab #.\n-*", min_size=1, max_size=120).filter(
+    lambda t: t.strip()
+)
+
+
+def _gopher_py(text):
+    words = text.lower().split(" ")
+    n = len(words)
+    mean_wlen = sum(len(w) for w in words) / n
+    sym = text.count("#") + text.count("...")
+    alpha = sum(1 for w in words if any(c.isalpha() for c in w)) / n
+    lines = text.split("\n")
+    nl = len(lines)
+    bullet = sum(
+        1 for l in lines if l.strip().startswith(("-", "*", "•"))
+    ) / nl
+    ellipsis = sum(1 for l in lines if l.strip().endswith("...")) / nl
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    stop_present = len(stops & set(words))
+    ok = (
+        50 <= n <= 100000
+        and 3 <= mean_wlen <= 10
+        and sym / n <= 0.1
+        and bullet <= 0.9
+        and ellipsis <= 0.3
+        and alpha >= 0.8
+        and stop_present >= 2
+    )
+    return (
+        n,
+        round(mean_wlen, 4),
+        round(sym / n, 4),
+        round(alpha, 4),
+        round(bullet, 4),
+        round(ellipsis, 4),
+        stop_present,
+        int(ok),
+    )
+
+
+@given(texts=st.lists(_TXT, min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None)
+def test_gopher_flags_match_bruteforce(spark, texts):
+    from substreams_sink_clickhouse_spark.operators.text import gopher_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_wlen"], r["symbol_ratio"], r["alpha_frac"],
+            r["bullet_frac"], r["ellipsis_frac"], r["stop_present"],
+            r["gopher_pass"],
+        )
+        for r in gopher_flags(df).collect()
+    }
+    want = {i: _gopher_py(t) for i, t in enumerate(texts)}
+    assert set(got) == set(want)
+    for i in want:
+        g, w = got[i], want[i]
+        # ints exact; rounded floats within one rounding ulp (python
+        # round() is banker's, Spark round() is HALF_UP — a .xxxx5
+        # half can legitimately differ in the last decimal)
+        assert (g[0], g[6], g[7]) == (w[0], w[6], w[7]), (i, g, w)
+        for k in (1, 2, 3, 4, 5):
+            assert g[k] == pytest.approx(w[k], abs=1.01e-4), (i, k, g, w)
