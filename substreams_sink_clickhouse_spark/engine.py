@@ -37,6 +37,10 @@ class Engine:
         #: bounded in-memory query history (system.query_log parity);
         #: surfaced as the ``system_query_log`` view on demand.
         self._query_log: list[tuple] = []
+        #: external tables registered via register_external: name ->
+        #: path, folded into the cache fingerprint by file mtime so
+        #: use_query_cache invalidates when external data changes too.
+        self._externals: dict[str, str] = {}
 
     @classmethod
     def local(cls, config: EngineConfig | None = None, **spark_kwargs) -> "Engine":
@@ -152,6 +156,21 @@ class Engine:
             for name, entry in sorted(manifest.get("tables", {}).items()):
                 fp.append((mh, name, entry.get("epoch")))
             fp.append((mh, "__mutation_seq", manifest.get("mutation_seq", 0)))
+        # external tables: newest mtime under the registered path (a
+        # rewritten/appended file bumps it, invalidating cached results
+        # that read the old data).
+        for name, path in sorted(self._externals.items()):
+            try:
+                mtime = os.path.getmtime(path)
+                if os.path.isdir(path):
+                    with os.scandir(path) as it:
+                        mtime = max(
+                            [mtime]
+                            + [e.stat().st_mtime for e in it if e.is_file()]
+                        )
+            except OSError:
+                mtime = None
+            fp.append(("__external", name, path, mtime))
         return tuple(fp)
 
     _QUERY_CACHE_MAX = 32
@@ -249,6 +268,7 @@ class Engine:
 
         df = read_table(self.spark, path, fmt, schema=schema)
         df.createOrReplaceTempView(name)
+        self._externals[name] = path
         return df
 
     def table(

@@ -70,6 +70,11 @@ _NAME_SWAPS = {
     "position": "instr",
     "match": "rlike",
     "has": "array_contains",
+    # argMax/argMin(arg, val) -> max_by/min_by(x, y): identical
+    # argument order and semantics (value of ``arg`` at the max/min
+    # ``val``); the most-used ClickHouse aggregates after sum/count.
+    "argMax": "max_by",
+    "argMin": "min_by",
     "indexOf": "array_position",
     "arrayElement": "element_at",
     "arrayConcat": "concat",
@@ -127,7 +132,10 @@ _HOF_SWAP = {
 def _segments(sql: str):
     """Yield (is_code, text) with single-quoted strings and backquoted
     identifiers kept opaque.  Quote escaping by doubling ('' / ``) is
-    honored."""
+    honored, as is C-style backslash escaping inside single-quoted
+    literals (ClickHouse's default: ``'it\\'s'``) — a ``\\'`` must not
+    terminate the literal early or the tail would be rewritten as
+    code."""
     i, n = 0, len(sql)
     buf = []
     while i < n:
@@ -138,6 +146,9 @@ def _segments(sql: str):
                 buf = []
             j = i + 1
             while j < n:
+                if ch == "'" and sql[j] == "\\":  # C-style escape
+                    j += 2
+                    continue
                 if sql[j] == ch:
                     if j + 1 < n and sql[j + 1] == ch:  # doubled quote
                         j += 2
@@ -268,7 +279,19 @@ def _rewrite_clauses(code: str) -> str:
       (``Engine.table(name, final=True)``); raise with that pointer
       instead of silently dropping the keyword.
     """
-    if re.search(r"\bFINAL\b", code, flags=re.IGNORECASE):
+    # FINAL is only meaningful immediately after a table reference
+    # (FROM t FINAL / JOIN t [AS a] FINAL) — anchoring there keeps a
+    # column or alias literally named ``final`` legal.
+    _kw = (
+        r"(?!WHERE\b|PREWHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|ON\b|"
+        r"USING\b|UNION\b|SETTINGS\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|"
+        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b)"
+    )
+    if re.search(
+        r"\b(?:FROM|JOIN)\s+[\w.`]+(?:\s+(?:AS\s+)?" + _kw + r"\w+)?\s+FINAL\b",
+        code,
+        flags=re.IGNORECASE,
+    ):
         raise ValueError(
             "FROM ... FINAL needs table metadata: read the table with "
             "Engine.table(name, final=True) instead"
@@ -283,7 +306,14 @@ def _rewrite_clauses(code: str) -> str:
             "GROUP BY ... WITH TOTALS - use a rollup on the group keys "
             "and keep the grand-total row (the q108_with_totals shape)"
         )
-    if re.search(r"\bSAMPLE\s+[\d.]+", code, flags=re.IGNORECASE):
+    # likewise SAMPLE k: table-reference position only, so an alias or
+    # function named ``sample`` followed by a number literal elsewhere
+    # (e.g. ``sample + 1``) is not a false positive.
+    if re.search(
+        r"\b(?:FROM|JOIN)\s+[\w.`]+(?:\s+FINAL)?\s+SAMPLE\s+[\d.]+",
+        code,
+        flags=re.IGNORECASE,
+    ):
         raise ValueError(
             "SAMPLE k is keyed deterministic sampling in ClickHouse; use "
             "a hash predicate (the q33_sample shape) or TABLESAMPLE "

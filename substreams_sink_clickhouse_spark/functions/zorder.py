@@ -54,6 +54,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int | None = None) -> Colum
     n = len(cols)
     if bits is None:
         bits = min(16, 60 // n)
+    elif bits < 1 or bits * n > 63:
+        # interleaved bit positions reach bits*n-1; past 62 the
+        # pow(2.0, .)->long term saturates at Long.MaxValue and
+        # silently corrupts the Morton order, so reject up front.
+        raise ValueError(
+            f"bits={bits} with {n} columns places interleaved bits past "
+            f"position 62 (need 1 <= bits and bits*len(cols) <= 63; "
+            f"max here is {63 // n})"
+        )
     stats = df.agg(
         *[
             agg

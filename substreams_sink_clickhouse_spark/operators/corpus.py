@@ -123,9 +123,11 @@ class Corpus:
         the id: membership survives resharding and re-runs (the
         ``train_split`` gate semantics, thresholds parameterized)."""
         b = md5_long(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))) % 100
+        # round(), not int(): float representation error (0.29*100 =
+        # 28.999...) must not shift the percentile boundary by one.
         split = (
-            F.when(b < int(train * 100), F.lit("train"))
-            .when(b < int((train + val) * 100), F.lit("val"))
+            F.when(b < round(train * 100), F.lit("train"))
+            .when(b < round((train + val) * 100), F.lit("val"))
             .otherwise(F.lit("test"))
         )
         return self.df.withColumn("split", split)

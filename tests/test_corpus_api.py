@@ -81,3 +81,24 @@ def test_fluent_pipeline_and_custom_columns(spark):
     kept_ids = {r["doc_id"] for r in exact.df.select("doc_id").collect()}
     for r in dupes:
         assert r["lo"] in kept_ids
+
+
+def test_split_thresholds_round_not_truncate(spark):
+    # train=0.29: int(0.29*100) truncates to 28 under binary float;
+    # the boundary must sit at percentile 29 (round-2 advisory).
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    df = spark.range(2000).selectExpr("CAST(id AS STRING) AS doc_id", "'x' AS text")
+    got = (
+        Corpus(df)
+        .split(train=0.29, val=0.13)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r["split"]: r["count"] for r in got}
+    # hash buckets are ~uniform over 2000 ids; a 28-vs-29 boundary slip
+    # shifts train by a full percentile (~20 docs); assert the fraction
+    # is consistent with 29 buckets, not 28
+    assert abs(counts["train"] / 2000 - 0.29) < 0.035
+    assert abs((counts["train"] + counts["val"]) / 2000 - 0.42) < 0.035

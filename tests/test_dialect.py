@@ -390,3 +390,55 @@ def test_show_create_round_trips(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         eng.show_create("nope")
+
+
+def test_backslash_escaped_quote_in_literal():
+    # ClickHouse's default string escaping is C-style: \' inside a
+    # single-quoted literal must NOT terminate it — the tail would be
+    # rewritten as code (round-2 advisory).
+    out = clickhouse_to_spark_sql(
+        r"SELECT countIf(name = 'it\'s uniq(x)') AS c FROM t"
+    )
+    assert r"'it\'s uniq(x)'" in out  # literal untouched, uniq NOT swapped
+    assert "count_if(name =" in out
+
+
+def test_final_and_sample_anchored_to_table_position():
+    import pytest
+
+    # a column/alias literally named final is legal (round-2 advisory)
+    out = clickhouse_to_spark_sql("SELECT status AS final FROM t")
+    assert "AS final" in out
+    out = clickhouse_to_spark_sql("SELECT * FROM t WHERE final = 1")
+    assert "final = 1" in out
+    # ... but real FROM t FINAL still raises with the Engine pointer
+    with pytest.raises(ValueError, match="final=True"):
+        clickhouse_to_spark_sql("SELECT * FROM t FINAL")
+    with pytest.raises(ValueError, match="final=True"):
+        clickhouse_to_spark_sql("SELECT * FROM db.t AS a FINAL WHERE x = 1")
+    # SAMPLE likewise: table position raises, a column named sample passes
+    with pytest.raises(ValueError, match="SAMPLE"):
+        clickhouse_to_spark_sql("SELECT * FROM hits SAMPLE 0.1")
+    out = clickhouse_to_spark_sql("SELECT sample + 1 FROM t")
+    assert "sample + 1" in out
+
+
+def test_argmax_argmin_translate_and_execute(spark):
+    out = clickhouse_to_spark_sql("SELECT argMax(u, ts), argMin(u, ts) FROM t")
+    assert "max_by(u, ts)" in out and "min_by(u, ts)" in out
+    spark.range(10).selectExpr(
+        "CAST(id % 3 AS INT) AS grp",
+        "concat('u', id) AS u",
+        "id AS ts",
+    ).createOrReplaceTempView("argmax_t")
+    rows = spark.sql(
+        clickhouse_to_spark_sql(
+            "SELECT grp, argMax(u, ts) AS newest, argMin(u, ts) AS oldest, "
+            "anyLast(u) AS some FROM argmax_t GROUP BY grp ORDER BY grp"
+        )
+    ).collect()
+    # grp 0: ids 0,3,6,9 -> newest u9, oldest u0
+    assert rows[0]["newest"] == "u9" and rows[0]["oldest"] == "u0"
+    assert rows[1]["newest"] == "u7" and rows[1]["oldest"] == "u1"
+    assert rows[2]["newest"] == "u8" and rows[2]["oldest"] == "u2"
+    assert all(r["some"] is not None for r in rows)

@@ -263,3 +263,32 @@ def test_time_travel_read(spark, tmp_path):
     pipe.state.vacuum(keep_epochs=0)
     with pytest.raises(ValueError, match="vacuumed"):
         pipe.state.table_state_as_of("block_meta", 0)
+
+
+def test_query_cache_invalidates_on_external_table_change(spark, tmp_path):
+    """use_query_cache must not serve stale results after an external
+    (register_external) table's file changes — round-2 advisory: the
+    epoch fingerprint now folds in external paths' mtimes."""
+    import os
+    import time
+
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    pq = str(tmp_path / "ext.parquet")
+    spark.range(5).write.mode("overwrite").parquet(pq)
+    eng.register_external("ext_t", pq)
+    q = "SELECT count(*) AS n FROM ext_t"
+    assert eng.sql(q, use_query_cache=True).collect()[0]["n"] == 5
+    # second call is a cache hit (same fingerprint, same DF object)
+    df2 = eng.sql(q, use_query_cache=True)
+    assert df2.collect()[0]["n"] == 5
+    # rewrite the external data; mtime bump must invalidate
+    time.sleep(0.05)
+    spark.range(9).write.mode("overwrite").parquet(pq)
+    os.utime(pq)
+    eng.register_external("ext_t", pq)  # re-register the new snapshot
+    assert eng.sql(q, use_query_cache=True).collect()[0]["n"] == 9

@@ -338,3 +338,18 @@ def test_optimize_deduplicate_drops_identical_rows(spark, tmp_path):
     got = sorted(tuple(r) for r in store.table_state("dups").collect())
     # fully-identical rows collapse; same-pk-different-value rows stay
     assert got == [("a", 1), ("b", 2), ("b", 3)]
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    import pytest
+
+    from substreams_sink_clickhouse_spark.functions.zorder import zorder_key
+
+    df = spark.range(4).selectExpr("id AS a", "id AS b", "id AS c", "id AS d")
+    # 16 bits x 4 cols = positions up to 63 -> long saturation; reject
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(df, ["a", "b"], bits=0)
+    # 15 bits x 4 cols = 60 positions: fine
+    assert df.select(zorder_key(df, ["a", "b", "c", "d"], bits=15)).count() == 4
