@@ -87,9 +87,8 @@ class Corpus:
         banding — the exact machinery of the ``dedup_minhash`` gate
         entry (band-bucket expansion, hot-bucket cap, no self-join)."""
         from substreams_sink_clickhouse_spark.operators.dedup import (
-            _cap_buckets,
             _minhash_bands,
-            _pair_expand,
+            _pair_expand_capped,
         )
 
         bands = _minhash_bands(self.df.select("doc_id", "text"))
@@ -98,10 +97,17 @@ class Corpus:
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") > 1)
         )
-        buckets = _cap_buckets(buckets, "ids")
         return (
             buckets.select(
-                F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+                F.explode(
+                    F.expr(
+                        _pair_expand_capped(
+                            "ids",
+                            "x AS doc_a, y AS doc_b",
+                            "element_at(ids, 1) AS doc_a, y AS doc_b",
+                        )
+                    )
+                ).alias("p")
             )
             .select("p.doc_a", "p.doc_b")
             .distinct()

@@ -163,16 +163,24 @@ def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: Optional guard for degenerate LSH buckets: a band/chunk value shared
-#: by a large fraction of the corpus makes pair expansion quadratic on
-#: one task.  ``None`` (default) expands everything — required for
-#: oracle equality on the fixtures; at 100 TB set a cap (e.g. 10_000)
-#: and treat over-cap buckets as "trivially duplicate everything"
-#: clusters handled out-of-band, the standard near-dup practice.
-MAX_BUCKET_SIZE: int | None = None
+#: Guard for degenerate LSH buckets: a band/chunk value shared by a
+#: large fraction of the corpus makes pair expansion quadratic on one
+#: task — the one real 100 TB hazard of bucketed candidate generation.
+#: Default ON (10_000): over-cap MinHash band buckets collapse to
+#: linear "star" pairs against the bucket representative (the members
+#: ARE trivially near-identical — that is what sharing a band means —
+#: so connectivity and keep-first dedup semantics are preserved with
+#: O(n) rows instead of O(n²)); over-cap buckets in the post-filtered
+#: families (simhash hamming / jaccard counts / embedding cosine) are
+#: dropped, the standard stop-shingle / non-discriminative-bucket
+#: cutoff.  Both rules are mirrored in the DuckDB oracles (baked at
+#: import time), so oracle parity holds even on degenerate corpora.
+#: Set to ``None`` to expand everything.
+MAX_BUCKET_SIZE: int | None = 10_000
 
 
 def _cap_buckets(buckets: DataFrame, arr_col: str) -> DataFrame:
+    """Drop-semantics cap (post-filtered candidate families)."""
     if MAX_BUCKET_SIZE is None:
         return buckets
     return buckets.filter(F.size(arr_col) <= MAX_BUCKET_SIZE)
@@ -189,6 +197,23 @@ def _pair_expand(arr: str, fields: str) -> str:
         f"flatten(transform({arr}, (x, i) -> "
         f"transform(filter(slice({arr}, i + 2, size({arr}) - i - 1), y -> y > x), "
         f"y -> struct({fields}))))"
+    )
+
+
+def _pair_expand_capped(arr: str, fields: str, star_fields: str) -> str:
+    """All strictly-ordered pairs under :data:`MAX_BUCKET_SIZE`;
+    over-cap buckets emit linear star pairs (each non-representative
+    member paired with ``element_at(arr, 1)``, the sorted minimum) —
+    an explicit "trivially-all-duplicate cluster" encoding instead of
+    a quadratic explosion or a silent drop.  Both CASE branches build
+    the same struct type, so the plan stays one expression."""
+    if MAX_BUCKET_SIZE is None:
+        return _pair_expand(arr, fields)
+    return (
+        f"CASE WHEN size({arr}) <= {MAX_BUCKET_SIZE} "
+        f"THEN {_pair_expand(arr, fields)} "
+        f"ELSE transform(slice({arr}, 2, size({arr}) - 1), "
+        f"y -> struct({star_fields})) END"
     )
 
 
@@ -244,9 +269,18 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    buckets = _cap_buckets(buckets, "ids")
     pairs = (
-        buckets.select(F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    _pair_expand_capped(
+                        "ids",
+                        "x AS doc_a, y AS doc_b",
+                        "element_at(ids, 1) AS doc_a, y AS doc_b",
+                    )
+                )
+            ).alias("p")
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -278,14 +312,35 @@ bands AS (
   {bands})"""
 
 
-#: DuckDB CTE producing the deduped ordered minhash candidate pairs
-#: (follows ``bands``).
-_DUCK_PAIRS = """
+def _duck_pairs_cte() -> str:
+    """DuckDB CTE producing the deduped ordered minhash candidate
+    pairs (follows ``bands``), mirroring the Spark side's
+    :data:`MAX_BUCKET_SIZE` rule: all pairs for buckets <= cap, linear
+    star pairs (min doc_id as representative) above it."""
+    if MAX_BUCKET_SIZE is None:
+        return """
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
+"""
+    return f"""
+bsz AS (
+  SELECT band_id, band_val, count(*) AS n, min(doc_id) AS rep
+  FROM bands GROUP BY 1, 2),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  JOIN bsz s ON a.band_id = s.band_id AND a.band_val = s.band_val
+  WHERE s.n <= {MAX_BUCKET_SIZE}
+  UNION
+  SELECT s.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b
+  JOIN bsz s ON b.band_id = s.band_id AND b.band_val = s.band_val
+  WHERE s.n > {MAX_BUCKET_SIZE} AND b.doc_id > s.rep)
 """
 
 
@@ -293,7 +348,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_DUCK_AUG.strip().rstrip()},
 {_minhash_band_ctes()},
-{_DUCK_PAIRS.strip()}
+{_duck_pairs_cte().strip()}
 SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2
 """
 
@@ -388,12 +443,19 @@ bs AS (
   FROM w GROUP BY doc_id),
 fp AS (SELECT doc_id, {sim} AS sh FROM bs),
 chunks AS (
-  {chunks})
+  {chunks}),
+csz AS (
+  -- mirror of MAX_BUCKET_SIZE: over-cap chunk buckets carry no
+  -- discriminative signal and are dropped on both engines
+  SELECT chunk_id, chunk_val FROM chunks GROUP BY 1, 2
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62})
 SELECT doc_a, doc_b, ham FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS ham
-  FROM chunks a JOIN chunks b
+  FROM chunks a
+  JOIN chunks b
     ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+  JOIN csz ON csz.chunk_id = a.chunk_id AND csz.chunk_val = a.chunk_val
   GROUP BY 1, 2, 3) t
 WHERE ham <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
@@ -447,9 +509,17 @@ _JACCARD_ORACLE = f"""
 WITH {_DUCK_AUG.strip()},
 {_DUCK_SHINGLES.strip()},
 counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  -- mirror of the Spark side's MAX_BUCKET_SIZE drop: shingles with
+  -- document frequency above the cap are non-discriminative and are
+  -- excluded from common counting (stop-shingle cutoff)
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN shc ON shc.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 4) AS jacc
@@ -524,11 +594,17 @@ aug AS (
                                                       ELSE CAST(0.0 AS DOUBLE) END) AS embedding
   FROM base),
 b AS (SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket FROM aug),
+bn AS (
+  -- mirror of MAX_BUCKET_SIZE (drop semantics; see dedup.py)
+  SELECT bucket FROM b GROUP BY bucket
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
 pairs AS (
   SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
          {_duck_dot('a.embedding', 'b2.embedding')}
            / ({_duck_norm('a.embedding')} * {_duck_norm('b2.embedding')}) AS simx
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+  FROM b a
+  JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  JOIN bn ON bn.bucket = a.bucket)
 SELECT vec_a, vec_b, round(simx, 6) AS sim
 FROM pairs WHERE simx >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
@@ -607,7 +683,7 @@ def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE {_DUCK_AUG.strip().rstrip()},
 {_minhash_band_ctes()},
-{_DUCK_PAIRS.strip()},
+{_duck_pairs_cte().strip()},
 edges AS (
   SELECT doc_a AS node, doc_b AS nbr FROM pairs
   UNION ALL

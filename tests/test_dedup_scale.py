@@ -2,8 +2,12 @@
 
 The degenerate-LSH hazard: a band value shared by a large fraction of
 the corpus makes pair expansion quadratic inside one bucket/one task.
-``MAX_BUCKET_SIZE`` is the cap (dedup.py) — these tests prove it
-actually triggers on a degenerate corpus and that normal corpora are
+``MAX_BUCKET_SIZE`` is the cap (dedup.py), ON by default — over-cap
+MinHash buckets collapse to linear star pairs against the bucket
+representative (explicit "trivially-all-duplicate cluster" rows),
+never a quadratic explosion and never a silent drop.  These tests
+prove the default engages on a degenerate corpus, that star collapse
+preserves dedup/cluster connectivity, and that normal corpora are
 unaffected.
 """
 
@@ -34,11 +38,16 @@ def _pairs_for(docs):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    buckets = dedup._cap_buckets(buckets, "ids")
     return (
         buckets.select(
             F.explode(
-                F.expr(dedup._pair_expand("ids", "x AS doc_a, y AS doc_b"))
+                F.expr(
+                    dedup._pair_expand_capped(
+                        "ids",
+                        "x AS doc_a, y AS doc_b",
+                        "element_at(ids, 1) AS doc_a, y AS doc_b",
+                    )
+                )
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
@@ -46,22 +55,47 @@ def _pairs_for(docs):
     )
 
 
-def test_degenerate_corpus_explodes_without_cap(spark, degenerate_docs):
-    assert dedup.MAX_BUCKET_SIZE is None  # fixture default: no cap
-    n = _pairs_for(degenerate_docs).count()
-    assert n == 200 * 199 // 2  # quadratic pair expansion — the hazard
+def test_cap_defaults_on():
+    assert dedup.MAX_BUCKET_SIZE is not None
+    assert dedup.MAX_BUCKET_SIZE >= 1000  # sane floor, not a toy value
 
 
-def test_max_bucket_size_caps_degenerate_buckets(spark, degenerate_docs):
+def test_degenerate_corpus_explodes_with_cap_disabled(spark, degenerate_docs):
     old = dedup.MAX_BUCKET_SIZE
-    dedup.MAX_BUCKET_SIZE = 100
+    dedup.MAX_BUCKET_SIZE = None
     try:
         n = _pairs_for(degenerate_docs).count()
     finally:
         dedup.MAX_BUCKET_SIZE = old
-    # every bucket holds all 200 ids > cap -> dropped entirely; the
-    # over-cap cluster is handled out-of-band (trivially "all dups")
-    assert n == 0
+    assert n == 200 * 199 // 2  # quadratic pair expansion — the hazard
+
+
+def test_over_cap_buckets_collapse_to_star_pairs(spark, degenerate_docs):
+    old = dedup.MAX_BUCKET_SIZE
+    dedup.MAX_BUCKET_SIZE = 100
+    try:
+        pairs = {(r["doc_a"], r["doc_b"]) for r in _pairs_for(degenerate_docs).collect()}
+    finally:
+        dedup.MAX_BUCKET_SIZE = old
+    # the 200-doc bucket (> cap) emits exactly the 199 star pairs
+    # (0, 1)..(0, 199): linear rows that keep the cluster connected
+    # (dedup_clusters) and mark every non-representative a loser
+    # (keep-first dedup) — identical downstream semantics, O(n) cost
+    assert pairs == {(0, i) for i in range(1, 200)}
+
+
+def test_default_cap_engages_above_threshold(spark):
+    """A corpus 1 past the DEFAULT cap collapses to star pairs without
+    any override — the guard must protect real runs, not only tests."""
+    n_docs = dedup.MAX_BUCKET_SIZE + 1
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical text shared by every document in this corpus run").alias(
+            "text"
+        ),
+    )
+    n = _pairs_for(docs).count()
+    assert n == n_docs - 1  # star pairs, not n*(n-1)/2
 
 
 def test_max_bucket_size_leaves_normal_buckets_alone(spark):
@@ -88,3 +122,38 @@ def test_max_bucket_size_leaves_normal_buckets_alone(spark):
     finally:
         dedup.MAX_BUCKET_SIZE = old
     assert (0, 1000) in pairs
+
+
+def test_oracle_mirrors_star_collapse(spark):
+    """The DuckDB pairs CTE bakes the same cap rule: run both sides on
+    a degenerate corpus ABOVE the cap and compare pair sets exactly."""
+    import duckdb
+
+    old = dedup.MAX_BUCKET_SIZE
+    dedup.MAX_BUCKET_SIZE = 20
+    try:
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("same words in every doc of this tiny degenerate corpus").alias(
+                "text"
+            ),
+        )
+        got = {(r["doc_a"], r["doc_b"]) for r in _pairs_for(docs).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW aug AS SELECT range AS doc_id, "
+            "'same words in every doc of this tiny degenerate corpus' AS text "
+            "FROM range(50)"
+        )
+        sql = f"""
+WITH {dedup._minhash_band_ctes().lstrip().lstrip(',').strip()},
+{dedup._duck_pairs_cte().strip()}
+SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2
+"""
+        # _minhash_band_ctes starts with the sh CTE body (follows a
+        # WITH in callers); prepend WITH directly
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+    finally:
+        dedup.MAX_BUCKET_SIZE = old
+    assert got == want
+    assert got == {(0, i) for i in range(1, 50)}
