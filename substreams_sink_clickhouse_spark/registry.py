@@ -57,6 +57,7 @@ def all_specs() -> list[QuerySpec]:
         streaming_q,
         text,
         tpch,
+        tpch_partsupp,
         training,
         udfs,
         window_ext,
@@ -66,6 +67,7 @@ def all_specs() -> list[QuerySpec]:
     for module in (
         relational,
         tpch,
+        tpch_partsupp,
         streaming_q,
         clickhouse_compat,
         clickhouse_compat_ext,
