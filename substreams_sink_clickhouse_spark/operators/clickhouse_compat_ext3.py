@@ -1091,3 +1091,58 @@ SPECS.append(
         _Q130_ORACLE,
     )
 )
+
+
+# ----------------------------------------------- argMax / argMin / anyLast
+
+#: ClickHouse SQL verbatim: argMax/argMin are the most-used ClickHouse
+#: aggregates after sum/count (the "latest value per key" idiom every
+#: sink table query leans on — reference README.md:29-52 workload).
+_Q131_CLICKHOUSE_SQL = """
+SELECT user_id,
+       argMax(event_type, ts)            AS last_event,
+       argMin(event_type, ts)            AS first_event,
+       round(argMax(value, ts), 2)       AS last_value,
+       toInt64(uniq(event_type))         AS type_cnt
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def _q131_argmax_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """argMax/argMin through the dialect shim (-> max_by/min_by),
+    oracle-gated like q122: the gate checks the TRANSLATION executes
+    with ClickHouse semantics, not just that a hand-built plan does.
+    Tie-safety: ``ts`` is unique per user in the fixture, so the
+    arg-extremum is deterministic on both engines."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q131_CLICKHOUSE_SQL))
+
+
+_Q131_ORACLE = """
+SELECT user_id,
+       max_by(event_type, ts) AS last_event,
+       min_by(event_type, ts) AS first_event,
+       round(max_by(value, ts), 2) AS last_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS type_cnt
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q131_argmax_dialect",
+        "argMax/argMin via the dialect shim == max_by/min_by semantics",
+        _q131_argmax_dialect,
+        _Q131_ORACLE,
+    )
+)

@@ -287,6 +287,8 @@ if _HAVE_HYP:
             ),
             st.builds(lambda a: f"groupArray({a})", sub),
             st.builds(lambda a, b: f"has({a}, {b})", sub, sub),
+            st.builds(lambda a, b: f"argMax({a}, {b})", sub, sub),
+            st.builds(lambda a, b: f"argMin({a}, {b})", sub, sub),
         )
 
     @given(e1=_exprs(3), e2=_exprs(2))
@@ -304,7 +306,7 @@ if _HAVE_HYP:
         assert "FORMAT" not in code
         for name in (
             "toInt64", "toDateTime", "toYYYYMM", "uniqExact", "sumIf",
-            "avgIf", "multiIf", "groupArray",
+            "avgIf", "multiIf", "groupArray", "argMax", "argMin",
         ):
             assert not re.search(rf"\b{name}\s*\(", code), (q, out)
 
