@@ -471,17 +471,20 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads as a struct-returning
     scalar ``pandas_udf``.
 
-    Same Arrow batching and, measured honestly (with the UDF output
-    load-bearing so Catalyst can't elide it), the same per-execution
-    cost as the ``mapInPandas`` form — the Python exchange dominates
-    both.  The scalar form is still the right API for 1:1 row-aligned
-    shapes: unlike ``mapInPandas`` it composes with other projections,
-    and BECAUSE it is elidable, Catalyst drops it entirely when a
-    caller never touches the features — free column pruning the
-    map-iter form structurally cannot get.  ``mapInPandas`` remains
-    for the fan-out shapes (``sample_frames``) that change
-    cardinality; ``_extract_features_batches`` keeps the equivalent
-    map-iter implementation for that API surface."""
+    The scalar form is the right API for 1:1 row-aligned shapes: it
+    composes with other projections, and BECAUSE it is elidable,
+    Catalyst drops it entirely when a caller never touches the
+    features — free column pruning the map-iter form structurally
+    cannot get.
+
+    HAZARD (measured, Spark 4.1): a ``filter`` directly on a scalar
+    pandas-UDF output column plans as TWO ``ArrowEvalPython`` nodes
+    (the predicate's and the projection's) and the filter-side eval
+    degrades ~25x (84 ms -> 4.2 s on a 5000-row coalesced input).
+    Callers that filter on the extracted features should go through
+    :func:`extract_features_mip` (the ``mapInPandas`` kernel — a
+    pipeline barrier, evaluated exactly once) or insert an
+    ``explode(array(...))`` Generate barrier first."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -505,16 +508,28 @@ def extract_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def extract_features_mip(assets: DataFrame) -> DataFrame:
+    """The ``mapInPandas`` form of :func:`extract_features`: identical
+    semantics and Arrow batching, but the map-iter node is a pipeline
+    barrier Catalyst can neither duplicate nor elide — one Python
+    evaluation no matter what predicates the caller stacks on top
+    (see the filter-duplication hazard in ``extract_features``)."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract_features_batches, schema=FEATURE_SCHEMA
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # unordered result set (SQL semantics): presentation sorts cost
     # a range exchange + sampler job per execution.  The empty-payload
     # filter is the operator's real contract (decode stages drop empty
     # assets) — and it makes the result's cardinality depend on the
-    # extracted features, so a count-only action cannot prune the UDF
-    # (a deterministic 1:1 pandas_udf is otherwise elidable, which
-    # would make benchmarks measure nothing).
-    return extract_features(assets_from_documents(docs)).filter(
+    # extracted features, so a count-only action cannot prune the UDF.
+    # mapInPandas, not the scalar pandas_udf: the filter on a UDF
+    # output column would otherwise be double-evaluated (see
+    # extract_features) — measured 0.21 s -> 0.06 s at sf0.1.
+    return extract_features_mip(assets_from_documents(docs)).filter(
         F.col("byte_len") > 0
     )
 

@@ -203,3 +203,20 @@ if _HAVE_HYPOTHESIS:
             )
         )
         assert decode_image(encode_png(rgb, w, h)) == (w, h, rgb)
+
+
+def test_features_mip_single_python_eval(spark):
+    """_multimodal_features must plan exactly ONE Python eval node: a
+    filter stacked on a scalar pandas_udf output column duplicates the
+    ArrowEvalPython (predicate + projection evals — measured ~25x
+    slower); the mapInPandas kernel is a barrier that cannot be
+    duplicated."""
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        _multimodal_features,
+    )
+
+    df = _multimodal_features(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_python = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    assert n_python == 1, plan
+    assert df.count() > 0
