@@ -8,14 +8,17 @@ formats implementable without native libraries: WAV via the stdlib
 RIFF parser (``decode_audio``), 24-bit BMP with stride-padding /
 BGR / bottom-up handling and binary PPM (``decode_image``), PNG —
 a complete decoder built on stdlib zlib: chunk CRC walk, inflate,
-all five scanline filters (``decode_png``) — and a raw
-concatenated-frame video container (``decode_video``).  Codecs
-needing native libraries (JPEG/WebP/H.264/MP3) raise ``ValueError`` —
-PIL/ffmpeg/soundfile are not in this container; the Arrow plumbing
-around them is identical either way.  The byte-level feature
-extractors remain as the oracle-checkable fast path; the
-``multimodal_wav_decode`` / ``multimodal_bmp_decode`` /
-``multimodal_png_decode`` gate entries run encode -> real decode ->
+all five scanline filters (``decode_png``) — baseline-sequential
+JPEG via the stdlib+numpy codec in ``jpeg_codec.py`` (marker parse,
+DHT Huffman reconstruction, dequant, IDCT; grayscale profile) — and
+a raw concatenated-frame video container (``decode_video``).  Codecs
+still needing native libraries (WebP/H.264/MP3, chroma-subsampled
+color JPEG) raise ``ValueError`` — PIL/ffmpeg/soundfile are not in
+this container; the Arrow plumbing around them is identical either
+way.  The byte-level feature extractors remain as the
+oracle-checkable fast path; the ``multimodal_wav_decode`` /
+``multimodal_bmp_decode`` / ``multimodal_png_decode`` /
+``multimodal_jpeg_decode`` gate entries run encode -> real decode ->
 features end-to-end.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — per-task memory is
@@ -230,8 +233,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
       :func:`decode_png` — zlib is stdlib, so this is a complete
       decoder for 8-bit RGB/grayscale, all five scanline filters.
 
-    Formats needing codecs outside the stdlib (JPEG/WebP) raise
-    ``ValueError`` with the detected magic.
+    * **JPEG** (``FFD8`` magic): real baseline-sequential decode via
+      :func:`operators.jpeg_codec.decode_jpeg_gray` (marker parse,
+      DHT Huffman reconstruction, dequant, IDCT) — grayscale profile;
+      the single luma channel is replicated to RGB.  Progressive /
+      multi-component JPEGs raise ``ValueError`` naming the marker.
+
+    Formats still needing codecs outside the stdlib (WebP, chroma-
+    subsampled color JPEG) raise ``ValueError`` with the magic.
     """
     import struct
 
@@ -281,8 +290,15 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:8] == PNG_SIG:
         w, h, rgb = decode_png(payload)
         return w, h, rgb
+    if payload[:2] == b"\xff\xd8":
+        from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+            decode_jpeg_gray,
+        )
+
+        w, h, gray = decode_jpeg_gray(payload)
+        return w, h, bytes(b for g in gray for b in (g, g, g))
     raise ValueError(f"unsupported image format (magic={payload[:2]!r}); "
-                     "JPEG/WebP need an imaging library not in this container")
+                     "WebP needs an imaging library not in this container")
 
 
 #: Magic + layout of the engine's raw video container: concatenated
@@ -1069,5 +1085,100 @@ SPECS.append(
         "Real decode -> nearest-neighbor pixel resize -> channel stats",
         _multimodal_resize_decoded,
         _RESIZE_DECODED_ORACLE,
+    )
+)
+
+
+# ------------------------------------------------------------------ JPEG
+
+JPEG_W, JPEG_H = 32, 16  # 4x2 grid of 8x8 blocks
+
+
+def _jpeg_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real baseline-JPEG decode (marker parse, Huffman,
+    dequant, IDCT) -> pixel stats, per Arrow batch.
+
+    The fixture image is built from the doc text as a 4x2 grid of
+    SOLID 8x8 blocks (block i = byte i of text, 0-padded): flat blocks
+    are pure DC, so with the unit quantization table the lossy codec
+    roundtrips bit-exactly and the DuckDB oracle can state the
+    expected pixels arithmetically (see jpeg_codec.py).  The decoder
+    still runs its full baseline path — Huffman reconstruction from
+    DHT, dezigzag, dequant, IDCT per block."""
+    import pandas as pd
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    n_blocks = (JPEG_W // 8) * (JPEG_H // 8)
+
+    def feats(b: bytes):
+        vals = (b[:n_blocks] + b"\x00" * n_blocks)[:n_blocks]
+        rows = bytearray()
+        for by in range(JPEG_H // 8):
+            for _y in range(8):
+                for bx in range(JPEG_W // 8):
+                    rows.extend([vals[by * (JPEG_W // 8) + bx]] * 8)
+        pixels = bytes(rows)
+        w, h, out = decode_jpeg_gray(encode_jpeg_gray(pixels, JPEG_W, JPEG_H))
+        assert (w, h) == (JPEG_W, JPEG_H) and out == pixels  # DC-only => exact
+        return w, h, out[0], sum(out)
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                "first_px": pd.Series([r[3] for r in rows], dtype="int32"),
+                "sum_px": pd.Series([r[4] for r in rows], dtype="int64"),
+            }
+        )
+
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("first_px", T.IntegerType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+    ]
+)
+
+
+def _multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_jpeg_decode_batches, schema=JPEG_SCHEMA)  # unordered
+
+
+_JPEG_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(0, {(JPEG_W // 8) * (JPEG_H // 8)}),
+                        j -> CASE WHEN j < len(text)
+                                  THEN CAST(unicode(substr(text, j + 1, 1)) AS BIGINT)
+                                  ELSE 0 END) AS b
+  FROM documents)
+SELECT asset_id,
+       {JPEG_W} AS width,
+       {JPEG_H} AS height,
+       CAST(b[1] AS INT) AS first_px,
+       CAST(64 * list_sum(b) AS BIGINT) AS sum_px
+FROM v ORDER BY asset_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_jpeg_decode",
+        "Real baseline-JPEG decode (Huffman, dequant, IDCT) inside "
+        "Arrow batches: encode -> decode -> pixel stats",
+        _multimodal_jpeg,
+        _JPEG_ORACLE,
     )
 )

@@ -55,8 +55,13 @@ def test_ppm_header_with_comment():
     assert decode_image(ppm) == (3, 2, bytes(range(18)))
 
 
-def test_image_rejects_jpeg():
+def test_image_rejects_webp_and_truncated_jpeg():
+    # WebP still needs a native codec; JPEG now dispatches to the real
+    # baseline decoder, so a truncated JPEG fails inside it (clean
+    # error, not garbage pixels)
     with pytest.raises(ValueError, match="image format"):
+        decode_image(b"RIFFxxxxWEBP")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jfif...")
 
 
@@ -220,3 +225,93 @@ def test_features_mip_single_python_eval(spark):
     n_python = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
     assert n_python == 1, plan
     assert df.count() > 0
+
+
+# ------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Solid 8x8 blocks are pure DC: with the unit quantization table
+    the lossy codec roundtrips bit-exactly (the gate entry's fixture
+    construction relies on this)."""
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.zeros((16, 32), dtype=np.uint8)
+    for i, v in enumerate([7, 200, 99, 0, 255, 128, 31, 64]):
+        by, bx = divmod(i, 4)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    w, h, out = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), 32, 16))
+    assert (w, h) == (32, 16) and out == img.tobytes()
+
+
+def test_jpeg_arbitrary_content_error_bound():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(img.tobytes(), w, h))
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int) - img.flatten().astype(int)
+        )
+        # quant=1: only float-DCT rounding error survives; +/-1 bound
+        assert err.max() <= 1
+
+    check()
+
+
+def test_jpeg_quant_tradeoff_and_rejections():
+    import numpy as np
+    import pytest
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    small = encode_jpeg_gray(img.tobytes(), 40, 24, quant=16)
+    big = encode_jpeg_gray(img.tobytes(), 40, 24, quant=1)
+    assert len(small) < len(big)  # coarser quant really compresses
+    _, _, out = decode_jpeg_gray(small)
+    err = np.abs(np.frombuffer(out, np.uint8).astype(int) - img.flatten().astype(int))
+    assert err.max() <= 8 * 16  # bounded by quant step across the block
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"notajpeg")
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from substreams_sink_clickhouse_spark.operators.multimodal import decode_image
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    w, h, rgb = decode_image(encode_jpeg_gray(img.tobytes(), 8, 8))
+    assert (w, h) == (8, 8)
+    assert rgb == bytes([77, 77, 77]) * 64  # luma replicated to RGB
