@@ -103,6 +103,99 @@ def encode_blocks_request(
     return bytes(out)
 
 
+def parse_blocks_request(buf: bytes) -> dict:
+    """Server-side decode of ``sf.substreams.rpc.v2.Request`` — the
+    exact inverse of :func:`encode_blocks_request` (same field tags).
+    Used by loopback servers (tests) to assert what a resuming client
+    actually sent; negative head-relative start blocks come back
+    signed."""
+    out = {
+        "start_block": 0,
+        "cursor": None,
+        "stop_block": None,
+        "final_blocks_only": False,
+        "production_mode": False,
+        "output_module": None,
+    }
+    for tag, wire, val in _fields_of(buf):
+        if tag == 1 and wire == 0:
+            v = int(val)
+            out["start_block"] = v - (1 << 64) if v >> 63 else v
+        elif tag == 2 and wire == 2:
+            out["cursor"] = bytes(val).decode("utf-8")
+        elif tag == 3 and wire == 0:
+            out["stop_block"] = int(val)
+        elif tag == 4 and wire == 0:
+            out["final_blocks_only"] = bool(val)
+        elif tag == 5 and wire == 0:
+            out["production_mode"] = bool(val)
+        elif tag == 6 and wire == 2:
+            out["output_module"] = bytes(val).decode("utf-8")
+    return out
+
+
+class RawSocketChannel:
+    """Development/loopback transport: gRPC's 5-byte message framing
+    (1-byte compressed flag + u32-BE length) over a plain TCP socket,
+    with the method name sent as one utf-8 line up front.
+
+    This is NOT HTTP/2 — production traffic goes through grpcio's
+    channel (HTTP/2 + HPACK + TLS).  What it IS: a real socket the
+    full client state machine runs against, so connect → stream →
+    undo → abrupt-disconnect reconnect → cursor resume → spool are
+    end-to-end testable in a grpcio-less environment
+    (tests/test_substreams_loopback.py).  The message framing and all
+    request/response bytes are the engine's own wire codec — identical
+    on both transports.
+    """
+
+    def __init__(self, host: str, port: int, connect_timeout_s: float = 5.0):
+        self.host = host
+        self.port = port
+        self.connect_timeout_s = connect_timeout_s
+
+    def unary_stream(self, method, request_serializer, response_deserializer):
+        import socket
+        import struct
+
+        def call(request: bytes, metadata=None):
+            sock = socket.create_connection(
+                (self.host, self.port), timeout=self.connect_timeout_s
+            )
+            try:
+                sock.sendall(method.encode("utf-8") + b"\n")
+                body = request_serializer(request)
+                sock.sendall(b"\x00" + struct.pack(">I", len(body)) + body)
+
+                def read_exact(n: int) -> bytes:
+                    buf = b""
+                    while len(buf) < n:
+                        chunk = sock.recv(n - len(buf))
+                        if not chunk:
+                            if buf:
+                                raise ConnectionError("mid-frame disconnect")
+                            return b""  # clean end of stream
+                        buf += chunk
+                    return buf
+
+                while True:
+                    header = read_exact(5)
+                    if not header:
+                        return
+                    flag = header[0]
+                    if flag not in (0, 1):
+                        raise ConnectionError(f"bad frame flag {flag}")
+                    (length,) = struct.unpack(">I", header[1:])
+                    payload = read_exact(length)
+                    if len(payload) != length:
+                        raise ConnectionError("truncated frame")
+                    yield response_deserializer(payload)
+            finally:
+                sock.close()
+
+        return call
+
+
 @dataclass
 class BlockScopedData:
     """One streamed block: identity + cursor + the module's payload."""
@@ -221,8 +314,16 @@ class SubstreamsLiveSource:
     backoff_cap_s: float = 30.0
     #: observed reorgs, surfaced so the pipeline can roll back
     undo_signals: list[BlockUndoSignal] = field(default_factory=list)
+    #: Transport override: a zero-arg callable returning a channel-like
+    #: object (``unary_stream(method, ser, deser) -> call``).  None =
+    #: grpcio (production).  Loopback tests inject
+    #: :class:`RawSocketChannel` here to run the full state machine
+    #: over a real socket without grpcio.
+    channel_factory: Callable[[], object] | None = None
 
     def _channel(self):
+        if self.channel_factory is not None:
+            return self.channel_factory()
         try:
             import grpc
         except ImportError as exc:
@@ -289,10 +390,10 @@ class SubstreamsLiveSource:
         cursor = resume_cursor
         reconnects = 0
         seq = 0
+        batch: list[BlockScopedData] = []
         while True:
             try:
                 channel = self._channel()
-                batch: list[BlockScopedData] = []
                 for raw in self._stream(channel, cursor):
                     msg = parse_response(raw)
                     if msg is None:
@@ -328,6 +429,16 @@ class SubstreamsLiveSource:
             except (NotImplementedError, ValueError):
                 raise
             except Exception:  # noqa: BLE001 - transport errors retry
+                # CRITICAL: flush the pending batch BEFORE reconnecting.
+                # ``cursor`` has already advanced past these accepted
+                # messages, so the resumed stream will never re-send
+                # them — dropping the batch here would silently lose
+                # blocks (found by the loopback e2e: a mid-stream
+                # disconnect after an accepted-but-unspooled block).
+                if batch:
+                    self._spool(batch, seq)
+                    seq += 1
+                    batch = []
                 reconnects += 1
                 if reconnects > self.max_reconnects:
                     raise

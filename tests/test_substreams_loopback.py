@@ -1,0 +1,232 @@
+"""Loopback socket e2e for the live Substreams client (O1).
+
+grpcio is absent in this container, so the HTTP/2 leg stays grpcio's
+job in production; everything else — the hand-rolled request/response
+wire codec, gRPC 5-byte message framing, the connect → stream → undo
+→ abrupt-disconnect → reconnect-with-cursor-resume → spool state
+machine, and the spool → protobuf ingest pipeline — runs here over a
+REAL TCP socket against a scripted loopback server that parses the
+client's actual request bytes with the engine's own
+``parse_blocks_request``.
+
+Scenario (mirrors a reorg + transport failure mid-sync):
+
+* session 1: blocks 1-3 streamed, then an undo signal back to block 2
+  (client must flush the valid prefix and adopt the fork cursor),
+  then block 3', then the server DROPS the connection mid-stream;
+* session 2: the server asserts the client resumed from cursor
+  ``cur3b`` (the last accepted message), streams blocks 4-5, closes
+  cleanly;
+* the spool then feeds the real ingest pipeline and the merged table
+  + committed cursor are checked.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from pyspark.sql import types as T
+
+from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
+from substreams_sink_clickhouse_spark.sources.protobuf_wire import (
+    _len_delim,
+    _varint_field,
+    encode_database_changes,
+)
+from substreams_sink_clickhouse_spark.sources.substreams_grpc import (
+    ACCEPTED_TYPE_URLS,
+    BLOCKS_METHOD,
+    RawSocketChannel,
+    SubstreamsLiveSource,
+    parse_blocks_request,
+)
+
+
+def _clock(block_id: str, num: int) -> bytes:
+    return _len_delim(1, block_id.encode()) + _varint_field(2, num)
+
+
+def _any(type_url: str, payload: bytes) -> bytes:
+    return _len_delim(1, type_url.encode()) + _len_delim(2, payload)
+
+
+def _block_response(num: int, cursor: str, changes: list[dict]) -> bytes:
+    """sf.substreams.rpc.v2.Response{block_scoped_data=3} bytes:
+    BlockScopedData{output=1 (MapModuleOutput{map_output=2: Any}),
+    clock=2, cursor=3}."""
+    payload = encode_database_changes(changes)
+    map_output = _len_delim(2, _any(ACCEPTED_TYPE_URLS[0], payload))
+    data = (
+        _len_delim(1, map_output)
+        + _len_delim(2, _clock(f"0x{num:x}", num))
+        + _len_delim(3, cursor.encode())
+    )
+    return _len_delim(3, data)
+
+
+def _undo_response(last_num: int, last_cursor: str) -> bytes:
+    """Response{block_undo_signal=4}: roll back past last_num."""
+    block_ref = _len_delim(1, f"0x{last_num:x}".encode()) + _varint_field(2, last_num)
+    undo = _len_delim(1, block_ref) + _len_delim(2, last_cursor.encode())
+    return _len_delim(4, undo)
+
+
+def _frame(msg: bytes) -> bytes:
+    return b"\x00" + struct.pack(">I", len(msg)) + msg
+
+
+class _LoopbackServer(threading.Thread):
+    """Scripted Blocks server: one session handler per accepted
+    connection; records every parsed client request."""
+
+    def __init__(self, sessions):
+        super().__init__(daemon=True)
+        self.sessions = list(sessions)
+        self.requests: list[dict] = []
+        self.errors: list[str] = []
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(4)
+        self.port = self.sock.getsockname()[1]
+
+    def run(self) -> None:
+        for handler in self.sessions:
+            try:
+                conn, _ = self.sock.accept()
+                with conn:
+                    rfile = conn.makefile("rb")
+                    method = rfile.readline().decode().strip()
+                    if method != BLOCKS_METHOD:
+                        self.errors.append(f"bad method {method!r}")
+                        continue
+                    header = rfile.read(5)
+                    (length,) = struct.unpack(">I", header[1:])
+                    request = parse_blocks_request(rfile.read(length))
+                    self.requests.append(request)
+                    handler(conn, request)
+            except Exception as exc:  # pragma: no cover - surfaced below
+                self.errors.append(repr(exc))
+        self.sock.close()
+
+
+def _kv_change(pk: str, op: str, v: str | None, ordinal: int = 1) -> dict:
+    return {
+        "table": "kv",
+        "pk": pk,
+        "ordinal": ordinal,
+        "op": op,
+        "fields": {"v": v} if v is not None else {},
+    }
+
+
+def test_loopback_stream_undo_reconnect_resume_and_ingest(spark, tmp_path):
+    def session_one(conn, request):
+        assert request["output_module"] == "db_out"
+        assert request["cursor"] is None  # fresh start
+        conn.sendall(_frame(_block_response(1, "cur1", [_kv_change("a", "CREATE", "1")])))
+        conn.sendall(_frame(_block_response(2, "cur2", [_kv_change("b", "CREATE", "2")])))
+        conn.sendall(_frame(_block_response(3, "cur3", [_kv_change("c", "CREATE", "3")])))
+        # reorg: everything after block 2 is invalid
+        conn.sendall(_frame(_undo_response(2, "cur2")))
+        # the fork's replacement block 3 (higher ordinal: the orphaned
+        # block's op and the replacement's must order deterministically
+        # in the spool — the pipeline's undo-rollback path, tested in
+        # test_engine.py::test_undo_rolls_back_to_fork_point, is what
+        # discards orphans in a live run)
+        conn.sendall(
+            _frame(_block_response(3, "cur3b", [_kv_change("c", "UPDATE", "33", ordinal=2)]))
+        )
+        # abrupt transport failure mid-stream: a frame header promising
+        # 64 bytes followed by connection teardown.  (A deterministic
+        # stand-in for an RST: the client consumes every buffered frame
+        # above, then hits the mid-frame EOF and must reconnect.)
+        conn.sendall(b"\x00" + struct.pack(">I", 64) + b"partial")
+        conn.close()
+
+    def session_two(conn, request):
+        # reconnect must resume from the LAST ACCEPTED cursor
+        assert request["cursor"] == "cur3b"
+        conn.sendall(_frame(_block_response(4, "cur4", [_kv_change("a", "UPDATE", "11")])))
+        conn.sendall(_frame(_block_response(5, "cur5", [_kv_change("b", "DELETE", None)])))
+        # clean close = end of stream
+
+    server = _LoopbackServer([session_one, session_two])
+    server.start()
+
+    spool = str(tmp_path / "spool")
+    cursors_seen: list[tuple[str, int]] = []
+    src = SubstreamsLiveSource(
+        f"127.0.0.1:{server.port}",
+        "db_out",
+        spool,
+        spool_batch=2,
+        backoff_s=0.05,
+        channel_factory=lambda: RawSocketChannel("127.0.0.1", server.port),
+    )
+    final = src.run(on_cursor=lambda c, n: cursors_seen.append((c, n)))
+    server.join(timeout=10)
+
+    assert not server.errors, server.errors
+    assert final == "cur5"
+    # both sessions' requests parsed by the engine's own request codec
+    assert [r["cursor"] for r in server.requests] == [None, "cur3b"]
+    # the undo was surfaced for pipeline rollback
+    assert len(src.undo_signals) == 1
+    assert src.undo_signals[0].last_valid_block == 2
+    assert src.undo_signals[0].last_valid_cursor == "cur2"
+    # every accepted block's cursor was observed in order
+    assert [c for c, _ in cursors_seen] == ["cur1", "cur2", "cur3", "cur3b", "cur4", "cur5"]
+
+    # spool -> real ingest pipeline -> merged state
+    from substreams_sink_clickhouse_spark.streaming.pipeline import (
+        ChangesIngestPipeline,
+    )
+
+    cat = Catalog()
+    cat.register(
+        TableInfo(
+            "kv",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("v", T.LongType(), True),
+                ]
+            ),
+            primary_key="id",
+        )
+    )
+    pipe = ChangesIngestPipeline(
+        spark,
+        cat,
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pipe.run_protobuf_to_completion(spool, timeout_s=120)
+    rows = {r["id"]: r["v"] for r in pipe.table("kv").collect()}
+    # NOTE: block 3 (pre-fork, v=3) was spooled before the undo arrived;
+    # the spool keeps it and the undo signal is the pipeline's rollback
+    # trigger (exercised in test_engine.py).  Block 3' updates pk c to
+    # v=33 at a later ordinal, so last-writer-wins lands on the
+    # post-fork truth.
+    assert rows == {"a": 11, "c": 33}
+    cursor = pipe.cursors.get_cursor("default")
+    assert cursor is not None and cursor.block_num == 5
+
+
+def test_blocks_request_parse_roundtrip():
+    from substreams_sink_clickhouse_spark.sources.substreams_grpc import (
+        encode_blocks_request,
+    )
+
+    wire = encode_blocks_request(
+        "db_out", start_block=-500, stop_block=900, cursor="abc"
+    )
+    back = parse_blocks_request(wire)
+    assert back["start_block"] == -500
+    assert back["stop_block"] == 900
+    assert back["cursor"] == "abc"
+    assert back["output_module"] == "db_out"
+    assert back["final_blocks_only"] and back["production_mode"]

@@ -98,6 +98,52 @@ def _synth_corpus_10x(spark, src_dir: str, out_dir: str) -> None:
     emb10.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+def synth_100x(spark, src_dir: str, out_dir: str) -> None:
+    """100x corpus for the throughput-scaling proof: documents and
+    orders only (the three 100x targets are dedup_minhash,
+    dedup_ngram_stats, and the ingest pipeline).
+
+    Unlike the 10x corpus (whose variants are deliberate near-dups, so
+    candidate-pair OUTPUT grows quadratically in family size and
+    drowns the operator signal), the 100x variants suffix every word
+    with the replica id — all shingles change, so the near-dup
+    structure stays exactly the rep-0 originals' and the measurement
+    isolates how signature + banding THROUGHPUT scales with corpus
+    size.  Orders replicate with rescaled keys (100x distinct pks)."""
+    os.makedirs(out_dir, exist_ok=True)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep")
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    docs = (
+        d.select("*", reps)
+        .select(
+            # x3+1 keeps every id out of _aug_docs' +100000 copy-offset
+            # range (3k+1 = 3j+1+100000 has no integer solution), so
+            # synthesized variants never collide with the operator's
+            # own near-dup copies at this density
+            ((F.col("doc_id") * 100 + F.col("rep")) * 3 + 1).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), w -> concat(w, CAST(rep AS STRING)))"
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+        )
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    o = spark.read.parquet(f"{src_dir}/orders.parquet")
+    o100 = o.select("*", reps).select(
+        (F.col("o_orderkey") * 100 + F.col("rep")).alias("o_orderkey"),
+        *[c for c in o.columns if c != "o_orderkey"],
+    ).drop("rep")
+    o100.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+
 def rest_stage_totals(ui_port: int) -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages."""
     base = f"http://localhost:{ui_port}/api/v1/applications"
@@ -107,6 +153,55 @@ def rest_stage_totals(ui_port: int) -> tuple[int, int]:
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
     wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
     return rd, wr
+
+
+def main_100x() -> None:
+    """100x throughput proof: dedup_minhash / dedup_ngram_stats /
+    ingest at sf0.1 vs a 100x synthesized corpus (see synth_100x)."""
+    from substreams_sink_clickhouse_spark.operators.dedup import (
+        _dedup_minhash,
+        _dedup_ngram_stats,
+    )
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("scale-proof-100x", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui_port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
+    sf01 = "/root/testdata/sf0.1"
+    sf10 = SCRATCH + "/sf10"
+    synth_100x(spark, sf01, sf10)
+    results = {}
+    for name, builder in (
+        ("dedup_minhash", _dedup_minhash),
+        ("dedup_ngram_stats", _dedup_ngram_stats),
+    ):
+        for label, d in (("sf0.1", sf01), ("sf10(100x)", sf10)):
+            builder(spark, d).count()  # warm codegen
+            rd0, wr0 = rest_stage_totals(ui_port)
+            t0 = time.time()
+            n = builder(spark, d).count()
+            wall = time.time() - t0
+            rd1, wr1 = rest_stage_totals(ui_port)
+            results[f"{name}@{label}"] = {
+                "rows": n,
+                "wall_s": round(wall, 3),
+                "shuffle_read_mb": round((rd1 - rd0) / 1e6, 2),
+                "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
+            }
+            print(f"{name}@{label}: {results[f'{name}@{label}']}", flush=True)
+    from bench import bench_ingest
+
+    for label, d in (("sf0.1", sf01), ("sf10(100x)", sf10)):
+        rd0, wr0 = rest_stage_totals(ui_port)
+        wall = bench_ingest(spark, d)
+        rd1, wr1 = rest_stage_totals(ui_port)
+        results[f"ingest_e2e@{label}"] = {
+            "wall_s": round(wall, 3),
+            "shuffle_read_mb": round((rd1 - rd0) / 1e6, 2),
+            "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
+        }
+        print(f"ingest_e2e@{label}: {results[f'ingest_e2e@{label}']}", flush=True)
+    print(json.dumps(results))
 
 
 def main() -> None:
@@ -178,4 +273,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "100x" in sys.argv[1:]:
+        main_100x()
+    else:
+        main()
