@@ -218,8 +218,16 @@ class Engine:
         if dialect == "clickhouse":
             from substreams_sink_clickhouse_spark.functions.dialect import (
                 clickhouse_to_spark_sql,
+                rewrite_final_tables,
             )
 
+            # ``FROM t FINAL`` on a table this engine ingested resolves
+            # to a version-collapsed view (ReplacingMergeTree latest-
+            # version / SummingMergeTree summed reads — exactly
+            # Engine.table(name, final=True)); unknown tables fall
+            # through to the translator's FINAL guard, which raises
+            # with the Engine.table pointer.
+            query = rewrite_final_tables(query, self._final_view)
             query = clickhouse_to_spark_sql(query)
         elif dialect not in (None, "spark"):
             raise ValueError(f"unknown SQL dialect: {dialect!r}")
@@ -241,6 +249,18 @@ class Engine:
             del self._query_cache[old_key]
         self._query_cache[query] = (fp, df)
         return df
+
+    def _final_view(self, name: str) -> str | None:
+        """Register (idempotently) a FINAL-semantics view of an
+        ingested table for the dialect's ``FROM t FINAL`` rewrite."""
+        for mh, pipe in self._pipelines.items():
+            if name in pipe.catalog.tables:
+                view = f"__final_{name}"
+                self.table(name, module_hash=mh, final=True).createOrReplaceTempView(
+                    view
+                )
+                return view
+        return None
 
     def show_create(self, name: str, module_hash: str = "default") -> str:
         """ClickHouse ``SHOW CREATE TABLE`` parity: the table's DDL

@@ -25,9 +25,19 @@ Supported rewrites:
 * ``toDateTime(x)`` — the reference's own coercion rule
   (db/operations.go:169-176): integer strings parse as Unix seconds,
   anything else casts to timestamp.
-* ``-If`` combinators — ``sumIf/avgIf/minIf/maxIf(x, cond)`` →
-  ``agg(CASE WHEN cond THEN x END)`` (top-level comma split inside
-  the matched parens).
+* ``-If`` combinators — ``sumIf/avgIf/minIf/maxIf/uniqIf/
+  uniqExactIf(x, cond)`` → ``agg(CASE WHEN cond THEN x END)``
+  (top-level comma split inside the matched parens).
+* parameterized aggregates — ``quantile(p)(x)`` /
+  ``quantileExact(p)(x)`` / ``quantiles(p1, p2)(x)`` /
+  ``quantilesExact(...)(x)`` → ``percentile_approx`` / ``percentile``
+  with the params folded into the argument list (array for the
+  plural forms).
+* ``argMax/argMin(arg, val)`` → ``max_by/min_by`` (identical order).
+* ``FROM t FINAL`` — resolvable at the ENGINE level:
+  ``Engine.sql(dialect="clickhouse")`` rewrites known ingested tables
+  to their version-collapsed views via :func:`rewrite_final_tables`;
+  a bare translation (no engine) still raises with that pointer.
 * ``toYYYYMM(d)`` → ``CAST(date_format(d, 'yyyyMM') AS INT)``;
   ``uniqExact(x)`` → ``count(DISTINCT x)``;
   ``multiIf(c1, v1, ..., e)`` → the equivalent ``CASE`` chain;
@@ -113,6 +123,20 @@ _IF_COMBINATORS = {
     "avgIf": "avg",
     "minIf": "min",
     "maxIf": "max",
+    "uniqIf": "approx_count_distinct",
+    "uniqExactIf": "__count_distinct__",
+}
+
+#: Parameterized aggregates ``name(params)(args)`` — ClickHouse's
+#: two-paren-group syntax.  value = (spark_name, params_as_array):
+#: ``quantile(0.9)(x)`` -> ``percentile_approx(x, 0.9)``;
+#: ``quantilesExact(0.5, 0.9)(x)`` -> ``percentile(x, array(0.5, 0.9))``.
+_PARAM_AGGS = {
+    "quantile": ("percentile_approx", False),
+    "quantileTDigest": ("percentile_approx", False),
+    "quantileExact": ("percentile", False),
+    "quantiles": ("percentile_approx", True),
+    "quantilesExact": ("percentile", True),
 }
 
 #: higher-order array functions: ClickHouse takes the lambda FIRST
@@ -214,7 +238,11 @@ def _rewrite_wraps(code: str) -> str:
             repl = f"CAST({inner} AS {_CAST_FUNCS[name]})"
         elif name in _IF_COMBINATORS:
             x, cond = _split_top_commas(inner)
-            repl = f"{_IF_COMBINATORS[name]}(CASE WHEN {cond} THEN {x} END)"
+            agg = _IF_COMBINATORS[name]
+            if agg == "__count_distinct__":
+                repl = f"count(DISTINCT CASE WHEN {cond} THEN {x} END)"
+            else:
+                repl = f"{agg}(CASE WHEN {cond} THEN {x} END)"
         elif name == "toDateTime":
             repl = (
                 f"(CASE WHEN CAST({inner} AS STRING) RLIKE '^[0-9]+$' "
@@ -262,6 +290,39 @@ def _rewrite_wraps(code: str) -> str:
         else:  # numbers(N)
             repl = f"(SELECT id AS number FROM range({inner}))"
         code = code[: m.start(1)] + repl + code[cp + 1 :]
+
+
+def _rewrite_param_aggs(code: str) -> str:
+    """Rewrite ClickHouse's two-paren-group parameterized aggregates
+    ``name(params)(args)`` (see :data:`_PARAM_AGGS`).  Longest names
+    match first so ``quantilesExact`` never parses as ``quantiles``."""
+    pat = re.compile(
+        r"\b("
+        + "|".join(sorted(_PARAM_AGGS, key=len, reverse=True))
+        + r")\s*\("
+    )
+    while True:
+        m = pat.search(code)
+        if not m:
+            return code
+        name = m.group(1)
+        p_open = code.index("(", m.end(1))
+        p_close = _match_paren(code, p_open)
+        # require the args group right after the params group
+        k = p_close + 1
+        while k < len(code) and code[k].isspace():
+            k += 1
+        if k >= len(code) or code[k] != "(":
+            raise ValueError(
+                f"{name} is a parameterized aggregate: expected "
+                f"{name}(params)(args)"
+            )
+        a_close = _match_paren(code, k)
+        params = _rewrite_param_aggs(code[p_open + 1 : p_close])
+        args = _rewrite_param_aggs(code[k + 1 : a_close])
+        spark_name, as_array = _PARAM_AGGS[name]
+        p = f"array({params})" if as_array else params
+        code = code[: m.start(1)] + f"{spark_name}({args}, {p})" + code[a_close + 1 :]
 
 
 def _rewrite_clauses(code: str) -> str:
@@ -347,10 +408,40 @@ def _rewrite_code(code: str) -> str:
     code = _rewrite_clauses(code)
     for z, repl in _ZERO_ARG.items():
         code = code.replace(z, repl)
+    code = _rewrite_param_aggs(code)
     code = _rewrite_wraps(code)
     for name, repl in _NAME_SWAPS.items():
         code = re.sub(rf"\b{name}(\s*\()", repl + r"\1", code)
     return code
+
+
+def rewrite_final_tables(query: str, resolver) -> str:
+    """Resolve ``FROM t FINAL`` / ``JOIN t FINAL`` table references.
+
+    ``resolver(table_name) -> view_name | None``: the engine supplies
+    a callback that registers a version-collapsed view of a known
+    table (``Engine.table(name, final=True)``) and returns its name;
+    ``None`` leaves the reference untouched so the translation's FINAL
+    guard still raises with the Engine pointer for unknown tables.
+    Quoted strings are never touched (same segment scan as the
+    translator); the table's alias, if any, survives."""
+    out_parts: list[str] = []
+    pat = re.compile(
+        r"\b(FROM|JOIN)\s+([\w.]+)\s+FINAL\b", flags=re.IGNORECASE
+    )
+    for is_code, text in _segments(query):
+        if not is_code:
+            out_parts.append(text)
+            continue
+
+        def sub(m: "re.Match[str]") -> str:
+            view = resolver(m.group(2))
+            if view is None:
+                return m.group(0)
+            return f"{m.group(1)} {view}"
+
+        out_parts.append(pat.sub(sub, text))
+    return "".join(out_parts)
 
 
 def clickhouse_to_spark_sql(query: str) -> str:

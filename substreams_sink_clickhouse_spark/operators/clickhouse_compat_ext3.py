@@ -1146,3 +1146,54 @@ SPECS.append(
         _Q131_ORACLE,
     )
 )
+
+
+# -------------------------------------- parameterized aggregates / FINAL
+
+_Q132_CLICKHOUSE_SQL = """
+SELECT event_type,
+       round(quantileExact(0.5)(value), 6)           AS med,
+       round(quantileExact(0.9)(value), 6)           AS p90,
+       round(arrayElement(quantilesExact(0.25, 0.75)(value), 1), 6) AS p25,
+       uniqExactIf(user_id, value > 100)             AS big_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q132_param_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse parameterized-aggregate syntax (``name(params)(args)``)
+    through the dialect shim, oracle-gated: quantileExact ->
+    percentile (exact linear interpolation, matching DuckDB's
+    quantile_cont bit-for-bit on the same doubles), quantiles plural
+    form -> array + element_at, uniqExactIf -> conditional exact
+    count distinct."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q132_CLICKHOUSE_SQL))
+
+
+_Q132_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS med,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       count(DISTINCT CASE WHEN value > 100 THEN user_id END) AS big_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q132_param_aggs",
+        "Parameterized aggregates quantile(p)(x) via the dialect shim",
+        _q132_param_aggs,
+        _Q132_ORACLE,
+    )
+)

@@ -444,3 +444,88 @@ def test_argmax_argmin_translate_and_execute(spark):
     assert rows[1]["newest"] == "u7" and rows[1]["oldest"] == "u1"
     assert rows[2]["newest"] == "u8" and rows[2]["oldest"] == "u2"
     assert all(r["some"] is not None for r in rows)
+
+
+def test_from_final_resolves_for_ingested_tables(spark, tmp_path):
+    """``FROM t FINAL`` on an engine-ingested ReplacingMergeTree table
+    resolves to the version-collapsed view instead of raising; unknown
+    tables still raise with the Engine.table pointer."""
+    import pytest
+    from pyspark.sql import types as T
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(1, [("versions", "a", 1, "CREATE", {"ver": "1"}),
+                          ("versions", "b", 2, "CREATE", {"ver": "1"})]),
+                _msg(2, [("versions", "a", 1, "UPDATE", {"ver": "2"})]),
+            ]
+        )
+    )
+    cat = Catalog()
+    cat.register(
+        TableInfo(
+            "versions",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("ver", T.LongType(), True),
+                ]
+            ),
+            "id",
+            engine="ReplacingMergeTree",
+            version_column="ver",
+        )
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), cat)
+    rows = eng.sql(
+        "SELECT id, ver FROM versions FINAL ORDER BY id", dialect="clickhouse"
+    ).collect()
+    assert [(r["id"], r["ver"]) for r in rows] == [("a", 2), ("b", 1)]
+    # the literal-safety and unknown-table guards are unchanged
+    with pytest.raises(ValueError, match="final=True"):
+        eng.sql("SELECT * FROM not_a_table FINAL", dialect="clickhouse")
+    out = eng.sql(
+        "SELECT 'FROM versions FINAL' AS s, count(*) AS n FROM versions",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert out["s"] == "FROM versions FINAL" and out["n"] == 2
+
+
+def test_parameterized_aggregates_translate_and_execute(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT quantile(0.9)(v) AS q90, quantilesExact(0.5, 0.9)(v) AS qs, "
+        "quantileExact(0.25)(v) AS q25, uniqIf(u, v > 5) AS ui, "
+        "uniqExactIf(u, v > 5) AS uei FROM t"
+    )
+    assert "percentile_approx(v, 0.9)" in out
+    assert "percentile(v, array(0.5, 0.9))" in out
+    assert "percentile(v, 0.25)" in out
+    assert "approx_count_distinct(CASE WHEN v > 5 THEN u END)" in out
+    assert "count(DISTINCT CASE WHEN v > 5 THEN u END)" in out
+    import pytest
+
+    with pytest.raises(ValueError, match="parameterized"):
+        clickhouse_to_spark_sql("SELECT quantile(0.9) FROM t")  # missing args group
+
+    spark.range(101).selectExpr(
+        "CAST(id AS DOUBLE) AS v", "id % 7 AS u"
+    ).createOrReplaceTempView("paggs_t")
+    row = spark.sql(
+        clickhouse_to_spark_sql(
+            "SELECT quantileExact(0.5)(v) AS med, "
+            "quantilesExact(0.0, 1.0)(v) AS ends, "
+            "uniqExactIf(u, v >= 50) AS uei FROM paggs_t"
+        )
+    ).collect()[0]
+    assert row["med"] == 50.0
+    assert list(row["ends"]) == [0.0, 100.0]
+    assert row["uei"] == 7
