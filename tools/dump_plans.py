@@ -160,6 +160,29 @@ SHOWCASE = [
         "union-of-three-scans blowup.",
     ),
     (
+        "tpch_q2",
+        "Correlated min decorrelated: the region-filtered partsupp "
+        "relation is built once, its grouped min re-joins as a "
+        "LEFT SEMI on (part, cost) — no per-row subquery, no second "
+        "scan of the fact side; dims broadcast.",
+    ),
+    (
+        "tpch_q11",
+        "Scalar-fraction HAVING with exact BIGINT cents arithmetic: "
+        "the per-part aggregate reduces once more to a 1-row total "
+        "that broadcasts back — the threshold compare costs one tiny "
+        "BroadcastNestedLoopJoin of a 1-row frame, never a re-scan, "
+        "and can never flip on FP summation order.",
+    ),
+    (
+        "tpch_q20",
+        "Correlated shipped-quantity subquery decorrelated to ONE "
+        "grouped aggregate over the date-sliced lineitem (the only "
+        "big relation; it shuffles once on its own group key); the "
+        "red-part prefilter is a broadcast semi-join so partsupp "
+        "never carries unneeded parts into the join.",
+    ),
+    (
         "q102_pagination",
         "OFFSET folds into the same TakeOrderedAndProject as LIMIT: the "
         "driver materializes offset+limit rows from per-partition "
