@@ -462,6 +462,14 @@ def clickhouse_to_spark_sql(query: str) -> str:
     out = re.sub(
         r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
     )
-    # trailing FORMAT clause (client-side concern)
+    # trailing SETTINGS clause (ClickHouse execution tuning — Spark's
+    # equivalents are session confs, not query text), then trailing
+    # FORMAT clause (client-side concern); either order, both optional
+    out = re.sub(
+        r"\s+SETTINGS\s+\w+\s*=\s*[\w.']+(\s*,\s*\w+\s*=\s*[\w.']+)*(?=\s+FORMAT\b|\s*;?\s*$)",
+        "",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
     return out

@@ -529,3 +529,17 @@ def test_parameterized_aggregates_translate_and_execute(spark):
     assert row["med"] == 50.0
     assert list(row["ends"]) == [0.0, 100.0]
     assert row["uei"] == 7
+
+
+def test_settings_clause_stripped():
+    out = clickhouse_to_spark_sql(
+        "SELECT count(*) FROM t SETTINGS max_threads = 8, max_memory_usage = '10G'"
+    )
+    assert "SETTINGS" not in out and out.strip().endswith("FROM t")
+    out = clickhouse_to_spark_sql(
+        "SELECT 1 SETTINGS max_threads=4 FORMAT JSONEachRow"
+    )
+    assert out.strip() == "SELECT 1"
+    # a column named settings is untouched
+    out = clickhouse_to_spark_sql("SELECT settings FROM t WHERE settings = 'x'")
+    assert "SELECT settings FROM t" in out
