@@ -95,7 +95,19 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         dialect="clickhouse",
     ).collect()[0]
     out["clickhouse_sql"] = {"n_blocks": row["n"], "max_under_40": row["m"]}
+    # FROM t FINAL and parameterized aggregates run unchanged too
+    row = eng.sql(
+        "SELECT uniqExact(id) AS n, "
+        "round(quantileExact(0.5)(number), 1) AS med "
+        "FROM block_meta FINAL",
+        dialect="clickhouse",
+    ).collect()[0]
+    out["final_and_param_aggs"] = {"n": row["n"], "median_block": row["med"]}
     out["tpch_q3_rows"] = _tpch_q3(spark, sf_dir).count()
+    # partsupp shapes run on a deterministic synthesized partsupp
+    from substreams_sink_clickhouse_spark.operators.tpch_partsupp import _tpch_q16
+
+    out["tpch_q16_rows"] = _tpch_q16(spark, sf_dir).count()
 
     # -- 3. LLM data pipeline -----------------------------------------
     gopher = _gopher_rules(spark, sf_dir)
@@ -128,6 +140,16 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         "after_exact_dedup": c.dedup_exact().count(),
         "after_minhash_dedup": c.dedup_exact().dedup_minhash().count(),
     }
+
+    # multimodal: real codec roundtrip (baseline JPEG, stdlib+numpy)
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = bytes([40] * 64)  # one flat 8x8 block: DC-only, exact
+    w, h, back = decode_jpeg_gray(encode_jpeg_gray(img, 8, 8))
+    out["jpeg_roundtrip_exact"] = (w, h) == (8, 8) and back == img
 
     # -- 4. maintenance ------------------------------------------------
     out["optimize"] = pipe.state.optimize("block_meta")

@@ -34,8 +34,11 @@ structure, never O(n²) on the full corpus —
   this).  Simhash chunks are pigeonhole-complete: hamming<=6 on 32
   bits guarantees >=1 of 4 equal 8-bit chunks — no recall loss vs
   full pairwise;
-* degenerate hot buckets (the known LSH hazard) have an explicit cap
-  escape hatch (``MAX_BUCKET_SIZE``), default-off for oracle parity.
+* degenerate hot buckets (the known LSH hazard) are capped by default
+  (``MAX_BUCKET_SIZE`` = 10,000): over-cap MinHash band buckets
+  collapse to linear star pairs against the bucket representative,
+  post-filtered families drop over-cap buckets — both rules mirrored
+  in the DuckDB oracles, so parity holds even on degenerate corpora.
 
 All hashes come from functions/hashing.py so DuckDB reproduces them
 bit-for-bit.
