@@ -289,6 +289,10 @@ if _HAVE_HYP:
             st.builds(lambda a, b: f"has({a}, {b})", sub, sub),
             st.builds(lambda a, b: f"argMax({a}, {b})", sub, sub),
             st.builds(lambda a, b: f"argMin({a}, {b})", sub, sub),
+            st.builds(lambda a: f"quantile(0.9)({a})", sub),
+            st.builds(lambda a: f"quantileExact(0.5)({a})", sub),
+            st.builds(lambda a: f"quantilesExact(0.25, 0.75)({a})", sub),
+            st.builds(lambda a, b: f"uniqIf({a}, {b})", sub, sub),
         )
 
     @given(e1=_exprs(3), e2=_exprs(2))
@@ -307,6 +311,7 @@ if _HAVE_HYP:
         for name in (
             "toInt64", "toDateTime", "toYYYYMM", "uniqExact", "sumIf",
             "avgIf", "multiIf", "groupArray", "argMax", "argMin",
+            "quantileExact", "quantilesExact", "uniqIf",
         ):
             assert not re.search(rf"\b{name}\s*\(", code), (q, out)
 
