@@ -137,7 +137,29 @@ _PARAM_AGGS = {
     "quantileExact": ("percentile", False),
     "quantiles": ("percentile_approx", True),
     "quantilesExact": ("percentile", True),
+    "topK": None,  # special-cased: frequency top-k, see _topk_expr
 }
+
+
+def _topk_expr(args: str, k: str) -> str:
+    """Exact rewrite of ``topK(k)(x)``: array of the k most frequent
+    values, ties broken by value (deterministic, unlike ClickHouse's
+    approximate sketch — a superset guarantee).  The outer
+    ``transform(array(collect_list(x)), l -> ...)[0]`` is a lambda
+    let-binding: the group's list is aggregated ONCE and reused for
+    both the distinct pass and the per-value counts.  Per-group cost
+    is O(distinct * n) — fine for topK's usual low-cardinality
+    targets; for high-cardinality frequency ranking use the
+    pre-aggregated-counts operator shape (q57_topk_weighted) instead."""
+    return (
+        f"transform(array(collect_list({args})), l -> "
+        f"slice(transform(array_sort("
+        f"transform(array_distinct(l), v -> "
+        f"struct(size(filter(l, y -> y = v)) AS c, v AS k)), "
+        f"(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+        f"WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1 ELSE 0 END), "
+        f"e -> e.k), 1, {k}))[0]"
+    )
 
 #: higher-order array functions: ClickHouse takes the lambda FIRST
 #: (``arrayMap(x -> e, arr)``); Spark takes the collection first.
@@ -320,9 +342,13 @@ def _rewrite_param_aggs(code: str) -> str:
         a_close = _match_paren(code, k)
         params = _rewrite_param_aggs(code[p_open + 1 : p_close])
         args = _rewrite_param_aggs(code[k + 1 : a_close])
-        spark_name, as_array = _PARAM_AGGS[name]
-        p = f"array({params})" if as_array else params
-        code = code[: m.start(1)] + f"{spark_name}({args}, {p})" + code[a_close + 1 :]
+        if name == "topK":
+            repl = _topk_expr(args, params)
+        else:
+            spark_name, as_array = _PARAM_AGGS[name]
+            p = f"array({params})" if as_array else params
+            repl = f"{spark_name}({args}, {p})"
+        code = code[: m.start(1)] + repl + code[a_close + 1 :]
 
 
 def _rewrite_clauses(code: str) -> str:

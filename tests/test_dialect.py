@@ -548,3 +548,22 @@ def test_settings_clause_stripped():
     # a column named settings is untouched
     out = clickhouse_to_spark_sql("SELECT settings FROM t WHERE settings = 'x'")
     assert "SELECT settings FROM t" in out
+
+
+def test_topk_parameterized_executes(spark):
+    out = clickhouse_to_spark_sql("SELECT topK(2)(et) AS top FROM t GROUP BY g")
+    assert "collect_list(et)" in out and "array_distinct" in out
+    spark.range(100).selectExpr(
+        "id % 3 AS g",
+        "CASE WHEN id % 10 < 5 THEN 'a' WHEN id % 10 < 8 THEN 'b' ELSE 'c' END AS et",
+    ).createOrReplaceTempView("topk_t")
+    rows = spark.sql(
+        clickhouse_to_spark_sql(
+            "SELECT g, topK(2)(et) AS top, topK(1)(et) AS top1 "
+            "FROM topk_t GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    # per group: 'a' ~50%, 'b' ~30%, 'c' ~20% -> top2 = [a, b]
+    for r in rows:
+        assert list(r["top"]) == ["a", "b"]
+        assert list(r["top1"]) == ["a"]
