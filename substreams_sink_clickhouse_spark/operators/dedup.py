@@ -1154,3 +1154,69 @@ SPECS.append(
         _span_flags_oracle(),
     )
 )
+
+
+# ------------------------------------------------- canonical selection
+
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters keep their
+    BEST document (longest text; ties to the lowest id), not the
+    lowest-id one — the standard corpus practice when duplicates
+    differ in quality (truncated scrapes, boilerplate-stripped
+    variants: keep-first would happily keep the worst copy).
+
+    Shape: MinHash candidate pairs → connected components → one
+    ``max_by`` over a quality struct per cluster.  The quality join
+    adds one equi-join on doc_id; the argmax is algebraic (map-side
+    partials), so the per-cluster exchange carries one row."""
+    aug = _aug_docs(spark, sf).withColumn("q", F.length("text"))
+    comp = connected_components(_dedup_minhash(spark, sf))
+    return (
+        comp.join(aug.select("doc_id", "q"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            # composite BIGINT argmax key (DuckDB arg_max rejects struct
+            # keys): quality major, -doc_id minor — ids are far below
+            # the 1e7 radix on any fixture scale
+            F.expr("max_by(doc_id, q * 10000000L - doc_id)").alias("keep_id"),
+            F.max("q").alias("keep_len"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_AUG.strip().rstrip()},
+{_minhash_band_ctes()},
+{_duck_pairs_cte().strip()},
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs),
+reach(node, r) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM edges) t
+  UNION
+  SELECT e.node, r.r FROM edges e JOIN reach r ON r.node = e.nbr),
+comp AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT doc_id, len(text) AS q FROM aug)
+SELECT cluster_id,
+       count(*) AS cluster_size,
+       arg_max(comp.doc_id, q.q * 10000000 - comp.doc_id) AS keep_id,
+       max(q.q) AS keep_len
+FROM comp JOIN q ON q.doc_id = comp.doc_id
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_keep_best",
+        "Quality-aware canonical doc per near-dup cluster (argmax, not keep-first)",
+        _dedup_keep_best,
+        _keep_best_oracle(),
+    )
+)

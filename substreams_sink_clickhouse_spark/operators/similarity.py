@@ -779,3 +779,76 @@ SPECS.append(
         _KNN_JOIN_LSH_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------- hybrid search
+
+def _sim_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid (filtered) vector search: top-10 cosine among vectors
+    that pass METADATA predicates — same ``label`` as the probe AND an
+    English source document (embeddings ⋈ documents on id).
+
+    The scale point is predicate-BEFORE-distance: both filters prune
+    the candidate set ahead of any arithmetic (the label filter is a
+    scan predicate; the document constraint a LEFT SEMI equi-join), so
+    at 100 TB a label-partitioned / doc-bucketed layout turns this
+    into a partition-pruned fraction of the corpus — the distance
+    never runs on a row the filter would discard.  This is the
+    retrieval shape RAG/eval pipelines actually run (filtered top-k),
+    not the unfiltered benchmark shape of ``sim_topk``."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p"), F.col("label").alias("plabel")
+    )
+    en_docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cand = (
+        e.join(en_docs, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("label") == F.col("plabel"))
+    )
+    scored = cand.withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    return (
+        scored.orderBy(F.desc("__sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("__sim", 6).alias("sim"))
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH probe AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p, label AS plabel
+  FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+cand AS (
+  SELECT e.vec_id, e.label,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb, probe.p
+  FROM embeddings e, probe
+  WHERE e.label = probe.plabel
+    AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+scored AS (
+  SELECT vec_id, label,
+         {_duck_dot('emb', 'p')} / ({_duck_norm('emb')} * {_duck_norm('p')}) AS simx
+  FROM cand)
+SELECT vec_id, label, round(simx, 6) AS sim
+FROM scored ORDER BY simx DESC, vec_id LIMIT 10
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_hybrid_search",
+        "Filtered top-k: metadata predicates prune before any distance",
+        _sim_hybrid_search,
+        _HYBRID_ORACLE,
+    )
+)
