@@ -120,6 +120,32 @@ class Corpus:
         losers = self.minhash_dup_pairs().select(F.col("doc_b").alias("doc_id")).distinct()
         return Corpus(self.df.join(losers, "doc_id", "left_anti"))
 
+    def dedup_keep_best(self, quality=None) -> "Corpus":
+        """Quality-aware near-dup removal: connected components over
+        the MinHash candidate pairs, keeping each cluster's BEST
+        document (default quality: text length; pass a Column for a
+        custom score).  Keep-first happily keeps a truncated copy —
+        this is the ``dedup_keep_best`` gate semantics as a fluent
+        step.  Ties break to the lowest id via a composite BIGINT
+        argmax key; the per-cluster argmax is algebraic."""
+        from substreams_sink_clickhouse_spark.operators.dedup import (
+            connected_components,
+        )
+
+        q = quality if quality is not None else F.length("text")
+        comp = connected_components(self.minhash_dup_pairs())
+        keep = (
+            comp.join(self.df.select("doc_id", q.alias("__q")), "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.expr("max_by(doc_id, __q * 10000000L - doc_id)").alias("doc_id"))
+            .select("doc_id")
+        )
+        clustered = comp.select("doc_id")
+        survivors = self.df.join(clustered, "doc_id", "left_anti").unionByName(
+            self.df.join(keep, "doc_id", "left_semi")
+        )
+        return Corpus(survivors)
+
     # -- composition ---------------------------------------------------
 
     def split(

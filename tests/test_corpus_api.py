@@ -102,3 +102,28 @@ def test_split_thresholds_round_not_truncate(spark):
     # is consistent with 29 buckets, not 28
     assert abs(counts["train"] / 2000 - 0.29) < 0.035
     assert abs((counts["train"] + counts["val"]) / 2000 - 0.42) < 0.035
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark):
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    # every word carries the doc index so the singletons share NO
+    # shingles with each other (MinHash would otherwise cluster them)
+    base = "alpha{0} beta{0} gamma{0} delta{0} epsilon{0} zeta{0} eta{0} theta{0}"
+    rows = [(i, base.format(i) + " tail word") for i in range(20)]
+    # a near-dup family: 100 is a longer (better) variant of 0, 101 a
+    # truncated (worse) one
+    rows.append((100, base.format(0) + " tail word extra quality tokens"))
+    rows.append((101, base.format(0)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Corpus(df).dedup_keep_best()
+    kept = {r["doc_id"] for r in out.df.select("doc_id").collect()}
+    assert 100 in kept            # best of the family survives
+    assert 0 not in kept and 101 not in kept
+    assert all(i in kept for i in range(1, 20))  # singletons untouched
+    # custom quality column flips the winner
+    out2 = Corpus(df).dedup_keep_best(quality=-F.length("text"))
+    kept2 = {r["doc_id"] for r in out2.df.select("doc_id").collect()}
+    assert 101 in kept2 and 100 not in kept2
