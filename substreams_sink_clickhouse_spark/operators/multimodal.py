@@ -543,8 +543,11 @@ def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     # assets) — and it makes the result's cardinality depend on the
     # extracted features, so a count-only action cannot prune the UDF.
     # mapInPandas, not the scalar pandas_udf: the filter on a UDF
-    # output column would otherwise be double-evaluated (see
-    # extract_features) — measured 0.21 s -> 0.06 s at sf0.1.
+    # output column would otherwise be double-evaluated at a ~25x
+    # per-partition cost (see extract_features).  On an idle 32-thread
+    # box the wall-clock looks similar (cores absorb the waste); the
+    # CPU burned per execution drops ~10x, which is what survives
+    # contention and cluster scale.
     return extract_features_mip(assets_from_documents(docs)).filter(
         F.col("byte_len") > 0
     )
