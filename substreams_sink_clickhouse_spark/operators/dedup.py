@@ -1220,3 +1220,95 @@ SPECS.append(
         _keep_best_oracle(),
     )
 )
+
+
+# --------------------------------------------- candidate quality metrics
+
+def _dedup_minhash_pr(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall of the MinHash+LSH candidate pairs against
+    exact n-gram-Jaccard ground truth (threshold 0.6) — the tuning
+    measurement for the (bands, rows-per-band) trade: more bands =
+    higher recall = more spurious candidates.  One row: candidate
+    count, truth count, hits, precision, recall.
+
+    Both sides are the engine's own oracle-verified operators
+    composed; the exact-Jaccard side is the expensive one and exists
+    here precisely so band tuning can be validated on a sample before
+    a full-corpus run."""
+    cand = _dedup_minhash(spark, sf).withColumn("__c", F.lit(1))
+    truth = _dedup_jaccard(spark, sf).select("doc_a", "doc_b").withColumn(
+        "__t", F.lit(1)
+    )
+    joined = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce("__c", F.lit(0))).alias("n_cand"),
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_truth"),
+        F.sum(
+            F.when(F.col("__c").isNotNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).alias("hits"),
+    ).select(
+        "n_cand",
+        "n_truth",
+        "hits",
+        F.round(F.col("hits") / F.col("n_cand"), 6).alias("precision"),
+        F.round(F.col("hits") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+def _band_ctes_sans_shingles() -> str:
+    """:func:`_minhash_band_ctes` minus its leading ``sh`` CTE, for
+    oracles that already include :data:`_DUCK_SHINGLES` themselves."""
+    full = _minhash_band_ctes()
+    prefix = _DUCK_SHINGLES.strip() + ","
+    assert full.startswith(prefix.split(",")[0])
+    rest = full[len(_DUCK_SHINGLES.strip()):].lstrip().lstrip(",").strip()
+    return rest
+
+
+def _minhash_pr_oracle() -> str:
+    jacc_counts = """
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {cap}),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN shc ON shc.shingle = a.shingle
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN counts na ON na.doc_id = doc_a
+  JOIN counts nb ON nb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= {thr})
+""".format(cap=MAX_BUCKET_SIZE or 2**62, thr=JACCARD_THRESHOLD)
+    return f"""
+WITH {_DUCK_AUG.strip().rstrip()},
+{_DUCK_SHINGLES.strip().rstrip()},
+{_band_ctes_sans_shingles()},
+{_duck_pairs_cte().strip()},
+{jacc_counts.strip()},
+m AS (
+  SELECT count(*) AS n_cand FROM pairs),
+t AS (
+  SELECT count(*) AS n_truth FROM truth),
+h AS (
+  SELECT count(*) AS hits FROM pairs p
+  JOIN truth q ON p.doc_a = q.doc_a AND p.doc_b = q.doc_b)
+SELECT n_cand, n_truth, hits,
+       round(CAST(hits AS DOUBLE) / n_cand, 6) AS precision,
+       round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+FROM m, t, h
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_pr",
+        "Precision/recall of MinHash candidates vs exact-Jaccard truth",
+        _dedup_minhash_pr,
+        _minhash_pr_oracle(),
+    )
+)

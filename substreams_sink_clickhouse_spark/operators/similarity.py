@@ -852,3 +852,74 @@ SPECS.append(
         _HYBRID_ORACLE,
     )
 )
+
+
+# ----------------------------------------------------- recall measurement
+
+def _sim_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of the LSH bucket prefilter against brute-force
+    ground truth — the tuning measurement every ANN deployment needs
+    (more hyperplanes = smaller buckets = cheaper probes = lower
+    recall; this entry makes the trade measurable inside the engine).
+
+    One row: candidate-set size, hits among the true top-10, recall.
+    Both sides reuse the probe broadcast; the ground-truth top-k is a
+    TakeOrderedAndProject, the candidate set a map-side bucket filter
+    — nothing here shuffles."""
+    e = load_table(spark, sf, "embeddings").withColumn(
+        "__bucket", F.expr(_bucket_expr_spark())
+    )
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p"), F.col("__bucket").alias("__pbucket")
+    )
+    scored = e.crossJoin(F.broadcast(probe)).withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    exact_top = scored.orderBy(F.desc("__sim"), "vec_id").limit(10).select("vec_id")
+    cand = scored.filter(F.col("__bucket") == F.col("__pbucket")).select(
+        "vec_id", F.lit(1).alias("__in_bucket")
+    )
+    return (
+        exact_top.join(cand, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("__in_bucket", F.lit(0))).alias("hits"),
+        )
+        .select(
+            "k",
+            "hits",
+            F.round(F.col("hits") / F.col("k"), 6).alias("recall"),
+        )
+    )
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings),
+probe AS (SELECT embedding AS p, bucket AS pbucket FROM b WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT b.vec_id, b.bucket, probe.pbucket,
+         {_duck_dot('b.embedding', 'probe.p')}
+           / ({_duck_norm('b.embedding')} * {_duck_norm('probe.p')}) AS simx
+  FROM b, probe),
+exact_top AS (
+  SELECT vec_id FROM scored ORDER BY simx DESC, vec_id LIMIT 10),
+hits AS (
+  SELECT count(*) AS k,
+         sum(CASE WHEN s.bucket = s.pbucket THEN 1 ELSE 0 END) AS hits
+  FROM exact_top t JOIN scored s ON s.vec_id = t.vec_id)
+SELECT k, hits, round(CAST(hits AS DOUBLE) / k, 6) AS recall FROM hits
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_lsh_recall",
+        "Recall@10 of the LSH prefilter vs brute-force ground truth",
+        _sim_lsh_recall,
+        _LSH_RECALL_ORACLE,
+    )
+)
