@@ -1540,3 +1540,75 @@ SPECS: list[QuerySpec] = [
         _GROUPING_SETS_ORACLE,
     ),
 ]
+
+
+# ----------------------------------------------------- bucketed range join
+
+def _q133_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Big×big interval self-join via bin bucketing: pairs of SAME-USER
+    events within 60 seconds of each other, counted per user.
+
+    The naive plan for a |ts_a - ts_b| <= w predicate is a
+    BroadcastNestedLoopJoin (no equi key) — quadratic per user and a
+    100 TB killer.  The standard rewrite: bucketize time into w-sized
+    bins; a qualifying pair's bins differ by at most 1, so exploding
+    ONE side to {bin-1, bin, bin+1} turns the join into an EQUI join
+    on (user, bin) with the exact predicate as a residual.  Each pair
+    matches through exactly one expanded bin (the other row's own), so
+    no dedup pass is needed.  Cost: 3x one side's rows through a hash
+    join instead of |user-group|² comparisons; the plan test pins
+    zero BNLJ/cartesian."""
+    w_s = 60
+    e = load_table(spark, sf, "events").select(
+        # whole-second truncation on BOTH engines (unix_timestamp floors;
+        # the oracle floors epoch() to match — DuckDB\'s epoch keeps
+        # fractional seconds otherwise)
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("sec").alias("sec_a"),
+        # integer div, not FP /-then-cast: bins must be exact
+        F.explode(
+            F.expr(f"array(sec div {w_s} - 1, sec div {w_s}, sec div {w_s} + 1)")
+        ).alias("bin"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("sec").alias("sec_b"),
+        F.expr(f"sec div {w_s}").alias("bin"),
+    )
+    pairs = a.join(b, ["user_id", "bin"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("sec_a") - F.col("sec_b")) <= w_s)
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+_Q133_ORACLE = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(CAST(floor(epoch(CAST(a.ts AS TIMESTAMP))) AS BIGINT)
+        - CAST(floor(epoch(CAST(b.ts AS TIMESTAMP))) AS BIGINT)) <= 60
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q133_range_join",
+        "Interval self-join via bin bucketing: equi join, not a nested loop",
+        _q133_range_join,
+        _Q133_ORACLE,
+    )
+)

@@ -380,3 +380,24 @@ def test_q08_aggregates_below_outer_join(spark):
     i_join = plan.find("Join")
     assert i_join != -1, plan[:1500]
     assert "HashAggregate" in plan[i_join:], plan[:2000]
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval self-join must plan as an equi join on
+    (user, bin) — a BNLJ/cartesian here is the quadratic 100 TB
+    killer the rewrite exists to avoid."""
+    from substreams_sink_clickhouse_spark.operators.relational import (
+        _q133_range_join,
+    )
+
+    plan = (
+        _q133_range_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
