@@ -156,17 +156,23 @@ class Engine:
             for name, entry in sorted(manifest.get("tables", {}).items()):
                 fp.append((mh, name, entry.get("epoch")))
             fp.append((mh, "__mutation_seq", manifest.get("mutation_seq", 0)))
-        # external tables: newest mtime under the registered path (a
-        # rewritten/appended file bumps it, invalidating cached results
-        # that read the old data).
+        # external tables: newest mtime under the registered path —
+        # RECURSIVE, because the standard Spark layout nests files in
+        # partition subdirectories (path/part=1/file.parquet) whose
+        # rewrites bump neither the root's mtime nor any direct child
+        # file's.  Driver-side metadata walk; acceptable for a cache
+        # probe (it touches inodes, not data).
         for name, path in sorted(self._externals.items()):
             try:
                 mtime = os.path.getmtime(path)
                 if os.path.isdir(path):
-                    with os.scandir(path) as it:
+                    for root, _dirs, files in os.walk(path):
                         mtime = max(
-                            [mtime]
-                            + [e.stat().st_mtime for e in it if e.is_file()]
+                            [mtime, os.path.getmtime(root)]
+                            + [
+                                os.path.getmtime(os.path.join(root, f))
+                                for f in files
+                            ]
                         )
             except OSError:
                 mtime = None

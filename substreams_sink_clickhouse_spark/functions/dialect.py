@@ -131,6 +131,11 @@ _IF_COMBINATORS = {
 #: two-paren-group syntax.  value = (spark_name, params_as_array):
 #: ``quantile(0.9)(x)`` -> ``percentile_approx(x, 0.9)``;
 #: ``quantilesExact(0.5, 0.9)(x)`` -> ``percentile(x, array(0.5, 0.9))``.
+#: Documented DEVIATION: ClickHouse's quantileExact is nearest-rank
+#: (always returns an element of the set); Spark's exact ``percentile``
+#: linearly interpolates — identical on odd counts, differing on even
+#: ([1,2] median: CH 2, here 1.5).  For element semantics use the
+#: quantileExactLow/High operator shapes (q126).
 _PARAM_AGGS = {
     "quantile": ("percentile_approx", False),
     "quantileTDigest": ("percentile_approx", False),
@@ -330,15 +335,25 @@ def _rewrite_param_aggs(code: str) -> str:
         name = m.group(1)
         p_open = code.index("(", m.end(1))
         p_close = _match_paren(code, p_open)
-        # require the args group right after the params group
+        # args group right after the params group — or ClickHouse's
+        # legal single-group form (quantile(x) = median, topK(x) = 10)
         k = p_close + 1
         while k < len(code) and code[k].isspace():
             k += 1
         if k >= len(code) or code[k] != "(":
-            raise ValueError(
-                f"{name} is a parameterized aggregate: expected "
-                f"{name}(params)(args)"
-            )
+            single = _rewrite_param_aggs(code[p_open + 1 : p_close])
+            if name == "topK":
+                repl = _topk_expr(single, "10")  # CH default k
+            elif name in ("quantile", "quantileExact", "quantileTDigest"):
+                spark_name, _ = _PARAM_AGGS[name]
+                repl = f"{spark_name}({single}, 0.5)"  # CH default level
+            else:
+                raise ValueError(
+                    f"{name} needs an explicit level list: "
+                    f"{name}(p1, p2, ...)(x)"
+                )
+            code = code[: m.start(1)] + repl + code[p_close + 1 :]
+            continue
         a_close = _match_paren(code, k)
         params = _rewrite_param_aggs(code[p_open + 1 : p_close])
         args = _rewrite_param_aggs(code[k + 1 : a_close])
@@ -450,10 +465,22 @@ def rewrite_final_tables(query: str, resolver) -> str:
     ``None`` leaves the reference untouched so the translation's FINAL
     guard still raises with the Engine pointer for unknown tables.
     Quoted strings are never touched (same segment scan as the
-    translator); the table's alias, if any, survives."""
+    translator).  The rewritten view is ALWAYS aliased — to the
+    query's own alias (``FROM t AS a FINAL`` / ``FROM t a FINAL``) or
+    to the original table name — so qualified column references
+    (``t.col``) keep resolving.  Backquoted table names are a
+    documented non-target (the name lives in a literal segment)."""
     out_parts: list[str] = []
+    # the optional alias word must not swallow a clause keyword (else
+    # `FROM t WHERE final ...` would parse as alias=WHERE)
+    _kw = (
+        r"(?!WHERE\b|PREWHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|ON\b|"
+        r"USING\b|UNION\b|SETTINGS\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|"
+        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b|FINAL\b)"
+    )
     pat = re.compile(
-        r"\b(FROM|JOIN)\s+([\w.]+)\s+FINAL\b", flags=re.IGNORECASE
+        r"\b(FROM|JOIN)\s+([\w.]+)(?:\s+(?:AS\s+)?" + _kw + r"(\w+))?\s+FINAL\b",
+        flags=re.IGNORECASE,
     )
     for is_code, text in _segments(query):
         if not is_code:
@@ -464,7 +491,8 @@ def rewrite_final_tables(query: str, resolver) -> str:
             view = resolver(m.group(2))
             if view is None:
                 return m.group(0)
-            return f"{m.group(1)} {view}"
+            alias = m.group(3) or m.group(2).rsplit(".", 1)[-1]
+            return f"{m.group(1)} {view} AS {alias}"
 
         out_parts.append(pat.sub(sub, text))
     return "".join(out_parts)
@@ -485,17 +513,21 @@ def clickhouse_to_spark_sql(query: str) -> str:
             masked_parts.append(f"\x01{len(literals)}\x01")
             literals.append(text)
     out = _rewrite_code("".join(masked_parts))
-    out = re.sub(
-        r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
-    )
     # trailing SETTINGS clause (ClickHouse execution tuning — Spark's
     # equivalents are session confs, not query text), then trailing
-    # FORMAT clause (client-side concern); either order, both optional
+    # FORMAT clause (client-side concern); either order, both optional.
+    # Stripped while literals are still MASKED, so SETTINGS-shaped text
+    # inside a string can never be consumed (a value may itself be a
+    # masked literal sentinel, e.g. SETTINGS max_memory = '10G').
+    _sv = r"(?:[\w.]+|\x01\d+\x01)"
     out = re.sub(
-        r"\s+SETTINGS\s+\w+\s*=\s*[\w.']+(\s*,\s*\w+\s*=\s*[\w.']+)*(?=\s+FORMAT\b|\s*;?\s*$)",
+        rf"\s+SETTINGS\s+\w+\s*=\s*{_sv}(\s*,\s*\w+\s*=\s*{_sv})*(?=\s+FORMAT\b|\s*;?\s*$)",
         "",
         out,
         flags=re.IGNORECASE,
     )
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
+    )
     return out

@@ -132,12 +132,21 @@ class Corpus:
             connected_components,
         )
 
+        from pyspark.sql import Window
+
         q = quality if quality is not None else F.length("text")
         comp = connected_components(self.minhash_dup_pairs())
+        # window argmax, not a numeric composite key: doc_id may be a
+        # string (UUID) or a snowflake-scale long here — the public API
+        # makes no radix promise (the gate entry's fixture-only
+        # composite key does, and documents it)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("__q"), F.asc("doc_id")
+        )
         keep = (
             comp.join(self.df.select("doc_id", q.alias("__q")), "doc_id")
-            .groupBy("cluster_id")
-            .agg(F.expr("max_by(doc_id, __q * 10000000L - doc_id)").alias("doc_id"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
             .select("doc_id")
         )
         clustered = comp.select("doc_id")

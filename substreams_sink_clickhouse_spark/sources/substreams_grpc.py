@@ -376,6 +376,20 @@ class SubstreamsLiveSource:
         # half-written file
         os.rename(tmp, os.path.join(self.spool_dir, f"spool-{seq:08d}.parquet"))
 
+    def _next_spool_seq(self) -> int:
+        """First unused spool file number in ``spool_dir`` (0 for a
+        fresh directory)."""
+        try:
+            names = os.listdir(self.spool_dir)
+        except OSError:
+            return 0
+        seqs = [
+            int(n[len("spool-") : -len(".parquet")])
+            for n in names
+            if n.startswith("spool-") and n.endswith(".parquet")
+        ]
+        return max(seqs) + 1 if seqs else 0
+
     def run(
         self,
         resume_cursor: str | None = None,
@@ -389,7 +403,10 @@ class SubstreamsLiveSource:
         """
         cursor = resume_cursor
         reconnects = 0
-        seq = 0
+        # resume into an existing spool_dir continues the sequence —
+        # restarting at 0 would atomically os.rename OVER the earlier
+        # files, losing blocks the cursor says were delivered
+        seq = self._next_spool_seq()
         batch: list[BlockScopedData] = []
         while True:
             try:
@@ -410,6 +427,14 @@ class SubstreamsLiveSource:
                         cursor = msg.last_valid_cursor
                         continue
                     if msg.type_url not in ACCEPTED_TYPE_URLS:
+                        # flush accepted blocks first: cursor/on_cursor
+                        # already advanced past them, so raising with
+                        # the batch unspooled would lose them exactly
+                        # like the transport-error path used to
+                        if batch:
+                            self._spool(batch, seq)
+                            seq += 1
+                            batch = []
                         raise ValueError(
                             f"unexpected output type {msg.type_url!r}; "
                             f"expected one of {ACCEPTED_TYPE_URLS}"
@@ -435,10 +460,17 @@ class SubstreamsLiveSource:
                 # them — dropping the batch here would silently lose
                 # blocks (found by the loopback e2e: a mid-stream
                 # disconnect after an accepted-but-unspooled block).
+                # If the SPOOL itself is what failed (disk full), keep
+                # the batch in memory and let the backoff loop retry —
+                # the resume cursor skips re-sent blocks, so nothing
+                # duplicates and nothing is lost while retries remain.
                 if batch:
-                    self._spool(batch, seq)
-                    seq += 1
-                    batch = []
+                    try:
+                        self._spool(batch, seq)
+                        seq += 1
+                        batch = []
+                    except Exception:  # noqa: BLE001 - retried below
+                        pass
                 reconnects += 1
                 if reconnects > self.max_reconnects:
                     raise

@@ -516,10 +516,9 @@ def test_parameterized_aggregates_translate_and_execute(spark):
     assert "percentile(v, 0.25)" in out
     assert "approx_count_distinct(CASE WHEN v > 5 THEN u END)" in out
     assert "count(DISTINCT CASE WHEN v > 5 THEN u END)" in out
-    import pytest
-
-    with pytest.raises(ValueError, match="parameterized"):
-        clickhouse_to_spark_sql("SELECT quantile(0.9) FROM t")  # missing args group
+    # single-group form is ClickHouse's median default, not an error
+    out1 = clickhouse_to_spark_sql("SELECT quantile(0.9) FROM t")
+    assert "percentile_approx(0.9, 0.5)" in out1
 
     spark.range(101).selectExpr(
         "CAST(id AS DOUBLE) AS v", "id % 7 AS u"
@@ -567,3 +566,68 @@ def test_topk_parameterized_executes(spark):
     for r in rows:
         assert list(r["top"]) == ["a", "b"]
         assert list(r["top1"]) == ["a"]
+
+
+def test_review_fixes_dialect(spark, tmp_path):
+    """Round-3 review findings: FINAL alias/qualified-ref forms resolve;
+    SETTINGS never eats a literal; single-group quantile/topK defaults."""
+    import pytest
+    from pyspark.sql import types as T
+
+    # SETTINGS-shaped text INSIDE a literal must survive verbatim
+    out = clickhouse_to_spark_sql("SELECT c FROM t WHERE s = 'x SETTINGS y = 2'")
+    assert "'x SETTINGS y = 2'" in out
+    # a real SETTINGS clause whose value is a quoted literal strips fine
+    out = clickhouse_to_spark_sql("SELECT 1 SETTINGS max_memory_usage = '10G'")
+    assert out.strip() == "SELECT 1"
+    # single-group forms: ClickHouse defaults (median / k=10)
+    out = clickhouse_to_spark_sql("SELECT quantile(v) FROM t")
+    assert "percentile_approx(v, 0.5)" in out
+    out = clickhouse_to_spark_sql("SELECT topK(v) FROM t")
+    assert "slice(" in out and ", 10))[0]" in out
+    with pytest.raises(ValueError, match="level list"):
+        clickhouse_to_spark_sql("SELECT quantiles(v) FROM t")
+
+    # FINAL with alias + qualified refs, end-to-end through the engine
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("versions", "a", 1, "CREATE", {"ver": "1"})])
+    )
+    cat = Catalog()
+    cat.register(
+        TableInfo(
+            "versions",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType(), False),
+                    T.StructField("ver", T.LongType(), True),
+                ]
+            ),
+            "id",
+            engine="ReplacingMergeTree",
+            version_column="ver",
+        )
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    eng.ingest(str(stream), cat)
+    # alias form keeps the alias; qualified refs keep resolving
+    rows = eng.sql(
+        "SELECT v.id, v.ver FROM versions AS v FINAL", dialect="clickhouse"
+    ).collect()
+    assert [(r["id"], r["ver"]) for r in rows] == [("a", 1)]
+    # bare form: the view is aliased back to the table name
+    rows = eng.sql(
+        "SELECT versions.ver FROM versions FINAL", dialect="clickhouse"
+    ).collect()
+    assert rows[0]["ver"] == 1
+    # `FROM t WHERE final` must not parse WHERE as an alias
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM versions WHERE ver = 1", dialect="clickhouse"
+    ).collect()
+    assert rows[0]["n"] == 1

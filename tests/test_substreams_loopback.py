@@ -230,3 +230,19 @@ def test_blocks_request_parse_roundtrip():
     assert back["cursor"] == "abc"
     assert back["output_module"] == "db_out"
     assert back["final_blocks_only"] and back["production_mode"]
+
+
+def test_spool_seq_resumes_past_existing_files(tmp_path):
+    """A restarted client must continue the spool sequence — seq=0
+    would os.rename OVER earlier files (review finding)."""
+    spool = str(tmp_path / "spool")
+    src = SubstreamsLiveSource("example.invalid:443", "db_out", spool)
+    blk = __import__(
+        "substreams_sink_clickhouse_spark.sources.substreams_grpc",
+        fromlist=["BlockScopedData"],
+    ).BlockScopedData("0x1", 1, "c1", ACCEPTED_TYPE_URLS[0], b"")
+    src._spool([blk], 0)
+    src._spool([blk], 1)
+    assert src._next_spool_seq() == 2
+    fresh = SubstreamsLiveSource("example.invalid:443", "db_out", str(tmp_path / "empty"))
+    assert fresh._next_spool_seq() == 0
