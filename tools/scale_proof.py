@@ -215,7 +215,13 @@ def main() -> None:
         _q12,
         _q22,
     )
-    from substreams_sink_clickhouse_spark.operators.similarity import _sim_lsh
+    from substreams_sink_clickhouse_spark.operators.relational import (
+        _q133_range_join,
+    )
+    from substreams_sink_clickhouse_spark.operators.similarity import (
+        _sim_hybrid_search,
+        _sim_lsh,
+    )
     from substreams_sink_clickhouse_spark.operators.streaming_q import _q24
     from substreams_sink_clickhouse_spark.operators.text import _corpus_prep
     from substreams_sink_clickhouse_spark.session import get_spark
@@ -239,6 +245,8 @@ def main() -> None:
         ("q22_json", _q22),
         ("q24_session_window", _q24),
         ("corpus_prep", _corpus_prep),
+        ("q133_range_join", _q133_range_join),
+        ("sim_hybrid_search", _sim_hybrid_search),
     ):
         for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
             builder(spark, d).count()  # warm codegen
