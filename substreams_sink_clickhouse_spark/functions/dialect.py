@@ -45,6 +45,12 @@ Supported rewrites:
   → Spark's collection-first ``transform/filter/exists/forall/...``.
 * ``numbers(N)`` table function → ``(SELECT id AS number FROM
   range(N))``.
+* ``LIMIT [o,] n BY exprs`` → a ``row_number()`` window ≤ n over the
+  wrapped query (see :func:`_rewrite_limit_by` for the documented
+  limits).
+* ``GROUP BY k WITH TOTALS`` → ``GROUP BY GROUPING SETS ((k), ())``
+  (totals-row keys are NULL; raises when combined with HAVING, whose
+  ClickHouse semantics depend on ``totals_mode``).
 * a trailing ``FORMAT <name>`` clause is stripped (output formatting
   is the client's job in Spark).
 
@@ -366,6 +372,160 @@ def _rewrite_param_aggs(code: str) -> str:
         code = code[: m.start(1)] + repl + code[a_close + 1 :]
 
 
+#: Table-reference pattern in MASKED code: a plain dotted name or a
+#: masked backquoted identifier (the ``\x01N\x01`` sentinel) — without
+#: the sentinel alternative, ``FROM `events` FINAL`` would slip past
+#: the FINAL guard and Spark would silently parse FINAL as an alias.
+_TABLE_REF = r"(?:\x01\d+\x01|[\w.]+)"
+
+
+def _blank_parens(code: str) -> str:
+    """Copy of ``code`` with the CONTENT of every paren group replaced
+    by spaces (parens themselves kept, length preserved) so regex
+    searches see only depth-0 clause keywords at positions that map
+    straight back into the original string."""
+    out = list(code)
+    depth = 0
+    for i, ch in enumerate(code):
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                continue
+        if depth > 0:
+            out[i] = " "
+    return "".join(out)
+
+
+def _map_paren_groups(code: str, fn) -> str:
+    """Apply ``fn`` to the content of every top-level paren group
+    (subqueries rewrite themselves before the enclosing level does)."""
+    out: list[str] = []
+    i = 0
+    while i < len(code):
+        if code[i] == "(":
+            j = _match_paren(code, i)
+            out.append("(" + fn(code[i + 1 : j]) + ")")
+            i = j + 1
+        else:
+            k = code.find("(", i)
+            if k == -1:
+                k = len(code)
+            out.append(code[i:k])
+            i = k
+    return "".join(out)
+
+
+def _rewrite_limit_by(code: str) -> str:
+    """``LIMIT [o,] n BY <exprs>`` → row_number window ≤ n.
+
+    ClickHouse keeps the first ``n`` rows (after ``o`` skipped) per
+    distinct value of the BY expressions, in the query's ORDER BY
+    order, then applies any trailing plain LIMIT.  Rewritten as
+
+        SELECT * EXCEPT (__lb_rn) FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY <exprs> ORDER BY <order-by | exprs>) AS __lb_rn
+          FROM (<query minus ORDER BY / LIMIT BY>) __lb_src
+        ) __lb WHERE __lb_rn <= n [ORDER BY ...] [LIMIT m]
+
+    Documented limits (raise, never guess): the ORDER BY columns must
+    be in the SELECT list (they feed the window over the wrapped
+    subquery), and LIMIT BY directly on a depth-0 set operation is not
+    supported — wrap the union in a subquery.  Without an ORDER BY the
+    window orders by the BY expressions themselves (ClickHouse's pick
+    is likewise unspecified there)."""
+    code = _map_paren_groups(code, _rewrite_limit_by)
+    while True:
+        blank = _blank_parens(code)
+        m = re.search(
+            r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)\s*)?BY\b", blank, re.IGNORECASE
+        )
+        if not m:
+            return code
+        if re.search(r"\b(?:UNION|INTERSECT|EXCEPT)\b", blank[: m.start()], re.IGNORECASE):
+            raise ValueError(
+                "LIMIT n BY over a set operation is ambiguous - wrap the "
+                "UNION/INTERSECT/EXCEPT in a subquery and apply LIMIT BY "
+                "outside it"
+            )
+        offset, n = (int(m.group(1)), int(m.group(2))) if m.group(2) else (
+            0,
+            int(m.group(1)),
+        )
+        tail_m = re.search(r"\bLIMIT\b", blank[m.end() :], re.IGNORECASE)
+        cols_end = m.end() + tail_m.start() if tail_m else len(code)
+        cols = code[m.end() : cols_end].strip().rstrip(",")
+        if not cols:
+            raise ValueError("LIMIT n BY needs at least one expression")
+        ob = None
+        for ob_m in re.finditer(r"\bORDER\s+BY\b", blank, re.IGNORECASE):
+            if ob_m.end() <= m.start():
+                ob = ob_m
+        if ob is not None:
+            order_text = code[ob.end() : m.start()].strip().rstrip(",")
+            base = code[: ob.start()].strip()
+        else:
+            order_text = None
+            base = code[: m.start()].strip()
+        window_order = order_text if order_text else cols
+        cond = (
+            f"__lb_rn > {offset} AND __lb_rn <= {offset + n}"
+            if offset
+            else f"__lb_rn <= {n}"
+        )
+        rewritten = (
+            f"SELECT * EXCEPT (__lb_rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {cols} "
+            f"ORDER BY {window_order}) AS __lb_rn FROM ({base}) __lb_src"
+            f") __lb WHERE {cond}"
+        )
+        if order_text:
+            rewritten += f" ORDER BY {order_text}"
+        tail = code[cols_end:]
+        code = rewritten + (" " + tail.lstrip() if tail.strip() else "")
+
+
+def _rewrite_with_totals(code: str) -> str:
+    """``GROUP BY <keys> WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((<keys>), ())`` — the per-group rows plus exactly one grand-total
+    row, with the group keys NULL on the totals row (ClickHouse's TSV
+    rendering leaves them empty/default; NULL is the relational
+    equivalent — ``coalesce`` the keys to tag it, the q108 shape).
+    WITH TOTALS combined with HAVING depends on ClickHouse's
+    ``totals_mode`` setting, so that combination raises instead of
+    silently picking one semantics."""
+    code = _map_paren_groups(code, _rewrite_with_totals)
+    while True:
+        blank = _blank_parens(code)
+        m = re.search(r"\bWITH\s+TOTALS\b", blank, re.IGNORECASE)
+        if not m:
+            return code
+        if re.search(r"\bHAVING\b", blank, re.IGNORECASE):
+            raise ValueError(
+                "WITH TOTALS together with HAVING depends on ClickHouse's "
+                "totals_mode - express it explicitly as GROUPING SETS plus "
+                "the HAVING you intend (the q108_with_totals shape)"
+            )
+        gb = None
+        for gb_m in re.finditer(r"\bGROUP\s+BY\b", blank, re.IGNORECASE):
+            if gb_m.end() <= m.start():
+                gb = gb_m
+        if gb is None:
+            raise ValueError("WITH TOTALS without a GROUP BY")
+        keys = code[gb.end() : m.start()].strip().rstrip(",")
+        if not keys:
+            raise ValueError("GROUP BY ... WITH TOTALS needs group keys")
+        code = (
+            code[: gb.start()]
+            + f"GROUP BY GROUPING SETS (({keys}), ())"
+            + code[m.end() :]
+        )
+
+
 def _rewrite_clauses(code: str) -> str:
     """Clause-level ClickHouse-isms:
 
@@ -383,14 +543,16 @@ def _rewrite_clauses(code: str) -> str:
     """
     # FINAL is only meaningful immediately after a table reference
     # (FROM t FINAL / JOIN t [AS a] FINAL) — anchoring there keeps a
-    # column or alias literally named ``final`` legal.
+    # column or alias literally named ``final`` legal.  ``AS`` is in
+    # the lookahead so the alias word can never be AS itself (else
+    # backtracking would let ``FROM t AS final`` trip the guard).
     _kw = (
         r"(?!WHERE\b|PREWHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|ON\b|"
         r"USING\b|UNION\b|SETTINGS\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|"
-        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b)"
+        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b|AS\b)"
     )
     if re.search(
-        r"\b(?:FROM|JOIN)\s+[\w.`]+(?:\s+(?:AS\s+)?" + _kw + r"\w+)?\s+FINAL\b",
+        r"\b(?:FROM|JOIN)\s+" + _TABLE_REF + r"(?:\s+(?:AS\s+)?" + _kw + r"\w+)?\s+FINAL\b",
         code,
         flags=re.IGNORECASE,
     ):
@@ -398,21 +560,11 @@ def _rewrite_clauses(code: str) -> str:
             "FROM ... FINAL needs table metadata: read the table with "
             "Engine.table(name, final=True) instead"
         )
-    if re.search(r"\bLIMIT\s+\d+\s+BY\b", code, flags=re.IGNORECASE):
-        raise ValueError(
-            "LIMIT n BY col needs the query's ordering context - express "
-            "it as a row_number() window <= n (the q66_limit_by shape)"
-        )
-    if re.search(r"\bWITH\s+TOTALS\b", code, flags=re.IGNORECASE):
-        raise ValueError(
-            "GROUP BY ... WITH TOTALS - use a rollup on the group keys "
-            "and keep the grand-total row (the q108_with_totals shape)"
-        )
     # likewise SAMPLE k: table-reference position only, so an alias or
     # function named ``sample`` followed by a number literal elsewhere
     # (e.g. ``sample + 1``) is not a false positive.
     if re.search(
-        r"\b(?:FROM|JOIN)\s+[\w.`]+(?:\s+FINAL)?\s+SAMPLE\s+[\d.]+",
+        r"\b(?:FROM|JOIN)\s+" + _TABLE_REF + r"(?:\s+FINAL)?\s+SAMPLE\s+[\d.]+",
         code,
         flags=re.IGNORECASE,
     ):
@@ -446,7 +598,11 @@ def _rewrite_clauses(code: str) -> str:
 
 
 def _rewrite_code(code: str) -> str:
+    code = _rewrite_limit_by(code)
+    code = _rewrite_with_totals(code)
     code = _rewrite_clauses(code)
+    # ClickHouse's bare ``count()`` (Spark requires an argument)
+    code = re.sub(r"\bcount\s*\(\s*\)", "count(*)", code, flags=re.IGNORECASE)
     for z, repl in _ZERO_ARG.items():
         code = code.replace(z, repl)
     code = _rewrite_param_aggs(code)
@@ -464,38 +620,53 @@ def rewrite_final_tables(query: str, resolver) -> str:
     table (``Engine.table(name, final=True)``) and returns its name;
     ``None`` leaves the reference untouched so the translation's FINAL
     guard still raises with the Engine pointer for unknown tables.
-    Quoted strings are never touched (same segment scan as the
-    translator).  The rewritten view is ALWAYS aliased — to the
-    query's own alias (``FROM t AS a FINAL`` / ``FROM t a FINAL``) or
-    to the original table name — so qualified column references
-    (``t.col``) keep resolving.  Backquoted table names are a
-    documented non-target (the name lives in a literal segment)."""
-    out_parts: list[str] = []
+    Quoted strings are never touched (the query is literal-masked with
+    the same segment scan as the translator, and a masked SINGLE-quoted
+    literal in table position is left alone — only backquoted
+    identifiers name tables).  The rewritten view is ALWAYS aliased —
+    to the query's own alias (``FROM t AS a FINAL`` / ``FROM t a
+    FINAL``) or to the original table name — so qualified column
+    references (``t.col``) keep resolving."""
+    literals: list[str] = []
+    masked_parts: list[str] = []
+    for is_code, text in _segments(query):
+        if is_code:
+            masked_parts.append(text)
+        else:
+            masked_parts.append(f"\x01{len(literals)}\x01")
+            literals.append(text)
+    masked = "".join(masked_parts)
     # the optional alias word must not swallow a clause keyword (else
-    # `FROM t WHERE final ...` would parse as alias=WHERE)
+    # `FROM t WHERE final ...` would parse as alias=WHERE) nor the AS
+    # keyword itself (else `FROM t AS final` would parse alias=AS)
     _kw = (
         r"(?!WHERE\b|PREWHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|ON\b|"
         r"USING\b|UNION\b|SETTINGS\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|"
-        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b|FINAL\b)"
+        r"CROSS\b|JOIN\b|SAMPLE\b|SELECT\b|FINAL\b|AS\b)"
     )
     pat = re.compile(
-        r"\b(FROM|JOIN)\s+([\w.]+)(?:\s+(?:AS\s+)?" + _kw + r"(\w+))?\s+FINAL\b",
+        r"\b(FROM|JOIN)\s+(" + _TABLE_REF + r")(?:\s+(?:AS\s+)?" + _kw + r"(\w+))?\s+FINAL\b",
         flags=re.IGNORECASE,
     )
-    for is_code, text in _segments(query):
-        if not is_code:
-            out_parts.append(text)
-            continue
 
-        def sub(m: "re.Match[str]") -> str:
-            view = resolver(m.group(2))
-            if view is None:
-                return m.group(0)
-            alias = m.group(3) or m.group(2).rsplit(".", 1)[-1]
-            return f"{m.group(1)} {view} AS {alias}"
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(2)
+        lit_m = re.fullmatch(r"\x01(\d+)\x01", name)
+        if lit_m:
+            lit = literals[int(lit_m.group(1))]
+            if not (lit.startswith("`") and lit.endswith("`")):
+                return m.group(0)  # a string literal is not a table ref
+            name = lit[1:-1].replace("``", "`")
+        view = resolver(name)
+        if view is None:
+            return m.group(0)
+        alias = m.group(3) or name.rsplit(".", 1)[-1]
+        if not re.fullmatch(r"\w+", alias):
+            alias = "`" + alias.replace("`", "``") + "`"
+        return f"{m.group(1)} {view} AS {alias}"
 
-        out_parts.append(pat.sub(sub, text))
-    return "".join(out_parts)
+    out = pat.sub(sub, masked)
+    return re.sub(r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out)
 
 
 def clickhouse_to_spark_sql(query: str) -> str:
@@ -512,13 +683,15 @@ def clickhouse_to_spark_sql(query: str) -> str:
         else:
             masked_parts.append(f"\x01{len(literals)}\x01")
             literals.append(text)
-    out = _rewrite_code("".join(masked_parts))
+    out = "".join(masked_parts)
     # trailing SETTINGS clause (ClickHouse execution tuning — Spark's
     # equivalents are session confs, not query text), then trailing
     # FORMAT clause (client-side concern); either order, both optional.
     # Stripped while literals are still MASKED, so SETTINGS-shaped text
     # inside a string can never be consumed (a value may itself be a
     # masked literal sentinel, e.g. SETTINGS max_memory = '10G').
+    # Stripped BEFORE the clause rewrites so LIMIT BY / WITH TOTALS
+    # restructuring never has to reason about a trailing SETTINGS.
     _sv = r"(?:[\w.]+|\x01\d+\x01)"
     out = re.sub(
         rf"\s+SETTINGS\s+\w+\s*=\s*{_sv}(\s*,\s*\w+\s*=\s*{_sv})*(?=\s+FORMAT\b|\s*;?\s*$)",
@@ -527,6 +700,7 @@ def clickhouse_to_spark_sql(query: str) -> str:
         flags=re.IGNORECASE,
     )
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    out = _rewrite_code(out)
     out = re.sub(
         r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
     )

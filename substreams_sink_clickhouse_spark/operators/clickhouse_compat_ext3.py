@@ -1197,3 +1197,94 @@ SPECS.append(
         _Q132_ORACLE,
     )
 )
+
+
+# -------------------------------------- LIMIT BY / WITH TOTALS via dialect
+
+_Q134_CLICKHOUSE_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 2 BY user_id
+"""
+
+
+def _q134_dialect_limit_by(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY col`` through the dialect shim: the
+    translator restructures the query into a row_number window <= n
+    over the wrapped base query (dialect._rewrite_limit_by), so the
+    reference's per-group-top-n SQL (README.md:29-52 workload) runs
+    unchanged.  Same plan shape as the hand-built q66_limit_by: one
+    exchange on the group key, per-partition sort, no global sort
+    before the filter."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q134_CLICKHOUSE_SQL))
+    # deterministic comparison order for the gate (ClickHouse returns
+    # ORDER BY order; re-sorting does not change the row set)
+    return out.orderBy("user_id", F.col("value").desc(), "event_id")
+
+
+_Q134_ORACLE = """
+SELECT user_id, event_id, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 2
+ORDER BY user_id, value DESC, event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q134_dialect_limit_by",
+        "LIMIT n BY through the dialect shim == row_number window",
+        _q134_dialect_limit_by,
+        _Q134_ORACLE,
+    )
+)
+
+
+_Q135_CLICKHOUSE_SQL = """
+SELECT event_type, count() AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY event_type WITH TOTALS
+"""
+
+
+def _q135_dialect_with_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` through the dialect shim
+    (dialect._rewrite_with_totals -> GROUPING SETS ((k), ())): the
+    per-group rows plus exactly one grand-total row, keys NULL on the
+    totals row.  Catalyst expands the two grouping sets map-side — one
+    scan, one exchange, no second aggregation pass."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q135_CLICKHOUSE_SQL))
+    return out.orderBy(F.col("event_type").asc_nulls_last())
+
+
+_Q135_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY event_type NULLS LAST
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q135_dialect_with_totals",
+        "GROUP BY WITH TOTALS through the dialect shim == grouping sets",
+        _q135_dialect_with_totals,
+        _Q135_ORACLE,
+    )
+)

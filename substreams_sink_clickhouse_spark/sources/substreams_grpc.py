@@ -378,15 +378,19 @@ class SubstreamsLiveSource:
 
     def _next_spool_seq(self) -> int:
         """First unused spool file number in ``spool_dir`` (0 for a
-        fresh directory)."""
+        fresh directory).  Only names this source itself writes
+        (``spool-<8 digits>.parquet``) count — a stray user-copied
+        ``spool-backup.parquet`` must not abort startup."""
+        import re
+
         try:
             names = os.listdir(self.spool_dir)
         except OSError:
             return 0
         seqs = [
-            int(n[len("spool-") : -len(".parquet")])
+            int(m.group(1))
             for n in names
-            if n.startswith("spool-") and n.endswith(".parquet")
+            if (m := re.fullmatch(r"spool-(\d{8})\.parquet", n))
         ]
         return max(seqs) + 1 if seqs else 0
 
@@ -400,6 +404,16 @@ class SubstreamsLiveSource:
         Returns the final cursor.  Reconnects with capped exponential
         backoff, resuming from the last spooled cursor — the policy
         the reference inherits from its sink library (run.go:92-98).
+
+        Checkpoint semantics: ``on_cursor`` fires only AFTER a batch
+        is durably spooled, with the cursor of that batch's last
+        message — the reference commits its cursor atomically with the
+        flushed data in one transaction (db/flush.go:52-56), and
+        firing per accepted message would let a hard crash (kill/OOM)
+        between durable cursor persistence and the spool permanently
+        skip those blocks on resume.  The in-run ``cursor`` variable
+        is resume-only state (what the next reconnect asks the server
+        for); never persist it ahead of the spool.
         """
         cursor = resume_cursor
         reconnects = 0
@@ -408,6 +422,20 @@ class SubstreamsLiveSource:
         # files, losing blocks the cursor says were delivered
         seq = self._next_spool_seq()
         batch: list[BlockScopedData] = []
+
+        def flush() -> None:
+            """Spool the pending batch, then (and only then) report its
+            last cursor as checkpointable."""
+            nonlocal seq, batch
+            if not batch:
+                return
+            last = batch[-1]
+            self._spool(batch, seq)
+            seq += 1
+            batch = []
+            if on_cursor is not None:
+                on_cursor(last.cursor, last.block_num)
+
         while True:
             try:
                 channel = self._channel()
@@ -419,38 +447,27 @@ class SubstreamsLiveSource:
                         # flush what's valid, record the reorg, resume
                         # from the fork point (pipeline rolls back via
                         # handle_block_undo_signal)
-                        if batch:
-                            self._spool(batch, seq)
-                            seq += 1
-                            batch = []
+                        flush()
                         self.undo_signals.append(msg)
                         cursor = msg.last_valid_cursor
                         continue
                     if msg.type_url not in ACCEPTED_TYPE_URLS:
-                        # flush accepted blocks first: cursor/on_cursor
+                        # flush accepted blocks first: the resume cursor
                         # already advanced past them, so raising with
                         # the batch unspooled would lose them exactly
                         # like the transport-error path used to
-                        if batch:
-                            self._spool(batch, seq)
-                            seq += 1
-                            batch = []
+                        flush()
                         raise ValueError(
                             f"unexpected output type {msg.type_url!r}; "
                             f"expected one of {ACCEPTED_TYPE_URLS}"
                         )
                     batch.append(msg)
                     cursor = msg.cursor
-                    if on_cursor is not None:
-                        on_cursor(msg.cursor, msg.block_num)
                     if len(batch) >= self.spool_batch:
-                        self._spool(batch, seq)
-                        seq += 1
-                        batch = []
-                if batch:
-                    self._spool(batch, seq)
-                    seq += 1
-                return cursor
+                        flush()
+                return_cursor = cursor
+                flush()
+                return return_cursor
             except (NotImplementedError, ValueError):
                 raise
             except Exception:  # noqa: BLE001 - transport errors retry
@@ -464,13 +481,13 @@ class SubstreamsLiveSource:
                 # the batch in memory and let the backoff loop retry —
                 # the resume cursor skips re-sent blocks, so nothing
                 # duplicates and nothing is lost while retries remain.
-                if batch:
-                    try:
-                        self._spool(batch, seq)
-                        seq += 1
-                        batch = []
-                    except Exception:  # noqa: BLE001 - retried below
-                        pass
+                # (on_cursor stays unfired for an unspooled batch, so a
+                # terminal raise here can never persist a cursor past
+                # unspooled data.)
+                try:
+                    flush()
+                except Exception:  # noqa: BLE001 - retried below
+                    pass
                 reconnects += 1
                 if reconnects > self.max_reconnects:
                     raise

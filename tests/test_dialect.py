@@ -359,14 +359,102 @@ def test_untranslatable_clauses_raise_with_guidance():
     import pytest
 
     for q, msg in [
-        ("SELECT a FROM t LIMIT 3 BY a", "q66_limit_by"),
-        ("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS", "q108_with_totals"),
         ("SELECT a FROM t SAMPLE 0.1", "q33_sample"),
+        # LIMIT BY over a depth-0 set op is ambiguous
+        (
+            "SELECT a FROM t UNION ALL SELECT a FROM u LIMIT 1 BY a",
+            "set operation",
+        ),
+        # WITH TOTALS + HAVING depends on ClickHouse's totals_mode
+        (
+            "SELECT a, count(*) FROM t GROUP BY a WITH TOTALS HAVING count(*) > 1",
+            "totals_mode",
+        ),
+        ("SELECT a, count(*) FROM t WITH TOTALS", "without a GROUP BY"),
     ]:
         with pytest.raises(ValueError, match=msg):
             clickhouse_to_spark_sql(q)
     # plain LIMIT still passes through
     assert "LIMIT 3" in clickhouse_to_spark_sql("SELECT a FROM t LIMIT 3")
+
+
+def test_limit_by_translates_and_executes(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW lbt AS SELECT * FROM VALUES "
+        "(1, 'a', 30.0), (1, 'b', 20.0), (1, 'c', 10.0), "
+        "(2, 'd', 5.0), (2, 'e', 50.0) AS t(uid, tag, v)"
+    )
+    # top-2 per uid by v DESC, then a global LIMIT
+    out = clickhouse_to_spark_sql(
+        "SELECT uid, tag, v FROM lbt ORDER BY v DESC LIMIT 2 BY uid LIMIT 3"
+    )
+    rows = [tuple(r) for r in spark.sql(out).collect()]
+    assert rows == [(2, "e", 50.0), (1, "a", 30.0), (1, "b", 20.0)]
+    # offset form: skip the best row per group, keep the next 1
+    out = clickhouse_to_spark_sql(
+        "SELECT uid, tag, v FROM lbt ORDER BY v DESC LIMIT 1, 1 BY uid"
+    )
+    rows = {tuple(r) for r in spark.sql(out).collect()}
+    assert rows == {(1, "b", 20.0), (2, "d", 5.0)}
+    # without ORDER BY: still exactly n per group
+    out = clickhouse_to_spark_sql("SELECT uid, tag FROM lbt LIMIT 1 BY uid")
+    assert spark.sql(out).count() == 2
+    # nested inside a subquery
+    out = clickhouse_to_spark_sql(
+        "SELECT count(*) AS n FROM "
+        "(SELECT uid, v FROM lbt ORDER BY v DESC LIMIT 2 BY uid) WHERE v > 15"
+    )
+    assert spark.sql(out).collect()[0]["n"] == 3
+
+
+def test_with_totals_translates_and_executes(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wtt AS SELECT * FROM VALUES "
+        "('x', 1), ('x', 2), ('y', 10) AS t(k, v)"
+    )
+    out = clickhouse_to_spark_sql(
+        "SELECT k, sum(v) AS s FROM wtt GROUP BY k WITH TOTALS"
+    )
+    assert "GROUPING SETS" in out
+    rows = {(r["k"], r["s"]) for r in spark.sql(out).collect()}
+    assert rows == {("x", 3), ("y", 10), (None, 13)}
+    # multi-key: exactly the group rows plus ONE grand total (no
+    # intermediate rollup levels)
+    out = clickhouse_to_spark_sql(
+        "SELECT k, v % 2 AS par, count(*) AS n FROM wtt GROUP BY k, v % 2 WITH TOTALS"
+    )
+    res = spark.sql(out).collect()
+    totals = [r for r in res if r["k"] is None and r["par"] is None]
+    assert len(totals) == 1 and totals[0]["n"] == 3
+    assert len(res) == 4  # 3 group rows + totals
+
+
+def test_final_guard_catches_backquoted_tables():
+    import pytest
+
+    # a backquoted table in FINAL position must raise (not silently
+    # parse FINAL as an alias)
+    with pytest.raises(ValueError, match="Engine.table"):
+        clickhouse_to_spark_sql("SELECT x FROM `events` FINAL")
+    # an alias literally named final (with AS) stays legal
+    out = clickhouse_to_spark_sql("SELECT final.x FROM t AS final")
+    assert out == "SELECT final.x FROM t AS final"
+
+
+def test_rewrite_final_tables_resolves_backquoted_names():
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        rewrite_final_tables,
+    )
+
+    out = rewrite_final_tables(
+        "SELECT x FROM `events` FINAL", lambda n: n + "_v"
+    )
+    assert out == "SELECT x FROM events_v AS events"
+    # a single-quoted literal in table-ish position is never resolved
+    out = rewrite_final_tables(
+        "SELECT 'FROM x FINAL' AS s FROM events FINAL", lambda n: n + "_v"
+    )
+    assert out == "SELECT 'FROM x FINAL' AS s FROM events_v AS events"
 
 
 def test_show_create_round_trips(spark, tmp_path):

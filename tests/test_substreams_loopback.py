@@ -177,8 +177,12 @@ def test_loopback_stream_undo_reconnect_resume_and_ingest(spark, tmp_path):
     assert len(src.undo_signals) == 1
     assert src.undo_signals[0].last_valid_block == 2
     assert src.undo_signals[0].last_valid_cursor == "cur2"
-    # every accepted block's cursor was observed in order
-    assert [c for c, _ in cursors_seen] == ["cur1", "cur2", "cur3", "cur3b", "cur4", "cur5"]
+    # checkpoints fire only at spool boundaries, AFTER the batch is
+    # durable, with the last spooled message's cursor (the reference
+    # commits cursor + data in one transaction, db/flush.go:52-56):
+    # batch-full after block2, undo-flush after block3, reconnect-flush
+    # after block3b, batch-full after block5
+    assert cursors_seen == [("cur2", 2), ("cur3", 3), ("cur3b", 3), ("cur5", 5)]
 
     # spool -> real ingest pipeline -> merged state
     from substreams_sink_clickhouse_spark.streaming.pipeline import (
@@ -246,3 +250,56 @@ def test_spool_seq_resumes_past_existing_files(tmp_path):
     assert src._next_spool_seq() == 2
     fresh = SubstreamsLiveSource("example.invalid:443", "db_out", str(tmp_path / "empty"))
     assert fresh._next_spool_seq() == 0
+
+
+def test_spool_seq_ignores_stray_files(tmp_path):
+    """A user-copied ``spool-backup.parquet`` (or any non-numeric
+    middle) must not abort startup with a ValueError (review
+    finding) — only the source's own 8-digit names count."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "spool-backup.parquet").write_bytes(b"x")
+    (spool / "spool-00000003.parquet.bak").write_bytes(b"x")
+    src = SubstreamsLiveSource("example.invalid:443", "db_out", str(spool))
+    assert src._next_spool_seq() == 0
+    (spool / "spool-00000007.parquet").write_bytes(b"x")
+    assert src._next_spool_seq() == 8
+
+
+def test_on_cursor_fires_only_after_durable_spool(tmp_path, monkeypatch):
+    """Crash-safety of the checkpoint callback: if the spool write
+    fails, on_cursor must NOT have fired for that batch — a persisted
+    cursor ahead of unspooled data permanently skips those blocks on
+    resume (the reference commits cursor + data atomically,
+    db/flush.go:52-56)."""
+    spool = str(tmp_path / "spool")
+    src = SubstreamsLiveSource(
+        "example.invalid:443",
+        "db_out",
+        spool,
+        spool_batch=1,
+        max_reconnects=0,
+    )
+    seen: list[tuple[str, int]] = []
+
+    def boom(batch, seq):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(src, "_spool", boom)
+
+    class OneBlockChannel:
+        def unary_stream(self, method, request_serializer, response_deserializer):
+            def call(request, metadata=None):
+                # unframed Response bytes: the channel contract yields
+                # deserialized messages, framing is transport-internal
+                yield _block_response(1, "cur1", [_kv_change("a", "CREATE", "1")])
+
+            return call
+
+    src.channel_factory = OneBlockChannel
+    import pytest
+
+    with pytest.raises(OSError):
+        src.run(on_cursor=lambda c, n: seen.append((c, n)))
+    # the batch never became durable, so no checkpoint was reported
+    assert seen == []
