@@ -420,7 +420,9 @@ def _map_paren_groups(code: str, fn) -> str:
 
 
 def _rewrite_limit_by(code: str) -> str:
-    """``LIMIT [o,] n BY <exprs>`` → row_number window ≤ n.
+    """``LIMIT [o,] n BY <exprs>`` / ``LIMIT n OFFSET o BY <exprs>``
+    → row_number window ≤ n (both ClickHouse offset spellings; note
+    the operand order differs between them).
 
     ClickHouse keeps the first ``n`` rows (after ``o`` skipped) per
     distinct value of the BY expressions, in the query's ORDER BY
@@ -442,7 +444,9 @@ def _rewrite_limit_by(code: str) -> str:
     while True:
         blank = _blank_parens(code)
         m = re.search(
-            r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)\s*)?BY\b", blank, re.IGNORECASE
+            r"\bLIMIT\s+(\d+)\s*(?:(,|OFFSET)\s*(\d+)\s*)?BY\b",
+            blank,
+            re.IGNORECASE,
         )
         if not m:
             return code
@@ -452,10 +456,15 @@ def _rewrite_limit_by(code: str) -> str:
                 "UNION/INTERSECT/EXCEPT in a subquery and apply LIMIT BY "
                 "outside it"
             )
-        offset, n = (int(m.group(1)), int(m.group(2))) if m.group(2) else (
-            0,
-            int(m.group(1)),
-        )
+        # ClickHouse has two offset spellings with SWAPPED operand
+        # order: ``LIMIT o, n BY`` (offset first) and
+        # ``LIMIT n OFFSET o BY`` (count first).
+        if m.group(2) is None:
+            offset, n = 0, int(m.group(1))
+        elif m.group(2) == ",":
+            offset, n = int(m.group(1)), int(m.group(3))
+        else:
+            offset, n = int(m.group(3)), int(m.group(1))
         tail_m = re.search(r"\bLIMIT\b", blank[m.end() :], re.IGNORECASE)
         cols_end = m.end() + tail_m.start() if tail_m else len(code)
         cols = code[m.end() : cols_end].strip().rstrip(",")
@@ -501,8 +510,20 @@ def _rewrite_with_totals(code: str) -> str:
     code = _map_paren_groups(code, _rewrite_with_totals)
     while True:
         blank = _blank_parens(code)
-        m = re.search(r"\bWITH\s+TOTALS\b", blank, re.IGNORECASE)
-        if not m:
+        # ``WITH TOTALS`` is only the clause when a GROUP BY precedes
+        # it at this depth — a CTE or identifier literally named
+        # ``totals`` (``WITH totals AS (...) SELECT ... FROM totals``)
+        # must pass through untouched, not raise.
+        m = gb = None
+        for cand in re.finditer(r"\bWITH\s+TOTALS\b", blank, re.IGNORECASE):
+            last_gb = None
+            for gb_m in re.finditer(r"\bGROUP\s+BY\b", blank, re.IGNORECASE):
+                if gb_m.end() <= cand.start():
+                    last_gb = gb_m
+            if last_gb is not None:
+                m, gb = cand, last_gb
+                break
+        if m is None:
             return code
         if re.search(r"\bHAVING\b", blank, re.IGNORECASE):
             raise ValueError(
@@ -510,12 +531,6 @@ def _rewrite_with_totals(code: str) -> str:
                 "totals_mode - express it explicitly as GROUPING SETS plus "
                 "the HAVING you intend (the q108_with_totals shape)"
             )
-        gb = None
-        for gb_m in re.finditer(r"\bGROUP\s+BY\b", blank, re.IGNORECASE):
-            if gb_m.end() <= m.start():
-                gb = gb_m
-        if gb is None:
-            raise ValueError("WITH TOTALS without a GROUP BY")
         keys = code[gb.end() : m.start()].strip().rstrip(",")
         if not keys:
             raise ValueError("GROUP BY ... WITH TOTALS needs group keys")

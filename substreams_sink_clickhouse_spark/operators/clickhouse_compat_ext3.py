@@ -1233,7 +1233,7 @@ SELECT user_id, event_id, round(value, 2) AS value
 FROM (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY value DESC, event_id) AS rn
+                            ORDER BY round(value, 2) DESC, event_id) AS rn
   FROM events)
 WHERE rn <= 2
 ORDER BY user_id, value DESC, event_id

@@ -379,8 +379,11 @@ class SubstreamsLiveSource:
     def _next_spool_seq(self) -> int:
         """First unused spool file number in ``spool_dir`` (0 for a
         fresh directory).  Only names this source itself writes
-        (``spool-<8 digits>.parquet``) count — a stray user-copied
-        ``spool-backup.parquet`` must not abort startup."""
+        (``spool-<digits>.parquet``) count — a stray user-copied
+        ``spool-backup.parquet`` must not abort startup.  ``{seq:08d}``
+        widens past 8 digits at seq ≥ 10^8, so the match accepts 8 OR
+        MORE digits; requiring exactly 8 would hide those files after
+        a restart and let os.rename overwrite them."""
         import re
 
         try:
@@ -390,7 +393,7 @@ class SubstreamsLiveSource:
         seqs = [
             int(m.group(1))
             for n in names
-            if (m := re.fullmatch(r"spool-(\d{8})\.parquet", n))
+            if (m := re.fullmatch(r"spool-(\d{8,})\.parquet", n))
         ]
         return max(seqs) + 1 if seqs else 0
 

@@ -370,12 +370,32 @@ def test_untranslatable_clauses_raise_with_guidance():
             "SELECT a, count(*) FROM t GROUP BY a WITH TOTALS HAVING count(*) > 1",
             "totals_mode",
         ),
-        ("SELECT a, count(*) FROM t WITH TOTALS", "without a GROUP BY"),
     ]:
         with pytest.raises(ValueError, match=msg):
             clickhouse_to_spark_sql(q)
     # plain LIMIT still passes through
     assert "LIMIT 3" in clickhouse_to_spark_sql("SELECT a FROM t LIMIT 3")
+
+
+def test_with_totals_only_fires_after_group_by(spark):
+    # a CTE (or any identifier) literally named ``totals`` is NOT the
+    # WITH TOTALS clause — it must pass through untouched, not raise
+    q = "WITH totals AS (SELECT 1 AS x) SELECT x FROM totals"
+    assert clickhouse_to_spark_sql(q) == q
+    assert spark.sql(clickhouse_to_spark_sql(q)).collect()[0]["x"] == 1
+    # no preceding GROUP BY anywhere: leave untouched (Spark will give
+    # its own parse error rather than a misleading dialect raise)
+    q = "SELECT a, count(*) FROM t WITH TOTALS"
+    assert clickhouse_to_spark_sql(q) == q
+    # a CTE named totals does not confuse a REAL trailing WITH TOTALS
+    q = (
+        "WITH totals AS (SELECT 'x' AS k UNION ALL SELECT 'x') "
+        "SELECT k, count(*) AS n FROM totals GROUP BY k WITH TOTALS"
+    )
+    out = clickhouse_to_spark_sql(q)
+    assert "GROUPING SETS" in out and out.startswith("WITH totals AS")
+    rows = {(r["k"], r["n"]) for r in spark.sql(out).collect()}
+    assert rows == {("x", 2), (None, 2)}
 
 
 def test_limit_by_translates_and_executes(spark):
@@ -393,6 +413,13 @@ def test_limit_by_translates_and_executes(spark):
     # offset form: skip the best row per group, keep the next 1
     out = clickhouse_to_spark_sql(
         "SELECT uid, tag, v FROM lbt ORDER BY v DESC LIMIT 1, 1 BY uid"
+    )
+    rows = {tuple(r) for r in spark.sql(out).collect()}
+    assert rows == {(1, "b", 20.0), (2, "d", 5.0)}
+    # alternate offset spelling, SWAPPED operand order:
+    # LIMIT n OFFSET o BY == LIMIT o, n BY
+    out = clickhouse_to_spark_sql(
+        "SELECT uid, tag, v FROM lbt ORDER BY v DESC LIMIT 1 OFFSET 1 BY uid"
     )
     rows = {tuple(r) for r in spark.sql(out).collect()}
     assert rows == {(1, "b", 20.0), (2, "d", 5.0)}

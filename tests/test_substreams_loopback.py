@@ -266,6 +266,19 @@ def test_spool_seq_ignores_stray_files(tmp_path):
     assert src._next_spool_seq() == 8
 
 
+def test_spool_seq_counts_names_wider_than_8_digits(tmp_path):
+    """``{seq:08d}`` widens to 9+ digits once seq reaches 10^8; those
+    files must still count toward the max or a restart would reset the
+    sequence low and os.rename silently OVERWRITE them (review
+    finding)."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "spool-00000007.parquet").write_bytes(b"x")
+    (spool / f"spool-{10**8:08d}.parquet").write_bytes(b"x")  # 9 digits
+    src = SubstreamsLiveSource("example.invalid:443", "db_out", str(spool))
+    assert src._next_spool_seq() == 10**8 + 1
+
+
 def test_on_cursor_fires_only_after_durable_spool(tmp_path, monkeypatch):
     """Crash-safety of the checkpoint callback: if the spool write
     fails, on_cursor must NOT have fired for that batch — a persisted
