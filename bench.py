@@ -6,6 +6,14 @@
 
 ``value`` is the summed wall-clock of the headline queries (excluding
 session startup; including plan build + execution + collect).
+
+The line is self-adjudicating: it carries ``loadavg_before/after``
+(1-minute /proc/loadavg around the timed section) and a paired
+same-process DuckDB oracle run (``oracle_total_sec``,
+``oracle_queries``, ``ratio_vs_oracle``), so the engine/oracle ratio
+is computable from the artifact alone — a loaded host inflates BOTH
+sides instead of silently penalizing the engine (round-4 drift was
+exactly this).
 """
 
 from __future__ import annotations
@@ -41,6 +49,55 @@ HEADLINE = [
     "multimodal_features",
     "corpus_prep",
 ]
+
+
+#: Tables the oracle registers as DuckDB views (the driver's fixture set).
+ORACLE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def loadavg_1m() -> float | None:
+    """1-minute load average, or None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
+def oracle_timings(sf_dir: str, names: list[str]) -> tuple[dict[str, float], list[str]]:
+    """Best-of-3 DuckDB wall-clock per named headline query (the same
+    oracle SQL the correctness gate uses).  Returns (timings, skipped)
+    where ``skipped`` lists entries with no oracle SQL (streaming-only
+    shapes).  Shared by bench.py's paired in-artifact run and
+    tools/bench_oracle.py's standalone report."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    conn = duckdb.connect()
+    for name in ORACLE_TABLES:
+        conn.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            skipped.append(name)
+            continue
+        conn.sql(sql).fetchall()  # warm the buffer once
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            conn.sql(sql).fetchall()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    return timings, skipped
 
 
 def bench_ingest(spark, sf_dir: str) -> float:
@@ -214,6 +271,7 @@ def main() -> None:
         except OSError:
             return
 
+    loadavg_before = loadavg_1m()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -225,6 +283,15 @@ def main() -> None:
             best = min(best, time.time() - t0)
             time.sleep(0.2)
         timings[name] = round(best, 3)
+
+    # Paired oracle: the SAME box, back-to-back with the sequential
+    # engine numbers above, so BENCH_rN.json carries its own
+    # denominator (a loaded host inflates both sides together).
+    settle()
+    try:
+        oracle, oracle_skipped = oracle_timings(sf_dir, HEADLINE)
+    except Exception:
+        oracle, oracle_skipped = {}, list(HEADLINE)
     # Concurrent submission: the same 20 queries submitted from 20
     # threads (Spark's scheduler interleaves them across local[32]).
     # This is how a query server actually runs — per-query fixed costs
@@ -260,6 +327,18 @@ def main() -> None:
         ingest_sec = None
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg_after = loadavg_1m()
+    oracle_total = round(sum(oracle.values()), 3) if oracle else None
+    # ratio over the INTERSECTION: entries with no oracle SQL
+    # (streaming-only shapes) are excluded from BOTH sides
+    engine_on_oracle_set = round(
+        sum(t for n, t in timings.items() if n in oracle), 3
+    )
+    ratio = (
+        round(engine_on_oracle_set / oracle_total, 3)
+        if oracle_total
+        else None
+    )
     print(
         json.dumps(
             {
@@ -270,8 +349,21 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "concurrent_total_sec": concurrent_total,
                 "ingest_e2e_sec": ingest_sec,
+                "loadavg_before": loadavg_before,
+                "loadavg_after": loadavg_after,
+                "oracle_total_sec": oracle_total,
+                "oracle_queries": oracle,
+                "oracle_skipped": oracle_skipped,
+                "engine_total_on_oracle_set_sec": engine_on_oracle_set,
+                "ratio_vs_oracle": ratio,
             }
         )
+    )
+    print(
+        "[rotation] driver correctness sample: rotate per SAMPLE_MANIFEST.json -- "
+        "reproduce with: python tools/check_correctness.py /root/testdata/sf0.01 "
+        "$(python tools/sample_manifest.py --names-only)",
+        file=sys.stderr,
     )
 
 

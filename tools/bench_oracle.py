@@ -19,40 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, oracle_timings  # noqa: E402
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    import duckdb
-
-    import __spark_entry__ as entry_mod
-
-    oracles = entry_mod.oracle_sql()
-    conn = duckdb.connect()
-    for name in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        conn.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
-
-    timings: dict[str, float] = {}
-    skipped: list[str] = []
-    for name in HEADLINE:
-        sql = oracles.get(name)
-        if sql is None:
-            skipped.append(name)
-            continue
-        # Warm once (buffer the parquet), then best-of-3.
-        conn.sql(sql).fetchall()
-        best = min(
-            _timed(conn, sql) for _ in range(3)
-        )
-        timings[name] = round(best, 3)
+    timings, skipped = oracle_timings(sf_dir, HEADLINE)
 
     print(
         json.dumps(
@@ -67,12 +41,6 @@ def main() -> int:
         )
     )
     return 0
-
-
-def _timed(conn, sql: str) -> float:
-    t0 = time.time()
-    conn.sql(sql).fetchall()
-    return time.time() - t0
 
 
 if __name__ == "__main__":

