@@ -55,6 +55,36 @@ def coerce(col: Column, dtype: T.DataType) -> Column:
     return col.cast(dtype)
 
 
+def coerce_sql(expr: str, dtype: T.DataType) -> str:
+    """SQL-text twin of :func:`coerce` — identical semantics, emitted
+    as one expression string so plan builders can compose a whole
+    projection into a single ``selectExpr`` (one py4j round-trip)
+    instead of assembling Column trees call-by-call.  Kept in lockstep
+    with :func:`coerce`; tests/test_coercion.py pins the equivalence.
+    """
+    if isinstance(dtype, T.TimestampType):
+        return (
+            f"CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS TIMESTAMP) "
+            f"WHEN ({expr}) RLIKE '^\\\\d+$' "
+            f"THEN timestamp_seconds(CAST(({expr}) AS BIGINT)) "
+            f"ELSE try_to_timestamp({expr}) END"
+        )
+    if isinstance(dtype, T.DateType):
+        return (
+            f"CASE WHEN ({expr}) RLIKE '^\\\\d+$' "
+            f"THEN to_date(timestamp_seconds(CAST(({expr}) AS BIGINT))) "
+            f"ELSE CAST(try_to_timestamp({expr}) AS DATE) END"
+        )
+    if isinstance(dtype, T.BooleanType):
+        return (
+            f"CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE lower({expr}) = 'true' END"
+        )
+    if isinstance(dtype, T.StringType):
+        return f"({expr})"
+    return f"CAST(({expr}) AS {dtype.simpleString()})"
+
+
 def coerce_fields(fields_col: Column, schema: T.StructType) -> dict[str, Column]:
     """Project a ``map<string,string>`` fields column into one typed
     column per schema field (missing keys -> null)."""

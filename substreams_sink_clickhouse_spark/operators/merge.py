@@ -16,9 +16,10 @@ the sink buffers at most ONE pending operation per ``(table, pk)``:
 
 Spark-first design: the fold runs *distributively* — group the window's
 changes by ``(table, pk)``, sort each group's ops by
-``(block_num, ordinal)`` and fold them with a Catalyst higher-order
-``aggregate`` lambda (pure JVM, whole-stage codegen; no Python in the
-row path, no driver-side state).  Scale notes:
+``(block_num, ordinal)`` and derive the folded state with pure
+whole-stage-codegen array expressions (see the shape-lemma notes above
+``_BAD_CREATE_POS``; no lambda, no Python in the row path, no
+driver-side state).  Scale notes:
 
 * the only shuffle is the groupBy on ``(table, pk)`` — exactly the key
   the downstream apply-join needs, so Catalyst reuses the partitioning;
@@ -55,106 +56,117 @@ from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
 from substreams_sink_clickhouse_spark.errors import MergeSemanticsError
-from substreams_sink_clickhouse_spark.functions.coercion import coerce
+from substreams_sink_clickhouse_spark.functions.coercion import coerce_sql
 
-#: Catalyst fold of one (table, pk) group's ordered ops.
-#: State: struct(op: NONE|CREATE|UPDATE|DELETE, fields, err).
-#: Field merges rely on ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
-#: (set by tune_session AND by reduce_changes itself): ``map_concat(a,
-#: b)`` then IS last-writer-wins per key, with no per-step map_filter
-#: scan.
-#: The explicit comparator lambda sorts by (block_num, ordinal) — struct
-#: elements containing maps are not naturally orderable; a comparator
-#: sidesteps that and never touches the map.
+#: The fold is expressed WITHOUT a higher-order ``aggregate`` lambda.
+#: An earlier version folded each group's sorted ops with a Catalyst
+#: ``aggregate(array_sort(...), ..., (acc, x) -> CASE ...)`` lambda;
+#: higher-order functions are CodegenFallback (interpreted per
+#: element), and the lambda's per-step named_struct/map_concat
+#: allocation measured ~100 ms of the sf0.1 cdc_merge replay on its
+#: own (tools/profile_cdc_merge.py).  The reformulation below computes
+#: the IDENTICAL result — including the frozen pre-error state and the
+#: reference's two error messages (db/ops.go:30, db/ops.go:66) — from
+#: whole-stage-codegen expressions only:
 #:
-#: Single-op fast path: most keys in a flush window carry exactly one
-#: change (57% in the sf0.1 replay; higher in steady-state CDC), and a
-#: one-element group needs neither the comparator sort nor the
-#: interpreted fold machinery — the direct CASE below is the fold's
-#: provable result for each op kind (no error state is reachable from
-#: one op).  Measured: −18% on the sf0.1 replay, values bit-identical
-#: across all 128,571 output rows; the property suite
-#: (tests/test_merge_property.py) pins equivalence against the Python
-#: model for every path.
-_SINGLE_OP_EXPR = """
+#: * each row contributes its field map as an ENTRIES array
+#:   (``map_entries``), with the pk entry appended right after a
+#:   CREATE's own fields (the fold injected pk at exactly that point,
+#:   db/ops.go:37-39);
+#: * the group aggregates ONE ``sort_array(collect_list(struct(seq,
+#:   op, ent)))`` — naturally orderable because the map was converted
+#:   to entries (maps are not orderable; this is why the old version
+#:   needed a comparator lambda).  Ties on (block_num, ordinal) break
+#:   on (op, entries) deterministically, where the old comparator fell
+#:   back to collect order (= partition layout);
+#: * op/err/fields derive from the sorted array with array_position /
+#:   slice / flatten / map_from_entries — all codegen — using the
+#:   non-error shape lemma: a sequence folds without error iff it
+#:   matches (CREATE)? UPDATE* DELETE* (any CREATE not in first
+#:   position errors as duplicate-insert; any UPDATE after a DELETE
+#:   errors as update-after-delete);
+#: * last-writer-wins per field falls out of
+#:   ``map_from_entries(flatten(entries-in-seq-order))`` under
+#:   ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` — the same policy the
+#:   old fold's ``map_concat`` relied on.
+#:
+#: Equivalence is pinned by tests/test_merge_property.py (random op
+#: sequences vs the sequential Python model of db/ops.go) and the unit
+#: suite's error-path tests.
+#:
+#: ``__ops``/``__ents`` are GetArrayStructFields extractions (codegen,
+#: not lambdas); positions are 1-based (array_position/element_at).
+_BAD_CREATE_POS = """
 CASE
-  WHEN ops_sorted[0].op = 'CREATE' THEN named_struct(
-    'op', 'CREATE',
-    'fields', map_concat(
-       coalesce(ops_sorted[0].fields, cast(map() as map<string,string>)),
-       map(pk_name, pk)),
-    'err', cast(null as string))
-  WHEN ops_sorted[0].op = 'UPDATE' THEN named_struct(
-    'op', 'UPDATE',
-    'fields', coalesce(ops_sorted[0].fields, cast(map() as map<string,string>)),
-    'err', cast(null as string))
-  ELSE named_struct(
-    'op', 'DELETE',
-    'fields', cast(map() as map<string,string>),
-    'err', cast(null as string))
+  WHEN array_position(__ops, 'CREATE') = 0 THEN 0
+  WHEN array_position(__ops, 'CREATE') > 1 THEN array_position(__ops, 'CREATE')
+  WHEN array_position(slice(__ops, 2, size(__ops) - 1), 'CREATE') = 0 THEN 0
+  ELSE array_position(slice(__ops, 2, size(__ops) - 1), 'CREATE') + 1
 END
 """
 
-_FOLD_EXPR = """
-aggregate(
-  array_sort(
-    ops_sorted,
-    (l, r) -> CASE
-      WHEN l.block_num < r.block_num THEN -1
-      WHEN l.block_num > r.block_num THEN 1
-      WHEN l.ordinal < r.ordinal THEN -1
-      WHEN l.ordinal > r.ordinal THEN 1
-      ELSE 0 END),
-  named_struct(
-    'op', 'NONE',
-    'fields', cast(map() as map<string,string>),
-    'err', cast(null as string)),
-  (acc, x) -> CASE
-    WHEN acc.err IS NOT NULL THEN acc
-    WHEN x.op = 'CREATE' THEN
-      CASE WHEN acc.op <> 'NONE' THEN
-        named_struct('op', acc.op, 'fields', acc.fields,
-                     'err', concat('duplicate insert: pk already has a pending ', acc.op))
-      ELSE
-        named_struct('op', 'CREATE',
-                     'fields', map_concat(
-                        coalesce(x.fields, cast(map() as map<string,string>)),
-                        map(pk_name, pk)),
-                     'err', cast(null as string))
-      END
-    WHEN x.op = 'UPDATE' THEN
-      CASE
-        WHEN acc.op = 'DELETE' THEN
-          named_struct('op', acc.op, 'fields', acc.fields,
-                       'err', 'update a deleted row')
-        WHEN acc.op = 'NONE' THEN
-          named_struct('op', 'UPDATE',
-                       'fields', coalesce(x.fields, cast(map() as map<string,string>)),
-                       'err', cast(null as string))
-        ELSE
-          named_struct('op', acc.op,
-                       'fields', map_concat(
-                          acc.fields,
-                          coalesce(x.fields, cast(map() as map<string,string>))),
-                       'err', cast(null as string))
-      END
-    WHEN x.op = 'DELETE' THEN
-      named_struct('op', 'DELETE',
-                   'fields', cast(map() as map<string,string>),
-                   'err', cast(null as string))
-    ELSE acc
-  END
-)
+_BAD_UPDATE_POS = """
+CASE
+  WHEN array_position(__ops, 'DELETE') = 0 THEN 0
+  WHEN array_position(slice(__ops, array_position(__ops, 'DELETE') + 1,
+                            size(__ops)), 'UPDATE') = 0 THEN 0
+  ELSE array_position(slice(__ops, array_position(__ops, 'DELETE') + 1,
+                            size(__ops)), 'UPDATE')
+       + array_position(__ops, 'DELETE')
+END
 """
 
-#: Dispatch: one-op groups take the direct path, the rest fold.
-_FOLD_EXPR = (
-    "CASE WHEN size(ops_sorted) = 1 THEN "
-    + _SINGLE_OP_EXPR
-    + " ELSE "
-    + _FOLD_EXPR
-    + " END"
-)
+#: Pending-op kind of the non-error PREFIX ending just before position
+#: ``{pos}`` (exclusive): the prefix matches (C)? U* D*, so its folded
+#: op is DELETE if it contains one, else CREATE iff it starts with one,
+#: else UPDATE.
+_PREFIX_OP = """
+CASE
+  WHEN array_position(__ops, 'DELETE') > 0
+       AND array_position(__ops, 'DELETE') < {pos} THEN 'DELETE'
+  WHEN __ops[0] = 'CREATE' THEN 'CREATE'
+  ELSE 'UPDATE'
+END
+"""
+
+_ERR_EXPR = f"""
+CASE
+  WHEN __bad_u > 0 AND (__bad_c = 0 OR __bad_u < __bad_c)
+    THEN 'update a deleted row'
+  WHEN __bad_c > 0
+    THEN concat('duplicate insert: pk already has a pending ',
+                {_PREFIX_OP.format(pos='__bad_c')})
+  ELSE cast(null as string)
+END
+"""
+
+#: Folded op: frozen prefix op on error, else the shape-lemma result.
+_OP_EXPR = f"""
+CASE
+  WHEN __err IS NOT NULL THEN {_PREFIX_OP.format(pos='__errpos')}
+  WHEN array_position(__ops, 'DELETE') > 0 THEN 'DELETE'
+  WHEN __ops[0] = 'CREATE' THEN 'CREATE'
+  ELSE 'UPDATE'
+END
+"""
+
+#: Folded fields: frozen prefix merge on error (empty once the prefix
+#: saw a DELETE — db/ops.go:108-121 clears fields), else empty for a
+#: surviving DELETE, else the last-wins union of every op's entries in
+#: sequence order (LAST_WIN dedup).
+_FIELDS_EXPR = """
+CASE
+  WHEN __err IS NOT NULL THEN
+    CASE
+      WHEN array_position(__ops, 'DELETE') > 0
+           AND array_position(__ops, 'DELETE') < __errpos
+        THEN cast(map() as map<string,string>)
+      ELSE map_from_entries(flatten(slice(__ents, 1, __errpos - 1)))
+    END
+  WHEN array_position(__ops, 'DELETE') > 0 THEN cast(map() as map<string,string>)
+  ELSE map_from_entries(flatten(__ents))
+END
+"""
 
 
 def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFrame:
@@ -164,54 +176,123 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
     default ``id``, db/db.go:121-124).  Returns
     ``(table, pk, pk_name, op, fields, err)`` with ``op`` in
     CREATE|UPDATE|DELETE (NONE rows — all-UNSET groups — are dropped).
+
+    The change window's field payload is accepted as EITHER a
+    ``fields`` map column or a pre-built ``fields_entries``
+    ``array<struct<key:string,value:string>>`` column (preferred when
+    both are present).  The kernel works on entry arrays internally;
+    a producer that already has entries (the wire format itself is a
+    repeated Field message, pb/.../database.pb.go:201-209) can hand
+    them over directly and skip a map build + map_entries round-trip.
     """
-    # The fold's map_concat depends on LAST_WIN dedup (see _FOLD_EXPR);
-    # a stock session carries EXCEPTION and would throw on a re-updated
-    # field.  Set it here so the kernel is correct standalone, not only
-    # behind tune_session.
+    # The merge's map_from_entries depends on LAST_WIN dedup (see
+    # _FIELDS_EXPR); a stock session carries EXCEPTION and would throw
+    # on a re-updated field.  Set it here so the kernel is correct
+    # standalone, not only behind tune_session.
     changes.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    pk_map = F.create_map(
-        *[F.lit(x) for pair in primary_keys.items() for x in pair]
-    )
-    grouped = (
-        changes.withColumn("op", F.upper("op"))
-        .filter(F.col("op").isin("CREATE", "UPDATE", "DELETE"))
-        .groupBy("table", "pk")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("block_num"),
-                    F.col("ordinal"),
-                    F.col("op"),
-                    F.col("fields"),
-                )
-            ).alias("ops_sorted")
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    if primary_keys:
+        pk_map_sql = "map(" + ", ".join(
+            f"'{esc(k)}', '{esc(v)}'" for k, v in primary_keys.items()
+        ) + ")"
+        pk_name_sql = f"coalesce({pk_map_sql}[table], 'id')"
+    else:
+        pk_name_sql = "'id'"
+    # Per-row (pre-aggregate, all codegen): normalize op, compute the
+    # pk column name, and convert the field map to an ENTRIES array —
+    # a CREATE appends its pk entry right after its own fields, which
+    # is exactly where the reference injects it (db/ops.go:37-39), so
+    # a later UPDATE to the pk field still wins under LAST_WIN.
+    if "fields_entries" in changes.columns:
+        raw_ent = (
+            "coalesce(fields_entries, "
+            "cast(array() as array<struct<key:string,value:string>>))"
         )
-        .withColumn("pk_name", F.coalesce(pk_map[F.col("table")], F.lit("id")))
-    )
-    # Generate barrier: ``explode(array(fold))`` materializes the folded
-    # struct ONCE per group.  Without it, CollapseProject inlines the
-    # whole fold lambda into every downstream reference — the apply
-    # join's keep-filter (err + op checks) and the per-column projection
-    # would each re-evaluate the entire aggregate, tripling the fold
-    # cost (measured: 0.98s -> 0.62s on the sf0.1 cdc_merge replay).
-    # Predicates on ``folded.*`` cannot push through a Generate, so the
-    # single evaluation is preserved no matter what the caller stacks
-    # on top.  NONE groups (all-UNSET) are rare and handled as no-ops
-    # by ``apply_table_ops``.
-    folded = grouped.select(
+    else:
+        raw_ent = "map_entries(coalesce(fields, cast(map() as map<string,string>)))"
+    # Plans here are built as a handful of ``selectExpr`` passes over
+    # composed SQL strings — ONE py4j round-trip each — with Generate
+    # barriers between derivation layers.  Two measured reasons:
+    # (1) assembling these projections Column-by-Column costs ~2,000
+    # py4j round-trips (~0.35 s of pure socket latency per cdc_merge
+    # plan build, cProfile); (2) without barriers CollapseProject
+    # textually inlines each intermediate (``__bad_c`` etc.) into
+    # every downstream reference, so the tree the optimizer and
+    # codegen must chew grows multiplicatively — measured as ~0.4 s of
+    # plan build+optimize per cdc_merge compile.
+    pre = changes.selectExpr(
         "table",
         "pk",
-        "pk_name",
-        F.explode(F.array(F.expr(_FOLD_EXPR))).alias("folded"),
+        "named_struct('block_num', block_num, 'ordinal', ordinal) AS seq",
+        "upper(op) AS op",
+        f"""CASE WHEN upper(op) = 'CREATE' THEN concat(
+                   {raw_ent},
+                   array(named_struct('key', {pk_name_sql}, 'value', pk)))
+                 ELSE {raw_ent} END AS __ent""",
+    ).where("op IN ('CREATE', 'UPDATE', 'DELETE')")
+    # ONE aggregate per (table, pk): the naturally-sorted event list.
+    # sort_array needs no comparator lambda because the map became an
+    # entries array (orderable).
+    grouped = pre.groupBy("table", "pk").agg(
+        F.expr(
+            "sort_array(collect_list(named_struct("
+            "'seq', seq, 'op', op, 'ent', __ent)))"
+        ).alias("__evs")
     )
-    return folded.select(
+    # Layer 1 barrier: materialize the ops/entries arrays and the two
+    # bad-op positions once, so layer 2's CASEs reference them as plain
+    # columns instead of inlining the array_position/slice trees.
+    layer1 = grouped.selectExpr(
         "table",
         "pk",
-        "pk_name",
-        F.col("folded.op").alias("op"),
-        F.col("folded.fields").alias("fields"),
-        F.col("folded.err").alias("err"),
+        f"""explode(array(named_struct(
+              'ops', __evs.op,
+              'ents', __evs.ent,
+              'bad_c', {_BAD_CREATE_POS.replace("__ops", "__evs.op")},
+              'bad_u', {_BAD_UPDATE_POS.replace("__ops", "__evs.op")}))) AS __d""",
+    )
+    # Layer 2 barrier: the folded (op, fields, err) struct, evaluated
+    # ONCE per group.  Downstream, apply_table_ops references
+    # ``fields`` once per target column (getItem + map_contains_key
+    # per field); without the barrier CollapseProject inlines the
+    # map_from_entries(flatten(...)) merge into EVERY reference, so an
+    # N-column table rebuilds the merged map N+1 times (measured: the
+    # full sf0.1 kernel 713 ms inlined vs 388 ms with a barrier).
+    # Predicates cannot push through a Generate, so the single
+    # evaluation survives whatever the caller stacks on top.
+    errpos = (
+        "(CASE WHEN __bad_u > 0 AND (__bad_c = 0 OR __bad_u < __bad_c) "
+        "THEN __bad_u ELSE __bad_c END)"
+    )
+    # ``__err IS NOT NULL`` ≡ some bad position exists — the flag form
+    # keeps the op/fields trees from inlining the whole err CASE.
+    has_err = "(__bad_c > 0 OR __bad_u > 0)"
+
+    def _on_layer1(expr: str) -> str:
+        """Re-anchor an __ops/__ents/__bad_* template onto the exploded
+        layer-1 struct so no intermediate unpack select is needed."""
+        return (
+            expr.replace("__err IS NOT NULL", has_err)
+            .replace("__errpos", errpos)
+            .replace("__bad_c", "__d.bad_c")
+            .replace("__bad_u", "__d.bad_u")
+            .replace("__ops", "__d.ops")
+            .replace("__ents", "__d.ents")
+        )
+
+    return layer1.selectExpr(
+        "table",
+        "pk",
+        f"explode(array(named_struct('op', {_on_layer1(_OP_EXPR)}, "
+        f"'fields', {_on_layer1(_FIELDS_EXPR)}, "
+        f"'err', {_on_layer1(_ERR_EXPR)}))) AS folded",
+    ).selectExpr(
+        "table",
+        "pk",
+        f"{pk_name_sql} AS pk_name",
+        "folded.op AS op",
+        "folded.fields AS fields",
+        "folded.err AS err",
     )
 
 
@@ -259,9 +340,10 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     * DELETE                       -> row removed
     """
     pk = info.primary_key
-    ops_t = ops.select(
-        F.col("pk").alias("__pk"), F.col("op").alias("__op"), F.col("fields").alias("__fields")
-    )
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    bq = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
+    # Projections are composed as SQL strings into single selectExpr
+    # calls (same py4j round-trip economics as reduce_changes).
     # Initial-load fast path: with no existing state (the reference's
     # main use case is a from-genesis sync) the full-outer reconcile is
     # provably CREATE-rows-only — UPDATE/DELETE on an absent pk match
@@ -271,43 +353,37 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     # raise even though non-CREATE rows are dropped.
     if not target.take(1):
         if "err" in ops.columns:
-            keep = F.when(
-                F.col("err").isNotNull(),
-                F.expr(
-                    "raise_error(concat('invalid change sequence: ', "
-                    "coalesce(pk, '?'), ': ', coalesce(err, '?')))"
-                ).cast("boolean"),
-            ).otherwise(F.col("op") == "CREATE")
+            keep = (
+                "CASE WHEN err IS NOT NULL THEN "
+                "CAST(raise_error(concat('invalid change sequence: ', "
+                "coalesce(pk, '?'), ': ', coalesce(err, '?'))) AS BOOLEAN) "
+                "ELSE op = 'CREATE' END"
+            )
         else:
-            keep = F.col("op") == "CREATE"
-        created = ops.filter(keep)
-        return created.select(
-            *[
-                coerce(F.col("fields").getItem(field.name), field.dataType).alias(field.name)
-                for field in info.schema.fields
-            ]
-        )
+            keep = "op = 'CREATE'"
+        cols = []
+        for field in info.schema.fields:
+            val = coerce_sql(f"fields['{esc(field.name)}']", field.dataType)
+            cols.append(f"{val} AS {bq(field.name)}")
+        return ops.where(keep).selectExpr(*cols)
+    ops_t = ops.selectExpr("pk AS __pk", "op AS __op", "fields AS __fields")
     joined = target.alias("t").join(
-        ops_t, F.col(f"t.{pk}").cast("string") == F.col("__pk"), "full_outer"
+        ops_t, F.expr(f"CAST(t.{bq(pk)} AS STRING) = __pk"), "full_outer"
     )
-    exists = F.col(f"t.{pk}").isNotNull()
-    kept = joined.filter(
-        (F.col("__op").isNull())
-        | (F.col("__op") == "CREATE")
-        | (F.col("__op").isin("UPDATE", "NONE") & exists)
+    kept = joined.where(
+        "__op IS NULL OR __op = 'CREATE' "
+        f"OR (__op IN ('UPDATE', 'NONE') AND t.{bq(pk)} IS NOT NULL)"
     )
     out_cols = []
     for field in info.schema.fields:
-        new_val = coerce(F.col("__fields").getItem(field.name), field.dataType)
-        has_key = F.map_contains_key(F.col("__fields"), F.lit(field.name))
-        out = (
-            F.when(F.col("__op") == "CREATE", new_val)
-            .when((F.col("__op") == "UPDATE") & has_key, new_val)
-            .otherwise(F.col(f"t.{field.name}"))
-            .alias(field.name)
+        new_val = coerce_sql(f"__fields['{esc(field.name)}']", field.dataType)
+        out_cols.append(
+            f"CASE WHEN __op = 'CREATE' THEN {new_val} "
+            f"WHEN __op = 'UPDATE' AND map_contains_key(__fields, '{esc(field.name)}') "
+            f"THEN {new_val} "
+            f"ELSE t.{bq(field.name)} END AS {bq(field.name)}"
         )
-        out_cols.append(out)
-    return kept.select(*out_cols)
+    return kept.selectExpr(*out_cols)
 
 
 def merge_changes(

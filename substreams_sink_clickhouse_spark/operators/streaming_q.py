@@ -282,65 +282,45 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     # compute-dense map-building stage out to every core (a small
     # single-row-group parquet scans as ONE partition).  Measured at
     # sf0.1: one exchange instead of two, ~0.4 s saved on the replay.
-    base = o.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    ).withColumn("pk", F.col("key").cast("string"))
-    # 16-way: wide enough to fan the map-building fold across cores,
+    base = o.selectExpr(
+        "o_orderkey AS key",
+        "o_orderstatus AS status",
+        "o_totalprice AS price",
+        "CAST(o_orderkey AS STRING) AS pk",
+    )
+    # 16-way: wide enough to fan the entry-building fold across cores,
     # narrow enough that per-task dispatch doesn't dominate a 150k-row
     # replay (A/B at sf0.1: 16 beats both 8 and 32).  At cluster scale
     # the width should track the change-window size, not the core count.
     base = base.repartition(min(16, spark.sparkContext.defaultParallelism), "pk")
-    null_map = F.lit(None).cast("map<string,string>")
 
-    def change(block, op, fields):
-        return F.struct(
-            F.lit(block).cast("long").alias("block_num"),
-            F.lit(f"b{block}").alias("block_id"),
-            F.col("key").alias("ordinal"),
-            F.lit(op).alias("op"),
-            fields.alias("fields"),
+    # One selectExpr per projection (plan-build py4j economics — see
+    # operators/merge.py reduce_changes).  The kernel accepts entry
+    # arrays directly (fields_entries); building a map here would only
+    # be converted straight back to entries inside reduce_changes.
+    def change(block, op, entries_sql):
+        return (
+            f"named_struct('block_num', CAST({block} AS BIGINT), "
+            f"'block_id', 'b{block}', 'ordinal', key, 'op', '{op}', "
+            f"'fields_entries', {entries_sql})"
         )
 
-    fanned = base.select(
+    fanned = base.selectExpr(
         "pk",
-        F.explode(
-            F.filter(
-                F.array(
-                    change(
-                        1,
-                        "CREATE",
-                        F.map_from_arrays(
-                            F.array(F.lit("status"), F.lit("price")),
-                            F.array(F.col("status"), F.col("price").cast("string")),
-                        ),
-                    ),
-                    F.when(
-                        F.col("key") % 3 == 0,
-                        change(
-                            2,
-                            "UPDATE",
-                            F.map_from_arrays(
-                                F.array(F.lit("price")),
-                                F.array((F.col("price") + 100).cast("string")),
-                            ),
-                        ),
-                    ),
-                    F.when(F.col("key") % 7 == 0, change(3, "DELETE", null_map)),
-                ),
-                lambda c: c.isNotNull(),
-            )
-        ).alias("c"),
+        f"""explode(filter(array(
+              {change(1, 'CREATE', "array(named_struct('key', 'status', 'value', status), named_struct('key', 'price', 'value', CAST(price AS STRING)))")},
+              CASE WHEN key % 3 = 0 THEN {change(2, 'UPDATE', "array(named_struct('key', 'price', 'value', CAST(price + 100 AS STRING)))")} END,
+              CASE WHEN key % 7 = 0 THEN {change(3, 'DELETE', 'CAST(NULL AS ARRAY<STRUCT<key:STRING,value:STRING>>)')} END
+            ), c -> c IS NOT NULL)) AS c""",
     )
-    changes = fanned.select(
-        F.col("c.block_num").alias("block_num"),
-        F.col("c.block_id").alias("block_id"),
-        F.col("c.ordinal").alias("ordinal"),
-        F.lit("orders_t").alias("table"),
+    changes = fanned.selectExpr(
+        "c.block_num AS block_num",
+        "c.block_id AS block_id",
+        "c.ordinal AS ordinal",
+        "'orders_t' AS `table`",
         "pk",
-        F.col("c.op").alias("op"),
-        F.col("c.fields").alias("fields"),
+        "c.op AS op",
+        "c.fields_entries AS fields_entries",
     )
     catalog = Catalog()
     catalog.register(_ORDERS_T)
