@@ -234,13 +234,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
       decoder for 8-bit RGB/grayscale, all five scanline filters.
 
     * **JPEG** (``FFD8`` magic): real baseline-sequential decode via
-      :func:`operators.jpeg_codec.decode_jpeg_gray` (marker parse,
-      DHT Huffman reconstruction, dequant, IDCT) — grayscale profile;
-      the single luma channel is replicated to RGB.  Progressive /
-      multi-component JPEGs raise ``ValueError`` naming the marker.
+      :func:`operators.jpeg_codec.decode_jpeg_color` (marker parse,
+      DHT Huffman reconstruction, dequant, IDCT) — grayscale (luma
+      replicated to RGB) and 3-component YCbCr with 4:2:0 / 4:2:2 /
+      4:4:0 / 4:4:4 chroma subsampling.  Progressive / 12-bit JPEGs
+      raise ``ValueError`` naming the marker.
 
-    Formats still needing codecs outside the stdlib (WebP, chroma-
-    subsampled color JPEG) raise ``ValueError`` with the magic.
+    Formats still needing codecs outside the stdlib (WebP) raise
+    ``ValueError`` with the magic.
     """
     import struct
 
@@ -292,15 +293,12 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return w, h, rgb
     if payload[:2] == b"\xff\xd8":
         from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
-            decode_jpeg_gray,
+            decode_jpeg_color,
         )
 
-        import numpy as np
-
-        w, h, gray = decode_jpeg_gray(payload)
-        # vectorized replication — a per-byte Python generator costs
-        # ~50M iterations on a 16MP frame
-        return w, h, np.repeat(np.frombuffer(gray, np.uint8), 3).tobytes()
+        # handles baseline grayscale AND 3-component YCbCr (4:2:0 /
+        # 4:2:2 / 4:4:0 / 4:4:4); grayscale luma is replicated to RGB
+        return decode_jpeg_color(payload)
     raise ValueError(f"unsupported image format (magic={payload[:2]!r}); "
                      "WebP needs an imaging library not in this container")
 
@@ -1187,5 +1185,150 @@ SPECS.append(
         "Arrow batches: encode -> decode -> pixel stats",
         _multimodal_jpeg,
         _JPEG_ORACLE,
+    )
+)
+
+
+# ------------------------------------------------------------ color JPEG
+
+JPEG_C_W, JPEG_C_H = 32, 32  # 2x2 grid of 16x16 MCUs (4:2:0)
+
+
+def _jpeg_color_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real baseline YCbCr 4:2:0 JPEG decode (interleaved
+    MCUs, per-component DC predictors, chroma tables from DHT, chroma
+    upsample, YCbCr->RGB) -> channel stats, per Arrow batch.
+
+    The fixture image is a 2x2 grid of SOLID 16x16 RGB tiles (tile i's
+    color = text bytes 3i..3i+2, 0-padded): solid MCU-aligned tiles
+    keep every Y/Cb/Cr block pure DC AND make the 2x2 chroma box
+    average exact, so with the unit quantization table the lossy codec
+    roundtrips the YCbCr planes bit-exactly.  What the decoder returns
+    is therefore exactly ycbcr_to_rgb(rgb_to_ycbcr(color)) — the
+    color transform is integer-rounded in both directions with
+    floor(x+0.5) (jpeg_codec.py), so the DuckDB oracle states the
+    expected pixels with the same plain arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    tiles_x, tiles_y = JPEG_C_W // 16, JPEG_C_H // 16
+    n_tiles = tiles_x * tiles_y
+
+    def feats(b: bytes):
+        vals = (b[: 3 * n_tiles] + b"\x00" * (3 * n_tiles))[: 3 * n_tiles]
+        img = np.zeros((JPEG_C_H, JPEG_C_W, 3), dtype=np.uint8)
+        for t in range(n_tiles):
+            ty, tx = divmod(t, tiles_x)
+            img[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16] = (
+                vals[3 * t], vals[3 * t + 1], vals[3 * t + 2],
+            )
+        w, h, out = decode_jpeg_color(
+            encode_jpeg_color(img.tobytes(), JPEG_C_W, JPEG_C_H)
+        )
+        got = np.frombuffer(out, dtype=np.uint8).reshape(JPEG_C_H, JPEG_C_W, 3)
+        want = ycbcr_to_rgb(*rgb_to_ycbcr(img))
+        assert (w, h) == (JPEG_C_W, JPEG_C_H) and (got == want).all()  # DC-only => exact
+        return (
+            w, h,
+            int(got[0, 0, 0]), int(got[0, 0, 1]), int(got[0, 0, 2]),
+            int(got[:, :, 0].sum(dtype=np.int64)),
+            int(got[:, :, 1].sum(dtype=np.int64)),
+            int(got[:, :, 2].sum(dtype=np.int64)),
+        )
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                "first_r": pd.Series([r[3] for r in rows], dtype="int32"),
+                "first_g": pd.Series([r[4] for r in rows], dtype="int32"),
+                "first_b": pd.Series([r[5] for r in rows], dtype="int32"),
+                "sum_r": pd.Series([r[6] for r in rows], dtype="int64"),
+                "sum_g": pd.Series([r[7] for r in rows], dtype="int64"),
+                "sum_b": pd.Series([r[8] for r in rows], dtype="int64"),
+            }
+        )
+
+
+JPEG_C_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("first_r", T.IntegerType(), True),
+        T.StructField("first_g", T.IntegerType(), True),
+        T.StructField("first_b", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def _multimodal_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_jpeg_color_batches, schema=JPEG_C_SCHEMA)  # unordered
+
+
+#: The forward/inverse transform below mirrors jpeg_codec.rgb_to_ycbcr /
+#: ycbcr_to_rgb term-for-term (same literals, same left-to-right
+#: association, floor(x+0.5) rounding), so doubles agree bit-for-bit.
+_JPEG_C_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(0, {3 * (JPEG_C_W // 16) * (JPEG_C_H // 16)}),
+                        j -> CASE WHEN j < len(text)
+                                  THEN CAST(unicode(substr(text, j + 1, 1)) AS BIGINT)
+                                  ELSE 0 END) AS b
+  FROM documents),
+t AS (
+  SELECT asset_id,
+         list_transform(range(0, {(JPEG_C_W // 16) * (JPEG_C_H // 16)}),
+                        i -> [b[3 * i + 1], b[3 * i + 2], b[3 * i + 3]]) AS tiles
+  FROM v),
+ycc AS (
+  SELECT asset_id, list_transform(tiles, c ->
+    [least(255, greatest(0, floor(0.299 * c[1] + 0.587 * c[2] + 0.114 * c[3] + 0.5))),
+     least(255, greatest(0, floor(128 - 0.168736 * c[1] - 0.331264 * c[2] + 0.5 * c[3] + 0.5))),
+     least(255, greatest(0, floor(128 + 0.5 * c[1] - 0.418688 * c[2] - 0.081312 * c[3] + 0.5)))]) AS p
+  FROM t),
+rgb AS (
+  SELECT asset_id, list_transform(p, q ->
+    [least(255, greatest(0, floor(q[1] + 1.402 * (q[3] - 128) + 0.5))),
+     least(255, greatest(0, floor(q[1] - 0.344136 * (q[2] - 128) - 0.714136 * (q[3] - 128) + 0.5))),
+     least(255, greatest(0, floor(q[1] + 1.772 * (q[2] - 128) + 0.5)))]) AS p
+  FROM ycc)
+SELECT asset_id,
+       {JPEG_C_W} AS width,
+       {JPEG_C_H} AS height,
+       CAST(p[1][1] AS INT) AS first_r,
+       CAST(p[1][2] AS INT) AS first_g,
+       CAST(p[1][3] AS INT) AS first_b,
+       CAST(256 * list_sum(list_transform(p, q -> q[1])) AS BIGINT) AS sum_r,
+       CAST(256 * list_sum(list_transform(p, q -> q[2])) AS BIGINT) AS sum_g,
+       CAST(256 * list_sum(list_transform(p, q -> q[3])) AS BIGINT) AS sum_b
+FROM rgb ORDER BY asset_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_jpeg_color",
+        "Real baseline YCbCr 4:2:0 color-JPEG decode (interleaved "
+        "MCUs, chroma subsample/upsample, YCbCr->RGB) inside Arrow "
+        "batches: encode -> decode -> channel stats",
+        _multimodal_jpeg_color,
+        _JPEG_C_ORACLE,
     )
 )

@@ -315,3 +315,103 @@ def test_decode_image_dispatches_jpeg():
     w, h, rgb = decode_image(encode_jpeg_gray(img.tobytes(), 8, 8))
     assert (w, h) == (8, 8)
     assert rgb == bytes([77, 77, 77]) * 64  # luma replicated to RGB
+
+
+def test_jpeg_color_solid_mcus_roundtrip_exact():
+    """Solid 16x16 MCU tiles keep every Y/Cb/Cr block pure DC and make
+    the 4:2:0 box average exact, so the codec roundtrips to exactly
+    the double color transform (the multimodal_jpeg_color fixture
+    construction relies on this)."""
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    colors = [(255, 0, 0), (0, 255, 0), (7, 99, 200), (128, 128, 128)]
+    for i, c in enumerate(colors):
+        ty, tx = divmod(i, 2)
+        img[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16] = c
+    w, h, out = decode_jpeg_color(encode_jpeg_color(img.tobytes(), 32, 32))
+    want = ycbcr_to_rgb(*rgb_to_ycbcr(img))
+    assert (w, h) == (32, 32)
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(32, 32, 3), want)
+
+
+def test_jpeg_color_444_error_bound_and_subsampling_property():
+    """4:4:4 at quant=1 loses only transform+DCT rounding (tight
+    bound); 4:2:0 output must equal the reference pipeline computed
+    independently: subsample the (rounded) chroma planes by box
+    average, replicate back up, inverse transform."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    @given(w=st.integers(1, 24), h=st.integers(1, 20), seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=25, deadline=None)
+    def check(w, h, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dw, dh, out = decode_jpeg_color(
+            encode_jpeg_color(img.tobytes(), w, h, subsampling="4:4:4")
+        )
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+        want = ycbcr_to_rgb(*rgb_to_ycbcr(img)).astype(int)
+        # quant=1, no subsampling: only float-DCT rounding survives,
+        # scaled by at most the inverse-transform gain (~1.8)
+        assert np.abs(got - want).max() <= 3
+
+    check()
+
+
+def test_jpeg_color_rejections_and_gray_delegation():
+    import numpy as np
+    import pytest
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    img = np.full((16, 16, 3), 50, dtype=np.uint8)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_color(img.tobytes(), 16, 16, subsampling="4:1:1")
+    with pytest.raises(ValueError, match="RGB"):
+        encode_jpeg_color(b"xx", 16, 16)
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_color(b"\xff\xd8\xff\xc2\x00\x05aaa")  # progressive
+    # grayscale JPEG delegates: luma replicated to RGB
+    g = np.full((8, 8), 77, dtype=np.uint8)
+    w, h, rgb = decode_jpeg_color(encode_jpeg_gray(g.tobytes(), 8, 8))
+    assert (w, h) == (8, 8) and rgb == bytes([77, 77, 77]) * 64
+
+
+def test_decode_image_dispatches_color_jpeg():
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+    from substreams_sink_clickhouse_spark.operators.multimodal import decode_image
+
+    img = np.full((16, 16, 3), 0, dtype=np.uint8)
+    img[:, :] = (10, 200, 30)
+    w, h, rgb = decode_image(encode_jpeg_color(img.tobytes(), 16, 16))
+    want = ycbcr_to_rgb(*rgb_to_ycbcr(img)).tobytes()
+    assert (w, h) == (16, 16) and rgb == want
