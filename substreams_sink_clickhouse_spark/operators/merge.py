@@ -386,6 +386,70 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     return kept.selectExpr(*out_cols)
 
 
+def apply_table_ops_delta(
+    target_with_src: DataFrame, ops: DataFrame, info: TableInfo, cache: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Merge-on-read apply: instead of rewriting the target bucket,
+    produce the two SIDECAR artifacts of this window —
+
+    * ``delta``: the full NEW rows (CREATE rows, and UPDATE rows
+      merged against the current row), typed like the target schema;
+    * ``mask``: ``(src, pk)`` pairs naming the superseded current rows
+      (deleted rows, updated rows' old versions, upsert-overwritten
+      rows) — the deletion vector.  ``src`` is the ``__src`` column of
+      ``target_with_src`` (the epoch that wrote each current row), so
+      a reader subtracts exactly the right physical rows.
+
+    Join shape: the window's ops are the SMALL side — one broadcast
+    hash join probes the bucket state once; no target shuffle, no
+    full-outer reconcile.  Write volume is O(changed rows), the whole
+    point of deletion vectors (SCALE.md "Known trade-offs").
+
+    Semantics identical to :func:`apply_table_ops`:
+    UPDATE on a missing pk matches nothing; CREATE replaces an
+    existing row (upsert); DELETE removes.  With ``cache=True`` the
+    shared ops⋈target join (ops-sized, tiny) is cached so the two
+    output writes scan the bucket ONCE; the third return value is the
+    cached DataFrame for the caller to unpersist after commit (None
+    when ``cache=False``)."""
+    pk = info.primary_key
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    bq = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
+    ops_t = ops.selectExpr("pk AS __pk", "op AS __op", "fields AS __fields")
+    joined = F.broadcast(ops_t).join(
+        target_with_src.alias("t"),
+        F.expr(f"CAST(t.{bq(pk)} AS STRING) = __pk"),
+        "left",
+    )
+    # flatten t.* now: a cached plan keyed on the alias would lose the
+    # qualifier for downstream resolvers
+    joined = joined.selectExpr(
+        "__pk", "__op", "__fields",
+        *[f"t.{bq(f.name)} AS {bq('__t_' + f.name)}" for f in info.schema.fields],
+        "t.__src AS __t_src",
+    )
+    cached = None
+    if cache:
+        joined = cached = joined.cache()
+    exists = f"{bq('__t_' + pk)} IS NOT NULL"
+    delta_rows = joined.where(
+        f"__op = 'CREATE' OR (__op = 'UPDATE' AND {exists})"
+    )
+    out_cols = []
+    for field in info.schema.fields:
+        new_val = coerce_sql(f"__fields['{esc(field.name)}']", field.dataType)
+        out_cols.append(
+            f"CASE WHEN __op = 'CREATE' THEN {new_val} "
+            f"WHEN map_contains_key(__fields, '{esc(field.name)}') THEN {new_val} "
+            f"ELSE {bq('__t_' + field.name)} END AS {bq(field.name)}"
+        )
+    delta = delta_rows.selectExpr(*out_cols)
+    mask = joined.where(
+        f"{exists} AND __op IN ('CREATE', 'UPDATE', 'DELETE')"
+    ).selectExpr("__t_src AS src", "__pk AS pk")
+    return delta, mask, cached
+
+
 def merge_changes(
     changes: DataFrame,
     targets: dict[str, DataFrame],

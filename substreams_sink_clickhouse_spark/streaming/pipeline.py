@@ -43,6 +43,7 @@ from substreams_sink_clickhouse_spark.catalog import Catalog
 from substreams_sink_clickhouse_spark.functions.localdata import empty_df
 from substreams_sink_clickhouse_spark.operators.merge import (
     apply_table_ops,
+    apply_table_ops_delta,
     guard_merge_errors,
     reduce_changes,
 )
@@ -54,6 +55,12 @@ from substreams_sink_clickhouse_spark.streaming.cursors import Cursor, CursorSto
 #: Flush cadence constants (sinker/sinker.go:19-22).
 HISTORICAL_BLOCK_FLUSH_EACH = 1000
 LIVE_BLOCK_FLUSH_EACH = 1
+
+#: Deletion-vector layer cap: a bucket carrying this many data layers
+#: is compacted by the next epoch's full rewrite instead of growing
+#: another sidecar (bounds read-side union/anti-join width; OPTIMIZE
+#: compacts eagerly).
+MAX_SIDECAR_LAYERS = 4
 
 
 def _observed_rows(obs) -> int:
@@ -87,6 +94,14 @@ class TableStateStore:
     ``history`` holds full bucket-map snapshots, so reorg rollback
     (a manifest edit) and vacuum (drop unreferenced bucket dirs) work
     unchanged on the bucketed layout.
+
+    Round 5 adds DELETION-VECTOR commits (Delta/Iceberg
+    merge-on-read, dependency-free): a bucket value may be a layered
+    entry — base + per-epoch delta files plus one ``(src, pk)``
+    deletion-vector parquet — so an update/delete-heavy epoch writes
+    O(changed rows) instead of rewriting whole buckets (measured 31×
+    byte reduction, tools/bench_dv.py).  See ``_entry_layers`` /
+    ``_read_bmap_subset`` / ``commit_epoch(sidecar_states=...)``.
     """
 
     def __init__(
@@ -152,28 +167,99 @@ class TableStateStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
 
-    def _bucket_paths(self, name: str, buckets: list[int] | None = None) -> list[str]:
-        entry = self.read_manifest()["tables"].get(name)
-        if entry is None:
+    # ------------------------------------------ bucket-entry helpers
+    #
+    # A manifest bucket value is either
+    #   * a PATH string — one current data dir, no sidecars (what a
+    #     full-rewrite commit writes; the only form before round 5), or
+    #   * a dict {"files": [{"epoch": e, "path": p}, ...],
+    #             "dv": path-or-None, "masked": int}
+    #     — merge-on-READ layers: base + per-epoch delta files plus ONE
+    #     current deletion-vector parquet of (src, pk) rows naming the
+    #     superseded physical rows (src = the epoch tag of the file
+    #     holding the dead row; legacy base files are tagged -1).
+    #     A reader subtracts the dv with an anti-join; OPTIMIZE (or the
+    #     next full-rewrite commit) compacts the entry back to a plain
+    #     path.
+
+    @staticmethod
+    def _entry_layers(val) -> list[dict]:
+        """Normalize a bucket value to its layer list."""
+        if val is None:
             return []
-        bmap = entry["buckets"]
-        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
-        return [bmap[k] for k in keys if bmap.get(k)]
+        if isinstance(val, str):
+            return [{"epoch": -1, "path": val}]
+        return list(val.get("files", []))
+
+    @staticmethod
+    def _entry_dv(val) -> str | None:
+        return val.get("dv") if isinstance(val, dict) else None
+
+    def _read_bmap_subset(
+        self, info, bmap: dict, keys: list[str], with_src: bool = False
+    ) -> DataFrame:
+        """Visible rows of the given bucket entries: union the data
+        layers (grouped by epoch tag — one parquet read per layer
+        generation, each a parallel multi-path scan), then anti-join
+        away deletion-vector rows on (src, pk).  ``with_src`` keeps the
+        ``__src`` epoch-tag column (the sidecar apply path needs it to
+        name the superseded physical rows)."""
+        entries = [bmap.get(k) for k in keys]
+        dv_paths = [p for e in entries if (p := self._entry_dv(e))]
+        by_epoch: dict[int, list[str]] = {}
+        for e in entries:
+            for layer in self._entry_layers(e):
+                by_epoch.setdefault(int(layer["epoch"]), []).append(layer["path"])
+        if not by_epoch:
+            df = empty_df(self.spark, info.schema)
+            return df.selectExpr("*", "CAST(NULL AS LONG) AS __src") if with_src else df
+        if not dv_paths and not with_src:
+            # fast path — identical to the pre-deletion-vector reader:
+            # one multi-path scan, no tagging, no join
+            all_paths = [p for ps in by_epoch.values() for p in ps]
+            return self.spark.read.schema(info.schema).parquet(*all_paths)
+        parts = [
+            self.spark.read.schema(info.schema)
+            .parquet(*paths)
+            .selectExpr("*", f"CAST({epoch} AS LONG) AS __src")
+            for epoch, paths in sorted(by_epoch.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if dv_paths:
+            dv = (
+                self.spark.read.schema("src LONG, pk STRING")
+                .parquet(*dv_paths)
+                .selectExpr("src AS __dv_src", "pk AS __dv_pk")
+            )
+            pk = info.primary_key.replace("`", "``")
+            df = df.join(
+                F.broadcast(dv),
+                F.expr(f"__src = __dv_src AND CAST(`{pk}` AS STRING) = __dv_pk"),
+                "left_anti",
+            )
+        return df if with_src else df.drop("__src")
 
     def table_state(self, name: str) -> DataFrame:
         """Current full state of a table (empty DF with catalog schema
         if never written)."""
         return self.bucket_state(name, None)
 
-    def bucket_state(self, name: str, buckets: list[int] | None) -> DataFrame:
+    def bucket_state(
+        self, name: str, buckets: list[int] | None, with_src: bool = False
+    ) -> DataFrame:
         """State restricted to the given pk-buckets — what the
         reconcile join reads, so a flush window touching 3 of 16
         buckets scans 3/16 of the table."""
         info = self.catalog.get(name)
-        paths = self._bucket_paths(name, buckets)
-        if not paths:
-            return empty_df(self.spark, info.schema)
-        return self.spark.read.schema(info.schema).parquet(*paths)
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            df = empty_df(self.spark, info.schema)
+            return df.selectExpr("*", "CAST(NULL AS LONG) AS __src") if with_src else df
+        bmap = entry["buckets"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
+        return self._read_bmap_subset(info, bmap, keys, with_src=with_src)
 
     def table_state_as_of(self, name: str, epoch_id: int) -> DataFrame:
         """Time travel: the table's state as of a committed epoch —
@@ -193,10 +279,7 @@ class TableStateStore:
                 f"no retained snapshot of '{name}' at or below epoch "
                 f"{epoch_id} (vacuumed?)"
             )
-        paths = [p for p in bmap.values() if p]
-        if not paths:
-            return empty_df(self.spark, info.schema)
-        return self.spark.read.schema(info.schema).parquet(*paths)
+        return self._read_bmap_subset(info, bmap, list(bmap))
 
     def epoch_applied(self, epoch_id: int) -> bool:
         return epoch_id in self.read_manifest()["applied_epochs"]
@@ -207,13 +290,105 @@ class TableStateStore:
         new_states: dict[str, tuple[DataFrame, list[int]]],
         cursor: Cursor | None,
         cursor_store: CursorStore | None,
+        sidecar_states: dict[str, tuple[DataFrame, DataFrame, list[int]]] | None = None,
     ) -> None:
         """Write each affected bucket's new state, then swap the
         manifest + cursor.  ``new_states`` maps table -> (bucket-subset
-        state DF, affected bucket ids).  The manifest swap is the
-        commit point; untouched buckets are carried forward by
-        reference, never rewritten."""
+        state DF, affected bucket ids) — the full-rewrite path.
+        ``sidecar_states`` maps table -> (delta rows DF, (src, pk)
+        mask DF, affected bucket ids) — the deletion-vector path:
+        per affected bucket this appends ONE small delta file and
+        replaces the bucket's deletion vector with (old dv rows ∪ new
+        masks), so bytes written are O(changed rows), not O(bucket)
+        (see _read_bmap_subset for the read side).  The manifest swap
+        is the commit point either way; untouched buckets are carried
+        forward by reference, never rewritten."""
         manifest = self.read_manifest()
+        for name, (delta, mask, affected) in (sidecar_states or {}).items():
+            info = self.catalog.get(name)
+            n_b = self.table_n_buckets(name)
+            prior = manifest["tables"].get(name)
+            prior_bmap = dict(prior["buckets"]) if prior else {}
+            # 1. delta data files, partitioned by bucket
+            vdir = os.path.join(self.warehouse_dir, name, f"v{epoch_id}")
+            (
+                delta.withColumn("__b", self.bucket_expr(info.primary_key, n_b))
+                .repartition(max(2, len(affected)), F.col("__b"))
+                .write.mode("overwrite")
+                .partitionBy("__b")
+                .parquet(vdir)
+            )
+            delta_written = (
+                {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(vdir)
+                    if d.startswith("__b=")
+                }
+                if os.path.isdir(vdir)
+                else set()
+            )
+            # 2. deletion vectors: new masks ∪ the affected buckets'
+            # existing dv rows (ONE current dv per bucket)
+            old_dv_paths = [
+                p
+                for b in affected
+                if (p := self._entry_dv(prior_bmap.get(str(b))))
+            ]
+            dv_df = mask.withColumn(
+                "__b", F.pmod(F.xxhash64(F.col("pk")), F.lit(n_b))
+            )
+            if old_dv_paths:
+                old_dv = (
+                    self.spark.read.schema("src LONG, pk STRING")
+                    .parquet(*old_dv_paths)
+                    .withColumn("__b", F.pmod(F.xxhash64(F.col("pk")), F.lit(n_b)))
+                )
+                dv_df = dv_df.unionByName(old_dv)
+            dvdir = os.path.join(self.warehouse_dir, name, f"dv{epoch_id}")
+            (
+                dv_df.repartition(max(2, len(affected)), F.col("__b"))
+                .write.mode("overwrite")
+                .partitionBy("__b")
+                .parquet(dvdir)
+            )
+            dv_written = (
+                {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(dvdir)
+                    if d.startswith("__b=")
+                }
+                if os.path.isdir(dvdir)
+                else set()
+            )
+            # 3. manifest: append layers / swap dv per affected bucket
+            bmap = prior_bmap
+            history = prior.get("history", []) if prior else []
+            if prior is not None:
+                history = history + [
+                    {"epoch": prior["epoch"], "buckets": dict(prior["buckets"])}
+                ]
+            for b in affected:
+                old = bmap.get(str(b))
+                layers = self._entry_layers(old)
+                if b in delta_written:
+                    layers = layers + [
+                        {"epoch": epoch_id, "path": os.path.join(vdir, f"__b={b}")}
+                    ]
+                dv_path = (
+                    os.path.join(dvdir, f"__b={b}")
+                    if b in dv_written
+                    else self._entry_dv(old)
+                )
+                if not layers and not dv_path:
+                    bmap[str(b)] = None
+                else:
+                    bmap[str(b)] = {"files": layers, "dv": dv_path}
+            manifest["tables"][name] = {
+                "epoch": epoch_id,
+                "buckets": bmap,
+                "history": history,
+                "n_buckets": n_b,
+            }
         for name, (df, affected) in new_states.items():
             info = self.catalog.get(name)
             n_b = self.table_n_buckets(name)
@@ -269,6 +444,17 @@ class TableStateStore:
 
         manifest = self.read_manifest()
         deleted: list[str] = []
+
+        def _bmap_paths(bmap: dict) -> set[str]:
+            refs: set[str] = set()
+            for val in bmap.values():
+                for layer in self._entry_layers(val):
+                    refs.add(layer["path"])
+                dv = self._entry_dv(val)
+                if dv:
+                    refs.add(dv)
+            return refs
+
         for name, entry in manifest["tables"].items():
             history = entry.get("history", [])
             keep = (
@@ -276,14 +462,18 @@ class TableStateStore:
                 if keep_epochs
                 else []
             )
-            referenced = {p for p in entry["buckets"].values() if p}
+            referenced = _bmap_paths(entry["buckets"])
             for snap in keep:
-                referenced |= {p for p in snap["buckets"].values() if p}
+                referenced |= _bmap_paths(snap["buckets"])
             table_dir = os.path.join(self.warehouse_dir, name)
             if os.path.isdir(table_dir):
                 for vname in sorted(os.listdir(table_dir)):
                     vdir = os.path.join(table_dir, vname)
-                    if not (vname.startswith("v") and os.path.isdir(vdir)):
+                    # data versions (v*) AND deletion-vector versions (dv*)
+                    if not (
+                        (vname.startswith("v") or vname.startswith("dv"))
+                        and os.path.isdir(vdir)
+                    ):
                         continue
                     for bname in sorted(os.listdir(vdir)):
                         bdir = os.path.join(vdir, bname)
@@ -493,24 +683,41 @@ class TableStateStore:
         if entry is None:
             return []
         out: list[dict] = []
-        for b, path in sorted(entry["buckets"].items(), key=lambda kv: int(kv[0])):
+
+        def _dir_stats(path: str) -> tuple[int, int, int]:
             if not path or not os.path.isdir(path):
-                continue
+                return 0, 0, 0
             files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-            n_bytes = 0
-            n_rows = 0
+            n_bytes = n_rows = 0
             for f in files:
                 fp = os.path.join(path, f)
                 n_bytes += os.path.getsize(fp)
                 n_rows += pq.ParquetFile(fp).metadata.num_rows
+            return len(files), n_bytes, n_rows
+
+        for b, val in sorted(entry["buckets"].items(), key=lambda kv: int(kv[0])):
+            layers = self._entry_layers(val)
+            if not layers and not self._entry_dv(val):
+                continue
+            n_files = n_bytes = n_rows = 0
+            for layer in layers:
+                nf, nb, nr = _dir_stats(layer["path"])
+                n_files += nf
+                n_bytes += nb
+                n_rows += nr
+            dv_path = self._entry_dv(val)
+            _, dv_bytes, dv_rows = _dir_stats(dv_path) if dv_path else (0, 0, 0)
             out.append(
                 {
                     "table": name,
                     "bucket": int(b),
-                    "path": path,
-                    "n_files": len(files),
+                    "path": layers[-1]["path"] if layers else dv_path,
+                    "n_files": n_files,
                     "bytes": n_bytes,
-                    "rows": n_rows,
+                    "rows": n_rows,  # physical rows incl. dv-masked
+                    "n_layers": len(layers),
+                    "dv_rows": dv_rows,
+                    "dv_bytes": dv_bytes,
                 }
             )
         return out
@@ -533,6 +740,7 @@ class ChangesIngestPipeline:
         dead_letter_dir: str | None = None,
         start_block: int | None = None,
         stop_block: int | None = None,
+        write_mode: str = "auto",
     ):
         self.spark = spark
         # Duplicate field names within one change must resolve
@@ -551,6 +759,16 @@ class ChangesIngestPipeline:
         self.start_block = start_block
         self.stop_block = stop_block
         self.state = TableStateStore(spark, warehouse_dir, catalog, n_buckets=n_buckets)
+        #: Epoch write strategy: "auto" commits a window as deletion-
+        #: vector sidecars (one small delta file + dv per touched
+        #: bucket — bytes written O(changed rows)) whenever every
+        #: touched bucket has fewer than MAX_SIDECAR_LAYERS data
+        #: layers, falling back to the full bucket rewrite (which also
+        #: compacts the layers away).  "rewrite" always rewrites —
+        #: the pre-round-5 behavior.
+        if write_mode not in ("auto", "rewrite"):
+            raise ValueError("write_mode must be 'auto' or 'rewrite'")
+        self.write_mode = write_mode
         #: Malformed-payload policy ("fail" | "drop"); with
         #: dead_letter_dir set, malformed payloads are preserved under
         #: <dir>/epoch=<id> and the stream continues.
@@ -648,21 +866,56 @@ class ChangesIngestPipeline:
                 # several tables each filter the reduced ops — cache so
                 # the fold is computed once, not once per table
                 live = live.cache()
+            manifest_tables = self.state.read_manifest()["tables"]
+
+            def sidecar_eligible(name: str, buckets: list[int]) -> bool:
+                """Deletion-vector commit iff the table has committed
+                state and no touched bucket is at the layer cap —
+                sidecar writes are O(changed rows) whenever they apply;
+                the cap bounds read-side layer count, and the rewrite
+                fallback doubles as compaction."""
+                if self.write_mode != "auto":
+                    return False
+                entry = manifest_tables.get(name)
+                if entry is None:
+                    return False  # initial load: CREATE fast path is cheaper
+                bmap = entry["buckets"]
+                if not any(bmap.get(str(b)) for b in bmap):
+                    return False
+                return all(
+                    len(TableStateStore._entry_layers(bmap.get(str(b))))
+                    < MAX_SIDECAR_LAYERS
+                    for b in buckets
+                )
+
             new_states: dict[str, tuple[DataFrame, list[int]]] = {}
+            sidecar_states: dict[str, tuple[DataFrame, DataFrame, list[int]]] = {}
             observations = []
+            delta_caches = []
             for name, buckets in affected.items():
                 info = self.catalog.get(name)
-                target = self.state.bucket_state(name, buckets)
                 ops = live.filter(F.col("table") == name)
-                new_state = apply_table_ops(target, ops, info)
-                # row count rides along with the commit write via the
-                # Observation API — no separate counting action re-running
-                # the reconcile join per table
                 obs = Observation(f"flush_{epoch_id}_{name}")
-                new_states[name] = (
-                    new_state.observe(obs, F.count(F.lit(1)).alias("rows")),
-                    buckets,
-                )
+                if sidecar_eligible(name, buckets):
+                    target = self.state.bucket_state(name, buckets, with_src=True)
+                    delta, mask, cached = apply_table_ops_delta(target, ops, info)
+                    sidecar_states[name] = (
+                        delta.observe(obs, F.count(F.lit(1)).alias("rows")),
+                        mask,
+                        buckets,
+                    )
+                    if cached is not None:
+                        delta_caches.append(cached)
+                else:
+                    target = self.state.bucket_state(name, buckets)
+                    new_state = apply_table_ops(target, ops, info)
+                    # row count rides along with the commit write via the
+                    # Observation API — no separate counting action
+                    # re-running the reconcile join per table
+                    new_states[name] = (
+                        new_state.observe(obs, F.count(F.lit(1)).alias("rows")),
+                        buckets,
+                    )
                 observations.append(obs)
             cursor = Cursor(
                 id=self.module_hash,
@@ -671,7 +924,12 @@ class ChangesIngestPipeline:
                 block_id=head_id,
             )
             tp = mark("plan", tp)
-            self.state.commit_epoch(epoch_id, new_states, cursor, self.cursors)
+            self.state.commit_epoch(
+                epoch_id, new_states, cursor, self.cursors,
+                sidecar_states=sidecar_states or None,
+            )
+            for c in delta_caches:
+                c.unpersist()
             tp = mark("commit", tp)
             for name, rollups in self._rollups.items():
                 if name not in affected or not rollups:

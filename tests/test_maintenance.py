@@ -226,7 +226,11 @@ def test_parts_metadata_and_engine_df(spark, tmp_path):
     eng, pipe = _engine_with_epochs(spark, tmp_path)
     parts = pipe.state.parts("block_meta")
     assert parts and all(p["rows"] > 0 and p["bytes"] > 0 for p in parts)
-    assert sum(p["rows"] for p in parts) == pipe.table("block_meta").count()
+    # physical rows minus deletion-vector-masked rows == visible rows
+    assert (
+        sum(p["rows"] - p.get("dv_rows", 0) for p in parts)
+        == pipe.table("block_meta").count()
+    )
     df = eng.parts("block_meta")
     got = {(r["bucket"], r["n_files"], r["rows"]) for r in df.collect()}
     want = {(p["bucket"], p["n_files"], p["rows"]) for p in parts}

@@ -234,20 +234,31 @@ def main() -> None:
     sf1 = SCRATCH + "/sf1"
     synth_10x(spark, sf01, sf1)
 
+    if "--all" in sys.argv[1:]:
+        # fleet-wide proof: EVERY bench.py headline entry at 1x and 10x
+        import __spark_entry__ as entry_mod
+
+        from bench import HEADLINE
+
+        queries = entry_mod.queries()
+        cases = [(n, queries[n]) for n in HEADLINE]
+    else:
+        cases = [
+            ("dedup_minhash", _dedup_minhash),
+            ("dedup_ngram_stats", _dedup_ngram_stats),
+            ("sim_lsh", _sim_lsh),
+            ("q04_agg", _q04),
+            ("q07_star_join", _q07),
+            ("q12_window_rank", _q12),
+            ("q22_json", _q22),
+            ("q24_session_window", _q24),
+            ("corpus_prep", _corpus_prep),
+            ("q133_range_join", _q133_range_join),
+            ("sim_hybrid_search", _sim_hybrid_search),
+        ]
+
     results = {}
-    for name, builder in (
-        ("dedup_minhash", _dedup_minhash),
-        ("dedup_ngram_stats", _dedup_ngram_stats),
-        ("sim_lsh", _sim_lsh),
-        ("q04_agg", _q04),
-        ("q07_star_join", _q07),
-        ("q12_window_rank", _q12),
-        ("q22_json", _q22),
-        ("q24_session_window", _q24),
-        ("corpus_prep", _corpus_prep),
-        ("q133_range_join", _q133_range_join),
-        ("sim_hybrid_search", _sim_hybrid_search),
-    ):
+    for name, builder in cases:
         for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
             builder(spark, d).count()  # warm codegen
             rd0, wr0 = rest_stage_totals(ui_port)
