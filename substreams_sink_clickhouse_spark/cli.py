@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--checkpoint", default="/tmp/sscs_checkpoints", help="streaming checkpoint directory")
         sp.add_argument("--module-hash", default="default", help="output-module hash keying the cursor row")
         sp.add_argument("--n-buckets", type=int, default=16, help="pk hash-buckets per table")
+        sp.add_argument(
+            "--write-mode",
+            choices=["auto", "rewrite"],
+            default="auto",
+            help="epoch write strategy: auto = deletion-vector sidecars "
+            "when eligible (O(changed rows) written), rewrite = always "
+            "full bucket rewrite",
+        )
 
     def add_schema_flags(sp):
         g = sp.add_mutually_exclusive_group(required=True)
@@ -213,6 +221,7 @@ def _pipeline(spark, catalog, args):
         clickhouse_dsn=getattr(args, "dsn", None),
         start_block=start_block,
         stop_block=stop_block,
+        write_mode=getattr(args, "write_mode", "auto"),
     )
     return Engine(spark, config).pipeline(catalog, module_hash=args.module_hash)
 

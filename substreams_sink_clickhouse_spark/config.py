@@ -100,3 +100,7 @@ class EngineConfig:
     #: run.go:22,53-60); stop is exclusive.  None = unbounded.
     start_block: int | None = None
     stop_block: int | None = None
+    #: Epoch write strategy: "auto" = deletion-vector sidecar commits
+    #: when eligible (O(changed rows) written; see
+    #: streaming/pipeline.py), "rewrite" = always full bucket rewrite.
+    write_mode: str = "auto"

@@ -109,6 +109,7 @@ class Engine:
                 dead_letter_dir=self.config.dead_letter_dir,
                 start_block=self.config.start_block,
                 stop_block=self.config.stop_block,
+                write_mode=self.config.write_mode,
             )
         return self._pipelines[module_hash]
 
