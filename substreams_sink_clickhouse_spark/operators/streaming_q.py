@@ -336,6 +336,110 @@ def _cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
     return merged["orders_t"]
 
 
+def _cdc_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-epoch CDC replay through the FULL streaming pipeline with
+    deletion-vector commits (round-5 merge-on-read path):
+
+    * epoch 1: CREATE every order (initial load — full-rewrite commit)
+    * epoch 2: UPDATE price += 50 for orderkey %% 5 == 0 (block 2) and
+      DELETE orderkey %% 11 == 0 (block 3) — an update/delete-heavy
+      window, committed as sidecars: one small delta parquet + one
+      (src, pk) deletion-vector parquet per touched bucket
+      (streaming/pipeline.py commit_epoch sidecar_states)
+
+    The returned state is read through the layered merge-on-read path
+    (union of data layers minus a broadcast anti-join on the dv), so
+    the oracle checks the WHOLE write+read contract end-to-end.  The
+    builder asserts the sidecar layout actually engaged — if the
+    eligibility logic regresses to full rewrites, this entry fails
+    rather than silently passing on the rewrite path."""
+    import tempfile
+
+    from substreams_sink_clickhouse_spark.streaming.pipeline import (
+        ChangesIngestPipeline,
+    )
+
+    o = load_table(spark, sf, "orders")
+    workdir = tempfile.mkdtemp(prefix="sscs_dv_gate_")
+    stream = os.path.join(workdir, "stream")
+    os.makedirs(stream)
+
+    def msg(block, op, fields_expr):
+        return F.to_json(
+            F.struct(
+                F.lit(block).cast("long").alias("block_num"),
+                F.concat(F.lit("b"), F.lit(block)).alias("block_id"),
+                F.array(
+                    F.struct(
+                        F.lit("orders_t").alias("table"),
+                        F.col("o_orderkey").cast("string").alias("pk"),
+                        F.col("o_orderkey").alias("ordinal"),
+                        F.lit(op).alias("operation"),
+                        fields_expr.alias("fields"),
+                    )
+                ).alias("table_changes"),
+            )
+        )
+
+    def fields(*pairs):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("name"),
+                    v.alias("new_value"),
+                    F.lit(None).cast("string").alias("old_value"),
+                )
+                for n, v in pairs
+            ]
+        )
+
+    null_fields = F.lit(None).cast(
+        "array<struct<name:string,new_value:string,old_value:string>>"
+    )
+    pipe = ChangesIngestPipeline(
+        spark,
+        _dv_catalog(),
+        warehouse_dir=os.path.join(workdir, "wh"),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        write_mode="auto",
+    )
+    # epoch 1: creates
+    o.select(
+        msg(
+            1,
+            "CREATE",
+            fields(
+                ("status", F.col("o_orderstatus")),
+                ("price", F.col("o_totalprice").cast("string")),
+            ),
+        ).alias("value")
+    ).coalesce(2).write.mode("append").text(stream)
+    pipe.run_to_completion(stream, timeout_s=300)
+    # epoch 2: update-heavy window (arrives as new files)
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        msg(2, "UPDATE", fields(("price", (F.col("o_totalprice") + 50).cast("string")))).alias("value")
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        msg(3, "DELETE", null_fields).alias("value")
+    )
+    upd.unionByName(dele).coalesce(1).write.mode("append").text(stream)
+    pipe.run_to_completion(stream, timeout_s=300)
+    entry = pipe.state.read_manifest()["tables"]["orders_t"]
+    if not any(
+        isinstance(v, dict) and v.get("dv") for v in entry["buckets"].values()
+    ):
+        raise AssertionError(
+            "deletion-vector commit did not engage on the update-heavy epoch"
+        )
+    return pipe.table("orders_t")  # unordered; gate compare sorts
+
+
+def _dv_catalog() -> Catalog:
+    cat = Catalog()
+    cat.register(_ORDERS_T)
+    return cat
+
+
 def _cursor_resolution(spark: SparkSession, sf: str) -> DataFrame:
     """Cursor-at-highest-block resolution (O10/O11,
     /root/reference/db/cursor.go:92-101): given a cursors table with
@@ -451,6 +555,22 @@ SPECS: list[QuerySpec] = [
                     ELSE o_totalprice END AS price
         FROM orders
         WHERE o_orderkey % 7 <> 0
+        ORDER BY o_orderkey
+        """,
+    ),
+    QuerySpec(
+        "cdc_merge_dv",
+        "Two-epoch pipeline replay with deletion-vector commits: "
+        "update/delete-heavy window written as delta+dv sidecars, "
+        "state read through the layered merge-on-read path (O8)",
+        _cdc_merge_dv,
+        """
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               o_orderstatus AS status,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
         ORDER BY o_orderkey
         """,
     ),
