@@ -1288,3 +1288,48 @@ SPECS.append(
         _Q135_ORACLE,
     )
 )
+
+
+_Q136_CLICKHOUSE_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 2 OFFSET 1 BY user_id
+"""
+
+
+def _q136_dialect_limit_offset_by(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse's ALTERNATE offset spelling ``LIMIT n OFFSET o BY``
+    (operand order SWAPPED vs ``LIMIT o, n BY``) through the dialect
+    shim: skip the best row per user, keep the next two.  Same
+    row_number-window rewrite as q134 (dialect._rewrite_limit_by)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q136_CLICKHOUSE_SQL))
+    return out.orderBy("user_id", F.col("value").desc(), "event_id")
+
+
+_Q136_ORACLE = """
+SELECT user_id, event_id, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(value, 2) DESC, event_id) AS rn
+  FROM events)
+WHERE rn > 1 AND rn <= 3
+ORDER BY user_id, value DESC, event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q136_dialect_limit_offset_by",
+        "LIMIT n OFFSET o BY (swapped-operand spelling) through the "
+        "dialect shim == offset row_number window",
+        _q136_dialect_limit_offset_by,
+        _Q136_ORACLE,
+    )
+)
