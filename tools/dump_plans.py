@@ -47,7 +47,11 @@ SHOWCASE = [
         "cdc_merge",
         "The reduce groups by exactly the key the apply join needs, so "
         "the partitioning is reused; the single-pass mode evaluates the "
-        "merge fold once, inside the same job that applies it.",
+        "merge fold once, inside the same job that applies it.  Round 5: "
+        "the fold is pure whole-stage-codegen array expressions (no "
+        "higher-order lambda) — note both Generate barriers sit INSIDE "
+        "codegen span *(3), so the entire post-shuffle pipeline from "
+        "aggregate to output row is one compiled loop.",
     ),
     (
         "dedup_minhash",
