@@ -92,3 +92,68 @@ def test_kernel_matches_model(spark, changes_df, key_seqs):
     got = {r["id"]: {k: v for k, v in {"x": r["x"], "y": r["y"]}.items() if v is not None} for r in out}
     want = {pk: {k: v for k, v in fields.items()} for pk, fields in expected.items()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # target rows: (pk, x, y)
+        st.tuples(st.integers(0, 30), st.text(alphabet="ab", max_size=2),
+                  st.text(alphabet="cd", max_size=2)),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # reduced ops: (pk, op, fields)
+        st.tuples(st.integers(0, 30), st.sampled_from(["CREATE", "UPDATE", "DELETE"]),
+                  _FIELDS),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+)
+def test_delta_apply_equals_rewrite_apply(spark, target_rows, ops_rows):
+    """Deletion-vector apply vs full-rewrite apply: for any current
+    state and any reduced op set, (target − mask) ∪ delta must equal
+    apply_table_ops(target, ops) row-for-row."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.catalog import TableInfo
+    from substreams_sink_clickhouse_spark.operators.merge import (
+        apply_table_ops,
+        apply_table_ops_delta,
+    )
+
+    info = TableInfo("t", SCHEMA, "id")
+    target = spark.createDataFrame(
+        [(f"k{p}", x, y) for p, x, y in target_rows], SCHEMA
+    )
+    # reduced-op shape (post reduce_changes): CREATE carries its pk in
+    # the field map (db/ops.go:37-39)
+    ops = spark.createDataFrame(
+        [
+            (
+                "t",
+                f"k{p}",
+                "id",
+                op,
+                ({**fields, "id": f"k{p}"} if op == "CREATE" else dict(fields))
+                if op != "DELETE"
+                else {},
+                None,
+            )
+            for p, op, fields in ops_rows
+        ],
+        "table STRING, pk STRING, pk_name STRING, op STRING, "
+        "fields MAP<STRING, STRING>, err STRING",
+    )
+    expected = {
+        (r["id"], r["x"], r["y"])
+        for r in apply_table_ops(target, ops, info).collect()
+    }
+    tagged = target.selectExpr("*", "CAST(42 AS LONG) AS __src")
+    delta, mask, cached = apply_table_ops_delta(tagged, ops, info, cache=False)
+    mask_rows = {(r["src"], r["pk"]) for r in mask.collect()}
+    assert all(src == 42 for src, _ in mask_rows)
+    survivors = {
+        (r["id"], r["x"], r["y"])
+        for r in target.collect()
+        if (42, r["id"]) not in mask_rows
+    }
+    got = survivors | {(r["id"], r["x"], r["y"]) for r in delta.collect()}
+    assert got == expected
