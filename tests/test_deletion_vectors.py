@@ -238,3 +238,57 @@ def test_merge_error_still_raises_in_sidecar_mode(spark, tmp_path):
     )
     with pytest.raises(Exception, match="invalid change sequence"):
         pipe.run_to_completion(str(stream))
+
+
+def test_multi_table_window_mixes_sidecar_and_rewrite(spark, tmp_path):
+    """One window touching TWO tables: an existing table commits as a
+    sidecar while a brand-new table takes the initial-load rewrite
+    path, in the same epoch."""
+    cat = Catalog()
+    cat.register(TableInfo("kv", SCHEMA, "id"))
+    cat.register(TableInfo("kv2", SCHEMA, "id"))
+    pipe = ChangesIngestPipeline(
+        spark,
+        cat,
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4,
+        write_mode="auto",
+    )
+    stream = tmp_path / "stream"
+    stream.mkdir()
+    (stream / "b1.jsonl").write_text(
+        _msg(1, [("kv", f"k{i}", i, "CREATE", {"v": str(i), "s": "x"}) for i in range(8)])
+    )
+    pipe.run_to_completion(str(stream))
+    (stream / "b2.jsonl").write_text(
+        _msg(
+            2,
+            [("kv", "k1", 100, "UPDATE", {"v": "999"})]
+            + [("kv2", f"p{i}", i, "CREATE", {"v": str(i), "s": "y"}) for i in range(4)],
+        )
+    )
+    pipe.run_to_completion(str(stream))
+    man = pipe.state.read_manifest()["tables"]
+    assert any(isinstance(v, dict) for v in man["kv"]["buckets"].values())
+    assert all(v is None or isinstance(v, str) for v in man["kv2"]["buckets"].values())
+    kv = {(r["id"], r["v"]) for r in pipe.table("kv").collect()}
+    assert ("k1", 999) in kv and len(kv) == 8
+    assert pipe.table("kv2").count() == 4
+
+
+def test_bucket_subset_read_through_dv(spark, tmp_path):
+    """bucket_state on a SUBSET of buckets must apply each bucket's dv
+    (the reconcile-join read path at the next epoch)."""
+    pipe = _replay(spark, tmp_path, "subset", "auto", EPOCHS[:2])
+    info = pipe.catalog.get("kv")
+    full = {(r["id"], r["v"]) for r in pipe.state.table_state("kv").collect()}
+    got = set()
+    for b in range(4):
+        rows = pipe.state.bucket_state("kv", [b]).collect()
+        got |= {(r["id"], r["v"]) for r in rows}
+    assert got == full
+    # with_src variant exposes the layer tag used by mask computation
+    tagged = pipe.state.bucket_state("kv", None, with_src=True)
+    assert "__src" in tagged.columns
+    assert tagged.count() == len(full)
