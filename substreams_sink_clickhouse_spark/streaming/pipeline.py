@@ -62,6 +62,13 @@ LIVE_BLOCK_FLUSH_EACH = 1
 #: compacts eagerly).
 MAX_SIDECAR_LAYERS = 4
 
+#: Sidecar windows broadcast the window's ops against the bucket
+#: state; a window with more ops than this takes the shuffle-based
+#: full-rewrite reconcile instead (a 2M-op broadcast is ~hundreds of
+#: MB with field maps — past the point where a hash-probe beats the
+#: sort-merge reconcile anyway).
+MAX_SIDECAR_WINDOW_OPS = 2_000_000
+
 
 def _observed_rows(obs) -> int:
     """Best-effort read of a flush observation: an epoch whose commit
@@ -833,6 +840,7 @@ class ChangesIngestPipeline:
                 .agg(
                     F.max("block_num").alias("max_block"),
                     F.expr("max_by(block_id, block_num)").alias("max_block_id"),
+                    F.count(F.lit(1)).alias("n_ops"),
                 )
                 .collect()
             )
@@ -854,8 +862,12 @@ class ChangesIngestPipeline:
             # evaluate the merge fold exactly once, with no eager
             # probe job and no cache materialization.
             affected: dict[str, list[int]] = {}
+            window_ops: dict[str, int] = {}
             for row in summary:
                 affected.setdefault(row["table"], []).append(int(row["b"]))
+                window_ops[row["table"]] = (
+                    window_ops.get(row["table"], 0) + int(row["n_ops"])
+                )
             head_num = max(r["max_block"] for r in summary)
             head_id = next(
                 r["max_block_id"] for r in summary if r["max_block"] == head_num
@@ -870,11 +882,18 @@ class ChangesIngestPipeline:
 
             def sidecar_eligible(name: str, buckets: list[int]) -> bool:
                 """Deletion-vector commit iff the table has committed
-                state and no touched bucket is at the layer cap —
-                sidecar writes are O(changed rows) whenever they apply;
-                the cap bounds read-side layer count, and the rewrite
-                fallback doubles as compaction."""
+                state, no touched bucket is at the layer cap, and the
+                window is small enough to BROADCAST — the sidecar apply
+                probes the bucket state with the window's ops as the
+                broadcast side (apply_table_ops_delta), so an op count
+                past the broadcast budget must take the shuffle-based
+                full-rewrite reconcile instead.  Sidecar writes are
+                O(changed rows) whenever they apply; the layer cap
+                bounds read-side width, and the rewrite fallback
+                doubles as compaction."""
                 if self.write_mode != "auto":
+                    return False
+                if window_ops.get(name, 0) > MAX_SIDECAR_WINDOW_OPS:
                     return False
                 entry = manifest_tables.get(name)
                 if entry is None:
