@@ -353,14 +353,12 @@ def _cdc_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
     builder asserts the sidecar layout actually engaged — if the
     eligibility logic regresses to full rewrites, this entry fails
     rather than silently passing on the rewrite path."""
-    import tempfile
-
     from substreams_sink_clickhouse_spark.streaming.pipeline import (
         ChangesIngestPipeline,
     )
 
     o = load_table(spark, sf, "orders")
-    workdir = tempfile.mkdtemp(prefix="sscs_dv_gate_")
+    workdir = _scratch_dir("dv_gate_")  # atexit-cleaned
     stream = os.path.join(workdir, "stream")
     os.makedirs(stream)
 
