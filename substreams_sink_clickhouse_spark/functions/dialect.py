@@ -504,9 +504,16 @@ def _rewrite_with_totals(code: str) -> str:
     row, with the group keys NULL on the totals row (ClickHouse's TSV
     rendering leaves them empty/default; NULL is the relational
     equivalent — ``coalesce`` the keys to tag it, the q108 shape).
-    WITH TOTALS combined with HAVING depends on ClickHouse's
-    ``totals_mode`` setting, so that combination raises instead of
-    silently picking one semantics."""
+
+    ``WITH TOTALS ... HAVING cond`` translates with ClickHouse's
+    DEFAULT ``totals_mode = 'before_having'``: the totals row
+    aggregates ALL rows — including groups HAVING later eliminates —
+    so the condition becomes ``HAVING grouping(<first key>) = 1 OR
+    (cond)`` (the totals row has every key aggregated; group rows
+    none).  The non-default totals_mode variants
+    (after_having_exclusive/inclusive/auto) are not emulated —
+    express those explicitly as GROUPING SETS (documented deviation,
+    MIGRATION.md)."""
     code = _map_paren_groups(code, _rewrite_with_totals)
     while True:
         blank = _blank_parens(code)
@@ -525,19 +532,32 @@ def _rewrite_with_totals(code: str) -> str:
                 break
         if m is None:
             return code
-        if re.search(r"\bHAVING\b", blank, re.IGNORECASE):
-            raise ValueError(
-                "WITH TOTALS together with HAVING depends on ClickHouse's "
-                "totals_mode - express it explicitly as GROUPING SETS plus "
-                "the HAVING you intend (the q108_with_totals shape)"
-            )
         keys = code[gb.end() : m.start()].strip().rstrip(",")
         if not keys:
             raise ValueError("GROUP BY ... WITH TOTALS needs group keys")
+        tail = code[m.end() :]
+        having_m = re.search(r"\bHAVING\b", _blank_parens(tail), re.IGNORECASE)
+        if having_m is not None:
+            # before_having: keep the totals row unconditionally
+            bound_m = re.search(
+                r"\b(?:ORDER\s+BY|LIMIT|SETTINGS|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+                _blank_parens(tail)[having_m.end() :],
+                re.IGNORECASE,
+            )
+            cond_end = (
+                having_m.end() + bound_m.start() if bound_m else len(tail)
+            )
+            cond = tail[having_m.end() : cond_end].strip()
+            if not cond:
+                raise ValueError("HAVING needs a condition")
+            first_key = _split_top_commas(keys)[0].strip()
+            tail = (
+                tail[: having_m.start()]
+                + f"HAVING grouping({first_key}) = 1 OR ({cond})"
+                + tail[cond_end:]
+            )
         code = (
-            code[: gb.start()]
-            + f"GROUP BY GROUPING SETS (({keys}), ())"
-            + code[m.end() :]
+            code[: gb.start()] + f"GROUP BY GROUPING SETS (({keys}), ())" + tail
         )
 
 

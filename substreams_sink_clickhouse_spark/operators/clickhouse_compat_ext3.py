@@ -1333,3 +1333,47 @@ SPECS.append(
         _Q136_ORACLE,
     )
 )
+
+
+_Q137_CLICKHOUSE_SQL = """
+SELECT user_id, count() AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY user_id WITH TOTALS
+HAVING count() > 12
+"""
+
+
+def _q137_dialect_totals_having(spark: SparkSession, sf: str) -> DataFrame:
+    """``WITH TOTALS ... HAVING`` through the dialect shim with
+    ClickHouse's DEFAULT ``totals_mode='before_having'``: the totals
+    row aggregates ALL rows (including the groups HAVING removes),
+    translated as GROUPING SETS plus
+    ``HAVING grouping(key) = 1 OR (cond)``
+    (dialect._rewrite_with_totals)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q137_CLICKHOUSE_SQL))
+    return out.orderBy(F.col("user_id").asc_nulls_last())
+
+
+_Q137_ORACLE = """
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY GROUPING SETS ((user_id), ())
+HAVING grouping(user_id) = 1 OR count(*) > 12
+ORDER BY user_id NULLS LAST
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q137_dialect_totals_having",
+        "WITH TOTALS + HAVING through the dialect shim: "
+        "before_having totals semantics (ClickHouse default)",
+        _q137_dialect_totals_having,
+        _Q137_ORACLE,
+    )
+)

@@ -365,16 +365,28 @@ def test_untranslatable_clauses_raise_with_guidance():
             "SELECT a FROM t UNION ALL SELECT a FROM u LIMIT 1 BY a",
             "set operation",
         ),
-        # WITH TOTALS + HAVING depends on ClickHouse's totals_mode
-        (
-            "SELECT a, count(*) FROM t GROUP BY a WITH TOTALS HAVING count(*) > 1",
-            "totals_mode",
-        ),
     ]:
         with pytest.raises(ValueError, match=msg):
             clickhouse_to_spark_sql(q)
     # plain LIMIT still passes through
     assert "LIMIT 3" in clickhouse_to_spark_sql("SELECT a FROM t LIMIT 3")
+
+
+def test_with_totals_having_uses_before_having_semantics(spark):
+    """ClickHouse's DEFAULT totals_mode='before_having': the totals
+    row aggregates ALL rows, including groups HAVING eliminates."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wth AS SELECT * FROM VALUES "
+        "('x', 1), ('x', 2), ('y', 10), ('z', 5) AS t(k, v)"
+    )
+    out = clickhouse_to_spark_sql(
+        "SELECT k, count(*) AS n, sum(v) AS s FROM wth "
+        "GROUP BY k WITH TOTALS HAVING count(*) > 1 ORDER BY k"
+    )
+    assert "grouping(k) = 1 OR (count(*) > 1)" in out
+    rows = {(r["k"], r["n"], r["s"]) for r in spark.sql(out).collect()}
+    # only x passes HAVING; the totals row still covers x+y+z
+    assert rows == {("x", 2, 3), (None, 4, 18)}
 
 
 def test_with_totals_only_fires_after_group_by(spark):
