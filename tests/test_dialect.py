@@ -758,3 +758,65 @@ def test_review_fixes_dialect(spark, tmp_path):
         "SELECT count(*) AS n FROM versions WHERE ver = 1", dialect="clickhouse"
     ).collect()
     assert rows[0]["n"] == 1
+
+
+if _HAVE_HYP:
+
+    @given(
+        n=st.integers(1, 5),
+        o=st.integers(0, 3),
+        spelling=st.sampled_from(["plain", "comma", "offset"]),
+        keys=st.lists(st.sampled_from(["x", "y", "v % 2"]), min_size=1,
+                      max_size=2, unique=True),
+        order=st.booleans(),
+        trailing_limit=st.booleans(),
+        totals=st.sampled_from([None, "plain", "having"]),
+        cte_totals=st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_dialect_fuzz_clause_rewrites(
+        n, o, spelling, keys, order, trailing_limit, totals, cte_totals
+    ):
+        """Random combinations of the clause-level rewrites (LIMIT BY
+        spellings, WITH TOTALS ± HAVING, a CTE literally named totals)
+        stay balanced, fully translated, and structurally correct."""
+        import re
+
+        key_sql = ", ".join(keys)
+        cte = "WITH totals AS (SELECT 1 AS q) " if cte_totals else ""
+        if totals is None:
+            body = f"SELECT {key_sql}, v FROM t"
+            if order:
+                body += " ORDER BY v DESC"
+            if spelling == "plain":
+                body += f" LIMIT {n} BY {key_sql}"
+            elif spelling == "comma":
+                body += f" LIMIT {o}, {n} BY {key_sql}"
+            else:
+                body += f" LIMIT {n} OFFSET {o} BY {key_sql}"
+            if trailing_limit:
+                body += " LIMIT 7"
+        else:
+            body = f"SELECT {key_sql}, count() AS n FROM t GROUP BY {key_sql} WITH TOTALS"
+            if totals == "having":
+                body += " HAVING count() > 1"
+            if order:
+                body += " ORDER BY n"
+        q = cte + body
+        out = clickhouse_to_spark_sql(q)
+        code = re.sub(r"'(?:[^']|'')*'", "''", out)
+        assert code.count("(") == code.count(")"), (q, out)
+        # the ClickHouse-only clause forms must be gone (the CTE name
+        # 'totals' may legitimately survive)
+        assert not re.search(r"\bBY\s*$", code)
+        assert not re.search(r"\bLIMIT\s+\d+\s*(,|OFFSET)\s*\d+\s*BY\b", code, re.I)
+        if not cte_totals:
+            assert not re.search(r"\bWITH\s+TOTALS\b", code, re.I)
+        if totals is not None:
+            assert "GROUPING SETS" in code
+            if totals == "having":
+                assert re.search(r"grouping\(", code)
+        if totals is None:
+            assert "row_number() OVER" in code
+            if o and spelling in ("comma", "offset"):
+                assert f"__lb_rn > {o}" in code
