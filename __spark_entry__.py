@@ -103,5 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL ops)."""
-    return {spec.name: spec.oracle for spec in all_specs() if spec.oracle is not None}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL ops).
+    Same key order as :func:`queries` (the driver pairs by name, but a
+    consistent order keeps any order-sensitive consumer coherent)."""
+    return {
+        spec.name: spec.oracle
+        for spec in _rotation_order(all_specs())
+        if spec.oracle is not None
+    }
