@@ -53,6 +53,17 @@ Supported rewrites:
   ClickHouse semantics depend on ``totals_mode``).
 * a trailing ``FORMAT <name>`` clause is stripped (output formatting
   is the client's job in Spark).
+* round-5 batch — ``stddevPop/stddevSamp/varPop/varSamp/skewPop``
+  name swaps (+ ``kurtPop`` → ``kurtosis + 3``: Spark's kurtosis is
+  EXCESS), ``toStartOfMinute/Hour/Day/Month/Quarter/Year``/
+  ``toMonday`` → ``date_trunc``, boundary-crossing ``dateDiff`` →
+  ``timestampdiff`` over unit-truncated ends, ``arrayCumSum``/
+  ``arrayDifference``/``arrayCompact``/``arrayAvg``/``arrayMin``/
+  ``arrayMax``/``arrayFlatten``, ``notEmpty``/``empty``; ClickHouse
+  ``[a, b, c]`` array literals → ``array(a, b, c)``; and subscripts
+  ``x[i]`` → ``element_at(x, i)`` preserving ClickHouse's 1-BASED,
+  negative-from-end indexing (Spark's own ``[]`` is 0-based — a
+  silent off-by-one if passed through).
 
 Known lexical limits (documented, raise-or-passthrough rather than
 guess): ``any(``/``match(``/``position(`` swap by NAME, so a
@@ -99,6 +110,35 @@ _NAME_SWAPS = {
     "arrayReverse": "reverse",
     "assumeNotNull": "coalesce",
     "toUnixTimestamp": "unix_timestamp",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    # ClickHouse skewPop = μ3/σ³ — exactly Spark's (uncorrected)
+    # ``skewness``; kurtPop needs the +3 wrap (see _rewrite_wraps).
+    "skewPop": "skewness",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayFlatten": "flatten",
+}
+
+#: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
+#: Monday-start week truncation (date_trunc's week IS Monday-start);
+#: toStartOfWeek is intentionally ABSENT — its default mode 0 starts
+#: weeks on Sunday, which date_trunc cannot express.
+_TRUNC_FUNCS = {
+    "toStartOfMinute": "MINUTE",
+    "toStartOfHour": "HOUR",
+    "toStartOfDay": "DAY",
+    "toStartOfMonth": "MONTH",
+    "toStartOfQuarter": "QUARTER",
+    "toStartOfYear": "YEAR",
+    "toMonday": "WEEK",
+}
+
+#: dateDiff units ClickHouse and Spark timestampdiff share.
+_DATEDIFF_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
 }
 
 #: zero-argument forms (replaced including their parens).
@@ -235,11 +275,13 @@ def _match_paren(code: str, open_idx: int) -> int:
 
 
 def _split_top_commas(args: str) -> list[str]:
+    """Split on commas at depth 0, where parens AND square brackets
+    nest (ClickHouse array literals are ``[a, b, c]``)."""
     out, depth, start = [], 0, 0
     for k, ch in enumerate(args):
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             out.append(args[start:k])
@@ -248,15 +290,113 @@ def _split_top_commas(args: str) -> list[str]:
     return [a.strip() for a in out]
 
 
-def _rewrite_wraps(code: str) -> str:
+def _rewrite_array_literals(code: str) -> str:
+    """ClickHouse array literals ``[a, b, c]`` → ``array(a, b, c)``.
+
+    Lexical disambiguation from INDEXING (``a[1]``, ``m['k']``,
+    ``f(x)[2]``): a ``[`` is an index access iff the preceding token
+    can end a value — a non-keyword identifier, ``)``, ``]``, or a
+    masked-literal sentinel; anything else (start of expression,
+    ``(``, ``,``, an operator, or an SQL keyword like SELECT/WHEN/
+    THEN/AND) starts a literal.  Nested content is rewritten
+    recursively either way.
+
+    Index accesses are rewritten to ``element_at(base, idx)`` —
+    ClickHouse subscripts are 1-BASED with negative-from-the-end,
+    which is exactly ``element_at``'s contract, while Spark's own
+    ``[]`` subscript is 0-based: passing the text through unchanged
+    would silently shift every element access by one.  The base
+    expression (identifier chain, call result, prior subscript, or
+    masked literal) is located by scanning the emitted text
+    backwards."""
+    kw = {
+        "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT",
+        "IN", "AS", "BY", "ON", "CASE", "DISTINCT", "ALL", "UNION",
+        "EXCEPT", "INTERSECT", "HAVING", "LIKE", "BETWEEN", "IS",
+        "RETURN", "VALUES", "FROM",
+    }
+    out: list[str] = []
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == "[":
+            j = i - 1
+            while j >= 0 and code[j].isspace():
+                j -= 1
+            prev = code[j] if j >= 0 else ""
+            if prev.isalnum() or prev == "_":
+                w = j
+                while w >= 0 and (code[w].isalnum() or code[w] == "_"):
+                    w -= 1
+                word = code[w + 1 : j + 1]
+                is_index = word.upper() not in kw
+            else:
+                is_index = prev in ")]\x01`"
+            depth = 0
+            k = i
+            while k < n:
+                if code[k] == "[":
+                    depth += 1
+                elif code[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                raise ValueError("unbalanced square brackets in ClickHouse query")
+            inner = _rewrite_array_literals(code[i + 1 : k])
+            if is_index:
+                # locate the base expression's start in the emitted text
+                emitted = "".join(out)
+                b = len(emitted)
+                while b > 0 and emitted[b - 1].isspace():
+                    b -= 1
+                end = b
+                while b > 0:
+                    c = emitted[b - 1]
+                    if c in ")]":
+                        depth2 = 0
+                        while b > 0:
+                            c2 = emitted[b - 1]
+                            if c2 in ")]":
+                                depth2 += 1
+                            elif c2 in "([":
+                                depth2 -= 1
+                            b -= 1
+                            if depth2 == 0:
+                                break
+                    elif c.isalnum() or c in "_.\x01":
+                        b -= 1
+                    else:
+                        break
+                base = emitted[b:end]
+                out = [emitted[:b], f"element_at({base}, {inner})", emitted[end:]]
+            else:
+                out.append(f"array({inner})")
+            i = k + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
     """Paren-matched rewrites (casts, -If combinators, toYYYYMM,
-    numbers) applied innermost-last by rescanning until stable."""
+    numbers) applied innermost-last by rescanning until stable.
+    ``literals`` is the translator's masked-literal table — needed by
+    rewrites whose SEMANTICS depend on a string argument (dateDiff's
+    unit), since literals are sentinels at this stage."""
     pat = re.compile(
         r"\b(" + "|".join(
             list(_CAST_FUNCS)
             + list(_IF_COMBINATORS)
             + list(_HOF_SWAP)
-            + ["toDateTime", "toYYYYMM", "numbers", "uniqExact", "multiIf"]
+            + list(_TRUNC_FUNCS)
+            + [
+                "toDateTime", "toYYYYMM", "numbers", "uniqExact", "multiIf",
+                "kurtPop", "arrayAvg", "arrayCumSum", "arrayCompact",
+                "arrayDifference", "dateDiff", "notEmpty", "empty",
+            ]
         ) + r")\s*\("
     )
     while True:
@@ -266,7 +406,7 @@ def _rewrite_wraps(code: str) -> str:
         name = m.group(1)
         op = code.index("(", m.end(1))
         cp = _match_paren(code, op)
-        inner = _rewrite_wraps(code[op + 1 : cp])
+        inner = _rewrite_wraps(code[op + 1 : cp], literals)
         if name in _CAST_FUNCS:
             repl = f"CAST({inner} AS {_CAST_FUNCS[name]})"
         elif name in _IF_COMBINATORS:
@@ -309,6 +449,65 @@ def _rewrite_wraps(code: str) -> str:
                     repl = f"size(filter({arr}, {f_}))"
                 else:
                     repl = f"{tgt}({arr}, {f_})"
+        elif name in _TRUNC_FUNCS:
+            repl = f"date_trunc('{_TRUNC_FUNCS[name]}', {inner})"
+        elif name == "kurtPop":
+            # ClickHouse kurtPop = μ4/σ⁴; Spark kurtosis is EXCESS
+            # kurtosis (μ4/σ⁴ − 3)
+            repl = f"(kurtosis({inner}) + 3)"
+        elif name == "arrayAvg":
+            repl = (
+                f"(aggregate({inner}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({inner}))"
+            )
+        elif name == "arrayCumSum":
+            # no scan primitive in Spark: per-position prefix aggregate
+            # (O(n²) in element count — fine for the small arrays this
+            # function is used on; result type widens to DOUBLE,
+            # documented deviation)
+            repl = (
+                f"transform({inner}, (x, i) -> "
+                f"aggregate(slice({inner}, 1, i + 1), CAST(0 AS DOUBLE), "
+                f"(acc, y) -> acc + y))"
+            )
+        elif name == "arrayCompact":
+            # drop CONSECUTIVE duplicates (null-safe comparison)
+            repl = (
+                f"filter({inner}, (x, i) -> i = 0 "
+                f"OR NOT (x <=> element_at({inner}, i)))"
+            )
+        elif name == "arrayDifference":
+            repl = (
+                f"transform({inner}, (x, i) -> CASE WHEN i = 0 "
+                f"THEN CAST(0 AS DOUBLE) "
+                f"ELSE CAST(x AS DOUBLE) - CAST(element_at({inner}, i) AS DOUBLE) END)"
+            )
+        elif name == "dateDiff":
+            parts = _split_top_commas(inner)
+            if len(parts) != 3:
+                raise ValueError("dateDiff needs (unit, start, end)")
+            raw_unit = parts[0].strip()
+            sent = re.fullmatch(r"\x01(\d+)\x01", raw_unit)
+            if sent:  # masked string literal — resolve it
+                raw_unit = literals[int(sent.group(1))]
+            unit = raw_unit.strip().strip("'\"").lower()
+            if unit not in _DATEDIFF_UNITS:
+                raise ValueError(
+                    f"dateDiff unit {parts[0]!r} unsupported "
+                    f"(supported: {sorted(_DATEDIFF_UNITS)})"
+                )
+            u = unit.upper()
+            # ClickHouse counts crossed unit BOUNDARIES (dateDiff('day',
+            # 23:00, next 01:00) = 1); truncating both ends first gives
+            # Spark's timestampdiff the same semantics
+            repl = (
+                f"timestampdiff({u}, date_trunc('{u}', {parts[1]}), "
+                f"date_trunc('{u}', {parts[2]}))"
+            )
+        elif name == "notEmpty":
+            repl = f"(size({inner}) > 0)"
+        elif name == "empty":
+            repl = f"(size({inner}) = 0)"
         elif name == "multiIf":
             parts = _split_top_commas(inner)
             if len(parts) < 3 or len(parts) % 2 == 0:
@@ -632,7 +831,8 @@ def _rewrite_clauses(code: str) -> str:
     return code
 
 
-def _rewrite_code(code: str) -> str:
+def _rewrite_code(code: str, literals: tuple = ()) -> str:
+    code = _rewrite_array_literals(code)
     code = _rewrite_limit_by(code)
     code = _rewrite_with_totals(code)
     code = _rewrite_clauses(code)
@@ -641,7 +841,7 @@ def _rewrite_code(code: str) -> str:
     for z, repl in _ZERO_ARG.items():
         code = code.replace(z, repl)
     code = _rewrite_param_aggs(code)
-    code = _rewrite_wraps(code)
+    code = _rewrite_wraps(code, literals)
     for name, repl in _NAME_SWAPS.items():
         code = re.sub(rf"\b{name}(\s*\()", repl + r"\1", code)
     return code
@@ -735,7 +935,7 @@ def clickhouse_to_spark_sql(query: str) -> str:
         flags=re.IGNORECASE,
     )
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
-    out = _rewrite_code(out)
+    out = _rewrite_code(out, tuple(literals))
     out = re.sub(
         r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out
     )

@@ -1377,3 +1377,121 @@ SPECS.append(
         _Q137_ORACLE,
     )
 )
+
+
+# --------------------------------------- round-5 dialect batch (2 of 2)
+
+_Q138_CLICKHOUSE_SQL = """
+SELECT toStartOfHour(ts) AS h,
+       round(stddevPop(value), 6) AS sd,
+       round(skewPop(value), 6) AS sk,
+       round(kurtPop(value), 6) AS ku,
+       count() AS n
+FROM events
+GROUP BY h
+"""
+
+
+def _q138_dialect_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Population moment aggregates through the dialect shim:
+    ``stddevPop``/``skewPop``/``kurtPop`` (skewPop == Spark's
+    uncorrected ``skewness``; kurtPop = excess ``kurtosis`` + 3) over
+    ``toStartOfHour`` groups.  The oracle computes the same moments
+    from CENTERED sums (numerically stable — the raw-moment algebra
+    cancels catastrophically at value³ magnitudes), rounded to 6
+    decimals on both sides."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q138_CLICKHOUSE_SQL))
+    return out.orderBy("h")
+
+
+_Q138_ORACLE = """
+WITH g AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value FROM events),
+m AS (SELECT h, avg(value) AS mu FROM g GROUP BY h)
+SELECT h,
+       round(stddev_pop(value), 6) AS sd,
+       round(CASE WHEN avg(pow(value - mu, 2)) <= 0 THEN NULL
+                  ELSE avg(pow(value - mu, 3))
+                       / pow(avg(pow(value - mu, 2)), 1.5) END, 6) AS sk,
+       round(CASE WHEN avg(pow(value - mu, 2)) <= 0 THEN NULL
+                  ELSE avg(pow(value - mu, 4))
+                       / pow(avg(pow(value - mu, 2)), 2) END, 6) AS ku,
+       count(*) AS n
+FROM g JOIN m USING (h)
+GROUP BY h ORDER BY h
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q138_dialect_moments",
+        "stddevPop/skewPop/kurtPop through the dialect shim == "
+        "centered population moments",
+        _q138_dialect_moments,
+        _Q138_ORACLE,
+    )
+)
+
+
+_Q139_CLICKHOUSE_SQL = """
+SELECT event_id,
+       dateDiff('hour', toMonday(ts), ts) AS hours_since_monday,
+       dateDiff('day', toStartOfMonth(ts), toStartOfDay(ts)) AS day_in_month,
+       arrayElement(arrayCumSum(arrayMap(x -> x + 1, [user_id % 5, event_id % 7, 2])), 3) AS cs3,
+       arraySum(arrayDifference([user_id % 5, event_id % 7, 2])) AS span,
+       arrayStringConcat(arrayMap(x -> toString(x), arrayCompact([user_id % 3, user_id % 3, event_id % 2])), ',') AS compacted,
+       notEmpty([user_id]) AS ne
+FROM events
+WHERE event_id % 97 = 0
+"""
+
+
+def _q139_dialect_datetime_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 dialect batch through the shim: boundary-crossing
+    ``dateDiff`` (ClickHouse counts crossed unit boundaries — the
+    translation truncates both ends before ``timestampdiff``),
+    ``toMonday``/``toStartOfMonth``/``toStartOfDay``, and the array
+    family ``arrayCumSum``/``arrayDifference``/``arrayCompact``
+    (+``arrayMap``/``arrayElement``/``arraySum``/``arrayStringConcat``
+    compositions), reduced to scalar output columns."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q139_CLICKHOUSE_SQL))
+    return out.orderBy("event_id")
+
+
+_Q139_ORACLE = """
+SELECT event_id,
+       datediff('hour', date_trunc('week', ts), ts) AS hours_since_monday,
+       datediff('day', date_trunc('month', ts), date_trunc('day', ts)) AS day_in_month,
+       CAST(list_sum(list_transform([user_id % 5, event_id % 7, 2],
+                                    x -> CAST(x + 1 AS DOUBLE))) AS DOUBLE) AS cs3,
+       CAST(2 - user_id % 5 AS DOUBLE) AS span,
+       array_to_string(list_filter([user_id % 3, user_id % 3, event_id % 2],
+                                   (x, i) -> i = 1 OR x != [user_id % 3, user_id % 3, event_id % 2][i - 1]),
+                       ',') AS compacted,
+       TRUE AS ne
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q139_dialect_datetime_arrays",
+        "dateDiff/toStartOf*/array-family batch through the dialect "
+        "shim (boundary-crossing date diffs, cum-sum/difference/"
+        "compact compositions)",
+        _q139_dialect_datetime_arrays,
+        _Q139_ORACLE,
+    )
+)

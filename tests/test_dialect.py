@@ -820,3 +820,52 @@ if _HAVE_HYP:
             assert "row_number() OVER" in code
             if o and spelling in ("comma", "offset"):
                 assert f"__lb_rn > {o}" in code
+
+
+def test_round5_function_batch(spark):
+    """stddevPop/skewPop/kurtPop, toStartOf*/toMonday, dateDiff
+    (boundary-crossing), arrayCumSum/Compact/Difference/Avg/Min/Max,
+    notEmpty/empty, and bracket array literals."""
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1.0, array(3, 1, 2), TIMESTAMP '2024-01-01 23:30:00', TIMESTAMP '2024-01-02 01:00:00'), "
+        "(5.0, array(4, 5, 6), TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-03 06:00:00') "
+        "AS t(v, a, ts1, ts2)"
+    ).createOrReplaceTempView("r5t")
+    out = clickhouse_to_spark_sql(
+        "SELECT round(stddevPop(v), 6) AS sp, round(skewPop(v), 6) AS sk, "
+        "round(kurtPop(v), 6) AS ku FROM r5t"
+    )
+    r = spark.sql(out).collect()[0]
+    # two points {1, 5}: sigma = 2, skew 0, kurtosis mu4/sigma^4 = 1
+    assert (r["sp"], r["sk"], r["ku"]) == (2.0, 0.0, 1.0)
+    out = clickhouse_to_spark_sql(
+        "SELECT dateDiff('day', ts1, ts2) AS dd, dateDiff('hour', ts1, ts2) AS dh, "
+        "toStartOfHour(ts1) AS sh, toMonday(ts1) AS mo, "
+        "arrayCumSum(a) AS cs, arrayCompact([1, 1, 2, 2, 1]) AS cp, "
+        "arrayDifference(a) AS df, arrayAvg(a) AS av, arrayMin(a) AS mn, "
+        "notEmpty(a) AS ne, empty([]) AS em "
+        "FROM r5t ORDER BY v"
+    )
+    r = spark.sql(out).collect()[0]
+    assert r["dd"] == 1  # 23:30 -> 01:00 crosses ONE midnight (ClickHouse semantics)
+    assert r["dh"] == 2  # 23:xx -> 01:xx crosses two hour marks
+    assert str(r["sh"]) == "2024-01-01 23:00:00"
+    assert str(r["mo"]) == "2024-01-01 00:00:00"  # Jan 1 2024 IS a Monday
+    assert r["cs"] == [3.0, 4.0, 6.0]
+    assert r["cp"] == [1, 2, 1]
+    assert r["df"] == [0.0, -2.0, 1.0]
+    assert r["av"] == 2.0 and r["mn"] == 1
+    assert r["ne"] is True and r["em"] is True
+    # bracket literals vs indexing coexist; subscripts keep
+    # ClickHouse's 1-BASED, negative-from-end semantics (element_at)
+    out = clickhouse_to_spark_sql(
+        "SELECT [10, 20, 30][2] AS x, a[1] AS y, a[-1] AS z FROM r5t ORDER BY v"
+    )
+    assert "element_at(array(10, 20, 30), 2)" in out
+    r = spark.sql(out).collect()[0]
+    assert (r["x"], r["y"], r["z"]) == (20, 3, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        clickhouse_to_spark_sql("SELECT dateDiff('fortnight', ts1, ts2) FROM r5t")
