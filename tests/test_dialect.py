@@ -293,6 +293,12 @@ if _HAVE_HYP:
             st.builds(lambda a: f"quantileExact(0.5)({a})", sub),
             st.builds(lambda a: f"quantilesExact(0.25, 0.75)({a})", sub),
             st.builds(lambda a, b: f"uniqIf({a}, {b})", sub, sub),
+            st.builds(lambda a, b: f"[{a}, {b}]", sub, sub),
+            st.builds(lambda a: f"arr[{a}]", sub),
+            st.builds(lambda a, b: f"arrayCumSum([{a}, {b}])", sub, sub),
+            st.builds(lambda a, b: f"dateDiff('hour', {a}, {b})", sub, sub),
+            st.builds(lambda a: f"toStartOfHour({a})", sub),
+            st.builds(lambda a: f"kurtPop({a})", sub),
         )
 
     @given(e1=_exprs(3), e2=_exprs(2))
