@@ -120,6 +120,15 @@ _NAME_SWAPS = {
     "arrayMin": "array_min",
     "arrayMax": "array_max",
     "arrayFlatten": "flatten",
+    # approximate-distinct sketch variants: all map to Spark's HLL++
+    # (different sketches, same contract — approximate distinct count)
+    "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
+    #: function-form arrayJoin (row expansion) == explode; the clause
+    #: form ``ARRAY JOIN`` is handled separately in _rewrite_clauses
+    "arrayJoin": "explode",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -396,6 +405,8 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDateTime", "toYYYYMM", "numbers", "uniqExact", "multiIf",
                 "kurtPop", "arrayAvg", "arrayCumSum", "arrayCompact",
                 "arrayDifference", "dateDiff", "notEmpty", "empty",
+                "median", "medianExact", "arrayUniq", "countEqual",
+                "intDiv", "modulo",
             ]
         ) + r")\s*\("
     )
@@ -504,6 +515,28 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"timestampdiff({u}, date_trunc('{u}', {parts[1]}), "
                 f"date_trunc('{u}', {parts[2]}))"
             )
+        elif name == "median":
+            repl = f"percentile_approx({inner}, 0.5)"
+        elif name == "medianExact":
+            # same interpolation deviation as quantileExact (MIGRATION.md)
+            repl = f"percentile({inner}, 0.5)"
+        elif name == "arrayUniq":
+            repl = f"size(array_distinct({inner}))"
+        elif name == "countEqual":
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError("countEqual needs (array, value)")
+            repl = f"size(filter({parts[0]}, __ce -> __ce <=> ({parts[1]})))"
+        elif name == "intDiv":
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError("intDiv needs (a, b)")
+            repl = f"(({parts[0]}) div ({parts[1]}))"
+        elif name == "modulo":
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError("modulo needs (a, b)")
+            repl = f"(({parts[0]}) % ({parts[1]}))"
         elif name == "notEmpty":
             repl = f"(size({inner}) > 0)"
         elif name == "empty":

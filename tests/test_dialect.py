@@ -871,6 +871,18 @@ def test_round5_function_batch(spark):
     assert "element_at(array(10, 20, 30), 2)" in out
     r = spark.sql(out).collect()[0]
     assert (r["x"], r["y"], r["z"]) == (20, 3, 2)
+    # second sub-batch: sketch variants, medians, array utilities,
+    # integer ops, function-form arrayJoin
+    out = clickhouse_to_spark_sql(
+        "SELECT uniqCombined(v) AS u, median(v) AS md, medianExact(v) AS me, "
+        "arrayUniq([1, 2, 2, 3]) AS au, countEqual([1, 2, 2, 3], 2) AS ce, "
+        "intDiv(7, 2) AS idv, modulo(7, 2) AS mo FROM r5t"
+    )
+    r = spark.sql(out).collect()[0]
+    assert (r["u"], r["md"], r["me"]) == (2, 1.0, 3.0)
+    assert (r["au"], r["ce"], r["idv"], r["mo"]) == (3, 2, 3, 1)
+    out = clickhouse_to_spark_sql("SELECT arrayJoin(a) AS e FROM r5t WHERE v = 1.0")
+    assert sorted(x["e"] for x in spark.sql(out).collect()) == [1, 2, 3]
     import pytest
 
     with pytest.raises(ValueError, match="unit"):
