@@ -840,6 +840,19 @@ def _rewrite_clauses(code: str) -> str:
             "a hash predicate (the q33_sample shape) or TABLESAMPLE "
             "explicitly if approximate sampling is acceptable"
         )
+    if re.search(r"\bWITH\s+FILL\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "ORDER BY ... WITH FILL generates spine rows with per-column "
+            "DEFAULT values - a type-aware structural rewrite, not a "
+            "lexical one; use the engine's gap-fill operators instead "
+            "(the q47_gapfill / q118_interpolate shapes: sequence() "
+            "spine + join, with explicit fill semantics)"
+        )
+    if re.search(r"\bINTO\s+OUTFILE\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "INTO OUTFILE is client-side output in ClickHouse; write the "
+            "result with DataFrame.write or the CLI's sql --format"
+        )
     if re.search(r"\bPREWHERE\b", code, flags=re.IGNORECASE):
         if re.search(r"\bWHERE\b", code, flags=re.IGNORECASE):
             raise ValueError(

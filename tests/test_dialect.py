@@ -887,3 +887,12 @@ def test_round5_function_batch(spark):
 
     with pytest.raises(ValueError, match="unit"):
         clickhouse_to_spark_sql("SELECT dateDiff('fortnight', ts1, ts2) FROM r5t")
+
+
+def test_with_fill_and_into_outfile_raise_with_guidance():
+    import pytest
+
+    with pytest.raises(ValueError, match="gap-fill"):
+        clickhouse_to_spark_sql("SELECT h, v FROM t ORDER BY h WITH FILL STEP 1")
+    with pytest.raises(ValueError, match="OUTFILE"):
+        clickhouse_to_spark_sql("SELECT 1 INTO OUTFILE 'out.csv'")
