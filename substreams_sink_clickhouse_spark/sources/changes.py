@@ -132,8 +132,13 @@ def decode_database_changes(
         "block_num",
         "block_id",
         F.col("tc.ordinal").alias("ordinal"),
-        F.col("tc.table").alias("table"),
-        F.col("tc.pk").alias("pk"),
+        # proto3 string defaults: a change missing table/pk carries ""
+        # on the wire (pb/.../database.pb.go:122-132), so a JSON payload
+        # omitting them normalizes the same way — a NULL pk would
+        # otherwise surface as an opaque null-bucket crash deep in the
+        # flush summary instead of a clean unknown-table error
+        F.coalesce(F.col("tc.table"), F.lit("")).alias("table"),
+        F.coalesce(F.col("tc.pk"), F.lit("")).alias("pk"),
         F.col("tc.operation").alias("op"),
         # []Field{name,new_value} -> map[col -> value] (sinker.go:147-151)
         F.map_from_entries(
@@ -241,8 +246,13 @@ def decode_database_changes_protobuf(
         "block_num",
         "block_id",
         F.col("tc.ordinal").alias("ordinal"),
-        F.col("tc.table").alias("table"),
-        F.col("tc.pk").alias("pk"),
+        # proto3 string defaults: a change missing table/pk carries ""
+        # on the wire (pb/.../database.pb.go:122-132), so a JSON payload
+        # omitting them normalizes the same way — a NULL pk would
+        # otherwise surface as an opaque null-bucket crash deep in the
+        # flush summary instead of a clean unknown-table error
+        F.coalesce(F.col("tc.table"), F.lit("")).alias("table"),
+        F.coalesce(F.col("tc.pk"), F.lit("")).alias("pk"),
         F.col("tc.operation").alias("op"),
         F.map_from_entries(
             F.expr("transform(tc.fields, f -> struct(f.name, f.new_value))")

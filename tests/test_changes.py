@@ -248,3 +248,29 @@ def test_protobuf_fallback_refuses_other_message_types(spark):
         decode_database_changes_protobuf(
             raw, "/tmp/whatever.desc", message_name="other.v1.Message"
         )
+
+
+def test_missing_table_and_pk_normalize_to_proto3_defaults(spark):
+    """A JSON change OMITTING table/pk decodes to empty strings (the
+    proto3 wire default, pb/.../database.pb.go:122-132) — a NULL there
+    would crash the flush summary's bucket math instead of raising the
+    clean unknown-table error."""
+    import json as _json
+
+    from substreams_sink_clickhouse_spark.sources.changes import (
+        decode_database_changes,
+    )
+
+    msg = _json.dumps(
+        {
+            "block_num": 1,
+            "block_id": "b1",
+            "table_changes": [
+                {"ordinal": 1, "operation": "CREATE",
+                 "fields": [{"name": "x", "new_value": "1", "old_value": None}]}
+            ],
+        }
+    )
+    df = spark.createDataFrame([(msg,)], "value string")
+    row = decode_database_changes(df, "value").collect()[0]
+    assert row["table"] == "" and row["pk"] == ""
