@@ -129,9 +129,9 @@ def decode_database_changes(
         F.explode(tc_array).alias("tc"),
     )
     return exploded.select(
-        "block_num",
-        "block_id",
-        F.col("tc.ordinal").alias("ordinal"),
+        F.coalesce(F.col("block_num"), F.lit(0)).alias("block_num"),
+        F.coalesce(F.col("block_id"), F.lit("")).alias("block_id"),
+        F.coalesce(F.col("tc.ordinal"), F.lit(0)).alias("ordinal"),
         # proto3 string defaults: a change missing table/pk carries ""
         # on the wire (pb/.../database.pb.go:122-132), so a JSON payload
         # omitting them normalizes the same way — a NULL pk would
@@ -243,9 +243,9 @@ def decode_database_changes_protobuf(
         F.explode("msg.table_changes").alias("tc"),
     )
     return exploded.select(
-        "block_num",
-        "block_id",
-        F.col("tc.ordinal").alias("ordinal"),
+        F.coalesce(F.col("block_num"), F.lit(0)).alias("block_num"),
+        F.coalesce(F.col("block_id"), F.lit("")).alias("block_id"),
+        F.coalesce(F.col("tc.ordinal"), F.lit(0)).alias("ordinal"),
         # proto3 string defaults: a change missing table/pk carries ""
         # on the wire (pb/.../database.pb.go:122-132), so a JSON payload
         # omitting them normalizes the same way — a NULL pk would
