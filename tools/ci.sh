@@ -14,6 +14,12 @@ python tools/audit_schemas.py
 echo "== oracle gate ($SF_DIR) =="
 python tools/check_correctness.py "$SF_DIR"
 
+echo "== plan sweep (cartesian / error screen) =="
+python tools/plan_sweep.py | tail -3
+
+echo "== shuffle budgets (sf0.1 headline regression gate) =="
+python tools/shuffle_budget.py
+
 echo "== unit tests =="
 python -m pytest tests/ -q
 
