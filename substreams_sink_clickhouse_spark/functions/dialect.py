@@ -406,14 +406,14 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "kurtPop", "arrayAvg", "arrayCumSum", "arrayCompact",
                 "arrayDifference", "dateDiff", "notEmpty", "empty",
                 "median", "medianExact", "arrayUniq", "countEqual",
-                "intDiv", "modulo",
+                "intDiv", "modulo", "transform",
             ]
         ) + r")\s*\("
     )
     while True:
         m = pat.search(code)
         if not m:
-            return code
+            return code.replace("__xform__(", "transform(")
         name = m.group(1)
         op = code.index("(", m.end(1))
         cp = _match_paren(code, op)
@@ -515,6 +515,21 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"timestampdiff({u}, date_trunc('{u}', {parts[1]}), "
                 f"date_trunc('{u}', {parts[2]}))"
             )
+        elif name == "transform":
+            # ClickHouse's VALUE-MAPPING transform(x, [from], [to][, def])
+            # — not Spark's higher-order transform(arr, lambda), which
+            # is what OUR arrayMap rewrite emits.  A lambda argument or
+            # an unexpected arity means the call is (already) the Spark
+            # HOF: re-emit under a sentinel so the rescan loop does not
+            # see it again, restored on exit.
+            parts = _split_top_commas(inner)
+            if len(parts) in (3, 4) and not any("->" in p_ for p_ in parts):
+                x, frm, to = parts[0], parts[1], parts[2]
+                mapped = f"element_at(map_from_arrays({frm}, {to}), {x})"
+                default = parts[3] if len(parts) == 4 else x
+                repl = f"coalesce({mapped}, {default})"
+            else:
+                repl = f"__xform__({inner})"
         elif name == "median":
             repl = f"percentile_approx({inner}, 0.5)"
         elif name == "medianExact":

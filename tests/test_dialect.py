@@ -896,3 +896,18 @@ def test_with_fill_and_into_outfile_raise_with_guidance():
         clickhouse_to_spark_sql("SELECT h, v FROM t ORDER BY h WITH FILL STEP 1")
     with pytest.raises(ValueError, match="OUTFILE"):
         clickhouse_to_spark_sql("SELECT 1 INTO OUTFILE 'out.csv'")
+
+
+def test_clickhouse_transform_value_mapping(spark):
+    """ClickHouse's transform(x, [from], [to][, default]) — distinct
+    from Spark's HOF transform, which must survive untouched (it is
+    what arrayMap rewrites to)."""
+    spark.sql("SELECT 2 AS x, array(5, 6) AS a").createOrReplaceTempView("xform_t")
+    out = clickhouse_to_spark_sql(
+        "SELECT transform(x, [1, 2, 3], ['a', 'b', 'c'], 'other') AS m, "
+        "transform(9, [1, 2], ['a', 'b']) AS keep, "
+        "arrayMap(y -> y * 2, a) AS hof FROM xform_t"
+    )
+    assert "map_from_arrays" in out and "transform(a, y -> y * 2)" in out
+    r = spark.sql(out).collect()[0]
+    assert r["m"] == "b" and r["keep"] == 9 and r["hof"] == [10, 12]
