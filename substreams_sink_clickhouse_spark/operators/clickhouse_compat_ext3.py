@@ -1495,3 +1495,53 @@ SPECS.append(
         _Q139_ORACLE,
     )
 )
+
+
+_Q140_CLICKHOUSE_SQL = """
+SELECT event_type,
+       round(medianExact(value), 6) AS med,
+       transform(uniqExact(user_id) > 1000, [true, false], ['big', 'small'], '?') AS size_tier,
+       intDiv(count(), 100) AS hundreds,
+       modulo(count(), 97) AS m97
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q140_dialect_mapping_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 dialect batch, part 2: ClickHouse's value-mapping
+    ``transform(x, [from], [to], default)`` (→ map_from_arrays
+    lookup), ``medianExact`` (→ exact interpolated percentile, the
+    quantileExact deviation documented in MIGRATION.md), ``intDiv``
+    and ``modulo``."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(clickhouse_to_spark_sql(_Q140_CLICKHOUSE_SQL))
+    return out.orderBy("event_type")
+
+
+_Q140_ORACLE = """
+SELECT event_type,
+       round(median(value), 6) AS med,
+       CASE WHEN (count(DISTINCT user_id) > 1000) = TRUE THEN 'big'
+            WHEN (count(DISTINCT user_id) > 1000) = FALSE THEN 'small'
+            ELSE '?' END AS size_tier,
+       count(*) // 100 AS hundreds,
+       count(*) % 97 AS m97
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q140_dialect_mapping_batch",
+        "transform value-mapping / medianExact / intDiv / modulo "
+        "through the dialect shim",
+        _q140_dialect_mapping_batch,
+        _Q140_ORACLE,
+    )
+)
