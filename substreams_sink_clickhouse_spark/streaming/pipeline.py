@@ -49,7 +49,6 @@ from substreams_sink_clickhouse_spark.operators.merge import (
 )
 from substreams_sink_clickhouse_spark.errors import UnknownTableError
 from substreams_sink_clickhouse_spark.sinks.clickhouse import cursor_update_statement
-from substreams_sink_clickhouse_spark.sources.changes import read_changes_jsonl
 from substreams_sink_clickhouse_spark.streaming.cursors import Cursor, CursorStore
 
 #: Flush cadence constants (sinker/sinker.go:19-22).
