@@ -561,6 +561,7 @@ class TableStateStore:
         name: str,
         zorder: list[str] | None = None,
         deduplicate: bool = False,
+        only_fragmented: bool = False,
     ) -> dict | None:
         """``OPTIMIZE TABLE <name> FINAL`` parity: compact every live
         bucket to ONE pk-sorted file.  With ``zorder=[c1, c2, ...]``
@@ -587,16 +588,37 @@ class TableStateStore:
         hash exchange on n_buckets keys, the minimal movement that
         achieves one-file-per-bucket).  Run it on the cadence ClickHouse
         runs background merges, not per flush.
+
+        ``only_fragmented=True`` compacts ONLY the buckets that carry
+        deletion-vector sidecar layers (>1 data layer or a dv) —
+        the natural post-ingest cadence with ``write_mode="auto"``:
+        cost scales with FRAGMENTATION, not table size, and pristine
+        single-file buckets are carried forward by reference,
+        untouched (incompatible with ``deduplicate``, which must see
+        the whole table).  Returns None when nothing is fragmented.
         """
+        if only_fragmented and deduplicate:
+            raise ValueError("only_fragmented cannot combine with deduplicate")
         entry = self.read_manifest()["tables"].get(name)
         if entry is None:
             return None
-        affected = [int(b) for b, p in entry["buckets"].items() if p]
+        if only_fragmented:
+            affected = [
+                int(b)
+                for b, v in entry["buckets"].items()
+                if v and (len(self._entry_layers(v)) > 1 or self._entry_dv(v))
+            ]
+        else:
+            affected = [int(b) for b, p in entry["buckets"].items() if p]
         if not affected:
             return None
         before = sum(p["n_files"] for p in self.parts(name))
         info = self.catalog.get(name)
-        state = self.table_state(name)
+        state = (
+            self.bucket_state(name, affected)
+            if only_fragmented
+            else self.table_state(name)
+        )
         if deduplicate:
             # OPTIMIZE ... DEDUPLICATE parity: drop fully-identical
             # rows during the compaction rewrite (one extra exchange

@@ -292,3 +292,36 @@ def test_bucket_subset_read_through_dv(spark, tmp_path):
     tagged = pipe.state.bucket_state("kv", None, with_src=True)
     assert "__src" in tagged.columns
     assert tagged.count() == len(full)
+
+
+def test_optimize_only_fragmented_compacts_sidecar_buckets(spark, tmp_path):
+    """Incremental compaction: only buckets carrying sidecar layers /
+    deletion vectors rewrite; pristine single-file buckets keep their
+    EXACT paths (carried by reference), and visible state is
+    unchanged."""
+    pipe = _replay(spark, tmp_path, "ofrag", "auto", EPOCHS)
+    before_rows = _rows(pipe)
+    entry = pipe.state.read_manifest()["tables"]["kv"]
+    plain_before = {
+        b: v for b, v in entry["buckets"].items() if isinstance(v, str)
+    }
+    frag = [
+        b for b, v in entry["buckets"].items() if isinstance(v, dict)
+    ]
+    assert frag, "fixture should produce fragmented buckets"
+    stats = pipe.state.optimize("kv", only_fragmented=True)
+    assert stats is not None
+    entry2 = pipe.state.read_manifest()["tables"]["kv"]
+    # fragmented buckets compacted to plain paths, no dv left
+    for b in frag:
+        assert isinstance(entry2["buckets"][b], str)
+    # untouched buckets carried forward BY REFERENCE
+    for b, p in plain_before.items():
+        assert entry2["buckets"][b] == p
+    assert _rows(pipe) == before_rows
+    # nothing fragmented anymore -> no-op
+    assert pipe.state.optimize("kv", only_fragmented=True) is None
+    import pytest
+
+    with pytest.raises(ValueError, match="deduplicate"):
+        pipe.state.optimize("kv", only_fragmented=True, deduplicate=True)
