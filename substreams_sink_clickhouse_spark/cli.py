@@ -186,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated columns for OPTIMIZE ZORDER BY clustering "
         "(multi-column data skipping) instead of pk clustering",
     )
+    maintain.add_argument(
+        "--only-fragmented",
+        action="store_true",
+        help="OPTIMIZE only the buckets carrying deletion-vector "
+        "sidecar layers (incremental compaction; cost scales with "
+        "fragmentation, not table size)",
+    )
 
     return p
 
@@ -366,7 +373,15 @@ def cmd_maintain(spark, args) -> int:
             if getattr(args, "zorder", None)
             else None
         )
-        print(json.dumps(state.optimize(args.table, zorder=zcols)))
+        print(
+            json.dumps(
+                state.optimize(
+                    args.table,
+                    zorder=zcols,
+                    only_fragmented=getattr(args, "only_fragmented", False),
+                )
+            )
+        )
     elif args.action == "ttl":
         if not args.predicate:
             print("error: --predicate required for ttl", file=sys.stderr)
