@@ -190,7 +190,10 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
     # on a re-updated field.  Set it here so the kernel is correct
     # standalone, not only behind tune_session.
     changes.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    # Spark string literals honor backslash escapes by default, so a
+    # backslash in a name must double too (else 'a\b' parses as an
+    # escape sequence)
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "''")  # noqa: E731
     if primary_keys:
         pk_map_sql = "map(" + ", ".join(
             f"'{esc(k)}', '{esc(v)}'" for k, v in primary_keys.items()
@@ -340,7 +343,10 @@ def apply_table_ops(target: DataFrame, ops: DataFrame, info: TableInfo) -> DataF
     * DELETE                       -> row removed
     """
     pk = info.primary_key
-    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    # Spark string literals honor backslash escapes by default, so a
+    # backslash in a name must double too (else 'a\b' parses as an
+    # escape sequence)
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "''")  # noqa: E731
     bq = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
     # Projections are composed as SQL strings into single selectExpr
     # calls (same py4j round-trip economics as reduce_changes).
@@ -413,7 +419,10 @@ def apply_table_ops_delta(
     cached DataFrame for the caller to unpersist after commit (None
     when ``cache=False``)."""
     pk = info.primary_key
-    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    # Spark string literals honor backslash escapes by default, so a
+    # backslash in a name must double too (else 'a\b' parses as an
+    # escape sequence)
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "''")  # noqa: E731
     bq = lambda s: "`" + s.replace("`", "``") + "`"  # noqa: E731
     ops_t = ops.selectExpr("pk AS __pk", "op AS __op", "fields AS __fields")
     joined = F.broadcast(ops_t).join(
