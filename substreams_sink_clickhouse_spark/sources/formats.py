@@ -1,4 +1,4 @@
-"""Generic table-source formats: parquet, CSV/TSV, JSON lines, ORC.
+"""Generic table-source formats: parquet, CSV/TSV, JSON lines, ORC, XML.
 
 The reference reads exactly one transport (gRPC substreams) and stores
 in ClickHouse; this engine's table layer is format-agnostic the way
@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 #: formats whose reader needs an explicit schema at scale
-_SCHEMA_REQUIRED = {"csv", "tsv", "json"}
-_FORMATS = {"parquet", "orc", "csv", "tsv", "json"}
+_SCHEMA_REQUIRED = {"csv", "tsv", "json", "xml"}
+_FORMATS = {"parquet", "orc", "csv", "tsv", "json", "xml"}
 
 
 def read_table(
@@ -26,6 +26,7 @@ def read_table(
     fmt: str = "parquet",
     schema: T.StructType | str | None = None,
     header: bool = True,
+    row_tag: str = "row",
 ) -> DataFrame:
     """Read a table directory/file in any supported format.
 
@@ -46,6 +47,15 @@ def read_table(
         return spark.read.orc(path)
     if fmt == "json":
         return spark.read.schema(schema).json(path)
+    if fmt == "xml":
+        # Spark 4 built-in XML source (ClickHouse emits XML as an
+        # output FORMAT; reading it back needs the row element name)
+        return (
+            spark.read.schema(schema)
+            .option("rowTag", row_tag)
+            .format("xml")
+            .load(path)
+        )
     sep = "\t" if fmt == "tsv" else ","
     return (
         spark.read.schema(schema)
@@ -56,7 +66,8 @@ def read_table(
 
 
 def write_table(
-    df: DataFrame, path: str, fmt: str = "parquet", header: bool = True
+    df: DataFrame, path: str, fmt: str = "parquet", header: bool = True,
+    row_tag: str = "row",
 ) -> None:
     """Write a DataFrame in any supported format (mode=overwrite)."""
     fmt = fmt.lower()
@@ -69,6 +80,8 @@ def write_table(
         writer.orc(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "xml":
+        writer.option("rowTag", row_tag).format("xml").save(path)
     else:
         sep = "\t" if fmt == "tsv" else ","
         writer.option("header", str(header).lower()).option("sep", sep).csv(path)

@@ -50,3 +50,29 @@ def test_engine_register_external_queryable(spark, tmp_path):
         "SELECT count(*) AS n, max(n_nationkey) AS mx FROM nation_ext"
     ).collect()[0]
     assert out["n"] == src.count()
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 built-in XML source through the format layer
+    (ClickHouse `file(..., XML)` parity; rowTag-framed rows)."""
+    from pyspark.sql import types as T
+
+    from substreams_sink_clickhouse_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.range(4).selectExpr("id", "concat('v', id) AS s")
+    path = str(tmp_path / "x")
+    write_table(df, path, "xml")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    back = read_table(spark, path, "xml", schema=schema)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="schema"):
+        read_table(spark, path, "xml")
