@@ -10,7 +10,10 @@
    dialect shim, plus a TPC-H shape over the analytics fixtures.
 3. **LLM data pipeline** — Gopher quality rules -> MinHash near-dup
    pairs -> deterministic train/val/test split -> BM25 retrieval.
-4. **Maintenance** — OPTIMIZE (pk clustering), parts introspection,
+4. **Deletion vectors** — an UPDATE epoch committed as a sidecar
+   (delta + dv), then incremental OPTIMIZE compacting just the
+   fragmented buckets.
+5. **Maintenance** — OPTIMIZE (pk clustering), parts introspection,
    cursor state.
 
 Each step prints one JSON line; the driver-facing correctness gate
@@ -150,8 +153,55 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
     img = bytes([40] * 64)  # one flat 8x8 block: DC-only, exact
     w, h, back = decode_jpeg_gray(encode_jpeg_gray(img, 8, 8))
     out["jpeg_roundtrip_exact"] = (w, h) == (8, 8) and back == img
+    # color: solid 16x16 MCU -> exact through the 4:2:0 pipeline
+    import numpy as np
 
-    # -- 4. maintenance ------------------------------------------------
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rgb = np.full((16, 16, 3), (20, 200, 90), dtype=np.uint8)
+    _, _, cback = decode_jpeg_color(encode_jpeg_color(rgb.tobytes(), 16, 16))
+    out["jpeg_color_exact"] = cback == ycbcr_to_rgb(*rgb_to_ycbcr(rgb)).tobytes()
+
+    # -- 4. deletion vectors (round 5) ---------------------------------
+    # an UPDATE epoch commits as a sidecar (delta + dv) instead of
+    # rewriting buckets; incremental OPTIMIZE compacts just those
+    with open(os.path.join(stream, "update.jsonl"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "block_num": 51,
+                    "block_id": "0x0033",
+                    "table_changes": [
+                        {
+                            "table": "block_meta", "pk": "blk7", "ordinal": 1,
+                            "operation": "UPDATE",
+                            "fields": [{"name": "number", "new_value": "777",
+                                        "old_value": None}],
+                        }
+                    ],
+                }
+            )
+        )
+    pipe.run_to_completion(stream)
+    entry = pipe.state.read_manifest()["tables"]["block_meta"]
+    out["deletion_vectors"] = {
+        "sidecar_buckets": sum(
+            1 for v in entry["buckets"].values() if isinstance(v, dict)
+        ),
+        "updated_number": eng.table("block_meta")
+        .filter("id = 'blk7'")
+        .collect()[0]["number"],
+    }
+    out["optimize_fragmented"] = pipe.state.optimize(
+        "block_meta", only_fragmented=True
+    )
+
+    # -- 5. maintenance ------------------------------------------------
     out["optimize"] = pipe.state.optimize("block_meta")
     out["parts"] = pipe.state.parts("block_meta")[:1]
     return out
