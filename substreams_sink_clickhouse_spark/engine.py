@@ -285,15 +285,17 @@ class Engine:
         return render_clickhouse_ddl(pipe.catalog.get(name))
 
     def register_external(
-        self, name: str, path: str, fmt: str = "parquet", schema=None
+        self, name: str, path: str, fmt: str = "parquet", schema=None,
+        row_tag: str = "row",
     ) -> DataFrame:
         """ClickHouse ``file()`` table-function parity at the engine
-        level: expose a file-based table (parquet/ORC/CSV/TSV/JSONL —
-        see ``sources/formats.py``) as a queryable view for
-        ``engine.sql``.  Text formats require an explicit schema."""
+        level: expose a file-based table (parquet/ORC/CSV/TSV/JSONL/XML
+        — see ``sources/formats.py``) as a queryable view for
+        ``engine.sql``.  Text formats require an explicit schema; XML
+        additionally takes the row element name (``row_tag``)."""
         from substreams_sink_clickhouse_spark.sources.formats import read_table
 
-        df = read_table(self.spark, path, fmt, schema=schema)
+        df = read_table(self.spark, path, fmt, schema=schema, row_tag=row_tag)
         df.createOrReplaceTempView(name)
         self._externals[name] = path
         return df
