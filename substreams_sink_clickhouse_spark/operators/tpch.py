@@ -642,3 +642,257 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def _tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 verbatim shape — the fixture
+    carries every column Q1 needs).  One pass, all aggregates algebraic
+    (map-side partials), grouped on the 6-value flag/status space, so
+    at 100 TB this is a full scan plus a 6-row shuffle — the canonical
+    "aggregation absorbs scale" plan.  Sums/avgs rounded identically in
+    the oracle for hash stability under summation order."""
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5 verbatim shape): revenue where
+    the customer and supplier share a nation inside one region.  The
+    c_nationkey = s_nationkey conjunct rides the l_suppkey join as a
+    residual; nation/region/supplier broadcast so the fact shuffles
+    only for the orders join."""
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+_TPCH_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def _tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape, adapted:
+    the fixture has no o_comment, so the original's NOT LIKE
+    comment-pattern exclusion becomes an o_orderpriority exclusion —
+    same left-join-with-filtered-right + double aggregation skeleton).
+    First groupBy is keyed on the join key, so Catalyst reuses the join
+    exchange; second groupBy shuffles a ~100-row histogram."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape, adapted: the
+    fixture has no p_container, so the container equality becomes a
+    p_size bracket; threshold loosened to 0.5*avg so the fixture's
+    uniform quantities still qualify rows).  The correlated scalar
+    subquery (per-part avg quantity) decorrelates into a groupBy on
+    the probe side re-joined by part key — both sides of that join are
+    filtered by the broadcast part list first, so the heavy aggregate
+    runs over only the qualifying parts' lineitems."""
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    l = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    thresholds = lp.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_cut")
+    )
+    return (
+        lp.join(F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+                F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_TPCH_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4' AND p_size <= 5
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def _tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    the fixture has no l_commitdate/l_receiptdate, so "late" becomes
+    l_shipdate > o_orderdate + 60 days).  The original's
+    EXISTS/NOT-EXISTS pair over sibling lineitems is re-expressed as
+    one per-order aggregate — count of distinct suppliers and of
+    distinct LATE suppliers — joined back to the late rows: an order
+    qualifies when it has >=2 suppliers but exactly 1 late one.  That
+    is two shuffles on l_orderkey total (Catalyst reuses the exchange)
+    versus the naive plan's three self-joins of the fact table — the
+    100 TB-safe decorrelation."""
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # one row per LATE LINEITEM (not per supplier) — numwait counts
+    # l1 rows, matching the original query's semantics
+    late_rows = lo.filter(late).select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_rows.join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+_TPCH_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec(
+            "tpch_q1",
+            "TPC-H Q1: pricing summary, single-pass algebraic aggregate",
+            _tpch_q1,
+            _TPCH_Q1_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q5",
+            "TPC-H Q5: local supplier volume, residual equi-conjunct join",
+            _tpch_q5,
+            _TPCH_Q5_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q13",
+            "TPC-H Q13 shape: order-count distribution, double aggregation",
+            _tpch_q13,
+            _TPCH_Q13_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q17",
+            "TPC-H Q17 shape: correlated per-part avg decorrelated",
+            _tpch_q17,
+            _TPCH_Q17_ORACLE,
+        ),
+        QuerySpec(
+            "tpch_q21",
+            "TPC-H Q21 shape: waiting-supplier EXISTS pair as one aggregate",
+            _tpch_q21,
+            _TPCH_Q21_ORACLE,
+        ),
+    ]
+)

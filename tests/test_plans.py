@@ -401,3 +401,42 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_tpch_q1_map_side_partials(spark):
+    # Q1 is scan + partial agg + 6-row exchange: exactly one shuffle,
+    # pushed shipdate filter, only the 7 referenced columns read
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q1
+
+    df = _tpch_q1(spark, SF)
+    assert count_shuffles(df) <= 2, simple_plan(df)[:2000]  # agg + sort
+    scans = scan_info(df)
+    assert any("l_shipdate" in s["pushed_filters"] for s in scans)
+    cols = read_columns(df, "lineitem")
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }, cols
+
+
+def test_tpch_q5_fact_shuffles_once(spark):
+    # supplier/nation/region broadcast; lineitem scanned once and
+    # shuffled only for the orders join
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q5
+
+    df = _tpch_q5(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_tpch_q21_reuses_orderkey_exchange(spark):
+    # the per-order aggregate and the late-rows join key on the same
+    # l_orderkey partitioning; lineitem must not be scanned 3x as the
+    # naive EXISTS/NOT-EXISTS self-join pair would
+    from substreams_sink_clickhouse_spark.operators.tpch import _tpch_q21
+
+    df = _tpch_q21(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
