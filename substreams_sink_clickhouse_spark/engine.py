@@ -222,11 +222,21 @@ class Engine:
         same (translated) query text, invalidated automatically when
         any ingest epoch or storage mutation advances.  Opt-in, like
         ClickHouse's setting — correctness-sensitive callers skip it."""
+        fill_spec = None
         if dialect == "clickhouse":
             from substreams_sink_clickhouse_spark.functions.dialect import (
                 clickhouse_to_spark_sql,
                 rewrite_final_tables,
             )
+            from substreams_sink_clickhouse_spark.functions.fill import (
+                strip_with_fill,
+            )
+
+            # ``ORDER BY ... WITH FILL`` needs the result schema (the
+            # generated rows carry per-column type defaults), so it is
+            # stripped here and applied structurally after planning —
+            # the one clause the text-to-text translator can't do.
+            query, fill_spec = strip_with_fill(query)
 
             # ``FROM t FINAL`` on a table this engine ingested resolves
             # to a version-collapsed view (ReplacingMergeTree latest-
@@ -239,22 +249,39 @@ class Engine:
         elif dialect not in (None, "spark"):
             raise ValueError(f"unknown SQL dialect: {dialect!r}")
         self._log_query(query, dialect, bool(use_query_cache))
+
+        def _build() -> DataFrame:
+            df = self.spark.sql(query)
+            if fill_spec is not None:
+                from substreams_sink_clickhouse_spark.functions.fill import (
+                    apply_with_fill,
+                )
+
+                df = apply_with_fill(df, fill_spec)
+            return df
+
         if not use_query_cache:
-            return self.spark.sql(query)
+            return _build()
+        # same stripped text + different fill bounds must not collide
+        cache_key = (
+            query
+            if fill_spec is None
+            else query + "\n-- " + fill_spec.cache_token()
+        )
         fp = self._epoch_fingerprint()
-        hit = self._query_cache.get(query)
+        hit = self._query_cache.get(cache_key)
         if hit is not None and hit[0] == fp:
             return hit[1]
         if hit is not None:
             hit[1].unpersist()
-        df = self.spark.sql(query).persist()
+        df = _build().persist()
         if len(self._query_cache) >= self._QUERY_CACHE_MAX:
             # drop the oldest entry (insertion order = LRU-enough for a
             # bounded interactive cache)
             old_key, (_, old_df) = next(iter(self._query_cache.items()))
             old_df.unpersist()
             del self._query_cache[old_key]
-        self._query_cache[query] = (fp, df)
+        self._query_cache[cache_key] = (fp, df)
         return df
 
     def _final_view(self, name: str) -> str | None:

@@ -859,9 +859,10 @@ def _rewrite_clauses(code: str) -> str:
         raise ValueError(
             "ORDER BY ... WITH FILL generates spine rows with per-column "
             "DEFAULT values - a type-aware structural rewrite, not a "
-            "lexical one; use the engine's gap-fill operators instead "
-            "(the q47_gapfill / q118_interpolate shapes: sequence() "
-            "spine + join, with explicit fill semantics)"
+            "lexical one.  Run the query through Engine.sql(...,"
+            " dialect='clickhouse') which implements it (functions/"
+            "fill.py), or use the explicit gap-fill operators (the "
+            "q47_gapfill / q118_interpolate shapes)"
         )
     if re.search(r"\bINTO\s+OUTFILE\b", code, flags=re.IGNORECASE):
         raise ValueError(

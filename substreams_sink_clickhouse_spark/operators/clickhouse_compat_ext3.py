@@ -1591,3 +1591,109 @@ SPECS.append(
         _Q141_ORACLE,
     )
 )
+
+
+_Q142_CLICKHOUSE_SQL = """
+SELECT CAST(floor(value) AS BIGINT) AS slot, count() AS n
+FROM events
+WHERE event_type = 'purchase' AND value < 30 AND user_id < 3
+GROUP BY slot
+ORDER BY slot WITH FILL FROM 0 TO 30
+"""
+
+
+def _q142_dialect_with_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """``ORDER BY ... WITH FILL FROM a TO b`` end-to-end: the modifier
+    is lexically stripped (functions/fill.strip_with_fill), the
+    remaining query goes through the dialect shim, and the fill rows
+    are inserted structurally (apply_with_fill) with ClickHouse's
+    type-default values (count columns fill as 0, not NULL) — the
+    exact Engine.sql(dialect='clickhouse') path for the one clause a
+    text-to-text translation cannot express."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+    from substreams_sink_clickhouse_spark.functions.fill import (
+        apply_with_fill,
+        strip_with_fill,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    stripped, spec = strip_with_fill(_Q142_CLICKHOUSE_SQL)
+    return apply_with_fill(spark.sql(clickhouse_to_spark_sql(stripped)), spec)
+
+
+_Q142_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS BIGINT) AS slot, count(*) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND value < 30 AND user_id < 3
+  GROUP BY slot),
+spine AS (SELECT unnest(range(0, 30)) AS g)
+SELECT coalesce(slot, g) AS slot, coalesce(n, 0) AS n
+FROM spine FULL JOIN base ON base.slot = spine.g
+ORDER BY slot
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q142_dialect_with_fill",
+        "ORDER BY WITH FILL FROM/TO: structural gap fill, 0-defaults",
+        _q142_dialect_with_fill,
+        _Q142_ORACLE,
+    )
+)
+
+
+_Q143_CLICKHOUSE_SQL = """
+SELECT date_trunc('hour', ts) AS h, count() AS n
+FROM events
+WHERE event_type = 'purchase' AND ts < '2024-01-03'
+GROUP BY h
+ORDER BY h WITH FILL STEP INTERVAL 1 HOUR
+"""
+
+
+def _q143_with_fill_time(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH FILL over a timestamp spine with an INTERVAL step and no
+    explicit bounds: gaps between observed hours fill per ClickHouse's
+    row-anchored grid (prev + step while < next).  Fill values expand
+    as JVM-side ``sequence()`` arrays over the DISTINCT hour set, so
+    the neighbor scan is bounded by the output grid, not the input."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+    from substreams_sink_clickhouse_spark.functions.fill import (
+        apply_with_fill,
+        strip_with_fill,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    stripped, spec = strip_with_fill(_Q143_CLICKHOUSE_SQL)
+    return apply_with_fill(spark.sql(clickhouse_to_spark_sql(stripped)), spec)
+
+
+_Q143_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+  GROUP BY h),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM base),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds)
+SELECT spine.h AS h, coalesce(n, 0) AS n
+FROM spine LEFT JOIN base ON base.h = spine.h
+ORDER BY h
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q143_with_fill_time",
+        "WITH FILL over a timestamp spine, INTERVAL step, no bounds",
+        _q143_with_fill_time,
+        _Q143_ORACLE,
+    )
+)

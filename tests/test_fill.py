@@ -1,0 +1,208 @@
+"""ORDER BY ... WITH FILL: lexical strip + structural apply
+(functions/fill.py) against a row-anchored Python reference of the
+ClickHouse semantics, plus the Engine.sql integration."""
+
+import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from substreams_sink_clickhouse_spark.functions.fill import (
+    FillSpec,
+    apply_with_fill,
+    strip_with_fill,
+)
+
+
+# -- parsing -----------------------------------------------------------
+
+
+def test_no_fill_passthrough():
+    q = "SELECT a FROM t ORDER BY a"
+    assert strip_with_fill(q) == (q, None)
+
+
+def test_strip_from_to_step():
+    q = "SELECT a, n FROM t ORDER BY a WITH FILL FROM 0 TO 10 STEP 2 LIMIT 5"
+    stripped, spec = strip_with_fill(q)
+    assert spec == FillSpec(column="a", from_="0", to="10", step="2")
+    assert "WITH FILL" not in stripped.upper()
+    assert "ORDER BY a" in stripped and "LIMIT 5" in stripped
+
+
+def test_interval_step_and_partial_bounds():
+    _, spec = strip_with_fill(
+        "SELECT h FROM t ORDER BY h WITH FILL STEP INTERVAL 1 HOUR"
+    )
+    assert spec == FillSpec(column="h", from_=None, to=None, step="INTERVAL 1 HOUR")
+
+
+def test_fill_inside_string_literal_untouched():
+    q = "SELECT 'ORDER BY x WITH FILL' AS s FROM t ORDER BY s"
+    assert strip_with_fill(q) == (q, None)
+
+
+def test_subquery_fill_falls_through_to_dialect_guard():
+    # no depth-0 fill: strip is a no-op, and the dialect translator's
+    # WITH FILL guard raises downstream with the Engine.sql pointer
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    q = "SELECT * FROM (SELECT a FROM t ORDER BY a WITH FILL) x ORDER BY a"
+    assert strip_with_fill(q) == (q, None)
+    with pytest.raises(ValueError, match="WITH FILL"):
+        clickhouse_to_spark_sql(q)
+
+
+@pytest.mark.parametrize(
+    "q,msg",
+    [
+        ("SELECT a, b FROM t ORDER BY a, b WITH FILL", "multi-key"),
+        ("SELECT a FROM t ORDER BY a DESC WITH FILL", "DESC"),
+        ("SELECT a FROM t ORDER BY a WITH FILL INTERPOLATE (b)", "INTERPOLATE"),
+        ("SELECT a + 1 FROM t ORDER BY a + 1 WITH FILL", "result column"),
+        ("SELECT a FROM t WITH FILL", "ORDER BY"),
+    ],
+)
+def test_rejections(q, msg):
+    with pytest.raises(ValueError, match=msg):
+        strip_with_fill(q)
+
+
+# -- apply: reference semantics ---------------------------------------
+
+
+def _reference_fill(values, counts, from_=None, to=None, step=1):
+    """Row-anchored ClickHouse fill: prefix FROM..<first, each gap
+    prev+step..<next, suffix last+step..<TO."""
+    out = []
+    ks = sorted(values)
+    if ks and from_ is not None:
+        x = from_
+        while x < ks[0]:
+            out.append((x, 0))
+            x += step
+    for i, k in enumerate(ks):
+        out.append((k, counts[k]))
+        nxt = ks[i + 1] if i + 1 < len(ks) else None
+        x = k + step
+        if nxt is not None:
+            bound = nxt if to is None else min(nxt, to)
+        else:
+            bound = to
+        while bound is not None and x < bound:
+            out.append((x, 0))
+            x += step
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=12),
+    step=st.integers(min_value=1, max_value=5),
+    bounds=st.booleans(),
+)
+def test_anchoring_matches_reference(spark, vals, step, bounds):
+    df = spark.createDataFrame([(v, 1) for v in vals], "k long, n long")
+    spec = FillSpec(
+        column="k",
+        from_="0" if bounds else None,
+        to="70" if bounds else None,
+        step=str(step),
+    )
+    got = [(r.k, r.n) for r in apply_with_fill(df, spec).collect()]
+    ref = _reference_fill(
+        sorted(vals),
+        {v: 1 for v in vals},
+        from_=0 if bounds else None,
+        to=70 if bounds else None,
+        step=step,
+    )
+    assert got == ref
+
+
+def test_generated_rows_carry_type_defaults(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, True), (4, "b", 1.0, False)],
+        "k int, s string, x double, b boolean",
+    )
+    out = apply_with_fill(df, FillSpec(column="k")).collect()
+    gen = [r for r in out if r.k in (2, 3)]
+    assert len(gen) == 2
+    for r in gen:
+        assert (r.s, r.x, r.b) == ("", 0.0, False)
+
+
+def test_single_value_both_bounds(spark):
+    df = spark.createDataFrame([(5, 9)], "k int, n int")
+    out = [(r.k, r.n) for r in apply_with_fill(
+        df, FillSpec(column="k", from_="2", to="8")
+    ).collect()]
+    assert out == [(2, 0), (3, 0), (4, 0), (5, 9), (6, 0), (7, 0)]
+
+
+def test_empty_input_stays_empty(spark):
+    df = spark.createDataFrame([], "k int, n int")
+    assert apply_with_fill(df, FillSpec(column="k", from_="0", to="5")).count() == 0
+
+
+def test_timestamp_interval_fill(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    df = spark.createDataFrame(
+        [(t0, 1), (t0 + datetime.timedelta(hours=3), 1)], "h timestamp, n int"
+    )
+    out = apply_with_fill(
+        df, FillSpec(column="h", step="INTERVAL 1 HOUR")
+    ).collect()
+    assert [r.h.hour for r in out] == [0, 1, 2, 3]
+    assert [r.n for r in out] == [1, 0, 0, 1]
+
+
+def test_unsupported_dtype_raises(spark):
+    df = spark.createDataFrame([(1.5, 1)], "k double, n int")
+    with pytest.raises(ValueError, match="integer, date, or timestamp"):
+        apply_with_fill(df, FillSpec(column="k"))
+
+
+def test_temporal_numeric_step_raises(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(t0, 1)], "h timestamp, n int")
+    with pytest.raises(ValueError, match="INTERVAL"):
+        apply_with_fill(df, FillSpec(column="h", step="60"))
+
+
+# -- Engine.sql integration -------------------------------------------
+
+
+def test_engine_sql_with_fill(spark):
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1, 10), (4, 40)], "k int, v int").createOrReplaceTempView(
+        "fill_t"
+    )
+    out = eng.sql(
+        "SELECT k, sum(v) AS total FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 6",
+        dialect="clickhouse",
+    ).collect()
+    assert [(r.k, r.total) for r in out] == [
+        (0, 0), (1, 10), (2, 0), (3, 0), (4, 40), (5, 0),
+    ]
+    # cache keys must distinguish fill bounds on the same stripped text
+    a = eng.sql(
+        "SELECT k, sum(v) AS total FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 3",
+        dialect="clickhouse",
+        use_query_cache=True,
+    )
+    b = eng.sql(
+        "SELECT k, sum(v) AS total FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 6",
+        dialect="clickhouse",
+        use_query_cache=True,
+    )
+    # TO=3 clamps fills (0, 2) but the actual row k=4 is still emitted
+    assert a.count() == 4 and b.count() == 6
