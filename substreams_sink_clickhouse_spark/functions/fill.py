@@ -4,10 +4,11 @@ as a structural DataFrame rewrite.
 ClickHouse (docs/en/sql-reference/statements/select/order-by.md) fills
 gaps in the sorted output of one column: between every adjacent pair of
 result values it inserts ``prev + STEP, prev + 2*STEP, ...`` while
-strictly less than the next value; ``FROM`` extends the grid below the
-first value and ``TO`` (exclusive) above the last.  Generated rows
+strictly before the next value; ``FROM`` extends the grid before the
+first value and ``TO`` (exclusive) past the last.  Generated rows
 carry each other column's TYPE DEFAULT (0 / '' / epoch), not NULL —
-that is the observable ClickHouse behavior this module reproduces.
+unless the column is listed in ``INTERPOLATE``, in which case it
+carries the previous actual row's value forward.
 
 This cannot be a lexical rewrite (functions/dialect.py): the inserted
 rows' default values depend on the RESULT SCHEMA, which only exists
@@ -17,23 +18,38 @@ it here: ``strip_with_fill`` lexically removes the modifier and
 returns a :class:`FillSpec`; ``apply_with_fill`` implements it on the
 resulting DataFrame.
 
-Scale design: the fill grid depends only on the DISTINCT values of the
-fill column, so the neighbor scan (``lead`` over a global sort) runs
-on the deduplicated value set — bounded by the output grid, not the
-input — and each gap expands to its fill values as one ``sequence()``
-array, JVM-side.  The final global sort is the query's own ORDER BY,
-which any single-column ordered result pays regardless.
+Supported surface:
 
-Deliberate v1 restrictions (each raises with the workaround):
-multi-key ORDER BY, DESC fill, ``INTERPOLATE``, and expression (non-
-column) fill keys.  These are the rare forms; the reference's users'
-dashboard queries are single-key ascending time/number spines.
+* ``ORDER BY [g1 [ASC|DESC], ...,] k [ASC|DESC] WITH FILL
+  [FROM e] [TO e] [STEP e] [INTERPOLATE (c1, c2, ...)]`` — the fill
+  key must be the LAST sort key; preceding keys become fill GROUPS
+  (each group's gaps fill independently, and generated rows inherit
+  the group's key values — ClickHouse's multi-column sort behavior).
+* DESC fill: STEP defaults to -1 (or a negative 1-day/1-second
+  interval); ``FROM`` is then the upper starting bound and ``TO`` the
+  lower exclusive bound, mirroring the ascending semantics.
+* ``INTERPOLATE (c)`` carries the previous actual row's value into
+  generated rows (ClickHouse's no-expression form; ``c AS expr``
+  re-evaluation is refused with a workaround).
+
+Scale design: the fill grid depends only on the DISTINCT values of
+(groups, fill key), so the neighbor scan (``lead`` per group) runs on
+the deduplicated key set — bounded by the output grid, not the input —
+and each gap expands to its fill values as one ``sequence()`` array,
+JVM-side.  With group keys the window partitions by group (parallel);
+only the bare single-key form needs a single-partition window, and
+that is bounded by the output spine.  The final global sort is the
+query's own ORDER BY, which any ordered result pays regardless.
+
+Remaining refusals (each raises with the workaround): expression fill
+keys, WITH FILL on a non-final sort key or on several keys,
+``INTERPOLATE (c AS expr)`` re-evaluation.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -41,6 +57,7 @@ from pyspark.sql import types as T
 
 from substreams_sink_clickhouse_spark.functions.dialect import (
     _blank_parens,
+    _match_paren,
     _segments,
     _split_top_commas,
 )
@@ -58,9 +75,18 @@ class FillSpec:
     from_: str | None = None
     to: str | None = None
     step: str | None = None
+    #: preceding sort keys: (column, ascending) — fills group by these
+    groups: tuple[tuple[str, bool], ...] = ()
+    descending: bool = False
+    #: columns that carry the previous actual row's value forward
+    interpolate: tuple[str, ...] = ()
 
     def cache_token(self) -> str:
-        return f"WITH FILL {self.column} FROM {self.from_} TO {self.to} STEP {self.step}"
+        return (
+            f"WITH FILL {self.groups} {self.column} "
+            f"{'DESC' if self.descending else 'ASC'} FROM {self.from_} "
+            f"TO {self.to} STEP {self.step} INTERPOLATE {self.interpolate}"
+        )
 
 
 _FILL_ITEM = re.compile(
@@ -70,6 +96,8 @@ _FILL_ITEM = re.compile(
     r"(?:\s+STEP\s+(?P<step>.+?))?\s*$",
     flags=re.IGNORECASE | re.DOTALL,
 )
+
+_PLAIN_KEY = re.compile(r"^\s*(?P<col>[\w.]+|`[^`]+`)\s*(?P<dir>ASC|DESC)?\s*$", re.IGNORECASE)
 
 #: keywords that terminate the ORDER BY clause at depth 0
 _CLAUSE_END = re.compile(r"\b(LIMIT|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT)\b", re.IGNORECASE)
@@ -94,45 +122,17 @@ def strip_with_fill(query: str) -> tuple[str, FillSpec | None]:
     blanked = _blank_parens(masked)
     if not re.search(r"\bWITH\s+FILL\b", blanked, flags=re.IGNORECASE):
         return query, None
-    if re.search(r"\bINTERPOLATE\b", blanked, flags=re.IGNORECASE):
-        raise ValueError(
-            "WITH FILL ... INTERPOLATE is not supported: compute the "
-            "interpolation over the filled result with a window "
-            "expression (the q119_interpolate shape)"
-        )
     ob_matches = list(re.finditer(r"\bORDER\s+BY\b", blanked, flags=re.IGNORECASE))
     if not ob_matches:
         raise ValueError("WITH FILL without an ORDER BY")
     ob = ob_matches[-1]
     end_m = _CLAUSE_END.search(blanked, ob.end())
     end = end_m.start() if end_m else len(masked)
-    clause = masked[ob.end() : end]
-    fill_at = re.search(r"\bWITH\s+FILL\b", blanked[ob.end() : end], flags=re.IGNORECASE)
-    if fill_at is None:
+    if re.search(r"\bWITH\s+FILL\b", blanked[ob.end() : end], flags=re.IGNORECASE) is None:
         raise ValueError(
             "WITH FILL must modify the outermost ORDER BY (fill inside "
             "a subquery re-sorts anyway: lift the ORDER BY ... WITH "
             "FILL to the outer query)"
-        )
-    items = _split_top_commas(clause)
-    if len(items) != 1:
-        raise ValueError(
-            "WITH FILL over a multi-key ORDER BY is not supported: "
-            "fill the single spine key, then re-sort the filled result"
-        )
-    m = _FILL_ITEM.match(items[0])
-    if m is None:
-        raise ValueError(f"cannot parse WITH FILL modifier: {items[0]!r}")
-    if (m.group("dir") or "").upper() == "DESC":
-        raise ValueError(
-            "WITH FILL DESC is not supported: fill ascending, then "
-            "ORDER BY ... DESC the filled result"
-        )
-    expr = m.group("expr").strip()
-    if not re.fullmatch(r"[\w.]+|\x01\d+\x01", expr):
-        raise ValueError(
-            "WITH FILL key must be a result column: alias the "
-            "expression in the SELECT list and fill on the alias"
         )
 
     def _restore(s: str | None) -> str | None:
@@ -140,13 +140,73 @@ def strip_with_fill(query: str) -> tuple[str, FillSpec | None]:
             return None
         return re.sub(r"\x01(\d+)\x01", lambda g: literals[int(g.group(1))], s).strip()
 
+    clause = masked[ob.end() : end]
+    # trailing INTERPOLATE (...) belongs to the fill, not the sort list
+    interpolate: tuple[str, ...] = ()
+    ip = re.search(r"\bINTERPOLATE\s*\(", clause, flags=re.IGNORECASE)
+    if ip is not None:
+        close = _match_paren(clause, ip.end() - 1)
+        if clause[close + 1 :].strip():
+            raise ValueError("INTERPOLATE (...) must end the ORDER BY clause")
+        cols = _split_top_commas(clause[ip.end() : close])
+        parsed = []
+        for c in cols:
+            if re.search(r"\bAS\b", c, flags=re.IGNORECASE):
+                raise ValueError(
+                    "INTERPOLATE (col AS expr) re-evaluates the expression "
+                    "per generated row; only the carry-forward form "
+                    "INTERPOLATE (col) is supported — compute the "
+                    "expression over the filled result instead"
+                )
+            if not re.fullmatch(r"[\w.]+|`[^`]+`", c.strip()):
+                raise ValueError(f"INTERPOLATE expects result columns, got {c!r}")
+            parsed.append(_restore(c).strip("`"))
+        interpolate = tuple(parsed)
+        clause = clause[: ip.start()]
+
+    items = _split_top_commas(clause)
+    for it in items[:-1]:
+        if re.search(r"\bWITH\s+FILL\b", it, flags=re.IGNORECASE):
+            raise ValueError(
+                "WITH FILL is supported on the FINAL sort key only "
+                "(fill one spine; preceding keys become fill groups)"
+            )
+    m = _FILL_ITEM.match(items[-1])
+    if m is None:
+        raise ValueError(f"cannot parse WITH FILL modifier: {items[-1]!r}")
+    groups = []
+    for it in items[:-1]:
+        gm = _PLAIN_KEY.match(it)
+        if gm is None:
+            raise ValueError(
+                f"sort keys before WITH FILL must be result columns "
+                f"(generated rows inherit their values), got {it!r}"
+            )
+        groups.append(
+            (_restore(gm.group("col")).strip("`"),
+             (gm.group("dir") or "ASC").upper() == "ASC")
+        )
+    expr = m.group("expr").strip()
+    if not re.fullmatch(r"[\w.]+|\x01\d+\x01|`[^`]+`", expr):
+        raise ValueError(
+            "WITH FILL key must be a result column: alias the "
+            "expression in the SELECT list and fill on the alias"
+        )
     spec = FillSpec(
         column=_restore(expr).strip("`"),
         from_=_restore(m.group("from")),
         to=_restore(m.group("to")),
         step=_restore(m.group("step")),
+        groups=tuple(groups),
+        descending=(m.group("dir") or "").upper() == "DESC",
+        interpolate=interpolate,
     )
-    stripped = masked[: ob.end()] + f" {expr} " + masked[end:]
+    dir_kw = " DESC" if spec.descending else ""
+    keys = ", ".join(
+        f"{c}{'' if asc else ' DESC'}" for c, asc in groups
+    )
+    sort_text = f"{keys}, {expr}{dir_kw}" if keys else f"{expr}{dir_kw}"
+    stripped = masked[: ob.end()] + f" {sort_text} " + masked[end:]
     stripped = re.sub(r"\x01(\d+)\x01", lambda g: literals[int(g.group(1))], stripped)
     return stripped, spec
 
@@ -172,10 +232,13 @@ def _default_literal(dt: T.DataType) -> Column:
 
 def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
     """Insert the fill rows described by ``spec`` and return the result
-    ordered by the fill column.  See module docstring for semantics."""
+    ordered by (groups, fill column).  See module docstring."""
     v = spec.column
-    if v not in df.columns:
-        raise ValueError(f"WITH FILL column {v!r} is not in the result: {df.columns}")
+    for c in (v, *(g for g, _ in spec.groups), *spec.interpolate):
+        if c not in df.columns:
+            raise ValueError(f"WITH FILL column {c!r} is not in the result: {df.columns}")
+    if v in spec.interpolate or v in {g for g, _ in spec.groups}:
+        raise ValueError("the fill key cannot also be a group/INTERPOLATE column")
     dt = df.schema[v].dataType
     integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     temporal = isinstance(dt, (T.DateType, T.TimestampType))
@@ -184,14 +247,22 @@ def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
             f"WITH FILL needs an integer, date, or timestamp key; "
             f"{v!r} is {dt.simpleString()} (bucket/round it first)"
         )
+    desc = spec.descending
     if spec.step is not None:
         step = spec.step
+        if integral and re.fullmatch(r"-?\d+", step.strip()):
+            n = int(step)
+            if n == 0 or ((n > 0) == desc):
+                raise ValueError(
+                    f"WITH FILL STEP {step} does not move toward the "
+                    f"{'descending' if desc else 'ascending'} sort"
+                )
     elif integral:
-        step = "1"
+        step = "-1" if desc else "1"
     elif isinstance(dt, T.DateType):
-        step = "INTERVAL 1 DAY"  # ClickHouse Date default step = 1 day
+        step = "INTERVAL -1 DAY" if desc else "INTERVAL 1 DAY"
     else:
-        step = "INTERVAL 1 SECOND"  # DateTime default step = 1 second
+        step = "INTERVAL -1 SECOND" if desc else "INTERVAL 1 SECOND"
     if temporal and not re.match(r"\s*INTERVAL\b", step, flags=re.IGNORECASE):
         raise ValueError(
             f"WITH FILL STEP over {dt.simpleString()} must be an "
@@ -199,23 +270,28 @@ def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
         )
 
     q = f"`{v}`"
-    # Every gap expands as one JVM-side sequence(); the strict upper
-    # bound is enforced by filter() because sequence()'s stop is
-    # inclusive.  Guards keep sequence() boundaries ordered (it raises
-    # on start > stop with a positive step).
+    cmp = ">" if desc else "<"  # "strictly before" in sort direction
+
+    # Every gap expands as one JVM-side sequence(); the strict bound is
+    # enforced by filter() because sequence()'s stop is inclusive.
+    # Guards keep sequence() boundaries ordered relative to the step
+    # sign (it raises otherwise).
     def gap(start: str, stop: str) -> str:
         return (
-            f"CASE WHEN ({start}) < ({stop}) THEN "
-            f"filter(sequence({start}, {stop}, {step}), x -> x < ({stop})) "
+            f"CASE WHEN ({start}) {cmp} ({stop}) THEN "
+            f"filter(sequence({start}, {stop}, {step}), x -> x {cmp} ({stop})) "
             f"ELSE array() END"
         )
 
-    w = Window.orderBy(v)
+    gcols = [g for g, _ in spec.groups]
+    key = F.col(v).desc() if desc else F.col(v).asc()
+    w = Window.partitionBy(*gcols).orderBy(key)
     vals = (
-        df.select(v)
+        df.select(*gcols, v)
         .where(F.col(v).isNotNull())
         .distinct()
         .select(
+            *gcols,
             F.col(v),
             F.lead(v).over(w).alias("__next"),
             F.row_number().over(w).alias("__rn"),
@@ -227,13 +303,14 @@ def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
     # row (its CASE guard sees a NULL __next).  TO clamps every
     # generated value (ClickHouse stops filling at TO — actual rows
     # beyond it are still emitted, just never filled toward).
-    # NB: least() SKIPS nulls in Spark, so the last row (__next NULL)
-    # must short-circuit to NULL or the mid gap would duplicate the
-    # TO-suffix
+    # NB: least()/greatest() SKIP nulls in Spark, so the last row
+    # (__next NULL) must short-circuit to NULL or the mid gap would
+    # duplicate the TO-suffix.
+    clamp = "greatest" if desc else "least"
     mid_stop = (
         "`__next`"
         if spec.to is None
-        else f"IF(`__next` IS NULL, NULL, least(`__next`, ({spec.to})))"
+        else f"IF(`__next` IS NULL, NULL, {clamp}(`__next`, ({spec.to})))"
     )
     mid = F.expr(gap(f"{q} + ({step})", mid_stop))
     pre = (
@@ -248,11 +325,41 @@ def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
         if spec.to is not None
         else empty
     )
-    spine = vals.select(F.explode(F.concat(pre, mid, suf)).alias(v))
-    generated = spine.select(
-        *[
-            F.col(v).cast(dt).alias(c) if c == v else _default_literal(df.schema[c].dataType).alias(c)
-            for c in df.columns
-        ]
+    spine = vals.select(*gcols, F.explode(F.concat(pre, mid, suf)).alias(v))
+
+    def _gen_col(c: str) -> Column:
+        if c == v:
+            return F.col(v).cast(dt).alias(c)
+        if c in gcols:
+            return F.col(c).alias(c)  # generated rows inherit the group
+        if c in spec.interpolate:
+            return F.lit(None).cast(df.schema[c].dataType).alias(c)
+        return _default_literal(df.schema[c].dataType).alias(c)
+
+    generated = spine.select(*[_gen_col(c) for c in df.columns])
+    flagged = df.withColumn("__gen", F.lit(False)).unionByName(
+        generated.withColumn("__gen", F.lit(True))
     )
-    return df.unionByName(generated).orderBy(v)
+    if spec.interpolate:
+        # carry the previous ACTUAL row's value (including an actual
+        # NULL) into generated rows; rows before any actual row get the
+        # type default, matching the uninitialized-fill behavior
+        wi = (
+            Window.partitionBy(*gcols)
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in spec.interpolate:
+            src = F.when(~F.col("__gen"), F.struct(F.col(c).alias("v")))
+            prev = F.last(src, ignorenulls=True).over(wi)
+            flagged = flagged.withColumn(
+                c,
+                F.when(~F.col("__gen"), F.col(c)).otherwise(
+                    F.when(prev.isNull(), _default_literal(df.schema[c].dataType))
+                    .otherwise(prev["v"])
+                ),
+            )
+    order = [
+        (F.col(g).asc() if asc else F.col(g).desc()) for g, asc in spec.groups
+    ] + [key]
+    return flagged.drop("__gen").orderBy(*order)

@@ -1697,3 +1697,64 @@ SPECS.append(
         _Q143_ORACLE,
     )
 )
+
+
+_Q144_CLICKHOUSE_SQL = """
+SELECT event_type AS g, CAST(floor(value / 5) AS BIGINT) AS k,
+       count() AS n, round(avg(value), 2) AS c
+FROM events
+WHERE user_id = 42 AND value < 100
+GROUP BY g, k
+ORDER BY g, k WITH FILL INTERPOLATE (c)
+"""
+
+
+def _q144_fill_grouped_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped WITH FILL + carry-forward INTERPOLATE: preceding sort
+    keys become fill groups (each group's spine fills independently,
+    generated rows inherit the group value), the count column fills
+    with its type default 0, and the INTERPOLATE column carries the
+    previous actual row's value forward — ClickHouse's multi-column
+    ORDER BY ... WITH FILL behavior in one entry.  The neighbor window
+    partitions by group, so the fill scales with groups in parallel."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+    from substreams_sink_clickhouse_spark.functions.fill import (
+        apply_with_fill,
+        strip_with_fill,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    stripped, spec = strip_with_fill(_Q144_CLICKHOUSE_SQL)
+    return apply_with_fill(spark.sql(clickhouse_to_spark_sql(stripped)), spec)
+
+
+_Q144_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value / 5) AS BIGINT) AS k,
+         count(*) AS n, round(avg(value), 2) AS c
+  FROM events
+  WHERE user_id = 42 AND value < 100
+  GROUP BY g, k),
+bounds AS (SELECT g, min(k) AS mn, max(k) AS mx FROM base GROUP BY g),
+spine AS (SELECT g, unnest(range(mn, mx + 1)) AS k FROM bounds),
+joined AS (
+  SELECT spine.g AS g, spine.k AS k, base.n AS n, base.c AS c
+  FROM spine LEFT JOIN base ON base.g = spine.g AND base.k = spine.k)
+SELECT g, k, coalesce(n, 0) AS n,
+       coalesce(last_value(c IGNORE NULLS) OVER (
+         PARTITION BY g ORDER BY k ROWS UNBOUNDED PRECEDING), 0.0) AS c
+FROM joined
+ORDER BY g, k
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q144_fill_grouped_interpolate",
+        "grouped WITH FILL + INTERPOLATE carry-forward, 0-default counts",
+        _q144_fill_grouped_interpolate,
+        _Q144_ORACLE,
+    )
+)

@@ -59,16 +59,33 @@ def test_subquery_fill_falls_through_to_dialect_guard():
 @pytest.mark.parametrize(
     "q,msg",
     [
-        ("SELECT a, b FROM t ORDER BY a, b WITH FILL", "multi-key"),
-        ("SELECT a FROM t ORDER BY a DESC WITH FILL", "DESC"),
-        ("SELECT a FROM t ORDER BY a WITH FILL INTERPOLATE (b)", "INTERPOLATE"),
+        ("SELECT a, b FROM t ORDER BY a WITH FILL, b WITH FILL", "FINAL sort key"),
+        ("SELECT a, b FROM t ORDER BY a WITH FILL, b", "FINAL sort key"),
         ("SELECT a + 1 FROM t ORDER BY a + 1 WITH FILL", "result column"),
         ("SELECT a FROM t WITH FILL", "ORDER BY"),
+        ("SELECT a, b FROM t ORDER BY a + 1, b WITH FILL", "result columns"),
+        (
+            "SELECT a, c FROM t ORDER BY a WITH FILL INTERPOLATE (c AS c + 1)",
+            "carry-forward",
+        ),
     ],
 )
 def test_rejections(q, msg):
     with pytest.raises(ValueError, match=msg):
         strip_with_fill(q)
+
+
+def test_strip_groups_desc_interpolate():
+    q = ("SELECT g, k, c FROM t ORDER BY g DESC, k DESC "
+         "WITH FILL FROM 9 TO 0 STEP -2 INTERPOLATE (c)")
+    stripped, spec = strip_with_fill(q)
+    assert spec.groups == (("g", False),)
+    assert spec.descending and spec.step == "-2"
+    assert spec.from_ == "9" and spec.to == "0"
+    assert spec.interpolate == ("c",)
+    assert "WITH FILL" not in stripped.upper()
+    assert "INTERPOLATE" not in stripped.upper()
+    assert "ORDER BY g DESC, k DESC" in stripped
 
 
 # -- apply: reference semantics ---------------------------------------
@@ -206,3 +223,71 @@ def test_engine_sql_with_fill(spark):
     )
     # TO=3 clamps fills (0, 2) but the actual row k=4 is still emitted
     assert a.count() == 4 and b.count() == 6
+
+
+def test_grouped_fill_inherits_group_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 4, 6), ("b", 2, 7)], "g string, k int, n int"
+    )
+    out = apply_with_fill(
+        df, FillSpec(column="k", groups=(("g", True),))
+    ).collect()
+    assert [(r.g, r.k, r.n) for r in out] == [
+        ("a", 1, 5), ("a", 2, 0), ("a", 3, 0), ("a", 4, 6), ("b", 2, 7),
+    ]
+
+
+def test_desc_fill_with_bounds(spark):
+    df = spark.createDataFrame([(7, 1), (3, 1)], "k int, n int")
+    out = [(r.k, r.n) for r in apply_with_fill(
+        df, FillSpec(column="k", from_="9", to="1", descending=True)
+    ).collect()]
+    assert out == [(9, 0), (8, 0), (7, 1), (6, 0), (5, 0), (4, 0), (3, 1), (2, 0)]
+
+
+def test_desc_step_sign_checked(spark):
+    df = spark.createDataFrame([(7, 1)], "k int, n int")
+    with pytest.raises(ValueError, match="does not move toward"):
+        apply_with_fill(df, FillSpec(column="k", descending=True, step="2"))
+    with pytest.raises(ValueError, match="does not move toward"):
+        apply_with_fill(df, FillSpec(column="k", step="-1"))
+
+
+def test_interpolate_carries_previous_actual_value(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (4, "y", 40.0)], "k int, s string, c double"
+    )
+    out = apply_with_fill(
+        df, FillSpec(column="k", to="6", interpolate=("c",))
+    ).collect()
+    # fills 2,3 carry 10.0 (prev actual); 5 carries 40.0; s stays ''
+    assert [(r.k, r.c, r.s) for r in out] == [
+        (1, 10.0, "x"), (2, 10.0, ""), (3, 10.0, ""),
+        (4, 40.0, "y"), (5, 40.0, ""),
+    ]
+
+
+def test_interpolate_prefix_gets_type_default(spark):
+    df = spark.createDataFrame([(3, 30.0)], "k int, c double")
+    out = apply_with_fill(
+        df, FillSpec(column="k", from_="1", interpolate=("c",))
+    ).collect()
+    assert [(r.k, r.c) for r in out] == [(1, 0.0), (2, 0.0), (3, 30.0)]
+
+
+def test_engine_sql_grouped_desc_interpolate(spark):
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("b", 2, 20.0)],
+        "g string, k int, c double",
+    ).createOrReplaceTempView("fill_g")
+    out = eng.sql(
+        "SELECT g, k, max(c) AS c FROM fill_g GROUP BY g, k "
+        "ORDER BY g, k WITH FILL INTERPOLATE (c)",
+        dialect="clickhouse",
+    ).collect()
+    assert [(r.g, r.k, r.c) for r in out] == [
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 30.0), ("b", 2, 20.0),
+    ]
