@@ -864,6 +864,27 @@ def _rewrite_clauses(code: str) -> str:
             "fill.py), or use the explicit gap-fill operators (the "
             "q47_gapfill / q118_interpolate shapes)"
         )
+    # ClickHouse join STRICTNESS: both have engine equivalents but no
+    # lexical Spark form (they change row multiplicity, which a
+    # keyword drop would silently corrupt) — raise with the operator.
+    if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "ASOF JOIN picks one closest-timestamp row per left row - "
+            "use the engine's as-of join operator (the q31_asof_join "
+            "shape: equi-join + max_by/window latest-match reduce) "
+            "instead of SQL strictness keywords"
+        )
+    if re.search(
+        r"\b(?:ANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN|"
+        r"(?:LEFT|RIGHT|INNER|FULL)\s+ANY\s+JOIN)\b",
+        code,
+        flags=re.IGNORECASE,
+    ):
+        raise ValueError(
+            "ANY JOIN keeps one matching row per key - reduce the "
+            "right side first (the ch_any_join shape: min_by/max_by "
+            "per key before a plain join)"
+        )
     if re.search(r"\bINTO\s+OUTFILE\b", code, flags=re.IGNORECASE):
         raise ValueError(
             "INTO OUTFILE is client-side output in ClickHouse; write the "

@@ -911,3 +911,22 @@ def test_clickhouse_transform_value_mapping(spark):
     assert "map_from_arrays" in out and "transform(a, y -> y * 2)" in out
     r = spark.sql(out).collect()[0]
     assert r["m"] == "b" and r["keep"] == 9 and r["hof"] == [10, 12]
+
+
+def test_asof_and_any_join_guidance():
+    import pytest
+
+    with pytest.raises(ValueError, match="q31_asof_join"):
+        clickhouse_to_spark_sql(
+            "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
+        )
+    with pytest.raises(ValueError, match="ch_any_join"):
+        clickhouse_to_spark_sql("SELECT * FROM a ANY LEFT JOIN b USING (k)")
+    with pytest.raises(ValueError, match="ch_any_join"):
+        clickhouse_to_spark_sql("SELECT * FROM a LEFT ANY JOIN b USING (k)")
+    # a column named any_join / table alias 'any' must not false-fire
+    out = clickhouse_to_spark_sql("SELECT any_join FROM t")
+    assert "any_join" in out
+    # the word ANY inside a string literal is opaque
+    out = clickhouse_to_spark_sql("SELECT 'ANY LEFT JOIN' AS s FROM t")
+    assert "ANY LEFT JOIN" in out
