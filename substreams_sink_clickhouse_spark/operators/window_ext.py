@@ -355,3 +355,169 @@ SPECS.extend(
         ),
     ]
 )
+
+
+def lttb(
+    df: DataFrame,
+    series: list[str],
+    x: str,
+    y: str,
+    n: int,
+    order: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    ``largestTriangleThreeBuckets(n)(x, y)``): per series, keep the
+    first and last points and one point per index bucket — the one
+    subtending the largest triangle against its neighbor buckets.
+
+    Documented deviation (MIGRATION.md): ClickHouse anchors each
+    bucket's triangle on the PREVIOUSLY SELECTED point, a sequential
+    dependence; this implementation anchors on the previous bucket's
+    AVERAGE (the standard parallel LTTB variant), so every bucket
+    selects independently — one window pass + one bucket aggregate,
+    fully parallel per series, no sequential scan.  Selection ties
+    break on the earliest point.  Bucket averages are rounded (4dp)
+    before the area arithmetic so the argmax is stable across
+    summation orders.
+
+    Scale: the bucket-stats side is |series| x n rows (broadcast); the
+    data side is one window pass (partitioned by series) plus one
+    aggregate keyed (series, bucket).  Output is |series| x n.
+    """
+    order = order or [x]
+    w = Window.partitionBy(*series).orderBy(*order)
+    wc = Window.partitionBy(*series)
+    pts = df.select(
+        *series,
+        F.col(x).alias("__x"),
+        F.col(y).alias("__y"),
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(wc).alias("__cnt"),
+    )
+    small = pts.filter(F.col("__cnt") <= n)
+    big = pts.filter(F.col("__cnt") > n)
+    middle = big.filter((F.col("__pos") > 1) & (F.col("__pos") < F.col("__cnt"))).withColumn(
+        "__bucket",
+        F.floor((F.col("__pos") - 2) * (n - 2) / (F.col("__cnt") - 2)),
+    )
+    ends = big.groupBy(*series).agg(
+        F.min_by(F.struct("__x", "__y"), "__pos").alias("__first"),
+        F.max_by(F.struct("__x", "__y"), "__pos").alias("__last"),
+    )
+    wb = Window.partitionBy(*series).orderBy("__bucket")
+    bstats = (
+        middle.groupBy(*series, "__bucket")
+        .agg(
+            F.round(F.avg("__x"), 4).alias("__ax"),
+            F.round(F.avg("__y"), 4).alias("__ay"),
+        )
+        .join(ends, series)
+        .select(
+            *series,
+            "__bucket",
+            F.coalesce(F.lag("__ax").over(wb), F.col("__first.__x")).alias("__px"),
+            F.coalesce(F.lag("__ay").over(wb), F.col("__first.__y")).alias("__py"),
+            F.coalesce(F.lead("__ax").over(wb), F.col("__last.__x")).alias("__nx"),
+            F.coalesce(F.lead("__ay").over(wb), F.col("__last.__y")).alias("__ny"),
+        )
+    )
+    area = F.round(
+        F.abs(
+            (F.col("__px") - F.col("__nx")) * (F.col("__y") - F.col("__py"))
+            - (F.col("__px") - F.col("__x")) * (F.col("__ny") - F.col("__py"))
+        ),
+        6,
+    )
+    picked = (
+        middle.join(F.broadcast(bstats), [*series, "__bucket"])
+        .withColumn("__area", area)
+        .groupBy(*series, "__bucket")
+        .agg(
+            F.max_by(
+                F.struct("__x", "__y", "__pos"),
+                F.struct(F.col("__area"), (-F.col("__pos")).alias("__tb")),
+            ).alias("__p")
+        )
+        .select(*series, "__p.__x", "__p.__y", "__p.__pos")
+    )
+    endpoints = big.filter((F.col("__pos") == 1) | (F.col("__pos") == F.col("__cnt"))).select(
+        *series, "__x", "__y", "__pos"
+    )
+    out = (
+        small.select(*series, "__x", "__y", "__pos")
+        .unionByName(endpoints)
+        .unionByName(picked)
+        .orderBy(*series, "__pos")
+        .select(*series, F.col("__x").alias(x), F.col("__y").alias(y))
+    )
+    return out
+
+
+def _q145_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    """``largestTriangleThreeBuckets(20)(toUnixTimestamp(ts), value)``
+    per event_type: downsample each type's full series to 20 visually
+    representative points (ClickHouse's dashboard-rendering aggregate,
+    docs/en/sql-reference/aggregate-functions/reference/largestTriangleThreeBuckets).
+    See :func:`lttb` for the parallel-anchor deviation note."""
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("g"),
+        F.unix_timestamp("ts").alias("x"),
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    return lttb(ev, ["g"], "x", "y", 20, order=["x", "event_id"]).select("g", "x", "y")
+
+
+_Q145_ORACLE = """
+WITH pts AS (
+  SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS x, value AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS pos,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events),
+middle AS (
+  SELECT *, CAST(floor((pos - 2) * 18.0 / (cnt - 2)) AS BIGINT) AS bucket
+  FROM pts WHERE pos > 1 AND pos < cnt AND cnt > 20),
+ends AS (
+  SELECT g, arg_min(x, pos) AS fx, arg_min(y, pos) AS fy,
+         arg_max(x, pos) AS lx, arg_max(y, pos) AS ly
+  FROM pts WHERE cnt > 20 GROUP BY g),
+bstats AS (
+  SELECT g, bucket, round(avg(x), 4) AS ax, round(avg(y), 4) AS ay
+  FROM middle GROUP BY g, bucket),
+anchors AS (
+  SELECT bstats.g AS g, bucket,
+         coalesce(lag(ax)  OVER w, fx) AS px,
+         coalesce(lag(ay)  OVER w, fy) AS py,
+         coalesce(lead(ax) OVER w, lx) AS nx,
+         coalesce(lead(ay) OVER w, ly) AS ny
+  FROM bstats JOIN ends ON bstats.g = ends.g
+  WINDOW w AS (PARTITION BY bstats.g ORDER BY bucket)),
+scored AS (
+  SELECT middle.g AS g, middle.bucket AS bucket, x, y, pos,
+         round(abs((px - nx) * (y - py) - (px - x) * (ny - py)), 6) AS area
+  FROM middle JOIN anchors ON middle.g = anchors.g AND middle.bucket = anchors.bucket),
+picked AS (
+  SELECT g, x, y FROM (
+    SELECT g, x, y,
+           row_number() OVER (PARTITION BY g, bucket
+                              ORDER BY area DESC, pos) AS rn
+    FROM scored) t WHERE rn = 1),
+endpoints AS (
+  SELECT g, x, y FROM pts WHERE cnt > 20 AND (pos = 1 OR pos = cnt)),
+small AS (SELECT g, x, y FROM pts WHERE cnt <= 20)
+SELECT g, x, y FROM picked
+UNION ALL SELECT g, x, y FROM endpoints
+UNION ALL SELECT g, x, y FROM small
+ORDER BY g, x
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q145_lttb",
+        "largestTriangleThreeBuckets: parallel LTTB downsampling",
+        _q145_lttb,
+        _Q145_ORACLE,
+    )
+)

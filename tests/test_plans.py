@@ -440,3 +440,34 @@ def test_tpch_q21_reuses_orderkey_exchange(spark):
     plan = simple_plan(df)
     assert plan.count("lineitem.parquet") <= 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_lttb_small_series_pass_through(spark):
+    from substreams_sink_clickhouse_spark.operators.window_ext import lttb
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(5)], "g string, x long, y double"
+    )
+    out = lttb(df, ["g"], "x", "y", 20).collect()
+    assert [(r.x, r.y) for r in out] == [(i, float(i % 3)) for i in range(5)]
+
+
+def test_lttb_keeps_endpoints_and_bucket_count(spark):
+    from substreams_sink_clickhouse_spark.operators.window_ext import lttb
+
+    rows = [("a", i, float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = [(r.x, r.y) for r in lttb(df, ["g"], "x", "y", 12).collect()]
+    assert len(out) == 12
+    assert out[0] == (0, 0.0) and out[-1] == (199, float((199 * 37) % 101))
+    assert [x for x, _ in out] == sorted(x for x, _ in out)
+
+
+def test_lttb_peak_survives_downsampling(spark):
+    # the visual guarantee: an isolated spike must be selected
+    from substreams_sink_clickhouse_spark.operators.window_ext import lttb
+
+    rows = [("a", i, 1000.0 if i == 57 else 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = [(r.x, r.y) for r in lttb(df, ["g"], "x", "y", 10).collect()]
+    assert (57, 1000.0) in out and len(out) == 10
