@@ -406,7 +406,8 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "kurtPop", "arrayAvg", "arrayCumSum", "arrayCompact",
                 "arrayDifference", "dateDiff", "notEmpty", "empty",
                 "median", "medianExact", "arrayUniq", "countEqual",
-                "intDiv", "modulo", "transform",
+                "intDiv", "modulo", "transform", "arrayFold",
+                "toStartOfInterval",
             ]
         ) + r")\s*\("
     )
@@ -460,6 +461,44 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     repl = f"size(filter({arr}, {f_}))"
                 else:
                     repl = f"{tgt}({arr}, {f_})"
+        elif name == "arrayFold":
+            # arrayFold((acc, x) -> expr, arr, init) — Spark's aggregate
+            # takes the same lambda syntax with reordered operands
+            parts = _split_top_commas(inner)
+            if len(parts) != 3:
+                raise ValueError("arrayFold needs (lambda, array, init)")
+            f_, arr, init = parts
+            repl = f"aggregate({arr}, {init}, {f_})"
+        elif name == "toStartOfInterval":
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError("toStartOfInterval needs (time, INTERVAL n unit)")
+            iv = re.fullmatch(
+                r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|MONTH)S?",
+                parts[1].strip(),
+                flags=re.IGNORECASE,
+            )
+            if iv is None:
+                raise ValueError(
+                    "toStartOfInterval supports INTERVAL n "
+                    "SECOND/MINUTE/HOUR/DAY/MONTH (WEEK anchoring "
+                    "differs; use toMonday for weeks)"
+                )
+            n_, unit = int(iv.group(1)), iv.group(2).upper()
+            if unit == "MONTH":
+                # n-month buckets anchored at 1970-01 (ClickHouse's
+                # epoch anchor for month-granular intervals)
+                repl = (
+                    f"add_months(DATE '1970-01-01', CAST(floor(months_between("
+                    f"{parts[0]}, TIMESTAMP '1970-01-01 00:00:00') / {n_}) "
+                    f"* {n_} AS INT))"
+                )
+            else:
+                secs = n_ * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
+                repl = (
+                    f"timestamp_seconds(CAST(floor(unix_timestamp({parts[0]}) "
+                    f"/ {secs}) * {secs} AS BIGINT))"
+                )
         elif name in _TRUNC_FUNCS:
             repl = f"date_trunc('{_TRUNC_FUNCS[name]}', {inner})"
         elif name == "kurtPop":

@@ -1758,3 +1758,50 @@ SPECS.append(
         _Q144_ORACLE,
     )
 )
+
+
+_Q146_CLICKHOUSE_SQL = """
+SELECT toStartOfInterval(ts, INTERVAL 6 HOUR) AS bucket,
+       count() AS n,
+       arrayFold((acc, x) -> acc + CAST(round(x * 100) AS BIGINT),
+                 groupArray(value), CAST(0 AS BIGINT)) AS cents,
+       round(arrayFold((acc, x) -> greatest(acc, x), groupArray(value),
+                       CAST(0 AS DOUBLE)), 2) AS mx
+FROM events
+GROUP BY bucket
+"""
+
+
+def _q146_dialect_fold_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """``toStartOfInterval(ts, INTERVAL 6 HOUR)`` (epoch-anchored
+    bucket arithmetic) and ``arrayFold`` (operand-reordered to Spark's
+    ``aggregate``) through the dialect shim.  The folds are chosen
+    order-insensitive (integer cent sum, max) so the value hash is
+    stable against collect_list ordering; the translation itself is
+    what's under test."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q146_CLICKHOUSE_SQL))
+
+
+_Q146_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS bucket,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+       round(max(value), 2) AS mx
+FROM events
+GROUP BY bucket
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q146_dialect_fold_interval",
+        "toStartOfInterval + arrayFold through the dialect shim",
+        _q146_dialect_fold_interval,
+        _Q146_ORACLE,
+    )
+)

@@ -930,3 +930,24 @@ def test_asof_and_any_join_guidance():
     # the word ANY inside a string literal is opaque
     out = clickhouse_to_spark_sql("SELECT 'ANY LEFT JOIN' AS s FROM t")
     assert "ANY LEFT JOIN" in out
+
+
+def test_arrayfold_and_tostartofinterval():
+    out = clickhouse_to_spark_sql(
+        "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], CAST(0 AS BIGINT))"
+    )
+    assert "aggregate(array(1, 2, 3), CAST(0 AS BIGINT), (acc, x) -> acc + x)" in out
+    out = clickhouse_to_spark_sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) FROM t"
+    )
+    assert "floor(unix_timestamp(ts) / 900) * 900" in out
+    out = clickhouse_to_spark_sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 3 MONTH) FROM t"
+    )
+    assert "months_between" in out and "* 3" in out
+    import pytest
+
+    with pytest.raises(ValueError, match="toMonday"):
+        clickhouse_to_spark_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 1 WEEK) FROM t"
+        )
