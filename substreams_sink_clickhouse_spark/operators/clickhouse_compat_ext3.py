@@ -1805,3 +1805,91 @@ SPECS.append(
         _Q146_ORACLE,
     )
 )
+
+
+_SPARKBAR_GLYPHS = " ▁▂▃▄▅▆▇█"
+
+
+def _q147_sparkbar(spark: SparkSession, sf: str) -> DataFrame:
+    """``sparkbar(32)(day, value)`` per event_type: render each type's
+    daily volume as a 32-char Unicode bar string (ClickHouse's inline
+    chart aggregate, aggregate-functions/reference/sparkbar).
+
+    Level mapping (documented; all INTEGER arithmetic so the engine
+    and the oracle render byte-identical strings): x buckets by
+    ``floor((x - min_x) * n / (max_x - min_x + 1))``, heights are
+    per-bucket cent sums, a bucket maps to glyph
+    ``ceil(8 * h / max_h)`` (1..8) or a space when empty.  One narrow
+    aggregate keyed (series, bucket), then per-series assembly over a
+    ``sequence(0, n-1)`` spine — map lookup + transform + concat, all
+    JVM expressions; output is |series| rows."""
+    n = 32
+    ev = load_table(spark, sf, "events").select(
+        F.col("event_type").alias("g"),
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.groupBy("g").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    buckets = (
+        ev.join(F.broadcast(bounds), "g")
+        .withColumn(
+            "b",
+            ((F.col("x") - F.col("mn")) * n / (F.col("mx") - F.col("mn") + 1))
+            .cast("long"),
+        )
+        .groupBy("g", "b")
+        .agg(F.sum("cents").alias("h"))
+    )
+    per_series = buckets.groupBy("g").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "h"))).alias("m"),
+        F.max("h").alias("maxh"),
+    )
+    glyphs = ", ".join(f"'{c}'" for c in _SPARKBAR_GLYPHS)
+    bar = F.expr(
+        f"concat_ws('', transform(sequence(0, {n - 1}), i -> "
+        f"element_at(array({glyphs}), CAST(CASE WHEN m[i] IS NULL OR m[i] <= 0 "
+        f"THEN 0 ELSE (m[i] * 8 + maxh - 1) DIV maxh END AS INT) + 1)))"
+    )
+    return per_series.select("g", bar.alias("bar")).orderBy("g")
+
+
+_Q147_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+bounds AS (SELECT g, min(x) AS mn, max(x) AS mx FROM ev GROUP BY g),
+buckets AS (
+  SELECT ev.g AS g,
+         CAST(floor((x - mn) * 32.0 / (mx - mn + 1)) AS BIGINT) AS b,
+         sum(cents) AS h
+  FROM ev JOIN bounds ON ev.g = bounds.g
+  GROUP BY ev.g, CAST(floor((x - mn) * 32.0 / (mx - mn + 1)) AS BIGINT)),
+stats AS (SELECT g, max(h) AS maxh FROM buckets GROUP BY g),
+spine AS (
+  SELECT stats.g AS g, i.i AS b, maxh
+  FROM stats CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i),
+levels AS (
+  SELECT spine.g AS g, spine.b AS b,
+         CASE WHEN h IS NULL OR h <= 0 THEN 0
+              ELSE CAST((h * 8 + maxh - 1) // maxh AS BIGINT) END AS lvl
+  FROM spine LEFT JOIN buckets ON buckets.g = spine.g AND buckets.b = spine.b)
+SELECT g, string_agg(chr(CAST(CASE WHEN lvl = 0 THEN 32 ELSE 9600 + lvl END AS INTEGER)), ''
+                     ORDER BY b) AS bar
+FROM levels
+GROUP BY g
+ORDER BY g
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q147_sparkbar",
+        "sparkbar inline bar-chart rendering, integer-exact levels",
+        _q147_sparkbar,
+        _Q147_ORACLE,
+    )
+)
