@@ -1893,3 +1893,53 @@ SPECS.append(
         _Q147_ORACLE,
     )
 )
+
+
+def _q148_exp_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """``exponentialMovingAverage(3600)(value, toUnixTimestamp(ts))``
+    per user (ClickHouse's time-decay aggregate): each observation is
+    weighted ``2^((t - t_latest) / halflife)`` so the newest point has
+    weight 1 and a point one halflife older contributes half.  The
+    sequential-looking recurrence has this closed form, so it runs as
+    ONE algebraic aggregate after a per-key max — no window scan, no
+    ordering dependence beyond the weights themselves; rounded (6dp)
+    for hash stability across summation orders."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.unix_timestamp("ts").alias("t"),
+    ).filter(F.col("user_id") < 10)
+    latest = ev.groupBy("user_id").agg(F.max("t").alias("tmax"))
+    w = F.pow(F.lit(2.0), (F.col("t") - F.col("tmax")) / F.lit(3600.0))
+    return (
+        ev.join(F.broadcast(latest), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("v") * w) / F.sum(w), 6).alias("ema")
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q148_ORACLE = """
+WITH ev AS (
+  SELECT user_id, value AS v, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE user_id < 10),
+latest AS (SELECT user_id, max(t) AS tmax FROM ev GROUP BY user_id)
+SELECT ev.user_id AS user_id,
+       round(sum(v * pow(2.0, (t - tmax) / 3600.0))
+             / sum(pow(2.0, (t - tmax) / 3600.0)), 6) AS ema
+FROM ev JOIN latest ON ev.user_id = latest.user_id
+GROUP BY ev.user_id
+ORDER BY user_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q148_exp_moving_avg",
+        "exponentialMovingAverage: closed-form time-decay aggregate",
+        _q148_exp_moving_avg,
+        _Q148_ORACLE,
+    )
+)
