@@ -407,7 +407,10 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arrayDifference", "dateDiff", "notEmpty", "empty",
                 "median", "medianExact", "arrayUniq", "countEqual",
                 "intDiv", "modulo", "transform", "arrayFold",
-                "toStartOfInterval",
+                "toStartOfInterval", "arrayPushBack", "arrayPushFront",
+                "arrayPopBack", "arrayPopFront", "arrayRotateLeft",
+                "arrayRotateRight", "arrayResize", "arrayShiftLeft",
+                "arrayShiftRight", "arrayStringConcat",
             ]
         ) + r")\s*\("
     )
@@ -461,6 +464,54 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     repl = f"size(filter({arr}, {f_}))"
                 else:
                     repl = f"{tgt}({arr}, {f_})"
+        elif name in ("arrayPushBack", "arrayPushFront"):
+            arr, e = _split_top_commas(inner)
+            repl = (
+                f"concat({arr}, array({e}))"
+                if name == "arrayPushBack"
+                else f"concat(array({e}), {arr})"
+            )
+        elif name in ("arrayPopBack", "arrayPopFront"):
+            start = "1" if name == "arrayPopBack" else "2"
+            repl = f"slice({inner}, {start}, greatest(size({inner}) - 1, 0))"
+        elif name in ("arrayRotateLeft", "arrayRotateRight"):
+            arr, n_ = _split_top_commas(inner)
+            shift = n_ if name == "arrayRotateLeft" else f"-({n_})"
+            rot = f"pmod({shift}, size({arr}))"
+            repl = (
+                f"CASE WHEN size({arr}) <= 1 THEN {arr} ELSE "
+                f"concat(slice({arr}, {rot} + 1, size({arr}) - {rot}), "
+                f"slice({arr}, 1, {rot})) END"
+            )
+        elif name in ("arrayResize", "arrayShiftLeft", "arrayShiftRight"):
+            parts = _split_top_commas(inner)
+            if len(parts) != 3:
+                raise ValueError(
+                    f"{name} needs an explicit fill element here "
+                    f"({name}(arr, n, fill)) - ClickHouse's 2-arg form "
+                    "pads with the array type's default, which a "
+                    "lexical rewrite cannot know"
+                )
+            arr, n_, fill = parts
+            if name == "arrayResize":
+                repl = (
+                    f"CASE WHEN ({n_}) <= size({arr}) THEN slice({arr}, 1, {n_}) "
+                    f"ELSE concat({arr}, array_repeat({fill}, ({n_}) - size({arr}))) END"
+                )
+            elif name == "arrayShiftLeft":
+                repl = (
+                    f"concat(slice({arr}, ({n_}) + 1, greatest(size({arr}) - ({n_}), 0)), "
+                    f"array_repeat({fill}, least({n_}, size({arr}))))"
+                )
+            else:
+                repl = (
+                    f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
+                    f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
+                )
+        elif name == "arrayStringConcat":
+            parts = _split_top_commas(inner)
+            sep = parts[1] if len(parts) == 2 else "''"
+            repl = f"array_join({parts[0]}, {sep})"
         elif name == "arrayFold":
             # arrayFold((acc, x) -> expr, arr, init) — Spark's aggregate
             # takes the same lambda syntax with reordered operands

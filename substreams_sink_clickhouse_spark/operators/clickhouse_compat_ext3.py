@@ -1943,3 +1943,69 @@ SPECS.append(
         _Q148_ORACLE,
     )
 )
+
+
+_Q149_CLICKHOUSE_SQL = """
+SELECT event_id,
+       arrayStringConcat(arrayPushBack(a, '99'), ',') AS pb,
+       arrayStringConcat(arrayPushFront(a, '0'), ',') AS pf,
+       arrayStringConcat(arrayPopBack(a), ',') AS pob,
+       arrayStringConcat(arrayPopFront(a), ',') AS pof,
+       arrayStringConcat(arrayRotateLeft(a, event_id), ',') AS rl,
+       arrayStringConcat(arrayRotateRight(a, 2), ',') AS rr,
+       arrayStringConcat(arrayResize(a, 7, '-1'), ',') AS rsz,
+       arrayStringConcat(arrayShiftLeft(a, 2, '-1'), ',') AS sl,
+       arrayStringConcat(arrayShiftRight(a, 2, '-1'), ',') AS sr
+FROM (SELECT event_id,
+             arrayMap(x -> toString(x + user_id), [1, 2, 3, 4, 5]) AS a
+      FROM events WHERE event_id < 50) t
+ORDER BY event_id
+"""
+
+
+def _q149_array_mutations(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse array-mutation family through the dialect shim:
+    push/pop at both ends, modular rotation (arbitrary shift counts,
+    pmod handles negatives), resize and shift with an explicit fill —
+    each a slice/concat/array_repeat composition, row-local JVM
+    expressions with no fan-out.  The 2-arg resize/shift forms raise
+    (their pad value is the array TYPE's default, unknowable
+    lexically)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q149_CLICKHOUSE_SQL))
+
+
+_Q149_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         list_transform(range(1, 6), x -> CAST(x + user_id AS VARCHAR)) AS a
+  FROM events WHERE event_id < 50)
+SELECT event_id,
+       array_to_string(list_append(a, '99'), ',') AS pb,
+       array_to_string(list_prepend('0', a), ',') AS pf,
+       array_to_string(a[1:4], ',') AS pob,
+       array_to_string(a[2:5], ',') AS pof,
+       array_to_string(list_transform(range(1, 6),
+         i -> a[CAST(((i - 1 + event_id % 5) % 5) + 1 AS BIGINT)]), ',') AS rl,
+       array_to_string(list_transform(range(1, 6),
+         i -> a[CAST(((i - 1 + 3) % 5) + 1 AS BIGINT)]), ',') AS rr,
+       array_to_string(list_concat(a, ['-1', '-1']), ',') AS rsz,
+       array_to_string(list_concat(a[3:5], ['-1', '-1']), ',') AS sl,
+       array_to_string(list_concat(['-1', '-1'], a[1:3]), ',') AS sr
+FROM base
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q149_array_mutations",
+        "array push/pop/rotate/resize/shift family through the shim",
+        _q149_array_mutations,
+        _Q149_ORACLE,
+    )
+)

@@ -951,3 +951,18 @@ def test_arrayfold_and_tostartofinterval():
         clickhouse_to_spark_sql(
             "SELECT toStartOfInterval(ts, INTERVAL 1 WEEK) FROM t"
         )
+
+
+def test_array_mutation_family():
+    out = clickhouse_to_spark_sql("SELECT arrayPushBack([1,2], 3)")
+    assert "concat(array(1,2), array(3))" in out.replace("1, 2", "1,2")
+    out = clickhouse_to_spark_sql("SELECT arrayPopFront(a) FROM t")
+    assert "slice(a, 2, greatest(size(a) - 1, 0))" in out
+    out = clickhouse_to_spark_sql("SELECT arrayRotateRight(a, -3) FROM t")
+    assert "pmod(-(-3), size(a))" in out
+    out = clickhouse_to_spark_sql("SELECT arrayStringConcat(a) FROM t")
+    assert "array_join(a, '')" in out
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit fill"):
+        clickhouse_to_spark_sql("SELECT arrayResize(a, 7) FROM t")
