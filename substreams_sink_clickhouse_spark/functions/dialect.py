@@ -129,6 +129,16 @@ _NAME_SWAPS = {
     #: function-form arrayJoin (row expansion) == explode; the clause
     #: form ``ARRAY JOIN`` is handled separately in _rewrite_clauses
     "arrayJoin": "explode",
+    # string batch 2 — same argument order and semantics
+    "substringUTF8": "substring",
+    "translateUTF8": "translate",
+    "reverseUTF8": "reverse",
+    "concatWithSeparator": "concat_ws",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -410,7 +420,8 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toStartOfInterval", "arrayPushBack", "arrayPushFront",
                 "arrayPopBack", "arrayPopFront", "arrayRotateLeft",
                 "arrayRotateRight", "arrayResize", "arrayShiftLeft",
-                "arrayShiftRight", "arrayStringConcat",
+                "arrayShiftRight", "arrayStringConcat", "countSubstrings",
+                "positionCaseInsensitive", "splitByChar", "splitByString",
             ]
         ) + r")\s*\("
     )
@@ -508,6 +519,22 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name == "countSubstrings":
+            h, nd = _split_top_commas(inner)
+            # non-overlapping occurrence count by length arithmetic —
+            # integer-exact, no regex involvement
+            repl = (
+                f"CAST((length({h}) - length(replace({h}, {nd}, ''))) "
+                f"/ length({nd}) AS BIGINT)"
+            )
+        elif name == "positionCaseInsensitive":
+            h, nd = _split_top_commas(inner)
+            repl = f"instr(lower({h}), lower({nd}))"
+        elif name in ("splitByChar", "splitByString"):
+            sep, s = _split_top_commas(inner)
+            # Spark's split takes a REGEX: \Q...\E quotes the separator
+            # so metacharacters split literally, matching ClickHouse
+            repl = f"split({s}, concat('\\\\Q', {sep}, '\\\\E'))"
         elif name == "arrayStringConcat":
             parts = _split_top_commas(inner)
             sep = parts[1] if len(parts) == 2 else "''"

@@ -2009,3 +2009,55 @@ SPECS.append(
         _Q149_ORACLE,
     )
 )
+
+
+_Q150_CLICKHOUSE_SQL = """
+SELECT event_id,
+       countSubstrings(props, '9') AS c9,
+       positionCaseInsensitive(event_type, 'CLICK') AS pci,
+       arrayStringConcat(splitByChar(':', props), '|') AS sp,
+       concatWithSeparator('-', event_type, toString(user_id)) AS cw,
+       startsWith(event_type, 'cl') AS sw,
+       trimBoth('  pad  ') AS tb
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+def _q150_string_batch2(spark: SparkSession, sf: str) -> DataFrame:
+    """String family batch 2 through the dialect shim:
+    ``countSubstrings`` (length arithmetic, no regex),
+    ``positionCaseInsensitive``, ``splitByChar`` (literal separator
+    regex-quoted with \\Q...\\E), ``concatWithSeparator``,
+    ``startsWith``, ``trimBoth`` — all row-local JVM expressions."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q150_CLICKHOUSE_SQL))
+
+
+_Q150_ORACLE = """
+SELECT event_id,
+       CAST((length(props) - length(replace(props, '9', ''))) AS BIGINT) AS c9,
+       instr(lower(event_type), lower('CLICK')) AS pci,
+       array_to_string(string_split(props, ':'), '|') AS sp,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS cw,
+       starts_with(event_type, 'cl') AS sw,
+       trim('  pad  ') AS tb
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q150_string_batch2",
+        "countSubstrings/positionCI/splitByChar/concat_ws through the shim",
+        _q150_string_batch2,
+        _Q150_ORACLE,
+    )
+)
