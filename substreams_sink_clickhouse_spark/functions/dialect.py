@@ -139,6 +139,9 @@ _NAME_SWAPS = {
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
     "trimBoth": "trim",
+    "bitCount": "bit_count",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -422,6 +425,8 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arrayRotateRight", "arrayResize", "arrayShiftLeft",
                 "arrayShiftRight", "arrayStringConcat", "countSubstrings",
                 "positionCaseInsensitive", "splitByChar", "splitByString",
+                "bitAnd", "bitOr", "bitXor", "bitNot", "bitShiftLeft",
+                "bitShiftRight",
             ]
         ) + r")\s*\("
     )
@@ -519,6 +524,16 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name in ("bitAnd", "bitOr", "bitXor"):
+            a, b = _split_top_commas(inner)
+            op_ = {"bitAnd": "&", "bitOr": "|", "bitXor": "^"}[name]
+            repl = f"(({a}) {op_} ({b}))"
+        elif name == "bitNot":
+            repl = f"(~({inner}))"
+        elif name in ("bitShiftLeft", "bitShiftRight"):
+            a, b = _split_top_commas(inner)
+            fn = "shiftleft" if name == "bitShiftLeft" else "shiftright"
+            repl = f"{fn}({a}, CAST({b} AS INT))"
         elif name == "countSubstrings":
             h, nd = _split_top_commas(inner)
             # non-overlapping occurrence count by length arithmetic —

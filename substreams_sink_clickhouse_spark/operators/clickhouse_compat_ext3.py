@@ -2061,3 +2061,56 @@ SPECS.append(
         _Q150_ORACLE,
     )
 )
+
+
+_Q151_CLICKHOUSE_SQL = """
+SELECT event_id,
+       bitAnd(event_id, user_id) AS ba,
+       bitOr(event_id, user_id) AS bo,
+       bitXor(event_id, user_id) AS bx,
+       bitNot(event_id) AS bn,
+       bitShiftLeft(user_id, 3) AS bsl,
+       bitShiftRight(event_id, 2) AS bsr,
+       bitCount(event_id) AS bc
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+def _q151_bit_scalars(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar bit-function family through the dialect shim: the binary
+    ops map to Spark's native &/|/^ operators (whole-stage codegen),
+    shifts to shiftleft/shiftright, population count to bit_count —
+    integer-exact everywhere."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q151_CLICKHOUSE_SQL))
+
+
+_Q151_ORACLE = """
+SELECT event_id,
+       event_id & user_id AS ba,
+       event_id | user_id AS bo,
+       xor(event_id, user_id) AS bx,
+       ~event_id AS bn,
+       user_id << 3 AS bsl,
+       event_id >> 2 AS bsr,
+       bit_count(event_id) AS bc
+FROM events
+WHERE event_id < 100
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q151_bit_scalars",
+        "bitAnd/Or/Xor/Not, shifts, bitCount through the shim",
+        _q151_bit_scalars,
+        _Q151_ORACLE,
+    )
+)

@@ -966,3 +966,12 @@ def test_array_mutation_family():
 
     with pytest.raises(ValueError, match="explicit fill"):
         clickhouse_to_spark_sql("SELECT arrayResize(a, 7) FROM t")
+
+
+def test_bit_scalar_family():
+    out = clickhouse_to_spark_sql("SELECT bitAnd(a, b), bitXor(a, 3) FROM t")
+    assert "((a) & (b))" in out and "((a) ^ (3))" in out
+    out = clickhouse_to_spark_sql("SELECT bitNot(a), bitShiftLeft(a, 2) FROM t")
+    assert "(~(a))" in out and "shiftleft(a, CAST(2 AS INT))" in out
+    out = clickhouse_to_spark_sql("SELECT bitCount(a), covarPop(a, b) FROM t")
+    assert "bit_count(a)" in out and "covar_pop(a, b)" in out
