@@ -106,6 +106,18 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         dialect="clickhouse",
     ).collect()[0]
     out["final_and_param_aggs"] = {"n": row["n"], "median_block": row["med"]}
+    # ORDER BY ... WITH FILL: the gap-filled spine materializes through
+    # Engine.sql (generated rows carry type defaults — counts fill as 0)
+    filled = eng.sql(
+        "SELECT toInt64(intDiv(number, 10)) AS decade, count() AS n "
+        "FROM block_meta GROUP BY decade "
+        "ORDER BY decade WITH FILL FROM 0 TO 8",
+        dialect="clickhouse",
+    ).collect()
+    out["with_fill"] = {
+        "rows": len(filled),
+        "zero_filled": sum(1 for r in filled if r["n"] == 0),
+    }
     out["tpch_q3_rows"] = _tpch_q3(spark, sf_dir).count()
     # partsupp shapes run on a deterministic synthesized partsupp
     from substreams_sink_clickhouse_spark.operators.tpch_partsupp import _tpch_q16
@@ -133,6 +145,22 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
     out["bm25_top"] = [
         (r["doc_id"], r["bm25"]) for r in _bm25(spark, sf_dir).limit(3).collect()
     ]
+    # LTTB: each event_type's series downsampled to 12 visually
+    # representative points (round-5 dashboard aggregate)
+    from pyspark.sql import functions as _F
+
+    from substreams_sink_clickhouse_spark.operators.window_ext import lttb
+    from substreams_sink_clickhouse_spark.sources.tables import (
+        load_table as _lt,
+    )
+
+    ev = _lt(spark, sf_dir, "events").select(
+        _F.col("event_type").alias("g"),
+        _F.unix_timestamp("ts").alias("x"),
+        _F.col("value").alias("y"),
+        "event_id",
+    )
+    out["lttb_points"] = lttb(ev, ["g"], "x", "y", 12, order=["x", "event_id"]).count()
     # the same operators, fluently, over any documents DataFrame
     from substreams_sink_clickhouse_spark.operators.corpus import Corpus
     from substreams_sink_clickhouse_spark.sources.tables import load_table

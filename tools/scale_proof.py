@@ -234,7 +234,16 @@ def main() -> None:
     sf1 = SCRATCH + "/sf1"
     synth_10x(spark, sf01, sf1)
 
-    if "--all" in sys.argv[1:]:
+    names_arg = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--names=")), None
+    )
+    if names_arg:
+        # targeted proof for specific registry entries
+        import __spark_entry__ as entry_mod
+
+        queries = entry_mod.queries()
+        cases = [(n, queries[n]) for n in names_arg.split(",")]
+    elif "--all" in sys.argv[1:]:
         # fleet-wide proof: EVERY bench.py headline entry at 1x and 10x
         import __spark_entry__ as entry_mod
 
@@ -275,10 +284,10 @@ def main() -> None:
             print(f"{name}@{label}: {results[f'{name}@{label}']}")
     # ingest e2e (decode -> validate -> merge -> versioned commit +
     # cursor) at both scales: the full streaming pipeline on the
-    # synthesized orders change stream
+    # synthesized orders change stream (skipped for targeted --names runs)
     from bench import bench_ingest
 
-    for label, d in (("sf0.1", sf01), ("sf1(10x)", sf1)):
+    for label, d in () if names_arg else (("sf0.1", sf01), ("sf1(10x)", sf1)):
         rd0, wr0 = rest_stage_totals(ui_port)
         wall = bench_ingest(spark, d)
         rd1, wr1 = rest_stage_totals(ui_port)
