@@ -210,6 +210,9 @@ _PARAM_AGGS = {
     "quantileExact": ("percentile", False),
     "quantiles": ("percentile_approx", True),
     "quantilesExact": ("percentile", True),
+    # weighted exact quantile: Spark's percentile takes an integral
+    # frequency column — argument order reshuffled in the rewriter
+    "quantileExactWeighted": ("__weighted__", False),
     "topK": None,  # special-cased: frequency top-k, see _topk_expr
 }
 
@@ -729,6 +732,9 @@ def _rewrite_param_aggs(code: str) -> str:
             single = _rewrite_param_aggs(code[p_open + 1 : p_close])
             if name == "topK":
                 repl = _topk_expr(single, "10")  # CH default k
+            elif name == "quantileExactWeighted":
+                x, wgt = _split_top_commas(single)
+                repl = f"percentile({x}, 0.5, {wgt})"
             elif name in ("quantile", "quantileExact", "quantileTDigest"):
                 spark_name, _ = _PARAM_AGGS[name]
                 repl = f"{spark_name}({single}, 0.5)"  # CH default level
@@ -744,6 +750,9 @@ def _rewrite_param_aggs(code: str) -> str:
         args = _rewrite_param_aggs(code[k + 1 : a_close])
         if name == "topK":
             repl = _topk_expr(args, params)
+        elif name == "quantileExactWeighted":
+            x, wgt = _split_top_commas(args)
+            repl = f"percentile({x}, {params}, {wgt})"
         else:
             spark_name, as_array = _PARAM_AGGS[name]
             p = f"array({params})" if as_array else params

@@ -975,3 +975,12 @@ def test_bit_scalar_family():
     assert "(~(a))" in out and "shiftleft(a, CAST(2 AS INT))" in out
     out = clickhouse_to_spark_sql("SELECT bitCount(a), covarPop(a, b) FROM t")
     assert "bit_count(a)" in out and "covar_pop(a, b)" in out
+
+
+def test_quantile_exact_weighted():
+    out = clickhouse_to_spark_sql(
+        "SELECT quantileExactWeighted(0.9)(value, w) AS p90 FROM t"
+    )
+    assert "percentile(value, 0.9, w)" in out
+    out = clickhouse_to_spark_sql("SELECT quantileExactWeighted(x, w) FROM t")
+    assert "percentile(x, 0.5, w)" in out
