@@ -49,3 +49,67 @@ def duck_md5_long_seeded_sql(expr: str, seed: int) -> str:
 
 def md5_long_seeded_sql(expr: str, seed: int) -> str:
     return md5_long_sql(f"CONCAT('{seed}:', {expr})")
+
+
+#: geohash base32 (no a/i/l/o)
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+#: 30->60-bit Morton spread: (shift, mask) rounds of the classic
+#: magic-number interleave
+_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def geohash_sql(lat: str, lng: str, precision: int, dialect: str) -> str:
+    """ClickHouse ``geohashEncode(lng, lat[, precision])`` as pure
+    integer bit arithmetic — EXACT on both engines (IEEE quantization,
+    then Morton interleave and base32 lookup, no floating point after
+    the initial floor).  Longitude occupies the even bit positions
+    (geohash's first bit refines longitude).
+
+    Emits one scalar SQL expression for ``dialect`` in {"spark",
+    "duckdb"}; intermediates bind once through single-element
+    list-lambda let-bindings so the expression stays linear in size.
+    """
+    if dialect == "spark":
+        shl = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+        shr = lambda e, n: f"shiftright({e}, {n})"  # noqa: E731
+        let = lambda val, body: (  # noqa: E731
+            f"element_at(transform(array({val}), v -> {body}), 1)"
+        )
+    else:
+        shl = lambda e, n: f"(({e}) << {n})"  # noqa: E731
+        shr = lambda e, n: f"(({e}) >> {n})"  # noqa: E731
+        let = lambda val, body: (  # noqa: E731
+            f"(list_transform([{val}], v -> {body})[1])"
+        )
+
+    def spread(var: str) -> str:
+        e = var
+        for sh, mask in _SPREAD:
+            e = f"((({e}) | {shl(e, sh)}) & {mask})"
+        return e
+
+    # 30-bit quantization, clamped so +180/+90 stay in range
+    xq = (
+        f"least(CAST(floor((({lng}) + 180.0) / 360.0 * 1073741824.0) AS BIGINT),"
+        f" 1073741823)"
+    )
+    yq = (
+        f"least(CAST(floor((({lat}) + 90.0) / 180.0 * 1073741824.0) AS BIGINT),"
+        f" 1073741823)"
+    )
+    sx = let(xq, spread("v"))
+    sy = let(yq, spread("v"))
+    morton = f"({shl(sx, 1)} | {sy})"
+    chars = ", ".join(
+        f"substr('{_GEOHASH32}', "
+        f"CAST(({shr('v', 55 - 5 * i)} & 31) AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return let(morton, f"concat({chars})")

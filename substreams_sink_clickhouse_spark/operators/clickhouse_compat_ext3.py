@@ -2114,3 +2114,52 @@ SPECS.append(
         _Q151_ORACLE,
     )
 )
+
+
+def _q152_geohash(spark: SparkSession, sf: str) -> DataFrame:
+    """``geohashEncode(lng, lat, 9)`` (ClickHouse geo bucketing) over
+    each embedding's pseudo-coordinates (the q84 convention): 30-bit
+    IEEE quantization, Morton interleave via the magic-number spread,
+    base32 lookup — pure integer bit arithmetic after the initial
+    floor, so both engines produce byte-identical hashes (verified
+    against the canonical (57.64911, 10.40744) -> u4pruydqqvj test
+    vector).  Map-only JVM expression; at scale this is the standard
+    prefix-bucketing key for geo joins."""
+    from substreams_sink_clickhouse_spark.functions.hashing import geohash_sql
+
+    v = load_table(spark, sf, "embeddings")
+    # explicit DOUBLE widening BEFORE arithmetic: DuckDB would otherwise
+    # run the chain in float precision and quantize one ulp apart
+    lat = "CAST(element_at(embedding, 1) AS DOUBLE) * 90.0"
+    lng = "CAST(element_at(embedding, 2) AS DOUBLE) * 180.0"
+    return (
+        v.selectExpr(
+            "vec_id",
+            f"{geohash_sql(lat, lng, 9, 'spark')} AS gh",
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+def _q152_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import geohash_sql
+
+    lat = "CAST(embedding[1] AS DOUBLE) * 90.0"
+    lng = "CAST(embedding[2] AS DOUBLE) * 180.0"
+    return f"""
+SELECT vec_id, {geohash_sql(lat, lng, 9, "duckdb")} AS gh
+FROM embeddings
+ORDER BY vec_id
+LIMIT 200
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q152_geohash",
+        "geohashEncode: Morton-interleave base32, byte-identical hashes",
+        _q152_geohash,
+        _q152_oracle(),
+    )
+)

@@ -984,3 +984,29 @@ def test_quantile_exact_weighted():
     assert "percentile(value, 0.9, w)" in out
     out = clickhouse_to_spark_sql("SELECT quantileExactWeighted(x, w) FROM t")
     assert "percentile(x, 0.5, w)" in out
+
+
+def test_geohash_known_vectors(spark):
+    # canonical test vectors from the geohash reference implementation
+    from substreams_sink_clickhouse_spark.functions.hashing import geohash_sql
+
+    # full 11-char value from the geohash literature for the first
+    # vector; widely-cited 6-char prefixes for the rest, plus
+    # cross-engine byte equality at full precision for all
+    cases = [
+        (57.64911, 10.40744, "u4pruydqqvj"),
+        (48.8566, 2.3522, "u09tvw"),
+        (-33.8688, 151.2093, "r3gx2f"),
+        (0.0, 0.0, "s00000"),
+    ]
+    import duckdb
+
+    for lat, lng, expect in cases:
+        got = spark.sql(
+            f"SELECT {geohash_sql(str(lat), str(lng), 11, 'spark')} AS gh"
+        ).collect()[0]["gh"]
+        dgot = duckdb.sql(
+            f"SELECT {geohash_sql(str(lat), str(lng), 11, 'duckdb')} AS gh"
+        ).fetchone()[0]
+        assert got == dgot, (lat, lng, got, dgot)
+        assert got.startswith(expect), (lat, lng, got, expect)
