@@ -140,6 +140,7 @@ _NAME_SWAPS = {
     "trimRight": "rtrim",
     "trimBoth": "trim",
     "bitCount": "bit_count",
+    "arrayZip": "arrays_zip",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
 }
@@ -429,7 +430,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arrayShiftRight", "arrayStringConcat", "countSubstrings",
                 "positionCaseInsensitive", "splitByChar", "splitByString",
                 "bitAnd", "bitOr", "bitXor", "bitNot", "bitShiftLeft",
-                "bitShiftRight",
+                "bitShiftRight", "arrayIntersect", "hasAll", "hasAny",
             ]
         ) + r")\s*\("
     )
@@ -527,6 +528,20 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name == "arrayIntersect":
+            parts = _split_top_commas(inner)
+            if len(parts) < 2:
+                raise ValueError("arrayIntersect needs at least two arrays")
+            repl = parts[0]
+            for nxt in parts[1:]:
+                repl = f"array_intersect({repl}, {nxt})"
+        elif name in ("hasAll", "hasAny"):
+            a, b = _split_top_commas(inner)
+            repl = (
+                f"(size(array_except({b}, {a})) = 0)"
+                if name == "hasAll"
+                else f"arrays_overlap({a}, {b})"
+            )
         elif name in ("bitAnd", "bitOr", "bitXor"):
             a, b = _split_top_commas(inner)
             op_ = {"bitAnd": "&", "bitOr": "|", "bitXor": "^"}[name]

@@ -2163,3 +2163,57 @@ SPECS.append(
         _q152_oracle(),
     )
 )
+
+
+_Q153_CLICKHOUSE_SQL = """
+SELECT event_id,
+       arrayStringConcat(arraySort(arrayIntersect(a, b, c)), ',') AS ix,
+       hasAll(a, b) AS hall,
+       hasAny(a, c) AS hany
+FROM (SELECT event_id,
+             arrayMap(x -> x % 7, [event_id, event_id + 1, event_id + 2]) AS a,
+             arrayMap(x -> x % 7, [event_id, event_id + 4]) AS b,
+             [toInt64(3), toInt64(5)] AS c
+      FROM events WHERE event_id < 100) t
+ORDER BY event_id
+"""
+
+
+def _q153_array_predicates2(spark: SparkSession, sf: str) -> DataFrame:
+    """n-ary ``arrayIntersect`` (left-folded ``array_intersect``),
+    ``hasAll`` (empty ``array_except`` probe), ``hasAny``
+    (``arrays_overlap``) through the dialect shim — row-local set
+    predicates, the idiomatic pre-filter before an explode join."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q153_CLICKHOUSE_SQL))
+
+
+_Q153_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         list_transform([event_id, event_id + 1, event_id + 2], x -> x % 7) AS a,
+         list_transform([event_id, event_id + 4], x -> x % 7) AS b,
+         [CAST(3 AS BIGINT), CAST(5 AS BIGINT)] AS c
+  FROM events WHERE event_id < 100)
+SELECT event_id,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(a,
+         x -> list_contains(b, x) AND list_contains(c, x)))), ','), '') AS ix,
+       len(list_filter(b, x -> NOT list_contains(a, x))) = 0 AS hall,
+       len(list_filter(c, x -> list_contains(a, x))) > 0 AS hany
+FROM base
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q153_array_predicates2",
+        "n-ary arrayIntersect + hasAll/hasAny through the shim",
+        _q153_array_predicates2,
+        _Q153_ORACLE,
+    )
+)

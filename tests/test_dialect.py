@@ -1010,3 +1010,13 @@ def test_geohash_known_vectors(spark):
         ).fetchone()[0]
         assert got == dgot, (lat, lng, got, dgot)
         assert got.startswith(expect), (lat, lng, got, expect)
+
+
+def test_array_set_predicates():
+    out = clickhouse_to_spark_sql("SELECT arrayIntersect(a, b, c) FROM t")
+    assert "array_intersect(array_intersect(a, b), c)" in out
+    out = clickhouse_to_spark_sql("SELECT hasAll(a, b), hasAny(a, b) FROM t")
+    assert "(size(array_except(b, a)) = 0)" in out
+    assert "arrays_overlap(a, b)" in out
+    out = clickhouse_to_spark_sql("SELECT arrayZip(a, b) FROM t")
+    assert "arrays_zip(a, b)" in out
