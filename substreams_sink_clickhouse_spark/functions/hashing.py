@@ -113,3 +113,51 @@ def geohash_sql(lat: str, lng: str, precision: int, dialect: str) -> str:
         for i in range(precision)
     )
     return let(morton, f"concat({chars})")
+
+
+def geohash_decode_sql(gh: str, dialect: str) -> tuple[str, str]:
+    """Inverse of :func:`geohash_sql`: ``(lat_expr, lng_expr)`` giving
+    the CELL CENTER of an 11-char geohash expression (ClickHouse
+    ``geohashDecode``).  Character lookup -> 55-bit Morton number ->
+    magic-number bit COMPRESSION (the spread rounds reversed) ->
+    center = (q + 0.5) / 2^k scaled back to degrees.  Integer-exact
+    until the final two FP ops, so both engines agree bitwise."""
+    if dialect == "spark":
+        shl = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+        shr = lambda e, n: f"shiftright({e}, {n})"  # noqa: E731
+        let = lambda val, body: (  # noqa: E731
+            f"element_at(transform(array({val}), v -> {body}), 1)"
+        )
+        idx = lambda s_, i: f"instr('{_GEOHASH32}', substr({s_}, {i}, 1))"  # noqa: E731
+    else:
+        shl = lambda e, n: f"(({e}) << {n})"  # noqa: E731
+        shr = lambda e, n: f"(({e}) >> {n})"  # noqa: E731
+        let = lambda val, body: (  # noqa: E731
+            f"(list_transform([{val}], v -> {body})[1])"
+        )
+        idx = lambda s_, i: f"instr('{_GEOHASH32}', substr({s_}, {i}, 1))"  # noqa: E731
+
+    # 11 chars * 5 bits = 55 bits: 28 lng (even positions from MSB), 27 lat
+    morton = " | ".join(
+        shl(f"CAST({idx(gh, i + 1)} - 1 AS BIGINT)", 5 * (10 - i))
+        for i in range(11)
+    )
+
+    def compress(var: str) -> str:
+        # reverse of _SPREAD: gather even bits down to a 28-bit int
+        e = f"(({var}) & 6148914691236517205)"
+        for sh, mask in ((1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+                         (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+                         (16, 0x00000000FFFFFFFF)):
+            e = f"((({e}) | {shr(e, sh)}) & {mask})"
+        return e
+
+    # the 55-bit number holds morton bits 59..5; morton bit 59 (lng
+    # MSB, odd position there) lands on bit 54 here — EVEN — so lng
+    # bits sit at even positions and lat at odd.  28 lng bits
+    # (X >> 2), 27 lat bits (Y >> 3); center = (q + 0.5) / 2^k.
+    mx = let(f"({morton}) & 6148914691236517205", compress("v"))
+    my = let(f"{shr('(' + morton + ')', 1)} & 6148914691236517205", compress("v"))
+    lng = f"((CAST({mx} AS DOUBLE) + 0.5) / 268435456.0 * 360.0 - 180.0)"
+    lat = f"((CAST({my} AS DOUBLE) + 0.5) / 134217728.0 * 180.0 - 90.0)"
+    return lat, lng

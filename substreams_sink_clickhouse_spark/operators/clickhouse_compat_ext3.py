@@ -2217,3 +2217,59 @@ SPECS.append(
         _Q153_ORACLE,
     )
 )
+
+
+def _q154_geohash_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """``geohashDecode``: cell-center recovery from the q152 hashes —
+    char lookup -> 55-bit Morton -> magic-number bit COMPRESSION ->
+    (q + 0.5)/2^k scaling.  Integer-exact until the last two FP ops,
+    so both engines agree bitwise; the roundtrip error vs the original
+    coordinates is bounded by the cell size (~1e-4 deg at 9 chars)."""
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohash_decode_sql,
+        geohash_sql,
+    )
+
+    v = load_table(spark, sf, "embeddings")
+    lat = "CAST(element_at(embedding, 1) AS DOUBLE) * 90.0"
+    lng = "CAST(element_at(embedding, 2) AS DOUBLE) * 180.0"
+    # decode expects 11 chars; encode at 11 here (q152 gates 9)
+    gh = geohash_sql(lat, lng, 11, "spark")
+    dlat, dlng = geohash_decode_sql(gh, "spark")
+    return (
+        v.selectExpr(
+            "vec_id",
+            f"round({dlat}, 7) AS lat_c",
+            f"round({dlng}, 7) AS lng_c",
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+def _q154_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohash_decode_sql,
+        geohash_sql,
+    )
+
+    lat = "CAST(embedding[1] AS DOUBLE) * 90.0"
+    lng = "CAST(embedding[2] AS DOUBLE) * 180.0"
+    gh = geohash_sql(lat, lng, 11, "duckdb")
+    dlat, dlng = geohash_decode_sql(gh, "duckdb")
+    return f"""
+SELECT vec_id, round({dlat}, 7) AS lat_c, round({dlng}, 7) AS lng_c
+FROM embeddings
+ORDER BY vec_id
+LIMIT 200
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q154_geohash_decode",
+        "geohashDecode: Morton compression back to cell centers",
+        _q154_geohash_decode,
+        _q154_oracle(),
+    )
+)

@@ -1020,3 +1020,19 @@ def test_array_set_predicates():
     assert "arrays_overlap(a, b)" in out
     out = clickhouse_to_spark_sql("SELECT arrayZip(a, b) FROM t")
     assert "arrays_zip(a, b)" in out
+
+
+def test_geohash_decode_roundtrip(spark):
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohash_decode_sql,
+        geohash_sql,
+    )
+
+    cases = [(57.64911, 10.40744), (48.8566, 2.3522), (-33.8688, 151.2093)]
+    for lat0, lng0 in cases:
+        gh = geohash_sql(str(lat0), str(lng0), 11, "spark")
+        dlat, dlng = geohash_decode_sql(gh, "spark")
+        r = spark.sql(f"SELECT {dlat} AS la, {dlng} AS lo").collect()[0]
+        # 11-char cell: lat step 180/2^27, lng step 360/2^28
+        assert abs(r.la - lat0) <= 180 / 2**27
+        assert abs(r.lo - lng0) <= 360 / 2**28
