@@ -49,7 +49,7 @@ keys, WITH FILL on a non-final sort key or on several keys,
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

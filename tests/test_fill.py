@@ -291,3 +291,17 @@ def test_engine_sql_grouped_desc_interpolate(spark):
     assert [(r.g, r.k, r.c) for r in out] == [
         ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 30.0), ("b", 2, 20.0),
     ]
+
+
+def test_desc_temporal_default_step(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 5)
+    df = spark.createDataFrame(
+        [(t0, 1), (t0 - _dt.timedelta(hours=2), 1)], "h timestamp, n int"
+    )
+    out = apply_with_fill(
+        df, FillSpec(column="h", descending=True, step="INTERVAL -1 HOUR")
+    ).collect()
+    assert [r.h.hour for r in out] == [5, 4, 3]
+    assert [r.n for r in out] == [1, 0, 1]
