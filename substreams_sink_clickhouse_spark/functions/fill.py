@@ -206,7 +206,15 @@ def strip_with_fill(query: str) -> tuple[str, FillSpec | None]:
         f"{c}{'' if asc else ' DESC'}" for c, asc in groups
     )
     sort_text = f"{keys}, {expr}{dir_kw}" if keys else f"{expr}{dir_kw}"
-    stripped = masked[: ob.end()] + f" {sort_text} " + masked[end:]
+    if end_m is None:
+        # nothing follows the ORDER BY: drop it entirely — the fill
+        # operator re-establishes the ordering, and keeping it here
+        # would plan a useless pre-fill range exchange
+        stripped = masked[: ob.start()] + " " + masked[end:]
+    else:
+        # a LIMIT/SETTINGS follows: the sort decides which rows
+        # survive, so it must stay
+        stripped = masked[: ob.end()] + f" {sort_text} " + masked[end:]
     stripped = re.sub(r"\x01(\d+)\x01", lambda g: literals[int(g.group(1))], stripped)
     return stripped, spec
 

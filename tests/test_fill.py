@@ -85,7 +85,9 @@ def test_strip_groups_desc_interpolate():
     assert spec.interpolate == ("c",)
     assert "WITH FILL" not in stripped.upper()
     assert "INTERPOLATE" not in stripped.upper()
-    assert "ORDER BY g DESC, k DESC" in stripped
+    # nothing follows the ORDER BY, so it drops entirely (the fill
+    # operator re-sorts; keeping it would plan a useless exchange)
+    assert "ORDER BY" not in stripped.upper()
 
 
 # -- apply: reference semantics ---------------------------------------
