@@ -307,3 +307,59 @@ def test_desc_temporal_default_step(spark):
     ).collect()
     assert [r.h.hour for r in out] == [5, 4, 3]
     assert [r.n for r in out] == [1, 0, 1]
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper() not in {"ASC", "DESC", "BY", "TO", "FROM", "STEP", "FILL", "WITH", "ORDER", "LIMIT", "AS", "ON"}
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    col=_IDENT,
+    groups=st.lists(st.tuples(_IDENT, st.booleans()), max_size=2),
+    desc=st.booleans(),
+    frm=st.one_of(st.none(), st.integers(-50, 50)),
+    to=st.one_of(st.none(), st.integers(-50, 50)),
+    step=st.one_of(st.none(), st.integers(1, 9)),
+    interp=st.lists(_IDENT, max_size=2),
+    limit=st.one_of(st.none(), st.integers(1, 99)),
+)
+def test_strip_fuzz_roundtrip(col, groups, desc, frm, to, step, interp, limit):
+    # distinct identifiers keep the assertion unambiguous
+    names = [col] + [g for g, _ in groups] + list(interp)
+    if len(set(names)) != len(names):
+        return
+    keys = "".join(
+        f"{g}{'' if asc else ' DESC'}, " for g, asc in groups
+    )
+    clause = f"{keys}{col}{' DESC' if desc else ''} WITH FILL"
+    if frm is not None:
+        clause += f" FROM {frm}"
+    if to is not None:
+        clause += f" TO {to}"
+    if step is not None:
+        clause += f" STEP {step}"
+    if interp:
+        clause += f" INTERPOLATE ({', '.join(interp)})"
+    q = f"SELECT * FROM t ORDER BY {clause}"
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    stripped, spec = strip_with_fill(q)
+    assert spec is not None
+    assert spec.column == col and spec.descending == desc
+    assert spec.groups == tuple(groups)
+    assert spec.interpolate == tuple(interp)
+    assert (spec.from_ is None) == (frm is None)
+    assert (spec.to is None) == (to is None)
+    if frm is not None:
+        assert spec.from_ == str(frm)
+    if step is not None:
+        assert spec.step == str(step)
+    assert "WITH FILL" not in stripped.upper()
+    assert "INTERPOLATE" not in stripped.upper()
+    if limit is not None:
+        assert f"LIMIT {limit}" in stripped
+    # stripping is idempotent: the stripped text has no fill left
+    again, spec2 = strip_with_fill(stripped)
+    assert spec2 is None and again == stripped
