@@ -141,6 +141,9 @@ _NAME_SWAPS = {
     "trimBoth": "trim",
     "bitCount": "bit_count",
     "arrayZip": "arrays_zip",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
 }

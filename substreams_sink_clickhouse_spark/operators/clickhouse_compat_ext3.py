@@ -2273,3 +2273,52 @@ SPECS.append(
         _q154_oracle(),
     )
 )
+
+
+_Q155_CLICKHOUSE_SQL = """
+SELECT event_id,
+       arrayStringConcat(arraySort(mapKeys(m)), ',') AS ks,
+       arrayStringConcat(arrayMap(x -> toString(x), arraySort(mapValues(m))), ',') AS vs,
+       mapContains(m, 'a') AS hasa,
+       mapContains(m, 'z') AS hasz
+FROM (SELECT event_id, map('a', event_id % 3, 'b', event_id % 5) AS m
+      FROM events WHERE event_id < 50) t
+ORDER BY event_id
+"""
+
+
+def _q155_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse map-function family through the dialect shim:
+    ``map()`` constructor (same name/shape in Spark), ``mapKeys``/
+    ``mapValues``/``mapContains`` name swaps — row-local expressions;
+    the oracle reproduces the values with plain arithmetic so the
+    translation is what's under test."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q155_CLICKHOUSE_SQL))
+
+
+_Q155_ORACLE = """
+SELECT event_id,
+       'a,b' AS ks,
+       CAST(least(event_id % 3, event_id % 5) AS VARCHAR) || ',' ||
+         CAST(greatest(event_id % 3, event_id % 5) AS VARCHAR) AS vs,
+       true AS hasa,
+       false AS hasz
+FROM events
+WHERE event_id < 50
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q155_map_functions",
+        "map()/mapKeys/mapValues/mapContains through the shim",
+        _q155_map_functions,
+        _Q155_ORACLE,
+    )
+)
