@@ -434,6 +434,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "positionCaseInsensitive", "splitByChar", "splitByString",
                 "bitAnd", "bitOr", "bitXor", "bitNot", "bitShiftLeft",
                 "bitShiftRight", "arrayIntersect", "hasAll", "hasAny",
+                "formatReadableSize", "formatReadableQuantity",
             ]
         ) + r")\s*\("
     )
@@ -531,6 +532,40 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name in ("formatReadableSize", "formatReadableQuantity"):
+            # deterministic 2dp HALF-UP via integer arithmetic —
+            # %.2f printf would tie-round differently across engines
+            # (Java HALF_UP on the decimal expansion vs C round-to-
+            # nearest-even on the binary double)
+            if name == "formatReadableSize":
+                units = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+                base = 1024.0
+            else:
+                units = ["", " thousand", " million", " billion", " trillion"]
+                base = 1000.0
+            x = inner
+            whens = []
+            for k, u in enumerate(units):
+                div = base ** k
+                cents = (
+                    f"CAST(floor(abs(CAST({x} AS DOUBLE)) / {div} * 100.0"
+                    f" + 0.5) AS BIGINT)"
+                )
+                rendered = (
+                    f"concat(IF(({x}) < 0, '-', ''), "
+                    f"CAST({cents} DIV 100 AS STRING), '.', "
+                    f"lpad(CAST({cents} % 100 AS STRING), 2, '0'), '{u}')"
+                )
+                if name == "formatReadableSize":
+                    rendered = rendered.replace(f"'{u}')", f"' {u}')")
+                if k < len(units) - 1:
+                    whens.append(
+                        f"WHEN abs(CAST({x} AS DOUBLE)) < {base ** (k + 1)} "
+                        f"THEN {rendered}"
+                    )
+                else:
+                    whens.append(f"ELSE {rendered}")
+            repl = "(CASE " + " ".join(whens) + " END)"
         elif name == "arrayIntersect":
             parts = _split_top_commas(inner)
             if len(parts) < 2:

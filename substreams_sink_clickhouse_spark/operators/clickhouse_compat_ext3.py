@@ -2322,3 +2322,70 @@ SPECS.append(
         _Q155_ORACLE,
     )
 )
+
+
+_Q156_CLICKHOUSE_SQL = """
+SELECT event_id,
+       formatReadableSize(event_id * 131072 + user_id) AS sz,
+       formatReadableQuantity(event_id * 1234 + user_id) AS qty
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q156_format_readable(spark: SparkSession, sf: str) -> DataFrame:
+    """``formatReadableSize``/``formatReadableQuantity`` through the
+    shim: unit selection by magnitude plus deterministic 2dp HALF-UP
+    rendering via integer arithmetic (printf %.2f would tie-round
+    differently across engines — Java HALF_UP vs C half-even)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q156_CLICKHOUSE_SQL))
+
+
+def _fmt_oracle(x: str, base: float, units: list[str], sep: str) -> str:
+    whens = []
+    for k, u in enumerate(units):
+        div = base**k
+        cents = f"CAST(floor(abs(CAST({x} AS DOUBLE)) / {div} * 100.0 + 0.5) AS BIGINT)"
+        rendered = (
+            f"concat(CASE WHEN ({x}) < 0 THEN '-' ELSE '' END, "
+            f"CAST({cents} // 100 AS VARCHAR), '.', "
+            f"lpad(CAST({cents} % 100 AS VARCHAR), 2, '0'), '{sep}{u}')"
+        )
+        if k < len(units) - 1:
+            whens.append(f"WHEN abs(CAST({x} AS DOUBLE)) < {base ** (k + 1)} THEN {rendered}")
+        else:
+            whens.append(f"ELSE {rendered}")
+    return "(CASE " + " ".join(whens) + " END)"
+
+
+def _q156_oracle() -> str:
+    sz = _fmt_oracle(
+        "event_id * 131072 + user_id", 1024.0,
+        ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"], " ",
+    )
+    qty = _fmt_oracle(
+        "event_id * 1234 + user_id", 1000.0,
+        ["", " thousand", " million", " billion", " trillion"], "",
+    )
+    return f"""
+SELECT event_id, {sz} AS sz, {qty} AS qty
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q156_format_readable",
+        "formatReadableSize/Quantity: integer-exact 2dp rendering",
+        _q156_format_readable,
+        _q156_oracle(),
+    )
+)
