@@ -144,6 +144,16 @@ _NAME_SWAPS = {
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
+    # datetime accessors (identical semantics; toDayOfWeek needs the
+    # Monday-first wrap below)
+    "toYear": "year",
+    "toMonth": "month",
+    "toQuarter": "quarter",
+    "toDayOfMonth": "dayofmonth",
+    "toDayOfYear": "dayofyear",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
 }
@@ -435,6 +445,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "bitAnd", "bitOr", "bitXor", "bitNot", "bitShiftLeft",
                 "bitShiftRight", "arrayIntersect", "hasAll", "hasAny",
                 "formatReadableSize", "formatReadableQuantity",
+                "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
+                "toRelativeMinuteNum", "toRelativeHourNum",
+                "toRelativeDayNum",
             ]
         ) + r")\s*\("
     )
@@ -532,6 +545,21 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name == "toDayOfWeek":
+            # ClickHouse default mode: Monday=1..Sunday=7; Spark's
+            # weekday() is Monday=0
+            repl = f"(weekday({inner}) + 1)"
+        elif name == "toYYYYMMDD":
+            repl = f"CAST(date_format({inner}, 'yyyyMMdd') AS INT)"
+        elif name in ("toRelativeSecondNum", "toRelativeMinuteNum",
+                      "toRelativeHourNum", "toRelativeDayNum"):
+            div = {"toRelativeSecondNum": 1, "toRelativeMinuteNum": 60,
+                   "toRelativeHourNum": 3600, "toRelativeDayNum": 86400}[name]
+            repl = (
+                f"CAST(floor(unix_timestamp({inner}) / {div}) AS BIGINT)"
+                if div > 1
+                else f"unix_timestamp({inner})"
+            )
         elif name in ("formatReadableSize", "formatReadableQuantity"):
             # deterministic 2dp HALF-UP via integer arithmetic —
             # %.2f printf would tie-round differently across engines

@@ -2389,3 +2389,54 @@ SPECS.append(
         _q156_oracle(),
     )
 )
+
+
+_Q157_CLICKHOUSE_SQL = """
+SELECT event_id,
+       toYear(ts) AS y, toQuarter(ts) AS q, toMonth(ts) AS mo,
+       toDayOfMonth(ts) AS dom, toDayOfYear(ts) AS doy,
+       toDayOfWeek(ts) AS dow,
+       toHour(ts) AS h, toMinute(ts) AS mi, toSecond(ts) AS sec,
+       toYYYYMMDD(ts) AS ymd,
+       toRelativeHourNum(ts) AS rh, toRelativeDayNum(ts) AS rd
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q157_datetime_accessors(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse datetime accessor family through the shim: direct
+    name swaps except ``toDayOfWeek`` (Monday-first wrap over Spark's
+    weekday()) and the epoch-division ``toRelative*Num`` forms."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q157_CLICKHOUSE_SQL))
+
+
+_Q157_ORACLE = """
+SELECT event_id,
+       year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
+       dayofmonth(ts) AS dom, dayofyear(ts) AS doy,
+       isodow(ts) AS dow,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS sec,
+       CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd,
+       CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS rh,
+       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS rd
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q157_datetime_accessors",
+        "toYear..toSecond/toDayOfWeek/toYYYYMMDD/toRelative*Num",
+        _q157_datetime_accessors,
+        _Q157_ORACLE,
+    )
+)
