@@ -154,6 +154,7 @@ _NAME_SWAPS = {
     "toHour": "hour",
     "toMinute": "minute",
     "toSecond": "second",
+    "toLastDayOfMonth": "last_day",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
 }
@@ -172,6 +173,24 @@ _TRUNC_FUNCS = {
     "toMonday": "WEEK",
 }
 
+#: ClickHouse add<Unit>/subtract<Unit>(ts, n) -> timestampadd
+_DT_ARITH = {
+    "addYears": ("YEAR", False),
+    "subtractYears": ("YEAR", True),
+    "addMonths": ("MONTH", False),
+    "subtractMonths": ("MONTH", True),
+    "addWeeks": ("WEEK", False),
+    "subtractWeeks": ("WEEK", True),
+    "addDays": ("DAY", False),
+    "subtractDays": ("DAY", True),
+    "addHours": ("HOUR", False),
+    "subtractHours": ("HOUR", True),
+    "addMinutes": ("MINUTE", False),
+    "subtractMinutes": ("MINUTE", True),
+    "addSeconds": ("SECOND", False),
+    "subtractSeconds": ("SECOND", True),
+}
+
 #: dateDiff units ClickHouse and Spark timestampdiff share.
 _DATEDIFF_UNITS = {
     "second", "minute", "hour", "day", "week", "month", "quarter", "year",
@@ -181,6 +200,7 @@ _DATEDIFF_UNITS = {
 _ZERO_ARG = {
     "today()": "current_date()",
     "yesterday()": "date_sub(current_date(), 1)",
+    "now()": "current_timestamp()",
 }
 
 #: func -> CAST target for the to<Type> family.
@@ -448,7 +468,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
-            ]
+            ] + list(_DT_ARITH)
         ) + r")\s*\("
     )
     while True:
@@ -545,6 +565,11 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f"concat(array_repeat({fill}, least({n_}, size({arr}))), "
                     f"slice({arr}, 1, greatest(size({arr}) - ({n_}), 0)))"
                 )
+        elif name in _DT_ARITH:
+            x, n_ = _split_top_commas(inner)
+            unit, neg = _DT_ARITH[name]
+            amt = f"-({n_})" if neg else n_
+            repl = f"timestampadd({unit}, {amt}, {x})"
         elif name == "toDayOfWeek":
             # ClickHouse default mode: Monday=1..Sunday=7; Spark's
             # weekday() is Monday=0

@@ -2440,3 +2440,53 @@ SPECS.append(
         _Q157_ORACLE,
     )
 )
+
+
+_Q158_CLICKHOUSE_SQL = """
+SELECT event_id,
+       addDays(ts, 3) AS d3,
+       addMonths(ts, 2) AS m2,
+       addHours(ts, 5) AS h5,
+       subtractMinutes(ts, 90) AS m90,
+       subtractYears(ts, 1) AS y1,
+       toLastDayOfMonth(ts) AS eom
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q158_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """``add<Unit>``/``subtract<Unit>`` date arithmetic through the
+    shim — all map to Spark's ``timestampadd`` (negative amounts for
+    the subtract forms), plus ``toLastDayOfMonth`` -> ``last_day``."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q158_CLICKHOUSE_SQL))
+
+
+_Q158_ORACLE = """
+SELECT event_id,
+       ts + INTERVAL 3 DAY AS d3,
+       ts + INTERVAL 2 MONTH AS m2,
+       ts + INTERVAL 5 HOUR AS h5,
+       ts - INTERVAL 90 MINUTE AS m90,
+       ts - INTERVAL 1 YEAR AS y1,
+       CAST(last_day(ts) AS DATE) AS eom
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q158_date_arithmetic",
+        "add/subtract<Unit> -> timestampadd; toLastDayOfMonth",
+        _q158_date_arithmetic,
+        _Q158_ORACLE,
+    )
+)

@@ -1036,3 +1036,14 @@ def test_geohash_decode_roundtrip(spark):
         # 11-char cell: lat step 180/2^27, lng step 360/2^28
         assert abs(r.la - lat0) <= 180 / 2**27
         assert abs(r.lo - lng0) <= 360 / 2**28
+
+
+def test_date_arithmetic_family():
+    out = clickhouse_to_spark_sql(
+        "SELECT addDays(ts, 3), subtractHours(ts, n + 1), addMonths(ts, 2) FROM t"
+    )
+    assert "timestampadd(DAY, 3, ts)" in out
+    assert "timestampadd(HOUR, -(n + 1), ts)" in out
+    assert "timestampadd(MONTH, 2, ts)" in out
+    out = clickhouse_to_spark_sql("SELECT toLastDayOfMonth(ts), now() FROM t")
+    assert "last_day(ts)" in out and "current_timestamp()" in out
