@@ -468,6 +468,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
+                "age",
             ] + list(_DT_ARITH)
         ) + r")\s*\("
     )
@@ -734,6 +735,23 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"THEN CAST(0 AS DOUBLE) "
                 f"ELSE CAST(x AS DOUBLE) - CAST(element_at({inner}, i) AS DOUBLE) END)"
             )
+        elif name == "age":
+            # ClickHouse age() counts COMPLETE units elapsed (no
+            # boundary truncation) — exactly Spark's timestampdiff
+            parts = _split_top_commas(inner)
+            if len(parts) != 3:
+                raise ValueError("age needs (unit, start, end)")
+            raw_unit = parts[0].strip()
+            sent = re.fullmatch(r"\x01(\d+)\x01", raw_unit)
+            if sent:
+                raw_unit = literals[int(sent.group(1))]
+            unit = raw_unit.strip().strip("'\"").lower()
+            if unit not in _DATEDIFF_UNITS:
+                raise ValueError(
+                    f"age unit {parts[0]!r} unsupported "
+                    f"(supported: {sorted(_DATEDIFF_UNITS)})"
+                )
+            repl = f"timestampdiff({unit.upper()}, {parts[1]}, {parts[2]})"
         elif name == "dateDiff":
             parts = _split_top_commas(inner)
             if len(parts) != 3:

@@ -1047,3 +1047,12 @@ def test_date_arithmetic_family():
     assert "timestampadd(MONTH, 2, ts)" in out
     out = clickhouse_to_spark_sql("SELECT toLastDayOfMonth(ts), now() FROM t")
     assert "last_day(ts)" in out and "current_timestamp()" in out
+
+
+def test_age_function():
+    out = clickhouse_to_spark_sql("SELECT age('month', a, b) FROM t")
+    assert "timestampdiff(MONTH, a, b)" in out
+    import pytest
+
+    with pytest.raises(ValueError, match="age unit"):
+        clickhouse_to_spark_sql("SELECT age('fortnight', a, b) FROM t")
