@@ -468,7 +468,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
-                "age",
+                "age", "JSONExtractInt", "JSONExtractString",
+                "JSONExtractFloat", "JSONExtractBool", "JSONHas",
+                "JSONExtractKeys", "JSONLength", "isValidJSON",
             ] + list(_DT_ARITH)
         ) + r")\s*\("
     )
@@ -735,6 +737,32 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"THEN CAST(0 AS DOUBLE) "
                 f"ELSE CAST(x AS DOUBLE) - CAST(element_at({inner}, i) AS DOUBLE) END)"
             )
+        elif name in ("JSONExtractInt", "JSONExtractString", "JSONExtractFloat",
+                      "JSONExtractBool", "JSONHas"):
+            parts = _split_top_commas(inner)
+            if len(parts) < 2:
+                raise ValueError(f"{name} needs (json, key, ...)")
+            path = "concat('$'" + "".join(
+                f", '.', {k.strip()}" for k in parts[1:]
+            ) + ")"
+            got = f"get_json_object({parts[0]}, {path})"
+            repl = {
+                "JSONExtractInt": f"CAST({got} AS BIGINT)",
+                "JSONExtractString": got,
+                "JSONExtractFloat": f"CAST({got} AS DOUBLE)",
+                "JSONExtractBool": f"CAST({got} AS BOOLEAN)",
+                "JSONHas": f"({got} IS NOT NULL)",
+            }[name]
+        elif name == "JSONExtractKeys":
+            repl = f"json_object_keys({inner})"
+        elif name == "JSONLength":
+            # arrays AND objects, like ClickHouse
+            repl = (
+                f"coalesce(json_array_length({inner}), "
+                f"size(json_object_keys({inner})))"
+            )
+        elif name == "isValidJSON":
+            repl = f"(get_json_object({inner}, '$') IS NOT NULL)"
         elif name == "age":
             # ClickHouse age() counts COMPLETE units elapsed (no
             # boundary truncation) — exactly Spark's timestampdiff

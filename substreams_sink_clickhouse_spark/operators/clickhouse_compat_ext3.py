@@ -2490,3 +2490,56 @@ SPECS.append(
         _Q158_ORACLE,
     )
 )
+
+
+_Q159_CLICKHOUSE_SQL = """
+SELECT event_id,
+       JSONExtractInt(props, 'k') AS ki,
+       JSONExtractString(props, 'k') AS ks,
+       JSONHas(props, 'k') AS hk,
+       JSONHas(props, 'missing') AS hm,
+       arrayStringConcat(JSONExtractKeys(props), ',') AS keys,
+       JSONLength(props) AS n,
+       isValidJSON(props) AS ok
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q159_json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON introspection family through the dialect shim: the typed
+    JSONExtract* forms build a get_json_object path from the key
+    arguments (nested keys chain as '$.a.b'), JSONExtractKeys maps to
+    json_object_keys, JSONLength covers arrays AND objects."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q159_CLICKHOUSE_SQL))
+
+
+_Q159_ORACLE = """
+SELECT event_id,
+       CAST(props ->> '$.k' AS BIGINT) AS ki,
+       CAST(props ->> '$.k' AS VARCHAR) AS ks,
+       props ->> '$.k' IS NOT NULL AS hk,
+       props ->> '$.missing' IS NOT NULL AS hm,
+       array_to_string(json_keys(props), ',') AS keys,
+       len(json_keys(props)) AS n,
+       true AS ok
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q159_json_functions",
+        "JSONExtract*/JSONHas/Keys/Length/isValidJSON through the shim",
+        _q159_json_functions,
+        _Q159_ORACLE,
+    )
+)

@@ -1056,3 +1056,13 @@ def test_age_function():
 
     with pytest.raises(ValueError, match="age unit"):
         clickhouse_to_spark_sql("SELECT age('fortnight', a, b) FROM t")
+
+
+def test_json_function_family():
+    out = clickhouse_to_spark_sql("SELECT JSONExtractInt(p, 'a', 'b') FROM t")
+    assert "CAST(get_json_object(p, concat('$', '.', 'a', '.', 'b')) AS BIGINT)" in out
+    out = clickhouse_to_spark_sql("SELECT JSONExtractKeys(p), JSONLength(p) FROM t")
+    assert "json_object_keys(p)" in out
+    assert "coalesce(json_array_length(p), size(json_object_keys(p)))" in out
+    out = clickhouse_to_spark_sql("SELECT isValidJSON(p) FROM t")
+    assert "(get_json_object(p, '$') IS NOT NULL)" in out
