@@ -1066,3 +1066,32 @@ def test_json_function_family():
     assert "coalesce(json_array_length(p), size(json_object_keys(p)))" in out
     out = clickhouse_to_spark_sql("SELECT isValidJSON(p) FROM t")
     assert "(get_json_object(p, '$') IS NOT NULL)" in out
+
+
+def test_format_readable_edges_executed(spark):
+    q = clickhouse_to_spark_sql(
+        "SELECT formatReadableSize(0) AS z, formatReadableSize(1023) AS a,"
+        " formatReadableSize(1024) AS b, formatReadableSize(-1536) AS n,"
+        " formatReadableQuantity(999) AS q1, formatReadableQuantity(1000) AS q2"
+    )
+    r = spark.sql(q).collect()[0]
+    assert r.z == "0.00 B" and r.a == "1023.00 B" and r.b == "1.00 KiB"
+    assert r.n == "-1.50 KiB"
+    assert r.q1 == "999.00" and r.q2 == "1.00 thousand"
+
+
+def test_datetime_wraps_executed(spark):
+    q = clickhouse_to_spark_sql(
+        "SELECT toDayOfWeek(CAST('2024-01-01' AS TIMESTAMP)) AS mon,"  # a Monday
+        " toDayOfWeek(CAST('2024-01-07' AS TIMESTAMP)) AS sun,"
+        " toYYYYMMDD(CAST('2024-03-05' AS TIMESTAMP)) AS ymd,"
+        " age('day', CAST('2024-01-01 23:00:00' AS TIMESTAMP),"
+        "            CAST('2024-01-02 01:00:00' AS TIMESTAMP)) AS age_d,"
+        " dateDiff('day', CAST('2024-01-01 23:00:00' AS TIMESTAMP),"
+        "                 CAST('2024-01-02 01:00:00' AS TIMESTAMP)) AS diff_d"
+    )
+    r = spark.sql(q).collect()[0]
+    assert (r.mon, r.sun) == (1, 7)
+    assert r.ymd == 20240305
+    # age counts COMPLETE days (0); dateDiff counts crossed boundaries (1)
+    assert (r.age_d, r.diff_d) == (0, 1)
