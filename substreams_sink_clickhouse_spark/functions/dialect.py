@@ -468,7 +468,10 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
-                "age", "JSONExtractInt", "JSONExtractString",
+                "age", "cutQueryString", "cutFragment",
+                "cutQueryStringAndFragment", "queryString", "fragment",
+                "decodeURLComponent", "domainWithoutWWW", "protocol",
+                "JSONExtractInt", "JSONExtractString",
                 "JSONExtractFloat", "JSONExtractBool", "JSONHas",
                 "JSONExtractKeys", "JSONLength", "isValidJSON",
             ] + list(_DT_ARITH)
@@ -737,6 +740,26 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"THEN CAST(0 AS DOUBLE) "
                 f"ELSE CAST(x AS DOUBLE) - CAST(element_at({inner}, i) AS DOUBLE) END)"
             )
+        elif name == "cutQueryString":
+            repl = f"substring_index({inner}, '?', 1)"
+        elif name == "cutFragment":
+            repl = f"substring_index({inner}, '#', 1)"
+        elif name == "cutQueryStringAndFragment":
+            repl = f"substring_index(substring_index({inner}, '#', 1), '?', 1)"
+        elif name == "queryString":
+            # ClickHouse returns '' (not NULL) when absent
+            repl = f"coalesce(parse_url(substring_index({inner}, '#', 1), 'QUERY'), '')"
+        elif name == "fragment":
+            repl = f"coalesce(parse_url({inner}, 'REF'), '')"
+        elif name == "decodeURLComponent":
+            repl = f"url_decode({inner})"
+        elif name == "domainWithoutWWW":
+            repl = (
+                f"regexp_replace(coalesce(parse_url({inner}, 'HOST'), ''), "
+                f"'^www\\.', '')"
+            )
+        elif name == "protocol":
+            repl = f"coalesce(parse_url({inner}, 'PROTOCOL'), '')"
         elif name in ("JSONExtractInt", "JSONExtractString", "JSONExtractFloat",
                       "JSONExtractBool", "JSONHas"):
             parts = _split_top_commas(inner)

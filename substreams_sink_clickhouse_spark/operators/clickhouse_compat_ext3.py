@@ -2543,3 +2543,71 @@ SPECS.append(
         _Q159_ORACLE,
     )
 )
+
+
+_Q160_URL = (
+    "concat('https://www.', event_type, '.example.com/p/',"
+    " toString(user_id), '?uid=', toString(user_id), '#sec',"
+    " toString(event_id % 5))"
+)
+
+_Q160_CLICKHOUSE_SQL = f"""
+SELECT event_id,
+       cutQueryString({_Q160_URL}) AS cq,
+       cutFragment({_Q160_URL}) AS cf,
+       cutQueryStringAndFragment({_Q160_URL}) AS cqf,
+       queryString({_Q160_URL}) AS qs,
+       fragment({_Q160_URL}) AS fr,
+       domainWithoutWWW({_Q160_URL}) AS dom,
+       protocol({_Q160_URL}) AS proto,
+       decodeURLComponent('a%20b%2Fc') AS dec
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q160_url_batch2(spark: SparkSession, sf: str) -> DataFrame:
+    """URL family batch 2 through the dialect shim: the cut* trio
+    (substring_index compositions), queryString/fragment/protocol
+    (parse_url with ClickHouse's empty-string-when-absent contract),
+    domainWithoutWWW, decodeURLComponent -> url_decode."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q160_CLICKHOUSE_SQL))
+
+
+_Q160_DUCK_URL = (
+    "concat('https://www.', event_type, '.example.com/p/',"
+    " CAST(user_id AS VARCHAR), '?uid=', CAST(user_id AS VARCHAR), '#sec',"
+    " CAST(event_id % 5 AS VARCHAR))"
+)
+
+_Q160_ORACLE = f"""
+SELECT event_id,
+       split_part({_Q160_DUCK_URL}, '?', 1) AS cq,
+       split_part({_Q160_DUCK_URL}, '#', 1) AS cf,
+       split_part(split_part({_Q160_DUCK_URL}, '#', 1), '?', 1) AS cqf,
+       split_part(split_part({_Q160_DUCK_URL}, '#', 1), '?', 2) AS qs,
+       split_part({_Q160_DUCK_URL}, '#', 2) AS fr,
+       replace(split_part(split_part({_Q160_DUCK_URL}, '//', 2), '/', 1),
+               'www.', '') AS dom,
+       'https' AS proto,
+       'a b/c' AS dec
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q160_url_batch2",
+        "cut*/queryString/fragment/domainWithoutWWW/protocol/url_decode",
+        _q160_url_batch2,
+        _Q160_ORACLE,
+    )
+)

@@ -1095,3 +1095,12 @@ def test_datetime_wraps_executed(spark):
     assert r.ymd == 20240305
     # age counts COMPLETE days (0); dateDiff counts crossed boundaries (1)
     assert (r.age_d, r.diff_d) == (0, 1)
+
+
+def test_url_batch2():
+    out = clickhouse_to_spark_sql("SELECT cutQueryString(u), fragment(u) FROM t")
+    assert "substring_index(u, '?', 1)" in out
+    assert "coalesce(parse_url(u, 'REF'), '')" in out
+    out = clickhouse_to_spark_sql("SELECT domainWithoutWWW(u), protocol(u) FROM t")
+    assert "regexp_replace(coalesce(parse_url(u, 'HOST'), '')" in out
+    assert "parse_url(u, 'PROTOCOL')" in out
