@@ -299,6 +299,23 @@ if _HAVE_HYP:
             st.builds(lambda a, b: f"dateDiff('hour', {a}, {b})", sub, sub),
             st.builds(lambda a: f"toStartOfHour({a})", sub),
             st.builds(lambda a: f"kurtPop({a})", sub),
+            # round-5 continuation batches
+            st.builds(lambda a, b: f"arrayPushBack([{a}], {b})", sub, sub),
+            st.builds(lambda a, b: f"arrayRotateLeft([{a}, {b}], 3)", sub, sub),
+            st.builds(lambda a: f"arrayStringConcat([{a}], ',')", sub),
+            st.builds(lambda a, b: f"bitAnd({a}, {b})", sub, sub),
+            st.builds(lambda a: f"bitNot({a})", sub),
+            st.builds(lambda a, b: f"countSubstrings({a}, {b})", sub, sub),
+            st.builds(lambda a: f"formatReadableSize({a})", sub),
+            st.builds(lambda a: f"toStartOfInterval({a}, INTERVAL 2 HOUR)", sub),
+            st.builds(lambda a, b: f"arrayFold((acc, x) -> acc + x, [{a}], {b})", sub, sub),
+            st.builds(lambda a: f"toDayOfWeek({a})", sub),
+            st.builds(lambda a, b: f"addDays({a}, {b})", sub, sub),
+            st.builds(lambda a, b: f"hasAll([{a}], [{b}])", sub, sub),
+            st.builds(lambda a, b: f"JSONExtractInt({a}, {b})", sub, sub),
+            st.builds(lambda a: f"cutQueryString({a})", sub),
+            st.builds(lambda a, b: f"mapContains(map('k', {a}), {b})", sub, sub),
+            st.builds(lambda a, b: f"quantileExactWeighted(0.5)({a}, {b})", sub, sub),
         )
 
     @given(e1=_exprs(3), e2=_exprs(2))
@@ -318,6 +335,11 @@ if _HAVE_HYP:
             "toInt64", "toDateTime", "toYYYYMM", "uniqExact", "sumIf",
             "avgIf", "multiIf", "groupArray", "argMax", "argMin",
             "quantileExact", "quantilesExact", "uniqIf",
+            "arrayPushBack", "arrayRotateLeft", "arrayStringConcat",
+            "bitAnd", "bitNot", "countSubstrings", "formatReadableSize",
+            "toStartOfInterval", "arrayFold", "toDayOfWeek", "addDays",
+            "hasAll", "JSONExtractInt", "cutQueryString", "mapContains",
+            "quantileExactWeighted",
         ):
             assert not re.search(rf"\b{name}\s*\(", code), (q, out)
 
