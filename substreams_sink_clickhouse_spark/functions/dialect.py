@@ -468,7 +468,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
-                "age", "cutQueryString", "cutFragment",
+                "age", "arrayDotProduct", "dotProduct", "L1Distance",
+                "L2Distance", "L2SquaredDistance", "LinfDistance",
+                "cosineDistance", "cutQueryString", "cutFragment",
                 "cutQueryStringAndFragment", "queryString", "fragment",
                 "decodeURLComponent", "domainWithoutWWW", "protocol",
                 "JSONExtractInt", "JSONExtractString",
@@ -740,6 +742,48 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"THEN CAST(0 AS DOUBLE) "
                 f"ELSE CAST(x AS DOUBLE) - CAST(element_at({inner}, i) AS DOUBLE) END)"
             )
+        elif name in ("arrayDotProduct", "dotProduct", "L1Distance",
+                      "L2Distance", "L2SquaredDistance", "LinfDistance",
+                      "cosineDistance"):
+            a, b = _split_top_commas(inner)
+            dot = (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+                f" * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            sq = (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE)"
+                f" - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS"
+                f" DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            if name in ("arrayDotProduct", "dotProduct"):
+                repl = dot
+            elif name == "L2SquaredDistance":
+                repl = sq
+            elif name == "L2Distance":
+                repl = f"sqrt({sq})"
+            elif name == "L1Distance":
+                repl = (
+                    f"aggregate(zip_with({a}, {b}, (x, y) -> abs(CAST(x AS"
+                    f" DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE),"
+                    f" (acc, v) -> acc + v)"
+                )
+            elif name == "LinfDistance":
+                repl = (
+                    f"array_max(zip_with({a}, {b}, (x, y) -> abs(CAST(x AS"
+                    f" DOUBLE) - CAST(y AS DOUBLE))))"
+                )
+            else:  # cosineDistance
+                na = (
+                    f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE)"
+                    f" * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE),"
+                    f" (acc, v) -> acc + v))"
+                )
+                nb = (
+                    f"sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE)"
+                    f" * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE),"
+                    f" (acc, v) -> acc + v))"
+                )
+                repl = f"(1.0 - ({dot}) / ({na} * {nb}))"
         elif name == "cutQueryString":
             repl = f"substring_index({inner}, '?', 1)"
         elif name == "cutFragment":

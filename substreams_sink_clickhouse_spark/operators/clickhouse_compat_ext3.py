@@ -2611,3 +2611,66 @@ SPECS.append(
         _Q160_ORACLE,
     )
 )
+
+
+_Q161_CLICKHOUSE_SQL = """
+SELECT vec_id,
+       round(L2Distance(e, r), 6) AS l2,
+       round(arrayDotProduct(e, r), 6) AS dot,
+       round(cosineDistance(e, r), 6) AS cosd,
+       round(L1Distance(e, r), 6) AS l1,
+       round(LinfDistance(e, r), 6) AS linf
+FROM (SELECT vec_id, embedding AS e, arrayReverse(embedding) AS r
+      FROM embeddings) t
+ORDER BY vec_id
+LIMIT 300
+"""
+
+
+def _q161_vector_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse vector-distance family through the dialect shim —
+    ``L1/L2/L2Squared/Linf/cosineDistance`` and ``arrayDotProduct``
+    expand to JVM ``zip_with``/``aggregate`` folds (double-widened per
+    element), here over each embedding against its own reversal so the
+    entry is row-local.  These are the scalar legs the ANN operators
+    (sim_*) build on."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(clickhouse_to_spark_sql(_Q161_CLICKHOUSE_SQL))
+
+
+_Q161_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+         i -> (e[i] - e[65 - i]) * (e[i] - e[65 - i])))), 6) AS l2,
+       round(list_sum(list_transform(range(1, 65),
+         i -> e[i] * e[65 - i])), 6) AS dot,
+       round(1.0 - list_sum(list_transform(range(1, 65),
+         i -> e[i] * e[65 - i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
+         6) AS cosd,
+       round(list_sum(list_transform(range(1, 65),
+         i -> abs(e[i] - e[65 - i]))), 6) AS l1,
+       round(list_max(list_transform(range(1, 65),
+         i -> abs(e[i] - e[65 - i]))), 6) AS linf
+FROM base
+ORDER BY vec_id
+LIMIT 300
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q161_vector_distances",
+        "L1/L2/Linf/cosine distances + dot product through the shim",
+        _q161_vector_distances,
+        _Q161_ORACLE,
+    )
+)
