@@ -2674,3 +2674,115 @@ SPECS.append(
         _Q161_ORACLE,
     )
 )
+
+
+def geo_radius_join(
+    points: DataFrame,
+    probes: list[tuple[int, float, float]],
+    radius_km: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    precision: int = 4,
+) -> DataFrame:
+    """Radius join via geohash prefix bucketing: each (small) probe
+    expands to its 3x3 neighbor cells at ``precision`` (encoded by
+    offsetting the probe +-radius in each axis), candidates match on
+    the cell prefix with a hash join, and haversine refines exactly.
+
+    The 100 TB shape: the big point side is bucketed by a map-only
+    geohash expression (functions/hashing.py) and joined against a
+    broadcast probe-cell list — never a cross join.  Requires
+    |probe lat| + the radius to stay below ~60 degrees so a precision-4
+    cell (>=19 km on both axes there) covers the radius; callers with
+    polar probes must raise the precision budget (cells halve per
+    2.5 chars).
+
+    ``probes``: [(probe_id, lat, lng)] — driver-small by contract.
+    """
+    from substreams_sink_clickhouse_spark.functions.hashing import geohash_sql
+
+    spark = points.sparkSession
+    if radius_km > 15 or any(abs(la) > 60 for _, la, _ in probes):
+        raise ValueError(
+            "precision-4 cells only cover <=15 km radii below 60 deg "
+            "latitude; raise precision for tighter grids"
+        )
+    rows = []
+    for pid, la, lo in probes:
+        dlat = radius_km / 111.0
+        dlng = radius_km / (111.0 * max(0.2, __import__("math").cos(__import__("math").radians(abs(la) + dlat))))
+        for oy in (-dlat, 0.0, dlat):
+            for ox in (-dlng, 0.0, dlng):
+                rows.append((pid, la, lo, la + oy, lo + ox))
+    cells = spark.createDataFrame(
+        rows, "probe_id long, plat double, plng double, clat double, clng double"
+    ).selectExpr(
+        "probe_id", "plat", "plng",
+        f"{geohash_sql('clat', 'clng', precision, 'spark')} AS cell",
+    ).dropDuplicates(["probe_id", "cell"])
+    pts = points.selectExpr(
+        "*", f"{geohash_sql(lat_col, lng_col, precision, 'spark')} AS cell"
+    )
+    hav = (
+        "2.0 * 6371.0 * asin(sqrt(pow(sin(radians(plat - {lat}) / 2), 2) "
+        "+ cos(radians(plat)) * cos(radians({lat})) "
+        "* pow(sin(radians(plng - {lng}) / 2), 2)))"
+    ).format(lat=lat_col, lng=lng_col)
+    return (
+        pts.join(F.broadcast(cells), "cell")
+        .where(F.expr(hav) <= radius_km)
+        .drop("cell", "plat", "plng")
+    )
+
+
+#: probes inside the synthetic cluster (see _q162: coordinates
+#: concentrate around Paris so a 12 km radius actually selects)
+_Q162_PROBES = [
+    (1, 48.8566, 2.3522),
+    (2, 48.70, 2.10),
+    (3, 49.05, 2.60),
+]
+
+
+def _q162_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash-bucketed radius join (see :func:`geo_radius_join`)
+    between the embeddings' pseudo-coordinates and 5 probe cities at
+    12 km: prefix-bucket candidates + exact haversine refine — the
+    oracle brute-forces the same haversine over the full cross space,
+    so the gate proves the bucketing loses no matches."""
+    # pseudo-coordinates clustered ~+-55 km around Paris so the gate
+    # exercises non-empty candidate buckets AND empty ones
+    pts = load_table(spark, sf, "embeddings").selectExpr(
+        "vec_id",
+        "48.8566 + CAST(element_at(embedding, 1) AS DOUBLE) * 2.0 AS lat",
+        "2.3522 + CAST(element_at(embedding, 2) AS DOUBLE) * 3.0 AS lng",
+    )
+    out = geo_radius_join(pts, _Q162_PROBES, 12.0)
+    return out.select("probe_id", "vec_id").orderBy("probe_id", "vec_id")
+
+
+_Q162_ORACLE = """
+WITH pts AS (
+  SELECT vec_id,
+         48.8566 + CAST(embedding[1] AS DOUBLE) * 2.0 AS lat,
+         2.3522 + CAST(embedding[2] AS DOUBLE) * 3.0 AS lng
+  FROM embeddings),
+probes(probe_id, plat, plng) AS (VALUES
+  (1, 48.8566, 2.3522), (2, 48.70, 2.10), (3, 49.05, 2.60))
+SELECT probe_id, vec_id
+FROM probes, pts
+WHERE 2.0 * 6371.0 * asin(sqrt(pow(sin(radians(plat - lat) / 2), 2)
+      + cos(radians(plat)) * cos(radians(lat))
+      * pow(sin(radians(plng - lng) / 2), 2))) <= 12.0
+ORDER BY probe_id, vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q162_geo_radius_join",
+        "geohash-bucketed radius join: prefix candidates + haversine",
+        _q162_geo_radius_join,
+        _Q162_ORACLE,
+    )
+)
