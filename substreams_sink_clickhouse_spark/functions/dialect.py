@@ -468,7 +468,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toDayOfWeek", "toYYYYMMDD", "toRelativeSecondNum",
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
-                "age", "arrayDotProduct", "dotProduct", "L1Distance",
+                "age", "regexpExtract", "countMatches", "splitByRegexp",
+                "tupleElement", "tuple",
+                "arrayDotProduct", "dotProduct", "L1Distance",
                 "L2Distance", "L2SquaredDistance", "LinfDistance",
                 "cosineDistance", "cutQueryString", "cutFragment",
                 "cutQueryStringAndFragment", "queryString", "fragment",
@@ -784,6 +786,33 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f" (acc, v) -> acc + v))"
                 )
                 repl = f"(1.0 - ({dot}) / ({na} * {nb}))"
+        elif name == "tuple":
+            # forced colN field names so tupleElement's positional
+            # access resolves regardless of the operand shapes
+            parts = _split_top_commas(inner)
+            fields = ", ".join(
+                f"'col{k + 1}', {p_}" for k, p_ in enumerate(parts)
+            )
+            repl = f"named_struct({fields})"
+        elif name == "regexpExtract":
+            parts = _split_top_commas(inner)
+            if len(parts) == 2:
+                parts.append("1")  # ClickHouse default group index
+            repl = f"regexp_extract({parts[0]}, {parts[1]}, {parts[2]})"
+        elif name == "countMatches":
+            h, pat_ = _split_top_commas(inner)
+            repl = f"size(regexp_extract_all({h}, {pat_}, 0))"
+        elif name == "splitByRegexp":
+            pat_, s_ = _split_top_commas(inner)
+            repl = f"split({s_}, {pat_})"
+        elif name == "tupleElement":
+            t_, i_ = _split_top_commas(inner)
+            if not re.fullmatch(r"\d+", i_.strip()):
+                raise ValueError(
+                    "tupleElement needs a literal index (struct fields "
+                    "resolve at plan time)"
+                )
+            repl = f"({t_}).col{i_.strip()}"
         elif name == "cutQueryString":
             repl = f"substring_index({inner}, '?', 1)"
         elif name == "cutFragment":

@@ -2786,3 +2786,52 @@ SPECS.append(
         _Q162_ORACLE,
     )
 )
+
+
+_Q163_CLICKHOUSE_SQL = """
+SELECT event_id,
+       regexpExtract(props, '"k": ([0-9]+)') AS knum,
+       countMatches(props, '[0-9]') AS digits,
+       arrayStringConcat(splitByRegexp('[:,]', props), '|') AS parts,
+       tupleElement(tuple(event_type, user_id), 1) AS t1,
+       tupleElement(tuple(event_type, user_id), 2) AS t2
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q163_regex_tuple(spark: SparkSession, sf: str) -> DataFrame:
+    """regexpExtract (ClickHouse's default group 1), countMatches,
+    splitByRegexp, and tuple/tupleElement (named_struct with forced
+    colN fields so positional access resolves for any operand shape)
+    through the dialect shim."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q163_CLICKHOUSE_SQL))
+
+
+_Q163_ORACLE = """
+SELECT event_id,
+       coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS knum,
+       len(regexp_extract_all(props, '[0-9]', 0)) AS digits,
+       array_to_string(string_split_regex(props, '[:,]'), '|') AS parts,
+       event_type AS t1,
+       user_id AS t2
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q163_regex_tuple",
+        "regexpExtract/countMatches/splitByRegexp/tupleElement",
+        _q163_regex_tuple,
+        _Q163_ORACLE,
+    )
+)

@@ -4,6 +4,9 @@ executed results, including the reference's user-facing query shape
 
 import json
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from substreams_sink_clickhouse_spark.catalog import BLOCK_META_SCHEMA, Catalog, TableInfo
 from substreams_sink_clickhouse_spark.config import EngineConfig
 from substreams_sink_clickhouse_spark.engine import Engine
@@ -1126,3 +1129,38 @@ def test_url_batch2():
     out = clickhouse_to_spark_sql("SELECT domainWithoutWWW(u), protocol(u) FROM t")
     assert "regexp_replace(coalesce(parse_url(u, 'HOST'), '')" in out
     assert "parse_url(u, 'PROTOCOL')" in out
+
+
+def test_regex_tuple_batch():
+    out = clickhouse_to_spark_sql("SELECT regexpExtract(s, 'p') FROM t")
+    assert "regexp_extract(s, 'p', 1)" in out
+    out = clickhouse_to_spark_sql("SELECT tupleElement(tuple(a, b + 1), 2) FROM t")
+    assert "(named_struct('col1', a, 'col2', b + 1)).col2" in out
+    import pytest
+
+    with pytest.raises(ValueError, match="literal index"):
+        clickhouse_to_spark_sql("SELECT tupleElement(t, n) FROM t")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat=st.floats(min_value=-85, max_value=85, allow_nan=False),
+    lng=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+)
+def test_geohash_roundtrip_property(lat, lng):
+    # encode -> decode stays within one cell, evaluated on DuckDB
+    # (cross-engine equality is pinned by test_geohash_known_vectors)
+    import duckdb
+
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohash_decode_sql,
+        geohash_sql,
+    )
+
+    gh = geohash_sql(
+        f"CAST({lat!r} AS DOUBLE)", f"CAST({lng!r} AS DOUBLE)", 11, "duckdb"
+    )
+    dlat, dlng = geohash_decode_sql(gh, "duckdb")
+    la, lo = duckdb.sql(f"SELECT {dlat}, {dlng}").fetchone()
+    assert abs(la - lat) <= 180 / 2**27
+    assert abs(lo - lng) <= 360 / 2**28
