@@ -161,3 +161,54 @@ def geohash_decode_sql(gh: str, dialect: str) -> tuple[str, str]:
     lng = f"((CAST({mx} AS DOUBLE) + 0.5) / 268435456.0 * 360.0 - 180.0)"
     lat = f"((CAST({my} AS DOUBLE) + 0.5) / 134217728.0 * 180.0 - 90.0)"
     return lat, lng
+
+
+def geohashes_in_box_sql(
+    lng_min: str,
+    lat_min: str,
+    lng_max: str,
+    lat_max: str,
+    precision: int,
+    dialect: str,
+) -> str:
+    """ClickHouse ``geohashesInBox``: the array of precision-``p``
+    geohash cells intersecting the box.  Cell index ranges come from
+    quantizing the bounds at the precision's bit depths (lng gets
+    ceil(5p/2) bits, lat floor(5p/2)); each (x, y) cell re-encodes
+    through :func:`geohash_sql` on its center.  Emits one array-typed
+    SQL expression — JVM sequence/transform, no rows materialized
+    driver-side.  Callers bound the box so |cells| stays sane
+    (ClickHouse caps at 10M)."""
+    bx = (5 * precision + 1) // 2
+    by = (5 * precision) // 2
+    if dialect == "spark":
+        seq = "sequence"
+        flat_tx = lambda xs, f: f"flatten(transform({xs}, {f}))"  # noqa: E731
+        tx = "transform"
+    else:
+        seq = "range_inclusive"  # handled below
+        flat_tx = lambda xs, f: f"flatten(list_transform({xs}, {f}))"  # noqa: E731
+        tx = "list_transform"
+
+    def q(v: str, lo: float, width: float, bits: int) -> str:
+        full = (
+            f"least(CAST(floor((({v}) - {lo}) / {width} * 1073741824.0) "
+            f"AS BIGINT), 1073741823)"
+        )
+        if dialect == "spark":
+            return f"shiftright({full}, {30 - bits})"
+        return f"(({full}) >> {30 - bits})"
+
+    x0, x1 = q(lng_min, -180.0, 360.0, bx), q(lng_max, -180.0, 360.0, bx)
+    y0, y1 = q(lat_min, -90.0, 180.0, by), q(lat_max, -90.0, 180.0, by)
+    # cell-center coordinates from the cell indices
+    lng_c = f"((CAST(x AS DOUBLE) + 0.5) / {float(2 ** bx)} * 360.0 - 180.0)"
+    lat_c = f"((CAST(y AS DOUBLE) + 0.5) / {float(2 ** by)} * 180.0 - 90.0)"
+    cell = geohash_sql(lat_c, lng_c, precision, dialect)
+    if dialect == "spark":
+        xs = f"sequence({x0}, {x1})"
+        inner = f"transform(sequence({y0}, {y1}), y -> {cell})"
+        return f"flatten(transform({xs}, x -> {inner}))"
+    xs = f"range(({x0}), ({x1}) + 1)"
+    inner = f"list_transform(range(({y0}), ({y1}) + 1), y -> {cell})"
+    return f"flatten(list_transform({xs}, x -> {inner}))"

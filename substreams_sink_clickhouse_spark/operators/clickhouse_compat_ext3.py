@@ -2835,3 +2835,64 @@ SPECS.append(
         _Q163_ORACLE,
     )
 )
+
+
+def _q164_geohashes_in_box(spark: SparkSession, sf: str) -> DataFrame:
+    """``geohashesInBox``: per-row 0.2-degree boxes around each
+    embedding's pseudo-coordinate enumerate their precision-4 cells —
+    quantized index ranges + JVM sequence/transform re-encoding each
+    cell center (functions/hashing.geohashes_in_box_sql).  This is the
+    coarse-candidate enumeration leg of geo queries (the radius join's
+    box-cover generalization)."""
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohashes_in_box_sql,
+    )
+
+    v = load_table(spark, sf, "embeddings")
+    box = geohashes_in_box_sql(
+        "lng0", "lat0", "lng0 + 0.2", "lat0 + 0.2", 4, "spark"
+    )
+    return (
+        v.selectExpr(
+            "vec_id",
+            "48.0 + CAST(element_at(embedding, 1) AS DOUBLE) * 2.0 AS lat0",
+            "2.0 + CAST(element_at(embedding, 2) AS DOUBLE) * 3.0 AS lng0",
+        )
+        .selectExpr(
+            "vec_id",
+            f"array_join(array_sort({box}), ',') AS cells",
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+def _q164_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        geohashes_in_box_sql,
+    )
+
+    box = geohashes_in_box_sql(
+        "lng0", "lat0", "lng0 + 0.2", "lat0 + 0.2", 4, "duckdb"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         48.0 + CAST(embedding[1] AS DOUBLE) * 2.0 AS lat0,
+         2.0 + CAST(embedding[2] AS DOUBLE) * 3.0 AS lng0
+  FROM embeddings)
+SELECT vec_id, array_to_string(list_sort({box}), ',') AS cells
+FROM base
+ORDER BY vec_id
+LIMIT 200
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q164_geohashes_in_box",
+        "geohashesInBox: quantized index ranges -> cell enumeration",
+        _q164_geohashes_in_box,
+        _q164_oracle(),
+    )
+)
