@@ -212,3 +212,36 @@ def geohashes_in_box_sql(
     xs = f"range(({x0}), ({x1}) + 1)"
     inner = f"list_transform(range(({y0}), ({y1}) + 1), y -> {cell})"
     return f"flatten(list_transform({xs}, x -> {inner}))"
+
+
+def point_in_polygon_sql(
+    px: str, py: str, vertices: list[tuple[float, float]], dialect: str
+) -> str:
+    """ClickHouse ``pointInPolygon((x, y), [(x1, y1), ...])`` for a
+    LITERAL polygon: even-odd ray casting as a filter-count over the
+    edge array — one boolean JVM expression per row, identical FP
+    formula on both engines.  Boundary points follow the raw IEEE
+    comparisons (ClickHouse's own boundary behavior is
+    strategy-dependent)."""
+    edges = []
+    n = len(vertices)
+    for i in range(n):
+        (ax, ay), (bx, by) = vertices[i], vertices[(i + 1) % n]
+        if dialect == "spark":
+            edges.append(
+                f"named_struct('ax', CAST({ax} AS DOUBLE), 'ay', CAST({ay} AS DOUBLE), "
+                f"'bx', CAST({bx} AS DOUBLE), 'by', CAST({by} AS DOUBLE))"
+            )
+        else:
+            edges.append(
+                f"{{'ax': CAST({ax} AS DOUBLE), 'ay': CAST({ay} AS DOUBLE), "
+                f"'bx': CAST({bx} AS DOUBLE), 'by': CAST({by} AS DOUBLE)}}"
+            )
+    arr = f"[{', '.join(edges)}]" if dialect != "spark" else f"array({', '.join(edges)})"
+    cond = (
+        f"((e.ay > ({py})) != (e.by > ({py}))) AND "
+        f"({px}) < (e.bx - e.ax) * (({py}) - e.ay) / (e.by - e.ay) + e.ax"
+    )
+    if dialect == "spark":
+        return f"(size(filter({arr}, e -> {cond})) % 2 = 1)"
+    return f"(len(list_filter({arr}, e -> {cond})) % 2 = 1)"

@@ -2896,3 +2896,61 @@ SPECS.append(
         _q164_oracle(),
     )
 )
+
+
+#: pentagon around the synthetic Paris cluster (q162's coordinates)
+_Q165_POLY = [
+    (1.5, 48.3), (3.2, 48.5), (3.4, 49.4), (2.3, 49.8), (1.2, 49.2),
+]
+
+
+def _q165_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    """``pointInPolygon`` (literal pentagon, even-odd ray casting as a
+    filter-count over the edge array — functions/hashing.
+    point_in_polygon_sql): one boolean JVM expression per row,
+    identical IEEE formula on both engines."""
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        point_in_polygon_sql,
+    )
+
+    pred = point_in_polygon_sql("lng0", "lat0", _Q165_POLY, "spark")
+    return (
+        load_table(spark, sf, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "48.8566 + CAST(element_at(embedding, 1) AS DOUBLE) * 2.0 AS lat0",
+            "2.3522 + CAST(element_at(embedding, 2) AS DOUBLE) * 3.0 AS lng0",
+        )
+        .selectExpr("vec_id", f"{pred} AS inside")
+        .orderBy("vec_id")
+        .limit(300)
+    )
+
+
+def _q165_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        point_in_polygon_sql,
+    )
+
+    pred = point_in_polygon_sql("lng0", "lat0", _Q165_POLY, "duckdb")
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         48.8566 + CAST(embedding[1] AS DOUBLE) * 2.0 AS lat0,
+         2.3522 + CAST(embedding[2] AS DOUBLE) * 3.0 AS lng0
+  FROM embeddings)
+SELECT vec_id, {pred} AS inside
+FROM base
+ORDER BY vec_id
+LIMIT 300
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q165_point_in_polygon",
+        "pointInPolygon: even-odd ray casting over a literal pentagon",
+        _q165_point_in_polygon,
+        _q165_oracle(),
+    )
+)
