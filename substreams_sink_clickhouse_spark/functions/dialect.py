@@ -469,7 +469,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toRelativeMinuteNum", "toRelativeHourNum",
                 "toRelativeDayNum",
                 "age", "regexpExtract", "countMatches", "splitByRegexp",
-                "tupleElement", "tuple",
+                "tupleElement", "tuple", "toStartOfFiveMinutes",
+                "toStartOfTenMinutes", "toStartOfFifteenMinutes",
+                "timeSlot", "monthName", "toISOWeek", "toISOYear",
                 "arrayDotProduct", "dotProduct", "L1Distance",
                 "L2Distance", "L2SquaredDistance", "LinfDistance",
                 "cosineDistance", "cutQueryString", "cutFragment",
@@ -786,6 +788,20 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                     f" (acc, v) -> acc + v))"
                 )
                 repl = f"(1.0 - ({dot}) / ({na} * {nb}))"
+        elif name in ("toStartOfFiveMinutes", "toStartOfTenMinutes",
+                      "toStartOfFifteenMinutes", "timeSlot"):
+            secs = {"toStartOfFiveMinutes": 300, "toStartOfTenMinutes": 600,
+                    "toStartOfFifteenMinutes": 900, "timeSlot": 1800}[name]
+            repl = (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({inner}) "
+                f"/ {secs}) * {secs} AS BIGINT))"
+            )
+        elif name == "monthName":
+            repl = f"date_format({inner}, 'MMMM')"
+        elif name == "toISOWeek":
+            repl = f"weekofyear({inner})"
+        elif name == "toISOYear":
+            repl = f"extract(YEAROFWEEK FROM {inner})"
         elif name == "tuple":
             # forced colN field names so tupleElement's positional
             # access resolves regardless of the operand shapes

@@ -2954,3 +2954,51 @@ SPECS.append(
         _q165_oracle(),
     )
 )
+
+
+_Q166_CLICKHOUSE_SQL = """
+SELECT event_id,
+       monthName(ts) AS mname,
+       toISOWeek(ts) AS iw,
+       toISOYear(ts) AS iy,
+       toStartOfFifteenMinutes(ts) AS q15,
+       timeSlot(ts) AS slot
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+def _q166_iso_time(spark: SparkSession, sf: str) -> DataFrame:
+    """ISO week/year accessors, English month names, and the
+    fixed-width epoch floors (five/ten/fifteen-minute starts,
+    ClickHouse's 30-minute ``timeSlot``) through the dialect shim."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q166_CLICKHOUSE_SQL))
+
+
+_Q166_ORACLE = """
+SELECT event_id,
+       monthname(ts) AS mname,
+       CAST(weekofyear(ts) AS INT) AS iw,
+       CAST(isoyear(ts) AS INT) AS iy,
+       make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS q15,
+       make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS slot
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q166_iso_time",
+        "monthName/toISOWeek/toISOYear/timeSlot/fifteen-minute floors",
+        _q166_iso_time,
+        _Q166_ORACLE,
+    )
+)
