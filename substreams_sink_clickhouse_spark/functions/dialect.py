@@ -472,6 +472,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "tupleElement", "tuple", "toStartOfFiveMinutes",
                 "toStartOfTenMinutes", "toStartOfFifteenMinutes",
                 "timeSlot", "monthName", "toISOWeek", "toISOYear",
+                "IPv4NumToString", "IPv4StringToNum",
                 "arrayDotProduct", "dotProduct", "L1Distance",
                 "L2Distance", "L2SquaredDistance", "LinfDistance",
                 "cosineDistance", "cutQueryString", "cutFragment",
@@ -795,6 +796,20 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             repl = (
                 f"timestamp_seconds(CAST(floor(unix_timestamp({inner}) "
                 f"/ {secs}) * {secs} AS BIGINT))"
+            )
+        elif name == "IPv4NumToString":
+            repl = (
+                f"concat(CAST(({inner}) DIV 16777216 AS STRING), '.', "
+                f"CAST((({inner}) DIV 65536) % 256 AS STRING), '.', "
+                f"CAST((({inner}) DIV 256) % 256 AS STRING), '.', "
+                f"CAST(({inner}) % 256 AS STRING))"
+            )
+        elif name == "IPv4StringToNum":
+            repl = (
+                f"(CAST(split_part({inner}, '.', 1) AS BIGINT) * 16777216 + "
+                f"CAST(split_part({inner}, '.', 2) AS BIGINT) * 65536 + "
+                f"CAST(split_part({inner}, '.', 3) AS BIGINT) * 256 + "
+                f"CAST(split_part({inner}, '.', 4) AS BIGINT))"
             )
         elif name == "monthName":
             repl = f"date_format({inner}, 'MMMM')"

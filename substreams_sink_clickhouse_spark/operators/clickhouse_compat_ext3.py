@@ -3002,3 +3002,48 @@ SPECS.append(
         _Q166_ORACLE,
     )
 )
+
+
+_Q167_CLICKHOUSE_SQL = """
+SELECT event_id,
+       IPv4NumToString(event_id * 65793 + user_id) AS ip,
+       IPv4StringToNum(IPv4NumToString(event_id * 65793 + user_id)) AS back
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+def _q167_ipv4_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """``IPv4NumToString``/``IPv4StringToNum`` through the shim —
+    integer octet arithmetic both ways, proven by the roundtrip column
+    equaling the input."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q167_CLICKHOUSE_SQL))
+
+
+_Q167_ORACLE = """
+SELECT event_id,
+       concat(CAST((event_id * 65793 + user_id) // 16777216 AS VARCHAR), '.',
+              CAST(((event_id * 65793 + user_id) // 65536) % 256 AS VARCHAR), '.',
+              CAST(((event_id * 65793 + user_id) // 256) % 256 AS VARCHAR), '.',
+              CAST((event_id * 65793 + user_id) % 256 AS VARCHAR)) AS ip,
+       event_id * 65793 + user_id AS back
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q167_ipv4_roundtrip",
+        "IPv4NumToString/StringToNum octet arithmetic roundtrip",
+        _q167_ipv4_roundtrip,
+        _Q167_ORACLE,
+    )
+)
