@@ -157,6 +157,7 @@ _NAME_SWAPS = {
     "toLastDayOfMonth": "last_day",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
+    "roundBankers": "bround",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -472,7 +473,8 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "tupleElement", "tuple", "toStartOfFiveMinutes",
                 "toStartOfTenMinutes", "toStartOfFifteenMinutes",
                 "timeSlot", "monthName", "toISOWeek", "toISOYear",
-                "IPv4NumToString", "IPv4StringToNum",
+                "IPv4NumToString", "IPv4StringToNum", "roundDown",
+                "roundAge", "roundDuration", "roundToExp2",
                 "arrayDotProduct", "dotProduct", "L1Distance",
                 "L2Distance", "L2SquaredDistance", "LinfDistance",
                 "cosineDistance", "cutQueryString", "cutFragment",
@@ -796,6 +798,30 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             repl = (
                 f"timestamp_seconds(CAST(floor(unix_timestamp({inner}) "
                 f"/ {secs}) * {secs} AS BIGINT))"
+            )
+        elif name == "roundDown":
+            x, arr = _split_top_commas(inner)
+            repl = (
+                f"coalesce(array_max(filter({arr}, e -> e <= ({x}))), "
+                f"element_at({arr}, 1))"
+            )
+        elif name in ("roundAge", "roundDuration"):
+            # ClickHouse's fixed breakpoint tables
+            arr = (
+                "array(0, 1, 18, 25, 35, 45, 55)"
+                if name == "roundAge"
+                else "array(0, 1, 10, 30, 60, 120, 180, 240, 300, 600, "
+                "1200, 1800, 3600, 7200, 18000, 36000)"
+            )
+            repl = (
+                f"coalesce(array_max(filter({arr}, e -> e <= ({inner}))), 0)"
+            )
+        elif name == "roundToExp2":
+            # powers of two are exact doubles, so floor(log2) is safe
+            # for the integral inputs this targets
+            repl = (
+                f"CASE WHEN ({inner}) < 1 THEN 0 ELSE "
+                f"CAST(pow(2, floor(log2(CAST({inner} AS DOUBLE)))) AS BIGINT) END"
             )
         elif name == "IPv4NumToString":
             repl = (

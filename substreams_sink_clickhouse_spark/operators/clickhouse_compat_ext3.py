@@ -3047,3 +3047,66 @@ SPECS.append(
         _Q167_ORACLE,
     )
 )
+
+
+_Q168_CLICKHOUSE_SQL = """
+SELECT event_id,
+       roundBankers(value, 1) AS rb,
+       roundDown(CAST(floor(value) AS BIGINT), [0, 10, 25, 50, 75]) AS rd,
+       roundAge(event_id % 90) AS ra,
+       roundDuration(event_id * 37 % 40000) AS rdur,
+       roundToExp2(event_id + 1) AS r2
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+def _q168_rounding_family(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse rounding family through the shim: ``roundBankers``
+    -> Spark's bround (half-even, matching DuckDB's default round),
+    ``roundDown``/``roundAge``/``roundDuration`` as greatest-breakpoint
+    filters over literal arrays, ``roundToExp2`` via exact power-of-two
+    log arithmetic."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q168_CLICKHOUSE_SQL))
+
+
+_Q168_ORACLE = """
+SELECT event_id,
+       -- explicit HALF_EVEN at 1dp (DuckDB's round() is half-away on
+       -- doubles; Spark's bround is banker's)
+       CASE WHEN value * 10 - floor(value * 10) > 0.5
+              THEN (floor(value * 10) + 1) / 10
+            WHEN value * 10 - floor(value * 10) < 0.5
+              THEN floor(value * 10) / 10
+            ELSE (floor(value * 10) + CAST(floor(value * 10) AS BIGINT) % 2) / 10
+       END AS rb,
+       coalesce(list_max(list_filter([0, 10, 25, 50, 75],
+         e -> e <= CAST(floor(value) AS BIGINT))), 0) AS rd,
+       coalesce(list_max(list_filter([0, 1, 18, 25, 35, 45, 55],
+         e -> e <= event_id % 90)), 0) AS ra,
+       coalesce(list_max(list_filter([0, 1, 10, 30, 60, 120, 180, 240, 300,
+         600, 1200, 1800, 3600, 7200, 18000, 36000],
+         e -> e <= event_id * 37 % 40000)), 0) AS rdur,
+       CASE WHEN event_id + 1 < 1 THEN 0
+            ELSE CAST(pow(2, floor(log2(CAST(event_id + 1 AS DOUBLE)))) AS BIGINT)
+       END AS r2
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q168_rounding_family",
+        "roundBankers/roundDown/roundAge/roundDuration/roundToExp2",
+        _q168_rounding_family,
+        _Q168_ORACLE,
+    )
+)
