@@ -35,49 +35,32 @@ _PLAN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _rotation_order(specs: list) -> list:
-    """Order the registry so a prefix-sampling driver rotates its
-    correctness sample.
+    """Order the registry by the COMMITTED ``GATE_ORDER.json``.
 
-    The driver checks ~50 of these entries per round; through round 4
-    its sample was byte-identical to the registry's FIRST ~50 keys
-    (the relational block), so 167/218 entries — every streaming,
-    ClickHouse-compat, and LLM-pipeline family — never produced a
-    driver-side signal.  Dict order is the one lever this side of the
-    contract controls, so: entries that have never appeared in any
-    ``CORRECTNESS_r*.json`` on disk come FIRST, round-robin across
-    operator families (each family = defining module, matching
-    tools/sample_manifest.py), previously-sampled entries after.  The
-    order is deterministic given the artifacts on disk, and a driver
-    that samples by any other rule is unaffected — the dict still
-    contains every entry exactly once.
+    The driver checks a ~50-entry prefix of ``queries()`` per round;
+    ordering that prefix is how every gate family gets a driver-side
+    signal over successive rounds.  The order itself is decided by an
+    explicit tool run (``tools/write_gate_order.py``) and committed, so
+    the public interface is byte-deterministic across checkouts — it
+    never depends on which evaluation artifacts happen to sit on disk
+    (round-5 advisory).  Registry entries not yet in the file (added
+    after the last ``write_gate_order`` run) append in registry order;
+    stale names in the file are ignored.  A missing file degrades to
+    plain registry order.
     """
-    import glob
     import json
     import os
 
-    sampled: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path, encoding="utf-8") as fh:
-                sampled |= set(json.load(fh))
-        except Exception:
-            continue
-    families: dict[str, list] = {}
-    for spec in specs:
-        fam = getattr(spec.builder, "__module__", "?").rsplit(".", 1)[-1]
-        families.setdefault(fam, []).append(spec)
-    queues = {
-        fam: [s for s in members if s.name not in sampled]
-        + [s for s in members if s.name in sampled]
-        for fam, members in families.items()
-    }
-    ordered: list = []
-    while any(queues.values()):
-        for fam in families:
-            if queues[fam]:
-                ordered.append(queues[fam].pop(0))
-    return ordered
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "GATE_ORDER.json")
+    if not os.path.exists(path):
+        return list(specs)
+    with open(path, encoding="utf-8") as fh:
+        rank = {name: i for i, name in enumerate(json.load(fh))}
+    indexed = sorted(
+        enumerate(specs),
+        key=lambda pair: (rank.get(pair[1].name, len(rank)), pair[0]),
+    )
+    return [spec for _, spec in indexed]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

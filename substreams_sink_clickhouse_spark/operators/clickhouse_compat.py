@@ -630,11 +630,11 @@ WITH u AS (
          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
   FROM events GROUP BY user_id)
-SELECT sum(a) AS card_click,
-       sum(b) AS card_purchase,
-       sum(a * b) AS card_and,
-       sum(least(a + b, 1)) AS card_or,
-       sum(a * (1 - b)) AS card_andnot
+SELECT CAST(sum(a) AS BIGINT) AS card_click,
+       CAST(sum(b) AS BIGINT) AS card_purchase,
+       CAST(sum(a * b) AS BIGINT) AS card_and,
+       CAST(sum(least(a + b, 1)) AS BIGINT) AS card_or,
+       CAST(sum(a * (1 - b)) AS BIGINT) AS card_andnot
 FROM u
 """
 
@@ -793,8 +793,8 @@ def _q70_multi_search(spark: SparkSession, sf: str) -> DataFrame:
 _Q70_ORACLE = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN contains(text, 'data') OR contains(text, 'model')
-                  OR contains(text, 'neural') THEN 1 ELSE 0 END) AS n_any_hit,
+       CAST(sum(CASE WHEN contains(text, 'data') OR contains(text, 'model')
+                  OR contains(text, 'neural') THEN 1 ELSE 0 END) AS BIGINT) AS n_any_hit,
        round(avg(CASE WHEN position('the' IN text) > 0
                       THEN position('the' IN text) END), 2) AS avg_marker_pos
 FROM documents GROUP BY lang ORDER BY lang

@@ -97,8 +97,9 @@ def _q78_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q78_ORACLE = """
 SELECT event_type,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
-       sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
        max(len(json_keys(props))) AS max_keys
 FROM events GROUP BY event_type ORDER BY event_type
 """

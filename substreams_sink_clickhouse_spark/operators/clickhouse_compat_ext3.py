@@ -113,7 +113,7 @@ islands AS (
          sum(new_island) OVER (PARTITION BY k ORDER BY s, e, oid
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged)
-SELECT k, sum(len) AS union_len FROM (
+SELECT k, CAST(sum(len) AS BIGINT) AS union_len FROM (
   SELECT k, island, max(e) - min(s) AS len FROM islands GROUP BY k, island)
 GROUP BY k ORDER BY k
 """
@@ -1790,7 +1790,7 @@ def _q146_dialect_fold_interval(spark: SparkSession, sf: str) -> DataFrame:
 _Q146_ORACLE = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS bucket,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
        round(max(value), 2) AS mx
 FROM events
 GROUP BY bucket

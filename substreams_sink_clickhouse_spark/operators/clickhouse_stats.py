@@ -159,7 +159,8 @@ def _q87_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q87_ORACLE = """
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        date_diff('second', min(ts), max(ts)) AS duration_s
 FROM (
   SELECT user_id, ts,

@@ -891,8 +891,9 @@ SPECS: list[QuerySpec] = [
         _dedup_exact,
         """
         SELECT count(*) AS n_uniq,
-               sum(n) AS n_docs,
-               sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_rows
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_rows
         FROM (SELECT text, count(*) AS n FROM documents GROUP BY text) g
         """,
     ),
@@ -1014,7 +1015,7 @@ cells AS (
   SELECT source, {h} AS h, count(*) AS n_sg FROM grams GROUP BY source, h),
 gcount AS (SELECT h, sum(n_sg) AS c_g FROM cells GROUP BY h)
 SELECT source,
-       sum(n_sg) AS total_grams,
+       CAST(sum(n_sg) AS BIGINT) AS total_grams,
        count(*) AS distinct_grams,
        round(sum(CASE WHEN c_g > 1 THEN n_sg ELSE 0 END)::DOUBLE
              / sum(n_sg)::DOUBLE, 4) AS dup_frac
@@ -1138,7 +1139,7 @@ spans AS (
     FROM d) t),
 counts AS (SELECT h, count(*) AS c FROM spans GROUP BY h)
 SELECT doc_id, count(*) AS n_spans,
-       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_spans,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
        round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
          AS dup_span_frac
 FROM spans JOIN counts USING (h)

@@ -392,10 +392,27 @@ def _q11b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q05b(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate count-distinct (HLL): implementation-specific value,
-    so no cross-engine oracle — the driver records a rows-only check."""
+    """Approximate count-distinct (HLL++).  The sketch value itself is
+    engine-specific, so the cross-engine-checkable contract is a
+    validated error bound: emit the exact distinct count (comparable in
+    any engine) plus a boolean asserting the sketch landed within 5% of
+    it.  HLL++ is deterministic for a given dataset, so the boolean is
+    stable, and the oracle asserts the same bound by construction
+    (rows-only checks hid this entry for four rounds; this gives it a
+    real value-hash oracle).  rsd=0.01 sizes the sketch so the 5% bound
+    holds with wide margin (default rsd=0.05 measured 6.7% off at
+    sf0.01); a 2^14-register HLL is still ~16 KB per group — cheap."""
     o = load_table(spark, sf, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey").alias("approx_cnt"))
+    return o.agg(
+        F.count_distinct("o_custkey").alias("exact_cnt"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.count_distinct("o_custkey") * F.lit(0.05)
+        ).alias("within_5pct"),
+    )
 
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -1409,10 +1426,17 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "q05b_approx_distinct",
-        "Approximate count-distinct / HLL (Q5; engine-specific value, "
-        "rows-only check)",
+        "Approximate count-distinct / HLL (Q5) — exact count plus a "
+        "validated 5% error-bound boolean, so the sketch is "
+        "cross-engine checkable",
         _q05b,
-        None,
+        """
+        SELECT count(DISTINCT o_custkey) AS exact_cnt,
+               abs(approx_count_distinct(o_custkey)
+                   - count(DISTINCT o_custkey))
+                 <= count(DISTINCT o_custkey) * 0.05 AS within_5pct
+        FROM orders
+        """,
     ),
     QuerySpec(
         "q31_asof_join",

@@ -909,7 +909,8 @@ exact_top AS (
   SELECT vec_id FROM scored ORDER BY simx DESC, vec_id LIMIT 10),
 hits AS (
   SELECT count(*) AS k,
-         sum(CASE WHEN s.bucket = s.pbucket THEN 1 ELSE 0 END) AS hits
+         CAST(sum(CASE WHEN s.bucket = s.pbucket THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
   FROM exact_top t JOIN scored s ON s.vec_id = t.vec_id)
 SELECT k, hits, round(CAST(hits AS DOUBLE) / k, 6) AS recall FROM hits
 """

@@ -866,7 +866,7 @@ sessions AS (
   FROM flagged),
 per_session AS (
   SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY user_id, sid)
-SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
        max(n) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """

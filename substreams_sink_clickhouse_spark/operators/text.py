@@ -652,7 +652,8 @@ c AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
               / 512) AS BIGINT) AS bin
   FROM t)
-SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM c GROUP BY lang, bin ORDER BY lang, bin
 """
 

@@ -69,7 +69,7 @@ def _train_mix(spark: SparkSession, sf: str) -> DataFrame:
 def _train_mix_oracle() -> str:
     h = duck_md5_long_sql("CONCAT('mix:', CAST(doc_id AS VARCHAR))")
     return f"""
-SELECT source, count(*) AS kept, sum(n_chars) AS kept_chars
+SELECT source, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM documents
 WHERE {h} % 100 < (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
                    WHEN 0 THEN {_MIX_RATES[0]} WHEN 1 THEN {_MIX_RATES[1]}
@@ -349,7 +349,7 @@ WITH p AS (
   FROM documents)
 SELECT len_bucket,
        count(*) AS n_docs,
-       sum(n_tok) AS tokens,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
        round(sum(n_tok) / CAST(sum(n_windows) * {SEQ_WINDOW} AS DOUBLE), 4) AS naive_pack_eff
 FROM p GROUP BY len_bucket ORDER BY len_bucket
 """
@@ -408,8 +408,8 @@ WITH cum AS (
            OVER (ORDER BY {h}, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents)
-SELECT count(*) AS docs_kept, max(cum) AS tokens_used,
-       {_TOKEN_BUDGET} - max(cum) AS headroom
+SELECT count(*) AS docs_kept, CAST(max(cum) AS BIGINT) AS tokens_used,
+       CAST({_TOKEN_BUDGET} - max(cum) AS BIGINT) AS headroom
 FROM cum WHERE cum <= {_TOKEN_BUDGET}
 """
 

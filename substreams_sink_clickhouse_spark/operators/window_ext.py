@@ -264,7 +264,7 @@ def _q101_top_with_ties(spark: SparkSession, sf: str) -> DataFrame:
 _Q101_ORACLE = """
 SELECT o_orderkey, price_floor, rk
 FROM (
-  SELECT o_orderkey, floor(o_totalprice) AS price_floor,
+  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
          rank() OVER (ORDER BY floor(o_totalprice) DESC) AS rk
   FROM orders)
 WHERE rk <= 10

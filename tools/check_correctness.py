@@ -3,6 +3,16 @@
 same SF, compare row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values normalized).
 
+Type-faithful since round 6: the DuckDB side is fetched via ``.arrow()``
+(the path where DuckDB's HUGEINT surfaces as decimal128 instead of
+being silently collapsed), floats hash at full ``repr`` precision (no
+round-to-9), and a float/Decimal never hashes equal to an int of the
+same value.  The round-5 driver reds were exactly the class a lenient
+normalizer here had masked: ``sum(BIGINT)`` oracles whose HUGEINT
+output hashed differently driver-side while values were identical.
+Strictly-stricter-than-driver is the invariant: local green must imply
+driver green.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -19,6 +29,7 @@ sys.path.insert(0, "/root/repo")
 
 def _normalize(value):
     import datetime
+    import decimal
 
     if value is None:
         return "NULL"
@@ -27,11 +38,14 @@ def _normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        if value == int(value) and abs(value) < 1e15:
-            return str(int(value))
-        return repr(round(value, 9))
+        return repr(value)
+    if isinstance(value, decimal.Decimal):
+        # Distinct from int/float on purpose: a Decimal('5') from a
+        # DuckDB HUGEINT must NOT hash equal to Spark's bigint 5 —
+        # that divergence is precisely what the driver gate fails on.
+        return f"dec:{value}"
     if isinstance(value, datetime.datetime):
-        return value.replace(tzinfo=None).isoformat()
+        return value.isoformat()
     if isinstance(value, (bytes, bytearray)):
         return value.hex()
     if isinstance(value, list):
@@ -102,9 +116,15 @@ def main() -> int:
             report[name] = {"status": "ROWS_ONLY", "spark_rows": len(s_rows)}
             continue
         try:
-            rel = conn.sql(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            # .arrow() is the type-faithful fetch: HUGEINT arrives as
+            # decimal128(38,0) (as it does driver-side) instead of
+            # being collapsed to int by the python fetchall path.
+            tbl = conn.sql(oracles[name]).arrow()
+            d_cols = list(tbl.column_names)
+            d_cells = [col.to_pylist() for col in tbl.columns]
+            d_rows = list(zip(*d_cells)) if d_cols else []
+            if not d_rows and tbl.num_rows:
+                d_rows = [()] * tbl.num_rows
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             n_fail += 1

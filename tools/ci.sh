@@ -11,6 +11,9 @@ SF_DIR="${1:-/root/testdata/sf0.01}"
 echo "== schema audit =="
 python tools/audit_schemas.py
 
+echo "== oracle output-type audit (no HUGEINT/TIMESTAMPTZ columns) =="
+python tools/oracle_type_audit.py
+
 echo "== oracle gate ($SF_DIR) =="
 python tools/check_correctness.py "$SF_DIR"
 

@@ -1,0 +1,103 @@
+"""Generate GATE_ORDER.json — the committed, deterministic order in
+which ``__spark_entry__.queries()`` exposes the gate registry.
+
+Rationale: the external driver samples a prefix of ``queries()`` for
+its per-round correctness check.  Rotating that prefix is how
+verification debt drains (162/258 entries had never produced a
+driver-side signal by round 5) — but the rotation must NOT be computed
+at ``queries()`` import time from whatever CORRECTNESS_r*.json happen
+to sit on disk: that makes the public interface order nondeterministic
+across checkouts (round-5 advisory).  So the rotation is decided HERE,
+explicitly, and committed as a plain JSON list; ``queries()`` just
+reads the file.  Re-running this tool (and committing the result) is
+the explicit, reviewable act of advancing the rotation.
+
+Ordering policy:
+1. a hand-pinned priority prefix: the reference's core CDC operators
+   (`cdc_merge` is db/ops.go:11-122 — the single most important entry)
+   and the streaming family, none of which have ever been
+   driver-sampled;
+2. all other never-driver-sampled entries, round-robin across operator
+   families so every family appears in any ~50-entry prefix;
+3. previously-sampled entries, least-recently-sampled first.
+
+Usage: python tools/write_gate_order.py [--out GATE_ORDER.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: Never-driver-checked entries the round-5 verdict ordered to the
+#: front of the next sample: the reference's actual core operator and
+#: its transactional-flush / cursor siblings, then streaming.
+PRIORITY = [
+    "cdc_merge",
+    "cdc_merge_dv",
+    "cursor_resolution",
+    "q26_last_op",
+    "q23_tumbling_window",
+    "q24_session_window",
+    "q25_watermark",
+]
+
+
+def main() -> int:
+    out = "GATE_ORDER.json"
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+
+    from substreams_sink_clickhouse_spark.registry import all_specs
+
+    # last round each name was sampled in (0 = never)
+    last_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()) or 0)
+        with open(path, encoding="utf-8") as fh:
+            for name in json.load(fh):
+                last_round[name] = max(last_round.get(name, 0), rnd)
+
+    specs = all_specs()
+    fam_of = {
+        s.name: getattr(s.builder, "__module__", "?").rsplit(".", 1)[-1]
+        for s in specs
+    }
+    names = [s.name for s in specs]
+    pinned = [n for n in PRIORITY if n in names]
+    fresh = [n for n in names if n not in last_round and n not in pinned]
+    stale = sorted(
+        (n for n in names if n in last_round and n not in pinned),
+        key=lambda n: (last_round[n], names.index(n)),
+    )
+
+    # round-robin the fresh entries across families
+    fams: dict[str, list[str]] = {}
+    for n in fresh:
+        fams.setdefault(fam_of[n], []).append(n)
+    rr: list[str] = []
+    while any(fams.values()):
+        for fam in list(fams):
+            if fams[fam]:
+                rr.append(fams[fam].pop(0))
+
+    order = pinned + rr + stale
+    assert sorted(order) == sorted(names), "order must be a permutation"
+    with open(os.path.join(REPO, out), "w", encoding="utf-8") as fh:
+        json.dump(order, fh, indent=0)
+        fh.write("\n")
+    print(
+        f"wrote {out}: {len(order)} entries "
+        f"({len(pinned)} pinned, {len(rr)} never-sampled, {len(stale)} sampled)"
+    )
+    print("prefix:", ", ".join(order[:12]), "...")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
