@@ -236,7 +236,25 @@ class Engine:
             # generated rows carry per-column type defaults), so it is
             # stripped here and applied structurally after planning —
             # the one clause the text-to-text translator can't do.
+            # Its FROM/TO/STEP bound expressions are still ClickHouse
+            # dialect (e.g. ``FROM toDate('2020-01-01')``) and are
+            # later evaluated via F.expr, so they go through the same
+            # expression translation as the query body.
             query, fill_spec = strip_with_fill(query)
+            if fill_spec is not None and any(
+                (fill_spec.from_, fill_spec.to, fill_spec.step)
+            ):
+                from dataclasses import replace as _dc_replace
+
+                fill_spec = _dc_replace(
+                    fill_spec,
+                    from_=clickhouse_to_spark_sql(fill_spec.from_)
+                    if fill_spec.from_ else None,
+                    to=clickhouse_to_spark_sql(fill_spec.to)
+                    if fill_spec.to else None,
+                    step=clickhouse_to_spark_sql(fill_spec.step)
+                    if fill_spec.step else None,
+                )
 
             # ``FROM t FINAL`` on a table this engine ingested resolves
             # to a version-collapsed view (ReplacingMergeTree latest-

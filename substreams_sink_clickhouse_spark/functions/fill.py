@@ -80,12 +80,19 @@ class FillSpec:
     descending: bool = False
     #: columns that carry the previous actual row's value forward
     interpolate: tuple[str, ...] = ()
+    #: a LIMIT that followed the filled ORDER BY — ClickHouse runs the
+    #: FillingTransform as part of ORDER BY, BEFORE the limit, so the
+    #: limit applies to the filled grid and must be deferred to
+    #: apply_with_fill (a pre-fill limit would keep a different — and
+    #: differently-sized — row prefix)
+    limit: int | None = None
 
     def cache_token(self) -> str:
         return (
             f"WITH FILL {self.groups} {self.column} "
             f"{'DESC' if self.descending else 'ASC'} FROM {self.from_} "
-            f"TO {self.to} STEP {self.step} INTERPOLATE {self.interpolate}"
+            f"TO {self.to} STEP {self.step} INTERPOLATE {self.interpolate} "
+            f"LIMIT {self.limit}"
         )
 
 
@@ -211,9 +218,31 @@ def strip_with_fill(query: str) -> tuple[str, FillSpec | None]:
         # operator re-establishes the ordering, and keeping it here
         # would plan a useless pre-fill range exchange
         stripped = masked[: ob.start()] + " " + masked[end:]
+    elif end_m.group(1).upper() == "LIMIT":
+        # ClickHouse runs the FillingTransform as part of ORDER BY,
+        # BEFORE the limit: `ORDER BY x WITH FILL FROM 0 TO 10 LIMIT 5`
+        # returns the first 5 rows of the FILLED grid.  So the limit is
+        # absorbed into the spec and applied after apply_with_fill;
+        # leaving it on the stripped query would limit the pre-fill
+        # result — a different (and differently-sized) prefix.
+        lm = re.match(r"\s*LIMIT\s+(\d+)\s*(;?\s*)$", masked[end:], flags=re.IGNORECASE)
+        if lm is None:
+            raise ValueError(
+                "WITH FILL supports only a plain trailing `LIMIT n` "
+                "(applied to the filled grid, as ClickHouse does); for "
+                "LIMIT n,m / OFFSET / LIMIT BY, wrap the filled query "
+                "and paginate the result"
+            )
+        spec = FillSpec(
+            column=spec.column, from_=spec.from_, to=spec.to, step=spec.step,
+            groups=spec.groups, descending=spec.descending,
+            interpolate=spec.interpolate, limit=int(lm.group(1)),
+        )
+        # the pre-fill sort no longer decides survivors — drop it
+        stripped = masked[: ob.start()] + " " + lm.group(2)
     else:
-        # a LIMIT/SETTINGS follows: the sort decides which rows
-        # survive, so it must stay
+        # SETTINGS/FORMAT/set-op follows: the sort order itself is
+        # re-established by the fill, but the clause must stay
         stripped = masked[: ob.end()] + f" {sort_text} " + masked[end:]
     stripped = re.sub(r"\x01(\d+)\x01", lambda g: literals[int(g.group(1))], stripped)
     return stripped, spec
@@ -370,4 +399,10 @@ def apply_with_fill(df: DataFrame, spec: FillSpec) -> DataFrame:
     order = [
         (F.col(g).asc() if asc else F.col(g).desc()) for g, asc in spec.groups
     ] + [key]
-    return flagged.drop("__gen").orderBy(*order)
+    out = flagged.drop("__gen").orderBy(*order)
+    if spec.limit is not None:
+        # the LIMIT that followed the filled ORDER BY: ClickHouse
+        # limits AFTER the FillingTransform, so it applies to the
+        # filled grid (strip_with_fill absorbed it from the query)
+        out = out.limit(spec.limit)
+    return out

@@ -182,35 +182,29 @@ def _q113_theils_u(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def theils_u(pairs: DataFrame) -> DataFrame:
-    """Uncertainty-coefficient core over any ``(x, y)`` DataFrame."""
+    """Uncertainty-coefficient core over any ``(x, y)`` DataFrame.
+
+    Join-free formulation: fold the marginal sums into per-cell terms
+    so both entropies are single aggregates over the contingency cells
+    —  H(x) = -Σ_cells (nxy/n)·ln(nx/n)  (Σ_cells within x of nxy = nx)
+    and H(x|y) = -Σ_cells (nxy/n)·ln(nxy/ny).  The marginals nx/ny/n
+    come from window sums over the cells relation, which carries
+    |x|·|y| rows (~35 here), never the event count — the event-volume
+    exchange happens exactly once, in the groupBy.  Earlier revisions
+    assembled the scalars with 1-row broadcast crossJoins, which
+    planned as BroadcastNestedLoopJoins (benign but flagged by the
+    plan sweep since round 4); windows keep the whole plan
+    join-free."""
     cells = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("nxy"))
-    n = cells.agg(F.sum("nxy").alias("n"))
-    # H(x): from x-marginals; H(x|y) = -sum_y p(y) sum_x p(x|y) ln p(x|y)
-    xm = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
-    ym = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
-    hx = (
-        xm.crossJoin(F.broadcast(n))
-        .select(((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))).alias("t"))
-        .agg((-F.sum("t")).alias("hx"))
+    enriched = cells.select(
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
     )
-    hxy = (
-        cells.join(F.broadcast(ym), "y")
-        .crossJoin(F.broadcast(n))
-        .select(
-            (
-                (F.col("ny") / F.col("n"))
-                * (F.col("nxy") / F.col("ny"))
-                * F.log(F.col("nxy") / F.col("ny"))
-            ).alias("t")
-        )
-        .agg((-F.sum("t")).alias("hxy"))
-    )
-    return (
-        hx.crossJoin(hxy)
-        .select(
-            F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 6).alias("theils_u")
-        )
-    )
+    hx = -F.sum((F.col("nxy") / F.col("n")) * F.log(F.col("nx") / F.col("n")))
+    hxy = -F.sum((F.col("nxy") / F.col("n")) * F.log(F.col("nxy") / F.col("ny")))
+    return enriched.agg(F.round((hx - hxy) / hx, 6).alias("theils_u"))
 
 
 _Q113_ORACLE = """

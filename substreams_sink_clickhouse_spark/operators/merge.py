@@ -129,8 +129,20 @@ CASE
 END
 """
 
+#: Duplicate (block_num, ordinal) within one (table, pk) group: the
+#: reference folds ops in ARRIVAL order, so a tied UPDATE-then-DELETE
+#: folds to a clean DELETE (db/ops.go); a distributed fold has no
+#: arrival order to honor — collect order is partition layout, not the
+#: wire — so rather than silently picking a tie-break that can invert
+#: the reference's result, the kernel surfaces the duplicate as an
+#: explicit error state (MIGRATION.md "Merge tie-break" entry).  Wire
+#: ordinals are unique per block in practice (the substreams sink
+#: assigns them monotonically), so this is unreachable on well-formed
+#: input.
 _ERR_EXPR = f"""
 CASE
+  WHEN __dup
+    THEN 'duplicate (block_num, ordinal): arrival order is undefined in a distributed fold'
   WHEN __bad_u > 0 AND (__bad_c = 0 OR __bad_u < __bad_c)
     THEN 'update a deleted row'
   WHEN __bad_c > 0
@@ -156,6 +168,7 @@ END
 #: sequence order (LAST_WIN dedup).
 _FIELDS_EXPR = """
 CASE
+  WHEN __dup THEN cast(map() as map<string,string>)
   WHEN __err IS NOT NULL THEN
     CASE
       WHEN array_position(__ops, 'DELETE') > 0
@@ -251,6 +264,7 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
         f"""explode(array(named_struct(
               'ops', __evs.op,
               'ents', __evs.ent,
+              'dup', size(__evs.seq) != size(array_distinct(__evs.seq)),
               'bad_c', {_BAD_CREATE_POS.replace("__ops", "__evs.op")},
               'bad_u', {_BAD_UPDATE_POS.replace("__ops", "__evs.op")}))) AS __d""",
     )
@@ -269,7 +283,7 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
     )
     # ``__err IS NOT NULL`` ≡ some bad position exists — the flag form
     # keeps the op/fields trees from inlining the whole err CASE.
-    has_err = "(__bad_c > 0 OR __bad_u > 0)"
+    has_err = "(__dup OR __bad_c > 0 OR __bad_u > 0)"
 
     def _on_layer1(expr: str) -> str:
         """Re-anchor an __ops/__ents/__bad_* template onto the exploded
@@ -277,6 +291,7 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
         return (
             expr.replace("__err IS NOT NULL", has_err)
             .replace("__errpos", errpos)
+            .replace("__dup", "__d.dup")
             .replace("__bad_c", "__d.bad_c")
             .replace("__bad_u", "__d.bad_u")
             .replace("__ops", "__d.ops")

@@ -68,6 +68,31 @@ MAX_SIDECAR_LAYERS = 4
 #: sort-merge reconcile anyway).
 MAX_SIDECAR_WINDOW_OPS = 2_000_000
 
+#: Accumulated deletion-vector byte budget per bucket.  The layer cap
+#: (MAX_SIDECAR_LAYERS) bounds DATA-layer growth, but pure-delete
+#: epochs grow only the dv — no new layer — so without this cap the dv
+#: can approach the bucket's physical row count and (a) blow the
+#: read-side broadcast, (b) make every read anti-join against a mask
+#: as large as the data.  A bucket whose dv exceeds the budget takes
+#: the full-rewrite reconcile on its next touch, which rewrites the
+#: visible rows and CLEARS the dv (the manifest entry is replaced
+#: whole).  Reads over an already-oversized dv fall back from
+#: broadcast to a shuffle anti-join rather than failing.
+MAX_DV_BYTES_PER_BUCKET = 32 * 1024 * 1024
+
+
+def _parquet_dir_bytes(path: str | None) -> int:
+    """Total bytes of the .parquet files directly under ``path`` (0 for
+    missing/None).  Driver-side manifest bookkeeping — file sizes only,
+    no footer reads."""
+    if not path or not os.path.isdir(path):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
 
 def _observed_rows(obs) -> int:
     """Best-effort read of a flush observation: an epoch whose commit
@@ -239,9 +264,14 @@ class TableStateStore:
                 .parquet(*dv_paths)
                 .selectExpr("src AS __dv_src", "pk AS __dv_pk")
             )
+            # broadcast only within budget: an oversized dv (possible
+            # before its bucket's next compacting rewrite) takes a
+            # shuffle anti-join instead of risking the broadcast limit
+            if sum(_parquet_dir_bytes(p) for p in dv_paths) <= MAX_DV_BYTES_PER_BUCKET:
+                dv = F.broadcast(dv)
             pk = info.primary_key.replace("`", "``")
             df = df.join(
-                F.broadcast(dv),
+                dv,
                 F.expr(f"__src = __dv_src AND CAST(`{pk}` AS STRING) = __dv_pk"),
                 "left_anti",
             )
@@ -921,6 +951,18 @@ class ChangesIngestPipeline:
                     return False  # initial load: CREATE fast path is cheaper
                 bmap = entry["buckets"]
                 if not any(bmap.get(str(b)) for b in bmap):
+                    return False
+                # dv byte budget: pure-delete epochs grow the dv with
+                # no new data layer, so the layer cap alone never
+                # triggers compaction — an over-budget dv forces this
+                # bucket onto the full-rewrite path, which clears it
+                if any(
+                    _parquet_dir_bytes(
+                        TableStateStore._entry_dv(bmap.get(str(b)))
+                    )
+                    > MAX_DV_BYTES_PER_BUCKET
+                    for b in buckets
+                ):
                     return False
                 return all(
                     len(TableStateStore._entry_layers(bmap.get(str(b))))

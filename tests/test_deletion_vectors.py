@@ -169,6 +169,67 @@ def test_layer_cap_triggers_compacting_rewrite(spark, tmp_path):
     assert _rows(pipe) == [("a", MAX_SIDECAR_LAYERS, "s")]
 
 
+def test_dv_byte_budget_triggers_compacting_rewrite(spark, tmp_path, monkeypatch):
+    """Pure-delete epochs grow the dv without adding data layers, so
+    the layer cap never fires; the dv BYTE budget must force the next
+    touch onto the full-rewrite path, clearing the dv (round-5
+    advisory: unbounded dv growth risks the read-side broadcast)."""
+    import substreams_sink_clickhouse_spark.streaming.pipeline as P
+
+    monkeypatch.setattr(P, "MAX_DV_BYTES_PER_BUCKET", 1)  # any dv is over
+    epochs = [
+        [("kv", f"k{i}", i, "CREATE", {"v": str(i), "s": "x"}) for i in range(10)],
+        [("kv", "k3", 100, "DELETE", None)],   # sidecar: dv appears
+        [("kv", "k5", 101, "DELETE", None)],   # over budget -> rewrite
+    ]
+    pipe = _replay(spark, tmp_path, "dvb", "auto", epochs)
+    assert sorted(r[0] for r in _rows(pipe)) == sorted(
+        f"k{i}" for i in range(10) if i not in (3, 5)
+    )
+    entry = pipe.state.read_manifest()["tables"]["kv"]
+    # the over-budget bucket compacted back to a plain path (dv gone);
+    # untouched buckets may still carry their sidecar entries
+    assert all(
+        not (isinstance(v, dict) and v.get("dv")) or "k5-bucket" not in str(v)
+        for v in entry["buckets"].values()
+    )
+    # specifically: no bucket carries BOTH a dv and membership of k5's
+    # pk — read back must not rely on any dv for the rewritten bucket
+    live = pipe.state.table_state("kv")
+    assert live.filter("id = 'k5'").count() == 0
+    assert live.filter("id = 'k3'").count() == 0
+
+
+def test_oversized_dv_read_falls_back_to_shuffle_antijoin(spark, tmp_path, monkeypatch):
+    """A dv already past the broadcast budget must still read correctly
+    — via a shuffle anti-join instead of a broadcast."""
+    import substreams_sink_clickhouse_spark.streaming.pipeline as P
+
+    epochs = [
+        [("kv", f"k{i}", i, "CREATE", {"v": str(i), "s": "x"}) for i in range(10)],
+        [("kv", "k3", 100, "DELETE", None), ("kv", "k5", 101, "DELETE", None)],
+    ]
+    pipe = _replay(spark, tmp_path, "dvs", "auto", epochs)
+    # with auto-broadcast off, only the reader's EXPLICIT hint can
+    # produce a broadcast join — so the hint's presence/absence is
+    # observable in the physical plan (AQE would otherwise re-choose
+    # broadcast at runtime for this tiny fixture dv regardless)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = pipe.state.table_state("kv")
+        assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+        monkeypatch.setattr(P, "MAX_DV_BYTES_PER_BUCKET", 1)
+        df = pipe.state.table_state("kv")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(r[0] for r in df.collect()) == sorted(
+            f"k{i}" for i in range(10) if i not in (3, 5)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_delete_only_epoch_writes_no_data_layer(spark, tmp_path):
     """A pure-DELETE window adds only deletion-vector rows — zero data
     bytes."""

@@ -26,9 +26,13 @@ def test_no_fill_passthrough():
 def test_strip_from_to_step():
     q = "SELECT a, n FROM t ORDER BY a WITH FILL FROM 0 TO 10 STEP 2 LIMIT 5"
     stripped, spec = strip_with_fill(q)
-    assert spec == FillSpec(column="a", from_="0", to="10", step="2")
+    # ClickHouse limits AFTER the FillingTransform, so the LIMIT is
+    # absorbed into the spec (applied to the filled grid) and both the
+    # pre-fill sort and the pre-fill limit disappear from the query
+    assert spec == FillSpec(column="a", from_="0", to="10", step="2", limit=5)
     assert "WITH FILL" not in stripped.upper()
-    assert "ORDER BY a" in stripped and "LIMIT 5" in stripped
+    assert "LIMIT" not in stripped.upper()
+    assert "ORDER BY" not in stripped.upper()
 
 
 def test_interval_step_and_partial_bounds():
@@ -227,6 +231,56 @@ def test_engine_sql_with_fill(spark):
     assert a.count() == 4 and b.count() == 6
 
 
+def test_engine_sql_fill_limit_applies_to_filled_grid(spark):
+    """ClickHouse applies the FillingTransform as part of ORDER BY,
+    before LIMIT: `... WITH FILL FROM 0 TO 10 LIMIT 5` returns the
+    first 5 rows of the FILLED grid, not the filled first-5 pre-fill
+    rows (round-5 advisory)."""
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1, 10), (8, 80)], "k int, v int").createOrReplaceTempView(
+        "fill_lim_t"
+    )
+    out = eng.sql(
+        "SELECT k, sum(v) AS total FROM fill_lim_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 10 LIMIT 5",
+        dialect="clickhouse",
+    ).collect()
+    # filled grid is 0..9 with actuals at 1 and 8; LIMIT 5 -> 0..4
+    assert [(r.k, r.total) for r in out] == [
+        (0, 0), (1, 10), (2, 0), (3, 0), (4, 0),
+    ]
+
+
+def test_fill_complex_limit_refused():
+    with pytest.raises(ValueError, match="plain trailing"):
+        strip_with_fill("SELECT k FROM t ORDER BY k WITH FILL LIMIT 5, 10")
+    with pytest.raises(ValueError, match="plain trailing"):
+        strip_with_fill("SELECT k FROM t ORDER BY k WITH FILL LIMIT 5 OFFSET 2")
+
+
+def test_engine_sql_fill_dialect_bounds(spark):
+    """FROM/TO/STEP bounds written in ClickHouse dialect (toDate,
+    toIntervalDay) must be translated before F.expr evaluates them
+    (round-5 advisory: they used to hit Spark raw and fail with an
+    unresolved-function AnalysisException)."""
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(datetime.date(2024, 1, 2), 1), (datetime.date(2024, 1, 5), 2)],
+        "d date, n int",
+    ).createOrReplaceTempView("fill_date_t")
+    out = eng.sql(
+        "SELECT d, sum(n) AS total FROM fill_date_t GROUP BY d "
+        "ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-01-07')",
+        dialect="clickhouse",
+    ).collect()
+    assert [r.d.day for r in out] == [1, 2, 3, 4, 5, 6]
+    assert [r.total for r in out] == [0, 1, 0, 0, 2, 0]
+
+
 def test_grouped_fill_inherits_group_values(spark):
     df = spark.createDataFrame(
         [("a", 1, 5), ("a", 4, 6), ("b", 2, 7)], "g string, k int, n int"
@@ -358,8 +412,10 @@ def test_strip_fuzz_roundtrip(col, groups, desc, frm, to, step, interp, limit):
         assert spec.step == str(step)
     assert "WITH FILL" not in stripped.upper()
     assert "INTERPOLATE" not in stripped.upper()
-    if limit is not None:
-        assert f"LIMIT {limit}" in stripped
+    # a trailing LIMIT is absorbed into the spec (applied post-fill,
+    # matching ClickHouse's FillingTransform-before-LIMIT ordering)
+    assert spec.limit == limit
+    assert "LIMIT" not in stripped.upper()
     # stripping is idempotent: the stripped text has no fill left
     again, spec2 = strip_with_fill(stripped)
     assert spec2 is None and again == stripped

@@ -96,6 +96,35 @@ def test_update_after_delete_errors(spark, changes_df, catalog):
         _merge(spark, catalog, changes)
 
 
+def test_duplicate_block_ordinal_errors(spark, changes_df, catalog):
+    # The reference folds ops in ARRIVAL order, so two ops tied on
+    # (block_num, ordinal) fold to whatever came off the wire last; a
+    # distributed fold has no arrival order, so the kernel surfaces the
+    # duplicate explicitly instead of silently tie-breaking (an
+    # UPDATE/DELETE tie could otherwise invert the reference's result).
+    # MIGRATION.md "Merge tie-break".
+    changes = changes_df(
+        [
+            (1, "blk", 7, "t", "k1", "UPDATE", {"a": "1"}),
+            (1, "blk", 7, "t", "k1", "DELETE", None),
+        ]
+    )
+    with pytest.raises(MergeSemanticsError, match="duplicate \\(block_num, ordinal\\)"):
+        _merge(spark, catalog, changes, [("k1", 9, "old")])
+
+
+def test_distinct_ordinals_same_block_still_fold(spark, changes_df, catalog):
+    # the dup guard keys on (block_num, ordinal) — distinct ordinals in
+    # one block are the normal case and must be untouched by it
+    changes = changes_df(
+        [
+            (1, "blk", 1, "t", "k1", "UPDATE", {"a": "1"}),
+            (1, "blk", 2, "t", "k1", "DELETE", None),
+        ]
+    )
+    assert _merge(spark, catalog, changes, [("k1", 9, "old")]) == {}
+
+
 def test_pk_injected_on_create(spark, changes_df, catalog):
     # pk is added to the row data (db/ops.go:37-39)
     changes = changes_df([(1, "blk", 1, "t", "k1", "CREATE", {"a": "5"})])
