@@ -471,3 +471,29 @@ def test_lttb_peak_survives_downsampling(spark):
     df = spark.createDataFrame(rows, "g string, x long, y double")
     out = [(r.x, r.y) for r in lttb(df, ["g"], "x", "y", 10).collect()]
     assert (57, 1000.0) in out and len(out) == 10
+
+
+def test_session_window_single_exchange(spark):
+    """q24's plan: one exchange (partition by user) feeds both the
+    session assembly and the aggregate — a second exchange here was
+    the round-5 bench's suspected regression (it proved to be host
+    load: 0.133 s at matched loadavg vs r4's 0.131 s), so the shape
+    is pinned either way."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q24_session_window"](spark, SF)
+    assert count_shuffles(df) == 1
+
+
+def test_theils_u_join_free_single_exchange(spark):
+    """theilsU folds both entropies from per-cell window sums — no
+    joins at all (the 1-row broadcast crossJoins it used through
+    round 5 planned as BroadcastNestedLoopJoins)."""
+    from substreams_sink_clickhouse_spark.operators.clickhouse_compat_ext3 import (
+        _q113_theils_u,
+    )
+
+    df = _q113_theils_u(spark, SF)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan
+    assert count_shuffles(df) <= 2
