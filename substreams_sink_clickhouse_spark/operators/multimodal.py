@@ -1332,3 +1332,141 @@ SPECS.append(
         _JPEG_C_ORACLE,
     )
 )
+
+
+# ------------------------------------------------ perceptual hash dedup
+
+#: dHash grid: 8 rows x 9 gray columns -> 8 comparisons/row -> 64 bits.
+PHASH_COLS = 9
+PHASH_ROWS = 8
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)
+
+
+def dhash64(gray_grid: list[int]) -> str:
+    """64-bit difference hash over an 8x9 gray grid (row-major): bit
+    ``r*8+c`` is set iff ``gray[r][c+1] > gray[r][c]`` — the standard
+    dHash (gradient direction survives brightness/contrast shifts,
+    which is why it is the stock perceptual near-dup key for image
+    corpora).  Rendered as 16 hex chars so engines without uint64
+    arithmetic compare it exactly."""
+    h = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            if gray_grid[r * PHASH_COLS + c + 1] > gray_grid[r * PHASH_COLS + c]:
+                h |= 1 << (r * (PHASH_COLS - 1) + c)
+    return f"{h:016x}"
+
+
+def _phash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real BMP decode -> nearest-neighbor resize to the
+    dHash grid -> 64-bit difference hash, per Arrow batch."""
+    import pandas as pd
+
+    npx = BMP_WIDTH * BMP_HEIGHT
+
+    def phash(b: bytes) -> str:
+        rgb = (b[: npx * 3] + b"\x00" * (npx * 3))[: npx * 3]
+        w, h, pixels = decode_image(encode_bmp(rgb, BMP_WIDTH, BMP_HEIGHT))
+        small = resize_nearest(pixels, w, h, PHASH_COLS, PHASH_ROWS)
+        gray = [
+            (small[3 * i] + small[3 * i + 1] + small[3 * i + 2]) // 3
+            for i in range(PHASH_COLS * PHASH_ROWS)
+        ]
+        return dhash64(gray)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(list(pdf["asset_id"]), dtype="int64"),
+                "phash": pd.Series([phash(p) for p in pdf["payload"]], dtype="object"),
+            }
+        )
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """Per-asset perceptual hash (``asset_id``, ``phash``) — the
+    image-level analogue of the text dedup family's fingerprints.
+    One ``mapInPandas`` barrier; grouping/joining on the hash happens
+    JVM-side downstream."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _phash_batches, schema=PHASH_SCHEMA
+    )
+
+
+def _multimodal_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup dedup via perceptual hash: decode every asset,
+    dHash it, then count bucket occupancy per hash — assets sharing a
+    phash are visual near-duplicates (the image-side analogue of
+    dedup_exact; at 100 TB the hash is the shuffle key and each
+    bucket is tiny, same shape as the text MinHash banding).  The
+    oracle replays the floor-mapped gray gather and the bit packing on
+    the deterministic source bytes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    hashed = phash_assets(assets_from_documents(docs))
+    return hashed.select(
+        "asset_id",
+        "phash",
+        F.count(F.lit(1)).over(Window.partitionBy("phash")).alias("dup_count"),
+    )  # unordered; see _multimodal_features
+
+
+#: Oracle: gray(r,c) = mean of the RGB triple at the floor-mapped
+#: source pixel (y = r*H//ROWS, x = c*W//COLS); bit k=r*8+c set iff
+#: gray(r,c+1) > gray(r,c); rendered '%08x%08x' (hi32, lo32) exactly
+#: like Python's f'{h:016x}'.
+_PHASH_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(0, {BMP_WIDTH * BMP_HEIGHT * 3}),
+                        j -> CASE WHEN j < len(text)
+                                  THEN CAST(unicode(substr(text, j + 1, 1)) AS BIGINT)
+                                  ELSE 0 END) AS b
+  FROM documents),
+g AS (
+  SELECT asset_id,
+         list_transform(range(0, {PHASH_ROWS * PHASH_COLS}), p ->
+           (b[3 * (((p // {PHASH_COLS}) * {BMP_HEIGHT} // {PHASH_ROWS}) * {BMP_WIDTH}
+                   + ((p % {PHASH_COLS}) * {BMP_WIDTH} // {PHASH_COLS})) + 1]
+          + b[3 * (((p // {PHASH_COLS}) * {BMP_HEIGHT} // {PHASH_ROWS}) * {BMP_WIDTH}
+                   + ((p % {PHASH_COLS}) * {BMP_WIDTH} // {PHASH_COLS})) + 2]
+          + b[3 * (((p // {PHASH_COLS}) * {BMP_HEIGHT} // {PHASH_ROWS}) * {BMP_WIDTH}
+                   + ((p % {PHASH_COLS}) * {BMP_WIDTH} // {PHASH_COLS})) + 3]) // 3) AS gray
+  FROM px),
+bits AS (
+  SELECT asset_id,
+         list_transform(range(0, 64), k ->
+           CASE WHEN gray[(k // 8) * {PHASH_COLS} + (k % 8) + 2]
+                     > gray[(k // 8) * {PHASH_COLS} + (k % 8) + 1]
+                THEN 1 ELSE 0 END) AS bit
+  FROM g),
+hashed AS (
+  SELECT asset_id,
+         printf('%08x%08x',
+           CAST(list_sum(list_transform(range(32, 64),
+                k -> bit[k + 1] * (1::BIGINT << (k - 32)))) AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 32),
+                k -> bit[k + 1] * (1::BIGINT << k))) AS BIGINT)) AS phash
+  FROM bits)
+SELECT asset_id, phash,
+       count(*) OVER (PARTITION BY phash) AS dup_count
+FROM hashed ORDER BY asset_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_phash_dedup",
+        "Image near-dup dedup: real decode -> dHash-64 perceptual "
+        "hash -> bucket occupancy per hash (image-side dedup_exact)",
+        _multimodal_phash_dedup,
+        _PHASH_ORACLE,
+    )
+)

@@ -422,3 +422,71 @@ SPECS.append(
         _token_budget_oracle(),
     )
 )
+
+
+# ---------------------------------------------------- train_interleave
+
+def interleave_sources(
+    docs: DataFrame, weight_col, order_cols: list[str]
+) -> DataFrame:
+    """Deterministic weighted interleaving of sources into one global
+    training order: a doc at per-source position ``r`` (1-based, by
+    ``order_cols``) with source weight ``w`` schedules at virtual time
+    ``r / w``, so any prefix of the global order carries sources in
+    ~weight proportion — the standard dataset-mixing schedule (e.g.
+    Pile/ROOTS-style sampling ratios) made reproducible.  Two window
+    passes: per-source rank (shuffle on source), then the global order
+    — both keyed, no driver state, so the schedule is identical at
+    100 TB and on one laptop."""
+    from pyspark.sql import Window
+
+    ranked = docs.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("source").orderBy(*order_cols)),
+    ).withColumn("__vt", F.col("__r") / weight_col)
+    return ranked.withColumn(
+        "interleave_rank",
+        F.row_number().over(Window.orderBy(F.col("__vt"), F.col("source"), *order_cols)),
+    ).drop("__r", "__vt")
+
+
+def _train_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate entry: tier-weighted interleave of the documents fixture
+    (weights 3/2/1 by source tier), first 200 schedule slots."""
+    d = load_table(spark, sf, "documents")
+    weight = (
+        F.when(_tier(F.col("source")) == 0, F.lit(3))
+        .when(_tier(F.col("source")) == 1, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    out = interleave_sources(d.select("doc_id", "source"), weight, ["doc_id"])
+    return (
+        out.select("interleave_rank", "doc_id", "source")
+        .orderBy("interleave_rank")
+        .limit(200)
+    )
+
+
+_TRAIN_INTERLEAVE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+         (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
+               WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 1 END) AS w
+  FROM documents)
+SELECT row_number() OVER (ORDER BY r / w, source, doc_id) AS interleave_rank,
+       doc_id, source
+FROM ranked
+ORDER BY interleave_rank LIMIT 200
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_interleave",
+        "Weighted source interleaving: reproducible global mixing "
+        "schedule (any prefix carries sources in weight proportion)",
+        _train_interleave,
+        _TRAIN_INTERLEAVE_ORACLE,
+    )
+)

@@ -415,3 +415,32 @@ def test_decode_image_dispatches_color_jpeg():
     w, h, rgb = decode_image(encode_jpeg_color(img.tobytes(), 16, 16))
     want = ycbcr_to_rgb(*rgb_to_ycbcr(img)).tobytes()
     assert (w, h) == (16, 16) and rgb == want
+
+
+def test_dhash64_gradient_semantics():
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        PHASH_COLS,
+        PHASH_ROWS,
+        dhash64,
+    )
+
+    # strictly increasing rows -> every comparison fires -> all 64 bits
+    grid = [c for _ in range(PHASH_ROWS) for c in range(PHASH_COLS)]
+    assert dhash64(grid) == "f" * 16
+    # constant image -> no gradient -> zero hash
+    assert dhash64([7] * (PHASH_ROWS * PHASH_COLS)) == "0" * 16
+    # brightness shift must not change the hash (the dHash property)
+    base = [(r * 31 + c * 7) % 200 for r in range(PHASH_ROWS) for c in range(PHASH_COLS)]
+    shifted = [v + 55 for v in base]
+    assert dhash64(base) == dhash64(shifted)
+
+
+def test_phash_identical_payloads_collide(spark):
+    from substreams_sink_clickhouse_spark.operators.multimodal import phash_assets
+
+    rows = [(1, b"hello world " * 20), (2, b"hello world " * 20), (3, b"different!" * 30)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r.phash for r in phash_assets(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 16 and int(out[1], 16) >= 0

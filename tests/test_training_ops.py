@@ -124,3 +124,29 @@ def test_quantized_values_fit_int8(spark):
     row = _emb_quantize(spark, SF).collect()[0]
     assert -127 <= row["q_min"] <= row["q_max"] <= 127
     assert row["worst_err"] >= row["avg_max_err"] >= 0.0
+
+
+def test_interleave_prefix_carries_weight_proportions(spark):
+    """The schedule property: any prefix of the interleaved order
+    carries each source ~proportionally to its weight."""
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.operators.training import (
+        interleave_sources,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]  # 100 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weight = (
+        F.when(F.col("source") == "s0", F.lit(3))
+        .when(F.col("source") == "s1", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    out = interleave_sources(df, weight, ["doc_id"])
+    prefix = out.filter("interleave_rank <= 60").groupBy("source").count()
+    counts = {r.source: r["count"] for r in prefix.collect()}
+    # 60 slots at weights 3:2:1 -> 30/20/10
+    assert counts == {"s0": 30, "s1": 20, "s2": 10}, counts
+    # deterministic: same input -> same ranks
+    again = interleave_sources(df, weight, ["doc_id"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
