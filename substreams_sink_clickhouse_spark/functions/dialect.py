@@ -158,6 +158,14 @@ _NAME_SWAPS = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
     "roundBankers": "bround",
+    # round-6 batch: same argument order and semantics
+    "replaceAll": "replace",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "base64Encode": "base64",
+    # ClickHouse returns DateTime; Spark's from_unixtime returns a
+    # STRING, so the correct target is timestamp_seconds
+    "fromUnixTimestamp": "timestamp_seconds",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -219,6 +227,18 @@ _CAST_FUNCS = {
     "toString": "STRING",
     "toDate": "DATE",
 }
+
+#: to<T>OrNull / to<T>OrZero — ClickHouse's non-throwing conversions.
+#: Spark 4 runs ANSI mode, where a plain CAST throws on malformed
+#: input, so these map to TRY_CAST (NULL on failure); OrZero fills the
+#: type's default (0 / epoch), matching ClickHouse.
+_OR_CASTS: dict[str, tuple[str, str]] = {}
+for _base, _t in _CAST_FUNCS.items():
+    if _base == "toString":
+        continue
+    _OR_CASTS[_base + "OrNull"] = ("null", _t)
+    _OR_CASTS[_base + "OrZero"] = ("zero", _t)
+del _base, _t
 
 #: -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
 _IF_COMBINATORS = {
@@ -483,7 +503,11 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "JSONExtractInt", "JSONExtractString",
                 "JSONExtractFloat", "JSONExtractBool", "JSONHas",
                 "JSONExtractKeys", "JSONLength", "isValidJSON",
-            ] + list(_DT_ARITH)
+                "replaceOne", "replaceRegexpAll", "extractAll",
+                "arraySlice", "arrayEnumerate", "base64Decode",
+                "isNaN", "isFinite", "isInfinite",
+                "dateAdd", "dateSub",
+            ] + list(_DT_ARITH) + list(_OR_CASTS)
         ) + r")\s*\("
     )
     while True:
@@ -970,6 +994,102 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 repl = f"coalesce({mapped}, {default})"
             else:
                 repl = f"__xform__({inner})"
+        elif name in _OR_CASTS:
+            kind, t = _OR_CASTS[name]
+            tried = f"TRY_CAST({inner} AS {t})"
+            if kind == "null":
+                repl = tried
+            elif t == "DATE":
+                repl = f"coalesce({tried}, DATE '1970-01-01')"
+            else:
+                repl = f"coalesce({tried}, CAST(0 AS {t}))"
+        elif name == "replaceOne":
+            # first-occurrence replace: Spark's replace/regexp_replace
+            # are replace-ALL, so splice at the first instr position
+            h, s, r = _split_top_commas(inner)
+            repl = (
+                f"(CASE WHEN instr({h}, {s}) > 0 THEN "
+                f"concat(substr({h}, 1, instr({h}, {s}) - 1), {r}, "
+                f"substr({h}, instr({h}, {s}) + length({s}))) "
+                f"ELSE {h} END)"
+            )
+        elif name == "replaceRegexpAll":
+            # ClickHouse backreferences are \1..\9 (re2); Spark's
+            # regexp_replace uses Java's $1..$9.  When the replacement
+            # is a string literal, convert it and inline the converted
+            # literal (masking already happened, so inline quotes are
+            # safe); non-literal replacements pass through with Java
+            # backref syntax (MIGRATION.md).
+            h, p, r = _split_top_commas(inner)
+            sent = re.fullmatch(r"\x01(\d+)\x01", r.strip())
+            if sent:
+                lit = literals[int(sent.group(1))]
+                body = lit[1:-1] if len(lit) >= 2 else ""
+                body = re.sub(r"\\(\d)", r"$\1", body)
+                r = "'" + body + "'"
+            repl = f"regexp_replace({h}, {p}, {r})"
+        elif name == "extractAll":
+            # ClickHouse: whole-match array, or first-group array when
+            # the pattern has a capturing group.  Inspect the literal
+            # pattern for an unescaped capturing '('; non-literal
+            # patterns default to whole-match.
+            h, p = _split_top_commas(inner)
+            idx = 0
+            sent = re.fullmatch(r"\x01(\d+)\x01", p.strip())
+            if sent:
+                body = literals[int(sent.group(1))][1:-1]
+                if re.search(r"(?<!\\)\((?!\?)", body):
+                    idx = 1
+            repl = f"regexp_extract_all({h}, {p}, {idx})"
+        elif name == "arraySlice":
+            parts = _split_top_commas(inner)
+            if len(parts) == 3:
+                repl = f"slice({parts[0]}, {parts[1]}, {parts[2]})"
+            elif len(parts) == 2:
+                a, off = parts
+                repl = f"slice({a}, {off}, size({a}))"
+            else:
+                raise ValueError("arraySlice needs (array, offset[, length])")
+        elif name == "arrayEnumerate":
+            # [1..size]; guard the empty array (sequence(1, 0) would
+            # count DOWN with Spark's default negative step)
+            repl = (
+                f"(CASE WHEN size({inner}) = 0 THEN array() "
+                f"ELSE sequence(1, size({inner})) END)"
+            )
+        elif name == "base64Decode":
+            # Spark's unbase64 yields BINARY; ClickHouse returns String
+            repl = f"CAST(unbase64({inner}) AS STRING)"
+        elif name in ("isNaN", "isFinite", "isInfinite"):
+            # ClickHouse returns UInt8 0/1, so comparisons like
+            # isFinite(x) = 1 must keep working — cast the boolean
+            x = inner
+            if name == "isNaN":
+                cond = f"isnan({x})"
+            elif name == "isInfinite":
+                cond = f"abs({x}) = CAST('Infinity' AS DOUBLE)"
+            else:
+                cond = (
+                    f"(NOT isnan({x}) AND "
+                    f"abs({x}) != CAST('Infinity' AS DOUBLE))"
+                )
+            repl = f"CAST({cond} AS INT)"
+        elif name in ("dateAdd", "dateSub"):
+            parts = _split_top_commas(inner)
+            if len(parts) != 3:
+                raise ValueError(f"{name} needs (unit, amount, datetime)")
+            raw_unit = parts[0].strip()
+            sent = re.fullmatch(r"\x01(\d+)\x01", raw_unit)
+            if sent:
+                raw_unit = literals[int(sent.group(1))]
+            unit = raw_unit.strip().strip("'\"").lower()
+            if unit not in _DATEDIFF_UNITS:
+                raise ValueError(
+                    f"{name} unit {parts[0]!r} unsupported "
+                    f"(supported: {sorted(_DATEDIFF_UNITS)})"
+                )
+            amt = parts[1] if name == "dateAdd" else f"-({parts[1]})"
+            repl = f"timestampadd({unit.upper()}, {amt}, {parts[2]})"
         elif name == "median":
             repl = f"percentile_approx({inner}, 0.5)"
         elif name == "medianExact":

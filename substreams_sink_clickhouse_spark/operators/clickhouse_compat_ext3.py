@@ -3104,3 +3104,62 @@ SPECS.append(
         _Q168_ORACLE,
     )
 )
+
+
+# --------------------------------------------- round-6 dialect batch
+
+_Q149_CLICKHOUSE_SQL = r"""
+SELECT lang,
+       count() AS n,
+       CAST(sum(length(replaceAll(text, ' ', ''))) AS BIGINT)
+         AS chars_no_space,
+       min(arrayStringConcat(arraySlice(splitByChar(' ', text), 1, 3), '-'))
+         AS first3,
+       CAST(sum(toInt64OrZero(replaceRegexpAll(source, '[a-z]+', '')))
+            AS BIGINT) AS src_sum,
+       max(leftPad(lang, 4, '_')) AS padded,
+       CAST(sum(isFinite(1.0 * n_chars)) AS BIGINT) AS finite_n
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _q149_dialect_round6(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-6 dialect batch through the shim, end-to-end on the
+    fixture: replaceAll / replaceRegexpAll / splitByChar + arraySlice +
+    arrayStringConcat / leftPad / toInt64OrZero (TRY_CAST under Spark's
+    ANSI mode) / isFinite (0/1 like ClickHouse's UInt8)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(clickhouse_to_spark_sql(_Q149_CLICKHOUSE_SQL))
+
+
+_Q149_ORACLE = r"""
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(len(replace(text, ' ', ''))) AS BIGINT) AS chars_no_space,
+       min(array_to_string(string_split(text, ' ')[1:3], '-')) AS first3,
+       CAST(sum(CAST(regexp_replace(source, '[a-z]+', '', 'g') AS BIGINT))
+            AS BIGINT) AS src_sum,
+       max(lpad(lang, 4, '_')) AS padded,
+       CAST(sum(CASE WHEN isfinite(1.0 * n_chars) THEN 1 ELSE 0 END)
+            AS BIGINT) AS finite_n
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q149_dialect_round6",
+        "Dialect round-6 batch: replace*/extract, arraySlice, pads, "
+        "OrZero/OrNull TRY_CASTs, float classifiers — through the shim",
+        _q149_dialect_round6,
+        _Q149_ORACLE,
+    )
+)

@@ -1164,3 +1164,58 @@ def test_geohash_roundtrip_property(lat, lng):
     la, lo = duckdb.sql(f"SELECT {dlat}, {dlng}").fetchone()
     assert abs(la - lat) <= 180 / 2**27
     assert abs(lo - lng) <= 360 / 2**28
+
+
+def test_round6_string_batch():
+    out = clickhouse_to_spark_sql("SELECT replaceAll(s, '-', '+') FROM t")
+    assert "replace(s, '-', '+')" in out
+    out = clickhouse_to_spark_sql("SELECT replaceOne(s, '-', '+') FROM t")
+    assert "instr(s, '-')" in out and "CASE WHEN" in out
+    # literal replacement backrefs convert \1 -> $1 (re2 -> Java)
+    out = clickhouse_to_spark_sql(r"SELECT replaceRegexpAll(s, '(\\d+)', '<\\1>') FROM t")
+    assert r"regexp_replace(s, '(\\d+)', '<$1>')" in out
+    # extractAll: group 1 when the literal pattern captures, else whole
+    out = clickhouse_to_spark_sql(r"SELECT extractAll(s, '(\\d+)') FROM t")
+    assert "regexp_extract_all(s, " in out and ", 1)" in out
+    out = clickhouse_to_spark_sql(r"SELECT extractAll(s, '\\w+') FROM t")
+    assert ", 0)" in out
+    out = clickhouse_to_spark_sql("SELECT leftPad(s, 3, '0'), rightPad(s, 3, 'x') FROM t")
+    assert "lpad(s, 3, '0')" in out and "rpad(s, 3, 'x')" in out
+    out = clickhouse_to_spark_sql("SELECT base64Encode(s), base64Decode(s) FROM t")
+    assert "base64(s)" in out and "CAST(unbase64(s) AS STRING)" in out
+
+
+def test_round6_or_cast_family():
+    out = clickhouse_to_spark_sql("SELECT toInt64OrNull(s), toInt64OrZero(s) FROM t")
+    assert "TRY_CAST(s AS BIGINT)" in out
+    assert "coalesce(TRY_CAST(s AS BIGINT), CAST(0 AS BIGINT))" in out
+    out = clickhouse_to_spark_sql("SELECT toDateOrZero(s) FROM t")
+    assert "coalesce(TRY_CAST(s AS DATE), DATE '1970-01-01')" in out
+    out = clickhouse_to_spark_sql("SELECT toFloat64OrNull(s) FROM t")
+    assert "TRY_CAST(s AS DOUBLE)" in out
+
+
+def test_round6_array_and_float_classifiers():
+    out = clickhouse_to_spark_sql("SELECT arraySlice(a, 2, 3), arraySlice(a, 2) FROM t")
+    assert "slice(a, 2, 3)" in out and "slice(a, 2, size(a))" in out
+    out = clickhouse_to_spark_sql("SELECT arrayEnumerate(a) FROM t")
+    assert "sequence(1, size(a))" in out and "CASE WHEN size(a) = 0" in out
+    out = clickhouse_to_spark_sql("SELECT isNaN(x), isFinite(x), isInfinite(x) FROM t")
+    assert "CAST(isnan(x) AS INT)" in out
+    assert "NOT isnan(x)" in out and out.count("AS INT") == 3
+
+
+def test_round6_date_arith_executed(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT dateAdd('day', 3, toDate('2024-01-01')) AS a, "
+        "dateSub(MONTH, 1, toDate('2024-03-15')) AS s, "
+        "fromUnixTimestamp(86400) AS f"
+    )
+    r = spark.sql(out).collect()[0]
+    assert str(r.a)[:10] == "2024-01-04"
+    assert str(r.s)[:10] == "2024-02-15"
+    assert str(r.f) == "1970-01-02 00:00:00"
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        clickhouse_to_spark_sql("SELECT dateAdd('fortnight', 1, d) FROM t")
