@@ -260,6 +260,27 @@ SHOWCASE = [
         "broadcast, and the pair disjunction evaluates post-join on "
         "broadcast columns.",
     ),
+    (
+        "multimodal_phash_dedup",
+        "Image dedup by perceptual hash: decode+dHash is ONE "
+        "mapInPandas barrier; the dedup itself is a window on the "
+        "64-bit hash — the hash is the only shuffle key, buckets stay "
+        "tiny, no pairwise image comparison ever happens.",
+    ),
+    (
+        "train_interleave",
+        "Weighted mixing schedule from two keyed windows (per-source "
+        "rank, then the global virtual-time order).  The global window "
+        "is a range-partitioned sort — the same distributed shape as "
+        "train_shuffle, no driver-side state.",
+    ),
+    (
+        "q113_theils_u",
+        "Round 6: join-free uncertainty coefficient — the marginals "
+        "fold into per-cell window sums over the contingency CELLS "
+        "(|x|x|y| rows), so the event-volume exchange happens exactly "
+        "once and the former 1-row BroadcastNestedLoopJoins are gone.",
+    ),
 ]
 
 
