@@ -155,6 +155,41 @@ class Corpus:
         )
         return Corpus(survivors)
 
+    def dedup_phash(self) -> "Corpus":
+        """Image-style perceptual dedup on the text bytes as an opaque
+        payload (the same decode→dHash path as multimodal_phash_dedup):
+        one survivor per 64-bit dHash, lowest doc_id.  For corpora
+        whose documents carry real image payloads, build the asset
+        DataFrame directly and use multimodal.phash_assets."""
+        from substreams_sink_clickhouse_spark.operators.multimodal import (
+            phash_assets,
+        )
+
+        assets = self.df.select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        keep = (
+            phash_assets(assets)
+            .groupBy("phash")
+            .agg(F.min("asset_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return Corpus(self.df.join(keep, "doc_id", "left_semi"))
+
+    def interleave(self, weight_col) -> DataFrame:
+        """Weighted mixing schedule over the corpus (training.py's
+        interleave_sources): adds ``interleave_rank`` such that any
+        prefix carries sources in ``weight_col`` proportion.  Requires
+        a ``source`` column."""
+        from substreams_sink_clickhouse_spark.operators.training import (
+            interleave_sources,
+        )
+
+        if "source" not in self.df.columns:
+            raise ValueError("interleave needs a 'source' column")
+        return interleave_sources(self.df, weight_col, ["doc_id"])
+
     # -- composition ---------------------------------------------------
 
     def split(

@@ -127,3 +127,33 @@ def test_dedup_keep_best_keeps_highest_quality(spark):
     out2 = Corpus(df).dedup_keep_best(quality=-F.length("text"))
     kept2 = {r["doc_id"] for r in out2.df.select("doc_id").collect()}
     assert 101 in kept2 and 100 not in kept2
+
+
+def test_corpus_dedup_phash_keeps_one_per_hash(spark):
+    docs_df = _docs(spark)
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+    from substreams_sink_clickhouse_spark.operators.multimodal import phash_assets
+    from pyspark.sql import functions as F
+
+    c = Corpus(docs_df)
+    kept = c.dedup_phash().df
+    # survivors' hashes are exactly the distinct hashes of the corpus
+    assets = docs_df.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    n_hashes = phash_assets(assets).select("phash").distinct().count()
+    assert kept.count() == n_hashes
+    # idempotent
+    assert c.dedup_phash().dedup_phash().count() == n_hashes
+
+
+def test_corpus_interleave_matches_gate_shape(spark):
+    docs_df = _docs(spark)
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    out = Corpus(docs_df).interleave(F.lit(1))
+    n = docs_df.count()
+    ranks = [r.interleave_rank for r in out.select("interleave_rank").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
