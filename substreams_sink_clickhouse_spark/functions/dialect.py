@@ -1025,7 +1025,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             if sent:
                 lit = literals[int(sent.group(1))]
                 body = lit[1:-1] if len(lit) >= 2 else ""
-                body = re.sub(r"\\(\d)", r"$\1", body)
+                # both the raw (\1) and the SQL-escaped (\\1) spellings
+                # convert to Java's $1 — consume every leading backslash
+                body = re.sub(r"\\{1,2}(\d)", r"$\1", body)
                 r = "'" + body + "'"
             repl = f"regexp_replace({h}, {p}, {r})"
         elif name == "extractAll":

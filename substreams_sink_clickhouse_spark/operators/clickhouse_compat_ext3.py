@@ -3108,7 +3108,7 @@ SPECS.append(
 
 # --------------------------------------------- round-6 dialect batch
 
-_Q149_CLICKHOUSE_SQL = r"""
+_Q169_CLICKHOUSE_SQL = r"""
 SELECT lang,
        count() AS n,
        CAST(sum(length(replaceAll(text, ' ', ''))) AS BIGINT)
@@ -3125,7 +3125,7 @@ ORDER BY lang
 """
 
 
-def _q149_dialect_round6(spark: SparkSession, sf: str) -> DataFrame:
+def _q169_dialect_round6(spark: SparkSession, sf: str) -> DataFrame:
     """Round-6 dialect batch through the shim, end-to-end on the
     fixture: replaceAll / replaceRegexpAll / splitByChar + arraySlice +
     arrayStringConcat / leftPad / toInt64OrZero (TRY_CAST under Spark's
@@ -3135,10 +3135,10 @@ def _q149_dialect_round6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     load_table(spark, sf, "documents").createOrReplaceTempView("documents")
-    return spark.sql(clickhouse_to_spark_sql(_Q149_CLICKHOUSE_SQL))
+    return spark.sql(clickhouse_to_spark_sql(_Q169_CLICKHOUSE_SQL))
 
 
-_Q149_ORACLE = r"""
+_Q169_ORACLE = r"""
 SELECT lang,
        count(*) AS n,
        CAST(sum(len(replace(text, ' ', ''))) AS BIGINT) AS chars_no_space,
@@ -3156,10 +3156,10 @@ ORDER BY lang
 
 SPECS.append(
     QuerySpec(
-        "q149_dialect_round6",
+        "q169_dialect_round6",
         "Dialect round-6 batch: replace*/extract, arraySlice, pads, "
         "OrZero/OrNull TRY_CASTs, float classifiers — through the shim",
-        _q149_dialect_round6,
-        _Q149_ORACLE,
+        _q169_dialect_round6,
+        _Q169_ORACLE,
     )
 )

@@ -1171,9 +1171,12 @@ def test_round6_string_batch():
     assert "replace(s, '-', '+')" in out
     out = clickhouse_to_spark_sql("SELECT replaceOne(s, '-', '+') FROM t")
     assert "instr(s, '-')" in out and "CASE WHEN" in out
-    # literal replacement backrefs convert \1 -> $1 (re2 -> Java)
+    # literal replacement backrefs convert \1 -> $1 (re2 -> Java),
+    # both the raw and the SQL-escaped backslash spellings
     out = clickhouse_to_spark_sql(r"SELECT replaceRegexpAll(s, '(\\d+)', '<\\1>') FROM t")
     assert r"regexp_replace(s, '(\\d+)', '<$1>')" in out
+    out = clickhouse_to_spark_sql("SELECT replaceRegexpAll(s, '(x)', '<\\1>') FROM t")
+    assert "'<$1>'" in out
     # extractAll: group 1 when the literal pattern captures, else whole
     out = clickhouse_to_spark_sql(r"SELECT extractAll(s, '(\\d+)') FROM t")
     assert "regexp_extract_all(s, " in out and ", 1)" in out

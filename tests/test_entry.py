@@ -16,5 +16,6 @@ def test_oracles_subset_of_queries():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(queries)
-    # exactly one rows-only query by design (approx sketch values)
-    assert set(queries) - set(oracles) == {"q05b_approx_distinct"}
+    # since round 6 EVERY entry has an oracle (q05b's sketch is now
+    # checked via an exact count + validated error-bound boolean)
+    assert set(queries) == set(oracles)

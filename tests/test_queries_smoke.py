@@ -11,9 +11,9 @@ SF_DIR = "/root/testdata/sf0.001"
 _SPECS = {s.name: s for s in all_specs()}
 
 
-#: Queries whose value is engine-specific by nature (approximate
-#: sketches) — rows-only check is the documented contract.
-_ROWS_ONLY_OK = {"q05b_approx_distinct"}
+#: Since round 6 every entry carries an oracle (the approximate
+#: sketches emit exact counts + validated error-bound booleans).
+_ROWS_ONLY_OK: set[str] = set()
 
 
 def test_registry_unique_and_oracled():
