@@ -159,6 +159,9 @@ _NAME_SWAPS = {
     "covarSamp": "covar_samp",
     "roundBankers": "bround",
     # round-6 batch: same argument order and semantics
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
     "replaceAll": "replace",
     "leftPad": "lpad",
     "rightPad": "rpad",

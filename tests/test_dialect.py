@@ -1222,3 +1222,12 @@ def test_round6_date_arith_executed(spark):
 
     with pytest.raises(ValueError, match="unit"):
         clickhouse_to_spark_sql("SELECT dateAdd('fortnight', 1, d) FROM t")
+
+
+def test_round6_group_bit_aggregates(spark):
+    out = clickhouse_to_spark_sql(
+        "SELECT groupBitAnd(x) AS a, groupBitOr(x) AS o, groupBitXor(x) AS x2 "
+        "FROM (SELECT 12 AS x UNION ALL SELECT 10)"
+    )
+    r = spark.sql(out).collect()[0]
+    assert (r.a, r.o, r.x2) == (8, 14, 6)
