@@ -225,7 +225,11 @@ def strip_with_fill(query: str) -> tuple[str, FillSpec | None]:
         # absorbed into the spec and applied after apply_with_fill;
         # leaving it on the stripped query would limit the pre-fill
         # result — a different (and differently-sized) prefix.
-        lm = re.match(r"\s*LIMIT\s+(\d+)\s*(;?\s*)$", masked[end:], flags=re.IGNORECASE)
+        lm = re.match(
+            r"\s*LIMIT\s+(\d+)\s*((?:;|\s*(?:SETTINGS|FORMAT)\b.*)?\s*)$",
+            masked[end:],
+            flags=re.IGNORECASE | re.DOTALL,
+        )
         if lm is None:
             raise ValueError(
                 "WITH FILL supports only a plain trailing `LIMIT n` "

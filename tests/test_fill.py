@@ -419,3 +419,15 @@ def test_strip_fuzz_roundtrip(col, groups, desc, frm, to, step, interp, limit):
     # stripping is idempotent: the stripped text has no fill left
     again, spec2 = strip_with_fill(stripped)
     assert spec2 is None and again == stripped
+
+
+def test_fill_limit_with_trailing_settings():
+    # SETTINGS/FORMAT after the absorbed LIMIT survive for the
+    # downstream dialect stripper
+    stripped, spec = strip_with_fill(
+        "SELECT k FROM t ORDER BY k WITH FILL TO 5 LIMIT 3 SETTINGS max_threads = 4"
+    )
+    assert spec.limit == 3
+    assert "SETTINGS" in stripped and "LIMIT" not in stripped.upper().replace(
+        "SETTINGS", ""
+    )
