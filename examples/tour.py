@@ -170,6 +170,11 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         "n_docs": c.count(),
         "after_exact_dedup": c.dedup_exact().count(),
         "after_minhash_dedup": c.dedup_exact().dedup_minhash().count(),
+        # round 6: perceptual-hash dedup + weighted mixing schedule
+        "after_phash_dedup": c.dedup_phash().count(),
+        "interleave_first_slot": c.interleave(_F.lit(1))
+        .filter("interleave_rank = 1")
+        .count(),
     }
 
     # multimodal: real codec roundtrip (baseline JPEG, stdlib+numpy)
