@@ -1313,3 +1313,108 @@ SPECS.append(
         _minhash_pr_oracle(),
     )
 )
+
+
+# ------------------------------------------------ bloom prefilter
+
+#: Bloom geometry: 65,536 bits as 2,048 x 32-bit words, k=4 double
+#: hashing.  The filter is a TABLE of (word, bits), not an opaque
+#: scalar: building is one bit_or aggregate (map-side partials), and
+#: probing is an equi-join on the word index — at 100 TB the 2,048-row
+#: filter broadcasts and the probe is map-only, where a scalar-blob
+#: bloom would bottleneck on a driver collect.  Both engines compute
+#: the identical filter from the shared MD5 hash family, so the gate
+#: checks exact equality — including the false-positive count — not
+#: just a bound.
+_BLOOM_BITS = 65536
+_BLOOM_K = 4
+
+
+def _bloom_sql(hash_macro, unnest_rows) -> str:
+    """Shared SQL template; ``hash_macro(expr, seed)`` renders the
+    engine's 60-bit MD5 hash, ``unnest_rows(exprs, alias)`` renders a
+    k-row expansion of the position expressions."""
+    h1 = f"({hash_macro('text', 71)} % {_BLOOM_BITS})"
+    h2 = f"(1 + {hash_macro('text', 72)} % {_BLOOM_BITS - 1})"
+    pos = [f"(({h1} + {i} * {h2}) % {_BLOOM_BITS})" for i in range(_BLOOM_K)]
+    return f"""
+WITH train AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+probe AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  -- known members re-tagged as probes: exercises the hit path and
+  -- makes the zero-false-negative guarantee a live assertion
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 < 2),
+build AS (
+  SELECT CAST(floor(pos / 32) AS BIGINT) AS word,
+         CAST(sum(DISTINCT CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS bits
+  FROM (SELECT {unnest_rows(pos, "pos")} FROM train) b
+  GROUP BY word),
+probe_bits AS (
+  SELECT doc_id, text,
+         CAST(floor(pos / 32) AS BIGINT) AS word,
+         CAST(pow(2, pos % 32) AS BIGINT) AS mask
+  FROM (SELECT doc_id, text, {unnest_rows(pos, "pos")} FROM probe) p),
+checked AS (
+  SELECT doc_id, text,
+         min(CASE WHEN b.bits IS NOT NULL AND (b.bits & mask) != 0
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM probe_bits LEFT JOIN build b USING (word)
+  GROUP BY doc_id, text),
+labeled AS (
+  SELECT c.doc_id, c.bloom_hit,
+         CASE WHEN t.text IS NOT NULL THEN 1 ELSE 0 END AS in_train
+  FROM checked c
+  LEFT JOIN (SELECT DISTINCT text FROM train) t ON c.text = t.text)
+SELECT count(*) AS n_probe,
+       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(in_train) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_train = 1 AND bloom_hit = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       CAST(sum(CASE WHEN in_train = 0 AND bloom_hit = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM labeled
+"""
+
+
+def _dedup_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter contamination prefilter (the cheap pass before
+    dedup_decontaminate's exact n-gram join): build the filter from
+    the train split, probe the held-out split, and report hit/exact/
+    false-positive counts.  n_false_neg is structurally zero (blooms
+    have no false negatives) and the gate verifies that exactly."""
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        md5_long_seeded_sql,
+    )
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+
+    def unnest(exprs, alias):
+        return (
+            "explode(array(" + ", ".join(exprs) + f")) AS {alias}"
+        )
+
+    return spark.sql(_bloom_sql(md5_long_seeded_sql, unnest))
+
+
+def _bloom_oracle() -> str:
+    from substreams_sink_clickhouse_spark.functions.hashing import (
+        duck_md5_long_seeded_sql,
+    )
+
+    def unnest(exprs, alias):
+        return "unnest([" + ", ".join(exprs) + f"]) AS {alias}"
+
+    return _bloom_sql(duck_md5_long_seeded_sql, unnest)
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_bloom_prefilter",
+        "Bloom contamination prefilter as a (word, bits) TABLE: "
+        "bit_or build, equi-join probe, exact cross-engine filter",
+        _dedup_bloom,
+        _bloom_oracle(),
+    )
+)
