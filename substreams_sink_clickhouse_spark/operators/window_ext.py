@@ -521,48 +521,3 @@ SPECS.append(
         _Q145_ORACLE,
     )
 )
-
-
-# -------------------------------------------- distribution windows (q150)
-
-def _q150_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist — the ranking-distribution
-    window family (ClickHouse exposes the same three).  One window
-    partitioning serves all three functions, so the plan carries a
-    single exchange on the partition key + one partition-local sort —
-    the shape that holds at any scale because quartile assignment
-    never needs global coordination."""
-    o = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy("o_orderkey")
-        .limit(500)
-    )
-
-
-_Q150_ORACLE = """
-SELECT o_orderkey, o_orderpriority,
-       ntile(4) OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
-FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-ORDER BY o_orderkey LIMIT 500
-"""
-
-
-SPECS.append(
-    QuerySpec(
-        "q150_window_distribution",
-        "ntile / percent_rank / cume_dist over one keyed window",
-        _q150_window_distribution,
-        _Q150_ORACLE,
-    )
-)
