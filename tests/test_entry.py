@@ -19,3 +19,21 @@ def test_oracles_subset_of_queries():
     # since round 6 EVERY entry has an oracle (q05b's sketch is now
     # checked via an exact count + validated error-bound boolean)
     assert set(queries) == set(oracles)
+
+
+def test_queries_order_is_committed_and_deterministic():
+    """The public queries() order comes from the COMMITTED
+    GATE_ORDER.json (round-5 advisory: it must never depend on which
+    evaluation artifacts sit on disk).  Two calls agree, the order
+    follows the file (stale names ignored, new registry entries
+    appended in registry order), and the reference's core CDC entries
+    are pinned to the front."""
+    import json
+
+    ks1, ks2 = list(entry_mod.queries()), list(entry_mod.queries())
+    assert ks1 == ks2
+    with open("/root/repo/GATE_ORDER.json", encoding="utf-8") as fh:
+        committed = json.load(fh)
+    present = [n for n in committed if n in set(ks1)]
+    assert ks1[: len(present)] == present
+    assert ks1[:3] == ["cdc_merge", "cdc_merge_dv", "cursor_resolution"]
