@@ -169,6 +169,7 @@ _NAME_SWAPS = {
     # ClickHouse returns DateTime; Spark's from_unixtime returns a
     # STRING, so the correct target is timestamp_seconds
     "fromUnixTimestamp": "timestamp_seconds",
+    "mapFromArrays": "map_from_arrays",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -176,6 +177,7 @@ _NAME_SWAPS = {
 #: toStartOfWeek is intentionally ABSENT — its default mode 0 starts
 #: weeks on Sunday, which date_trunc cannot express.
 _TRUNC_FUNCS = {
+    "toStartOfSecond": "SECOND",
     "toStartOfMinute": "MINUTE",
     "toStartOfHour": "HOUR",
     "toStartOfDay": "DAY",
@@ -306,6 +308,15 @@ _HOF_SWAP = {
     "arrayAll": "forall",
     "arrayCount": "__count__",
     "arraySum": "__sum__",
+    # first/last match and their 1-based indexes.  DEVIATION: no match
+    # yields NULL here where ClickHouse yields the element type's
+    # default (0/''); the *Index forms return 0 on no-match exactly
+    # like ClickHouse.  ``get()`` (never ``element_at``) keeps the
+    # empty-filter case NULL instead of an ANSI-mode error.
+    "arrayFirst": "__first__",
+    "arrayLast": "__last__",
+    "arrayFirstIndex": "__first_idx__",
+    "arrayLastIndex": "__last_idx__",
 }
 
 
@@ -510,6 +521,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arraySlice", "arrayEnumerate", "base64Decode",
                 "isNaN", "isFinite", "isInfinite",
                 "dateAdd", "dateSub",
+                "splitByWhitespace", "ifNotFinite", "bitTest",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
         ) + r")\s*\("
     )
@@ -561,6 +573,26 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 tgt = _HOF_SWAP[name]
                 if tgt == "__count__":
                     repl = f"size(filter({arr}, {f_}))"
+                elif tgt == "__first__":
+                    repl = f"get(filter({arr}, {f_}), 0)"
+                elif tgt == "__last__":
+                    repl = f"get(reverse(filter({arr}, {f_})), 0)"
+                elif tgt == "__first_idx__":
+                    # 1-based index of the first match, 0 if none —
+                    # exactly ClickHouse's contract
+                    repl = (
+                        f"coalesce(array_position(transform({arr}, {f_}),"
+                        f" true), 0)"
+                    )
+                elif tgt == "__last_idx__":
+                    # Spark's array_position yields 0 (not NULL) on no
+                    # match, so gate on = 0
+                    repl = (
+                        f"(CASE WHEN array_position(reverse(transform("
+                        f"{arr}, {f_})), true) = 0 THEN 0 "
+                        f"ELSE size({arr}) + 1 - array_position(reverse("
+                        f"transform({arr}, {f_})), true) END)"
+                    )
                 else:
                     repl = f"{tgt}({arr}, {f_})"
         elif name in ("arrayPushBack", "arrayPushFront"):
@@ -1095,6 +1127,22 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 )
             amt = parts[1] if name == "dateAdd" else f"-({parts[1]})"
             repl = f"timestampadd({unit.upper()}, {amt}, {parts[2]})"
+        elif name == "splitByWhitespace":
+            # runs of whitespace, no empty substrings (ClickHouse drops
+            # them; Spark's split keeps a leading empty on a
+            # whitespace-prefixed string)
+            repl = (
+                f"filter(split({inner}, '\\\\s+'), x -> x != '')"
+            )
+        elif name == "ifNotFinite":
+            x, y = _split_top_commas(inner)
+            repl = (
+                f"(CASE WHEN isnan({x}) OR abs({x}) = "
+                f"CAST('Infinity' AS DOUBLE) THEN {y} ELSE {x} END)"
+            )
+        elif name == "bitTest":
+            x, n = _split_top_commas(inner)
+            repl = f"CAST((shiftright({x}, {n}) & 1) AS TINYINT)"
         elif name == "median":
             repl = f"percentile_approx({inner}, 0.5)"
         elif name == "medianExact":

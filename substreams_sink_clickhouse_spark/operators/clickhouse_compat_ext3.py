@@ -3163,3 +3163,71 @@ SPECS.append(
         _Q169_ORACLE,
     )
 )
+
+
+# ------------------------------------------- round-6 HOF batch (q170)
+
+_Q170_CLICKHOUSE_SQL = r"""
+SELECT lang,
+       count() AS n,
+       CAST(sum(arrayFirstIndex(w -> length(w) >= 9,
+                                splitByWhitespace(text))) AS BIGINT)
+         AS first_long_pos,
+       CAST(sum(arrayLastIndex(w -> length(w) >= 9,
+                               splitByWhitespace(text))) AS BIGINT)
+         AS last_long_pos,
+       min(arrayFirst(w -> length(w) >= 9, splitByWhitespace(text)))
+         AS min_first_long,
+       CAST(sum(bitTest(n_chars, 0)) AS BIGINT) AS odd_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _q170_dialect_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-6 HOF batch through the shim: arrayFirst/arrayFirstIndex/
+    arrayLastIndex (ClickHouse's lambda-first operand order reordered
+    to Spark's array-first), splitByWhitespace, bitTest — evaluated on
+    the fixture and aggregated so the oracle checks exact values."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(clickhouse_to_spark_sql(_Q170_CLICKHOUSE_SQL))
+
+
+_Q170_ORACLE = r"""
+WITH w AS (
+  SELECT lang, n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x != '') AS ws
+  FROM documents),
+idx AS (
+  SELECT lang, n_chars, ws,
+         list_transform(range(1, len(ws) + 1),
+                        i -> CASE WHEN length(ws[i]) >= 9 THEN i
+                                  ELSE NULL END) AS hits
+  FROM w)
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(coalesce(list_min(hits), 0)) AS BIGINT) AS first_long_pos,
+       CAST(sum(coalesce(list_max(hits), 0)) AS BIGINT) AS last_long_pos,
+       min(ws[list_min(hits)]) AS min_first_long,
+       CAST(sum(n_chars % 2) AS BIGINT) AS odd_chars
+FROM idx
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q170_dialect_hof",
+        "Round-6 HOF batch: arrayFirst/First-LastIndex (lambda-first "
+        "reorder), splitByWhitespace, bitTest — through the shim",
+        _q170_dialect_hof,
+        _Q170_ORACLE,
+    )
+)

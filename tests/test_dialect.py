@@ -1231,3 +1231,31 @@ def test_round6_group_bit_aggregates(spark):
     )
     r = spark.sql(out).collect()[0]
     assert (r.a, r.o, r.x2) == (8, 14, 6)
+
+
+def test_round6_hof_first_last_family(spark):
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT arrayFirst(x -> x > 2, [1,2,3,4]) AS f, "
+        "arrayLast(x -> x > 1, [1,2,3,4]) AS l, "
+        "arrayFirstIndex(x -> x > 2, [1,2,3,4]) AS fi, "
+        "arrayLastIndex(x -> x > 1, [1,2,3,4]) AS li, "
+        "arrayFirst(x -> x > 9, [1,2,3]) AS f0, "
+        "arrayFirstIndex(x -> x > 9, [1,2,3]) AS fi0, "
+        "arrayLastIndex(x -> x > 9, [1,2,3]) AS li0"
+    )).collect()[0]
+    assert (got.f, got.l, got.fi, got.li) == (3, 4, 3, 4)
+    # no match: NULL element (documented deviation from ClickHouse's
+    # type default) but EXACT 0 for the index forms
+    assert got.f0 is None and got.fi0 == 0 and got.li0 == 0
+
+
+def test_round6_misc_scalars(spark):
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT splitByWhitespace('  a  b c ') AS s, "
+        "ifNotFinite(CAST('Infinity' AS DOUBLE), -1.0) AS inf_repl, "
+        "ifNotFinite(2.5, -1.0) AS kept, "
+        "bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, "
+        "mapFromArrays(['a','b'], [1,2])['b'] AS mv"
+    )).collect()[0]
+    assert list(got.s) == ["a", "b", "c"]
+    assert (got.inf_repl, got.kept, got.b0, got.b1, got.mv) == (-1.0, 2.5, 1, 0, 2)
