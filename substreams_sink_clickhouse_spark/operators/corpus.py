@@ -190,6 +190,12 @@ class Corpus:
             raise ValueError("interleave needs a 'source' column")
         return interleave_sources(self.df, weight_col, ["doc_id"])
 
+    def scrub_pii(self) -> "Corpus":
+        """Redact emails/phones in place (same regexes as the
+        text_pii_scrub gate entry) and add an ``n_redactions`` count —
+        map-only, zero shuffle."""
+        return Corpus(_corpus_scrub_pii(self.df))
+
     # -- composition ---------------------------------------------------
 
     def split(
@@ -250,3 +256,21 @@ class Corpus:
 
     def count(self) -> int:
         return self.df.count()
+
+
+def _corpus_scrub_pii(df: DataFrame) -> DataFrame:
+    from substreams_sink_clickhouse_spark.operators.text import (
+        _PII_EMAIL,
+        _PII_PHONE,
+    )
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumn(
+        "n_redactions",
+        F.expr(f"regexp_count(text, '{_PII_EMAIL}')")
+        + F.expr(f"regexp_count(text, '{_PII_PHONE}')"),
+    ).withColumn("text", scrubbed)

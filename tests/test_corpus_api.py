@@ -157,3 +157,15 @@ def test_corpus_interleave_matches_gate_shape(spark):
     n = docs_df.count()
     ranks = [r.interleave_rank for r in out.select("interleave_rank").collect()]
     assert sorted(ranks) == list(range(1, n + 1))
+
+
+def test_corpus_scrub_pii(spark):
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or 555-1234"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_redactions) for r in Corpus(df).scrub_pii().df.collect()}
+    assert out[1] == ("mail me at <EMAIL> or <PHONE>", 2)
+    assert out[2] == ("clean text", 0)
