@@ -170,6 +170,7 @@ _NAME_SWAPS = {
     # STRING, so the correct target is timestamp_seconds
     "fromUnixTimestamp": "timestamp_seconds",
     "mapFromArrays": "map_from_arrays",
+    "toTypeName": "typeof",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -522,6 +523,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "isNaN", "isFinite", "isInfinite",
                 "dateAdd", "dateSub",
                 "splitByWhitespace", "ifNotFinite", "bitTest",
+                "arrayReduce", "arrayReverseSort",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
         ) + r")\s*\("
     )
@@ -1127,6 +1129,42 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 )
             amt = parts[1] if name == "dateAdd" else f"-({parts[1]})"
             repl = f"timestampadd({unit.upper()}, {amt}, {parts[2]})"
+        elif name == "arrayReduce":
+            # arrayReduce('agg', arr): named aggregate over an array —
+            # the supported set maps to Spark array folds/builtins
+            agg_raw, arr = _split_top_commas(inner)
+            sent = re.fullmatch(r"\x01(\d+)\x01", agg_raw.strip())
+            agg = (
+                literals[int(sent.group(1))].strip("'\"").lower()
+                if sent
+                else agg_raw.strip().strip("'\"").lower()
+            )
+            reducers = {
+                "max": f"array_max({arr})",
+                "min": f"array_min({arr})",
+                "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+                "avg": (
+                    f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    f" / size({arr}))"
+                ),
+                "count": f"size({arr})",
+                "uniqexact": f"size(array_distinct({arr}))",
+                "any": f"get({arr}, 0)",
+            }
+            if agg not in reducers:
+                raise ValueError(
+                    f"arrayReduce supports {sorted(reducers)}; got {agg!r} "
+                    "(for other aggregates, explode the array and aggregate)"
+                )
+            repl = reducers[agg]
+        elif name == "arrayReverseSort":
+            parts = _split_top_commas(inner)
+            if len(parts) != 1 or "->" in parts[0]:
+                raise ValueError(
+                    "arrayReverseSort supports the plain 1-arg form only "
+                    "(for a key lambda, sort a transformed struct array)"
+                )
+            repl = f"sort_array({parts[0]}, false)"
         elif name == "splitByWhitespace":
             # runs of whitespace, no empty substrings (ClickHouse drops
             # them; Spark's split keeps a leading empty on a

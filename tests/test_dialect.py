@@ -1259,3 +1259,22 @@ def test_round6_misc_scalars(spark):
     )).collect()[0]
     assert list(got.s) == ["a", "b", "c"]
     assert (got.inf_repl, got.kept, got.b0, got.b1, got.mv) == (-1.0, 2.5, 1, 0, 2)
+
+
+def test_round6_array_reduce_and_reverse_sort(spark):
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT arrayReduce('max', [3,1,2]) AS mx, "
+        "arrayReduce('sum', [1,2,3]) AS sm, "
+        "arrayReduce('uniqExact', [1,1,2]) AS u, "
+        "arrayReverseSort([2,3,1]) AS rs, "
+        "toTypeName(1) AS tn"
+    )).collect()[0]
+    assert (got.mx, got.sm, got.u) == (3, 6.0, 2)
+    assert list(got.rs) == [3, 2, 1]
+    assert got.tn == "int"
+    import pytest
+
+    with pytest.raises(ValueError, match="arrayReduce supports"):
+        clickhouse_to_spark_sql("SELECT arrayReduce('median', a) FROM t")
+    with pytest.raises(ValueError, match="plain 1-arg"):
+        clickhouse_to_spark_sql("SELECT arrayReverseSort(x -> -x, a) FROM t")
