@@ -186,6 +186,10 @@ def test_translation_robust_to_composition():
         "toDateTime(s)",
         "toYYYYMM(d)",
         "groupArray(g)",
+        "toInt64OrZero(s)",
+        "arrayFirst(x -> x > 1, a)",
+        "replaceAll(s, '(', ')')",
+        "arrayReduce('max', a)",
     ]
     def _code(sql):
         # drop string literals before structural checks
@@ -198,7 +202,8 @@ def test_translation_robust_to_composition():
         assert _code(out).count("(") == _code(out).count(")"), (q, out)
         assert "FORMAT" not in out
         for name in ("toInt64", "sumIf", "uniqExact", "toDateTime",
-                     "toYYYYMM", "groupArray"):
+                     "toYYYYMM", "groupArray", "toInt64OrZero",
+                     "arrayFirst", "replaceAll", "arrayReduce"):
             assert not re.search(rf"\b{name}\s*\(", out), (q, out)
     # nested: every construct inside sumIf's value argument
     for f in frags:
