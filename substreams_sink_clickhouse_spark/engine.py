@@ -228,6 +228,14 @@ class Engine:
                 clickhouse_to_spark_sql,
                 rewrite_final_tables,
             )
+
+            # Maintenance STATEMENTS (not queries): route to the
+            # storage APIs so a reference deployment's operational SQL
+            # runs unchanged.  Returned as single-row status frames to
+            # keep the signature.
+            routed = self._route_maintenance_statement(query)
+            if routed is not None:
+                return routed
             from substreams_sink_clickhouse_spark.functions.fill import (
                 strip_with_fill,
             )
@@ -394,6 +402,59 @@ class Engine:
         pipe.table(table).createOrReplaceTempView(table)
         return info
 
+    def _route_maintenance_statement(self, query: str):
+        """Recognize the ClickHouse maintenance statements a reference
+        deployment runs operationally and route them to the storage
+        APIs: ``OPTIMIZE TABLE t [FINAL]`` → :meth:`optimize`;
+        ``ALTER TABLE t DELETE WHERE pred`` (the mutation shape the
+        reference itself emits, db/operations.go:93-111) →
+        :meth:`apply_ttl` with the translated predicate.  Returns a
+        single-row status DataFrame, or ``None`` when ``query`` is not
+        a maintenance statement (the normal SELECT path proceeds)."""
+        import re as _re
+
+        from pyspark.sql import types as T
+
+        from substreams_sink_clickhouse_spark.functions.localdata import local_df
+
+        m = _re.fullmatch(
+            r"\s*OPTIMIZE\s+TABLE\s+(`?)(\w+)\1(\s+FINAL)?\s*;?\s*",
+            query,
+            flags=_re.IGNORECASE,
+        )
+        if m:
+            stats = self.optimize(m.group(2)) or {}
+            return local_df(
+                self.spark,
+                [(m.group(2), int(stats.get("files_before", 0)),
+                  int(stats.get("files_after", 0)))],
+                T.StructType([
+                    T.StructField("table", T.StringType()),
+                    T.StructField("files_before", T.LongType()),
+                    T.StructField("files_after", T.LongType()),
+                ]),
+            )
+        m = _re.fullmatch(
+            r"\s*ALTER\s+TABLE\s+(`?)(\w+)\1\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*",
+            query,
+            flags=_re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from substreams_sink_clickhouse_spark.functions.dialect import (
+                clickhouse_to_spark_sql,
+            )
+
+            n = self.apply_ttl(m.group(2), clickhouse_to_spark_sql(m.group(3)))
+            return local_df(
+                self.spark,
+                [(m.group(2), int(n))],
+                T.StructType([
+                    T.StructField("table", T.StringType()),
+                    T.StructField("n_deleted", T.LongType()),
+                ]),
+            )
+        return None
+
     # -- storage maintenance (OPTIMIZE FINAL / TTL / system.parts) ----
 
     def _state(self, module_hash: str = "default"):
@@ -401,6 +462,16 @@ class Engine:
         if pipe is None:
             raise ValueError("no ingest pipeline active; call ingest()/pipeline() first")
         return pipe.state
+
+    def _refresh_view(self, name: str, module_hash: str = "default") -> None:
+        """Re-register the SQL temp view over the CURRENT manifest —
+        views are snapshots of the plan at registration time, so any
+        storage mutation must refresh them or SQL reads stale files."""
+        pipe = self._pipelines.get(module_hash) or next(
+            iter(self._pipelines.values()), None
+        )
+        if pipe is not None and name in pipe.catalog.tables:
+            pipe.table(name).createOrReplaceTempView(name)
 
     def optimize(
         self,
@@ -411,17 +482,23 @@ class Engine:
         """``OPTIMIZE TABLE <name> FINAL``: compact each pk-bucket of
         the sunk table to one pk-sorted file.  ``zorder=[c1, c2]``
         clusters by the Morton key instead (OPTIMIZE ZORDER parity)."""
-        return self._state(module_hash).optimize(name, zorder=zorder)
+        out = self._state(module_hash).optimize(name, zorder=zorder)
+        self._refresh_view(name, module_hash)
+        return out
 
     def apply_ttl(self, name: str, expire_predicate: str, module_hash: str = "default") -> int:
         """ClickHouse TTL mutation: delete rows matching the expiry
         predicate; only buckets holding expired rows are rewritten."""
-        return self._state(module_hash).apply_ttl(name, expire_predicate)
+        out = self._state(module_hash).apply_ttl(name, expire_predicate)
+        self._refresh_view(name, module_hash)
+        return out
 
     def rebucket(self, name: str, new_n_buckets: int, module_hash: str = "default") -> dict | None:
         """Rescale a table's pk-bucket fan-out online (the epoch
         rewrite unit must grow with the table)."""
-        return self._state(module_hash).rebucket(name, new_n_buckets)
+        out = self._state(module_hash).rebucket(name, new_n_buckets)
+        self._refresh_view(name, module_hash)
+        return out
 
     def parts(self, name: str, module_hash: str = "default") -> DataFrame:
         """``system.parts``: per-bucket storage metadata (files, bytes,

@@ -357,3 +357,28 @@ def test_zorder_rejects_bit_overflow(spark):
         zorder_key(df, ["a", "b"], bits=0)
     # 15 bits x 4 cols = 60 positions: fine
     assert df.select(zorder_key(df, ["a", "b", "c", "d"], bits=15)).count() == 4
+
+
+def test_maintenance_sql_statements_route(spark, tmp_path):
+    """A reference deployment's operational SQL runs unchanged through
+    Engine.sql(dialect='clickhouse'): OPTIMIZE TABLE ... FINAL routes
+    to Engine.optimize, ALTER TABLE ... DELETE WHERE (the mutation
+    shape the reference emits, db/operations.go:93-111) routes to the
+    predicate-delete path; both return status frames."""
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=3, keys_per_epoch=6)
+    st = eng.sql("OPTIMIZE TABLE block_meta FINAL", dialect="clickhouse").collect()[0]
+    assert st.table == "block_meta"
+    assert st.files_after <= st.files_before
+    # ClickHouse-dialect predicate (toInt64OrZero is round-6 dialect)
+    d = eng.sql(
+        "ALTER TABLE block_meta DELETE WHERE toInt64OrZero(id) = 0 AND id IN ('k0', 'k1')",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert d.table == "block_meta" and d.n_deleted == 2
+    remaining = {r.id for r in eng.table("block_meta").select("id").collect()}
+    assert remaining == {f"k{k}" for k in range(2, 6)}
+    # a plain SELECT is untouched by the router
+    n = eng.sql(
+        "SELECT uniqExact(id) AS n FROM block_meta", dialect="clickhouse"
+    ).collect()[0].n
+    assert n == 4
