@@ -453,6 +453,39 @@ class Engine:
                     T.StructField("n_deleted", T.LongType()),
                 ]),
             )
+        m = _re.fullmatch(
+            r"\s*ALTER\s+TABLE\s+(`?)(\w+)\1\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*",
+            query,
+            flags=_re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from substreams_sink_clickhouse_spark.functions.dialect import (
+                _split_top_commas,
+                clickhouse_to_spark_sql,
+            )
+
+            assignments: dict[str, str] = {}
+            for part in _split_top_commas(m.group(3)):
+                col, eq, expr = part.partition("=")
+                if not eq or not col.strip().replace("`", "").isidentifier():
+                    raise ValueError(
+                        f"cannot parse UPDATE assignment {part!r} "
+                        "(expected col = expr, comma-separated)"
+                    )
+                assignments[col.strip().strip("`")] = clickhouse_to_spark_sql(
+                    expr.strip()
+                )
+            n = self.apply_update(
+                m.group(2), assignments, clickhouse_to_spark_sql(m.group(4))
+            )
+            return local_df(
+                self.spark,
+                [(m.group(2), int(n))],
+                T.StructType([
+                    T.StructField("table", T.StringType()),
+                    T.StructField("n_updated", T.LongType()),
+                ]),
+            )
         return None
 
     # -- storage maintenance (OPTIMIZE FINAL / TTL / system.parts) ----
@@ -490,6 +523,19 @@ class Engine:
         """ClickHouse TTL mutation: delete rows matching the expiry
         predicate; only buckets holding expired rows are rewritten."""
         out = self._state(module_hash).apply_ttl(name, expire_predicate)
+        self._refresh_view(name, module_hash)
+        return out
+
+    def apply_update(
+        self,
+        name: str,
+        assignments: dict[str, str],
+        predicate: str,
+        module_hash: str = "default",
+    ) -> int:
+        """``ALTER TABLE ... UPDATE col = expr WHERE pred`` mutation:
+        rewrite matching rows in the affected buckets only."""
+        out = self._state(module_hash).apply_update(name, assignments, predicate)
         self._refresh_view(name, module_hash)
         return out
 

@@ -700,6 +700,59 @@ class TableStateStore:
         self._commit_maintenance(name, kept, affected, "ttl")
         return n_expired
 
+    def apply_update(
+        self, name: str, assignments: dict[str, str], predicate: str
+    ) -> int:
+        """ClickHouse ``ALTER TABLE ... UPDATE col = expr WHERE pred``
+        parity — the OTHER mutation shape the reference emits
+        (db/operations.go:93-111).  Rewrites ONLY the buckets holding
+        matching rows, replacing each assigned column with its
+        expression on matching rows; untouched buckets carry forward by
+        reference like epoch commits.  Returns the matched-row count.
+
+        Scale: same shape as :meth:`apply_ttl` — one metadata-light
+        per-bucket match count, then a rewrite of the affected buckets
+        only.  The pk must not be assigned (a pk rewrite is a
+        delete+insert, not a mutation — ClickHouse refuses it too)."""
+        info = self.catalog.get(name)
+        if info.primary_key in assignments:
+            raise ValueError(
+                f"cannot UPDATE the primary key column "
+                f"{info.primary_key!r}; delete and re-insert instead"
+            )
+        unknown = [c for c in assignments if c not in info.schema.fieldNames()]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown column(s) {unknown} on {name!r}")
+        entry = self.read_manifest()["tables"].get(name)
+        if entry is None:
+            return 0
+        state = self.table_state(name)
+        n_b = self.table_n_buckets(name)
+        per_bucket = (
+            state.groupBy(self.bucket_expr(info.primary_key, n_b).alias("__b"))
+            .agg(F.sum(F.expr(predicate).cast("long")).alias("n_hit"))
+            .filter(F.col("n_hit") > 0)
+            .collect()
+        )
+        if not per_bucket:
+            return 0
+        affected = [int(r["__b"]) for r in per_bucket]
+        n_hit = sum(int(r["n_hit"]) for r in per_bucket)
+        mutated = self.bucket_state(name, affected).select(
+            *[
+                F.when(F.expr(predicate), F.expr(expr).cast(info.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c, expr in (
+                    (fld, assignments.get(fld)) for fld in info.schema.fieldNames()
+                )
+            ]
+        )
+        self._commit_maintenance(name, mutated, affected, "upd")
+        return n_hit
+
     def rebucket(self, name: str, new_n_buckets: int) -> dict | None:
         """Online bucket-count rescaling — the maintenance op that keeps
         the bounded-merge contract true as a table grows.

@@ -382,3 +382,31 @@ def test_maintenance_sql_statements_route(spark, tmp_path):
         "SELECT uniqExact(id) AS n FROM block_meta", dialect="clickhouse"
     ).collect()[0].n
     assert n == 4
+
+
+def test_alter_update_mutation(spark, tmp_path):
+    """ALTER TABLE ... UPDATE (the reference's other mutation shape,
+    db/operations.go:93-111): matching rows rewritten in place,
+    untouched buckets carried forward, pk assignment refused."""
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=2, keys_per_epoch=6)
+    st = eng.sql(
+        "ALTER TABLE block_meta UPDATE number = toInt64(number) + 1000 "
+        "WHERE id IN ('k0', 'k3')",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert st.n_updated == 2
+    rows = {r.id: r.number for r in eng.table("block_meta").collect()}
+    assert rows["k0"] == 1100 and rows["k3"] == 1103  # epoch-1 values + 1000
+    assert rows["k1"] == 101  # untouched
+    # SQL view sees the mutation immediately
+    n = eng.sql(
+        "SELECT countIf(toInt64(number) >= 1000) AS n FROM block_meta",
+        dialect="clickhouse",
+    ).collect()[0].n
+    assert n == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="primary key"):
+        eng.apply_update("block_meta", {"id": "'x'"}, "true")
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.apply_update("block_meta", {"nope": "1"}, "true")
