@@ -454,6 +454,21 @@ class Engine:
                 ]),
             )
         m = _re.fullmatch(
+            r"\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`?)(\w+)\1\s*;?\s*",
+            query,
+            flags=_re.IGNORECASE,
+        )
+        if m:
+            n = self.apply_ttl(m.group(2), "true")
+            return local_df(
+                self.spark,
+                [(m.group(2), int(n))],
+                T.StructType([
+                    T.StructField("table", T.StringType()),
+                    T.StructField("n_deleted", T.LongType()),
+                ]),
+            )
+        m = _re.fullmatch(
             r"\s*ALTER\s+TABLE\s+(`?)(\w+)\1\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*",
             query,
             flags=_re.IGNORECASE | _re.DOTALL,

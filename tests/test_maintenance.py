@@ -410,3 +410,11 @@ def test_alter_update_mutation(spark, tmp_path):
         eng.apply_update("block_meta", {"id": "'x'"}, "true")
     with pytest.raises(ValueError, match="unknown column"):
         eng.apply_update("block_meta", {"nope": "1"}, "true")
+
+
+def test_truncate_table_statement(spark, tmp_path):
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=5)
+    st = eng.sql("TRUNCATE TABLE block_meta", dialect="clickhouse").collect()[0]
+    assert st.n_deleted == 5
+    assert eng.table("block_meta").count() == 0
+    assert eng.sql("SELECT count(*) AS n FROM block_meta").collect()[0].n == 0
