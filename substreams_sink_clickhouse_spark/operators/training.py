@@ -427,27 +427,39 @@ SPECS.append(
 # ---------------------------------------------------- train_interleave
 
 def interleave_sources(
-    docs: DataFrame, weight_col, order_cols: list[str]
+    docs: DataFrame, weight_col, order_cols: list[str], prefix: int | None = None
 ) -> DataFrame:
     """Deterministic weighted interleaving of sources into one global
     training order: a doc at per-source position ``r`` (1-based, by
     ``order_cols``) with source weight ``w`` schedules at virtual time
     ``r / w``, so any prefix of the global order carries sources in
     ~weight proportion — the standard dataset-mixing schedule (e.g.
-    Pile/ROOTS-style sampling ratios) made reproducible.  Two window
-    passes: per-source rank (shuffle on source), then the global order
-    — both keyed, no driver state, so the schedule is identical at
-    100 TB and on one laptop."""
+    Pile/ROOTS-style sampling ratios) made reproducible.
+
+    Scale: the per-source rank is a keyed window (parallel), but the
+    GLOBAL rank is inherently a total order — a single-partition
+    window if computed over the whole corpus.  Pass ``prefix=K`` when
+    you need the first K schedule slots (the usual case: the next
+    epoch chunk): a row at per-source rank r has global rank >= r (at
+    least r slots of its own source schedule at-or-before it), so
+    rows with r > K can never reach the top K and are pre-filtered —
+    the global window then sees at most K x n_sources rows regardless
+    of corpus size.  ``prefix=None`` ranks everything (fine for
+    corpus-sized jobs that write the full schedule; the range sort is
+    distributed, only the rank assignment is single-partition)."""
     from pyspark.sql import Window
 
     ranked = docs.withColumn(
         "__r",
         F.row_number().over(Window.partitionBy("source").orderBy(*order_cols)),
     ).withColumn("__vt", F.col("__r") / weight_col)
-    return ranked.withColumn(
+    if prefix is not None:
+        ranked = ranked.filter(F.col("__r") <= prefix)
+    out = ranked.withColumn(
         "interleave_rank",
         F.row_number().over(Window.orderBy(F.col("__vt"), F.col("source"), *order_cols)),
     ).drop("__r", "__vt")
+    return out.filter(F.col("interleave_rank") <= prefix) if prefix is not None else out
 
 
 def _train_interleave(spark: SparkSession, sf: str) -> DataFrame:
@@ -459,11 +471,12 @@ def _train_interleave(spark: SparkSession, sf: str) -> DataFrame:
         .when(_tier(F.col("source")) == 1, F.lit(2))
         .otherwise(F.lit(1))
     )
-    out = interleave_sources(d.select("doc_id", "source"), weight, ["doc_id"])
+    out = interleave_sources(
+        d.select("doc_id", "source"), weight, ["doc_id"], prefix=200
+    )
     return (
         out.select("interleave_rank", "doc_id", "source")
         .orderBy("interleave_rank")
-        .limit(200)
     )
 
 
