@@ -924,3 +924,91 @@ SPECS.append(
         _LSH_RECALL_ORACLE,
     )
 )
+
+
+# -------------------------------------------- nearest-centroid classify
+
+def _sim_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classification over the labeled embeddings:
+    per-label mean vector -> assign every vector to the closest
+    centroid (squared L2) -> confusion counts (label, pred, n).
+
+    The quality-classifier shape for training pipelines (label
+    propagation / split audit).  100 TB design: centroids are a
+    (n_labels x dim) aggregate — map-side partials on (label, pos),
+    n_labels*dim result rows — broadcast to a map-only assignment
+    pass; no pairwise anything.  Centroids are rounded to 6 decimals
+    IN BOTH ENGINES so the distance arithmetic (a positional
+    left-fold) is bit-identical and the argmin is stable; argmin ties
+    break on the lower label."""
+    v = load_table(spark, sf, "embeddings")
+    v.createOrReplaceTempView("emb_cc")
+    return spark.sql(
+        """
+WITH pos AS (
+  SELECT label, posexplode(embedding) AS (pos, val) FROM emb_cc),
+cent AS (
+  SELECT label AS clabel, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c
+  FROM pos GROUP BY label, pos),
+cvec AS (
+  SELECT clabel,
+         transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv
+  FROM cent GROUP BY clabel),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         aggregate(zip_with(e.embedding, c.cv,
+                            (x, y) -> (CAST(x AS DOUBLE) - y)
+                                      * (CAST(x AS DOUBLE) - y)),
+                   CAST(0 AS DOUBLE), (acc, d) -> acc + d) AS dist
+  FROM emb_cc e CROSS JOIN cvec c),
+best AS (
+  SELECT vec_id, label,
+         min_by(clabel, struct(dist, clabel)) AS pred
+  FROM scored GROUP BY vec_id, label)
+SELECT label, pred, count(*) AS n
+FROM best GROUP BY label, pred ORDER BY label, pred
+"""
+    )
+
+
+_CENTROID_ORACLE = """
+WITH pos AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                               i -> embedding[i])) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label AS clabel, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c
+  FROM pos GROUP BY label, pos),
+cvec AS (
+  SELECT clabel,
+         list_transform(list_sort(list({'pos': pos, 'c': c})), s -> s.c) AS cv
+  FROM cent GROUP BY clabel),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS dist
+  FROM embeddings e CROSS JOIN cvec c),
+best AS (
+  SELECT vec_id, label, clabel AS pred
+  FROM (SELECT vec_id, label, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, clabel) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT label, pred, count(*) AS n
+FROM best GROUP BY label, pred ORDER BY label, pred
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_centroid_classify",
+        "Nearest-centroid classifier over labeled embeddings: "
+        "broadcast centroids, map-only assignment, confusion counts",
+        _sim_centroid_classify,
+        _CENTROID_ORACLE,
+    )
+)
