@@ -237,6 +237,13 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
     # -- 5. maintenance ------------------------------------------------
     out["optimize"] = pipe.state.optimize("block_meta")
     out["parts"] = pipe.state.parts("block_meta")[:1]
+    # operational SQL runs unchanged: both reference mutation shapes
+    # (db/operations.go:93-111) route to bucket-bounded rewrites
+    upd = eng.sql(
+        "ALTER TABLE block_meta UPDATE number = toInt64(number) WHERE number = '777'",
+        dialect="clickhouse",
+    ).collect()[0]
+    out["maintenance_sql"] = {"alter_update_matched": int(upd.n_updated)}
     return out
 
 
