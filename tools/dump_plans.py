@@ -281,6 +281,20 @@ SHOWCASE = [
         "(|x|x|y| rows), so the event-volume exchange happens exactly "
         "once and the former 1-row BroadcastNestedLoopJoins are gone.",
     ),
+    (
+        "dedup_bloom_prefilter",
+        "Bloom filter as a (word, bits) TABLE: the build is one bit_or "
+        "aggregate (map-side partials), the probe an equi-join on the "
+        "word index — the 2,048-row filter broadcasts; no scalar-blob "
+        "collect anywhere, so the shape is identical at 100 TB.",
+    ),
+    (
+        "sim_centroid_classify",
+        "Nearest-centroid classification: the centroid table is a "
+        "(label, pos) aggregate (n_labels x dim rows) broadcast into a "
+        "map-only assignment pass — no pairwise distances, output "
+        "fixed at the confusion matrix.",
+    ),
 ]
 
 
