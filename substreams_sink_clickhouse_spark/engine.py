@@ -469,18 +469,56 @@ class Engine:
                 ]),
             )
         m = _re.fullmatch(
-            r"\s*ALTER\s+TABLE\s+(`?)(\w+)\1\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*",
+            r"\s*ALTER\s+TABLE\s+(`?)(\w+)\1\s+UPDATE\s+(.+?)\s*;?\s*",
             query,
             flags=_re.IGNORECASE | _re.DOTALL,
         )
         if m:
             from substreams_sink_clickhouse_spark.functions.dialect import (
-                _split_top_commas,
+                _blank_parens,
+                _segments,
                 clickhouse_to_spark_sql,
             )
 
+            # Split assignments from the predicate at the WHERE that
+            # sits at paren depth 0 AND outside string literals —
+            # ``SET note = 'see WHERE docs'`` or an assignment subquery
+            # ``(SELECT ... WHERE ...)`` must not capture the split
+            # (round-6 advisory).  Literals/backquotes are masked to
+            # spaces (length-preserving, so indices map back), then
+            # paren content is blanked the same way.
+            rest = m.group(3)
+            masked = "".join(
+                text if is_code else " " * len(text)
+                for is_code, text in _segments(rest)
+            )
+            masked = _blank_parens(masked)
+            wm = _re.search(r"\bWHERE\b", masked, flags=_re.IGNORECASE)
+            if not wm:
+                raise ValueError(
+                    "ALTER TABLE ... UPDATE requires a WHERE clause "
+                    "(ClickHouse mutations are always predicated)"
+                )
+            assigns_sql = rest[: wm.start()]
+            pred_sql = rest[wm.end() :]
+
+            # comma-split the assignment list on the masked copy so
+            # commas inside literals / nested calls don't split
+            parts: list[str] = []
+            depth = start = 0
+            amasked = masked[: wm.start()]
+            for k, ch in enumerate(amasked):
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(assigns_sql[start:k])
+                    start = k + 1
+            parts.append(assigns_sql[start:])
+
             assignments: dict[str, str] = {}
-            for part in _split_top_commas(m.group(3)):
+            for part in (p.strip() for p in parts):
                 col, eq, expr = part.partition("=")
                 if not eq or not col.strip().replace("`", "").isidentifier():
                     raise ValueError(
@@ -491,7 +529,7 @@ class Engine:
                     expr.strip()
                 )
             n = self.apply_update(
-                m.group(2), assignments, clickhouse_to_spark_sql(m.group(4))
+                m.group(2), assignments, clickhouse_to_spark_sql(pred_sql.strip())
             )
             return local_df(
                 self.spark,

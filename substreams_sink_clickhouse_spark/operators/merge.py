@@ -138,7 +138,11 @@ END
 #: explicit error state (MIGRATION.md "Merge tie-break" entry).  Wire
 #: ordinals are unique per block in practice (the substreams sink
 #: assigns them monotonically), so this is unreachable on well-formed
-#: input.
+#: input.  BYTE-IDENTICAL redeliveries (same seq AND op AND fields —
+#: the normal at-least-once replay case, which the reference's
+#: arrival-order fold absorbs harmlessly) are collapsed by
+#: ``array_distinct`` BEFORE this check, so only truly conflicting
+#: ties — same seq, different payload — reach the error state.
 _ERR_EXPR = f"""
 CASE
   WHEN __dup
@@ -248,11 +252,14 @@ def reduce_changes(changes: DataFrame, primary_keys: dict[str, str]) -> DataFram
     ).where("op IN ('CREATE', 'UPDATE', 'DELETE')")
     # ONE aggregate per (table, pk): the naturally-sorted event list.
     # sort_array needs no comparator lambda because the map became an
-    # entries array (orderable).
+    # entries array (orderable).  array_distinct collapses byte-equal
+    # redeliveries (at-least-once replay of the same wire op) so they
+    # fold harmlessly instead of tripping the tie guard; first-occurrence
+    # order over an already-sorted array preserves the sort.
     grouped = pre.groupBy("table", "pk").agg(
         F.expr(
-            "sort_array(collect_list(named_struct("
-            "'seq', seq, 'op', op, 'ent', __ent)))"
+            "array_distinct(sort_array(collect_list(named_struct("
+            "'seq', seq, 'op', op, 'ent', __ent))))"
         ).alias("__evs")
     )
     # Layer 1 barrier: materialize the ops/entries arrays and the two

@@ -80,6 +80,15 @@ MAX_SIDECAR_WINDOW_OPS = 2_000_000
 #: broadcast to a shuffle anti-join rather than failing.
 MAX_DV_BYTES_PER_BUCKET = 32 * 1024 * 1024
 
+#: Read-side broadcast budget for the UNION of deletion vectors across
+#: every probed bucket.  Distinct from the per-bucket cap above: that
+#: one is a compaction trigger, and comparing a MULTI-bucket read's
+#: total dv against it would demote perfectly healthy full-table reads
+#: (64 buckets × a few hundred KB each) to a shuffle anti-join
+#: (round-6 advisory).  256 MB is comfortably under Spark's broadcast
+#: ceiling while still catching genuinely oversized masks.
+MAX_DV_BYTES_BROADCAST_TOTAL = 256 * 1024 * 1024
+
 
 def _parquet_dir_bytes(path: str | None) -> int:
     """Total bytes of the .parquet files directly under ``path`` (0 for
@@ -264,10 +273,16 @@ class TableStateStore:
                 .parquet(*dv_paths)
                 .selectExpr("src AS __dv_src", "pk AS __dv_pk")
             )
-            # broadcast only within budget: an oversized dv (possible
-            # before its bucket's next compacting rewrite) takes a
-            # shuffle anti-join instead of risking the broadcast limit
-            if sum(_parquet_dir_bytes(p) for p in dv_paths) <= MAX_DV_BYTES_PER_BUCKET:
+            # broadcast only within budget: an oversized TOTAL dv
+            # (across all probed buckets) takes a shuffle anti-join
+            # instead of risking the broadcast limit.  The total cap,
+            # not the per-bucket compaction trigger, governs here — a
+            # many-bucket read of healthy buckets must keep its
+            # broadcast (round-6 advisory).
+            if (
+                sum(_parquet_dir_bytes(p) for p in dv_paths)
+                <= MAX_DV_BYTES_BROADCAST_TOTAL
+            ):
                 dv = F.broadcast(dv)
             pk = info.primary_key.replace("`", "``")
             df = df.join(

@@ -219,7 +219,7 @@ def test_oversized_dv_read_falls_back_to_shuffle_antijoin(spark, tmp_path, monke
     try:
         hinted = pipe.state.table_state("kv")
         assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
-        monkeypatch.setattr(P, "MAX_DV_BYTES_PER_BUCKET", 1)
+        monkeypatch.setattr(P, "MAX_DV_BYTES_BROADCAST_TOTAL", 1)
         df = pipe.state.table_state("kv")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan

@@ -26,8 +26,9 @@ def test_queries_order_is_committed_and_deterministic():
     GATE_ORDER.json (round-5 advisory: it must never depend on which
     evaluation artifacts sit on disk).  Two calls agree, the order
     follows the file (stale names ignored, new registry entries
-    appended in registry order), and the reference's core CDC entries
-    are pinned to the front."""
+    appended in registry order), and the entries whose most recent
+    driver signal is a FAIL lead the prefix (round-6 verdict item 1:
+    the driver gate must re-confirm builder-verified fixes first)."""
     import json
 
     ks1, ks2 = list(entry_mod.queries()), list(entry_mod.queries())
@@ -36,4 +37,13 @@ def test_queries_order_is_committed_and_deterministic():
         committed = json.load(fh)
     present = [n for n in committed if n in set(ks1)]
     assert ks1[: len(present)] == present
-    assert ks1[:3] == ["cdc_merge", "cdc_merge_dv", "cursor_resolution"]
+    # round-7 prefix: the six entries last driver-sampled as FAIL
+    # (r5's HUGEINT class), so CORRECTNESS_r07 confirms the fix
+    assert set(ks1[:6]) == {
+        "q05b_approx_distinct",
+        "q78_json_extract",
+        "q111_interval_length_sum",
+        "q87_sessionize",
+        "dedup_exact",
+        "train_mix",
+    }

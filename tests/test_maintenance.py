@@ -412,6 +412,33 @@ def test_alter_update_mutation(spark, tmp_path):
         eng.apply_update("block_meta", {"nope": "1"}, "true")
 
 
+def test_alter_update_where_inside_literal(spark, tmp_path):
+    """The assignment/predicate split must find the WHERE at paren
+    depth 0 OUTSIDE string literals — an assignment whose literal
+    contains ' WHERE ' or a comma, or a parenthesized conditional,
+    must not capture the split (round-6 advisory, engine.py)."""
+    eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=4)
+    st = eng.sql(
+        "ALTER TABLE block_meta UPDATE "
+        "number = number + toInt64(length('x WHERE y, z')), "
+        "timestamp = if(id = 'a, WHERE b', now(), timestamp) "
+        "WHERE id = 'k0'",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert st.n_updated == 1
+    rows = {r.id: r.number for r in eng.table("block_meta").collect()}
+    assert rows["k0"] == 12  # 0 + length('x WHERE y, z')
+    assert rows["k1"] == 1  # untouched
+    # missing WHERE is rejected (mutations are always predicated)
+    import pytest
+
+    with pytest.raises(ValueError, match="WHERE"):
+        eng.sql(
+            "ALTER TABLE block_meta UPDATE number = '1'",
+            dialect="clickhouse",
+        )
+
+
 def test_truncate_table_statement(spark, tmp_path):
     eng, pipe = _engine_with_epochs(spark, tmp_path, n_epochs=1, keys_per_epoch=5)
     st = eng.sql("TRUNCATE TABLE block_meta", dialect="clickhouse").collect()[0]

@@ -113,6 +113,38 @@ def test_duplicate_block_ordinal_errors(spark, changes_df, catalog):
         _merge(spark, catalog, changes, [("k1", 9, "old")])
 
 
+def test_byte_identical_replay_folds_harmlessly(spark, changes_df, catalog):
+    # At-least-once delivery can redeliver the SAME wire op (same
+    # (block_num, ordinal), same op, same fields).  The reference's
+    # arrival-order fold absorbs that harmlessly (the second fold is a
+    # no-op overwrite), so the kernel dedupes byte-identical events
+    # before the tie guard and only errors on CONFLICTING ties
+    # (round-6 advisory, merge.py array_distinct).
+    changes = changes_df(
+        [
+            (1, "blk", 1, "t", "k1", "CREATE", {"a": "1", "b": "x"}),
+            (1, "blk", 2, "t", "k1", "UPDATE", {"a": "2"}),
+            (1, "blk", 2, "t", "k1", "UPDATE", {"a": "2"}),  # exact replay
+            (1, "blk", 1, "t", "k1", "CREATE", {"a": "1", "b": "x"}),  # replay
+        ]
+    )
+    assert _merge(spark, catalog, changes) == {"k1": (2, "x")}
+
+
+def test_conflicting_tie_still_errors_after_replay_dedup(spark, changes_df, catalog):
+    # same seq, DIFFERENT payload: a true conflict, must still error —
+    # and an exact replay alongside it must not mask the conflict
+    changes = changes_df(
+        [
+            (1, "blk", 7, "t", "k1", "UPDATE", {"a": "1"}),
+            (1, "blk", 7, "t", "k1", "UPDATE", {"a": "1"}),  # exact replay
+            (1, "blk", 7, "t", "k1", "UPDATE", {"a": "9"}),  # conflict
+        ]
+    )
+    with pytest.raises(MergeSemanticsError, match="duplicate \\(block_num, ordinal\\)"):
+        _merge(spark, catalog, changes)
+
+
 def test_distinct_ordinals_same_block_still_fold(spark, changes_df, catalog):
     # the dup guard keys on (block_num, ordinal) — distinct ordinals in
     # one block are the normal case and must be untouched by it

@@ -12,18 +12,30 @@ def test_sample_manifest_stratified_and_deterministic():
     spec.loader.exec_module(sm)
 
     fams = sm.family_map()
-    plan = sm.build_sample(round_no=4, size=50)
-    plan2 = sm.build_sample(round_no=4, size=50)
+    plan = sm.build_sample(round_no=7, size=50)
+    plan2 = sm.build_sample(round_no=7, size=50)
     assert plan["sample"] == plan2["sample"]  # deterministic
     assert len(plan["sample"]) == 50
     assert len(set(plan["sample"])) == 50  # no dupes
-    picked_fams = set()
     name_to_fam = {n: f for f, ns in fams.items() for n in ns}
     for n in plan["sample"]:
         assert n in name_to_fam
-        picked_fams.add(name_to_fam[n])
-    # every family represented
-    assert picked_fams == set(fams)
-    # a different round rotates at least some picks
-    plan5 = sm.build_sample(round_no=5, size=50)
-    assert plan5["sample"] != plan["sample"]
+    # since round 7 the sample IS the committed GATE_ORDER prefix —
+    # the driver samples a prefix of queries(), whose order is that
+    # file, so the manifest must agree with it exactly
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "GATE_ORDER.json")) as fh:
+        committed = json.load(fh)
+    all_names = set(name_to_fam)
+    assert plan["sample"] == [n for n in committed if n in all_names][:50]
+    assert plan["source"] == "GATE_ORDER.json prefix"
+    # the last-FAIL queue-jumpers lead (round-6 verdict item 1)
+    assert set(plan["sample"][:6]) == {
+        "q05b_approx_distinct",
+        "q78_json_extract",
+        "q111_interval_length_sum",
+        "q87_sessionize",
+        "dedup_exact",
+        "train_mix",
+    }

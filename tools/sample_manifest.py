@@ -69,6 +69,38 @@ def sampled_history() -> dict[str, int]:
     return counts
 
 
+def last_fail_set() -> set[str]:
+    """Names whose MOST RECENT driver signal is a FAIL.
+
+    These jump the queue (round-6 verdict item 1): a fix verified only
+    by the builder/judge is `weak` until the driver gate that flagged
+    it confirms it green.
+    """
+    last_round: dict[str, int] = {}
+    failed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(
+            "".join(c for c in os.path.basename(path) if c.isdigit()) or 0
+        )
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rec.items():
+            if rnd < last_round.get(name, 0):
+                continue
+            last_round[name] = rnd
+            ok = (
+                not row.get("err")
+                and row.get("rows_match", False)
+                and row.get("schema_match", False)
+                and row.get("hash_match", False)
+            )
+            (failed.discard if ok else failed.add)(name)
+    return failed
+
+
 def infer_round() -> int:
     rounds = [
         int(m.group(1))
@@ -83,6 +115,40 @@ def build_sample(round_no: int, size: int) -> dict:
     history = sampled_history()
     total = sum(len(v) for v in fams.values())
     size = min(size, total)
+
+    # The driver samples a prefix of ``queries()``, whose order IS the
+    # committed GATE_ORDER.json (written by tools/write_gate_order.py).
+    # When that file exists, the manifest's sample is exactly that
+    # prefix — the two artifacts must agree or the manifest misleads.
+    gate_path = os.path.join(REPO, "GATE_ORDER.json")
+    if os.path.exists(gate_path):
+        with open(gate_path) as fh:
+            order = json.load(fh)
+        all_names = {n for ns in fams.values() for n in ns}
+        sample = [n for n in order if n in all_names][:size]
+        fam_of = {n: f for f, ns in fams.items() for n in ns}
+        alloc: dict[str, int] = {f: 0 for f in fams}
+        for n in sample:
+            alloc[fam_of[n]] += 1
+        return {
+            "round": round_no,
+            "size": len(sample),
+            "total_entries": total,
+            "never_driver_sampled": sum(
+                1
+                for ns in fams.values()
+                for n in ns
+                if history.get(n, 0) == 0
+            ),
+            "source": "GATE_ORDER.json prefix",
+            "families": {f: len(ns) for f, ns in fams.items()},
+            "allocation": alloc,
+            "sample": sample,
+            "command": (
+                "python tools/check_correctness.py /root/testdata/sf0.01 "
+                + " ".join(sample)
+            ),
+        }
 
     # proportional allocation with a floor of 1 per family
     alloc: dict[str, int] = {}
@@ -107,15 +173,20 @@ def build_sample(round_no: int, size: int) -> dict:
             break
         alloc[fam] += 1
 
+    failed = last_fail_set()
     sample: list[str] = []
     for fam, names in fams.items():
         k = min(alloc[fam], len(names))
-        # never-sampled first (stable registry order), then the rest
+        # previously-FAILED first (the driver must re-confirm the fix),
+        # then never-sampled (stable registry order), then the rest
         # rotated by round so repeats spread across rounds
-        never = [n for n in names if history.get(n, 0) == 0]
-        seen = [n for n in names if history.get(n, 0) > 0]
+        fail = [n for n in names if n in failed]
+        never = [n for n in names if history.get(n, 0) == 0 and n not in failed]
+        seen = [
+            n for n in names if history.get(n, 0) > 0 and n not in failed
+        ]
         rot = (round_no * k) % len(seen) if seen else 0
-        ordered = never + seen[rot:] + seen[:rot]
+        ordered = fail + never + seen[rot:] + seen[:rot]
         sample.extend(ordered[:k])
 
     return {

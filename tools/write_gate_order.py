@@ -13,13 +13,16 @@ reads the file.  Re-running this tool (and committing the result) is
 the explicit, reviewable act of advancing the rotation.
 
 Ordering policy:
-1. a hand-pinned priority prefix: the reference's core CDC operators
-   (`cdc_merge` is db/ops.go:11-122 — the single most important entry)
-   and the streaming family, none of which have ever been
-   driver-sampled;
-2. all other never-driver-sampled entries, round-robin across operator
+1. entries whose MOST RECENT driver signal is a FAIL (any of
+   rows/schema/hash mismatch or error in the highest-numbered
+   CORRECTNESS_r*.json containing them).  Their fixes are only
+   builder/judge-verified until the driver itself re-samples them, so
+   they take the very front of the prefix (round-6 verdict, item 1);
+2. a hand-pinned priority prefix of never-sampled entries worth
+   checking early (new round additions, the dialect anchor);
+3. all other never-driver-sampled entries, round-robin across operator
    families so every family appears in any ~50-entry prefix;
-3. previously-sampled entries, least-recently-sampled first.
+4. previously-sampled entries, least-recently-sampled first.
 
 Usage: python tools/write_gate_order.py [--out GATE_ORDER.json]
 """
@@ -34,18 +37,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Never-driver-checked entries the round-5 verdict ordered to the
-#: front of the next sample: the reference's actual core operator and
-#: its transactional-flush / cursor siblings, then streaming.
+#: Never-driver-checked entries the round-6 verdict ordered to the
+#: front of the next sample (after the last-FAIL entries, which are
+#: computed from the CORRECTNESS artifacts, not pinned here): the
+#: round-6 additions that have never seen any driver check, plus the
+#: ClickHouse-dialect anchor entry.
 PRIORITY = [
-    "cdc_merge",
-    "cdc_merge_dv",
-    "cursor_resolution",
-    "q26_last_op",
-    "q23_tumbling_window",
-    "q24_session_window",
-    "q25_watermark",
+    "multimodal_phash_dedup",
+    "train_interleave",
+    "dedup_bloom_prefilter",
+    "sim_centroid_classify",
+    "q169_dialect_round6",
+    "q170_dialect_hof",
+    "q122_clickhouse_dialect",
 ]
+
+
+def _entry_failed(rec: dict) -> bool:
+    """A CORRECTNESS row counts as FAIL if any check is false or errored."""
+    if rec.get("err"):
+        return True
+    return not (
+        rec.get("rows_match", False)
+        and rec.get("schema_match", False)
+        and rec.get("hash_match", False)
+    )
 
 
 def main() -> int:
@@ -55,13 +71,16 @@ def main() -> int:
 
     from substreams_sink_clickhouse_spark.registry import all_specs
 
-    # last round each name was sampled in (0 = never)
+    # last round each name was sampled in (0 = never) + its last verdict
     last_round: dict[str, int] = {}
+    last_fail: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()) or 0)
         with open(path, encoding="utf-8") as fh:
-            for name in json.load(fh):
-                last_round[name] = max(last_round.get(name, 0), rnd)
+            for name, rec in json.load(fh).items():
+                if rnd >= last_round.get(name, 0):
+                    last_round[name] = rnd
+                    last_fail[name] = _entry_failed(rec)
 
     specs = all_specs()
     fam_of = {
@@ -69,10 +88,17 @@ def main() -> int:
         for s in specs
     }
     names = [s.name for s in specs]
-    pinned = [n for n in PRIORITY if n in names]
-    fresh = [n for n in names if n not in last_round and n not in pinned]
+    failed = [n for n in names if last_fail.get(n, False)]
+    pinned = [n for n in PRIORITY if n in names and n not in failed]
+    fresh = [
+        n for n in names if n not in last_round and n not in pinned
+    ]
     stale = sorted(
-        (n for n in names if n in last_round and n not in pinned),
+        (
+            n
+            for n in names
+            if n in last_round and n not in pinned and n not in failed
+        ),
         key=lambda n: (last_round[n], names.index(n)),
     )
 
@@ -86,14 +112,15 @@ def main() -> int:
             if fams[fam]:
                 rr.append(fams[fam].pop(0))
 
-    order = pinned + rr + stale
+    order = failed + pinned + rr + stale
     assert sorted(order) == sorted(names), "order must be a permutation"
     with open(os.path.join(REPO, out), "w", encoding="utf-8") as fh:
         json.dump(order, fh, indent=0)
         fh.write("\n")
     print(
         f"wrote {out}: {len(order)} entries "
-        f"({len(pinned)} pinned, {len(rr)} never-sampled, {len(stale)} sampled)"
+        f"({len(failed)} last-FAIL, {len(pinned)} pinned, "
+        f"{len(rr)} never-sampled, {len(stale)} sampled)"
     )
     print("prefix:", ", ".join(order[:12]), "...")
     return 0
