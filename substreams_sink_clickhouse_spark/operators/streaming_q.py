@@ -880,3 +880,111 @@ SPECS.append(
         _Q121_ORACLE,
     )
 )
+
+
+def _maintenance_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end operational-SQL maintenance through the ClickHouse
+    dialect (O14 write surface, /root/reference/db/operations.go:86-111
+    — the mutation statements the reference emits):
+
+    1. ingest every order as CREATEs (epoch 1, full load)
+    2. ``TRUNCATE TABLE`` — wipes the table (observable: odd keys must
+       NOT reappear)
+    3. re-ingest the even-key half (epoch 2)
+    4. ``ALTER TABLE .. UPDATE price = price + 25 WHERE status = 'F'``
+    5. ``ALTER TABLE .. DELETE WHERE modulo(toInt64(id), 9) = 0``
+    6. ``OPTIMIZE TABLE .. FINAL`` — compaction; values untouched
+
+    and returns the final table state read back through the engine, so
+    the oracle checks the whole mutate+read contract (including the
+    round-6 view-staleness fix after storage mutations).
+
+    Scale design: every mutation is a bucket-bounded rewrite — UPDATE /
+    DELETE rewrite only buckets whose pruned scan matches the
+    predicate, OPTIMIZE compacts per-bucket; nothing is collected to
+    the driver.  At 100 TB each statement touches O(matched buckets)
+    not O(table)."""
+    from substreams_sink_clickhouse_spark.config import EngineConfig
+    from substreams_sink_clickhouse_spark.engine import Engine
+
+    o = load_table(spark, sf, "orders")
+    workdir = _scratch_dir("maint_gate_")
+    stream = os.path.join(workdir, "stream")
+    os.makedirs(stream)
+
+    def msg(block, rows):
+        return rows.select(
+            F.to_json(
+                F.struct(
+                    F.lit(block).cast("long").alias("block_num"),
+                    F.lit(f"b{block}").alias("block_id"),
+                    F.array(
+                        F.struct(
+                            F.lit("orders_t").alias("table"),
+                            F.col("o_orderkey").cast("string").alias("pk"),
+                            F.col("o_orderkey").alias("ordinal"),
+                            F.lit("CREATE").alias("operation"),
+                            F.array(
+                                F.struct(
+                                    F.lit("status").alias("name"),
+                                    F.col("o_orderstatus").alias("new_value"),
+                                    F.lit(None).cast("string").alias("old_value"),
+                                ),
+                                F.struct(
+                                    F.lit("price").alias("name"),
+                                    F.col("o_totalprice").cast("string").alias("new_value"),
+                                    F.lit(None).cast("string").alias("old_value"),
+                                ),
+                            ).alias("fields"),
+                        )
+                    ).alias("table_changes"),
+                )
+            ).alias("value")
+        )
+
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=os.path.join(workdir, "wh"),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+        ),
+    )
+    catalog = _dv_catalog()
+    # epoch 1: full load
+    msg(1, o).coalesce(2).write.mode("append").text(stream)
+    eng.ingest(stream, catalog)
+    # the reference's three mutation shapes, all through the dialect
+    eng.sql("TRUNCATE TABLE orders_t", dialect="clickhouse").collect()
+    # epoch 2: reinsert the even-key half (arrives as new files)
+    msg(2, o.filter(F.col("o_orderkey") % 2 == 0)).coalesce(1).write.mode(
+        "append"
+    ).text(stream)
+    eng.ingest(stream, catalog)
+    eng.sql(
+        "ALTER TABLE orders_t UPDATE price = price + 25 WHERE status = 'F'",
+        dialect="clickhouse",
+    ).collect()
+    eng.sql(
+        "ALTER TABLE orders_t DELETE WHERE modulo(toInt64(id), 9) = 0",
+        dialect="clickhouse",
+    ).collect()
+    eng.sql("OPTIMIZE TABLE orders_t FINAL", dialect="clickhouse").collect()
+    return eng.table("orders_t")  # unordered; gate compare sorts
+
+
+SPECS.append(
+    QuerySpec(
+        "maintenance_sql",
+        "TRUNCATE + reinsert + ALTER UPDATE/DELETE + OPTIMIZE FINAL "
+        "through the ClickHouse dialect, state read back post-mutation",
+        _maintenance_sql,
+        """
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               o_orderstatus AS status,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 25
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 9 <> 0
+        """,
+    )
+)

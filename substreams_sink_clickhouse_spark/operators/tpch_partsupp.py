@@ -1,9 +1,17 @@
-"""TPC-H partsupp-based shapes (Q2 / Q11 / Q16 / Q20).
+"""TPC-H shapes over synthesized columns (Q2 / Q11 / Q16 / Q20 / Q12).
 
-The driver fixtures ship no ``partsupp`` table, so the four canonical
-TPC-H shapes that need one were schema-blocked (SURVEY.md §2 note).
-This module synthesizes a DETERMINISTIC partsupp from ``part`` ×
-``supplier`` on both engines — the TPC-H 4-suppliers-per-part
+The driver fixtures ship no ``partsupp`` table and lineitem lacks
+``l_shipmode`` / ``l_commitdate`` / ``l_receiptdate``, so the five
+canonical TPC-H shapes that need them were schema-blocked (SURVEY.md
+§2 note).  This module synthesizes the missing relations/columns
+DETERMINISTICALLY on both engines.  Q12's lineitem extension (see
+:data:`_LINEITEM_EXT` below) derives the three missing columns from
+``(l_orderkey, l_linenumber, l_shipdate)`` with affine modular
+formulas inlined identically in Spark and DuckDB — dbgen's own
+construction is uniform draws over a mode list and bounded day
+offsets, which these formulas mimic hash-free.
+
+For partsupp it synthesizes from ``part`` × ``supplier`` — the TPC-H 4-suppliers-per-part
 construction (dbgen's ``PS_SUPPKEY = (ps_partkey + i*(S/4 +
 (ps_partkey-1)/S)) % S + 1``, adapted to the fixtures' 0-based keys)
 with hash-free affine formulas for quantities and costs so Spark and
@@ -313,6 +321,105 @@ ORDER BY s_name
 """
 
 
+#: Deterministic lineitem extension for Q12 (both engines inline the
+#: SAME affine modular formulas — dbgen's construction is uniform
+#: draws over the 7-mode list and bounded day offsets from
+#: ship/commit anchors; these mimic it hash-free so the two engines
+#: agree bit-for-bit):
+#:
+#: * ``mode_idx      = (l_orderkey*7 + l_linenumber*3) % 7``
+#: * ``l_shipmode    = MODES[mode_idx]``
+#: * ``l_commitdate  = l_shipdate + (-45 + (l_orderkey*11 + l_linenumber*5) % 91) days``
+#:   (±45 days around shipdate, so "shipped before commit" splits the data)
+#: * ``l_receiptdate = l_shipdate + (1 + (l_orderkey*3 + l_linenumber*7) % 30) days``
+#:   (dbgen: receipt = ship + random(1..30))
+#:
+#: All arithmetic is integer + calendar-day intervals on TIMESTAMP —
+#: no floats anywhere, so the predicate set can never flip on FP noise.
+_MODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+
+
+def _tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping modes and order priority (TPC-H Q12): for MAIL/SHIP
+    lineitems received in 1997 that were committed late
+    (receipt > commit) but shipped on time (ship < commit), count
+    high- vs low-priority orders per mode.
+
+    Scale design: the synthesized columns are a pure map-side projection
+    over lineitem (zero extra shuffle); the mode/date predicates apply
+    BEFORE the orders join, so only the ~1/7 × date-window slice of the
+    fact shuffles.  orders joins on o_orderkey — at fixture scale AQE
+    broadcasts it; at 100 TB both sides shuffle-join on the key, the
+    right plan for two fact-sized relations.  The final groupBy has 2
+    groups (MAIL/SHIP) — trivially map-side combinable.
+
+    Reference parity: closes the last fixture-blocked TPC-H shape; the
+    reference's users run the full suite over ClickHouse
+    (README.md:29-52)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "element_at(array('REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'), "
+            "cast((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT) + 1)"
+        ).alias("l_shipmode"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, "
+            "cast(-45 + (l_orderkey * 11 + l_linenumber * 5) % 91 AS INT))"
+        ).alias("l_commitdate"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, "
+            "cast(1 + (l_orderkey * 3 + l_linenumber * 7) % 30 AS INT))"
+        ).alias("l_receiptdate"),
+        "l_shipdate",
+    )
+    li = li.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+_TPCH_Q12_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         (['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'])
+           [CAST((l_orderkey * 7 + l_linenumber * 3) % 7 AS INT) + 1] AS l_shipmode,
+         l_shipdate + (-45 + (l_orderkey * 11 + l_linenumber * 5) % 91) * INTERVAL 1 DAY
+           AS l_commitdate,
+         l_shipdate + (1 + (l_orderkey * 3 + l_linenumber * 7) % 30) * INTERVAL 1 DAY
+           AS l_receiptdate,
+         l_shipdate
+  FROM lineitem)
+SELECT l_shipmode,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1997-01-01'
+  AND l_receiptdate < TIMESTAMP '1998-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
 SPECS = [
     QuerySpec(
         "tpch_q2",
@@ -337,5 +444,11 @@ SPECS = [
         "TPC-H Q20 shape: suppliers over half a year's shipped quantity",
         _tpch_q20,
         _TPCH_Q20_ORACLE,
+    ),
+    QuerySpec(
+        "tpch_q12",
+        "TPC-H Q12: shipmode priority counts over synthesized ship columns",
+        _tpch_q12,
+        _TPCH_Q12_ORACLE,
     ),
 ]

@@ -43,6 +43,8 @@ sys.path.insert(0, REPO)
 #: round-6 additions that have never seen any driver check, plus the
 #: ClickHouse-dialect anchor entry.
 PRIORITY = [
+    "maintenance_sql",
+    "tpch_q12",
     "multimodal_phash_dedup",
     "train_interleave",
     "dedup_bloom_prefilter",
