@@ -273,10 +273,17 @@ def main() -> None:
 
     loadavg_before = loadavg_1m()
     timings: dict[str, float] = {}
+    loadavg_at_reps: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
         settle()
+        # record the load the reps actually started at — the artifact
+        # self-adjudicates per query, not just per run (a mid-run load
+        # spike is visible next to the query it hit)
+        la = loadavg_1m()
+        if la is not None:
+            loadavg_at_reps[name] = la
         for _ in range(4):
             t0 = time.time()
             fn(sess(name), sf_dir).count()
@@ -351,6 +358,11 @@ def main() -> None:
                 "ingest_e2e_sec": ingest_sec,
                 "loadavg_before": loadavg_before,
                 "loadavg_after": loadavg_after,
+                # per-query loadavg at the moment its reps started,
+                # after the bounded settle() gate (wait for 1-min load
+                # < 2.5, cap 12 s, outside every timed window)
+                "loadavg_at_reps": loadavg_at_reps,
+                "loadavg_gate": {"threshold": 2.5, "cap_s": 12.0},
                 "oracle_total_sec": oracle_total,
                 "oracle_queries": oracle,
                 "oracle_skipped": oracle_skipped,

@@ -171,6 +171,11 @@ _NAME_SWAPS = {
     "fromUnixTimestamp": "timestamp_seconds",
     "mapFromArrays": "map_from_arrays",
     "toTypeName": "typeof",
+    # round-7 batch: same argument order and semantics
+    "editDistance": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "fromUnixTimestamp64Milli": "timestamp_millis",
+    "fromUnixTimestamp64Micro": "timestamp_micros",
 }
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
@@ -276,6 +281,36 @@ _PARAM_AGGS = {
     "quantileExactWeighted": ("__weighted__", False),
     "topK": None,  # special-cased: frequency top-k, see _topk_expr
 }
+
+
+def _map_apply_expr(lam: str, m: str) -> str:
+    """Rewrite ``mapApply((k, v) -> (kexpr, vexpr), m)`` to a Spark
+    entries round-trip: ``map_from_entries(transform(map_entries(m),
+    __e -> struct(kexpr', vexpr')))`` where the lambda variables are
+    substituted with ``__e.key`` / ``__e.value``.  Only the literal
+    two-variable tuple-returning form is supported (ClickHouse's
+    documented shape); the substitution is word-boundary on MASKED
+    text, so identifiers inside string literals are never touched."""
+    head, arrow, body = lam.partition("->")
+    if not arrow:
+        raise ValueError("mapApply needs a (k, v) -> (kexpr, vexpr) lambda")
+    kvars = [v.strip() for v in head.strip().strip("()").split(",")]
+    if len(kvars) != 2 or not all(v.isidentifier() for v in kvars):
+        raise ValueError("mapApply lambda must name exactly (key, value)")
+    body = body.strip()
+    if not (body.startswith("(") and _match_paren(body, 0) == len(body) - 1):
+        raise ValueError("mapApply lambda must return a (kexpr, vexpr) tuple")
+    parts = _split_top_commas(body[1:-1])
+    if len(parts) != 2:
+        raise ValueError("mapApply lambda must return a (kexpr, vexpr) tuple")
+    kexpr, vexpr = parts
+    for var, repl in zip(kvars, ("__e.key", "__e.value")):
+        kexpr = re.sub(rf"\b{re.escape(var)}\b", repl, kexpr)
+        vexpr = re.sub(rf"\b{re.escape(var)}\b", repl, vexpr)
+    return (
+        f"map_from_entries(transform(map_entries({m}), "
+        f"__e -> struct({kexpr}, {vexpr})))"
+    )
 
 
 def _topk_expr(args: str, k: str) -> str:
@@ -524,6 +559,14 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "dateAdd", "dateSub",
                 "splitByWhitespace", "ifNotFinite", "bitTest",
                 "arrayReduce", "arrayReverseSort",
+                # round-7 batch
+                "arrayJaccardIndex", "ngrams", "tokens",
+                "multiSearchFirstIndex", "mapFilter", "mapApply",
+                "mapUpdate", "simpleLinearRegression", "entropy",
+                "arrayEnumerateUniq", "arrayRotateLeft",
+                "arrayRotateRight", "toDecimalString",
+                "greatCircleDistance", "toUnixTimestamp64Milli",
+                "toUnixTimestamp64Micro",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
         ) + r")\s*\("
     )
@@ -1139,10 +1182,25 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 if sent
                 else agg_raw.strip().strip("'\"").lower()
             )
+            # sum's accumulator takes the ELEMENT type's numeric width:
+            # the seed `coalesce(try_element_at(arr,1), 0) * 0L * 1L`
+            # is a statically-typed zero — BIGINT for any integral
+            # element (ClickHouse sums Int* arrays to Int64; a DOUBLE
+            # fold loses exactness above 2^53, round-6 advisory),
+            # FLOAT/DOUBLE for fractional elements, and for DECIMAL the
+            # two BIGINT multiplies saturate precision at the (38,s)
+            # cap so `acc + x` keeps the accumulator type stable.
+            # try_element_at: a plain element_at throws on empty arrays
+            # under ANSI.  avg is Float64 in ClickHouse always, so it
+            # keeps the DOUBLE fold.
+            _seed = (
+                f"coalesce(try_element_at({arr}, 1), 0)"
+                f" * CAST(0 AS BIGINT) * CAST(1 AS BIGINT)"
+            )
             reducers = {
                 "max": f"array_max({arr})",
                 "min": f"array_min({arr})",
-                "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+                "sum": f"aggregate({arr}, {_seed}, (acc, x) -> acc + x)",
                 "avg": (
                     f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
                     f" / size({arr}))"
@@ -1171,6 +1229,123 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             # whitespace-prefixed string)
             repl = (
                 f"filter(split({inner}, '\\\\s+'), x -> x != '')"
+            )
+        elif name == "arrayJaccardIndex":
+            a, b = _split_top_commas(inner)
+            # empty/empty yields NaN exactly like ClickHouse (a bare
+            # division would be an ANSI divide-by-zero error)
+            repl = (
+                f"(CASE WHEN size(array_union({a}, {b})) = 0 "
+                f"THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+                f" / size(array_union({a}, {b})) END)"
+            )
+        elif name == "ngrams":
+            s, n = _split_top_commas(inner)
+            # character n-grams; shorter-than-n strings yield an empty
+            # array (a bare sequence(1, 0) would count DOWN)
+            repl = (
+                f"CASE WHEN length({s}) < ({n}) THEN array() "
+                f"ELSE transform(sequence(1, length({s}) - ({n}) + 1), "
+                f"__i -> substring({s}, __i, {n})) END"
+            )
+        elif name == "tokens":
+            # the default tokenizer: maximal runs of alphanumeric
+            # characters (underscore included), empties dropped
+            repl = (
+                f"filter(split({inner}, '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
+                f"__x -> __x != '')"
+            )
+        elif name == "multiSearchFirstIndex":
+            s, arr = _split_top_commas(inner)
+            # index (1-based) of the needle with the LEFTMOST match —
+            # by match position, not list order; 0 if none match.  The
+            # positions array is bound once via the 1-element transform
+            # so the haystack scan per needle isn't repeated.
+            repl = (
+                f"transform(array(transform({arr}, __p -> locate(__p, {s}))), "
+                f"__pos -> coalesce(array_position(__pos, "
+                f"array_min(filter(__pos, __x -> __x > 0))), CAST(0 AS BIGINT)))[0]"
+            )
+        elif name == "mapFilter":
+            lam, mp = _split_top_commas(inner)
+            repl = f"map_filter({mp}, {lam})"  # lambda-first reorder
+        elif name == "mapApply":
+            lam, mp = _split_top_commas(inner)
+            repl = _map_apply_expr(lam, mp)
+        elif name == "mapUpdate":
+            m1, m2 = _split_top_commas(inner)
+            # m2's pairs override m1's on key collision
+            repl = (
+                f"map_concat(map_filter({m1}, (__k, __v) -> "
+                f"NOT array_contains(map_keys({m2}), __k)), {m2})"
+            )
+        elif name == "simpleLinearRegression":
+            x, y = _split_top_commas(inner)
+            # ClickHouse fits y = k*x + b and returns the (k, b) tuple;
+            # Spark's regr_* take the DEPENDENT variable first
+            repl = (
+                f"named_struct('col1', regr_slope({y}, {x}), "
+                f"'col2', regr_intercept({y}, {x}))"
+            )
+        elif name == "entropy":
+            # Shannon entropy (log2) of the value distribution.  The
+            # 1-element transform binds the collected list once; the
+            # per-distinct-value count is an O(n) filter — fine for the
+            # grouped-aggregate shapes this appears in (same trade as
+            # _topk_expr; for large flat groups use a two-level GROUP
+            # BY instead).
+            repl = (
+                f"transform(array(collect_list({inner})), __l -> "
+                f"aggregate(transform(array_distinct(__l), __v -> "
+                f"CAST(size(filter(__l, __y -> __y = __v)) AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (__a, __c) -> "
+                f"__a - (__c / size(__l)) * log2(__c / size(__l))))[0]"
+            )
+        elif name == "arrayEnumerateUniq":
+            # occurrence number of each element among its predecessors
+            # (1-based): count equal elements in the prefix ending here
+            repl = (
+                f"transform({inner}, (__x, __i) -> "
+                f"size(filter(slice({inner}, 1, __i + 1), __y -> __y = __x)))"
+            )
+        elif name in ("arrayRotateLeft", "arrayRotateRight"):
+            a, n = _split_top_commas(inner)
+            if name == "arrayRotateRight":
+                n = f"-({n})"
+            # pmod normalizes negative / oversized shifts; empty arrays
+            # short-circuit (pmod by 0 is NULL)
+            repl = (
+                f"CASE WHEN size({a}) = 0 THEN {a} ELSE "
+                f"concat(slice({a}, pmod({n}, size({a})) + 1, "
+                f"size({a}) - pmod({n}, size({a}))), "
+                f"slice({a}, 1, pmod({n}, size({a})))) END"
+            )
+        elif name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro"):
+            # unix_millis/unix_micros require TIMESTAMP (with zone);
+            # the parquet fixtures load as TIMESTAMP_NTZ, so cast first
+            # (session zone is pinned UTC — same instant either way)
+            fn = "unix_millis" if name.endswith("Milli") else "unix_micros"
+            repl = f"{fn}(CAST({inner} AS TIMESTAMP))"
+        elif name == "toDecimalString":
+            x, nd = _split_top_commas(inner)
+            nd = nd.strip()
+            if not nd.isdigit():
+                raise ValueError(
+                    "toDecimalString needs a literal decimal count "
+                    "(the format string is built at translation time)"
+                )
+            repl = f"format_string('%.{int(nd)}f', CAST({x} AS DOUBLE))"
+        elif name == "greatCircleDistance":
+            lon1, lat1, lon2, lat2 = _split_top_commas(inner)
+            # haversine on the same 6371 km sphere as q84_geo_distance
+            # (documented deviation: ClickHouse uses R=6372797.560856 m
+            # — a fixed 0.03% scale difference)
+            repl = (
+                f"(2.0 * 6371000.0 * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
             )
         elif name == "ifNotFinite":
             x, y = _split_top_commas(inner)

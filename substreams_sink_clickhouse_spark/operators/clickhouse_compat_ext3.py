@@ -3231,3 +3231,155 @@ SPECS.append(
         _Q170_ORACLE,
     )
 )
+
+# ------------------------------------------- round-7 batches (q171/q172)
+
+_Q171_CLICKHOUSE_SQL = r"""
+SELECT lang,
+       count() AS n,
+       CAST(sum(editDistance(substring(text, 1, 10),
+                             substring(text, 11, 10))) AS BIGINT) AS ed_sum,
+       round(max(arrayJaccardIndex(tokens(substring(text, 1, 60)),
+                                   tokens(substring(text, 31, 60)))), 6)
+         AS jac_max,
+       CAST(sum(multiSearchFirstIndex(text, ['data', 'the', 'merge']))
+            AS BIGINT) AS msi_sum,
+       CAST(sum(arrayCount(g -> length(g) = 3,
+                           ngrams(substring(text, 1, 20), 3))) AS BIGINT)
+         AS ng_sum,
+       min(toDecimalString(n_chars / 7, 3)) AS dec_min
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _q171_dialect_strsim(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 string-similarity batch through the shim: editDistance
+    (levenshtein), arrayJaccardIndex over tokens() sets,
+    multiSearchFirstIndex (leftmost-MATCH semantics, not list order),
+    character ngrams, toDecimalString — aggregated per language so the
+    oracle checks exact values.  All sums are over integers (jaccard,
+    a double, uses max — order-insensitive, no FP accumulation)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(clickhouse_to_spark_sql(_Q171_CLICKHOUSE_SQL))
+
+
+_Q171_ORACLE = r"""
+WITH d AS (
+  SELECT lang, text, n_chars,
+         list_filter(string_split_regex(substring(text, 1, 60),
+                                        '[^\p{L}\p{N}_]+'),
+                     x -> x != '') AS t1,
+         list_filter(string_split_regex(substring(text, 31, 60),
+                                        '[^\p{L}\p{N}_]+'),
+                     x -> x != '') AS t2,
+         [strpos(text, 'data'), strpos(text, 'the'),
+          strpos(text, 'merge')] AS pos,
+         substring(text, 1, 20) AS s20
+  FROM documents)
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(levenshtein(substring(text, 1, 10),
+                            substring(text, 11, 10))) AS BIGINT) AS ed_sum,
+       round(max(CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+                 / len(list_distinct(list_concat(t1, t2)))), 6) AS jac_max,
+       CAST(sum(coalesce(list_position(pos,
+                  list_min(list_filter(pos, x -> x > 0))), 0)) AS BIGINT)
+         AS msi_sum,
+       CAST(sum(CASE WHEN length(s20) < 3 THEN 0
+                     ELSE length(s20) - 2 END) AS BIGINT) AS ng_sum,
+       min(printf('%.3f', n_chars / 7)) AS dec_min
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q171_dialect_strsim",
+        "Round-7 string-sim batch: editDistance, arrayJaccardIndex, "
+        "tokens, multiSearchFirstIndex, ngrams, toDecimalString",
+        _q171_dialect_strsim,
+        _Q171_ORACLE,
+    )
+)
+
+
+_Q172_CLICKHOUSE_SQL = r"""
+SELECT event_type,
+       CAST(count() AS BIGINT) AS n,
+       round(entropy(user_id % 10), 6) AS ent,
+       CAST(sum(arrayReduce('sum', mapValues(mapUpdate(
+              mapFromArrays(['a', 'c'], [user_id % 7, 99]),
+              mapApply((k, v) -> (k, v + 1),
+                       mapFromArrays(['c'], [user_id % 5]))))))
+            AS BIGINT) AS map_sum,
+       CAST(sum(arrayCount(x -> true, mapKeys(
+              mapFilter((k, v) -> v % 3 = 0,
+                        mapFromArrays(['x', 'y'], [user_id, user_id + 1])))))
+            AS BIGINT) AS mf_cnt,
+       CAST(sum(arrayElement(arrayEnumerateUniq(
+              [user_id % 3, user_id % 2, user_id % 3]), 2)) AS BIGINT)
+         AS enu_sum,
+       CAST(sum(arrayElement(arrayRotateLeft(
+              [user_id, event_id, 7], 1), 1)) AS BIGINT) AS rot_sum,
+       max(toUnixTimestamp64Milli(ts)) AS max_ms,
+       round(tupleElement(simpleLinearRegression(
+               toFloat64(user_id), toFloat64(event_id)), 1), 6) AS slope
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q172_dialect_maps_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 map/stats batch through the shim: mapFilter / mapApply /
+    mapUpdate (lambda-first reorder + entries round-trip; the update's
+    key-'c' override is checked through an order-insensitive
+    arrayReduce('sum') over mapValues), entropy (Shannon, log2),
+    arrayEnumerateUniq, arrayRotateLeft, toUnixTimestamp64Milli,
+    simpleLinearRegression (regr_slope under the tuple convention).
+    Integer columns sum exactly; the two double columns (entropy,
+    slope) round to 6."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q172_CLICKHOUSE_SQL))
+
+
+_Q172_ORACLE = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(entropy(user_id % 10), 6) AS ent,
+       CAST(sum(user_id % 7 + user_id % 5 + 1) AS BIGINT) AS map_sum,
+       CAST(sum(CAST(user_id % 3 = 0 AS INT)
+                + CAST((user_id + 1) % 3 = 0 AS INT)) AS BIGINT) AS mf_cnt,
+       CAST(sum(CASE WHEN user_id % 2 = user_id % 3 THEN 2 ELSE 1 END)
+            AS BIGINT) AS enu_sum,
+       CAST(sum(event_id) AS BIGINT) AS rot_sum,
+       max(CAST(epoch_ms(ts) AS BIGINT)) AS max_ms,
+       round(regr_slope(CAST(event_id AS DOUBLE),
+                        CAST(user_id AS DOUBLE)), 6) AS slope
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q172_dialect_maps_stats",
+        "Round-7 map/stats batch: mapFilter/Apply/Update, entropy, "
+        "arrayEnumerateUniq, arrayRotate, unix-millis, linear regression",
+        _q172_dialect_maps_stats,
+        _Q172_ORACLE,
+    )
+)

@@ -1270,11 +1270,23 @@ def test_round6_array_reduce_and_reverse_sort(spark):
     got = spark.sql(clickhouse_to_spark_sql(
         "SELECT arrayReduce('max', [3,1,2]) AS mx, "
         "arrayReduce('sum', [1,2,3]) AS sm, "
+        "arrayReduce('sum', [9007199254740993, 1]) AS sm_big, "
+        "arrayReduce('sum', [1.5, 2.0]) AS sm_d, "
+        "arrayReduce('sum', CAST(array() AS ARRAY<BIGINT>)) AS sm_empty, "
+        "arrayReduce('avg', [1, 2]) AS av, "
         "arrayReduce('uniqExact', [1,1,2]) AS u, "
         "arrayReverseSort([2,3,1]) AS rs, "
         "toTypeName(1) AS tn"
     )).collect()[0]
-    assert (got.mx, got.sm, got.u) == (3, 6.0, 2)
+    # integer arrays sum EXACTLY on a BIGINT accumulator (ClickHouse
+    # returns Int64; a DOUBLE fold would round 2^53+1 — r6 advisory);
+    # fractional arrays keep their float fold; avg is always Float64
+    assert (got.mx, got.sm, got.u) == (3, 6, 2)
+    assert isinstance(got.sm, int)
+    assert got.sm_big == 9007199254740994  # exact above 2^53
+    assert got.sm_d == 3.5
+    assert got.sm_empty == 0
+    assert got.av == 1.5
     assert list(got.rs) == [3, 2, 1]
     assert got.tn == "int"
     import pytest
@@ -1283,3 +1295,84 @@ def test_round6_array_reduce_and_reverse_sort(spark):
         clickhouse_to_spark_sql("SELECT arrayReduce('median', a) FROM t")
     with pytest.raises(ValueError, match="plain 1-arg"):
         clickhouse_to_spark_sql("SELECT arrayReverseSort(x -> -x, a) FROM t")
+
+
+def test_round7_string_sim_batch(spark):
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT arrayJaccardIndex([1,2,3], [2,3,4]) AS jac, "
+        "ngrams('abcd', 3) AS ng, ngrams('ab', 3) AS ng_short, "
+        "tokens('foo, bar_9!baz') AS tok, "
+        "multiSearchFirstIndex('hello world', ['world', 'hello']) AS msi, "
+        "multiSearchFirstIndex('hello', ['x', 'y']) AS msi0, "
+        "editDistance('kitten', 'sitting') AS ed, "
+        "toDecimalString(3.14159, 2) AS ds"
+    )).collect()[0]
+    assert got.jac == 0.5
+    assert list(got.ng) == ["abc", "bcd"]
+    assert list(got.ng_short) == []
+    assert list(got.tok) == ["foo", "bar_9", "baz"]
+    # leftmost MATCH wins, not list order: 'hello' is at position 1
+    assert (got.msi, got.msi0) == (2, 0)
+    assert got.ed == 3
+    assert got.ds == "3.14"
+
+
+def test_round7_map_batch(spark):
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT mapFilter((k, v) -> v > 1, mapFromArrays(['a','b'], [1,2])) AS mf, "
+        "mapApply((k, v) -> (upper(k), v * 2), mapFromArrays(['a'], [3])) AS ma, "
+        "mapUpdate(mapFromArrays(['a','b'],[1,2]), mapFromArrays(['b'],[9])) AS mu"
+    )).collect()[0]
+    assert dict(got.mf) == {"b": 2}
+    assert dict(got.ma) == {"A": 6}
+    assert dict(got.mu) == {"a": 1, "b": 9}
+    import pytest
+
+    with pytest.raises(ValueError, match="mapApply"):
+        clickhouse_to_spark_sql("SELECT mapApply(v -> v, m) FROM t")
+
+
+def test_round7_array_and_stats_batch(spark):
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT arrayEnumerateUniq([10,10,20,10]) AS enu, "
+        "arrayRotateLeft([1,2,3,4,5], 2) AS rl, "
+        "arrayRotateRight([1,2,3,4,5], 1) AS rr, "
+        "arrayRotateLeft([1,2,3], -1) AS rneg, "
+        "arrayRotateLeft(CAST(array() AS ARRAY<INT>), 3) AS rempty, "
+        "toUnixTimestamp64Milli(CAST('2020-01-01 00:00:00' AS TIMESTAMP)) AS ms"
+    )).collect()[0]
+    assert list(got.enu) == [1, 2, 1, 3]
+    assert list(got.rl) == [3, 4, 5, 1, 2]
+    assert list(got.rr) == [5, 1, 2, 3, 4]
+    assert list(got.rneg) == [3, 1, 2]
+    assert list(got.rempty) == []
+    assert got.ms == 1577836800000
+
+
+def test_round7_agg_batch(spark):
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT entropy(v) AS ent, "
+        "tupleElement(simpleLinearRegression(x, y), 1) AS slope, "
+        "tupleElement(simpleLinearRegression(x, y), 2) AS icept "
+        "FROM (SELECT 1 AS v, 1.0 AS x, 3.0 AS y "
+        "UNION ALL SELECT 1, 2.0, 5.0 "
+        "UNION ALL SELECT 2, 3.0, 7.0 UNION ALL SELECT 2, 4.0, 9.0)"
+    )).collect()[0]
+    assert got.ent == 1.0  # two values, 50/50 -> 1 bit
+    assert abs(got.slope - 2.0) < 1e-12 and abs(got.icept - 1.0) < 1e-12

@@ -39,3 +39,26 @@ def test_sample_manifest_stratified_and_deterministic():
         "dedup_exact",
         "train_mix",
     }
+
+
+def test_oracle_type_audit_catches_nested_banned_types():
+    """The banned-type sweep must catch HUGEINT nested inside
+    LIST/STRUCT/MAP, not just top-level columns (round-6 advisory:
+    fullmatch let 'HUGEINT[]' escape)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_type_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "oracle_type_audit.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert m.is_banned("HUGEINT")
+    assert m.is_banned("HUGEINT[]")
+    assert m.is_banned("STRUCT(x HUGEINT)")
+    assert m.is_banned("MAP(VARCHAR, UHUGEINT)")
+    assert m.is_banned("STRUCT(ts TIMESTAMP WITH TIME ZONE)")
+    assert not m.is_banned("BIGINT")
+    assert not m.is_banned("TIMESTAMP")
+    assert not m.is_banned("DECIMAL(38,0)")

@@ -24,6 +24,22 @@ echo "== shuffle budgets (sf0.1 headline regression gate) =="
 python tools/shuffle_budget.py
 
 echo "== unit tests =="
-python -m pytest tests/ -q
+PYTEST_OUT="$(mktemp)"
+python -m pytest tests/ -q -rs | tee "$PYTEST_OUT"
+
+echo "== skip audit (every skip must be a KNOWN env gate) =="
+# A silently-broken import must never masquerade as an env gate: the
+# only permitted skip reason is the pinned connector-absence string.
+# (grep -c exits 1 on zero matches; `|| true` keeps set -e happy.)
+N_SKIPS=$(grep -c "^SKIPPED" "$PYTEST_OUT" || true)
+N_KNOWN=$(grep -c "^SKIPPED.*could not import 'google.protobuf'" "$PYTEST_OUT" || true)
+if [ "$N_SKIPS" != "$N_KNOWN" ]; then
+  echo "FAIL: $((N_SKIPS - N_KNOWN)) skip(s) with an unpinned reason:"
+  grep "^SKIPPED" "$PYTEST_OUT" | grep -v "could not import 'google.protobuf'" || true
+  rm -f "$PYTEST_OUT"
+  exit 1
+fi
+echo "skips: $N_SKIPS, all pinned to the known env gate"
+rm -f "$PYTEST_OUT"
 
 echo "CI green."

@@ -26,6 +26,17 @@ sys.path.insert(0, "/root/repo")
 BANNED = ("HUGEINT", "UHUGEINT", "TIMESTAMP WITH TIME ZONE")
 
 
+def is_banned(dtype: str) -> bool:
+    """True if a rendered DuckDB type contains a banned type anywhere —
+    including nested inside LIST/STRUCT/MAP ('HUGEINT[]',
+    'STRUCT(x HUGEINT)'), which hash-diverge through array/struct
+    columns just as surely as top-level ones (round-6 advisory)."""
+    up = dtype.upper()
+    return any(
+        re.search(r"\b" + b.replace(" ", r"\s+") + r"\b", up) for b in BANNED
+    )
+
+
 def audit(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
     import duckdb
 
@@ -51,8 +62,7 @@ def audit(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
             bad = [
                 f"{col}:{dtype}"
                 for col, dtype in zip(rel.columns, map(str, rel.types))
-                if any(re.fullmatch(b.replace(" ", r"\s+"), str(dtype).upper())
-                       for b in BANNED)
+                if is_banned(str(dtype))
             ]
         except Exception as exc:  # pragma: no cover - surfaced in report
             errors[name] = str(exc).splitlines()[0][:200]
