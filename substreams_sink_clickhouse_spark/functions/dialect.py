@@ -563,8 +563,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arrayJaccardIndex", "ngrams", "tokens",
                 "multiSearchFirstIndex", "mapFilter", "mapApply",
                 "mapUpdate", "simpleLinearRegression", "entropy",
-                "arrayEnumerateUniq", "arrayRotateLeft",
-                "arrayRotateRight", "toDecimalString",
+                "arrayEnumerateUniq", "toDecimalString",
                 "greatCircleDistance", "toUnixTimestamp64Milli",
                 "toUnixTimestamp64Micro",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
@@ -1308,18 +1307,6 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             repl = (
                 f"transform({inner}, (__x, __i) -> "
                 f"size(filter(slice({inner}, 1, __i + 1), __y -> __y = __x)))"
-            )
-        elif name in ("arrayRotateLeft", "arrayRotateRight"):
-            a, n = _split_top_commas(inner)
-            if name == "arrayRotateRight":
-                n = f"-({n})"
-            # pmod normalizes negative / oversized shifts; empty arrays
-            # short-circuit (pmod by 0 is NULL)
-            repl = (
-                f"CASE WHEN size({a}) = 0 THEN {a} ELSE "
-                f"concat(slice({a}, pmod({n}, size({a})) + 1, "
-                f"size({a}) - pmod({n}, size({a}))), "
-                f"slice({a}, 1, pmod({n}, size({a})))) END"
             )
         elif name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro"):
             # unix_millis/unix_micros require TIMESTAMP (with zone);

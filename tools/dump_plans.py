@@ -295,6 +295,25 @@ SHOWCASE = [
         "map-only assignment pass — no pairwise distances, output "
         "fixed at the confusion matrix.",
     ),
+    (
+        "tpch_q12",
+        "Q12 over synthesized ship columns: every synthesized-column "
+        "predicate (mode, commit/receipt windows) applies map-side at "
+        "the lineitem scan BEFORE the orders join — at 100 TB only the "
+        "~1/7 x date-window slice of the fact ever reaches the join.",
+    ),
+    (
+        "q171_dialect_strsim",
+        "Translated string-similarity batch: one scan of documents, "
+        "all per-row token/ngram/levenshtein work inside whole-stage "
+        "codegen, one exchange for the 5-group aggregate.",
+    ),
+    (
+        "q172_dialect_maps_stats",
+        "Translated map/stats batch: per-row map algebra "
+        "(filter/apply/update) is pure expression work — zero Python, "
+        "zero extra shuffles beyond the group-by exchange.",
+    ),
 ]
 
 
