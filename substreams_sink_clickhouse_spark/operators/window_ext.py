@@ -521,3 +521,107 @@ SPECS.append(
         _Q145_ORACLE,
     )
 )
+
+
+def _q173_scd2_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 temporal-dimension join: match every event to the version
+    of its user's dimension row whose validity interval contains the
+    event timestamp — the slowly-changing-dimension shape every
+    warehouse pipeline runs (the reference's users keep versioned
+    dimensions in ReplacingMergeTree and join FINAL snapshots;
+    README.md:29-52).
+
+    The dimension is synthesized DETERMINISTICALLY on both engines:
+    per user, 3 versions splitting [min(ts), max(ts)] into equal
+    integer-second thirds (bounds from ONE 1-row broadcast aggregate,
+    never a collect), status = 'tier_' || (user_id + version) % 4.
+
+    Scale design: the join is equi on user_id with the interval as a
+    residual range filter — a BroadcastHashJoin here (the dimension is
+    users x 3 rows), a co-partitioned shuffle hash join at 100 TB;
+    never a BNLJ because the equi key exists.  Every event matches
+    exactly one version, so the join neither drops nor duplicates.
+    Output is the fixed 4-row tier rollup; all aggregated columns are
+    integers (exact under any summation order)."""
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("e_s")
+    )
+    bounds = e.agg(
+        F.min("e_s").alias("__mn"),
+        F.max("e_s").alias("__mx"),
+        F.min("user_id").alias("__mu"),
+        F.max("user_id").alias("__xu"),
+    )
+    dim = (
+        bounds.select(
+            "__mn",
+            "__mx",
+            F.explode(F.expr("sequence(__mu, __xu)")).alias("d_user"),
+        )
+        .select(
+            "__mn",
+            "__mx",
+            "d_user",
+            F.explode(F.expr("sequence(0, 2)")).alias("version"),
+        )
+        .selectExpr(
+            "d_user",
+            "version",
+            "__mn + version * (__mx - __mn + 1) div 3 AS valid_from",
+            "__mn + (version + 1) * (__mx - __mn + 1) div 3 AS valid_to",
+            "concat('tier_', CAST((d_user + version) % 4 AS STRING)) AS status",
+        )
+    )
+    return (
+        e.join(
+            F.broadcast(dim),
+            (e.user_id == dim.d_user)
+            & (e.e_s >= dim.valid_from)
+            & (e.e_s < dim.valid_to),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_eid"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("status")
+    )
+
+
+_Q173_ORACLE = """
+WITH b AS (
+  SELECT CAST(epoch(min(ts)) AS BIGINT) AS mn,
+         CAST(epoch(max(ts)) AS BIGINT) AS mx,
+         min(user_id) AS mu, max(user_id) AS xu
+  FROM events),
+dim AS (
+  SELECT u.u AS d_user, v.v AS version,
+         mn + v.v * (mx - mn + 1) // 3 AS valid_from,
+         mn + (v.v + 1) * (mx - mn + 1) // 3 AS valid_to,
+         'tier_' || CAST((u.u + v.v) % 4 AS VARCHAR) AS status
+  FROM b,
+       (SELECT unnest(generate_series(mu, xu)) AS u FROM b) u,
+       (SELECT unnest([0, 1, 2]) AS v) v)
+SELECT status,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN dim d ON e.user_id = d.d_user
+          AND CAST(epoch(e.ts) AS BIGINT) >= d.valid_from
+          AND CAST(epoch(e.ts) AS BIGINT) < d.valid_to
+GROUP BY status
+ORDER BY status
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q173_scd2_join",
+        "SCD2 versioned-dimension temporal join: equi key + interval "
+        "residual, broadcast dimension, exact integer rollup",
+        _q173_scd2_join,
+        _Q173_ORACLE,
+    )
+)
