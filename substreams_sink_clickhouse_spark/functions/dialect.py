@@ -564,6 +564,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "multiSearchFirstIndex", "mapFilter", "mapApply",
                 "mapUpdate", "simpleLinearRegression", "entropy",
                 "arrayEnumerateUniq", "toDecimalString",
+                "arrayPartialSort", "arrayPartialReverseSort",
                 "greatCircleDistance", "toUnixTimestamp64Milli",
                 "toUnixTimestamp64Micro",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
@@ -1349,7 +1350,22 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
             # same interpolation deviation as quantileExact (MIGRATION.md)
             repl = f"percentile({inner}, 0.5)"
         elif name == "arrayUniq":
-            repl = f"size(array_distinct({inner}))"
+            # n-ary form counts distinct TUPLES across parallel arrays
+            # (a bare array_distinct(a, b) would not even parse)
+            parts = _split_top_commas(inner)
+            arg = inner if len(parts) == 1 else f"arrays_zip({inner})"
+            repl = f"size(array_distinct({arg}))"
+        elif name in ("arrayPartialSort", "arrayPartialReverseSort"):
+            # ClickHouse sorts the first N positions and leaves the
+            # rest in UNSPECIFIED order — a fully sorted array is a
+            # legal realization (and the deterministic one), so the
+            # translation is a plain sort; the N operand only matters
+            # for ClickHouse's partial-sort cost model
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                raise ValueError(f"{name} needs (limit, array)")
+            desc = ", false" if name == "arrayPartialReverseSort" else ""
+            repl = f"sort_array({parts[1]}{desc})"
         elif name == "countEqual":
             parts = _split_top_commas(inner)
             if len(parts) != 2:

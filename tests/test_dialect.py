@@ -1376,3 +1376,19 @@ def test_round7_agg_batch(spark):
     )).collect()[0]
     assert got.ent == 1.0  # two values, 50/50 -> 1 bit
     assert abs(got.slope - 2.0) < 1e-12 and abs(got.icept - 1.0) < 1e-12
+
+
+def test_round7_partial_sort_and_nary_uniq(spark):
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT arrayUniq([1,2,1]) AS u1, "
+        "arrayUniq([1,1,2], [1,2,2]) AS u2, "  # distinct TUPLES
+        "arrayPartialSort(2, [3,1,2]) AS ps, "
+        "arrayPartialReverseSort(1, [3,1,2]) AS prs"
+    )).collect()[0]
+    assert (got.u1, got.u2) == (2, 3)
+    assert list(got.ps) == [1, 2, 3]
+    assert list(got.prs) == [3, 2, 1]
