@@ -553,7 +553,7 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "JSONExtractInt", "JSONExtractString",
                 "JSONExtractFloat", "JSONExtractBool", "JSONHas",
                 "JSONExtractKeys", "JSONLength", "isValidJSON",
-                "replaceOne", "replaceRegexpAll", "extractAll",
+                "replaceOne", "replaceRegexpAll", "extractAll", "extract",
                 "arraySlice", "arrayEnumerate", "base64Decode",
                 "isNaN", "isFinite", "isInfinite",
                 "dateAdd", "dateSub",
@@ -573,7 +573,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
     while True:
         m = pat.search(code)
         if not m:
-            return code.replace("__xform__(", "transform(")
+            return code.replace("__xform__(", "transform(").replace(
+                "__sql_extract__(", "extract("
+            )
         name = m.group(1)
         op = code.index("(", m.end(1))
         cp = _match_paren(code, op)
@@ -1110,6 +1112,26 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 body = re.sub(r"\\{1,2}(\d)", r"$\1", body)
                 r = "'" + body + "'"
             repl = f"regexp_replace({h}, {p}, {r})"
+        elif name == "extract":
+            # ClickHouse's two-arg regex extract(haystack, pattern) —
+            # first match, or first capture group when the pattern has
+            # one (same literal-inspection as extractAll below).  The
+            # SQL-standard EXTRACT(field FROM ts) has no top-level
+            # comma and falls through untouched to Spark's extract.
+            parts = _split_top_commas(inner)
+            if len(parts) != 2:
+                # sentinel, restored at return — re-emitting the bare
+                # name would re-match this very pass and loop forever
+                repl = f"__sql_extract__({inner})"
+            else:
+                h, p = parts
+                idx = 0
+                sent = re.fullmatch(r"\x01(\d+)\x01", p.strip())
+                if sent:
+                    body = literals[int(sent.group(1))][1:-1]
+                    if re.search(r"(?<!\\)\((?!\?)", body):
+                        idx = 1
+                repl = f"regexp_extract({h}, {p}, {idx})"
         elif name == "extractAll":
             # ClickHouse: whole-match array, or first-group array when
             # the pattern has a capturing group.  Inspect the literal

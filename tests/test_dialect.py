@@ -1392,3 +1392,20 @@ def test_round7_partial_sort_and_nary_uniq(spark):
     assert (got.u1, got.u2) == (2, 3)
     assert list(got.ps) == [1, 2, 3]
     assert list(got.prs) == [3, 2, 1]
+
+
+def test_round7_regex_extract(spark):
+    """ClickHouse's two-arg extract(haystack, pattern) is a regex
+    first-match (capture group 1 when present); the SQL-standard
+    EXTRACT(field FROM ts) form passes through untouched."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT extract('ab12cd', '\\\\d+') AS m, "
+        "extract('key=val', 'key=(\\\\w+)') AS g, "
+        "extract('no digits', '\\\\d+') AS miss, "
+        "extract(YEAR FROM CAST('2020-03-04' AS TIMESTAMP)) AS y"
+    )).collect()[0]
+    assert (got.m, got.g, got.miss, got.y) == ("12", "val", "", 2020)
