@@ -565,6 +565,9 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "mapUpdate", "simpleLinearRegression", "entropy",
                 "arrayEnumerateUniq", "toDecimalString",
                 "arrayPartialSort", "arrayPartialReverseSort",
+                "sumArray", "minArray", "maxArray", "avgArray",
+                "countArray", "groupArrayArray", "sumDistinct",
+                "avgDistinct",
                 "greatCircleDistance", "toUnixTimestamp64Milli",
                 "toUnixTimestamp64Micro",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
@@ -1331,6 +1334,39 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 f"transform({inner}, (__x, __i) -> "
                 f"size(filter(slice({inner}, 1, __i + 1), __y -> __y = __x)))"
             )
+        elif name in ("sumArray", "minArray", "maxArray", "avgArray",
+                      "countArray", "groupArrayArray"):
+            # -Array combinator: the aggregate over ALL elements of all
+            # of the group's arrays.  Per-row folds keep the work
+            # map-side; no explode, no extra shuffle.  sumArray reuses
+            # the integer-exact arrayReduce seed; avgArray is Float64
+            # in ClickHouse so a DOUBLE fold is the faithful one.
+            _seed = (
+                f"coalesce(try_element_at({inner}, 1), 0)"
+                f" * CAST(0 AS BIGINT) * CAST(1 AS BIGINT)"
+            )
+            _row = {
+                "sumArray": f"aggregate({inner}, {_seed}, (acc, x) -> acc + x)",
+                "minArray": f"array_min({inner})",
+                "maxArray": f"array_max({inner})",
+                "avgArray": (
+                    f"aggregate({inner}, CAST(0 AS DOUBLE), "
+                    f"(acc, x) -> acc + x)"
+                ),
+                "countArray": f"size({inner})",
+                "groupArrayArray": inner,
+            }[name]
+            repl = {
+                "sumArray": f"sum({_row})",
+                "minArray": f"min({_row})",
+                "maxArray": f"max({_row})",
+                "avgArray": f"(sum({_row}) / sum(size({inner})))",
+                "countArray": f"sum({_row})",
+                "groupArrayArray": f"flatten(collect_list({_row}))",
+            }[name]
+        elif name in ("sumDistinct", "avgDistinct"):
+            agg = name[: -len("Distinct")]
+            repl = f"{agg}(DISTINCT {inner})"
         elif name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro"):
             # unix_millis/unix_micros require TIMESTAMP (with zone);
             # the parquet fixtures load as TIMESTAMP_NTZ, so cast first

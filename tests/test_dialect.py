@@ -1409,3 +1409,24 @@ def test_round7_regex_extract(spark):
         "extract(YEAR FROM CAST('2020-03-04' AS TIMESTAMP)) AS y"
     )).collect()[0]
     assert (got.m, got.g, got.miss, got.y) == ("12", "val", "", 2020)
+
+
+def test_round7_array_combinators(spark):
+    """-Array aggregate combinators fold per row (map-side, no
+    explode) then aggregate; -Distinct spellings map to DISTINCT."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT sumArray(a) AS s, minArray(a) AS mn, maxArray(a) AS mx, "
+        "avgArray(a) AS av, countArray(a) AS c, "
+        "arraySort(groupArrayArray(a)) AS g, "
+        "sumDistinct(x) AS sd, avgDistinct(x) AS ad "
+        "FROM (SELECT [1, 2] AS a, 5 AS x "
+        "UNION ALL SELECT [3], 5 UNION ALL SELECT [], 7)"
+    )).collect()[0]
+    assert (got.s, got.mn, got.mx, got.av, got.c) == (6, 1, 3, 2.0, 3)
+    assert isinstance(got.s, int)  # integer-exact fold
+    assert list(got.g) == [1, 2, 3]
+    assert (got.sd, got.ad) == (12, 6.0)
