@@ -3383,3 +3383,72 @@ SPECS.append(
         _Q172_ORACLE,
     )
 )
+
+
+_Q174_CLICKHOUSE_SQL = r"""
+SELECT event_type,
+       CAST(count() AS BIGINT) AS n,
+       sumArray([user_id % 3, event_id % 7]) AS sa,
+       minArray([user_id % 3, event_id % 7]) AS mna,
+       maxArray([user_id % 3, event_id % 7]) AS mxa,
+       CAST(countArray([user_id % 3, event_id % 7]) AS BIGINT) AS ca,
+       avgArray([user_id % 3, event_id % 7]) AS av,
+       sumDistinct(user_id % 10) AS sd,
+       CAST(sum(arrayUniq([user_id % 2, user_id % 3],
+                          [user_id % 3, user_id % 2])) AS BIGINT) AS au,
+       min(extract(props, '"k": ([0-9]+)')) AS ex,
+       CAST(sum(arrayElement(arrayPartialSort(2,
+              [event_id % 5, user_id % 5, 3]), 1)) AS BIGINT) AS ps
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q174_dialect_combinators(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 combinator batch through the shim: the -Array aggregate
+    combinators (per-row folds feeding ordinary aggregates — map-side,
+    no explode), -Distinct spellings, n-ary arrayUniq (distinct
+    tuples), regex extract() over the props JSON, arrayPartialSort.
+
+    Exactness: every column is integer arithmetic except avgArray,
+    which is exact anyway here — the per-row DOUBLE fold sums small
+    integers (exact in double), the cross-row sum stays far below
+    2^53, and the final division is one IEEE op on both engines."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(clickhouse_to_spark_sql(_Q174_CLICKHOUSE_SQL))
+
+
+_Q174_ORACLE = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id % 3 + event_id % 7) AS BIGINT) AS sa,
+       min(least(user_id % 3, event_id % 7)) AS mna,
+       max(greatest(user_id % 3, event_id % 7)) AS mxa,
+       CAST(2 * count(*) AS BIGINT) AS ca,
+       CAST(sum(user_id % 3 + event_id % 7) AS DOUBLE)
+         / (2 * count(*)) AS av,
+       CAST(sum(DISTINCT user_id % 10) AS BIGINT) AS sd,
+       CAST(sum(CASE WHEN user_id % 2 = user_id % 3 THEN 1 ELSE 2 END)
+            AS BIGINT) AS au,
+       min(regexp_extract(props, '"k": ([0-9]+)', 1)) AS ex,
+       CAST(sum(least(event_id % 5, user_id % 5, 3)) AS BIGINT) AS ps
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q174_dialect_combinators",
+        "Round-7 combinator batch: -Array/-Distinct aggregates, n-ary "
+        "arrayUniq, regex extract, arrayPartialSort — through the shim",
+        _q174_dialect_combinators,
+        _Q174_ORACLE,
+    )
+)
