@@ -280,6 +280,7 @@ _PARAM_AGGS = {
     # frequency column — argument order reshuffled in the rewriter
     "quantileExactWeighted": ("__weighted__", False),
     "topK": None,  # special-cased: frequency top-k, see _topk_expr
+    "topKWeighted": None,  # special-cased: weight-sum top-k
 }
 
 
@@ -310,6 +311,28 @@ def _map_apply_expr(lam: str, m: str) -> str:
     return (
         f"map_from_entries(transform(map_entries({m}), "
         f"__e -> struct({kexpr}, {vexpr})))"
+    )
+
+
+def _topk_weighted_expr(x: str, wgt: str, k: str) -> str:
+    """Exact rewrite of ``topKWeighted(k)(x, w)``: the k values with
+    the largest WEIGHT SUMS (ClickHouse's sketch made exact — a
+    superset guarantee, same stance as _topk_expr), ties broken by
+    value.  The weight fold is integer-exact on BIGINT — ClickHouse
+    declares the weight UInt64, so integral weights are the contract
+    (fractional weights raise in Spark's analyzer, not silently
+    round).  Same let-binding trick: the group's (value, weight) list
+    aggregates ONCE; per-distinct-value weight sums are O(n) filters
+    over it — fine at sane group cardinalities, same trade as topK."""
+    return (
+        f"transform(array(collect_list(named_struct('k', {x}, 'wt', {wgt}))), "
+        f"__l -> slice(transform(array_sort("
+        f"transform(array_distinct(transform(__l, __e -> __e.k)), __v -> "
+        f"struct(aggregate(filter(__l, __y -> __y.k = __v), "
+        f"CAST(0 AS BIGINT), (__a, __y) -> __a + __y.wt) AS c, __v AS k)), "
+        f"(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+        f"WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1 ELSE 0 END), "
+        f"__e -> __e.k), 1, {k}))[0]"
     )
 
 
@@ -1484,6 +1507,9 @@ def _rewrite_param_aggs(code: str) -> str:
             single = _rewrite_param_aggs(code[p_open + 1 : p_close])
             if name == "topK":
                 repl = _topk_expr(single, "10")  # CH default k
+            elif name == "topKWeighted":
+                x, wgt = _split_top_commas(single)
+                repl = _topk_weighted_expr(x, wgt, "10")  # CH default k
             elif name == "quantileExactWeighted":
                 x, wgt = _split_top_commas(single)
                 repl = f"percentile({x}, 0.5, {wgt})"
@@ -1502,6 +1528,9 @@ def _rewrite_param_aggs(code: str) -> str:
         args = _rewrite_param_aggs(code[k + 1 : a_close])
         if name == "topK":
             repl = _topk_expr(args, params)
+        elif name == "topKWeighted":
+            x, wgt = _split_top_commas(args)
+            repl = _topk_weighted_expr(x, wgt, params)
         elif name == "quantileExactWeighted":
             x, wgt = _split_top_commas(args)
             repl = f"percentile({x}, {params}, {wgt})"

@@ -1430,3 +1430,20 @@ def test_round7_array_combinators(spark):
     assert isinstance(got.s, int)  # integer-exact fold
     assert list(got.g) == [1, 2, 3]
     assert (got.sd, got.ad) == (12, 6.0)
+
+
+def test_round7_topk_weighted(spark):
+    """topKWeighted(k)(x, w): k values with the largest weight sums,
+    exact (superset of ClickHouse's sketch guarantee), value
+    tie-break; integral weights fold on BIGINT."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT topKWeighted(2)(x, w) AS t, topKWeighted(x, w) AS t10 "
+        "FROM (SELECT 'a' AS x, 1 AS w UNION ALL SELECT 'b', 5 "
+        "UNION ALL SELECT 'a', 3 UNION ALL SELECT 'c', 4)"
+    )).collect()[0]
+    assert list(got.t) == ["b", "a"]  # weights: b=5, a=4, c=4 (a<c tie... )
+    assert list(got.t10) == ["b", "a", "c"]
