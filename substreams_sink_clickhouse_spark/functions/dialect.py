@@ -174,6 +174,11 @@ _NAME_SWAPS = {
     # round-7 batch: same argument order and semantics
     "editDistance": "levenshtein",
     "levenshteinDistance": "levenshtein",
+    # identical semantics inside an explicit frame; Spark's lag/lead
+    # ignore the frame exactly the way ClickHouse's *InFrame respect
+    # it only when one is declared — same (x[, n[, default]]) shape
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
     "fromUnixTimestamp64Milli": "timestamp_millis",
     "fromUnixTimestamp64Micro": "timestamp_micros",
 }
@@ -590,7 +595,11 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "arrayPartialSort", "arrayPartialReverseSort",
                 "sumArray", "minArray", "maxArray", "avgArray",
                 "countArray", "groupArrayArray", "sumDistinct",
-                "avgDistinct",
+                "avgDistinct", "CAST", "accurateCast",
+                "accurateCastOrNull", "toIntervalSecond",
+                "toIntervalMinute", "toIntervalHour", "toIntervalDay",
+                "toIntervalWeek", "toIntervalMonth", "toIntervalQuarter",
+                "toIntervalYear",
                 "greatCircleDistance", "toUnixTimestamp64Milli",
                 "toUnixTimestamp64Micro",
             ] + list(_DT_ARITH) + list(_OR_CASTS)
@@ -599,8 +608,10 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
     while True:
         m = pat.search(code)
         if not m:
-            return code.replace("__xform__(", "transform(").replace(
-                "__sql_extract__(", "extract("
+            return (
+                code.replace("__xform__(", "transform(")
+                .replace("__sql_extract__(", "extract(")
+                .replace("__sql_cast__(", "CAST(")
             )
         name = m.group(1)
         op = code.index("(", m.end(1))
@@ -1390,6 +1401,43 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
         elif name in ("sumDistinct", "avgDistinct"):
             agg = name[: -len("Distinct")]
             repl = f"{agg}(DISTINCT {inner})"
+        elif name in ("CAST", "accurateCast", "accurateCastOrNull"):
+            # ClickHouse's comma form CAST(x, 'Int64') — the type is a
+            # string literal resolved through the DDL type map.  The
+            # SQL-standard CAST(x AS T) has no top-level comma (DECIMAL
+            # (p, s) commas sit inside parens) and passes through via
+            # the sentinel; so does a non-literal second operand (e.g.
+            # a STRUCT<...> type whose <> commas look top-level).
+            parts = _split_top_commas(inner)
+            sent = (
+                re.fullmatch(r"\x01(\d+)\x01", parts[1].strip())
+                if len(parts) == 2
+                else None
+            )
+            if not sent:
+                repl = f"__sql_cast__({inner})"
+            else:
+                from substreams_sink_clickhouse_spark.sources.clickhouse_ddl import (
+                    parse_clickhouse_type,
+                )
+
+                ch_t = literals[int(sent.group(1))][1:-1]
+                spark_t = parse_clickhouse_type(ch_t).simpleString()
+                op_kw = "TRY_CAST" if name == "accurateCastOrNull" else "CAST"
+                repl = f"{op_kw}({parts[0]} AS {spark_t})"
+        elif name.startswith("toInterval"):
+            unit = name[len("toInterval"):]
+            slot = {
+                "Year": "({n}), 0, 0, 0, 0, 0, 0",
+                "Quarter": "0, ({n}) * 3, 0, 0, 0, 0, 0",
+                "Month": "0, ({n}), 0, 0, 0, 0, 0",
+                "Week": "0, 0, ({n}), 0, 0, 0, 0",
+                "Day": "0, 0, 0, ({n}), 0, 0, 0",
+                "Hour": "0, 0, 0, 0, ({n}), 0, 0",
+                "Minute": "0, 0, 0, 0, 0, ({n}), 0",
+                "Second": "0, 0, 0, 0, 0, 0, ({n})",
+            }[unit]
+            repl = f"make_interval({slot.format(n=inner)})"
         elif name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro"):
             # unix_millis/unix_micros require TIMESTAMP (with zone);
             # the parquet fixtures load as TIMESTAMP_NTZ, so cast first

@@ -1447,3 +1447,29 @@ def test_round7_topk_weighted(spark):
     )).collect()[0]
     assert list(got.t) == ["b", "a"]  # weights: b=5, a=4, c=4 (a<c tie... )
     assert list(got.t10) == ["b", "a", "c"]
+
+
+def test_round7_comma_cast_intervals_lag(spark):
+    """ClickHouse's comma CAST(x, 'Type') resolves the type string
+    through the DDL map; accurateCastOrNull is TRY_CAST; toInterval*
+    builds calendar intervals; lagInFrame/leadInFrame are lag/lead."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    got = spark.sql(clickhouse_to_spark_sql(
+        "SELECT CAST('42', 'Int64') AS c, "
+        "CAST(7 AS BIGINT) AS std, "
+        "accurateCastOrNull('nope', 'Int64') AS tn, "
+        "CAST('2020-01-10 00:00:00' AS TIMESTAMP) + toIntervalDay(3) AS d3, "
+        "CAST('2020-01-10 00:00:00' AS TIMESTAMP) + toIntervalQuarter(1) AS q1"
+    )).collect()[0]
+    assert (got.c, got.std, got.tn) == (42, 7, None)
+    assert str(got.d3).startswith("2020-01-13")
+    assert str(got.q1).startswith("2020-04-10")
+    got2 = spark.sql(clickhouse_to_spark_sql(
+        "SELECT x, lagInFrame(x, 1, -1) OVER (ORDER BY x) AS lg, "
+        "leadInFrame(x) OVER (ORDER BY x) AS ld "
+        "FROM (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x"
+    )).collect()
+    assert [(r.lg, r.ld) for r in got2] == [(-1, 2), (1, None)]
