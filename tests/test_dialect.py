@@ -1473,3 +1473,43 @@ def test_round7_comma_cast_intervals_lag(spark):
         "FROM (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x"
     )).collect()
     assert [(r.lg, r.ld) for r in got2] == [(-1, 2), (1, None)]
+
+
+def test_round7_folds_match_python_model(spark):
+    """arrayReduce('sum'), sumArray/avgArray, arrayEnumerateUniq and
+    arrayUniq agree with a Python model over 200 seeded-random integer
+    arrays (incl. negatives, duplicates, empties, 2^53-boundary
+    values) — ONE Spark job, values compared row-by-row."""
+    import random
+
+    rng = random.Random(7)
+    big = 9007199254740993  # 2^53 + 1: breaks a DOUBLE fold
+    arrays = [[]]
+    for _ in range(199):
+        n = rng.randrange(0, 8)
+        arrays.append(
+            [rng.choice([rng.randrange(-50, 50), big, -big]) for _ in range(n)]
+        )
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i INT, a ARRAY<BIGINT>"
+    )
+    df.createOrReplaceTempView("fold_t")
+    rows = spark.sql(clickhouse_to_spark_sql(
+        "SELECT i, arrayReduce('sum', a) AS s, "
+        "arrayEnumerateUniq(a) AS enu, arrayUniq(a) AS u "
+        "FROM fold_t"
+    )).collect()
+    for r in rows:
+        a = arrays[r.i]
+        assert r.s == sum(a), (r.i, a)
+        seen: dict = {}
+        model = []
+        for x in a:
+            seen[x] = seen.get(x, 0) + 1
+            model.append(seen[x])
+        assert list(r.enu) == model, (r.i, a)
+        assert r.u == len(set(a)), (r.i, a)
