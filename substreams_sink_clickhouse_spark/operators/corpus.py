@@ -257,6 +257,82 @@ class Corpus:
     def count(self) -> int:
         return self.df.count()
 
+    def export_shards(
+        self,
+        path: str,
+        max_records_per_shard: int = 100_000,
+        fmt: str = "jsonl",
+        shard_by: str | None = None,
+    ) -> dict:
+        """Write the corpus as size-capped shards plus a manifest —
+        the artifact a training run actually consumes.
+
+        * ``max_records_per_shard`` caps rows per output file via
+          Spark's ``maxRecordsPerFile`` (the writer splits within a
+          task, so the cap holds regardless of partitioning).
+        * ``shard_by``: optional column (e.g. ``lang`` / ``split``) —
+          becomes a partition directory, so a trainer can mount one
+          subset without listing the rest (partition pruning at read).
+        * ``fmt``: ``jsonl`` (one JSON object per line, the common
+          training-data interchange) or ``parquet``.
+
+        Returns the manifest (also written as ``_manifest.json`` next
+        to the shards): per-shard row counts and byte sizes plus
+        totals, computed from the filesystem after an atomic write —
+        at 100 TB the manifest is what downstream loaders trust, so it
+        is derived from what landed, never from what was intended."""
+        import json as _json
+        import os as _os
+
+        if fmt not in ("jsonl", "parquet"):
+            raise ValueError("fmt must be 'jsonl' or 'parquet'")
+        writer = self.df.write.mode("overwrite").option(
+            "maxRecordsPerFile", max_records_per_shard
+        )
+        if shard_by:
+            writer = writer.partitionBy(shard_by)
+        if fmt == "jsonl":
+            writer.json(path)
+        else:
+            writer.parquet(path)
+        spark = self.df.sparkSession
+        ext = ".json" if fmt == "jsonl" else ".parquet"
+        # per-shard row counts in ONE distributed job (group by the
+        # file each row came from), not a per-file read loop
+        reader = spark.read.json if fmt == "jsonl" else spark.read.parquet
+        counts = {
+            _os.path.basename(r["f"]): r["n"]  # part-file names are UUID-unique
+            for r in reader(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per shard file
+        }
+        shards = []
+        for root, _dirs, files in _os.walk(path):
+            for fname in sorted(files):
+                if not fname.endswith(ext):
+                    continue
+                full = _os.path.join(root, fname)
+                shards.append(
+                    {
+                        "shard": _os.path.relpath(full, path),
+                        "rows": counts.get(fname, 0),
+                        "bytes": _os.path.getsize(full),
+                    }
+                )
+        manifest = {
+            "format": fmt,
+            "max_records_per_shard": max_records_per_shard,
+            "shard_by": shard_by,
+            "n_shards": len(shards),
+            "total_rows": sum(s["rows"] for s in shards),
+            "total_bytes": sum(s["bytes"] for s in shards),
+            "shards": shards,
+        }
+        with open(_os.path.join(path, "_manifest.json"), "w", encoding="utf-8") as fh:
+            _json.dump(manifest, fh, indent=1)
+        return manifest
+
 
 def _corpus_scrub_pii(df: DataFrame) -> DataFrame:
     from substreams_sink_clickhouse_spark.operators.text import (

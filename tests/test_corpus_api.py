@@ -169,3 +169,40 @@ def test_corpus_scrub_pii(spark):
     out = {r.doc_id: (r.text, r.n_redactions) for r in Corpus(df).scrub_pii().df.collect()}
     assert out[1] == ("mail me at <EMAIL> or <PHONE>", 2)
     assert out[2] == ("clean text", 0)
+
+
+def test_corpus_export_shards(spark, tmp_path):
+    """Size-capped shard export + manifest: per-shard row caps hold,
+    the manifest's totals equal what landed on disk (counted by ONE
+    distributed group-by-input-file job), and shard_by produces
+    partition directories a trainer can mount in isolation."""
+    import json
+    import os
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 == 0 else "fr") for i in range(100)],
+        "doc_id long, text string, lang string",
+    ).coalesce(1)
+    out = str(tmp_path / "shards")
+    manifest = Corpus(df).export_shards(out, max_records_per_shard=30, fmt="jsonl")
+    assert manifest["total_rows"] == 100
+    assert manifest["n_shards"] >= 4  # 100 rows / cap 30
+    assert all(s["rows"] <= 30 for s in manifest["shards"])
+    assert all(s["bytes"] > 0 for s in manifest["shards"])
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk == manifest
+    # round-trip: the shards ARE the corpus
+    assert spark.read.json(out).count() == 100
+
+    # partitioned export: one directory per shard_by value
+    out2 = str(tmp_path / "bylang")
+    m2 = Corpus(df).export_shards(
+        out2, max_records_per_shard=1000, fmt="parquet", shard_by="lang"
+    )
+    assert m2["total_rows"] == 100
+    dirs = {d for d in os.listdir(out2) if d.startswith("lang=")}
+    assert dirs == {"lang=en", "lang=fr"}
+    # partition pruning: reading one subset sees only its rows
+    assert spark.read.parquet(out2 + "/lang=en").count() == 50
