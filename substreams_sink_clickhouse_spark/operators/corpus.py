@@ -257,6 +257,40 @@ class Corpus:
     def count(self) -> int:
         return self.df.count()
 
+    @staticmethod
+    def from_shards(
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        validate: bool = False,
+    ) -> "Corpus":
+        """Mount a corpus exported by :meth:`export_shards`.  The
+        format comes from the manifest.  With ``validate=True`` the
+        total row count is re-derived from the actual files (one
+        distributed count) and compared against the manifest — the
+        integrity check a training loader runs before trusting a
+        multi-TB mount (truncated/missing shards fail loudly here,
+        not as silently shorter epochs)."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "_manifest.json"), encoding="utf-8") as fh:
+            manifest = _json.load(fh)
+        reader = (
+            spark.read.json if manifest["format"] == "jsonl" else spark.read.parquet
+        )
+        df = reader(path)
+        if validate:
+            n = df.count()
+            if n != manifest["total_rows"]:
+                raise ValueError(
+                    f"shard set at {path} has {n} rows but the manifest "
+                    f"promises {manifest['total_rows']} — truncated or "
+                    f"missing shards"
+                )
+        return Corpus(df, id_col=id_col, text_col=text_col)
+
     def export_shards(
         self,
         path: str,

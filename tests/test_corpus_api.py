@@ -206,3 +206,27 @@ def test_corpus_export_shards(spark, tmp_path):
     assert dirs == {"lang=en", "lang=fr"}
     # partition pruning: reading one subset sees only its rows
     assert spark.read.parquet(out2 + "/lang=en").count() == 50
+
+
+def test_corpus_from_shards_roundtrip_and_validation(spark, tmp_path):
+    import json
+    import os
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "rt")
+    Corpus(df).export_shards(out, max_records_per_shard=15, fmt="jsonl")
+    c = Corpus.from_shards(spark, out, validate=True)
+    assert c.count() == 40
+    # corrupt the manifest: validation must fail loudly
+    mp = os.path.join(out, "_manifest.json")
+    m = json.load(open(mp))
+    m["total_rows"] += 1
+    json.dump(m, open(mp, "w"))
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated or"):
+        Corpus.from_shards(spark, out, validate=True)
