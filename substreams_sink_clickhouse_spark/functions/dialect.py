@@ -310,6 +310,15 @@ def _map_apply_expr(lam: str, m: str) -> str:
     if len(parts) != 2:
         raise ValueError("mapApply lambda must return a (kexpr, vexpr) tuple")
     kexpr, vexpr = parts
+    # refuse if a NESTED lambda rebinds one of the outer variables —
+    # the textual substitution below would corrupt the inner binding
+    for m_ in re.finditer(r"(?:\(([^()]*)\)|(\w+))\s*->", kexpr + "," + vexpr):
+        inner = [p.strip() for p in (m_.group(1) or m_.group(2)).split(",")]
+        if any(v in inner for v in kvars):
+            raise ValueError(
+                "mapApply lambda body rebinds the outer variable in a "
+                "nested lambda — rename the inner lambda's parameter"
+            )
     for var, repl in zip(kvars, ("__e.key", "__e.value")):
         kexpr = re.sub(rf"\b{re.escape(var)}\b", repl, kexpr)
         vexpr = re.sub(rf"\b{re.escape(var)}\b", repl, vexpr)

@@ -1513,3 +1513,23 @@ def test_round7_folds_match_python_model(spark):
             model.append(seen[x])
         assert list(r.enu) == model, (r.i, a)
         assert r.u == len(set(a)), (r.i, a)
+
+
+def test_round7_map_apply_rejects_rebinding():
+    """A nested lambda that rebinds the outer (k, v) would be
+    corrupted by the textual substitution — refused explicitly."""
+    import pytest
+
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    with pytest.raises(ValueError, match="rebinds"):
+        clickhouse_to_spark_sql(
+            "SELECT mapApply((k, v) -> (k, arrayMap(v -> v + 1, a)), m) FROM t"
+        )
+    # a nested lambda over a FRESH name is fine
+    out = clickhouse_to_spark_sql(
+        "SELECT mapApply((k, v) -> (k, arrayMap(z -> z + v, a)), m) FROM t"
+    )
+    assert "map_from_entries" in out and "__e.value" in out
