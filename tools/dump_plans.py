@@ -314,6 +314,19 @@ SHOWCASE = [
         "(filter/apply/update) is pure expression work — zero Python, "
         "zero extra shuffles beyond the group-by exchange.",
     ),
+    (
+        "q173_scd2_join",
+        "SCD2 temporal-dimension join: equi key + interval residual "
+        "resolves to a BroadcastHashJoin (never BNLJ — the equi key "
+        "exists); the synthesized dimension derives from one broadcast "
+        "1-row aggregate, so the fact table is scanned exactly once.",
+    ),
+    (
+        "q174_dialect_combinators",
+        "-Array aggregate combinators: per-row folds inside whole-stage "
+        "codegen feed ordinary map-side-combinable aggregates — no "
+        "explode, so the shuffle carries 5 groups, not 2x the rows.",
+    ),
 ]
 
 
