@@ -81,6 +81,28 @@ from __future__ import annotations
 
 import re
 
+from substreams_sink_clickhouse_spark.functions.dialect_ext import (
+    EXT_NAME_SWAPS,
+    EXT_PARAM_AGGS,
+    EXT_WRAPS,
+)
+
+#: Sentinel -> real spelling, restored once at the END of the
+#: rescan-until-stable loop.  A handler whose replacement must contain
+#: a name the wraps pattern itself matches (transform, extract, CAST,
+#: range, char, rand/randn) emits the sentinel instead — re-emitting
+#: the real name would either re-trigger its ClickHouse handler
+#: (corrupting the output) or loop forever.
+_SENTINELS = {
+    "__xform__(": "transform(",
+    "__sql_extract__(": "extract(",
+    "__sql_cast__(": "CAST(",
+    "__tbl_range__(": "range(",
+    "__chr__(": "char(",
+    "__rand__(": "rand(",
+    "__randn__(": "randn(",
+}
+
 #: name -> replacement, applied on word boundaries followed by ``(``.
 _NAME_SWAPS = {
     "uniq": "approx_count_distinct",
@@ -182,6 +204,7 @@ _NAME_SWAPS = {
     "fromUnixTimestamp64Milli": "timestamp_millis",
     "fromUnixTimestamp64Micro": "timestamp_micros",
 }
+_NAME_SWAPS.update(EXT_NAME_SWAPS)
 
 #: toStartOf<Unit>(x) -> date_trunc('<unit>', x).  toMonday is the
 #: Monday-start week truncation (date_trunc's week IS Monday-start);
@@ -498,7 +521,12 @@ def _rewrite_array_literals(code: str) -> str:
                 word = code[w + 1 : j + 1]
                 is_index = word.upper() not in kw
             else:
-                is_index = prev in ")]\x01`"
+                # bool(prev) guard: at string start prev is "" and
+                # Python's ``"" in s`` is always True — without it a
+                # LEADING array literal (``[[1, 2], [3]]`` as the first
+                # argument) would be misread as an index access with an
+                # empty base expression
+                is_index = bool(prev) and prev in ")]\x01`"
             depth = 0
             k = i
             while k < n:
@@ -547,7 +575,7 @@ def _rewrite_array_literals(code: str) -> str:
     return "".join(out)
 
 
-def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
+def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
     """Paren-matched rewrites (casts, -If combinators, toYYYYMM,
     numbers) applied innermost-last by rescanning until stable.
     ``literals`` is the translator's masked-literal table — needed by
@@ -611,21 +639,37 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 "toIntervalYear",
                 "greatCircleDistance", "toUnixTimestamp64Milli",
                 "toUnixTimestamp64Micro",
-            ] + list(_DT_ARITH) + list(_OR_CASTS)
+            ] + list(_DT_ARITH) + list(_OR_CASTS) + list(EXT_WRAPS)
         ) + r")\s*\("
     )
+    # Rescan-until-stable can only terminate if no replacement re-emits
+    # a matched name (dialect_ext handlers use the sentinel table for
+    # collisions); the iteration cap turns a handler that violates that
+    # contract into an error instead of a hang.
+    guard = 0
     while True:
+        guard += 1
+        if guard > 10_000:
+            raise ValueError(
+                "dialect rewrite did not converge - a handler re-emits "
+                "its own (or another handled) function name"
+            )
         m = pat.search(code)
         if not m:
-            return (
-                code.replace("__xform__(", "transform(")
-                .replace("__sql_extract__(", "extract(")
-                .replace("__sql_cast__(", "CAST(")
-            )
+            # Sentinels restore at the TOP level only: a nested call
+            # returns into an enclosing handler's argument list, and
+            # restoring there would hand the real name (transform,
+            # rand, ...) back to the outer rescan loop — which would
+            # re-rewrite it as its ClickHouse namesake (mangling) or
+            # loop forever (the rand()-inside-CAST case).
+            if _top:
+                for sent, real in _SENTINELS.items():
+                    code = code.replace(sent, real)
+            return code
         name = m.group(1)
         op = code.index("(", m.end(1))
         cp = _match_paren(code, op)
-        inner = _rewrite_wraps(code[op + 1 : cp], literals)
+        inner = _rewrite_wraps(code[op + 1 : cp], literals, _top=False)
         if name in _CAST_FUNCS:
             repl = f"CAST({inner} AS {_CAST_FUNCS[name]})"
         elif name in _IF_COMBINATORS:
@@ -1534,8 +1578,12 @@ def _rewrite_wraps(code: str, literals: tuple = ()) -> str:
                 for k in range(0, len(parts) - 1, 2)
             )
             repl = f"(CASE{whens} ELSE {parts[-1]} END)"
-        else:  # numbers(N)
-            repl = f"(SELECT id AS number FROM range({inner}))"
+        elif name in EXT_WRAPS:
+            repl = EXT_WRAPS[name](inner, _split_top_commas(inner), literals)
+        else:  # numbers(N) — __tbl_range__ keeps the scalar range()
+            # handler (array sequence) from re-rewriting the emitted
+            # table function
+            repl = f"(SELECT id AS number FROM __tbl_range__({inner}))"
         code = code[: m.start(1)] + repl + code[cp + 1 :]
 
 
@@ -1545,10 +1593,19 @@ def _rewrite_param_aggs(code: str) -> str:
     match first so ``quantilesExact`` never parses as ``quantiles``."""
     pat = re.compile(
         r"\b("
-        + "|".join(sorted(_PARAM_AGGS, key=len, reverse=True))
+        + "|".join(
+            sorted(list(_PARAM_AGGS) + list(EXT_PARAM_AGGS), key=len, reverse=True)
+        )
         + r")\s*\("
     )
+    guard = 0
     while True:
+        guard += 1
+        if guard > 10_000:
+            raise ValueError(
+                "parameterized-aggregate rewrite did not converge - a "
+                "handler re-emits its own (or another handled) name"
+            )
         m = pat.search(code)
         if not m:
             return code
@@ -1562,7 +1619,9 @@ def _rewrite_param_aggs(code: str) -> str:
             k += 1
         if k >= len(code) or code[k] != "(":
             single = _rewrite_param_aggs(code[p_open + 1 : p_close])
-            if name == "topK":
+            if name in EXT_PARAM_AGGS:
+                repl = EXT_PARAM_AGGS[name](None, single)
+            elif name == "topK":
                 repl = _topk_expr(single, "10")  # CH default k
             elif name == "topKWeighted":
                 x, wgt = _split_top_commas(single)
@@ -1583,7 +1642,9 @@ def _rewrite_param_aggs(code: str) -> str:
         a_close = _match_paren(code, k)
         params = _rewrite_param_aggs(code[p_open + 1 : p_close])
         args = _rewrite_param_aggs(code[k + 1 : a_close])
-        if name == "topK":
+        if name in EXT_PARAM_AGGS:
+            repl = EXT_PARAM_AGGS[name](params, args)
+        elif name == "topK":
             repl = _topk_expr(args, params)
         elif name == "topKWeighted":
             x, wgt = _split_top_commas(args)

@@ -1,0 +1,653 @@
+"""ClickHouse dialect translation — extension registries.
+
+Round-7 widening of the lexical shim in :mod:`dialect`.  The host
+module exposes three hook points, all table-driven so the rescan loop
+in ``_rewrite_wraps`` / ``_rewrite_param_aggs`` stays a single code
+path:
+
+* :data:`EXT_NAME_SWAPS` — pure name swaps (same arity, same argument
+  order, same semantics), merged into ``_NAME_SWAPS``.
+* :data:`EXT_WRAPS` — ``name -> handler(inner, parts, literals)``
+  paren-matched rewrites; ``parts`` is the top-level comma split of
+  ``inner`` and ``literals`` the masked-literal table.
+* :data:`EXT_PARAM_AGGS` — ClickHouse two-paren-group aggregates
+  ``name(params)(args) -> handler(params, args)``; ``params`` is
+  ``None`` for the legal single-group spelling.
+
+HANDLER OUTPUT CONTRACT (see dialect._SENTINELS and the pitfalls
+notes): a replacement must never contain a function name the wraps or
+param-agg patterns match — use ``__xform__(`` for Spark's
+``transform``, ``__sql_cast__(``/``CAST(`` (CAST self-resolves to the
+sentinel), ``__sql_extract__(``, ``__tbl_range__(``, ``__chr__(``,
+``__rand__(``/``__randn__(`` — and must avoid the lower-case
+name-swap keys (``position(``, ``match(``, ``any(``, ``has(``).
+
+Deviations from ClickHouse are documented per handler; the general
+policies:
+
+* UInt64-range results are represented as BIGINT (engine-wide policy,
+  MIGRATION.md "unsigned integers") unless noted.
+* Non-cryptographic hash names (cityHash64, sipHash64, farmHash64,
+  xxHash32/64, murmurHash*) map to Spark's native xxhash64/hash with
+  the ClickHouse name folded in as a salt: each function is stable and
+  distinct within the engine — bucketing, sampling and dedup keep
+  their contract — but values are NOT bit-equal to ClickHouse's
+  (those exact algorithms are C++ kernels; a Python re-implementation
+  would put a per-row UDF on the hot path for no semantic gain).
+  Cryptographic digests (MD5/SHA*) ARE bit-equal.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _lit(tok: str, literals: tuple) -> str | None:
+    """The literal text (quotes included) behind a masked sentinel, or
+    None when ``tok`` is not a single masked literal."""
+    m = re.fullmatch(r"\x01(\d+)\x01", tok.strip())
+    return literals[int(m.group(1))] if m else None
+
+
+def _str_lit(tok: str, literals: tuple, what: str) -> str:
+    """Unquoted value of a required string-literal argument."""
+    lit = _lit(tok, literals)
+    if lit is None or lit[0] not in "'\"":
+        raise ValueError(f"{what} must be a string literal")
+    return lit[1:-1]
+
+
+def _need(parts: list[str], n: int, name: str, usage: str) -> None:
+    if len(parts) != n:
+        raise ValueError(f"{name} needs {usage}")
+
+
+def _lam(part: str, name: str) -> tuple[str, str]:
+    """Split a 1-variable ClickHouse lambda ``x -> body``; refuses a
+    body that rebinds the same variable (the mapApply precedent — a
+    textual substitution would capture the inner binding)."""
+    if "->" not in part:
+        raise ValueError(f"{name} needs a lambda as its first argument")
+    var, body = part.split("->", 1)
+    var = var.strip().lstrip("(").rstrip(")").strip()
+    body = body.strip()
+    if not re.fullmatch(r"\w+", var):
+        raise ValueError(f"{name} supports single-variable lambdas only")
+    if re.search(rf"\b{re.escape(var)}\s*->|\(\s*{re.escape(var)}\s*[,)]\s*->", body):
+        raise ValueError(
+            f"{name}: nested lambda rebinds {var!r} - rename the inner "
+            "variable"
+        )
+    return var, body
+
+
+def _subst(body: str, var: str, new: str) -> str:
+    return re.sub(rf"\b{re.escape(var)}\b", new, body)
+
+
+# ---------------------------------------------------------------- swaps
+#: Same name, arity, argument order and semantics on both engines.
+EXT_NAME_SWAPS = {
+    "arrayShuffle": "shuffle",  # both: uniform random permutation
+    "isValidUTF8": "is_valid_utf8",
+    "lastDayOfMonth": "last_day",
+    "toJSONString": "to_json",
+    "JSON_VALUE": "get_json_object",  # $.path syntax is shared
+    "generateUUIDv4": "uuid",
+}
+
+
+# ---------------------------------------------------------------- wraps
+def _identity(inner, parts, literals):
+    return f"({inner})"
+
+
+def _negate(inner, parts, literals):
+    _need(parts, 1, "negate", "(x)")
+    return f"(-({inner}))"
+
+
+def _ignore(inner, parts, literals):
+    # ClickHouse: evaluates arguments, returns 0
+    return "0"
+
+
+def _is_constant(inner, parts, literals):
+    # translation-time approximation: literal/sentinel operand -> 1.
+    # (Spark has no runtime constancy introspection; a masked literal
+    # or a bare number is exactly ClickHouse's "constant column" case.)
+    _need(parts, 1, "isConstant", "(x)")
+    tok = parts[0].strip()
+    const = bool(
+        re.fullmatch(r"\x01\d+\x01|[-+]?\d+(\.\d+)?([eE][-+]?\d+)?", tok)
+    )
+    return "1" if const else "0"
+
+
+def _trunc(inner, parts, literals):
+    # numeric truncation toward zero (Float64 result, like ClickHouse);
+    # Spark's own trunc() is the date-truncation function
+    if len(parts) == 1:
+        x = parts[0]
+        return (
+            f"CAST((CASE WHEN ({x}) >= 0 THEN floor({x}) "
+            f"ELSE ceil({x}) END) AS DOUBLE)"
+        )
+    _need(parts, 2, "trunc", "(x[, n])")
+    x, nd = parts
+    p = f"pow(10, {nd})"
+    return (
+        f"((CASE WHEN ({x}) >= 0 THEN floor(({x}) * {p}) "
+        f"ELSE ceil(({x}) * {p}) END) / {p})"
+    )
+
+
+def _int_div_or_zero(inner, parts, literals):
+    _need(parts, 2, "intDivOrZero", "(a, b)")
+    a, b = parts
+    return f"(CASE WHEN ({b}) = 0 THEN 0 ELSE ({a}) div ({b}) END)"
+
+
+def _modulo_or_zero(inner, parts, literals):
+    _need(parts, 2, "moduloOrZero", "(a, b)")
+    a, b = parts
+    return f"(CASE WHEN ({b}) = 0 THEN 0 ELSE ({a}) % ({b}) END)"
+
+
+def _positive_modulo(inner, parts, literals):
+    _need(parts, 2, "positiveModulo", "(a, b)")
+    return f"pmod({parts[0]}, {parts[1]})"
+
+
+#: Euclid fold: 92 iterations cover the worst case for 64-bit operands
+#: (consecutive Fibonacci numbers); IF guards the %-by-zero that ANSI
+#: mode would otherwise raise once the remainder reaches 0.
+_GCD = (
+    "aggregate(sequence(1, 92), "
+    "named_struct('a', abs(CAST({a} AS BIGINT)), 'b', abs(CAST({b} AS BIGINT))), "
+    "(__g, __i) -> IF(__g.b = 0, __g, "
+    "named_struct('a', __g.b, 'b', __g.a % __g.b)), __g -> __g.a)"
+)
+
+
+def _gcd(inner, parts, literals):
+    _need(parts, 2, "gcd", "(a, b)")
+    return "(" + _GCD.format(a=parts[0], b=parts[1]) + ")"
+
+
+def _lcm(inner, parts, literals):
+    _need(parts, 2, "lcm", "(a, b)")
+    a, b = parts
+    g = _GCD.format(a=a, b=b)
+    # bind the gcd once (1-element transform), then lcm = |a/g*b|
+    return (
+        f"__xform__(array({g}), __gv -> IF(__gv = 0, CAST(0 AS BIGINT), "
+        f"abs((CAST({a} AS BIGINT) div __gv) * CAST({b} AS BIGINT))))[0]"
+    )
+
+
+def _exp2(inner, parts, literals):
+    _need(parts, 1, "exp2", "(x)")
+    return f"pow(CAST(2 AS DOUBLE), {inner})"
+
+
+def _exp10(inner, parts, literals):
+    _need(parts, 1, "exp10", "(x)")
+    return f"pow(CAST(10 AS DOUBLE), {inner})"
+
+
+def _int_exp2(inner, parts, literals):
+    # exact for 0..62 (BIGINT); ClickHouse returns UInt64 (0..63)
+    _need(parts, 1, "intExp2", "(x)")
+    return f"shiftleft(CAST(1 AS BIGINT), CAST({inner} AS INT))"
+
+
+def _int_exp10(inner, parts, literals):
+    # exact integer fold (pow() is a DOUBLE and drifts above 2^53)
+    _need(parts, 1, "intExp10", "(x)")
+    return (
+        f"(CASE WHEN ({inner}) <= 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE aggregate(sequence(1, CAST({inner} AS INT)), "
+        f"CAST(1 AS BIGINT), (__a, __i) -> __a * 10) END)"
+    )
+
+
+#: Abramowitz & Stegun 7.1.26 rational approximation (measured abs
+#: error < 5e-7) — Spark has no erf; the paired DuckDB oracles inline
+#: the SAME polynomial so the gate compares like with like.
+def _erf_expr(x: str) -> str:
+    return (
+        f"__xform__(array(1.0 / (1.0 + 0.3275911 * abs({x}))), __t -> "
+        f"sign({x}) * (1.0 - (((((1.061405429 * __t - 1.453152027) * __t) "
+        f"+ 1.421413741) * __t - 0.284496736) * __t + 0.254829592) * __t "
+        f"* exp(-(({x}) * ({x})))))[0]"
+    )
+
+
+def _erf(inner, parts, literals):
+    _need(parts, 1, "erf", "(x)")
+    return f"({_erf_expr(inner)})"
+
+
+def _erfc(inner, parts, literals):
+    _need(parts, 1, "erfc", "(x)")
+    return f"(1.0 - {_erf_expr(inner)})"
+
+
+def _bit_rotate(left: bool):
+    def h(inner, parts, literals):
+        _need(parts, 2, "bitRotateLeft/Right", "(x, n)")
+        x, n = parts
+        a, b = ("shiftleft", "shiftrightunsigned") if left else (
+            "shiftrightunsigned", "shiftleft")
+        # 64-bit rotate; Java shift counts self-mask mod 64, so n=0 is
+        # x|x = x.  ClickHouse rotates in the input's own width — the
+        # BIGINT (64-bit) semantics is the documented choice here.
+        return (
+            f"({a}(CAST({x} AS BIGINT), CAST({n} AS INT)) | "
+            f"{b}(CAST({x} AS BIGINT), 64 - CAST({n} AS INT)))"
+        )
+    return h
+
+
+def _bit_test_multi(op: str, name: str):
+    def h(inner, parts, literals):
+        if len(parts) < 2:
+            raise ValueError(f"{name} needs (x, pos1[, pos2, ...])")
+        x = parts[0]
+        tests = [
+            f"((shiftright(CAST({x} AS BIGINT), CAST({p} AS INT)) & 1) = 1)"
+            for p in parts[1:]
+        ]
+        return f"CAST(({(' ' + op + ' ').join(tests)}) AS TINYINT)"
+    return h
+
+
+def _char(inner, parts, literals):
+    # n-ary ClickHouse char(): one byte per argument
+    if len(parts) == 1:
+        return f"__chr__({inner})"
+    return "concat(" + ", ".join(f"__chr__({p})" for p in parts) + ")"
+
+
+def _format(inner, parts, literals):
+    # ClickHouse format('{}-{}', a, b): {} placeholders, {N} positional
+    if len(parts) < 1:
+        raise ValueError("format needs (pattern, args...)")
+    fmt = _str_lit(parts[0], literals, "format pattern")
+    fmt = fmt.replace("%", "%%")  # literal % first, placeholders after
+    fmt = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", fmt)
+    fmt = fmt.replace("{}", "%s")
+    fmt_sql = "'" + fmt.replace("'", "''") + "'"
+    rest = ", ".join(parts[1:])
+    return f"format_string({fmt_sql}, {rest})"
+
+
+def _normalize_query(inner, parts, literals):
+    # literals -> ?, numbers -> ? (the common normalization; ClickHouse
+    # additionally collapses long IN lists)
+    _need(parts, 1, "normalizeQuery", "(s)")
+    return (
+        f"regexp_replace(regexp_replace({inner}, "
+        f"'''(?:[^'']|'''''')*''', '?'), "
+        f"'\\\\b\\\\d+(\\\\.\\\\d+)?\\\\b', '?')"
+    )
+
+
+def _string_jaccard(inner, parts, literals):
+    # character-set Jaccard (ClickHouse computes byte sets; identical
+    # for ASCII, a documented deviation for multi-byte input)
+    _need(parts, 2, "stringJaccardIndex", "(a, b)")
+    a, b = parts
+    sa = f"array_distinct(filter(split({a}, ''), __c -> __c != ''))"
+    sb = f"array_distinct(filter(split({b}, ''), __c -> __c != ''))"
+    return (
+        f"(CASE WHEN size(array_union({sa}, {sb})) = 0 THEN 0.0 "
+        f"ELSE CAST(size(array_intersect({sa}, {sb})) AS DOUBLE) "
+        f"/ size(array_union({sa}, {sb})) END)"
+    )
+
+
+def _replace_regexp_one(inner, parts, literals):
+    # first-occurrence regexp replace: split at the first match (found
+    # via regexp_extract of the whole match), substitute backrefs in
+    # the replacement via a regexp_replace restricted to a prefix.
+    _need(parts, 3, "replaceRegexpOne", "(s, pattern, replacement)")
+    s, p, r = parts
+    # one regexp_replace over the prefix that ends with the FIRST
+    # match: locate the first match, cut the string there, replace in
+    # the head (where the only match is the first), concat the tail.
+    whole = f"regexp_extract({s}, {p}, 0)"
+    head_len = f"(locate({whole}, {s}) + length({whole}) - 1)"
+    return (
+        f"(CASE WHEN {whole} = '' THEN {s} ELSE "
+        f"concat(regexp_replace(substring({s}, 1, {head_len}), {p}, {r}), "
+        f"substring({s}, {head_len} + 1)) END)"
+    )
+
+
+# cryptographic digests: ClickHouse returns raw bytes (FixedString);
+# Spark's md5/sha1/sha2 return hex STRINGS — unhex restores byte
+# parity so hex(MD5(x)) round-trips exactly like ClickHouse.
+def _md5(inner, parts, literals):
+    _need(parts, 1, "MD5", "(s)")
+    return f"unhex(md5({inner}))"
+
+
+def _sha1(inner, parts, literals):
+    _need(parts, 1, "SHA1", "(s)")
+    return f"unhex(sha1({inner}))"
+
+
+def _sha_n(bits: int):
+    def h(inner, parts, literals):
+        _need(parts, 1, f"SHA{bits}", "(s)")
+        return f"unhex(sha2({inner}, {bits}))"
+    return h
+
+
+def _half_md5(inner, parts, literals):
+    # first 8 bytes of the MD5, big-endian UInt64 (db-independent and
+    # bit-equal to ClickHouse); DECIMAL(20,0) holds the unsigned range
+    _need(parts, 1, "halfMD5", "(s)")
+    return (
+        f"CAST(conv(substring(md5({inner}), 1, 16), 16, 10) "
+        f"AS DECIMAL(20,0))"
+    )
+
+
+def _salted_hash64(ch_name: str):
+    def h(inner, parts, literals):
+        # engine-stable 64-bit hash; NOT bit-equal to ClickHouse (see
+        # module docstring policy)
+        return f"xxhash64('{ch_name}', {inner})"
+    return h
+
+
+def _salted_hash32(ch_name: str):
+    def h(inner, parts, literals):
+        # 32-bit range like the ClickHouse original (UInt32 as BIGINT)
+        return f"(CAST(xxhash64('{ch_name}', {inner}) AS BIGINT) & 4294967295)"
+    return h
+
+
+def _rand(inner, parts, literals):
+    # ClickHouse rand() is a uniform UInt32, not a [0,1) double —
+    # rand() % N and range checks depend on it.  An argument (the
+    # CSE-defeating dummy rand(x) takes) is accepted and ignored.
+    return "CAST(floor(__rand__() * 4294967296) AS BIGINT)"
+
+
+def _rand64(inner, parts, literals):
+    # 63-bit positive range (BIGINT cannot carry the UInt64 MSB;
+    # documented unsigned-range policy)
+    return "CAST(floor(__rand__() * 9.223372036854775e18) AS BIGINT)"
+
+
+def _rand_canonical(inner, parts, literals):
+    return "__rand__()"
+
+
+def _rand_uniform(inner, parts, literals):
+    _need(parts, 2, "randUniform", "(lo, hi)")
+    lo, hi = parts
+    return f"(({lo}) + __rand__() * (({hi}) - ({lo})))"
+
+
+def _rand_normal(inner, parts, literals):
+    _need(parts, 2, "randNormal", "(mean, stddev)")
+    m_, s_ = parts
+    return f"(({m_}) + __randn__() * ({s_}))"
+
+
+def _rand_bernoulli(inner, parts, literals):
+    _need(parts, 1, "randBernoulli", "(p)")
+    return f"CAST(__rand__() < ({inner}) AS TINYINT)"
+
+
+def _rand_exponential(inner, parts, literals):
+    _need(parts, 1, "randExponential", "(lambda)")
+    return f"(-ln(1.0 - __rand__()) / ({inner}))"
+
+
+def _to_decimal(width: int, precision: int):
+    def h(inner, parts, literals):
+        _need(parts, 2, f"toDecimal{width}", "(x, scale)")
+        x, s = parts
+        if not s.strip().isdigit():
+            raise ValueError(f"toDecimal{width} needs a literal scale")
+        return f"CAST({x} AS DECIMAL({precision},{int(s)}))"
+    return h
+
+
+def _to_uuid(inner, parts, literals):
+    # UUIDs are strings engine-wide (no 128-bit type in Spark SQL);
+    # normalize case so equality survives the representation change
+    _need(parts, 1, "toUUID", "(s)")
+    return f"lower(CAST({inner} AS STRING))"
+
+
+def _to_fixed_string(inner, parts, literals):
+    # pad with NUL bytes to n, exactly ClickHouse's memory layout;
+    # longer input raises there, here it passes through (documented)
+    _need(parts, 2, "toFixedString", "(s, n)")
+    s, n = parts
+    return f"rpad({s}, CAST({n} AS INT), __chr__(0))"
+
+
+def _format_readable_decimal_size(inner, parts, literals):
+    _need(parts, 1, "formatReadableDecimalSize", "(bytes)")
+    x = inner
+    return (
+        f"__xform__(array(CAST({x} AS DOUBLE)), __b -> CASE "
+        f"WHEN abs(__b) < 1000 THEN concat(format_string('%.2f', __b), ' B') "
+        f"WHEN abs(__b) < 1e6 THEN concat(format_string('%.2f', __b / 1e3), ' KB') "
+        f"WHEN abs(__b) < 1e9 THEN concat(format_string('%.2f', __b / 1e6), ' MB') "
+        f"WHEN abs(__b) < 1e12 THEN concat(format_string('%.2f', __b / 1e9), ' GB') "
+        f"WHEN abs(__b) < 1e15 THEN concat(format_string('%.2f', __b / 1e12), ' TB') "
+        f"ELSE concat(format_string('%.2f', __b / 1e15), ' PB') END)[0]"
+    )
+
+
+def _format_readable_time_delta(inner, parts, literals):
+    # default (max unit years) with the two most significant units —
+    # ClickHouse prints every nonzero unit; the 2-unit head covers the
+    # monitoring use the reference's users have (documented deviation)
+    if len(parts) not in (1, 2):
+        raise ValueError("formatReadableTimeDelta needs (seconds[, max_unit])")
+    x = parts[0]
+    return (
+        f"__xform__(array(CAST({x} AS BIGINT)), __s -> "
+        f"concat_ws(', ', "
+        f"IF(__s div 31536000 > 0, concat(CAST(__s div 31536000 AS STRING), "
+        f" IF(__s div 31536000 = 1, ' year', ' years')), NULL), "
+        f"IF((__s % 31536000) div 86400 > 0, concat(CAST((__s % 31536000) div 86400 AS STRING), "
+        f" IF((__s % 31536000) div 86400 = 1, ' day', ' days')), NULL), "
+        f"IF((__s % 86400) div 3600 > 0, concat(CAST((__s % 86400) div 3600 AS STRING), "
+        f" IF((__s % 86400) div 3600 = 1, ' hour', ' hours')), NULL), "
+        f"IF((__s % 3600) div 60 > 0, concat(CAST((__s % 3600) div 60 AS STRING), "
+        f" IF((__s % 3600) div 60 = 1, ' minute', ' minutes')), NULL), "
+        f"IF(__s % 60 > 0 OR __s = 0, concat(CAST(__s % 60 AS STRING), "
+        f" IF(__s % 60 = 1, ' second', ' seconds')), NULL)))[0]"
+    )
+
+
+def _parse_readable_size(inner, parts, literals):
+    _need(parts, 1, "parseReadableSize", "(s)")
+    s = inner
+    num = f"CAST(regexp_extract(trim({s}), '^([0-9.]+)', 1) AS DOUBLE)"
+    unit = f"upper(regexp_extract(trim({s}), '(?i)([KMGTPE]?I?B)\\\\s*$', 1))"
+    return (
+        f"CAST(round({num} * (CASE {unit} "
+        f"WHEN 'B' THEN 1 "
+        f"WHEN 'KB' THEN 1e3 WHEN 'MB' THEN 1e6 WHEN 'GB' THEN 1e9 "
+        f"WHEN 'TB' THEN 1e12 WHEN 'PB' THEN 1e15 WHEN 'EB' THEN 1e18 "
+        f"WHEN 'KIB' THEN 1024.0 WHEN 'MIB' THEN 1048576.0 "
+        f"WHEN 'GIB' THEN 1073741824.0 WHEN 'TIB' THEN 1099511627776.0 "
+        f"WHEN 'PIB' THEN 1125899906842624.0 "
+        f"WHEN 'EIB' THEN 1152921504606846976.0 "
+        f"ELSE CAST(NULL AS DOUBLE) END)) AS DECIMAL(20,0))"
+    )
+
+
+def _bar(inner, parts, literals):
+    # unicode bar with 1/8-block resolution, ClickHouse's renderer
+    if len(parts) == 3:
+        parts = parts + ["80"]  # ClickHouse default width
+    _need(parts, 4, "bar", "(x, min, max, width)")
+    x, lo, hi, w = parts
+    eighths = (
+        f"CAST(floor(greatest(0.0, least(1.0, "
+        f"(CAST({x} AS DOUBLE) - ({lo})) / (({hi}) - ({lo})))) "
+        f"* ({w}) * 8) AS INT)"
+    )
+    return (
+        f"__xform__(array({eighths}), __e -> concat("
+        f"repeat('█', __e div 8), "
+        f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), "
+        f"(__e % 8) + 1)))[0]"
+    )
+
+
+def _row_number_all_blocks(inner, parts, literals):
+    # sequential row number — inherently a total order; the single
+    # ORDER BY monotonically_increasing_id() window is the documented
+    # scale hazard exactly like ClickHouse's own single-thread pin
+    return "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+
+
+def _geo_distance(inner, parts, literals):
+    # same haversine sphere as greatCircleDistance (q84); ClickHouse's
+    # geoDistance uses an ellipsoid correction — ≤0.5% documented delta
+    _need(parts, 4, "geoDistance", "(lon1, lat1, lon2, lat2)")
+    lon1, lat1, lon2, lat2 = parts
+    return (
+        f"(2.0 * 6371000.0 * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _raise_with(msg: str):
+    def h(inner, parts, literals):
+        raise ValueError(msg)
+    return h
+
+
+EXT_WRAPS: dict = {
+    # conditional / identity family
+    "negate": _negate,
+    "toNullable": _identity,
+    "materialize": _identity,
+    "identity": _identity,
+    "ignore": _ignore,
+    "isConstant": _is_constant,
+    # math
+    "trunc": _trunc,
+    "truncate": _trunc,
+    "intDivOrZero": _int_div_or_zero,
+    "moduloOrZero": _modulo_or_zero,
+    "positiveModulo": _positive_modulo,
+    "positive_modulo": _positive_modulo,
+    "gcd": _gcd,
+    "lcm": _lcm,
+    "exp2": _exp2,
+    "exp10": _exp10,
+    "intExp2": _int_exp2,
+    "intExp10": _int_exp10,
+    "erf": _erf,
+    "erfc": _erfc,
+    # bit
+    "bitRotateLeft": _bit_rotate(True),
+    "bitRotateRight": _bit_rotate(False),
+    "bitTestAll": _bit_test_multi("AND", "bitTestAll"),
+    "bitTestAny": _bit_test_multi("OR", "bitTestAny"),
+    # string
+    "char": _char,
+    "format": _format,
+    "normalizeQuery": _normalize_query,
+    "stringJaccardIndex": _string_jaccard,
+    "stringJaccardIndexUTF8": _string_jaccard,
+    "replaceRegexpOne": _replace_regexp_one,
+    # digests / hashes / random
+    "MD5": _md5,
+    "SHA1": _sha1,
+    "SHA224": _sha_n(224),
+    "SHA256": _sha_n(256),
+    "SHA384": _sha_n(384),
+    "SHA512": _sha_n(512),
+    "halfMD5": _half_md5,
+    "cityHash64": _salted_hash64("cityHash64"),
+    "farmHash64": _salted_hash64("farmHash64"),
+    "farmFingerprint64": _salted_hash64("farmFingerprint64"),
+    "sipHash64": _salted_hash64("sipHash64"),
+    "metroHash64": _salted_hash64("metroHash64"),
+    "xxHash64": _salted_hash64("xxHash64"),
+    "murmurHash2_64": _salted_hash64("murmurHash2_64"),
+    "murmurHash3_64": _salted_hash64("murmurHash3_64"),
+    "xxHash32": _salted_hash32("xxHash32"),
+    "murmurHash2_32": _salted_hash32("murmurHash2_32"),
+    "murmurHash3_32": _salted_hash32("murmurHash3_32"),
+    "rand": _rand,
+    "rand32": _rand,
+    "rand64": _rand64,
+    "randCanonical": _rand_canonical,
+    "randUniform": _rand_uniform,
+    "randNormal": _rand_normal,
+    "randBernoulli": _rand_bernoulli,
+    "randExponential": _rand_exponential,
+    # type conversion
+    "toDecimal32": _to_decimal(32, 9),
+    "toDecimal64": _to_decimal(64, 18),
+    "toDecimal128": _to_decimal(128, 38),
+    "toUUID": _to_uuid,
+    "toFixedString": _to_fixed_string,
+    # formatting / misc
+    "formatReadableDecimalSize": _format_readable_decimal_size,
+    "formatReadableTimeDelta": _format_readable_time_delta,
+    "parseReadableSize": _parse_readable_size,
+    "bar": _bar,
+    "rowNumberInAllBlocks": _row_number_all_blocks,
+    "geoDistance": _geo_distance,
+    # curated raises: functions whose semantics need engine state or a
+    # different tool — fail with the pointer instead of UNRESOLVED_ROUTINE
+    "sleep": _raise_with("sleep() is a server-side test helper with no Spark meaning"),
+    "sleepEachRow": _raise_with("sleepEachRow() is a server-side test helper with no Spark meaning"),
+    "runningDifference": _raise_with(
+        "runningDifference is block-order dependent in ClickHouse; use "
+        "x - lag(x) OVER (ORDER BY <key>) with an explicit order"
+    ),
+    "runningAccumulate": _raise_with(
+        "runningAccumulate is block-order dependent in ClickHouse; use "
+        "sum(x) OVER (ORDER BY <key> ROWS UNBOUNDED PRECEDING)"
+    ),
+    "neighbor": _raise_with(
+        "neighbor(x, n) is block-order dependent in ClickHouse; use "
+        "lag/lead(x, n) OVER (ORDER BY <key>) with an explicit order"
+    ),
+    "dictGet": _raise_with(
+        "dictGet needs dictionary state: register the dimension with "
+        "the engine's dictionary operator (operators/dictionary.py) "
+        "and use its lookup join"
+    ),
+    "dictGetOrDefault": _raise_with(
+        "dictGetOrDefault needs dictionary state: register the "
+        "dimension with operators/dictionary.py and use its lookup join"
+    ),
+    "joinGet": _raise_with(
+        "joinGet reads a server-resident Join-engine table; express it "
+        "as an explicit LEFT JOIN"
+    ),
+    "reinterpretAsUInt64": _raise_with(
+        "reinterpretAs* is a raw-memory cast with no Spark SQL "
+        "equivalent; use explicit CAST/unhex/conv conversions"
+    ),
+    "reinterpretAsString": _raise_with(
+        "reinterpretAs* is a raw-memory cast with no Spark SQL "
+        "equivalent; use explicit CAST/unhex/conv conversions"
+    ),
+}
+
+# ----------------------------------------------------- parameterized aggs
+EXT_PARAM_AGGS: dict = {}

@@ -1,0 +1,252 @@
+"""Executed-SQL tests for the dialect extension registries
+(functions/dialect_ext.py).  Every case runs THROUGH Spark (the
+pitfalls rule: translation-only tests miss unresolved functions and
+type errors), one assertion per ClickHouse function family.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from substreams_sink_clickhouse_spark.functions.dialect import (
+    clickhouse_to_spark_sql as t,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    s = get_spark()
+    s.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 'abc1', TIMESTAMP'2024-01-05 10:20:30', 1.5,
+           array(3, 1, 2, 2), map('a', 1, 'b', 2)),
+          (6, 'xyz42', TIMESTAMP'2024-03-07 01:02:03', 2.5,
+           array(5, 4), map('a', 5))
+        AS t_ext(number, s, ts, f, arr, m)
+        """
+    ).createOrReplaceTempView("t_ext")
+    return s
+
+
+def one(spark, expr: str):
+    """Run SELECT <expr> AS v on the 2-row fixture, return both rows."""
+    return [
+        r.v for r in spark.sql(t(f"SELECT {expr} AS v FROM t_ext ORDER BY number")).collect()
+    ]
+
+
+def const(spark, expr: str):
+    return spark.sql(t(f"SELECT {expr} AS v")).collect()[0].v
+
+
+# ---------------------------------------------------------------- arrays
+def test_nested_array_literal_leading(spark):
+    # round-7 bug fix: "" in ")]..." is always True, so a LEADING
+    # array literal was misparsed as an index access
+    assert const(spark, "arrayFlatten([[1, 2], [3]])") == [1, 2, 3]
+
+
+def test_nested_array_literal_in_call(spark):
+    assert const(spark, "length(arrayStringConcat([['a'], ['b']][1], '-'))") == 1
+
+
+# ---------------------------------------------------------------- math
+def test_trunc(spark):
+    assert const(spark, "trunc(1.9)") == 1.0
+    assert const(spark, "trunc(-1.9)") == -1.0
+    assert const(spark, "trunc(1.987, 2)") == pytest.approx(1.98)
+
+
+def test_gcd_lcm(spark):
+    assert const(spark, "gcd(12, 18)") == 6
+    assert const(spark, "gcd(7, 0)") == 7
+    assert const(spark, "lcm(4, 6)") == 12
+    assert const(spark, "lcm(0, 5)") == 0
+
+
+def test_int_div_modulo_or_zero(spark):
+    assert const(spark, "intDivOrZero(7, 0)") == 0
+    assert const(spark, "intDivOrZero(7, 2)") == 3
+    assert const(spark, "moduloOrZero(7, 0)") == 0
+    assert const(spark, "positiveModulo(-3, 5)") == 2
+
+
+def test_exp_families(spark):
+    assert const(spark, "exp2(10)") == 1024.0
+    assert const(spark, "exp10(3)") == 1000.0
+    assert const(spark, "intExp2(62)") == 2**62
+    assert const(spark, "intExp10(18)") == 10**18
+
+
+def test_erf(spark):
+    # A&S 7.1.26 rational approximation (measured |err| < 5e-7)
+    assert const(spark, "erf(0.5)") == pytest.approx(math.erf(0.5), abs=5e-7)
+    assert const(spark, "erf(-1.0)") == pytest.approx(math.erf(-1.0), abs=5e-7)
+    assert const(spark, "erfc(1.0)") == pytest.approx(math.erfc(1.0), abs=5e-7)
+
+
+def test_bit_rotate_test(spark):
+    assert const(spark, "bitRotateLeft(1, 2)") == 4
+    assert const(spark, "bitRotateLeft(1, 0)") == 1
+    # 1 rotated right by 1 in 64-bit = MSB set = -2^63 signed
+    assert const(spark, "bitRotateRight(1, 1)") == -(2**63)
+    assert const(spark, "bitTestAll(5, 0, 2)") == 1
+    assert const(spark, "bitTestAll(5, 0, 1)") == 0
+    assert const(spark, "bitTestAny(5, 1, 2)") == 1
+
+
+# ---------------------------------------------------------------- string
+def test_char_nary(spark):
+    assert const(spark, "char(65, 66, 67)") == "ABC"
+
+
+def test_format(spark):
+    assert const(spark, "format('{}-{}', 'a', 'b')") == "a-b"
+    assert const(spark, "format('{1} {0}', 'w', 'h')") == "h w"
+    assert const(spark, "format('100%: {}', 'y')") == "100%: y"
+
+
+def test_normalize_query(spark):
+    assert (
+        const(spark, "normalizeQuery('SELECT 1 WHERE x = ''a'' AND y = 42')")
+        == "SELECT ? WHERE x = ? AND y = ?"
+    )
+
+
+def test_string_jaccard(spark):
+    assert const(spark, "stringJaccardIndex('abc', 'bcd')") == pytest.approx(0.5)
+    assert const(spark, "stringJaccardIndex('', '')") == 0.0
+
+
+def test_replace_regexp_one(spark):
+    assert const(spark, "replaceRegexpOne('a1b2', '[0-9]', 'N')") == "aNb2"
+    assert const(spark, "replaceRegexpOne('abc', '[0-9]', 'N')") == "abc"
+    # backreferences in the replacement survive
+    assert (
+        const(spark, "replaceRegexpOne('a1b2', '([0-9])', '[$1]')") == "a[1]b2"
+    )
+
+
+def test_is_valid_utf8(spark):
+    assert one(spark, "isValidUTF8(s)") == [True, True]
+
+
+# ------------------------------------------------------------- digests
+def test_digests_byte_parity(spark):
+    # hex(MD5(x)) must round-trip like ClickHouse (raw bytes inside)
+    assert (
+        const(spark, "lower(hex(MD5('abc')))")
+        == "900150983cd24fb0d6963f7d28e17f72"
+    )
+    assert (
+        const(spark, "lower(hex(SHA256('abc')))")
+        == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    # halfMD5: first 8 MD5 bytes, big-endian -> 0x900150983cd24fb0
+    assert const(spark, "halfMD5('abc')") == 0x900150983CD24FB0
+
+
+def test_salted_hashes_stable_and_distinct(spark):
+    a = const(spark, "cityHash64('x')")
+    b = const(spark, "sipHash64('x')")
+    c = const(spark, "xxHash64('x')")
+    assert a == const(spark, "cityHash64('x')")
+    assert len({a, b, c}) == 3
+    v32 = const(spark, "xxHash32('x')")
+    assert 0 <= v32 <= 4294967295
+
+
+def test_rand_family(spark):
+    v = const(spark, "rand()")
+    assert 0 <= v < 2**32
+    assert 0 <= const(spark, "rand64()")
+    u = const(spark, "randUniform(5, 6)")
+    assert 5 <= u < 6
+    assert const(spark, "randBernoulli(1.0)") == 1
+    assert const(spark, "randExponential(2.0)") >= 0
+    assert isinstance(const(spark, "randNormal(0, 1)"), float)
+    assert len(const(spark, "generateUUIDv4()")) == 36
+
+
+# ------------------------------------------------------------ type conv
+def test_decimal_fixed_uuid(spark):
+    from decimal import Decimal
+
+    assert const(spark, "toDecimal32(1.987, 2)") == Decimal("1.99")
+    assert const(spark, "toDecimal64(2.5, 4)") == Decimal("2.5000")
+    fixed = const(spark, "toFixedString('ab', 4)")
+    assert len(fixed) == 4 and fixed.startswith("ab")
+    assert const(spark, "toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0')") == (
+        "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    )
+
+
+# ----------------------------------------------------------- formatting
+def test_readable_formats(spark):
+    assert const(spark, "formatReadableDecimalSize(1500000)") == "1.50 MB"
+    assert const(spark, "parseReadableSize('1 MiB')") == 1048576
+    assert const(spark, "parseReadableSize('3 KB')") == 3000
+    out = const(spark, "formatReadableTimeDelta(3661)")
+    assert out == "1 hour, 1 minute, 1 second"
+    assert const(spark, "formatReadableTimeDelta(0)") == "0 seconds"
+
+
+def test_bar(spark):
+    assert const(spark, "bar(10, 0, 10, 5)") == "█████"
+    assert const(spark, "bar(8, 0, 16, 1)") == "▌"
+    assert const(spark, "bar(1, 0, 8, 1)") == "▏"
+    assert const(spark, "bar(0, 0, 10, 5)") == ""
+
+
+def test_identity_family(spark):
+    assert one(spark, "toNullable(number)") == [1, 6]
+    assert one(spark, "materialize(number)") == [1, 6]
+    assert const(spark, "identity(7)") == 7
+    assert const(spark, "ignore(42)") == 0
+    assert const(spark, "isConstant(1)") == 1
+    assert one(spark, "isConstant(s)") == [0, 0]
+    assert one(spark, "negate(number)") == [-1, -6]
+
+
+def test_row_number_in_all_blocks(spark):
+    vals = [
+        r.v
+        for r in spark.sql(
+            t("SELECT rowNumberInAllBlocks() AS v FROM t_ext")
+        ).collect()
+    ]
+    assert sorted(vals) == [0, 1]
+
+
+def test_geo_distance(spark):
+    # Paris -> London ~343 km on the 6371 km sphere
+    d = const(spark, "geoDistance(2.3522, 48.8566, -0.1276, 51.5074)")
+    assert d == pytest.approx(343_900, rel=0.01)
+
+
+def test_raise_guidance():
+    for fn, hint in [
+        ("runningDifference(x)", "lag"),
+        ("neighbor(x, 1)", "lag/lead"),
+        ("dictGet('d', 'v', k)", "dictionary"),
+        ("sleep(1)", "no Spark meaning"),
+    ]:
+        with pytest.raises(ValueError, match=hint.replace("(", "\\(")):
+            t(f"SELECT {fn} FROM t_ext")
+
+
+def test_numbers_still_works(spark):
+    # the __tbl_range__ sentinel must restore: numbers(N) emits range()
+    out = spark.sql(t("SELECT count() AS c FROM numbers(5)")).collect()
+    assert out[0].c == 5
+
+
+def test_sentinel_restores_inside_nested_args(spark):
+    # regression: a sentinel emitted by an inner handler used to be
+    # restored by the RECURSIVE exit and re-rewritten by the outer loop
+    assert const(spark, "toInt64(rand() % 10)") in range(10)
