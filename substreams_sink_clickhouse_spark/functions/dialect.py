@@ -680,9 +680,14 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
             else:
                 repl = f"{agg}(CASE WHEN {cond} THEN {x} END)"
         elif name == "toDateTime":
+            # TRY_CAST in the numeric branch: Catalyst's constant
+            # folding (SpecialDatetimeValues) evaluates a literal
+            # CAST(x AS BIGINT) EAGERLY even when the CASE can never
+            # take that branch, so toDateTime('2024-01-31 00:00:00')
+            # with a plain CAST throws at optimize time under ANSI
             repl = (
                 f"(CASE WHEN CAST({inner} AS STRING) RLIKE '^[0-9]+$' "
-                f"THEN to_timestamp(from_unixtime(CAST({inner} AS BIGINT))) "
+                f"THEN to_timestamp(from_unixtime(TRY_CAST({inner} AS BIGINT))) "
                 f"ELSE CAST({inner} AS TIMESTAMP) END)"
             )
         elif name == "toYYYYMM":
@@ -782,9 +787,24 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
             amt = f"-({n_})" if neg else n_
             repl = f"timestampadd({unit}, {amt}, {x})"
         elif name == "toDayOfWeek":
-            # ClickHouse default mode: Monday=1..Sunday=7; Spark's
-            # weekday() is Monday=0
-            repl = f"(weekday({inner}) + 1)"
+            # ClickHouse default mode 0: Monday=1..Sunday=7; Spark's
+            # weekday() is Monday=0.  Mode table (docs): 1 Mon 0-6,
+            # 2 Sun 1-7, 3 Sun 0-6.
+            parts = _split_top_commas(inner)
+            if len(parts) == 1:
+                repl = f"(weekday({inner}) + 1)"
+            else:
+                d_, mode_ = parts[0], parts[1].strip()
+                repl = {
+                    "0": f"(weekday({d_}) + 1)",
+                    "1": f"weekday({d_})",
+                    "2": f"dayofweek({d_})",
+                    "3": f"(dayofweek({d_}) - 1)",
+                }.get(mode_)
+                if repl is None:
+                    raise ValueError(
+                        "toDayOfWeek mode must be a literal 0..3"
+                    )
         elif name == "toYYYYMMDD":
             repl = f"CAST(date_format({inner}, 'yyyyMMdd') AS INT)"
         elif name in ("toRelativeSecondNum", "toRelativeMinuteNum",

@@ -649,5 +649,250 @@ EXT_WRAPS: dict = {
     ),
 }
 
+# ------------------------------------------------------------ date/time
+#: first Sunday's day-of-year (dayofweek: 1=Sunday..7=Saturday) — the
+#: anchor of MySQL/ClickHouse week mode 0
+_FIRST_SUNDAY = "(((8 - dayofweek(make_date(year({d}), 1, 1))) % 7) + 1)"
+#: mode-0 week number of {d} (0..53): full weeks since the first Sunday
+_WEEK0 = (
+    "(CASE WHEN dayofyear({d}) < " + _FIRST_SUNDAY + " THEN 0 "
+    "ELSE (dayofyear({d}) - " + _FIRST_SUNDAY + ") div 7 + 1 END)"
+)
+
+
+def _to_start_of_week(inner, parts, literals):
+    # mode 0 (ClickHouse default): weeks start SUNDAY — which
+    # date_trunc cannot express; modes 1/3: Monday (toMonday)
+    d = parts[0]
+    mode = parts[1].strip() if len(parts) > 1 else "0"
+    if mode in ("0", "2"):
+        return f"date_sub(CAST({d} AS DATE), dayofweek({d}) - 1)"
+    if mode in ("1", "3"):
+        return f"date_sub(CAST({d} AS DATE), weekday({d}))"
+    raise ValueError("toStartOfWeek mode must be a literal 0..3")
+
+
+def _to_time(inner, parts, literals):
+    # ClickHouse: keep the time of day, pin the date to 1970-01-02
+    _need(parts, 1, "toTime", "(ts)")
+    return (
+        f"CAST(concat('1970-01-02 ', date_format({inner}, 'HH:mm:ss')) "
+        f"AS TIMESTAMP)"
+    )
+
+
+def _to_week(inner, parts, literals):
+    d = parts[0]
+    mode = parts[1].strip() if len(parts) > 1 else "0"
+    if mode == "0":
+        return "__xform__(array(CAST(" + d + " AS DATE)), __d -> " + \
+            _WEEK0.format(d="__d") + ")[0]"
+    if mode == "3":
+        return f"weekofyear({d})"
+    raise ValueError(
+        "toWeek supports literal modes 0 (Sunday-first, ClickHouse "
+        "default) and 3 (ISO; also toISOWeek)"
+    )
+
+
+def _to_year_week(inner, parts, literals):
+    d = parts[0]
+    mode = parts[1].strip() if len(parts) > 1 else "0"
+    if mode == "3":
+        return f"(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}))"
+    if mode != "0":
+        raise ValueError("toYearWeek supports literal modes 0 and 3")
+    # week 0 belongs to the PREVIOUS year's last mode-0 week
+    w_cur = _WEEK0.format(d="__d")
+    w_dec31 = _WEEK0.format(d="make_date(year(__d) - 1, 12, 31)")
+    return (
+        f"__xform__(array(CAST({d} AS DATE)), __d -> "
+        f"IF({w_cur} > 0, year(__d) * 100 + {w_cur}, "
+        f"(year(__d) - 1) * 100 + {w_dec31}))[0]"
+    )
+
+
+def _timestamp_add(inner, parts, literals):
+    _need(parts, 2, "timestampAdd", "(ts, INTERVAL n unit)")
+    return f"(({parts[0]}) + ({parts[1]}))"
+
+
+def _timestamp_sub(inner, parts, literals):
+    _need(parts, 2, "timestampSub", "(ts, INTERVAL n unit)")
+    return f"(({parts[0]}) - ({parts[1]}))"
+
+
+_DATE_NAME_PARTS = {
+    "year": "CAST(year({d}) AS STRING)",
+    "quarter": "CAST(quarter({d}) AS STRING)",
+    "month": "date_format({d}, 'MMMM')",
+    "week": "CAST(weekofyear({d}) AS STRING)",
+    "dayofyear": "CAST(dayofyear({d}) AS STRING)",
+    "day": "CAST(dayofmonth({d}) AS STRING)",
+    "weekday": "date_format({d}, 'EEEE')",
+    "hour": "CAST(hour({d}) AS STRING)",
+    "minute": "CAST(minute({d}) AS STRING)",
+    "second": "CAST(second({d}) AS STRING)",
+}
+
+
+def _date_name(inner, parts, literals):
+    _need(parts, 2, "dateName", "('part', date)")
+    part = _str_lit(parts[0], literals, "dateName part").lower()
+    if part not in _DATE_NAME_PARTS:
+        raise ValueError(
+            f"dateName part {part!r} unsupported "
+            f"(supported: {sorted(_DATE_NAME_PARTS)})"
+        )
+    return _DATE_NAME_PARTS[part].format(d=parts[1])
+
+
+def _to_mjd(inner, parts, literals):
+    _need(parts, 1, "toModifiedJulianDay", "(date_string)")
+    return f"CAST(datediff(CAST({inner} AS DATE), DATE'1858-11-17') AS INT)"
+
+
+def _to_mjd_or_null(inner, parts, literals):
+    _need(parts, 1, "toModifiedJulianDayOrNull", "(date_string)")
+    return (
+        f"CAST(datediff(TRY_CAST({inner} AS DATE), DATE'1858-11-17') AS INT)"
+    )
+
+
+def _from_mjd(inner, parts, literals):
+    _need(parts, 1, "fromModifiedJulianDay", "(n)")
+    return f"date_add(DATE'1858-11-17', CAST({inner} AS INT))"
+
+
+#: ClickHouse formatDateTime %-sequences -> Java DateTimeFormatter
+#: letters (the modern defaults: %M is the month NAME, %i minutes).
+_PCT_MAP = {
+    "a": "EEE", "b": "MMM", "c": "MM", "d": "dd", "D": "MM/dd/yy",
+    "e": "d", "F": "yyyy-MM-dd", "h": "hh", "H": "HH", "i": "mm",
+    "I": "hh", "j": "DDD", "k": "H", "l": "h", "m": "MM", "M": "MMMM",
+    "p": "a", "Q": "Q", "r": "hh:mm:ss a", "R": "HH:mm", "s": "ss",
+    "S": "ss", "T": "HH:mm:ss", "W": "EEEE", "y": "yy", "Y": "yyyy",
+}
+
+
+def _pct_to_java(fmt: str, who: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"{who}: trailing %% in format")
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                lit.append("%")
+            elif nxt == "n":
+                lit.append("\n")
+            elif nxt == "t":
+                lit.append("\t")
+            elif nxt in _PCT_MAP:
+                flush()
+                out.append(_PCT_MAP[nxt])
+            else:
+                raise ValueError(
+                    f"{who}: %{nxt} unsupported "
+                    f"(supported: %{'%, %'.join(sorted(_PCT_MAP))})"
+                )
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _format_date_time(inner, parts, literals):
+    if len(parts) not in (2, 3):
+        raise ValueError("formatDateTime needs (ts, 'format'[, tz])")
+    fmt = _str_lit(parts[1], literals, "formatDateTime format")
+    java = _pct_to_java(fmt, "formatDateTime").replace("'", "''")
+    return f"date_format({parts[0]}, '{java}')"
+
+
+def _parse_date_time(inner, parts, literals):
+    if len(parts) not in (2, 3):
+        raise ValueError("parseDateTime needs (s, 'format'[, tz])")
+    fmt = _str_lit(parts[1], literals, "parseDateTime format")
+    java = _pct_to_java(fmt, "parseDateTime").replace("'", "''")
+    return f"to_timestamp({parts[0]}, '{java}')"
+
+
+def _best_effort(null_mode: str):
+    def h(inner, parts, literals):
+        x = parts[0]
+        # the documented cascade: ISO (Spark's default parser),
+        # slashed and dotted day-first forms, then digit strings as
+        # Unix seconds — the reference's own coercion rule
+        c = (
+            f"coalesce(try_to_timestamp({x}), "
+            f"try_to_timestamp({x}, 'yyyy/MM/dd HH:mm:ss'), "
+            f"try_to_timestamp({x}, 'yyyy/MM/dd'), "
+            f"try_to_timestamp({x}, 'dd.MM.yyyy'), "
+            f"try_to_timestamp({x}, 'dd/MM/yyyy'), "
+            f"(CASE WHEN CAST({x} AS STRING) RLIKE '^[0-9]{{10}}$' "
+            f"THEN timestamp_seconds(CAST({x} AS BIGINT)) END)"
+        )
+        if null_mode == "zero":
+            return c + ", TIMESTAMP'1970-01-01 00:00:00')"
+        return c + ")"
+    return h
+
+
+def _to_yyyymmddhhmmss(inner, parts, literals):
+    _need(parts, 1, "toYYYYMMDDhhmmss", "(ts)")
+    return f"CAST(date_format({inner}, 'yyyyMMddHHmmss') AS BIGINT)"
+
+
+def _make_date(inner, parts, literals):
+    if len(parts) == 3:
+        return f"make_date({inner})"
+    if len(parts) == 2:  # (year, day_of_year)
+        y, doy = parts
+        return f"date_add(make_date({y}, 1, 1), CAST({doy} AS INT) - 1)"
+    raise ValueError("makeDate needs (y, m, d) or (y, day_of_year)")
+
+
+def _make_date_time(inner, parts, literals):
+    if len(parts) not in (6, 7):
+        raise ValueError("makeDateTime needs (y, m, d, h, mi, s[, tz])")
+    return f"make_timestamp({', '.join(parts[:6])})"
+
+
+EXT_WRAPS.update({
+    "toStartOfWeek": _to_start_of_week,
+    "toTime": _to_time,
+    "toWeek": _to_week,
+    "toYearWeek": _to_year_week,
+    "timestampAdd": _timestamp_add,
+    "timestamp_add": _timestamp_add,
+    "timestampSub": _timestamp_sub,
+    "timestamp_sub": _timestamp_sub,
+    "dateName": _date_name,
+    "toModifiedJulianDay": _to_mjd,
+    "toModifiedJulianDayOrNull": _to_mjd_or_null,
+    "fromModifiedJulianDay": _from_mjd,
+    "formatDateTime": _format_date_time,
+    "parseDateTime": _parse_date_time,
+    "parseDateTimeBestEffort": _best_effort("null"),
+    "parseDateTimeBestEffortOrNull": _best_effort("null"),
+    "parseDateTimeBestEffortOrZero": _best_effort("zero"),
+    "toYYYYMMDDhhmmss": _to_yyyymmddhhmmss,
+    "makeDate": _make_date,
+    "makeDateTime": _make_date_time,
+})
+
+
 # ----------------------------------------------------- parameterized aggs
 EXT_PARAM_AGGS: dict = {}

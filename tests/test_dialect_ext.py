@@ -246,6 +246,124 @@ def test_numbers_still_works(spark):
     assert out[0].c == 5
 
 
+# ------------------------------------------------------------ date/time
+def test_to_start_of_week(spark):
+    import datetime as dt
+
+    # 2024-01-05 is a Friday: Sunday-start -> 2023-12-31, Monday -> 01-01
+    assert const(spark, "toStartOfWeek(toDate('2024-01-05'))") == dt.date(2023, 12, 31)
+    assert const(spark, "toStartOfWeek(toDate('2024-01-05'), 1)") == dt.date(2024, 1, 1)
+    # a Sunday is its own mode-0 week start
+    assert const(spark, "toStartOfWeek(toDate('2024-01-07'))") == dt.date(2024, 1, 7)
+
+
+def test_to_time(spark):
+    assert str(const(spark, "toTime(ts)") for _ in [0])  # smoke shape
+    assert (
+        str(one(spark, "toTime(ts)")[0]) == "1970-01-02 10:20:30"
+    )
+
+
+def test_to_week_mode0(spark):
+    # MySQL WEEK(d, 0) reference values
+    assert const(spark, "toWeek(toDate('2024-01-05'))") == 0
+    assert const(spark, "toWeek(toDate('2024-01-07'))") == 1
+    assert const(spark, "toWeek(toDate('2024-12-31'))") == 52
+    assert const(spark, "toWeek(toDate('2023-01-01'))") == 1  # Jan 1 Sunday
+
+
+def test_to_year_week(spark):
+    assert const(spark, "toYearWeek(toDate('2024-01-05'))") == 202353
+    assert const(spark, "toYearWeek(toDate('2024-01-07'))") == 202401
+    assert const(spark, "toYearWeek(toDate('2024-01-05'), 3)") == 202401
+
+
+def test_timestamp_add_sub(spark):
+    assert (
+        str(const(spark, "timestampAdd(toDateTime('2024-01-31 00:00:00'), INTERVAL 1 MONTH)"))
+        == "2024-02-29 00:00:00"
+    )
+    assert (
+        str(const(spark, "timestampSub(toDateTime('2024-03-01 00:00:00'), INTERVAL 1 DAY)"))
+        == "2024-02-29 00:00:00"
+    )
+
+
+def test_date_name(spark):
+    assert const(spark, "dateName('month', toDate('2024-03-07'))") == "March"
+    assert const(spark, "dateName('weekday', toDate('2024-03-07'))") == "Thursday"
+    assert const(spark, "dateName('year', toDate('2024-03-07'))") == "2024"
+
+
+def test_modified_julian_day(spark):
+    assert const(spark, "toModifiedJulianDay('1858-11-17')") == 0
+    assert const(spark, "toModifiedJulianDay('2020-01-01')") == 58849
+    assert str(const(spark, "fromModifiedJulianDay(58849)")) == "2020-01-01"
+    assert const(spark, "toModifiedJulianDayOrNull('nope')") is None
+
+
+def test_format_date_time(spark):
+    assert (
+        const(spark, "formatDateTime(toDateTime('2024-03-07 01:02:03'), '%Y-%m-%d %H:%i:%S')")
+        == "2024-03-07 01:02:03"
+    )
+    assert (
+        const(spark, "formatDateTime(toDate('2024-03-07'), '%M %d, %Y')")
+        == "March 07, 2024"
+    )
+    assert (
+        const(spark, "formatDateTime(toDate('2024-03-07'), '100%% %F')")
+        == "100% 2024-03-07"
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        t("SELECT formatDateTime(ts, '%V') FROM t_ext")
+
+
+def test_parse_date_time(spark):
+    assert (
+        str(const(spark, "parseDateTime('2024-03-07', '%Y-%m-%d')"))
+        == "2024-03-07 00:00:00"
+    )
+
+
+def test_parse_best_effort(spark):
+    for lit, want in [
+        ("'2024-01-02 03:04:05'", "2024-01-02 03:04:05"),
+        ("'2024/01/02'", "2024-01-02 00:00:00"),
+        ("'02.03.2024'", "2024-03-02 00:00:00"),
+        ("'1700000000'", "2023-11-14 22:13:20"),
+    ]:
+        assert str(const(spark, f"parseDateTimeBestEffort({lit})")) == want
+    assert const(spark, "parseDateTimeBestEffortOrNull('garbage')") is None
+    assert (
+        str(const(spark, "parseDateTimeBestEffortOrZero('garbage')"))
+        == "1970-01-01 00:00:00"
+    )
+
+
+def test_yyyymmddhhmmss_and_make(spark):
+    import datetime as dt
+
+    assert (
+        const(spark, "toYYYYMMDDhhmmss(toDateTime('2024-03-07 01:02:03'))")
+        == 20240307010203
+    )
+    assert str(const(spark, "makeDate(2024, 2, 3)")) == "2024-02-03"
+    assert const(spark, "makeDate(2024, 40)") == dt.date(2024, 2, 9)
+    assert (
+        str(const(spark, "makeDateTime(2024, 2, 3, 4, 5, 6)"))
+        == "2024-02-03 04:05:06"
+    )
+
+
+def test_day_of_week_modes(spark):
+    # 2024-03-07 is a Thursday
+    assert const(spark, "toDayOfWeek(toDate('2024-03-07'))") == 4
+    assert const(spark, "toDayOfWeek(toDate('2024-03-07'), 1)") == 3
+    assert const(spark, "toDayOfWeek(toDate('2024-03-07'), 2)") == 5
+    assert const(spark, "toDayOfWeek(toDate('2024-03-07'), 3)") == 4
+
+
 def test_sentinel_restores_inside_nested_args(spark):
     # regression: a sentinel emitted by an inner handler used to be
     # restored by the RECURSIVE exit and re-rewritten by the outer loop
