@@ -127,7 +127,7 @@ _NAME_SWAPS = {
     "indexOf": "array_position",
     "arrayElement": "element_at",
     "arrayConcat": "concat",
-    "arraySort": "sort_array",
+    # arraySort/arrayReverseSort live in EXT_WRAPS (keyed-lambda form)
     "arrayDistinct": "array_distinct",
     "arrayReverse": "reverse",
     "assumeNotNull": "coalesce",
@@ -623,7 +623,7 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
                 "isNaN", "isFinite", "isInfinite",
                 "dateAdd", "dateSub",
                 "splitByWhitespace", "ifNotFinite", "bitTest",
-                "arrayReduce", "arrayReverseSort",
+                "arrayReduce",
                 # round-7 batch
                 "arrayJaccardIndex", "ngrams", "tokens",
                 "multiSearchFirstIndex", "mapFilter", "mapApply",
@@ -1347,14 +1347,6 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
                     "(for other aggregates, explode the array and aggregate)"
                 )
             repl = reducers[agg]
-        elif name == "arrayReverseSort":
-            parts = _split_top_commas(inner)
-            if len(parts) != 1 or "->" in parts[0]:
-                raise ValueError(
-                    "arrayReverseSort supports the plain 1-arg form only "
-                    "(for a key lambda, sort a transformed struct array)"
-                )
-            repl = f"sort_array({parts[0]}, false)"
         elif name == "splitByWhitespace":
             # runs of whitespace, no empty substrings (ClickHouse drops
             # them; Spark's split keeps a leading empty on a

@@ -894,5 +894,605 @@ EXT_WRAPS.update({
 })
 
 
+# ------------------------------------------------------- arrays / maps
+def _array_sort_k(desc: bool):
+    def h(inner, parts, literals):
+        name = "arrayReverseSort" if desc else "arraySort"
+        if len(parts) == 1:
+            return f"sort_array({parts[0]}{', false' if desc else ''})"
+        _need(parts, 2, name, "([key_lambda,] array)")
+        var, body = _lam(parts[0], name)
+        kl = _subst(body, var, "__sl")
+        kr = _subst(body, var, "__sr")
+        lo, hi = ("1", "-1") if desc else ("-1", "1")
+        # keyed sort via a three-way comparator; NULL keys compare as
+        # equal (ClickHouse pins NULLs last — documented deviation)
+        return (
+            f"array_sort({parts[1]}, (__sl, __sr) -> "
+            f"CASE WHEN ({kl}) < ({kr}) THEN {lo} "
+            f"WHEN ({kl}) > ({kr}) THEN {hi} ELSE 0 END)"
+        )
+    return h
+
+
+def _array_fill(rev: bool):
+    def h(inner, parts, literals):
+        name = "arrayReverseFill" if rev else "arrayFill"
+        _need(parts, 2, name, "(pred_lambda, array)")
+        var, body = _lam(parts[0], name)
+        arr = f"reverse({parts[1]})" if rev else parts[1]
+        filled = (
+            f"(CASE WHEN size({arr}) = 0 THEN {arr} "
+            f"ELSE aggregate(slice({arr}, 2, size({arr}) - 1), "
+            f"array(element_at({arr}, 1)), "
+            f"(__fa, {var}) -> IF({body}, array_append(__fa, {var}), "
+            f"array_append(__fa, element_at(__fa, -1)))) END)"
+        )
+        return f"reverse({filled})" if rev else filled
+    return h
+
+
+def _array_split(inner, parts, literals):
+    # single-array form: start a new group BEFORE each element where
+    # the predicate holds (the split before the first element never
+    # creates a leading empty group, matching ClickHouse)
+    _need(parts, 2, "arraySplit", "(pred_lambda, array)")
+    var, body = _lam(parts[0], "arraySplit")
+    arr = parts[1]
+    return (
+        f"(CASE WHEN size({arr}) = 0 THEN array(array()) "
+        f"ELSE aggregate(slice({arr}, 2, size({arr}) - 1), "
+        f"array(array(element_at({arr}, 1))), "
+        f"(__sp, {var}) -> IF({body}, array_append(__sp, array({var})), "
+        f"array_append(slice(__sp, 1, size(__sp) - 1), "
+        f"array_append(element_at(__sp, -1), {var})))) END)"
+    )
+
+
+def _array_product(inner, parts, literals):
+    _need(parts, 1, "arrayProduct", "(array)")
+    return (
+        f"aggregate({inner}, CAST(1 AS DOUBLE), (__pa, __px) -> __pa * __px)"
+    )
+
+
+def _array_auc(inner, parts, literals):
+    # pairwise AUC with half-credit ties — O(P*N) inside one row's
+    # arrays (scores/labels are per-row vectors, not table columns)
+    _need(parts, 2, "arrayAUC", "(scores, labels)")
+    sc, lb = parts
+    pairs = (
+        f"__xform__(sequence(1, size(__ab.sc)), __i -> "
+        f"named_struct('s', element_at(__ab.sc, __i), "
+        f"'y', element_at(__ab.lb, __i)))"
+    )
+    return (
+        f"__xform__(array(named_struct('sc', {sc}, 'lb', {lb})), __ab -> "
+        f"__xform__(array(named_struct("
+        f"'p', filter({pairs}, __p -> __p.y = 1), "
+        f"'n', filter({pairs}, __q -> NOT (__q.y = 1)))), __pn -> "
+        f"CASE WHEN size(__pn.p) = 0 OR size(__pn.n) = 0 "
+        f"THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE aggregate(__pn.p, CAST(0 AS DOUBLE), (__a, __pp) -> __a "
+        f"+ size(filter(__pn.n, __nn -> __nn.s < __pp.s)) "
+        f"+ 0.5 * size(filter(__pn.n, __nn -> __nn.s = __pp.s))) "
+        f"/ (CAST(size(__pn.p) AS DOUBLE) * size(__pn.n)) END)[0])[0]"
+    )
+
+
+def _has_substr(inner, parts, literals):
+    _need(parts, 2, "hasSubstr", "(haystack_array, needle_array)")
+    a, b = parts
+    return (
+        f"(CASE WHEN size({b}) = 0 THEN true "
+        f"WHEN size({a}) < size({b}) THEN false "
+        f"ELSE size(filter(sequence(1, size({a}) - size({b}) + 1), "
+        f"__hs -> slice({a}, __hs, size({b})) = {b})) > 0 END)"
+    )
+
+
+def _range(inner, parts, literals):
+    # scalar array range: [start, end) with positive step; guarded so
+    # the empty case never hits sequence()'s descending default
+    if len(parts) == 1:
+        n = parts[0]
+        return (
+            f"(CASE WHEN ({n}) <= 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE sequence(CAST(0 AS BIGINT), CAST({n} AS BIGINT) - 1) END)"
+        )
+    if len(parts) == 2:
+        s, e = parts
+        return (
+            f"(CASE WHEN ({e}) <= ({s}) THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE sequence(CAST({s} AS BIGINT), CAST({e} AS BIGINT) - 1) END)"
+        )
+    _need(parts, 3, "range", "([start,] end[, step])")
+    s, e, st = parts
+    return (
+        f"(CASE WHEN ({st}) <= 0 THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"WHEN ({e}) <= ({s}) THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST({s} AS BIGINT), CAST({s} AS BIGINT) + "
+        f"((CAST({e} AS BIGINT) - CAST({s} AS BIGINT) - 1) div "
+        f"CAST({st} AS BIGINT)) * CAST({st} AS BIGINT), "
+        f"CAST({st} AS BIGINT)) END)"
+    )
+
+
+def _vec_norm(kind: str):
+    def h(inner, parts, literals):
+        _need(parts, 1, f"{kind}Norm", "(vector)")
+        v = inner
+        if kind == "L1":
+            return (
+                f"aggregate({v}, CAST(0 AS DOUBLE), "
+                f"(__na, __nx) -> __na + abs(__nx))"
+            )
+        sq = (
+            f"aggregate({v}, CAST(0 AS DOUBLE), "
+            f"(__na, __nx) -> __na + __nx * __nx)"
+        )
+        if kind == "L2Squared":
+            return sq
+        if kind == "L2":
+            return f"sqrt({sq})"
+        return f"array_max(__xform__({v}, __nx -> abs(CAST(__nx AS DOUBLE))))"
+    return h
+
+
+def _vec_normalize(kind: str):
+    def h(inner, parts, literals):
+        _need(parts, 1, f"{kind}Normalize", "(vector)")
+        norm = _vec_norm(kind)(inner, parts, literals)
+        # zero vector: pass through as doubles (a bare division would
+        # be an ANSI divide-by-zero error; ClickHouse emits nan/inf)
+        return (
+            f"__xform__(array({norm}), __nn -> IF(__nn = 0, "
+            f"__xform__({inner}, __nx -> CAST(__nx AS DOUBLE)), "
+            f"__xform__({inner}, __nx -> CAST(__nx AS DOUBLE) / __nn)))[0]"
+        )
+    return h
+
+
+def _map_addsub(op: str):
+    def h(inner, parts, literals):
+        if len(parts) < 2:
+            raise ValueError("mapAdd/mapSubtract need at least two maps")
+        acc = parts[0]
+        sign = "+" if op == "add" else "-"
+        for nxt in parts[1:]:
+            acc = (
+                f"map_zip_with({acc}, {nxt}, (__mk, __ma, __mb) -> "
+                f"coalesce(__ma, 0) {sign} coalesce(__mb, 0))"
+            )
+        return acc
+    return h
+
+
+# ------------------------------------------------------------------ JSON
+def _json_static_path(parts: list[str], literals: tuple, who: str) -> str:
+    """Build a literal JSONPath from literal keys / 1-based indices."""
+    segs = []
+    for k in parts[1:]:
+        lit = _lit(k, literals)
+        if lit is not None and lit[0] in "'\"":
+            segs.append("." + lit[1:-1])
+        elif k.strip().isdigit() and int(k.strip()) >= 1:
+            segs.append(f"[{int(k.strip()) - 1}]")  # ClickHouse is 1-based
+        else:
+            raise ValueError(
+                f"{who} needs literal keys/indices (variant paths "
+                "resolve at translation time)"
+            )
+    return "$" + "".join(segs)
+
+
+def _json_extract_raw(inner, parts, literals):
+    if len(parts) < 1:
+        raise ValueError("JSONExtractRaw needs (json[, keys...])")
+    path = _json_static_path(parts, literals, "JSONExtractRaw")
+    return (
+        f"coalesce(to_json(variant_get(try_parse_json({parts[0]}), "
+        f"'{path}')), '')"
+    )
+
+
+def _json_extract_array_raw(inner, parts, literals):
+    if len(parts) < 1:
+        raise ValueError("JSONExtractArrayRaw needs (json[, keys...])")
+    path = _json_static_path(parts, literals, "JSONExtractArrayRaw")
+    return (
+        f"coalesce(__xform__(TRY_CAST(variant_get(try_parse_json("
+        f"{parts[0]}), '{path}') AS ARRAY<VARIANT>), __jv -> "
+        f"to_json(__jv)), CAST(array() AS ARRAY<STRING>))"
+    )
+
+
+def _json_query(inner, parts, literals):
+    # ClickHouse JSON_QUERY wraps every result in a [...] array
+    _need(parts, 2, "JSON_QUERY", "(json, '$.path')")
+    j, p = parts
+    v = f"to_json(variant_get(try_parse_json({j}), {p}))"
+    return f"(CASE WHEN {v} IS NULL THEN '' ELSE concat('[', {v}, ']') END)"
+
+
+def _json_exists(inner, parts, literals):
+    _need(parts, 2, "JSON_EXISTS", "(json, '$.path')")
+    j, p = parts
+    return (
+        f"CAST(variant_get(try_parse_json({j}), {p}) IS NOT NULL AS INT)"
+    )
+
+
+def _simple_json(kind: str):
+    # simpleJSON*/visitParam*: fast TOP-LEVEL-only scanners in
+    # ClickHouse; the path form is a faithful superset
+    def h(inner, parts, literals):
+        _need(parts, 2, "simpleJSONExtract*", "(json, 'key')")
+        j, k = parts
+        got = f"get_json_object({j}, concat('$.', {k}))"
+        return {
+            "string": got,
+            "int": f"CAST({got} AS BIGINT)",
+            "float": f"CAST({got} AS DOUBLE)",
+            "bool": f"CAST({got} AS BOOLEAN)",
+            "raw": (
+                f"coalesce(to_json(variant_get(try_parse_json({j}), "
+                f"concat('$.', {k}))), '')"
+            ),
+            "has": f"CAST({got} IS NOT NULL AS INT)",
+        }[kind]
+    return h
+
+
+# ------------------------------------------------------------------- URL
+_HOST_RE = r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)'"
+
+
+def _url_domain(inner, parts, literals):
+    # regex instead of parse_url: ClickHouse's domain() also accepts
+    # scheme-less host[:port] strings
+    _need(parts, 1, "domain", "(url)")
+    return f"coalesce(regexp_extract({inner}, {_HOST_RE}, 1), '')"
+
+
+def _url_tld(inner, parts, literals):
+    _need(parts, 1, "topLevelDomain", "(url)")
+    host = f"coalesce(regexp_extract({inner}, {_HOST_RE}, 1), '')"
+    return (
+        f"__xform__(array({host}), __h -> CASE WHEN __h RLIKE "
+        f"'\\\\.' AND NOT __h RLIKE '^[0-9.]+$' "
+        f"THEN substring_index(__h, '.', -1) ELSE '' END)[0]"
+    )
+
+
+def _url_path(full: bool):
+    def h(inner, parts, literals):
+        _need(parts, 1, "path/pathFull", "(url)")
+        # strip scheme+authority; path() additionally cuts ?query#frag
+        rest = (
+            f"regexp_replace({inner}, "
+            f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')"
+        )
+        if full:
+            return rest
+        return f"substring_index(substring_index({rest}, '?', 1), '#', 1)"
+    return h
+
+
+def _url_param(inner, parts, literals):
+    _need(parts, 2, "extractURLParameter", "(url, name)")
+    u, k = parts
+    return f"coalesce(parse_url({u}, 'QUERY', {k}), '')"
+
+
+def _url_params(inner, parts, literals):
+    _need(parts, 1, "extractURLParameters", "(url)")
+    return (
+        f"filter(split(coalesce(parse_url({inner}, 'QUERY'), ''), '&'), "
+        f"__up -> __up != '')"
+    )
+
+
+def _url_param_names(inner, parts, literals):
+    _need(parts, 1, "extractURLParameterNames", "(url)")
+    return (
+        f"__xform__(filter(split(coalesce(parse_url({inner}, 'QUERY'), "
+        f"''), '&'), __up -> __up != ''), "
+        f"__up -> substring_index(__up, '=', 1))"
+    )
+
+
+def _cut_www(inner, parts, literals):
+    _need(parts, 1, "cutWWW", "(url)")
+    return (
+        f"regexp_replace({inner}, "
+        f"'^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\\\.', '$1')"
+    )
+
+
+#: effective-2nd-level labels under which the significant label is one
+#: deeper (the common public-suffix cases; ClickHouse ships the full
+#: publicsuffix list — documented heuristic subset)
+_SLD_SET = "('com', 'net', 'org', 'co', 'edu', 'gov', 'mil', 'ac', 'biz', 'info')"
+
+
+def _first_significant_subdomain(inner, parts, literals):
+    _need(parts, 1, "firstSignificantSubdomain", "(url)")
+    host = f"coalesce(regexp_extract({inner}, {_HOST_RE}, 1), '')"
+    return (
+        f"__xform__(array(split({host}, '\\\\.')), __hp -> CASE "
+        f"WHEN size(__hp) >= 3 AND element_at(__hp, -2) IN {_SLD_SET} "
+        f"THEN element_at(__hp, -3) "
+        f"WHEN size(__hp) >= 2 THEN element_at(__hp, -2) "
+        f"ELSE array_join(__hp, '.') END)[0]"
+    )
+
+
+def _cut_to_first_significant_subdomain(inner, parts, literals):
+    _need(parts, 1, "cutToFirstSignificantSubdomain", "(url)")
+    host = f"coalesce(regexp_extract({inner}, {_HOST_RE}, 1), '')"
+    return (
+        f"__xform__(array(split({host}, '\\\\.')), __hp -> CASE "
+        f"WHEN size(__hp) >= 3 AND element_at(__hp, -2) IN {_SLD_SET} "
+        f"THEN array_join(slice(__hp, size(__hp) - 2, 3), '.') "
+        f"WHEN size(__hp) >= 2 "
+        f"THEN array_join(slice(__hp, size(__hp) - 1, 2), '.') "
+        f"ELSE '' END)[0]"
+    )
+
+
+def _netloc(inner, parts, literals):
+    _need(parts, 1, "netloc", "(url)")
+    return (
+        f"coalesce(regexp_extract({inner}, "
+        f"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1), '')"
+    )
+
+
+def _encode_url_component(inner, parts, literals):
+    # url_encode is form-encoding (space -> +); percent-encode instead
+    _need(parts, 1, "encodeURLComponent", "(s)")
+    return f"replace(url_encode({inner}), '+', '%20')"
+
+
+# -------------------------------------------------------------------- IP
+_IPV4_RE = (
+    "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"
+)
+#: the standard 8-alternative IPv6 pattern (incl. :: compression and
+#: the IPv4-mapped tail)
+_IPV6_RE = (
+    "'^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|"
+    "([0-9A-Fa-f]{1,4}:){1,7}:|"
+    "([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|"
+    "([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}|"
+    "([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}|"
+    "([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}|"
+    "([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}|"
+    "[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})|"
+    ":((:[0-9A-Fa-f]{1,4}){1,7}|:)|"
+    "::(ffff(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\\\\.){3}"
+    "(25[0-5]|(2[0-4]|1?[0-9])?[0-9])|"
+    "([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\\\\.){3}"
+    "(25[0-5]|(2[0-4]|1?[0-9])?[0-9]))$'"
+)
+
+
+def _ipv4_num(x: str) -> str:
+    return (
+        f"(CAST(split_part({x}, '.', 1) AS BIGINT) * 16777216 + "
+        f"CAST(split_part({x}, '.', 2) AS BIGINT) * 65536 + "
+        f"CAST(split_part({x}, '.', 3) AS BIGINT) * 256 + "
+        f"CAST(split_part({x}, '.', 4) AS BIGINT))"
+    )
+
+
+def _ipv4_string_to_num_or(dflt: str | None):
+    def h(inner, parts, literals):
+        _need(parts, 1, "IPv4StringToNumOrNull/Default", "(s)")
+        x = inner
+        fb = "CAST(NULL AS BIGINT)" if dflt is None else dflt
+        return (
+            f"(CASE WHEN {x} RLIKE {_IPV4_RE} THEN {_ipv4_num(x)} "
+            f"ELSE {fb} END)"
+        )
+    return h
+
+
+def _is_ipv4_string(inner, parts, literals):
+    _need(parts, 1, "isIPv4String", "(s)")
+    return f"CAST({inner} RLIKE {_IPV4_RE} AS INT)"
+
+
+def _is_ipv6_string(inner, parts, literals):
+    _need(parts, 1, "isIPv6String", "(s)")
+    return f"CAST({inner} RLIKE {_IPV6_RE} AS INT)"
+
+
+def _ipv4_cidr_to_range(inner, parts, literals):
+    _need(parts, 2, "IPv4CIDRToRange", "(ipv4_num, prefix_bits)")
+    ip, b = parts
+    span = f"shiftleft(CAST(1 AS BIGINT), 32 - CAST({b} AS INT))"
+    lo = f"((CAST({ip} AS BIGINT) div {span}) * {span})"
+    return (
+        f"named_struct('col1', {lo}, 'col2', {lo} + {span} - 1)"
+    )
+
+
+def _is_ip_address_in_range(inner, parts, literals):
+    _need(parts, 2, "isIPAddressInRange", "(ip_string, 'cidr')")
+    cidr = _str_lit(parts[1], literals, "isIPAddressInRange CIDR")
+    if ":" in cidr:
+        raise ValueError(
+            "isIPAddressInRange supports IPv4 CIDR literals here "
+            "(IPv6 needs 128-bit arithmetic)"
+        )
+    base, _, bits = cidr.partition("/")
+    octs = base.split(".")
+    if len(octs) != 4 or not bits.isdigit() or not all(
+        o.isdigit() and 0 <= int(o) <= 255 for o in octs
+    ):
+        raise ValueError(f"malformed IPv4 CIDR literal {cidr!r}")
+    num = (
+        int(octs[0]) * 16777216 + int(octs[1]) * 65536
+        + int(octs[2]) * 256 + int(octs[3])
+    )
+    span = 1 << (32 - int(bits))
+    lo = (num // span) * span
+    hi = lo + span - 1
+    x = parts[0]
+    return (
+        f"(CASE WHEN {x} RLIKE {_IPV4_RE} "
+        f"THEN CAST({_ipv4_num(x)} BETWEEN {lo} AND {hi} AS INT) "
+        f"ELSE 0 END)"
+    )
+
+
+def _to_ipv4(or_null: bool):
+    def h(inner, parts, literals):
+        _need(parts, 1, "toIPv4", "(s)")
+        x = inner
+        if or_null:
+            return (
+                f"(CASE WHEN {x} RLIKE {_IPV4_RE} THEN {_ipv4_num(x)} "
+                f"ELSE CAST(NULL AS BIGINT) END)"
+            )
+        return _ipv4_num(x)
+    return h
+
+
+# -------------------------------------------------------------- geo
+def _point_in_polygon(inner, parts, literals):
+    # ray casting over the closed ring; tuple()/named_struct vertices
+    # with col1=x, col2=y (the tuple handler's field names).  try_divide
+    # keeps horizontal edges from raising under ANSI (condition is
+    # false there anyway).
+    _need(parts, 2, "pointInPolygon", "(tuple(x, y), [tuple(x, y), ...])")
+    pt, poly = parts
+    return (
+        f"__xform__(array(named_struct('x', CAST(({pt}).col1 AS DOUBLE), "
+        f"'y', CAST(({pt}).col2 AS DOUBLE), 'pg', {poly})), __pp -> "
+        f"CAST(aggregate(sequence(1, size(__pp.pg)), "
+        f"named_struct('c', false), (__st, __i) -> "
+        f"__xform__(array(named_struct("
+        f"'a', element_at(__pp.pg, __i), "
+        f"'b', element_at(__pp.pg, IF(__i = size(__pp.pg), 1, __i + 1)))), "
+        f"__e -> IF(((__e.a.col2 > __pp.y) != (__e.b.col2 > __pp.y)) "
+        f"AND (__pp.x < coalesce(try_divide("
+        f"(__e.b.col1 - __e.a.col1) * (__pp.y - __e.a.col2), "
+        f"CAST(__e.b.col2 - __e.a.col2 AS DOUBLE)), CAST(0 AS DOUBLE)) "
+        f"+ __e.a.col1), named_struct('c', NOT __st.c), __st))[0], "
+        f"__st -> __st.c) AS INT))[0]"
+    )
+
+
+_GEOHASH32 = "'0123456789bcdefghjkmnpqrstuvwxyz'"
+
+
+def _geohash_encode(inner, parts, literals):
+    if len(parts) == 2:
+        parts = parts + ["12"]  # ClickHouse default precision
+    _need(parts, 3, "geohashEncode", "(lon, lat, precision)")
+    lon, lat, p = parts
+    ns = (
+        "named_struct('lolo', {lolo}, 'lohi', {lohi}, "
+        "'lalo', {lalo}, 'lahi', {lahi}, 'bits', {bits})"
+    )
+    lon_hi = ns.format(
+        lolo="(__g.lolo + __g.lohi) / 2", lohi="__g.lohi",
+        lalo="__g.lalo", lahi="__g.lahi",
+        bits="array_append(__g.bits, 1)")
+    lon_lo = ns.format(
+        lolo="__g.lolo", lohi="(__g.lolo + __g.lohi) / 2",
+        lalo="__g.lalo", lahi="__g.lahi",
+        bits="array_append(__g.bits, 0)")
+    lat_hi = ns.format(
+        lolo="__g.lolo", lohi="__g.lohi",
+        lalo="(__g.lalo + __g.lahi) / 2", lahi="__g.lahi",
+        bits="array_append(__g.bits, 1)")
+    lat_lo = ns.format(
+        lolo="__g.lolo", lohi="__g.lohi",
+        lalo="__g.lalo", lahi="(__g.lalo + __g.lahi) / 2",
+        bits="array_append(__g.bits, 0)")
+    seed = ns.format(
+        lolo="CAST(-180 AS DOUBLE)", lohi="CAST(180 AS DOUBLE)",
+        lalo="CAST(-90 AS DOUBLE)", lahi="CAST(90 AS DOUBLE)",
+        bits="CAST(array() AS ARRAY<INT>)")
+    return (
+        f"aggregate(sequence(0, CAST({p} AS INT) * 5 - 1), {seed}, "
+        f"(__g, __i) -> IF(__i % 2 = 0, "
+        f"IF(CAST({lon} AS DOUBLE) >= (__g.lolo + __g.lohi) / 2, "
+        f"{lon_hi}, {lon_lo}), "
+        f"IF(CAST({lat} AS DOUBLE) >= (__g.lalo + __g.lahi) / 2, "
+        f"{lat_hi}, {lat_lo})), "
+        f"__g -> array_join(__xform__(sequence(1, CAST({p} AS INT)), "
+        f"__c -> substring({_GEOHASH32}, aggregate(sequence(0, 4), 0, "
+        f"(__a, __b) -> __a * 2 + element_at(__g.bits, (__c - 1) * 5 "
+        f"+ __b + 1)) + 1, 1)), ''))"
+    )
+
+
+EXT_WRAPS.update({
+    "arraySort": _array_sort_k(False),
+    "arrayReverseSort": _array_sort_k(True),
+    "arrayFill": _array_fill(False),
+    "arrayReverseFill": _array_fill(True),
+    "arraySplit": _array_split,
+    "arrayProduct": _array_product,
+    "arrayAUC": _array_auc,
+    "hasSubstr": _has_substr,
+    "range": _range,
+    "L1Norm": _vec_norm("L1"),
+    "L2Norm": _vec_norm("L2"),
+    "L2SquaredNorm": _vec_norm("L2Squared"),
+    "LinfNorm": _vec_norm("Linf"),
+    "L1Normalize": _vec_normalize("L1"),
+    "L2Normalize": _vec_normalize("L2"),
+    "LinfNormalize": _vec_normalize("Linf"),
+    "mapAdd": _map_addsub("add"),
+    "mapSubtract": _map_addsub("sub"),
+    "JSONExtractRaw": _json_extract_raw,
+    "JSONExtractArrayRaw": _json_extract_array_raw,
+    "JSON_QUERY": _json_query,
+    "JSON_EXISTS": _json_exists,
+    "simpleJSONExtractString": _simple_json("string"),
+    "simpleJSONExtractInt": _simple_json("int"),
+    "simpleJSONExtractFloat": _simple_json("float"),
+    "simpleJSONExtractBool": _simple_json("bool"),
+    "simpleJSONExtractRaw": _simple_json("raw"),
+    "simpleJSONHas": _simple_json("has"),
+    "visitParamExtractString": _simple_json("string"),
+    "visitParamExtractInt": _simple_json("int"),
+    "visitParamExtractFloat": _simple_json("float"),
+    "visitParamExtractBool": _simple_json("bool"),
+    "visitParamExtractRaw": _simple_json("raw"),
+    "visitParamHas": _simple_json("has"),
+    "domain": _url_domain,
+    "domainWithoutWWWRFC": _url_domain,
+    "topLevelDomain": _url_tld,
+    "path": _url_path(False),
+    "pathFull": _url_path(True),
+    "extractURLParameter": _url_param,
+    "extractURLParameters": _url_params,
+    "extractURLParameterNames": _url_param_names,
+    "cutWWW": _cut_www,
+    "firstSignificantSubdomain": _first_significant_subdomain,
+    "cutToFirstSignificantSubdomain": _cut_to_first_significant_subdomain,
+    "netloc": _netloc,
+    "encodeURLComponent": _encode_url_component,
+    "IPv4StringToNumOrNull": _ipv4_string_to_num_or(None),
+    "IPv4StringToNumOrDefault": _ipv4_string_to_num_or("CAST(0 AS BIGINT)"),
+    "isIPv4String": _is_ipv4_string,
+    "isIPv6String": _is_ipv6_string,
+    "IPv4CIDRToRange": _ipv4_cidr_to_range,
+    "isIPAddressInRange": _is_ip_address_in_range,
+    "toIPv4": _to_ipv4(False),
+    "toIPv4OrNull": _to_ipv4(True),
+    "pointInPolygon": _point_in_polygon,
+    "geohashEncode": _geohash_encode,
+})
+
+
 # ----------------------------------------------------- parameterized aggs
 EXT_PARAM_AGGS: dict = {}

@@ -364,6 +364,162 @@ def test_day_of_week_modes(spark):
     assert const(spark, "toDayOfWeek(toDate('2024-03-07'), 3)") == 4
 
 
+# -------------------------------------------------------- arrays / maps
+def test_array_sort_keyed(spark):
+    assert const(spark, "arraySort([3, 1, 2])") == [1, 2, 3]
+    assert const(spark, "arraySort(x -> -x, [3, 1, 2])") == [3, 2, 1]
+    assert const(spark, "arrayReverseSort([3, 1, 2])") == [3, 2, 1]
+    assert const(spark, "arrayReverseSort(x -> -x, [3, 1, 2])") == [1, 2, 3]
+
+
+def test_array_fill(spark):
+    # ClickHouse doc example: falsy elements take the previous value
+    assert const(spark, "arrayFill(x -> NOT isNull(x), [1, NULL, 3, NULL, NULL, 6])") == [1, 1, 3, 3, 3, 6]
+    assert const(spark, "arrayReverseFill(x -> NOT isNull(x), [1, NULL, 3, NULL, NULL, 6])") == [1, 3, 3, 6, 6, 6]
+    assert const(spark, "arrayFill(x -> x > 0, CAST(array() AS ARRAY<INT>))") == []
+
+
+def test_array_split(spark):
+    assert const(spark, "arraySplit(x -> x = 0, [1, 2, 0, 3, 0, 4])") == [
+        [1, 2], [0, 3], [0, 4]
+    ]
+    # a split before the first element creates no leading empty group
+    assert const(spark, "arraySplit(x -> x = 0, [0, 1, 2])") == [[0, 1, 2]]
+
+
+def test_array_product_auc(spark):
+    assert const(spark, "arrayProduct([2, 3, 4])") == 24.0
+    assert const(spark, "arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])") == pytest.approx(0.75)
+    assert math.isnan(const(spark, "arrayAUC([0.1], [1])"))
+
+
+def test_has_substr(spark):
+    assert const(spark, "hasSubstr([1, 2, 3, 4], [2, 3])") is True
+    assert const(spark, "hasSubstr([1, 2, 3, 4], [3, 2])") is False
+    assert const(spark, "hasSubstr([1, 2], [])") is True
+    assert const(spark, "hasSubstr([1], [1, 2])") is False
+
+
+def test_range_scalar(spark):
+    assert const(spark, "range(5)") == [0, 1, 2, 3, 4]
+    assert const(spark, "range(0)") == []
+    assert const(spark, "range(2, 5)") == [2, 3, 4]
+    assert const(spark, "range(0, 10, 3)") == [0, 3, 6, 9]
+    assert const(spark, "range(5, 5)") == []
+
+
+def test_vector_norms(spark):
+    assert const(spark, "L2Norm([3.0, 4.0])") == 5.0
+    assert const(spark, "L1Norm([3.0, -4.0])") == 7.0
+    assert const(spark, "LinfNorm([3.0, -4.0])") == 4.0
+    assert const(spark, "L2SquaredNorm([3.0, 4.0])") == 25.0
+    assert const(spark, "L2Normalize([3.0, 4.0])") == [0.6, 0.8]
+    assert const(spark, "L2Normalize([0.0, 0.0])") == [0.0, 0.0]
+
+
+def test_map_add_subtract(spark):
+    assert const(spark, "mapAdd(map('a', 1, 'b', 2), map('a', 10))") == {
+        "a": 11, "b": 2
+    }
+    assert const(spark, "mapSubtract(map('a', 1), map('a', 10, 'c', 3))") == {
+        "a": -9, "c": -3
+    }
+    assert const(
+        spark, "mapAdd(map('a', 1), map('b', 1), map('a', 1))"
+    ) == {"a": 2, "b": 1}
+
+
+# ------------------------------------------------------------------ JSON
+_J = """'{"name": "n1", "age": 3, "tags": [1, {"a": 2}], "obj": {"k": "v"}}'"""
+
+
+def test_json_extract_raw(spark):
+    assert const(spark, f"JSONExtractRaw({_J}, 'name')") == '"n1"'
+    assert const(spark, f"JSONExtractRaw({_J}, 'obj')") == '{"k":"v"}'
+    assert const(spark, f"JSONExtractRaw({_J}, 'missing')") == ""
+    assert const(spark, f"JSONExtractRaw({_J}, 'tags', 2)") == '{"a":2}'
+
+
+def test_json_extract_array_raw(spark):
+    assert const(spark, f"JSONExtractArrayRaw({_J}, 'tags')") == [
+        "1", '{"a":2}'
+    ]
+    assert const(spark, f"JSONExtractArrayRaw({_J}, 'name')") == []
+
+
+def test_json_standard_forms(spark):
+    assert const(spark, f"JSON_VALUE({_J}, '$.name')") == "n1"
+    assert const(spark, f"JSON_QUERY({_J}, '$.age')") == "[3]"
+    assert const(spark, f"JSON_EXISTS({_J}, '$.name')") == 1
+    assert const(spark, f"JSON_EXISTS({_J}, '$.nope')") == 0
+
+
+def test_simple_json_family(spark):
+    assert const(spark, f"simpleJSONExtractString({_J}, 'name')") == "n1"
+    assert const(spark, f"visitParamExtractString({_J}, 'name')") == "n1"
+    assert const(spark, f"simpleJSONExtractInt({_J}, 'age')") == 3
+    assert const(spark, f"visitParamHas({_J}, 'age')") == 1
+    assert const(spark, f"toJSONString(map('a', 1))") == '{"a":1}'
+
+
+# ------------------------------------------------------------------- URL
+_U = "'https://user:pw@www.news.example.com:8080/path/page?x=1&y=2#frag'"
+
+
+def test_url_family(spark):
+    assert const(spark, f"domain({_U})") == "www.news.example.com"
+    assert const(spark, "domain('example.org:9000')") == "example.org"
+    assert const(spark, f"topLevelDomain({_U})") == "com"
+    assert const(spark, "topLevelDomain('http://127.0.0.1/x')") == ""
+    assert const(spark, f"path({_U})") == "/path/page"
+    assert const(spark, f"pathFull({_U})") == "/path/page?x=1&y=2#frag"
+    assert const(spark, f"extractURLParameter({_U}, 'y')") == "2"
+    assert const(spark, f"extractURLParameters({_U})") == ["x=1", "y=2"]
+    assert const(spark, f"extractURLParameterNames({_U})") == ["x", "y"]
+    assert const(spark, "cutWWW('https://www.a.com/x')") == "https://a.com/x"
+    assert const(spark, f"netloc({_U})") == "user:pw@www.news.example.com:8080"
+    assert (
+        const(spark, "decodeURLComponent(encodeURLComponent('a b&c'))")
+        == "a b&c"
+    )
+    assert const(spark, "encodeURLComponent('a b')") == "a%20b"
+
+
+def test_significant_subdomain(spark):
+    assert const(spark, "firstSignificantSubdomain('http://news.example.com.ac/x')") == "example"
+    assert const(spark, "firstSignificantSubdomain('https://a.b.example.org/')") == "example"
+    assert const(spark, "cutToFirstSignificantSubdomain('http://news.example.com.ac/x')") == "example.com.ac"
+    assert const(spark, "cutToFirstSignificantSubdomain('https://a.b.example.org/')") == "example.org"
+
+
+# -------------------------------------------------------------------- IP
+def test_ip_family(spark):
+    assert const(spark, "isIPv4String('192.168.1.1')") == 1
+    assert const(spark, "isIPv4String('256.1.1.1')") == 0
+    assert const(spark, "isIPv6String('2001:db8::1')") == 1
+    assert const(spark, "isIPv6String('192.168.1.1')") == 0
+    assert const(spark, "IPv4StringToNumOrNull('nope')") is None
+    assert const(spark, "IPv4StringToNumOrNull('192.168.1.1')") == 3232235777
+    assert const(spark, "toIPv4OrNull('1.2.3.4')") == 16909060
+    rng = const(spark, "IPv4CIDRToRange(3232235777, 24)")
+    assert (rng.col1, rng.col2) == (3232235776, 3232236031)
+    assert const(spark, "isIPAddressInRange('192.168.5.5', '192.168.0.0/16')") == 1
+    assert const(spark, "isIPAddressInRange('10.0.0.1', '192.168.0.0/16')") == 0
+
+
+# -------------------------------------------------------------------- geo
+def test_point_in_polygon(spark):
+    sq = "[tuple(0, 0), tuple(10, 0), tuple(10, 10), tuple(0, 10)]"
+    assert const(spark, f"pointInPolygon(tuple(3, 3), {sq})") == 1
+    assert const(spark, f"pointInPolygon(tuple(30, 3), {sq})") == 0
+
+
+def test_geohash_encode(spark):
+    # reference value from the public geohash test corpus
+    assert const(spark, "geohashEncode(-5.60302734375, 42.593994140625, 8)") == "ezs42d000"[:8]
+    assert const(spark, "geohashEncode(13.361389, 38.115556, 5)") == "sqc8b"
+
+
 def test_sentinel_restores_inside_nested_args(spark):
     # regression: a sentinel emitted by an inner handler used to be
     # restored by the RECURSIVE exit and re-rewritten by the outer loop
