@@ -1599,7 +1599,7 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
         code = code[: m.start(1)] + repl + code[cp + 1 :]
 
 
-def _rewrite_param_aggs(code: str) -> str:
+def _rewrite_param_aggs(code: str, literals: tuple = ()) -> str:
     """Rewrite ClickHouse's two-paren-group parameterized aggregates
     ``name(params)(args)`` (see :data:`_PARAM_AGGS`).  Longest names
     match first so ``quantilesExact`` never parses as ``quantiles``."""
@@ -1630,9 +1630,9 @@ def _rewrite_param_aggs(code: str) -> str:
         while k < len(code) and code[k].isspace():
             k += 1
         if k >= len(code) or code[k] != "(":
-            single = _rewrite_param_aggs(code[p_open + 1 : p_close])
+            single = _rewrite_param_aggs(code[p_open + 1 : p_close], literals)
             if name in EXT_PARAM_AGGS:
-                repl = EXT_PARAM_AGGS[name](None, single)
+                repl = EXT_PARAM_AGGS[name](None, single, literals)
             elif name == "topK":
                 repl = _topk_expr(single, "10")  # CH default k
             elif name == "topKWeighted":
@@ -1652,10 +1652,10 @@ def _rewrite_param_aggs(code: str) -> str:
             code = code[: m.start(1)] + repl + code[p_close + 1 :]
             continue
         a_close = _match_paren(code, k)
-        params = _rewrite_param_aggs(code[p_open + 1 : p_close])
-        args = _rewrite_param_aggs(code[k + 1 : a_close])
+        params = _rewrite_param_aggs(code[p_open + 1 : p_close], literals)
+        args = _rewrite_param_aggs(code[k + 1 : a_close], literals)
         if name in EXT_PARAM_AGGS:
-            repl = EXT_PARAM_AGGS[name](params, args)
+            repl = EXT_PARAM_AGGS[name](params, args, literals)
         elif name == "topK":
             repl = _topk_expr(args, params)
         elif name == "topKWeighted":
@@ -1975,7 +1975,7 @@ def _rewrite_code(code: str, literals: tuple = ()) -> str:
     code = re.sub(r"\bcount\s*\(\s*\)", "count(*)", code, flags=re.IGNORECASE)
     for z, repl in _ZERO_ARG.items():
         code = code.replace(z, repl)
-    code = _rewrite_param_aggs(code)
+    code = _rewrite_param_aggs(code, literals)
     code = _rewrite_wraps(code, literals)
     for name, repl in _NAME_SWAPS.items():
         code = re.sub(rf"\b{name}(\s*\()", repl + r"\1", code)

@@ -647,6 +647,24 @@ EXT_WRAPS: dict = {
         "reinterpretAs* is a raw-memory cast with no Spark SQL "
         "equivalent; use explicit CAST/unhex/conv conversions"
     ),
+    "jaroSimilarity": _raise_with(
+        "jaroSimilarity has no Spark builtin; use levenshtein() "
+        "(editDistance) or stringJaccardIndex for string similarity"
+    ),
+    "jaroWinklerSimilarity": _raise_with(
+        "jaroWinklerSimilarity has no Spark builtin; use levenshtein() "
+        "(editDistance) or stringJaccardIndex for string similarity"
+    ),
+    "lgamma": _raise_with(
+        "lgamma has no Spark builtin (factorial() covers integer "
+        "arguments up to 20; a series approximation would silently "
+        "diverge from ClickHouse's libm)"
+    ),
+    "tgamma": _raise_with(
+        "tgamma has no Spark builtin (factorial() covers integer "
+        "arguments up to 20; a series approximation would silently "
+        "diverge from ClickHouse's libm)"
+    ),
 }
 
 # ------------------------------------------------------------ date/time
@@ -1494,5 +1512,827 @@ EXT_WRAPS.update({
 })
 
 
+# ------------------------------------------------------------ aggregates
+def _avg_weighted(inner, parts, literals):
+    _need(parts, 2, "avgWeighted", "(x, weight)")
+    x, w = parts
+    return (
+        f"(CASE WHEN sum({w}) = 0 THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE sum(CAST({x} AS DOUBLE) * ({w})) / sum({w}) END)"
+    )
+
+
+def _group_bitmap(inner, parts, literals):
+    # groupBitmap returns the bitmap's cardinality (exact distinct)
+    _need(parts, 1, "groupBitmap", "(x)")
+    return f"count(DISTINCT {inner})"
+
+
+def _skew_kurt_samp(kurt: bool):
+    def h(inner, parts, literals):
+        name = "kurtSamp" if kurt else "skewSamp"
+        _need(parts, 1, name, "(x)")
+        x = f"CAST({inner} AS DOUBLE)"
+        # raw power sums -> central moments (one pass, map-side
+        # combinable; the classic cancellation caveat is documented).
+        # Formula: m_k = sum((x-mean)^k)/(n-1), result m3/varSamp^1.5
+        # (resp. m4/varSamp^2 — NOT excess, like ClickHouse's kurtSamp).
+        n = f"count({inner})"
+        s1, s2 = f"sum({x})", f"sum({x} * {x})"
+        s3 = f"sum({x} * {x} * {x})"
+        s4 = f"sum({x} * {x} * {x} * {x})"
+        mean = f"({s1} / {n})"
+        if not kurt:
+            m = (
+                f"(({s3} - 3 * {mean} * {s2} + 3 * {mean} * {mean} * {s1} "
+                f"- {n} * {mean} * {mean} * {mean}) / ({n} - 1))"
+            )
+            return (
+                f"(CASE WHEN {n} < 2 OR var_samp({x}) = 0 "
+                f"THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE {m} / pow(var_samp({x}), 1.5) END)"
+            )
+        m = (
+            f"(({s4} - 4 * {mean} * {s3} + 6 * {mean} * {mean} * {s2} "
+            f"- 4 * {mean} * {mean} * {mean} * {s1} "
+            f"+ {n} * {mean} * {mean} * {mean} * {mean}) / ({n} - 1))"
+        )
+        return (
+            f"(CASE WHEN {n} < 2 OR var_samp({x}) = 0 "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {m} / (var_samp({x}) * var_samp({x})) END)"
+        )
+    return h
+
+
+def _map_agg(kind: str):
+    """sumMap/minMap/maxMap over a map column or (keys, values) arrays.
+    One collect_list per group, all folding in whole-stage codegen;
+    result keys are SORTED like ClickHouse's."""
+    def h(inner, parts, literals):
+        if len(parts) == 1:
+            row_entries = f"map_entries({parts[0]})"
+            as_map = True
+        elif len(parts) == 2:
+            k_, v_ = parts
+            row_entries = (
+                f"__xform__(sequence(1, size({k_})), __mi -> "
+                f"named_struct('key', element_at({k_}, __mi), "
+                f"'value', element_at({v_}, __mi)))"
+            )
+            as_map = False
+        else:
+            raise ValueError(f"{kind}Map needs (map) or (keys, values)")
+        vals = "__xform__(filter(__es, __e2 -> __e2.key = __k), __e3 -> __e3.value)"
+        if kind == "sum":
+            agg_v = (
+                f"aggregate({vals}, element_at(__es, 1).value "
+                f"* CAST(0 AS BIGINT) * CAST(1 AS BIGINT), "
+                f"(__sa, __sv) -> __sa + __sv)"
+            )
+        elif kind == "min":
+            agg_v = f"array_min({vals})"
+        else:
+            agg_v = f"array_max({vals})"
+        ks = (
+            "array_sort(array_distinct(__xform__(__es, __e -> __e.key)))"
+        )
+        if as_map:
+            body = (
+                f"map_from_entries(__xform__({ks}, __k -> "
+                f"struct(__k, {agg_v})))"
+            )
+        else:
+            body = (
+                f"__xform__(array({ks}), __ka -> named_struct("
+                f"'col1', __ka, "
+                f"'col2', __xform__(__ka, __k -> {agg_v})))[0]"
+            )
+        return (
+            f"__xform__(array(flatten(collect_list({row_entries}))), "
+            f"__es -> {body})[0]"
+        )
+    return h
+
+
+def _sum_count(inner, parts, literals):
+    _need(parts, 1, "sumCount", "(x)")
+    return f"named_struct('col1', sum({inner}), 'col2', count({inner}))"
+
+
+def _bounding_ratio(inner, parts, literals):
+    # slope between the leftmost and rightmost (x, y) points
+    _need(parts, 2, "boundingRatio", "(x, y)")
+    x, y = parts
+    return (
+        f"(CASE WHEN max({x}) = min({x}) THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE CAST(max_by({y}, {x}) - min_by({y}, {x}) AS DOUBLE) "
+        f"/ (max({x}) - min({x})) END)"
+    )
+
+
+def _uniq_array(inner, parts, literals):
+    # distinct elements across all of the group's arrays (exact;
+    # ClickHouse's uniq sketch is approximate — documented upgrade)
+    _need(parts, 1, "uniqArray", "(arr)")
+    return f"size(array_distinct(flatten(collect_list({inner}))))"
+
+
+def _retention(inner, parts, literals):
+    if len(parts) < 1:
+        raise ValueError("retention needs (cond1, cond2, ...)")
+    first = f"max(CAST({parts[0]} AS INT))"
+    cells = [f"CAST({first} AS TINYINT)"] + [
+        f"CAST({first} * max(CAST({c} AS INT)) AS TINYINT)"
+        for c in parts[1:]
+    ]
+    return "array(" + ", ".join(cells) + ")"
+
+
+def _delta_sum(inner, parts, literals):
+    # sum of positive deltas in COLLECT order — ClickHouse's own
+    # result is arrival-order dependent the same way
+    _need(parts, 1, "deltaSum", "(x)")
+    return _delta_fold(f"collect_list({inner})")
+
+
+def _delta_sum_timestamp(inner, parts, literals):
+    # deterministic variant: deltas in timestamp order
+    _need(parts, 2, "deltaSumTimestamp", "(x, ts)")
+    x, ts = parts
+    lst = (
+        f"__xform__(array_sort(collect_list(named_struct("
+        f"'t', {ts}, 'v', {x}))), __dp -> __dp.v)"
+    )
+    return _delta_fold(lst)
+
+
+def _delta_fold(lst: str) -> str:
+    # the *0L*1L seed zero saturates DECIMAL accumulators at (38,s) so
+    # `t + delta` keeps the accumulator type stable across iterations
+    # (same trick as arrayReduce's sum; integer/double types unaffected)
+    zero = (
+        "element_at(__dl, 1) * CAST(0 AS BIGINT) * CAST(1 AS BIGINT)"
+    )
+    return (
+        f"__xform__(array({lst}), __dl -> CASE WHEN size(__dl) = 0 "
+        f"THEN CAST(NULL AS BIGINT) * 0 "
+        f"ELSE aggregate(slice(__dl, 2, size(__dl) - 1), "
+        f"named_struct('p', element_at(__dl, 1), "
+        f"'t', {zero}), "
+        f"(__ds, __dv) -> named_struct('p', __dv, "
+        f"'t', __ds.t + IF(__dv > __ds.p, __dv - __ds.p, {zero})), "
+        f"__ds -> __ds.t) END)[0]"
+    )
+
+
+def _max_intersections(pos: bool):
+    def h(inner, parts, literals):
+        name = "maxIntersectionsPosition" if pos else "maxIntersections"
+        _need(parts, 2, name, "(start, end)")
+        s, e = parts
+        evs = (
+            f"array_sort(flatten(collect_list(array("
+            f"named_struct('p', {s}, 'd', 1), "
+            f"named_struct('p', {e}, 'd', -1)))))"
+        )
+        if not pos:
+            # ends sort before starts at equal positions (d=-1 < 1):
+            # half-open interval semantics
+            return (
+                f"__xform__(array({evs}), __ml -> aggregate(__ml, "
+                f"named_struct('c', 0, 'm', 0), (__ms, __me) -> "
+                f"named_struct('c', __ms.c + __me.d, "
+                f"'m', greatest(__ms.m, __ms.c + __me.d)), "
+                f"__ms -> CAST(__ms.m AS BIGINT)))[0]"
+            )
+        return (
+            f"__xform__(array({evs}), __ml -> aggregate(__ml, "
+            f"named_struct('c', 0, 'm', 0, "
+            f"'mp', try_element_at(__ml, 1).p), (__ms, __me) -> "
+            f"named_struct('c', __ms.c + __me.d, "
+            f"'m', greatest(__ms.m, __ms.c + __me.d), "
+            f"'mp', IF(__ms.c + __me.d > __ms.m, __me.p, __ms.mp)), "
+            f"__ms -> __ms.mp))[0]"
+        )
+    return h
+
+
+def _interval_length_sum(inner, parts, literals):
+    # union length of (possibly overlapping) numeric intervals: sort
+    # by start, then a single merge fold
+    _need(parts, 2, "intervalLengthSum", "(start, end)")
+    s, e = parts
+    ivs = f"array_sort(collect_list(named_struct('s', {s}, 'e', {e})))"
+    return (
+        f"__xform__(array({ivs}), __il -> aggregate(__il, "
+        f"named_struct('cov', try_element_at(__il, 1).s "
+        f"* CAST(0 AS BIGINT) * CAST(1 AS BIGINT), "
+        # hi's seed VALUE is the first start (>= coverage starts there
+        # either way); the s*1L + e*0L sum saturates its TYPE so the
+        # greatest(hi, e) update can't widen the struct per iteration
+        f"'hi', try_element_at(__il, 1).s * CAST(1 AS BIGINT) "
+        f"+ try_element_at(__il, 1).e * CAST(0 AS BIGINT)), (__is, __iv) -> "
+        f"named_struct('cov', __is.cov + "
+        f"IF(__iv.s > __is.hi, __iv.e - __iv.s, "
+        f"greatest(__iv.e - __is.hi, __iv.s * 0)), "
+        f"'hi', greatest(__is.hi, __iv.e)), __is -> __is.cov))[0]"
+    )
+
+
+EXT_WRAPS.update({
+    "avgWeighted": _avg_weighted,
+    "groupBitmap": _group_bitmap,
+    "skewSamp": _skew_kurt_samp(False),
+    "kurtSamp": _skew_kurt_samp(True),
+    "sumMap": _map_agg("sum"),
+    "minMap": _map_agg("min"),
+    "maxMap": _map_agg("max"),
+    "sumCount": _sum_count,
+    "boundingRatio": _bounding_ratio,
+    "uniqArray": _uniq_array,
+    "retention": _retention,
+    "deltaSum": _delta_sum,
+    "deltaSumTimestamp": _delta_sum_timestamp,
+    "maxIntersections": _max_intersections(False),
+    "maxIntersectionsPosition": _max_intersections(True),
+    "intervalLengthSum": _interval_length_sum,
+})
+
+EXT_NAME_SWAPS.update({
+    # mode() is Spark's exact most-frequent-value aggregate —
+    # anyHeavy's heavy-hitter contract, deterministic here
+    "anyHeavy": "mode",
+    "sumWithOverflow": "sum",  # overflow wrap deviation documented
+    "sumKahan": "sum",  # Spark sums doubles with compensated partials
+})
+
+
 # ----------------------------------------------------- parameterized aggs
-EXT_PARAM_AGGS: dict = {}
+def _pa_uniq_up_to(params, args, literals=()):
+    if params is None:
+        raise ValueError("uniqUpTo needs its N parameter: uniqUpTo(N)(x)")
+    return f"least(count(DISTINCT {args}), CAST({params} AS BIGINT) + 1)"
+
+
+def _pa_group_array(params, args, literals=()):
+    if params is None:
+        return f"collect_list({args})"
+    return f"slice(collect_list({args}), 1, CAST({params} AS INT))"
+
+
+def _pa_group_array_last(params, args, literals=()):
+    if params is None:
+        raise ValueError("groupArrayLast needs N: groupArrayLast(N)(x)")
+    return (
+        f"__xform__(array(collect_list({args})), __gl -> "
+        f"CASE WHEN size(__gl) <= CAST({params} AS INT) THEN __gl "
+        f"ELSE slice(__gl, -CAST({params} AS INT), "
+        f"CAST({params} AS INT)) END)[0]"
+    )
+
+
+def _pa_group_array_sample(params, args, literals=()):
+    if params is None:
+        raise ValueError("groupArraySample needs k: groupArraySample(k)(x)")
+    k = params.split(",")[0].strip()  # optional seed param ignored
+    # deterministic reservoir stand-in: first k in collect order
+    # (ClickHouse samples pseudo-randomly; any k-subset is a legal
+    # sample — the deterministic prefix is the reproducible one)
+    return f"slice(collect_list({args}), 1, CAST({k} AS INT))"
+
+
+def _pa_quantile_approx(default_p: str = "0.5"):
+    def h(params, args, literals=()):
+        p = params if params is not None else default_p
+        return f"percentile_approx({args}, {p})"
+    return h
+
+
+def _pa_quantile_deterministic(params, args, literals=()):
+    p = params if params is not None else "0.5"
+    x = args.split(",")[0].strip()  # determinator column dropped
+    return f"percentile_approx({x}, {p})"
+
+
+def _pa_quantile_gk(params, args, literals=()):
+    if params is None:
+        raise ValueError("quantileGK needs (accuracy, level)(x)")
+    ps = [p.strip() for p in params.split(",")]
+    if len(ps) != 2:
+        raise ValueError("quantileGK needs (accuracy, level)(x)")
+    acc, level = ps
+    return f"percentile_approx({args}, {level}, {acc})"
+
+
+def _pa_histogram(params, args, literals=()):
+    if params is None:
+        raise ValueError("histogram needs its bin count: histogram(n)(x)")
+    n = params.strip()
+    # equi-width bins over [min, max] (deterministic; ClickHouse's
+    # adaptive streaming histogram is seed/order dependent) — heights
+    # are DOUBLE like ClickHouse's
+    return (
+        f"__xform__(array(collect_list(CAST({args} AS DOUBLE))), __hl -> "
+        f"__xform__(array(named_struct('lo', array_min(__hl), "
+        f"'w', (array_max(__hl) - array_min(__hl)) / ({n}))), __hb -> "
+        f"__xform__(sequence(1, {n}), __hi -> named_struct("
+        f"'lower', __hb.lo + (__hi - 1) * __hb.w, "
+        f"'upper', __hb.lo + __hi * __hb.w, "
+        f"'height', CAST(size(filter(__hl, __hv -> "
+        f"__hv >= __hb.lo + (__hi - 1) * __hb.w AND (__hv < __hb.lo "
+        f"+ __hi * __hb.w OR __hi = {n}))) AS DOUBLE))))[0])[0]"
+    )
+
+
+# ----------------------------------------- statistical-test aggregates
+def _rank_expr(lst: str, fld: str, elem: str) -> str:
+    """Average rank of ``elem.fld`` within ``lst[*].fld`` (ties get the
+    midpoint rank, the Spearman/Mann-Whitney convention)."""
+    return (
+        f"(size(filter({lst}, __rq -> __rq.{fld} < {elem}.{fld})) "
+        f"+ size(filter({lst}, __rr -> __rr.{fld} <= {elem}.{fld})) + 1) / 2.0"
+    )
+
+
+def _rank_corr(inner, parts, literals):
+    # Spearman rho with average ranks: rank both columns, then Pearson
+    # over the ranks (O(n^2) rank scans inside the collected group —
+    # the operator shape q115/q113 is the value-grouped scale path)
+    _need(parts, 2, "rankCorr", "(x, y)")
+    x, y = parts
+    lst = (
+        f"collect_list(named_struct('a', CAST({x} AS DOUBLE), "
+        f"'b', CAST({y} AS DOUBLE)))"
+    )
+    ranks = (
+        f"__xform__(__l, __p -> named_struct("
+        f"'ra', {_rank_expr('__l', 'a', '__p')}, "
+        f"'rb', {_rank_expr('__l', 'b', '__p')}))"
+    )
+    sums = (
+        "aggregate(__r, named_struct('sa', 0.0D, 'sb', 0.0D, "
+        "'saa', 0.0D, 'sbb', 0.0D, 'sab', 0.0D), (__s, __e) -> "
+        "named_struct('sa', __s.sa + __e.ra, 'sb', __s.sb + __e.rb, "
+        "'saa', __s.saa + __e.ra * __e.ra, "
+        "'sbb', __s.sbb + __e.rb * __e.rb, "
+        "'sab', __s.sab + __e.ra * __e.rb))"
+    )
+    return (
+        f"__xform__(array({lst}), __l -> "
+        f"__xform__(array({ranks}), __r -> "
+        f"__xform__(array({sums}), __s -> "
+        f"coalesce(try_divide("
+        f"size(__r) * __s.sab - __s.sa * __s.sb, "
+        f"sqrt((size(__r) * __s.saa - __s.sa * __s.sa) "
+        f"* (size(__r) * __s.sbb - __s.sb * __s.sb))), "
+        f"CAST('NaN' AS DOUBLE)))[0])[0])[0]"
+    )
+
+
+def _chi2_bind(x: str, y: str, body: str) -> str:
+    """Bind __l (pairs), and __ct = (n, r, c, chi2) computed from
+    contingency-cell counts: chi2 = n * sum_obs(nab^2/(na*nb)) - n
+    (the unobserved-cell terms fold into the -n identity)."""
+    lst = (
+        f"collect_list(named_struct('a', CAST({x} AS STRING), "
+        f"'b', CAST({y} AS STRING)))"
+    )
+    chi = (
+        "(size(__l) * aggregate(array_distinct(__l), 0.0D, "
+        "(__ca, __cc) -> __ca + "
+        "CAST(size(filter(__l, __p1 -> __p1 = __cc)) AS DOUBLE) "
+        "* size(filter(__l, __p2 -> __p2 = __cc)) "
+        "/ (CAST(size(filter(__l, __p3 -> __p3.a = __cc.a)) AS DOUBLE) "
+        "* size(filter(__l, __p4 -> __p4.b = __cc.b)))) - size(__l))"
+    )
+    ct = (
+        f"named_struct('n', CAST(size(__l) AS DOUBLE), "
+        f"'r', size(array_distinct(__xform__(__l, __pa -> __pa.a))), "
+        f"'c', size(array_distinct(__xform__(__l, __pb -> __pb.b))), "
+        f"'chi', {chi})"
+    )
+    return (
+        f"__xform__(array({lst}), __l -> "
+        f"__xform__(array({ct}), __ct -> {body})[0])[0]"
+    )
+
+
+def _cramers_v(inner, parts, literals):
+    _need(parts, 2, "cramersV", "(a, b)")
+    body = (
+        "coalesce(try_divide(sqrt(try_divide(__ct.chi / __ct.n, "
+        "CAST(least(__ct.r - 1, __ct.c - 1) AS DOUBLE))), 1.0), "
+        "CAST('NaN' AS DOUBLE))"
+    )
+    return _chi2_bind(parts[0], parts[1], body)
+
+
+def _cramers_v_bias_corrected(inner, parts, literals):
+    _need(parts, 2, "cramersVBiasCorrected", "(a, b)")
+    body = (
+        "__xform__(array(named_struct("
+        "'p2', greatest(0.0D, __ct.chi / __ct.n "
+        "- (__ct.r - 1) * (__ct.c - 1) / (__ct.n - 1)), "
+        "'rr', __ct.r - pow(__ct.r - 1, 2) / (__ct.n - 1), "
+        "'cc', __ct.c - pow(__ct.c - 1, 2) / (__ct.n - 1))), __bc -> "
+        "coalesce(try_divide(sqrt(try_divide(__bc.p2, "
+        "least(__bc.rr - 1, __bc.cc - 1))), 1.0), "
+        "CAST('NaN' AS DOUBLE)))[0]"
+    )
+    return _chi2_bind(parts[0], parts[1], body)
+
+
+def _contingency(inner, parts, literals):
+    _need(parts, 2, "contingency", "(a, b)")
+    body = "sqrt(__ct.chi / (__ct.chi + __ct.n))"
+    return _chi2_bind(parts[0], parts[1], body)
+
+
+def _theils_u(inner, parts, literals):
+    # U(x|y) = (H(x) - H(x|y)) / H(x), natural log — the same formula
+    # as the q113 operator (clickhouse_compat_ext3.py)
+    _need(parts, 2, "theilsU", "(x, y)")
+    x, y = parts
+    lst = (
+        f"collect_list(named_struct('a', CAST({x} AS STRING), "
+        f"'b', CAST({y} AS STRING)))"
+    )
+    hx = (
+        "aggregate(array_distinct(__xform__(__l, __ha -> __ha.a)), 0.0D, "
+        "(__hs, __hv) -> __hs - "
+        "(CAST(size(filter(__l, __h1 -> __h1.a = __hv)) AS DOUBLE) "
+        "/ size(__l)) * ln(CAST(size(filter(__l, __h2 -> __h2.a = __hv)) "
+        "AS DOUBLE) / size(__l)))"
+    )
+    hxy = (
+        "aggregate(array_distinct(__l), 0.0D, (__hs2, __hc) -> __hs2 - "
+        "(CAST(size(filter(__l, __h3 -> __h3 = __hc)) AS DOUBLE) "
+        "/ size(__l)) * ln(CAST(size(filter(__l, __h4 -> __h4 = __hc)) "
+        "AS DOUBLE) / size(filter(__l, __h5 -> __h5.b = __hc.b))))"
+    )
+    return (
+        f"__xform__(array({lst}), __l -> "
+        f"coalesce(try_divide({hx} - {hxy}, {hx}), "
+        f"CAST('NaN' AS DOUBLE)))[0]"
+    )
+
+
+def _normal_two_sided_p(z: str) -> str:
+    """Two-sided p-value from a z/t statistic via the erf polynomial
+    (large-sample normal approximation; ClickHouse evaluates the exact
+    Student CDF — documented deviation, same approximation as q115)."""
+    return f"(1.0 - {_erf_expr(f'(abs({z}) / sqrt(2.0))')})"
+
+
+def _ttest(welch: bool):
+    def h(inner, parts, literals):
+        name = "welchTTest" if welch else "studentTTest"
+        _need(parts, 2, name, "(value, sample_index)")
+        v, g = parts
+        v0 = f"(CASE WHEN ({g}) = 0 THEN CAST({v} AS DOUBLE) END)"
+        v1 = f"(CASE WHEN ({g}) = 1 THEN CAST({v} AS DOUBLE) END)"
+        n0, n1 = f"count({v0})", f"count({v1})"
+        m0, m1 = f"avg({v0})", f"avg({v1})"
+        s0, s1 = f"var_samp({v0})", f"var_samp({v1})"
+        if welch:
+            se = f"sqrt({s0} / {n0} + {s1} / {n1})"
+        else:
+            sp2 = (
+                f"((({n0} - 1) * {s0} + ({n1} - 1) * {s1}) "
+                f"/ ({n0} + {n1} - 2))"
+            )
+            se = f"sqrt({sp2} * (1.0 / {n0} + 1.0 / {n1}))"
+        t_ = f"coalesce(try_divide({m0} - {m1}, {se}), CAST('NaN' AS DOUBLE))"
+        return (
+            f"__xform__(array({t_}), __tt -> named_struct("
+            f"'col1', __tt, 'col2', {_normal_two_sided_p('__tt')}))[0]"
+        )
+    return h
+
+
+def _mann_whitney(inner, parts, literals):
+    # U = R1 - n1(n1+1)/2 with average ranks; z from the normal
+    # approximation without tie correction (same convention as the
+    # q115 operator)
+    _need(parts, 2, "mannWhitneyUTest", "(value, sample_index)")
+    v, g = parts
+    lst = (
+        f"collect_list(named_struct('a', CAST({v} AS DOUBLE), "
+        f"'g', CAST(({g}) = 1 AS INT)))"
+    )
+    r1 = (
+        f"aggregate(filter(__l, __m1 -> __m1.g = 1), 0.0D, "
+        f"(__ms, __me) -> __ms + {_rank_expr('__l', 'a', '__me')})"
+    )
+    stats = (
+        f"named_struct('u', {r1} - __n1 * (__n1 + 1) / 2.0, "
+        f"'mu', __n1 * __n2 / 2.0, "
+        f"'sg', sqrt(__n1 * __n2 * (__n1 + __n2 + 1) / 12.0))"
+    )
+    return (
+        f"__xform__(array({lst}), __l -> "
+        f"__xform__(array(CAST(size(filter(__l, __mg -> __mg.g = 1)) "
+        f"AS DOUBLE)), __n1 -> "
+        f"__xform__(array(CAST(size(__l) AS DOUBLE) - __n1), __n2 -> "
+        f"__xform__(array({stats}), __mw -> named_struct('col1', __mw.u, "
+        f"'col2', {_normal_two_sided_p('try_divide(__mw.u - __mw.mu, __mw.sg)')}"
+        f"))[0])[0])[0])[0]"
+    )
+
+
+EXT_WRAPS.update({
+    "rankCorr": _rank_corr,
+    "cramersV": _cramers_v,
+    "cramersVBiasCorrected": _cramers_v_bias_corrected,
+    "contingency": _contingency,
+    "theilsU": _theils_u,
+    "studentTTest": _ttest(False),
+    "welchTTest": _ttest(True),
+    "mannWhitneyUTest": _mann_whitney,
+})
+
+
+def _pa_split(args: str) -> list[str]:
+    """Top-level comma split of a param/arg group (lazy import keeps
+    the module import-order independent of the host)."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        _split_top_commas,
+    )
+
+    return _split_top_commas(args)
+
+
+def _pa_ema(params, args, literals=()):
+    # per ClickHouse: each point weighted 1/2^((t_max - t_i)/x),
+    # result = sum(v*w)/sum(w) over the group's time-sorted points
+    if params is None:
+        raise ValueError("exponentialMovingAverage needs (x)(value, time)")
+    ps = _pa_split(args)
+    if len(ps) != 2:
+        raise ValueError("exponentialMovingAverage needs (x)(value, time)")
+    v, t = ps
+    lst = (
+        f"collect_list(named_struct('t', CAST({t} AS DOUBLE), "
+        f"'v', CAST({v} AS DOUBLE)))"
+    )
+    return (
+        f"__xform__(array({lst}), __el -> "
+        f"__xform__(array(array_max(__xform__(__el, __ep -> __ep.t))), "
+        f"__tm -> aggregate(__el, named_struct('sw', 0.0D, 'sv', 0.0D), "
+        f"(__es, __e2) -> named_struct("
+        f"'sw', __es.sw + pow(2.0, -(__tm - __e2.t) / ({params})), "
+        f"'sv', __es.sv + __e2.v * pow(2.0, -(__tm - __e2.t) / ({params}))), "
+        f"__es -> __es.sv / __es.sw))[0])[0]"
+    )
+
+
+_SPARKBAR_LEVELS = "array('▁', '▂', '▃', '▄', '▅', '▆', '▇', '█')"
+
+
+def _pa_sparkbar(params, args, literals=()):
+    if params is None:
+        raise ValueError("sparkbar needs its width: sparkbar(w)(x, y)")
+    w = params.split(",")[0].strip()
+    ps = _pa_split(args)
+    if len(ps) != 2:
+        raise ValueError("sparkbar needs (w)(x, y)")
+    x, y = ps
+    lst = (
+        f"collect_list(named_struct('x', CAST({x} AS DOUBLE), "
+        f"'y', CAST({y} AS DOUBLE)))"
+    )
+    # bucket i of w over [min x, max x]; height = sum(y); glyph =
+    # ceil(8 * h / max h); empty buckets render as spaces
+    heights = (
+        f"__xform__(sequence(1, {w}), __bi -> aggregate("
+        f"filter(__sl, __sp -> CAST(least(floor(try_divide("
+        f"(__sp.x - __sb.lo) * ({w}), __sb.hi - __sb.lo)), "
+        f"({w}) - 1) AS INT) + 1 = __bi "
+        f"OR (__sb.hi = __sb.lo AND __bi = 1)), "
+        f"0.0D, (__sa, __sv) -> __sa + __sv.y))"
+    )
+    return (
+        f"__xform__(array({lst}), __sl -> "
+        f"__xform__(array(named_struct("
+        f"'lo', array_min(__xform__(__sl, __s1 -> __s1.x)), "
+        f"'hi', array_max(__xform__(__sl, __s2 -> __s2.x)))), __sb -> "
+        f"__xform__(array({heights}), __hh -> "
+        f"array_join(__xform__(__hh, __h1 -> CASE WHEN __h1 <= 0 THEN ' ' "
+        f"ELSE element_at({_SPARKBAR_LEVELS}, CAST(ceil(8.0 * __h1 "
+        f"/ array_max(__hh)) AS INT)) END), ''))[0])[0])[0]"
+    )
+
+
+def _pa_window_funnel(params, args, literals=()):
+    pl = [p.strip() for p in _pa_split(params or "")]
+    if not params or not pl:
+        raise ValueError("windowFunnel needs (window)(time, cond1, ...)")
+    if len(pl) > 1:
+        raise ValueError(
+            "windowFunnel strict modes are unsupported here - the "
+            "default (non-strict) search is the translated semantics"
+        )
+    w = pl[0]
+    ps = _pa_split(args)
+    if len(ps) < 2:
+        raise ValueError("windowFunnel needs (window)(time, cond1, ...)")
+    t, conds = ps[0], ps[1:]
+    k = len(conds)
+    conds_arr = "array(" + ", ".join(conds) + ")"
+    evs = (
+        f"array_sort(collect_list(named_struct('t', CAST({t} AS DOUBLE), "
+        f"'c', {conds_arr})))"
+    )
+    # state: LATEST viable chain-start time per level (NULL =
+    # unreached) — ClickHouse's greedy keeps the newest start, which
+    # maximizes remaining window headroom.  One event evaluates all
+    # levels against the PRE-event state, so a single event can never
+    # satisfy two consecutive steps.
+    step = (
+        f"__xform__(sequence(1, {k}), __lv -> "
+        f"IF(element_at(__ev.c, __lv) AND (__lv = 1 OR "
+        f"(element_at(__st, __lv - 1) IS NOT NULL "
+        f"AND __ev.t - element_at(__st, __lv - 1) <= ({w}))), "
+        f"IF(__lv = 1, __ev.t, element_at(__st, __lv - 1)), "
+        f"element_at(__st, __lv)))"
+    )
+    return (
+        f"__xform__(array({evs}), __wl -> CAST(size(filter("
+        f"aggregate(__wl, __xform__(sequence(1, {k}), "
+        f"__z -> CAST(NULL AS DOUBLE)), "
+        f"(__st, __ev) -> {step}), __sx -> __sx IS NOT NULL)) AS INT))[0]"
+    )
+
+
+def _parse_seq_pattern(params, literals, who: str) -> list[int]:
+    from substreams_sink_clickhouse_spark.functions.dialect_ext import _lit
+
+    lit = _lit(params or "", literals)
+    if lit is None or lit[0] not in "'\"":
+        raise ValueError(f"{who} needs a literal pattern: {who}('(?1).*(?2)')")
+    pat = lit[1:-1]
+    toks = re.findall(r"\(\?(\d+)\)|(\.\*)|(.)", pat)
+    out: list[int] = []
+    last_was_cond = False
+    for num, star, other in toks:
+        if other:
+            raise ValueError(
+                f"{who} supports only (?N) and .* pattern elements "
+                f"(time guards like (?t<=x) are not translated)"
+            )
+        if num:
+            if last_was_cond:
+                raise ValueError(
+                    f"{who}: adjacent (?N)(?M) means STRICTLY consecutive "
+                    "events in ClickHouse - insert .* for the "
+                    "subsequence search this translation implements"
+                )
+            out.append(int(num))
+            last_was_cond = True
+        else:
+            last_was_cond = False
+    if not out:
+        raise ValueError(f"{who}: pattern has no (?N) steps")
+    return out
+
+
+def _pa_sequence(count: bool):
+    def h(params, args, literals=()):
+        who = "sequenceCount" if count else "sequenceMatch"
+        toks = _parse_seq_pattern(params, literals, who)
+        ps = _pa_split(args)
+        if len(ps) < 2:
+            raise ValueError(f"{who} needs (pattern)(time, cond1, ...)")
+        t, conds = ps[0], ps[1:]
+        for n in toks:
+            if n > len(conds):
+                raise ValueError(f"{who}: pattern references (?{n}) but "
+                                 f"only {len(conds)} conditions given")
+        conds_arr = "array(" + ", ".join(conds) + ")"
+        evs = (
+            f"array_sort(collect_list(named_struct("
+            f"'t', CAST({t} AS DOUBLE), 'c', {conds_arr})))"
+        )
+        toks_arr = "array(" + ", ".join(str(n) for n in toks) + ")"
+        k = len(toks)
+        if not count:
+            return (
+                f"__xform__(array({evs}), __ql -> CAST(aggregate(__ql, 0, "
+                f"(__qp, __qe) -> IF(__qp < {k} AND element_at(__qe.c, "
+                f"element_at({toks_arr}, __qp + 1)), __qp + 1, __qp)) "
+                f"= {k} AS TINYINT))[0]"
+            )
+        return (
+            f"__xform__(array({evs}), __ql -> CAST(aggregate(__ql, "
+            f"named_struct('p', 0, 'n', 0), (__qs, __qe) -> "
+            f"__xform__(array(IF(__qs.p < {k} AND element_at(__qe.c, "
+            f"element_at({toks_arr}, __qs.p + 1)), __qs.p + 1, __qs.p)), "
+            f"__np -> IF(__np = {k}, named_struct('p', 0, 'n', __qs.n + 1), "
+            f"named_struct('p', __np, 'n', __qs.n)))[0], "
+            f"__qs -> __qs.n) AS BIGINT))[0]"
+        )
+    return h
+
+
+def _pa_lttb(params, args, literals=()):
+    if params is None:
+        raise ValueError(
+            "largestTriangleThreeBuckets needs (n)(x, y)"
+        )
+    n = params.strip()
+    ps = _pa_split(args)
+    if len(ps) != 2:
+        raise ValueError("largestTriangleThreeBuckets needs (n)(x, y)")
+    x, y = ps
+    srt = (
+        f"array_sort(collect_list(named_struct('x', CAST({x} AS DOUBLE), "
+        f"'y', CAST({y} AS DOUBLE))))"
+    )
+    # bucket b (1..n-2) spans srt[lo(b) .. hi(b)] where
+    # lo(b) = 2 + floor((b-1)*(m-2)/(n-2)); the next bucket's centroid
+    # (or the final point) anchors the triangle
+    lo = f"(2 + CAST(floor((__b - 1) * (size(__tl) - 2) / (({n}) - 2)) AS INT))"
+    hi = f"(1 + CAST(floor(__b * (size(__tl) - 2) / (({n}) - 2)) AS INT))"
+    nlo = f"(2 + CAST(floor(__b * (size(__tl) - 2) / (({n}) - 2)) AS INT))"
+    nhi = f"(1 + CAST(floor((__b + 1) * (size(__tl) - 2) / (({n}) - 2)) AS INT))"
+    centroid = (
+        f"IF(__b = ({n}) - 2, element_at(__tl, -1), "
+        f"named_struct("
+        f"'x', aggregate(slice(__tl, {nlo}, {nhi} - {nlo} + 1), 0.0D, "
+        f"(__cx, __cp) -> __cx + __cp.x) / ({nhi} - {nlo} + 1), "
+        f"'y', aggregate(slice(__tl, {nlo}, {nhi} - {nlo} + 1), 0.0D, "
+        f"(__cy, __cq) -> __cy + __cq.y) / ({nhi} - {nlo} + 1)))"
+    )
+    area = (
+        "abs((__pv.x - __ce.x) * (__bp.y - __pv.y) "
+        "- (__pv.x - __bp.x) * (__ce.y - __pv.y))"
+    )
+    pick = (
+        f"__xform__(array(named_struct('pv', element_at(__sel, -1), "
+        f"'ce', {centroid})), __pc -> "
+        f"aggregate(slice(__tl, {lo}, {hi} - {lo} + 1), "
+        f"named_struct('bp', element_at(__tl, {lo}), 'ba', -1.0D), "
+        f"(__bb, __cand) -> __xform__(array(__pc.pv), __pv -> "
+        f"__xform__(array(__pc.ce), __ce -> "
+        f"__xform__(array(__cand), __bp -> "
+        f"IF({area} > __bb.ba, named_struct('bp', __cand, 'ba', {area}), "
+        f"__bb))[0])[0])[0], __bb -> __bb.bp))[0]"
+    )
+    return (
+        f"__xform__(array({srt}), __tl -> __xform__(array("
+        f"CASE WHEN size(__tl) <= ({n}) OR ({n}) < 3 THEN __tl "
+        f"ELSE array_append(aggregate(sequence(1, ({n}) - 2), "
+        f"array(element_at(__tl, 1)), (__sel, __b) -> "
+        f"array_append(__sel, {pick})), element_at(__tl, -1)) END), "
+        f"__fin -> __xform__(__fin, __fp -> "
+        f"named_struct('col1', __fp.x, 'col2', __fp.y)))[0])[0]"
+    )
+
+
+def _pa_moving(avg: bool):
+    def h(params, args, literals=()):
+        # running window sums in COLLECT order (ClickHouse's own
+        # result is arrival-order dependent the same way); the no-param
+        # form is the cumulative sum / whole-count average
+        win = params.strip() if params is not None else None
+        lst = f"collect_list(CAST({args} AS DOUBLE))"
+        if win is None:
+            start, length = "1", "__wi"
+        else:
+            start = f"greatest(1, __wi - ({win}) + 1)"
+            length = f"__wi - greatest(1, __wi - ({win}) + 1) + 1"
+        s = (
+            f"aggregate(slice(__wl, {start}, {length}), 0.0D, "
+            f"(__wa, __wv) -> __wa + __wv)"
+        )
+        if avg:
+            denom = f"({win})" if win is not None else "size(__wl)"
+            s = f"({s} / {denom})"
+        return (
+            f"__xform__(array({lst}), __wl -> "
+            f"__xform__(sequence(1, size(__wl)), __wi -> {s}))[0]"
+        )
+    return h
+
+
+EXT_PARAM_AGGS: dict = {
+    "uniqUpTo": _pa_uniq_up_to,
+    "groupArray": _pa_group_array,
+    "groupArrayLast": _pa_group_array_last,
+    "groupArraySample": _pa_group_array_sample,
+    "groupArrayMovingSum": _pa_moving(False),
+    "groupArrayMovingAvg": _pa_moving(True),
+    "quantileTiming": _pa_quantile_approx(),
+    "quantileTimingWeighted": _pa_quantile_deterministic,
+    "quantileBFloat16": _pa_quantile_approx(),
+    "quantileDeterministic": _pa_quantile_deterministic,
+    "quantileGK": _pa_quantile_gk,
+    "histogram": _pa_histogram,
+    "exponentialMovingAverage": _pa_ema,
+    "sparkbar": _pa_sparkbar,
+    "windowFunnel": _pa_window_funnel,
+    "sequenceMatch": _pa_sequence(False),
+    "sequenceCount": _pa_sequence(True),
+    "largestTriangleThreeBuckets": _pa_lttb,
+}

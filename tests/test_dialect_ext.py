@@ -520,6 +520,192 @@ def test_geohash_encode(spark):
     assert const(spark, "geohashEncode(13.361389, 38.115556, 5)") == "sqc8b"
 
 
+# -------------------------------------------------------- aggregates
+@pytest.fixture(scope="module")
+def agg(spark):
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, 10.0, 1, 'x', 'p'), (2, 12.0, 0, 'x', 'q'),
+          (3,  9.0, 1, 'y', 'p'), (4, 14.0, 0, 'y', 'q'),
+          (5, 11.0, 1, 'x', 'p'), (6, 16.0, 0, 'z', 'q')
+        AS agg_t(n, f, idx, a, b)
+        """
+    ).createOrReplaceTempView("agg_t")
+    return spark
+
+
+def agg1(agg, expr: str):
+    return agg.sql(t(f"SELECT {expr} AS v FROM agg_t")).collect()[0].v
+
+
+def test_simple_aggregates(agg):
+    assert agg1(agg, "avgWeighted(f, n)") == pytest.approx(
+        sum(v * w for v, w in zip([10, 12, 9, 14, 11, 16], range(1, 7))) / 21
+    )
+    assert agg1(agg, "anyHeavy(a)") == "x"
+    assert agg1(agg, "groupBitmap(a)") == 3
+    assert agg1(agg, "sumWithOverflow(n)") == 21
+    assert agg1(agg, "sumKahan(f)") == 72.0
+    assert agg1(agg, "uniqUpTo(2)(a)") == 3  # >2 distinct -> N+1
+    assert agg1(agg, "uniqUpTo(5)(a)") == 3
+    sc = agg1(agg, "sumCount(n)")
+    assert (sc.col1, sc.col2) == (21, 6)
+
+
+def test_skew_kurt_samp(agg):
+    import statistics
+
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 16.0]
+    n, mean = len(vals), statistics.mean(vals)
+    var_s = statistics.variance(vals)
+    m3 = sum((v - mean) ** 3 for v in vals) / (n - 1)
+    m4 = sum((v - mean) ** 4 for v in vals) / (n - 1)
+    assert agg1(agg, "skewSamp(f)") == pytest.approx(m3 / var_s**1.5)
+    assert agg1(agg, "kurtSamp(f)") == pytest.approx(m4 / var_s**2)
+
+
+def test_map_aggregates(agg, spark):
+    spark.sql(
+        "SELECT * FROM VALUES (map('k1', 1, 'k2', 2)), (map('k1', 5)), "
+        "(map('k3', 7)) AS mt(m)"
+    ).createOrReplaceTempView("mt")
+    out = spark.sql(t("SELECT sumMap(m) AS v FROM mt")).collect()[0].v
+    assert out == {"k1": 6, "k2": 2, "k3": 7}
+    # (entry order inside a Spark map does not survive the Python
+    # round-trip, so ClickHouse's sorted-keys contract is asserted on
+    # the two-array form below, whose key ARRAY is ordered)
+    assert spark.sql(t("SELECT minMap(m) AS v FROM mt")).collect()[0].v == {
+        "k1": 1, "k2": 2, "k3": 7
+    }
+    two = spark.sql(
+        t("SELECT sumMap(['a', 'b'], [1, 2]) AS v FROM mt")
+    ).collect()[0].v
+    assert (two.col1, two.col2) == (["a", "b"], [3, 6])
+
+
+def test_group_array_params(agg):
+    assert agg1(agg, "groupArray(2)(n)") == [1, 2]
+    assert agg1(agg, "groupArrayLast(2)(n)") == [5, 6]
+    assert len(agg1(agg, "groupArraySample(3)(n)")) == 3
+    assert agg1(agg, "groupArrayMovingSum(n)") == [1, 3, 6, 10, 15, 21]
+    assert agg1(agg, "groupArrayMovingSum(2)(n)") == [1, 3, 5, 7, 9, 11]
+    assert agg1(agg, "groupArrayMovingAvg(2)(n)") == [0.5, 1.5, 2.5, 3.5, 4.5, 5.5]
+
+
+def test_quantile_family_params(agg):
+    assert agg1(agg, "quantileTiming(0.5)(n)") in (3, 4)
+    assert agg1(agg, "quantileGK(100, 0.5)(n)") in (3, 4)
+    assert agg1(agg, "quantileDeterministic(0.5)(n, n)") in (3, 4)
+
+
+def test_histogram(agg):
+    bins = agg1(agg, "histogram(3)(f)")
+    assert len(bins) == 3
+    assert bins[0].lower == 9.0 and bins[2].upper == 16.0
+    assert sum(b.height for b in bins) == 6.0
+
+
+def test_delta_sums(agg):
+    # collect order == input order on local[1-ish] tiny data: 10,12,9,14,11,16
+    assert agg1(agg, "deltaSumTimestamp(f, n)") == pytest.approx(2 + 5 + 5)
+    assert agg1(agg, "deltaSum(n)") == 5
+
+
+def test_bounding_ratio(agg):
+    assert agg1(agg, "boundingRatio(n, f)") == pytest.approx((16 - 10) / 5)
+
+
+def test_interval_aggregates(agg):
+    # intervals [n, n+2]: union of [1,8] = 7
+    assert agg1(agg, "intervalLengthSum(n, n + 2)") == 7
+    assert agg1(agg, "maxIntersections(n, n + 2)") == 2
+    assert agg1(agg, "maxIntersectionsPosition(n, n + 2)") == 2
+
+
+def test_retention_uniq_array(agg):
+    assert agg1(agg, "retention(n = 1, n > 1, n > 100)") == [1, 1, 0]
+    assert agg1(agg, "retention(n = 99, n > 1)") == [0, 0]
+    assert agg1(agg, "uniqArray(array(n, 1))") == 6
+
+
+def test_rank_corr(agg):
+    # f ranks (2,4,1,5,3,6) vs n (1..6): rho = 1 - 6*14/(6*35) = 0.6
+    assert agg1(agg, "rankCorr(f, n)") == pytest.approx(0.6)
+
+
+def test_chi2_family(agg):
+    v = agg1(agg, "cramersV(a, b)")
+    assert 0 <= v <= 1
+    # a='x'|'y'|'z' vs b='p'|'q': chi2 from the 6-row table = 4/3
+    assert v == pytest.approx(math.sqrt((4 / 3) / 6 / 1))
+    assert agg1(agg, "contingency(a, b)") == pytest.approx(
+        math.sqrt((4 / 3) / (4 / 3 + 6))
+    )
+    assert agg1(agg, "cramersVBiasCorrected(a, b)") == 0.0
+    u = agg1(agg, "theilsU(a, b)")
+    assert 0 <= u <= 1
+    # perfect determination: b fully determines idx parity
+    assert agg1(agg, "theilsU(b, b)") == pytest.approx(1.0)
+
+
+def test_ttests(agg):
+    st = agg1(agg, "studentTTest(f, idx)")
+    # group1 = [10, 9, 11] (m=10), group0 = [12, 14, 16] (m=14):
+    # pooled sp2 = (2*1 + 2*4)/4 = 2.5, t = 4/sqrt(2.5*(2/3))
+    assert st.col1 == pytest.approx(4 / math.sqrt(2.5 * (2 / 3)))
+    assert 0 < st.col2 < 0.05
+    wt = agg1(agg, "welchTTest(f, idx)")
+    assert wt.col1 == pytest.approx(4 / math.sqrt(1 / 3 + 4 / 3))
+    mw = agg1(agg, "mannWhitneyUTest(f, idx)")
+    assert mw.col1 == 0.0  # sample 1 holds the three lowest values
+    assert 0 < mw.col2 < 0.1
+
+
+def test_ema(agg):
+    # weights 2^-((6-t)/2) over t=1..6, values f
+    ts = [1, 2, 3, 4, 5, 6]
+    vs = [10.0, 12.0, 9.0, 14.0, 11.0, 16.0]
+    ws = [2 ** (-(6 - t) / 2) for t in ts]
+    want = sum(v * w for v, w in zip(vs, ws)) / sum(ws)
+    assert agg1(agg, "exponentialMovingAverage(2)(f, n)") == pytest.approx(want)
+
+
+def test_sparkbar(agg):
+    out = agg1(agg, "sparkbar(3)(n, f)")
+    assert len(out) == 3 and set(out) <= set("▁▂▃▄▅▆▇█ ")
+
+
+def test_window_funnel(agg):
+    assert agg1(agg, "windowFunnel(3)(n, a = 'x', a = 'y')") == 2
+    # window too small: y events (n=3,4) are >1 after the x at n=1?
+    # x at n=2 -> y at n=3 within 1: still level 2
+    assert agg1(agg, "windowFunnel(1)(n, a = 'x', a = 'y')") == 2
+    assert agg1(agg, "windowFunnel(3)(n, a = 'z', a = 'x')") == 1
+    assert agg1(agg, "windowFunnel(3)(n, a = 'q', a = 'x')") == 0
+    # a single event cannot satisfy two consecutive steps
+    assert agg1(agg, "windowFunnel(3)(n, a = 'z', a = 'z')") == 1
+
+
+def test_sequence_match_count(agg):
+    assert agg1(agg, "sequenceMatch('(?1).*(?2)')(n, a = 'x', a = 'z')") == 1
+    assert agg1(agg, "sequenceMatch('(?1).*(?2)')(n, a = 'z', a = 'y')") == 0
+    assert agg1(agg, "sequenceCount('(?1).*(?2)')(n, a = 'x', b = 'q')") == 2
+    with pytest.raises(ValueError, match="STRICTLY consecutive"):
+        t("SELECT sequenceMatch('(?1)(?2)')(n, a = 'x', a = 'y') FROM agg_t")
+    with pytest.raises(ValueError, match="time guards"):
+        t("SELECT sequenceMatch('(?1)(?t<=3)(?2)')(n, a = 'x', a = 'y') FROM agg_t")
+
+
+def test_lttb(agg):
+    out = agg1(agg, "largestTriangleThreeBuckets(4)(n, f)")
+    assert len(out) == 4
+    assert (out[0].col1, out[0].col2) == (1.0, 10.0)   # first kept
+    assert (out[-1].col1, out[-1].col2) == (6.0, 16.0)  # last kept
+    full = agg1(agg, "largestTriangleThreeBuckets(10)(n, f)")
+    assert len(full) == 6  # n >= size: identity
+
+
 def test_sentinel_restores_inside_nested_args(spark):
     # regression: a sentinel emitted by an inner handler used to be
     # restored by the RECURSIVE exit and re-rewritten by the outer loop
