@@ -1635,7 +1635,10 @@ def _uniq_array(inner, parts, literals):
     # distinct elements across all of the group's arrays (exact;
     # ClickHouse's uniq sketch is approximate — documented upgrade)
     _need(parts, 1, "uniqArray", "(arr)")
-    return f"size(array_distinct(flatten(collect_list({inner}))))"
+    return (
+        f"CAST(size(array_distinct(flatten(collect_list({inner})))) "
+        f"AS BIGINT)"
+    )
 
 
 def _retention(inner, parts, literals):
@@ -1831,15 +1834,16 @@ def _pa_histogram(params, args, literals=()):
     n = params.strip()
     # equi-width bins over [min, max] (deterministic; ClickHouse's
     # adaptive streaming histogram is seed/order dependent) — heights
-    # are DOUBLE like ClickHouse's
+    # are DOUBLE like ClickHouse's.  Fields use the tuple col1/col2/
+    # col3 convention (lower, upper, height) so tupleElement works.
     return (
         f"__xform__(array(collect_list(CAST({args} AS DOUBLE))), __hl -> "
         f"__xform__(array(named_struct('lo', array_min(__hl), "
         f"'w', (array_max(__hl) - array_min(__hl)) / ({n}))), __hb -> "
         f"__xform__(sequence(1, {n}), __hi -> named_struct("
-        f"'lower', __hb.lo + (__hi - 1) * __hb.w, "
-        f"'upper', __hb.lo + __hi * __hb.w, "
-        f"'height', CAST(size(filter(__hl, __hv -> "
+        f"'col1', __hb.lo + (__hi - 1) * __hb.w, "
+        f"'col2', __hb.lo + __hi * __hb.w, "
+        f"'col3', CAST(size(filter(__hl, __hv -> "
         f"__hv >= __hb.lo + (__hi - 1) * __hb.w AND (__hv < __hb.lo "
         f"+ __hi * __hb.w OR __hi = {n}))) AS DOUBLE))))[0])[0]"
     )

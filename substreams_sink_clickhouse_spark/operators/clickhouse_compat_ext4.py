@@ -1,0 +1,587 @@
+"""ClickHouse-compat gate entries, round-7 extension batch 4.
+
+Every entry feeds ClickHouse SQL through the dialect shim
+(``clickhouse_to_spark_sql``) and is oracle-checked against DuckDB at
+both SFs — the round-7 dialect_ext surface under the hard gate:
+
+* ``q175_dialect_math``       — gcd/lcm/trunc/positiveModulo/intExp2/
+  bitRotateLeft/erf scalar batch (reference users' ad-hoc arithmetic).
+* ``q176_dialect_datetime2``  — Sunday-start weeks (toStartOfWeek /
+  toWeek / toYearWeek mode 0), formatDateTime %-patterns, dateName,
+  toYYYYMMDDhhmmss, makeDate, toModifiedJulianDay.
+* ``q177_dialect_url_strings`` — URL family + format()/
+  replaceRegexpOne/stringJaccardIndex over synthesized URLs.
+* ``q178_dialect_stat_tests`` — welch/student t (+ normal-approx p),
+  rankCorr, cramersV(+bias corrected), theilsU, contingency,
+  mannWhitneyUTest; doubles rounded to 4 like the q85 precedent.
+* ``q179_dialect_funnel``     — windowFunnel / retention /
+  sequenceMatch per cohort over a unique monotonic "time" (event_id:
+  no timestamp ties, so both engines see one well-defined answer).
+* ``q180_dialect_fold_aggs``  — intervalLengthSum, maxIntersections,
+  deltaSumTimestamp, sumMap (two-array form), uniqArray, histogram.
+
+Scale notes.  Everything is a single hash-aggregate exchange over
+events/orders/customer; the collect_list-fold aggregates keep state
+bounded per GROUP (cohort/event_type — the ClickHouse aggregates hold
+the same per-group state).  The O(n^2) rank-based tests (rankCorr,
+mannWhitneyUTest) run on a deterministic 1-in-23 sample — at cluster
+scale the value-grouped q113/q115 operator shapes are the path, which
+is exactly what the reference's users get from ClickHouse too (its
+rankCorr materializes the group in memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+SPECS: list[QuerySpec] = []
+
+
+def _via_shim(spark: SparkSession, sf: str, tables: list[str], sql: str) -> DataFrame:
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    for name in tables:
+        load_table(spark, sf, name).createOrReplaceTempView(name)
+    return spark.sql(clickhouse_to_spark_sql(sql))
+
+
+# ------------------------------------------------------- q175 math
+_Q175_CH = """
+SELECT event_type,
+       toInt64(sum(gcd(user_id % 96 + 4, 60)))            AS sg,
+       toInt64(sum(lcm(user_id % 5 + 1, 4)))              AS sl,
+       sum(trunc(value))                                  AS st,
+       toInt64(sum(positiveModulo(user_id - 50, 7)))      AS pm,
+       toInt64(sum(intExp2(event_id % 10)))               AS x2,
+       toInt64(sum(bitRotateLeft(user_id % 256, 3)))      AS rot,
+       round(min(erf(value / 100)), 6)                    AS emn,
+       round(max(erfc(value / 100)), 6)                   AS emx
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q175_dialect_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-math batch through the shim.  Exactness: every sum is
+    integer (gcd/lcm/pmod/intExp2/rotate are BIGINT folds; trunc(x)
+    yields integer-valued doubles whose sum is exact below 2^53);
+    erf's A&S polynomial is evaluated identically by both engines on
+    the same single value (min/max are order-free), rounded to 6."""
+    return _via_shim(spark, sf, ["events"], _Q175_CH)
+
+
+_Q175_ORACLE = r"""
+SELECT event_type,
+       CAST(sum(gcd(user_id % 96 + 4, 60)) AS BIGINT)       AS sg,
+       CAST(sum(lcm(user_id % 5 + 1, 4)) AS BIGINT)         AS sl,
+       CAST(sum(trunc(value)) AS DOUBLE)                    AS st,
+       CAST(sum((user_id - 50) % 7 + CASE WHEN (user_id - 50) % 7 < 0
+                THEN 7 ELSE 0 END) AS BIGINT)               AS pm,
+       CAST(sum(CAST(pow(2, event_id % 10) AS BIGINT)) AS BIGINT) AS x2,
+       CAST(sum((user_id % 256) * 8) AS BIGINT)             AS rot,
+       round(min(CASE WHEN value >= 0
+         THEN 1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0))))
+              + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              * exp(-(value / 100.0) * (value / 100.0))
+         ELSE -(1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0))))
+              + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              * exp(-(value / 100.0) * (value / 100.0)))
+         END), 6)                                           AS emn,
+       round(max(1.0 - (CASE WHEN value >= 0
+         THEN 1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0))))
+              + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              * exp(-(value / 100.0) * (value / 100.0))
+         ELSE -(1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0))))
+              + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(value / 100.0)))
+              * exp(-(value / 100.0) * (value / 100.0)))
+         END)), 6)                                          AS emx
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPECS.append(QuerySpec(
+    "q175_dialect_math",
+    "Scalar-math dialect batch: gcd/lcm/trunc/positiveModulo/intExp2/"
+    "bitRotateLeft/erf through the shim",
+    _q175_dialect_math,
+    _Q175_ORACLE,
+))
+
+
+# ------------------------------------------------- q176 datetime 2
+_Q176_CH = """
+SELECT toStartOfWeek(o_orderdate)                                   AS wk,
+       toInt64(count())                                             AS n,
+       min(toWeek(o_orderdate))                                     AS w0,
+       min(toYearWeek(o_orderdate))                                 AS yw,
+       min(formatDateTime(o_orderdate, '%F %T'))                    AS fd,
+       min(toYYYYMMDDhhmmss(o_orderdate))                           AS ymds,
+       min(dateName('weekday', o_orderdate))                        AS dn,
+       min(toModifiedJulianDay(toString(toDate(o_orderdate))))      AS mjd,
+       min(makeDate(toYear(o_orderdate), toMonth(o_orderdate), 1))  AS mo
+FROM orders
+GROUP BY wk
+ORDER BY wk
+"""
+
+
+def _q176_dialect_datetime2(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-mode date batch: Sunday-start weeks (mode 0 — the
+    ClickHouse default date_trunc cannot express), MySQL-convention
+    week numbers with the year-rollover week-0 case, %-pattern
+    formatting, and the Modified-Julian-Day epoch."""
+    return _via_shim(spark, sf, ["orders"], _Q176_CH)
+
+
+# DuckDB dayofweek: Sunday=0 (ClickHouse formula uses Sunday=1 —
+# adjusted below); week-0 rows roll into the previous year's last week.
+_Q176_ORACLE = r"""
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_orderdate AS ts FROM orders
+), wkd AS (
+  SELECT d, ts,
+         d - CAST(dayofweek(d) AS INT) AS wk,
+         dayofyear(d) AS doy,
+         ((7 - dayofweek(make_date(year(d), 1, 1))) % 7) + 1 AS fs,
+         year(d) AS yr
+  FROM base
+), wnum AS (
+  SELECT *,
+         CASE WHEN doy < fs THEN 0 ELSE (doy - fs) // 7 + 1 END AS w0,
+         CASE WHEN doy >= fs THEN yr * 100 + (doy - fs) // 7 + 1
+              ELSE (yr - 1) * 100
+                   + (dayofyear(make_date(yr - 1, 12, 31))
+                      - (((7 - dayofweek(make_date(yr - 1, 1, 1))) % 7) + 1)) // 7 + 1
+         END AS yw
+  FROM wkd
+)
+SELECT wk,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(w0) AS INT) AS w0,
+       CAST(min(yw) AS INT) AS yw,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS fd,
+       CAST(min(strftime(ts, '%Y%m%d%H%M%S')) AS BIGINT) AS ymds,
+       min(dayname(d)) AS dn,
+       CAST(min(d - DATE '1858-11-17') AS INT) AS mjd,
+       min(make_date(year(d), month(d), 1)) AS mo
+FROM wnum
+GROUP BY wk
+ORDER BY wk
+"""
+
+SPECS.append(QuerySpec(
+    "q176_dialect_datetime2",
+    "Sunday-start weeks, mode-0 week numbers, formatDateTime "
+    "%-patterns, dateName, MJD, makeDate — through the shim",
+    _q176_dialect_datetime2,
+    _Q176_ORACLE,
+))
+
+
+# --------------------------------------------- q177 URL + strings
+_Q177_CH = """
+SELECT c_custkey,
+       domain(url)                                   AS dom,
+       topLevelDomain(url)                           AS tld,
+       path(url)                                     AS pth,
+       extractURLParameter(url, 'id')                AS pid,
+       arrayStringConcat(extractURLParameterNames(url), ',') AS pnames,
+       firstSignificantSubdomain(url)                AS fsd,
+       cutToFirstSignificantSubdomain(url)           AS cutd,
+       netloc(url)                                   AS nl,
+       encodeURLComponent(c_name)                    AS enc,
+       format('{}-{}', c_mktsegment, toString(c_custkey)) AS fmt,
+       replaceRegexpOne(c_name, '[0-9]', '#')        AS rro,
+       round(stringJaccardIndex(c_mktsegment, 'BUILDING'), 6) AS jac
+FROM (
+  SELECT c_custkey, c_name, c_mktsegment,
+         concat('https://www.shop-', lower(c_mktsegment),
+                '.example.co/seg/p?id=', toString(c_custkey),
+                '&ref=home#top') AS url
+  FROM customer
+)
+ORDER BY c_custkey
+"""
+
+
+def _q177_dialect_url_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-analytics batch over synthesized URLs (both engines build
+    the same string, so every function result is cross-checkable).
+    stringJaccardIndex matches DuckDB's jaccard() definition
+    (character-set Jaccard) exactly."""
+    return _via_shim(spark, sf, ["customer"], _Q177_CH)
+
+
+_Q177_ORACLE = r"""
+WITH u AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         'www.shop-' || lower(c_mktsegment) || '.example.co' AS host
+  FROM customer
+)
+SELECT c_custkey,
+       host AS dom,
+       'co' AS tld,
+       '/seg/p' AS pth,
+       CAST(c_custkey AS VARCHAR) AS pid,
+       'id,ref' AS pnames,
+       'example' AS fsd,
+       'example.co' AS cutd,
+       host AS nl,
+       replace(c_name, '#', '%23') AS enc,
+       format('{}-{}', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS fmt,
+       regexp_replace(c_name, '[0-9]', '#') AS rro,
+       round(jaccard(c_mktsegment, 'BUILDING'), 6) AS jac
+FROM u
+ORDER BY c_custkey
+"""
+
+SPECS.append(QuerySpec(
+    "q177_dialect_url_strings",
+    "URL family + format/replaceRegexpOne/stringJaccardIndex over "
+    "synthesized URLs — through the shim",
+    _q177_dialect_url_strings,
+    _Q177_ORACLE,
+))
+
+
+# -------------------------------------------- q178 statistical tests
+#: the A&S erf polynomial as DuckDB SQL over a bound alias {x}
+def _duck_erf(x: str) -> str:
+    t_ = f"(1.0 / (1.0 + 0.3275911 * abs({x})))"
+    mag = (
+        f"(1.0 - ((((1.061405429 * {t_} - 1.453152027) * {t_} "
+        f"+ 1.421413741) * {t_} - 0.284496736) * {t_} "
+        f"+ 0.254829592) * {t_} * exp(-({x}) * ({x})))"
+    )
+    return f"(CASE WHEN {x} >= 0 THEN {mag} ELSE -{mag} END)"
+
+
+_Q178_CH = """
+SELECT round(tupleElement(welchTTest(value, user_id % 2), 1), 4)    AS wt,
+       round(tupleElement(welchTTest(value, user_id % 2), 2), 4)    AS wp,
+       round(tupleElement(studentTTest(value, user_id % 2), 1), 4)  AS st,
+       round(rankCorr(value, toFloat64(event_id % 97)), 4)          AS rc,
+       round(cramersV(event_type, toString(user_id % 5)), 4)        AS cv,
+       round(cramersVBiasCorrected(event_type, toString(user_id % 5)), 4) AS cvb,
+       round(theilsU(event_type, toString(user_id % 5)), 4)         AS tu,
+       round(contingency(event_type, toString(user_id % 5)), 4)     AS cg,
+       round(tupleElement(mannWhitneyUTest(value, user_id % 2), 1), 4) AS mwu
+FROM events
+WHERE event_id % 23 = 0
+ORDER BY wt
+"""
+
+
+def _q178_dialect_stat_tests(spark: SparkSession, sf: str) -> DataFrame:
+    """The hypothesis-test aggregate family on a deterministic 1-in-23
+    sample (the rank-based members are O(n^2) inside the group — the
+    value-grouped q113/q115 operator shapes are the full-scale path).
+    Doubles rounded to 4, the q85 precedent; p-values use the shared
+    erf normal approximation on both engines."""
+    return _via_shim(spark, sf, ["events"], _Q178_CH)
+
+
+_Q178_ORACLE = rf"""
+WITH s AS (
+  SELECT value AS v, user_id % 2 AS g, event_type AS a,
+         CAST(user_id % 5 AS VARCHAR) AS b,
+         CAST(event_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_id % 23 = 0
+), m AS (
+  SELECT count(*) FILTER (g = 0)::DOUBLE AS n0,
+         count(*) FILTER (g = 1)::DOUBLE AS n1,
+         avg(v) FILTER (g = 0) AS m0, avg(v) FILTER (g = 1) AS m1,
+         var_samp(v) FILTER (g = 0) AS v0,
+         var_samp(v) FILTER (g = 1) AS v1
+  FROM s
+), t AS (
+  SELECT (m0 - m1) / sqrt(v0 / n0 + v1 / n1) AS wt,
+         (m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+                          / (n0 + n1 - 2) * (1.0 / n0 + 1.0 / n1)) AS st
+  FROM m
+), ranked AS (
+  SELECT (rank() OVER (ORDER BY v) + count(*) OVER ()
+          - rank() OVER (ORDER BY v DESC)) / 2.0 + 0.5 AS rv,
+         (rank() OVER (ORDER BY y) + count(*) OVER ()
+          - rank() OVER (ORDER BY y DESC)) / 2.0 + 0.5 AS ry,
+         g
+  FROM s
+), rc AS (
+  SELECT corr(rv, ry) AS rc FROM ranked
+), mw AS (
+  SELECT sum(rv) FILTER (g = 1)
+         - (count(*) FILTER (g = 1))::DOUBLE
+           * (count(*) FILTER (g = 1) + 1) / 2.0 AS u
+  FROM ranked
+), cells AS (
+  SELECT a, b, count(*)::DOUBLE AS nab FROM s GROUP BY a, b
+), marg AS (
+  SELECT c.a, c.b, c.nab,
+         sum(c.nab) OVER (PARTITION BY c.a) AS na,
+         sum(c.nab) OVER (PARTITION BY c.b) AS nb,
+         sum(c.nab) OVER () AS n
+  FROM cells c
+), chi AS (
+  SELECT any_value(n) AS n,
+         any_value(n) * sum(nab * nab / (na * nb)) - any_value(n) AS chi2,
+         count(DISTINCT a)::DOUBLE AS r, count(DISTINCT b)::DOUBLE AS c
+  FROM marg
+), hx AS (
+  SELECT -sum((na / n) * ln(na / n)) AS hx
+  FROM (SELECT DISTINCT a, na, n FROM marg)
+), hxy AS (
+  SELECT -sum((nab / n) * ln(nab / nb)) AS hxy FROM marg
+)
+SELECT round(t.wt, 4) AS wt,
+       round(1.0 - {_duck_erf('(abs(t.wt) / sqrt(2.0))')}, 4) AS wp,
+       round(t.st, 4) AS st,
+       round(rc.rc, 4) AS rc,
+       round(sqrt((chi.chi2 / chi.n) / least(chi.r - 1, chi.c - 1)), 4) AS cv,
+       round(sqrt(greatest(0.0, chi.chi2 / chi.n
+                  - (chi.r - 1) * (chi.c - 1) / (chi.n - 1))
+             / least(chi.r - pow(chi.r - 1, 2) / (chi.n - 1) - 1,
+                     chi.c - pow(chi.c - 1, 2) / (chi.n - 1) - 1)), 4) AS cvb,
+       round((hx.hx - hxy.hxy) / hx.hx, 4) AS tu,
+       round(sqrt(chi.chi2 / (chi.chi2 + chi.n)), 4) AS cg,
+       round(mw.u, 4) AS mwu
+FROM t, rc, chi, hx, hxy, mw
+ORDER BY wt
+"""
+
+SPECS.append(QuerySpec(
+    "q178_dialect_stat_tests",
+    "welch/student t + p, rankCorr, cramersV(+corrected), theilsU, "
+    "contingency, mannWhitneyU — through the shim",
+    _q178_dialect_stat_tests,
+    _Q178_ORACLE,
+))
+
+
+# ------------------------------------------------- q179 funnels
+_Q179_CH = """
+SELECT user_id % 50 AS cohort,
+       windowFunnel(1000000000)(toFloat64(event_id),
+           event_type = 'click', event_type = 'view',
+           event_type = 'purchase')                             AS lvl,
+       retention(event_type = 'click', event_type = 'purchase',
+                 event_type = 'error')[1]                       AS r1,
+       retention(event_type = 'click', event_type = 'purchase',
+                 event_type = 'error')[2]                       AS r2,
+       retention(event_type = 'click', event_type = 'purchase',
+                 event_type = 'error')[3]                       AS r3,
+       sequenceMatch('(?1).*(?2)')(toFloat64(event_id),
+           event_type = 'click', event_type = 'purchase')       AS sm
+FROM events
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+def _q179_dialect_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral-analytics batch per cohort.  The chain "time" is
+    event_id (unique and monotonic with ingestion), so the greedy
+    funnel and the oracle's iterated-min chain see identical,
+    tie-free orderings; with the window spanning the whole id range,
+    windowFunnel's greedy equals plain subsequence existence, which
+    the oracle computes step by step."""
+    return _via_shim(spark, sf, ["events"], _Q179_CH)
+
+
+_Q179_ORACLE = r"""
+WITH e AS (
+  SELECT user_id % 50 AS cohort, event_id AS t, event_type AS et
+  FROM events
+), t1 AS (
+  SELECT cohort, min(t) AS t1 FROM e WHERE et = 'click' GROUP BY cohort
+), t2 AS (
+  SELECT e.cohort, min(e.t) AS t2
+  FROM e JOIN t1 ON e.cohort = t1.cohort
+  WHERE e.et = 'view' AND e.t > t1.t1 GROUP BY e.cohort
+), t3 AS (
+  SELECT e.cohort, min(e.t) AS t3
+  FROM e JOIN t2 ON e.cohort = t2.cohort
+  WHERE e.et = 'purchase' AND e.t > t2.t2 GROUP BY e.cohort
+), flags AS (
+  SELECT cohort,
+         max(CASE WHEN et = 'click' THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN et = 'error' THEN 1 ELSE 0 END) AS c3,
+         min(CASE WHEN et = 'click' THEN t END) AS minc,
+         max(CASE WHEN et = 'purchase' THEN t END) AS maxp
+  FROM e GROUP BY cohort
+)
+SELECT f.cohort AS cohort,
+       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                 WHEN t2.t2 IS NOT NULL THEN 2
+                 WHEN t1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS lvl,
+       CAST(f.c1 AS TINYINT) AS r1,
+       CAST(f.c1 * f.c2 AS TINYINT) AS r2,
+       CAST(f.c1 * f.c3 AS TINYINT) AS r3,
+       CAST(CASE WHEN f.minc IS NOT NULL AND f.maxp IS NOT NULL
+                 AND f.minc < f.maxp THEN 1 ELSE 0 END AS TINYINT) AS sm
+FROM flags f
+LEFT JOIN t1 ON f.cohort = t1.cohort
+LEFT JOIN t2 ON f.cohort = t2.cohort
+LEFT JOIN t3 ON f.cohort = t3.cohort
+ORDER BY cohort
+"""
+
+SPECS.append(QuerySpec(
+    "q179_dialect_funnel",
+    "windowFunnel/retention/sequenceMatch per cohort — through the shim",
+    _q179_dialect_funnel,
+    _Q179_ORACLE,
+))
+
+
+# --------------------------------------------- q180 fold aggregates
+_Q180_CH = """
+SELECT event_type,
+       round(intervalLengthSum(value, value + 5), 6)            AS ils,
+       maxIntersections(user_id % 100, user_id % 100 + 10)      AS mi,
+       deltaSumTimestamp(toInt64(value), event_id)              AS dst,
+       arrayStringConcat(tupleElement(sumMap(
+           [concat('k', toString(user_id % 3))],
+           [event_id % 100]), 1), ',')                          AS smk,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(sumMap([concat('k', toString(user_id % 3))],
+                               [event_id % 100]), 2)), ',')     AS smv,
+       uniqArray([user_id % 7, event_id % 5])                   AS ua,
+       arrayStringConcat(arrayMap(h ->
+           toString(toInt64(round(tupleElement(h, 1) * 1000))),
+           histogram(4)(toFloat64(user_id % 89))), ',')         AS hlo,
+       arrayStringConcat(arrayMap(h ->
+           toString(toInt64(round(tupleElement(h, 2) * 1000))),
+           histogram(4)(toFloat64(user_id % 89))), ',')         AS hhi,
+       arrayStringConcat(arrayMap(h ->
+           toString(toInt64(tupleElement(h, 3))),
+           histogram(4)(toFloat64(user_id % 89))), ',')         AS hct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _q180_dialect_fold_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Collect-fold aggregate batch.  Determinism notes: the interval
+    folds run over fully-sorted struct arrays (ties resolved by the
+    whole struct), so both engines add the same numbers in the same
+    order; deltaSumTimestamp orders by the unique event_id; sumMap's
+    keys are sorted; histogram's equi-width bins derive from exact
+    min/max and integer-valued doubles."""
+    return _via_shim(spark, sf, ["events"], _Q180_CH)
+
+
+_Q180_ORACLE = r"""
+WITH e AS (
+  SELECT event_type, value AS v, user_id % 100 AS s,
+         -- trunc first: DuckDB's double->BIGINT cast ROUNDS while
+         -- Spark's (and ClickHouse toInt64's) truncates toward zero
+         CAST(trunc(value) AS BIGINT) AS dv, event_id AS t,
+         'k' || CAST(user_id % 3 AS VARCHAR) AS mk,
+         t % 100 AS mv,
+         user_id % 7 AS a1, event_id % 5 AS a2,
+         CAST(user_id % 89 AS DOUBLE) AS hx
+  FROM events
+), ils AS (  -- union length: merge fold over (start, end) sorted rows
+  SELECT event_type, sum(CASE WHEN pe IS NULL OR v > pe THEN 5.0
+                              ELSE greatest(v + 5 - pe, 0.0) END) AS ils
+  FROM (SELECT event_type, v,
+               max(v + 5) OVER (PARTITION BY event_type ORDER BY v, v + 5
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pe
+        FROM e)
+  GROUP BY event_type
+), mi AS (  -- sweep: ends (-1) before starts (+1) at equal positions
+  SELECT event_type, max(run) AS mi
+  FROM (SELECT event_type,
+               sum(d) OVER (PARTITION BY event_type ORDER BY p, d
+                            ROWS UNBOUNDED PRECEDING) AS run
+        FROM (SELECT event_type, s AS p, 1 AS d FROM e
+              UNION ALL
+              SELECT event_type, s + 10 AS p, -1 AS d FROM e))
+  GROUP BY event_type
+), dst AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN dv > pv THEN dv - pv ELSE 0 END) AS BIGINT) AS dst
+  FROM (SELECT event_type, dv,
+               lag(dv) OVER (PARTITION BY event_type ORDER BY t) AS pv
+        FROM e)
+  GROUP BY event_type
+), sm AS (
+  SELECT event_type,
+         string_agg(mk, ',' ORDER BY mk) AS smk,
+         string_agg(CAST(msum AS VARCHAR), ',' ORDER BY mk) AS smv
+  FROM (SELECT event_type, mk, CAST(sum(mv) AS BIGINT) AS msum
+        FROM e GROUP BY event_type, mk)
+  GROUP BY event_type
+), ua AS (
+  SELECT event_type, CAST(count(DISTINCT x) AS BIGINT) AS ua
+  FROM (SELECT event_type, a1 AS x FROM e
+        UNION ALL SELECT event_type, a2 FROM e)
+  GROUP BY event_type
+), hb AS (
+  SELECT event_type, min(hx) AS lo, (max(hx) - min(hx)) / 4 AS w
+  FROM e GROUP BY event_type
+), hbin AS (
+  SELECT hb.event_type, b.i,
+         hb.lo + (b.i - 1) * hb.w AS lower,
+         hb.lo + b.i * hb.w AS upper,
+         (SELECT CAST(count(*) AS DOUBLE) FROM e
+          WHERE e.event_type = hb.event_type
+            AND e.hx >= hb.lo + (b.i - 1) * hb.w
+            AND (e.hx < hb.lo + b.i * hb.w OR b.i = 4)) AS height
+  FROM hb, (SELECT unnest(generate_series(1, 4)) AS i) b
+), hist AS (
+  SELECT event_type,
+         string_agg(CAST(CAST(round(lower * 1000) AS BIGINT) AS VARCHAR),
+                    ',' ORDER BY i) AS hlo,
+         string_agg(CAST(CAST(round(upper * 1000) AS BIGINT) AS VARCHAR),
+                    ',' ORDER BY i) AS hhi,
+         string_agg(CAST(CAST(height AS BIGINT) AS VARCHAR),
+                    ',' ORDER BY i) AS hct
+  FROM hbin GROUP BY event_type
+)
+SELECT ils.event_type AS event_type,
+       round(ils.ils, 6) AS ils,
+       CAST(mi.mi AS BIGINT) AS mi,
+       dst.dst AS dst,
+       sm.smk AS smk, sm.smv AS smv,
+       ua.ua AS ua,
+       hist.hlo AS hlo, hist.hhi AS hhi, hist.hct AS hct
+FROM ils
+JOIN mi USING (event_type)
+JOIN dst USING (event_type)
+JOIN sm USING (event_type)
+JOIN ua USING (event_type)
+JOIN hist USING (event_type)
+ORDER BY event_type
+"""
+
+SPECS.append(QuerySpec(
+    "q180_dialect_fold_aggs",
+    "intervalLengthSum/maxIntersections/deltaSumTimestamp/sumMap/"
+    "uniqArray/histogram — through the shim",
+    _q180_dialect_fold_aggs,
+    _Q180_ORACLE,
+))

@@ -48,6 +48,7 @@ def all_specs() -> list[QuerySpec]:
         clickhouse_compat_ext,
         clickhouse_compat_ext2,
         clickhouse_compat_ext3,
+        clickhouse_compat_ext4,
         clickhouse_stats,
         dedup,
         dictionary,
@@ -73,6 +74,7 @@ def all_specs() -> list[QuerySpec]:
         clickhouse_compat_ext,
         clickhouse_compat_ext2,
         clickhouse_compat_ext3,
+        clickhouse_compat_ext4,
         clickhouse_stats,
         dictionary,
         udfs,
