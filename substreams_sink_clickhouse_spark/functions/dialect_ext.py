@@ -2045,6 +2045,82 @@ def _mann_whitney(inner, parts, literals):
     )
 
 
+def _ks_test(params, args, literals=()):
+    # two-sample Kolmogorov-Smirnov D statistic: max ECDF gap over the
+    # pooled sorted sample (the q114 operator's value-grouped shape is
+    # the scale path).  ClickHouse's optional 'two-sided'/alternative
+    # parameter only affects the p-value, which we report from the
+    # asymptotic Kolmogorov distribution's first term (documented
+    # large-sample approximation).
+    ps = _pa_split(args)
+    if len(ps) != 2:
+        raise ValueError("kolmogorovSmirnovTest needs (value, sample_index)")
+    v, g = ps
+    lst = (
+        f"array_sort(collect_list(named_struct('v', CAST({v} AS DOUBLE), "
+        f"'g', CAST(({g}) = 1 AS INT))))"
+    )
+    # fold over the sorted pool counting per-sample steps; track the
+    # max |F1 - F0| at each step boundary
+    fold = (
+        "aggregate(__kl, named_struct('c0', 0, 'c1', 0, 'd', 0.0D), "
+        "(__ks, __ke) -> named_struct("
+        "'c0', __ks.c0 + IF(__ke.g = 0, 1, 0), "
+        "'c1', __ks.c1 + IF(__ke.g = 1, 1, 0), "
+        "'d', greatest(__ks.d, abs("
+        "CAST(__ks.c1 + IF(__ke.g = 1, 1, 0) AS DOUBLE) / __n1 "
+        "- CAST(__ks.c0 + IF(__ke.g = 0, 1, 0) AS DOUBLE) / __n0))), "
+        "__ks -> __ks.d)"
+    )
+    stat = (
+        f"__xform__(array({lst}), __kl -> "
+        f"__xform__(array(CAST(size(filter(__kl, __kg -> __kg.g = 1)) "
+        f"AS DOUBLE)), __n1 -> "
+        f"__xform__(array(CAST(size(__kl) AS DOUBLE) - __n1), __n0 -> "
+        f"{fold})[0])[0])[0]"
+    )
+    # p ~ 2*exp(-2*(D*sqrt(n0*n1/(n0+n1)))^2), clamped to [0, 1]
+    return (
+        f"__xform__(array({stat}), __kd -> "
+        f"__xform__(array(CAST(size(filter({lst}, __kg2 -> __kg2.g = 1)) "
+        f"AS DOUBLE)), __kn1 -> "
+        f"__xform__(array(CAST(size({lst}) AS DOUBLE) - __kn1), __kn0 -> "
+        f"named_struct('col1', __kd, 'col2', least(1.0D, 2.0 * "
+        f"exp(-2.0 * pow(__kd * sqrt(__kn0 * __kn1 / (__kn0 + __kn1)), "
+        f"2)))))[0])[0])[0]"
+    )
+
+
+def _mean_z_test(params, args, literals=()):
+    # meanZTest(pop_var_x, pop_var_y, conf)(v, g): z from the GIVEN
+    # population variances; p two-sided via the shared erf polynomial
+    if params is None:
+        raise ValueError(
+            "meanZTest needs (pop_var_x, pop_var_y, confidence)(value, index)"
+        )
+    pl = [p.strip() for p in _pa_split(params)]
+    if len(pl) != 3:
+        raise ValueError(
+            "meanZTest needs (pop_var_x, pop_var_y, confidence)(value, index)"
+        )
+    vx, vy, _conf = pl
+    ps = _pa_split(args)
+    if len(ps) != 2:
+        raise ValueError("meanZTest needs (...)(value, sample_index)")
+    v, g = ps
+    v0 = f"(CASE WHEN ({g}) = 0 THEN CAST({v} AS DOUBLE) END)"
+    v1 = f"(CASE WHEN ({g}) = 1 THEN CAST({v} AS DOUBLE) END)"
+    z = (
+        f"coalesce(try_divide(avg({v0}) - avg({v1}), "
+        f"sqrt(({vx}) / count({v0}) + ({vy}) / count({v1}))), "
+        f"CAST('NaN' AS DOUBLE))"
+    )
+    return (
+        f"__xform__(array({z}), __zz -> named_struct("
+        f"'col1', __zz, 'col2', {_normal_two_sided_p('__zz')}))[0]"
+    )
+
+
 EXT_WRAPS.update({
     "rankCorr": _rank_corr,
     "cramersV": _cramers_v,
@@ -2339,4 +2415,6 @@ EXT_PARAM_AGGS: dict = {
     "sequenceMatch": _pa_sequence(False),
     "sequenceCount": _pa_sequence(True),
     "largestTriangleThreeBuckets": _pa_lttb,
+    "kolmogorovSmirnovTest": _ks_test,
+    "meanZTest": _mean_z_test,
 }

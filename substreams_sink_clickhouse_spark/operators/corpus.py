@@ -214,6 +214,19 @@ class Corpus:
         )
         return self.df.withColumn("split", split)
 
+    def bpe_pair_counts(self, top_k: int = 50) -> DataFrame:
+        """Top BPE merge candidates over this corpus (the
+        ``text_bpe_pairs`` gate semantics): weighted adjacent
+        symbol-pair counts computed over the distinct-word table, so
+        every stage past the first scan scales with vocabulary size,
+        not corpus size."""
+        from substreams_sink_clickhouse_spark.operators.text import (
+            bpe_pair_counts,
+        )
+
+        # __init__ normalizes the text column's name to ``text``
+        return bpe_pair_counts(self.df.select("text"), top_k=top_k)
+
     def card(self) -> DataFrame:
         """One-row dataset-card summary (the ``corpus_card`` gate
         semantics): volume, breadth, exact-dup rate, Gopher pass

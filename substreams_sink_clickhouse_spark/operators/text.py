@@ -1097,3 +1097,85 @@ SPECS.append(
         _CORPUS_CARD_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------ BPE pair counts
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """One BPE-training iteration's core: corpus-wide adjacent
+    symbol-pair counts over word-frequency-weighted character symbols
+    (the end-of-word marker ``_`` closes each word, the classic BPE
+    formulation).
+
+    Scale design — the reason BPE training is feasible at 100 TB at
+    all: pair counting runs over the DISTINCT-WORD table, not the
+    corpus.  The first exchange collapses the corpus to (word, freq) —
+    vocabulary cardinality, millions of rows, not billions — and every
+    later stage (symbol split, pair explosion, pair aggregation) grows
+    with vocabulary size only.  Each subsequent merge iteration would
+    re-run stages 2-3 on the same (word, freq) table with an updated
+    symbol split; the corpus is never re-read.
+
+    The word filter pins ``^[a-z0-9]+$`` so the ``_`` marker can never
+    collide with a word character (and both engines tokenize
+    identically).
+    """
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.col("w").rlike("^[a-z0-9]+$"))
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.select(
+        F.concat(F.col("w"), F.lit("_")).alias("sw"), "f"
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(sw) - 1), "
+                "__i -> substring(sw, __i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("cnt"))
+    top = pc.orderBy(F.desc("cnt"), "pair").limit(top_k)
+    w_rank = Window.orderBy(F.desc("cnt"), "pair")
+    return top.select(
+        F.row_number().over(w_rank).cast("int").alias("rank"), "pair", "cnt"
+    )
+
+
+def _text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 BPE merge candidates over the documents corpus."""
+    return bpe_pair_counts(load_table(spark, sf, "documents"), top_k=50)
+
+
+_BPE_PAIRS_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+), wf AS (
+  SELECT w, count(*)::BIGINT AS f
+  FROM words WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), sym AS (
+  SELECT w || '_' AS sw, f FROM wf
+), pairs AS (
+  SELECT substr(sw, i, 2) AS pair, f
+  FROM sym, LATERAL (SELECT unnest(generate_series(1, length(sw) - 1)) AS i)
+), pc AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank,
+       pair, cnt
+FROM pc
+ORDER BY cnt DESC, pair
+LIMIT 50
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_pairs",
+        "BPE tokenizer training step: corpus-wide weighted symbol-pair "
+        "counts over the distinct-word table",
+        _text_bpe_pairs,
+        _BPE_PAIRS_ORACLE,
+    )
+)

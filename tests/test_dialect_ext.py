@@ -602,8 +602,9 @@ def test_quantile_family_params(agg):
 def test_histogram(agg):
     bins = agg1(agg, "histogram(3)(f)")
     assert len(bins) == 3
-    assert bins[0].lower == 9.0 and bins[2].upper == 16.0
-    assert sum(b.height for b in bins) == 6.0
+    # tuple convention: col1 = lower, col2 = upper, col3 = height
+    assert bins[0].col1 == 9.0 and bins[2].col2 == 16.0
+    assert sum(b.col3 for b in bins) == 6.0
 
 
 def test_delta_sums(agg):
@@ -660,6 +661,19 @@ def test_ttests(agg):
     mw = agg1(agg, "mannWhitneyUTest(f, idx)")
     assert mw.col1 == 0.0  # sample 1 holds the three lowest values
     assert 0 < mw.col2 < 0.1
+
+
+def test_ks_and_mean_z(agg):
+    # group1 = [10, 9, 11] and group0 = [12, 14, 16] are disjoint -> D = 1
+    ks = agg1(agg, "kolmogorovSmirnovTest(f, idx)")
+    assert ks.col1 == 1.0 and 0 < ks.col2 <= 1
+    ks2 = agg1(agg, "kolmogorovSmirnovTest('two-sided')(f, idx)")
+    assert ks2.col1 == 1.0
+    mz = agg1(agg, "meanZTest(1.0, 1.0, 0.95)(f, idx)")
+    assert mz.col1 == pytest.approx(4 / math.sqrt(2 / 3))
+    assert 0 < mz.col2 < 0.001
+    with pytest.raises(ValueError, match="pop_var"):
+        t("SELECT meanZTest(f, idx) FROM agg_t")
 
 
 def test_ema(agg):

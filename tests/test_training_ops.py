@@ -150,3 +150,28 @@ def test_interleave_prefix_carries_weight_proportions(spark):
     # deterministic: same input -> same ranks
     again = interleave_sources(df, weight, ["doc_id"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bpe_pair_counts_exact(spark):
+    """BPE pair counting matches a hand-computed reference, including
+    the end-of-word marker and frequency weighting."""
+    from substreams_sink_clickhouse_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "ab b")], ["doc_id", "text"]
+    )
+    out = {r.pair: r.cnt for r in bpe_pair_counts(docs, top_k=10).collect()}
+    # words: ab x3, ba x1, b x1 -> symbols ab_, ba_, b_
+    assert out == {"ab": 3, "b_": 4, "ba": 1, "a_": 1}
+    ranked = bpe_pair_counts(docs, top_k=2).collect()
+    assert [(r.rank, r.pair) for r in ranked] == [(1, "b_"), (2, "ab")]
+
+
+def test_corpus_bpe_pair_counts(spark):
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa"), (2, "aa")], ["doc_id", "text"]
+    )
+    out = {r.pair: r.cnt for r in Corpus(docs).bpe_pair_counts().collect()}
+    assert out == {"aa": 3, "a_": 3}

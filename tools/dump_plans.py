@@ -327,6 +327,22 @@ SHOWCASE = [
         "codegen feed ordinary map-side-combinable aggregates — no "
         "explode, so the shuffle carries 5 groups, not 2x the rows.",
     ),
+    (
+        "q179_dialect_funnel",
+        "windowFunnel/retention/sequenceMatch per cohort: ONE hash "
+        "aggregate (collect_list partials combine map-side), then the "
+        "chain-state fold runs in whole-stage codegen over each "
+        "cohort's sorted events — per-group state is ClickHouse's own "
+        "aggregate-state bound, and the shuffle carries cohorts.",
+    ),
+    (
+        "text_bpe_pairs",
+        "BPE pair counting: the first exchange collapses the corpus to "
+        "(word, freq) — VOCABULARY cardinality — so the symbol split, "
+        "pair explosion, and pair aggregation all scale with vocab "
+        "size, never corpus size.  The iteration loop of a real BPE "
+        "train re-reads only that table.",
+    ),
 ]
 
 
