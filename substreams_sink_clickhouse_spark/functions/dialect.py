@@ -237,6 +237,8 @@ _DT_ARITH = {
     "subtractMinutes": ("MINUTE", True),
     "addSeconds": ("SECOND", False),
     "subtractSeconds": ("SECOND", True),
+    "addQuarters": ("QUARTER", False),
+    "subtractQuarters": ("QUARTER", True),
 }
 
 #: dateDiff units ClickHouse and Spark timestampdiff share.
@@ -249,6 +251,8 @@ _ZERO_ARG = {
     "today()": "current_date()",
     "yesterday()": "date_sub(current_date(), 1)",
     "now()": "current_timestamp()",
+    "timezone()": "current_timezone()",
+    "serverTimezone()": "current_timezone()",
 }
 
 #: func -> CAST target for the to<Type> family.

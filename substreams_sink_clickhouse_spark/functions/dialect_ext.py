@@ -97,6 +97,21 @@ EXT_NAME_SWAPS = {
 }
 
 
+EXT_NAME_SWAPS.update({
+    # same argument order and semantics
+    "substringIndex": "substring_index",
+    "substringIndexUTF8": "substring_index",
+    "positionUTF8": "instr",
+    "leftUTF8": "left",
+    "rightUTF8": "right",
+    "startsWithUTF8": "startswith",
+    "endsWithUTF8": "endswith",
+    "editDistanceUTF8": "levenshtein",
+    "arrayElementOrNull": "try_element_at",
+    "dateTrunc": "date_trunc",  # shared unit names, same argument order
+})
+
+
 # ---------------------------------------------------------------- wraps
 def _identity(inner, parts, literals):
     return f"({inner})"
@@ -535,6 +550,147 @@ def _raise_with(msg: str):
     return h
 
 
+def _byte_hamming(inner, parts, literals):
+    # substitutions over the shared prefix + the length difference
+    _need(parts, 2, "byteHammingDistance", "(a, b)")
+    a, b = parts
+    return (
+        f"(size(filter(sequence(1, least(length({a}), length({b}))), "
+        f"__bh -> substring({a}, __bh, 1) != substring({b}, __bh, 1))) "
+        f"+ abs(length({a}) - length({b})))"
+    )
+
+
+def _array_with_constant(inner, parts, literals):
+    _need(parts, 2, "arrayWithConstant", "(n, x)")
+    n, x = parts
+    return f"array_repeat({x}, CAST({n} AS INT))"  # operand order swaps
+
+
+def _array_shingles(inner, parts, literals):
+    _need(parts, 2, "arrayShingles", "(arr, n)")
+    a, n = parts
+    # the short-input branch builds a TYPED empty array<array<T>>
+    # without naming T: an array holding one empty slice, sliced empty
+    return (
+        f"(CASE WHEN size({a}) < ({n}) "
+        f"THEN slice(array(slice({a}, 1, 0)), 1, 0) "
+        f"ELSE __xform__(sequence(1, size({a}) - ({n}) + 1), "
+        f"__sh -> slice({a}, __sh, {n})) END)"
+    )
+
+
+def _multi_search_any(inner, parts, literals):
+    if len(parts) != 2:
+        raise ValueError("multiSearchAny needs (haystack, [needles])")
+    s, arr = parts
+    return f"exists({arr}, __ms -> locate(__ms, {s}) > 0)"
+
+
+def _multi_search_all_positions(inner, parts, literals):
+    if len(parts) != 2:
+        raise ValueError("multiSearchAllPositions needs (haystack, [needles])")
+    s, arr = parts
+    return f"__xform__({arr}, __mp -> CAST(locate(__mp, {s}) AS BIGINT))"
+
+
+def _has_token(inner, parts, literals):
+    # token = run separated by non-alphanumerics, exactly tokens()'s
+    # splitter; the needle must be a clean token
+    _need(parts, 2, "hasToken", "(haystack, token)")
+    s, tok = parts
+    return (
+        f"array_contains(filter(split({s}, "
+        f"'[^\\\\p{{L}}\\\\p{{N}}_]+'), __ht -> __ht != ''), {tok})"
+    )
+
+
+def _split_by_non_alpha(inner, parts, literals):
+    _need(parts, 1, "splitByNonAlpha", "(s)")
+    return (
+        f"filter(split({inner}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        f"__sn -> __sn != '')"
+    )
+
+
+def _time_diff(inner, parts, literals):
+    # seconds from the first to the second timestamp (signed)
+    _need(parts, 2, "timeDiff", "(older, newer)")
+    a, b = parts
+    return (
+        f"(unix_timestamp(CAST({b} AS TIMESTAMP)) "
+        f"- unix_timestamp(CAST({a} AS TIMESTAMP)))"
+    )
+
+
+def _now64(inner, parts, literals):
+    # sub-second precision argument accepted and absorbed (Spark
+    # timestamps are microsecond anyway)
+    return "current_timestamp()"
+
+
+def _to_datetime64(inner, parts, literals):
+    if len(parts) not in (2, 3):
+        raise ValueError("toDateTime64 needs (x, precision[, tz])")
+    return f"CAST({parts[0]} AS TIMESTAMP)"
+
+
+def _joda_format(inner, parts, literals):
+    # ClickHouse's Joda-syntax variants: Joda patterns are the Java
+    # DateTimeFormatter dialect Spark already speaks — pass through
+    if len(parts) not in (2, 3):
+        raise ValueError("formatDateTimeInJodaSyntax needs (ts, 'pattern')")
+    return f"date_format({parts[0]}, {parts[1]})"
+
+
+def _joda_parse(inner, parts, literals):
+    if len(parts) not in (2, 3):
+        raise ValueError("parseDateTimeInJodaSyntax needs (s, 'pattern')")
+    return f"to_timestamp({parts[0]}, {parts[1]})"
+
+
+def _count_substrings_ci(inner, parts, literals):
+    _need(parts, 2, "countSubstringsCaseInsensitive", "(haystack, needle)")
+    s, n = parts
+    return (
+        f"(CASE WHEN length({n}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST((length(lower({s})) - length(replace(lower({s}), "
+        f"lower({n}), ''))) div length({n}) AS BIGINT) END)"
+    )
+
+
+def _map_extract_key_like(inner, parts, literals):
+    _need(parts, 2, "mapExtractKeyLike", "(map, pattern)")
+    m_, p_ = parts
+    return f"map_filter({m_}, (__mk, __mv) -> __mk LIKE {p_})"
+
+
+def _map_contains_key_like(inner, parts, literals):
+    _need(parts, 2, "mapContainsKeyLike", "(map, pattern)")
+    m_, p_ = parts
+    return (
+        f"(size(map_filter({m_}, (__mk, __mv) -> __mk LIKE {p_})) > 0)"
+    )
+
+
+#: emptyArray<T>() zero-arg typed empties
+_EMPTY_ARRAY_TYPES = {
+    "emptyArrayUInt8": "SMALLINT", "emptyArrayUInt16": "INT",
+    "emptyArrayUInt32": "BIGINT", "emptyArrayUInt64": "BIGINT",
+    "emptyArrayInt8": "TINYINT", "emptyArrayInt16": "SMALLINT",
+    "emptyArrayInt32": "INT", "emptyArrayInt64": "BIGINT",
+    "emptyArrayFloat32": "FLOAT", "emptyArrayFloat64": "DOUBLE",
+    "emptyArrayString": "STRING", "emptyArrayDate": "DATE",
+    "emptyArrayDateTime": "TIMESTAMP",
+}
+
+
+def _empty_array(t: str):
+    def h(inner, parts, literals):
+        return f"CAST(array() AS ARRAY<{t}>)"
+    return h
+
+
 EXT_WRAPS: dict = {
     # conditional / identity family
     "negate": _negate,
@@ -589,6 +745,9 @@ EXT_WRAPS: dict = {
     "xxHash32": _salted_hash32("xxHash32"),
     "murmurHash2_32": _salted_hash32("murmurHash2_32"),
     "murmurHash3_32": _salted_hash32("murmurHash3_32"),
+    "intHash64": _salted_hash64("intHash64"),
+    "intHash32": _salted_hash32("intHash32"),
+    "URLHash": _salted_hash64("URLHash"),
     "rand": _rand,
     "rand32": _rand,
     "rand64": _rand64,
@@ -647,6 +806,25 @@ EXT_WRAPS: dict = {
         "reinterpretAs* is a raw-memory cast with no Spark SQL "
         "equivalent; use explicit CAST/unhex/conv conversions"
     ),
+    # round-7 session-2 widening
+    "byteHammingDistance": _byte_hamming,
+    "arrayWithConstant": _array_with_constant,
+    "arrayShingles": _array_shingles,
+    "multiSearchAny": _multi_search_any,
+    "multiSearchAllPositions": _multi_search_all_positions,
+    "hasToken": _has_token,
+    "splitByNonAlpha": _split_by_non_alpha,
+    "timeDiff": _time_diff,
+    "now64": _now64,
+    "nowInBlock": _now64,
+    "toDateTime64": _to_datetime64,
+    "formatDateTimeInJodaSyntax": _joda_format,
+    "parseDateTimeInJodaSyntax": _joda_parse,
+    "parseDateTimeInJodaSyntaxOrNull": _joda_parse,
+    "countSubstringsCaseInsensitive": _count_substrings_ci,
+    "mapExtractKeyLike": _map_extract_key_like,
+    "mapContainsKeyLike": _map_contains_key_like,
+    **{name: _empty_array(t) for name, t in _EMPTY_ARRAY_TYPES.items()},
     "jaroSimilarity": _raise_with(
         "jaroSimilarity has no Spark builtin; use levenshtein() "
         "(editDistance) or stringJaccardIndex for string similarity"

@@ -246,6 +246,57 @@ def test_numbers_still_works(spark):
     assert out[0].c == 5
 
 
+# --------------------------------------------------- round-7 session 2
+def test_batch_g_strings(spark):
+    assert const(spark, "substringIndex('a.b.c', '.', 2)") == "a.b"
+    assert const(spark, "byteHammingDistance('karolin', 'kathrin')") == 3
+    assert const(spark, "byteHammingDistance('abc', 'abcde')") == 2
+    assert const(spark, "multiSearchAny('hello world', ['xx', 'wor'])") is True
+    assert const(spark, "multiSearchAny('hello', ['xx'])") is False
+    assert const(spark, "multiSearchAllPositions('hello world', ['wor', 'xx', 'h'])") == [7, 0, 1]
+    assert const(spark, "hasToken('a quick fox', 'quick')") is True
+    assert const(spark, "hasToken('a quicker fox', 'quick')") is False
+    assert const(spark, "splitByNonAlpha('ab, cd-ef')") == ["ab", "cd", "ef"]
+    assert const(spark, "countSubstringsCaseInsensitive('aAaA', 'aa')") == 2
+    assert const(spark, "arrayElementOrNull([1, 2], 5)") is None
+
+
+def test_batch_g_arrays_maps(spark):
+    assert const(spark, "arrayWithConstant(3, 7)") == [7, 7, 7]
+    assert const(spark, "arrayShingles([1, 2, 3, 4], 3)") == [[1, 2, 3], [2, 3, 4]]
+    assert const(spark, "arrayShingles([1, 2], 3)") == []
+    assert const(spark, "mapExtractKeyLike(map('aa', 1, 'ab', 2, 'bb', 3), 'a%')") == {"aa": 1, "ab": 2}
+    assert const(spark, "mapContainsKeyLike(map('aa', 1), 'b%')") is False
+    assert const(spark, "emptyArrayInt64()") == []
+    assert const(spark, "emptyArrayString()") == []
+
+
+def test_batch_g_datetime(spark):
+    assert const(spark, "timeDiff(toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 00:01:40'))") == 100
+    assert str(const(spark, "addQuarters(toDate('2024-01-31'), 1)"))[:10] == "2024-04-30"
+    assert (
+        str(const(spark, "toDateTime64('2024-01-02 03:04:05', 3)"))
+        == "2024-01-02 03:04:05"
+    )
+    assert (
+        const(spark, "formatDateTimeInJodaSyntax(toDateTime('2024-03-07 01:02:03'), 'yyyy-MM-dd HH:mm:ss')")
+        == "2024-03-07 01:02:03"
+    )
+    assert (
+        str(const(spark, "parseDateTimeInJodaSyntax('2024-03-07', 'yyyy-MM-dd')"))
+        == "2024-03-07 00:00:00"
+    )
+    assert const(spark, "timezone()") is not None
+    assert isinstance(const(spark, "now64(3)"), __import__("datetime").datetime)
+
+
+def test_batch_g_hashes(spark):
+    a = const(spark, "intHash64(42)")
+    assert a == const(spark, "intHash64(42)")
+    assert 0 <= const(spark, "intHash32(42)") <= 4294967295
+    assert const(spark, "URLHash('http://x')") != a
+
+
 # ------------------------------------------------------------ date/time
 def test_to_start_of_week(spark):
     import datetime as dt
