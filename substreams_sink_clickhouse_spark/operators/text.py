@@ -1179,3 +1179,130 @@ SPECS.append(
         _BPE_PAIRS_ORACLE,
     )
 )
+
+
+def bpe_merge_step(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """One FULL BPE training iteration: learn the best merge from the
+    pair counts, re-tokenize the vocabulary with it applied, and
+    return the next iteration's top pair counts.
+
+    Pair identity after a merge is ``s1 + '+' + s2`` (symbols grow
+    beyond one character, so bare concatenation would be ambiguous:
+    ``ab|c`` vs ``a|bc``).  The merge applies left-to-right over
+    non-overlapping occurrences, the standard BPE rule — the fold's
+    replace-last step never re-merges the symbol it just built.
+
+    Scale design: identical to :func:`bpe_pair_counts` — every stage
+    past the corpus scan runs on the (word, freq) vocabulary table;
+    the learned merge arrives as a scalar-subquery broadcast (no
+    nested-loop join, no driver collect).
+    """
+    docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.col("w").rlike("^[a-z0-9]+$")).groupBy("w").agg(
+        F.count("*").alias("f")
+    ).createOrReplaceTempView("__bpe_wf")
+    spark = docs.sparkSession
+    return spark.sql(
+        """
+        WITH pc1 AS (
+          SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (
+            SELECT explode(transform(sequence(1, length(w)),
+                     __i -> concat(substring(concat(w, '_'), __i, 1), '+',
+                                   substring(concat(w, '_'), __i + 1, 1)))) AS pair,
+                   f
+            FROM __bpe_wf WHERE length(w) >= 1
+          )
+          WHERE length(pair) = 3  -- drops the final open pair ('x' + '')
+          GROUP BY pair
+        ), best AS (
+          SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1
+        ), merged AS (
+          -- the learned merge is projected as a COLUMN first: Spark
+          -- does not evaluate scalar subqueries inside HOF lambdas
+          SELECT aggregate(
+                   transform(sequence(1, length(w) + 1),
+                             __i -> substring(concat(w, '_'), __i, 1)),
+                   CAST(array() AS ARRAY<STRING>),
+                   (__acc, __s) -> CASE
+                     WHEN size(__acc) > 0
+                          AND concat(element_at(__acc, -1), '+', __s) = bp
+                     THEN concat(slice(__acc, 1, size(__acc) - 1),
+                                 array(concat(element_at(__acc, -1), __s)))
+                     ELSE concat(__acc, array(__s)) END) AS syms,
+                 f
+          FROM (SELECT w, f, (SELECT pair FROM best) AS bp FROM __bpe_wf)
+        )
+        SELECT pair, cnt FROM (
+          SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (
+            SELECT explode(transform(sequence(1, size(syms) - 1),
+                     __i -> concat(element_at(syms, __i), '+',
+                                   element_at(syms, __i + 1)))) AS pair,
+                   f
+            FROM merged WHERE size(syms) >= 2
+          )
+          GROUP BY pair
+        )
+        ORDER BY cnt DESC, pair
+        LIMIT %d
+        """ % top_k
+    )
+
+
+def _text_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """Iteration-2 pair counts after applying the learned top merge."""
+    return bpe_merge_step(load_table(spark, sf, "documents"), top_k=20)
+
+
+_BPE_MERGE_ORACLE = r"""
+WITH wf AS (
+  SELECT w, count(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), pc1 AS (
+  SELECT substr(sw, i, 1) || '+' || substr(sw, i + 1, 1) AS pair,
+         CAST(sum(f) AS BIGINT) AS cnt
+  FROM (SELECT w || '_' AS sw, f FROM wf),
+       LATERAL (SELECT unnest(generate_series(1, length(sw) - 1)) AS i)
+  GROUP BY pair
+), best AS (
+  SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1
+), merged AS (
+  -- list_reduce seeds from the FIRST element here, so symbols are
+  -- lifted to single-element lists and the lambda folds list-to-list
+  SELECT list_reduce(
+           list_transform(
+             list_transform(generate_series(1, length(w) + 1),
+                            i -> substr(w || '_', i, 1)),
+             s -> [s]),
+           (acc, b) -> CASE
+             WHEN acc[-1] || '+' || b[1] = bp
+             THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                              acc[-1] || b[1])
+             ELSE list_append(acc, b[1]) END) AS syms,
+         f
+  FROM (SELECT w, f, (SELECT pair FROM best) AS bp FROM wf)
+)
+SELECT pair, cnt FROM (
+  SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+  FROM merged, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  WHERE len(syms) >= 2
+  GROUP BY pair
+)
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_merge_step",
+        "Full BPE iteration: learn the top merge, re-tokenize the "
+        "vocabulary, emit the next iteration's pair counts",
+        _text_bpe_merge_step,
+        _BPE_MERGE_ORACLE,
+    )
+)

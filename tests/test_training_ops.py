@@ -175,3 +175,19 @@ def test_corpus_bpe_pair_counts(spark):
     )
     out = {r.pair: r.cnt for r in Corpus(docs).bpe_pair_counts().collect()}
     assert out == {"aa": 3, "a_": 3}
+
+
+def test_bpe_merge_step_exact(spark):
+    """One full BPE iteration against a hand computation: corpus
+    'aab aab ab' learns merge a+b (weight-of-pairs: a+a:2, a+b:3,
+    b+_:3), re-tokenizes to [a, ab, _] x2 / [ab, _], and iteration
+    2's counts follow."""
+    from substreams_sink_clickhouse_spark.operators.text import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab"), (2, "ab")], ["doc_id", "text"]
+    )
+    out = {r.pair: r.cnt for r in bpe_merge_step(docs, top_k=10).collect()}
+    # merge 'a+b' (cnt 3 ties 'b+_' 3, pair asc wins); after merge:
+    # aab_ -> [a, ab, _] (x2), ab_ -> [ab, _]
+    assert out == {"a+ab": 2, "ab+_": 3}
