@@ -701,9 +701,17 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
         elif name in _HOF_SWAP:
             parts = _split_top_commas(inner)
             if name == "arraySum":
-                # arraySum(arr) or arraySum(f, arr)
+                # arraySum(arr) or arraySum(f, arr).  The 1-arg form
+                # folds on the ELEMENT type's numeric width like
+                # arrayReduce('sum') — ClickHouse sums Int* arrays to
+                # Int64, and a DOUBLE result additionally breaks
+                # integral consumers (intDiv(arraySum(a), n))
                 if len(parts) == 1:
-                    repl = f"aggregate({parts[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    _seed = (
+                        f"coalesce(try_element_at({parts[0]}, 1), 0)"
+                        f" * CAST(0 AS BIGINT) * CAST(1 AS BIGINT)"
+                    )
+                    repl = f"aggregate({parts[0]}, {_seed}, (acc, x) -> acc + x)"
                 else:
                     f_, arr = parts
                     var = f_.split("->", 1)[0].strip()
@@ -1573,7 +1581,13 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
             parts = _split_top_commas(inner)
             if len(parts) != 2:
                 raise ValueError("intDiv needs (a, b)")
-            repl = f"(({parts[0]}) div ({parts[1]}))"
+            # CAST keeps fractional operands legal (Spark's div is
+            # integral-only; ClickHouse intDiv accepts floats and
+            # truncates) and is a no-op on already-integral input
+            repl = (
+                f"(CAST({parts[0]} AS BIGINT) div "
+                f"CAST({parts[1]} AS BIGINT))"
+            )
         elif name == "modulo":
             parts = _split_top_commas(inner)
             if len(parts) != 2:

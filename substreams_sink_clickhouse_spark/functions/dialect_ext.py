@@ -160,13 +160,18 @@ def _trunc(inner, parts, literals):
 def _int_div_or_zero(inner, parts, literals):
     _need(parts, 2, "intDivOrZero", "(a, b)")
     a, b = parts
-    return f"(CASE WHEN ({b}) = 0 THEN 0 ELSE ({a}) div ({b}) END)"
+    # CAST keeps fractional operands legal (property-test find:
+    # intDivOrZero(arraySum(a), n) — div is integral-only in Spark)
+    return (
+        f"(CASE WHEN ({b}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({a} AS BIGINT) div CAST({b} AS BIGINT) END)"
+    )
 
 
 def _modulo_or_zero(inner, parts, literals):
     _need(parts, 2, "moduloOrZero", "(a, b)")
     a, b = parts
-    return f"(CASE WHEN ({b}) = 0 THEN 0 ELSE ({a}) % ({b}) END)"
+    return f"(CASE WHEN ({b}) = 0 THEN ({a}) * 0 ELSE ({a}) % ({b}) END)"
 
 
 def _positive_modulo(inner, parts, literals):

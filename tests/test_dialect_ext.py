@@ -775,3 +775,36 @@ def test_sentinel_restores_inside_nested_args(spark):
     # regression: a sentinel emitted by an inner handler used to be
     # restored by the RECURSIVE exit and re-rewritten by the outer loop
     assert const(spark, "toInt64(rand() % 10)") in range(10)
+
+
+# ---------------------------------------------------- composition property
+def test_nested_composition_property(spark):
+    """Random nested compositions of extension functions must translate
+    AND execute: the rescan loop's sentinel discipline means an inner
+    handler's output can never be re-mangled by an outer handler (the
+    round-7 rand()-inside-CAST regression class)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    # generators: (template, produces) where {} is filled with an
+    # expression producing a BIGINT
+    int_wrappers = [
+        "toInt64({})", "negate({})", "abs({})", "gcd({}, 6)",
+        "intDivOrZero({}, 3)", "positiveModulo({}, 7)", "bitRotateLeft({}, 2)",
+        "moduloOrZero({}, 5)", "toInt64(exp2(({}) % 8))",
+        "arrayReduce('sum', [{}, 1])", "arraySum([{}, 2])",
+        "toInt64OrZero(toString({}))", "element_at([{}, 1], 1)",
+        "intExp10(({}) % 3)", "lcm({}, 4)", "byteHammingDistance(toString({}), '12')",
+        "toInt64(length(format('{{}}-x', toString({}))))",
+        "uniqUpTo(3)({})",
+    ]
+    seeds = ["number", "7", "(number % 5)"]
+    for trial in range(40):
+        depth = rng.randint(1, 4)
+        expr = rng.choice(seeds)
+        for _ in range(depth):
+            expr = rng.choice(int_wrappers).format(expr)
+        sql = t(f"SELECT {expr} AS v FROM (SELECT 3 AS number)")
+        got = spark.sql(sql).collect()
+        assert len(got) == 1, expr
