@@ -585,7 +585,21 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
     ``literals`` is the translator's masked-literal table — needed by
     rewrites whose SEMANTICS depend on a string argument (dateDiff's
     unit), since literals are sentinels at this stage."""
-    pat = re.compile(
+    # the ~450-alternative pattern is compiled once per process: this
+    # function recurses per nested paren group, and a per-call compile
+    # of a multi-KB alternation was measurable translation latency
+    global _WRAPS_PAT
+    if _WRAPS_PAT is None:
+        _WRAPS_PAT = _build_wraps_pat()
+    pat = _WRAPS_PAT
+    return _run_wraps(pat, code, literals, _top)
+
+
+_WRAPS_PAT = None
+
+
+def _build_wraps_pat():
+    return re.compile(
         r"\b(" + "|".join(
             list(_CAST_FUNCS)
             + list(_IF_COMBINATORS)
@@ -646,6 +660,9 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
             ] + list(_DT_ARITH) + list(_OR_CASTS) + list(EXT_WRAPS)
         ) + r")\s*\("
     )
+
+
+def _run_wraps(pat, code: str, literals: tuple, _top: bool) -> str:
     # Rescan-until-stable can only terminate if no replacement re-emits
     # a matched name (dialect_ext handlers use the sentinel table for
     # collisions); the iteration cap turns a handler that violates that
@@ -1617,17 +1634,23 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
         code = code[: m.start(1)] + repl + code[cp + 1 :]
 
 
+_PARAM_AGGS_PAT = None
+
+
 def _rewrite_param_aggs(code: str, literals: tuple = ()) -> str:
     """Rewrite ClickHouse's two-paren-group parameterized aggregates
     ``name(params)(args)`` (see :data:`_PARAM_AGGS`).  Longest names
     match first so ``quantilesExact`` never parses as ``quantiles``."""
-    pat = re.compile(
-        r"\b("
-        + "|".join(
-            sorted(list(_PARAM_AGGS) + list(EXT_PARAM_AGGS), key=len, reverse=True)
+    global _PARAM_AGGS_PAT
+    if _PARAM_AGGS_PAT is None:  # compiled once per process (recursive calls)
+        _PARAM_AGGS_PAT = re.compile(
+            r"\b("
+            + "|".join(
+                sorted(list(_PARAM_AGGS) + list(EXT_PARAM_AGGS), key=len, reverse=True)
+            )
+            + r")\s*\("
         )
-        + r")\s*\("
-    )
+    pat = _PARAM_AGGS_PAT
     guard = 0
     while True:
         guard += 1

@@ -585,3 +585,62 @@ SPECS.append(QuerySpec(
     _q180_dialect_fold_aggs,
     _Q180_ORACLE,
 ))
+
+
+# ------------------------------------------- q181 KS + meanZ dialect
+_Q181_CH = """
+SELECT round(tupleElement(kolmogorovSmirnovTest(value, user_id % 2), 1), 6) AS ks_d,
+       round(tupleElement(kolmogorovSmirnovTest(value, user_id % 2), 2), 4) AS ks_p,
+       round(tupleElement(meanZTest(9000.0, 9000.0, 0.95)(value, user_id % 2), 1), 4) AS mz,
+       round(tupleElement(meanZTest(9000.0, 9000.0, 0.95)(value, user_id % 2), 2), 4) AS mzp
+FROM events
+WHERE event_id % 11 = 0
+ORDER BY ks_d
+"""
+
+
+def _q181_dialect_ks_meanz(spark: SparkSession, sf: str) -> DataFrame:
+    """kolmogorovSmirnovTest + meanZTest through the shim on a
+    deterministic 1-in-11 sample (KS folds the pooled sorted sample
+    per group — the q114 value-grouped operator is the full-scale
+    path).  The KS p uses the asymptotic Kolmogorov first term and
+    meanZTest's p the shared erf polynomial; both oracles inline the
+    identical formulas, doubles rounded per the q85 precedent."""
+    return _via_shim(spark, sf, ["events"], _Q181_CH)
+
+
+_Q181_ORACLE = rf"""
+WITH s AS (
+  SELECT value AS v, user_id % 2 AS g FROM events WHERE event_id % 11 = 0
+), n AS (
+  SELECT count(*) FILTER (g = 0)::DOUBLE AS n0,
+         count(*) FILTER (g = 1)::DOUBLE AS n1,
+         avg(v) FILTER (g = 0) AS m0, avg(v) FILTER (g = 1) AS m1
+  FROM s
+), steps AS (
+  SELECT abs(
+           (sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+              OVER (ORDER BY v, g ROWS UNBOUNDED PRECEDING))
+             / (SELECT n1 FROM n)
+         - (sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY v, g ROWS UNBOUNDED PRECEDING))
+             / (SELECT n0 FROM n)) AS gap
+  FROM s
+), ks AS (
+  SELECT max(gap) AS d FROM steps
+)
+SELECT round(ks.d, 6) AS ks_d,
+       round(least(1.0, 2.0 * exp(-2.0 * pow(ks.d
+             * sqrt(n.n0 * n.n1 / (n.n0 + n.n1)), 2))), 4) AS ks_p,
+       round((n.m0 - n.m1) / sqrt(9000.0 / n.n0 + 9000.0 / n.n1), 4) AS mz,
+       round(1.0 - {_duck_erf('(abs((n.m0 - n.m1) / sqrt(9000.0 / n.n0 + 9000.0 / n.n1)) / sqrt(2.0))')}, 4) AS mzp
+FROM ks, n
+ORDER BY ks_d
+"""
+
+SPECS.append(QuerySpec(
+    "q181_dialect_ks_meanz",
+    "kolmogorovSmirnovTest + meanZTest — through the shim",
+    _q181_dialect_ks_meanz,
+    _Q181_ORACLE,
+))
