@@ -20,6 +20,16 @@ python tools/check_correctness.py "$SF_DIR"
 echo "== plan sweep (cartesian / error screen) =="
 python tools/plan_sweep.py | tail -3
 
+echo "== dialect probe (no run-failures across the ClickHouse catalog) =="
+python tools/dialect_probe.py --json /tmp/_dialect_probe_ci.json | head -3
+python - <<'PYEOF'
+import json
+d = json.load(open("/tmp/_dialect_probe_ci.json"))
+assert not d["run_fail"], f"dialect run-failures: {d['run_fail']}"
+print(f"probe: {d['pass']}/{d['catalog_cases']} pass, "
+      f"{len(d['translate_fail'])} curated translation raises, 0 run failures")
+PYEOF
+
 echo "== shuffle budgets (sf0.1 headline regression gate) =="
 python tools/shuffle_budget.py
 
