@@ -808,3 +808,32 @@ def test_nested_composition_property(spark):
         sql = t(f"SELECT {expr} AS v FROM (SELECT 3 AS number)")
         got = spark.sql(sql).collect()
         assert len(got) == 1, expr
+
+
+def test_nested_string_composition_property(spark):
+    """String-producing wrappers compose the same way: translation
+    and execution must survive arbitrary nesting."""
+    import random
+
+    rng = random.Random(11)
+    str_wrappers = [
+        "toString(length({}))", "lower({})", "upper({})", "reverse({})",
+        "replaceRegexpOne({}, '[0-9]', 'N')", "normalizeQuery({})",
+        "substring({}, 1, 8)", "concat({}, '_x')", "trimBoth({})",
+        "leftPad({}, 4, '*')", "formatReadableDecimalSize(length({}))",
+        "arrayStringConcat(splitByNonAlpha({}), '-')",
+        "arrayStringConcat(tokens({}), '.')",
+        "extract({}, '[a-z]+')", "toString(cityHash64({}))",
+        "encodeURLComponent({})", "simpleJSONExtractString('{{}}', {})",
+        "char(ascii({}))", "toFixedString({}, 6)",
+        "format('<{{}}>', {})", "substringIndex({}, '_', 1)",
+    ]
+    seeds = ["'ab1 cd'", "s"]
+    for trial in range(40):
+        depth = rng.randint(1, 4)
+        expr = rng.choice(seeds)
+        for _ in range(depth):
+            expr = rng.choice(str_wrappers).format(expr)
+        sql = t(f"SELECT {expr} AS v FROM t_ext")
+        got = spark.sql(sql).collect()
+        assert len(got) == 2, expr
