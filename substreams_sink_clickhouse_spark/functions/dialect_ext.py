@@ -678,6 +678,65 @@ def _map_contains_key_like(inner, parts, literals):
     )
 
 
+def _position_ci_utf8(inner, parts, literals):
+    _need(parts, 2, "positionCaseInsensitiveUTF8", "(haystack, needle)")
+    s, n = parts
+    return f"locate(lower({n}), lower({s}))"
+
+
+def _to_start_of_iso_year(inner, parts, literals):
+    # the Monday of ISO week 1: January 4th is always inside week 1
+    _need(parts, 1, "toStartOfISOYear", "(d)")
+    d = inner
+    return (
+        f"date_sub(make_date(extract(YEAROFWEEK FROM {d}), 1, 4), "
+        f"weekday(make_date(extract(YEAROFWEEK FROM {d}), 1, 4)))"
+    )
+
+
+def _to_last_day_of_week(inner, parts, literals):
+    # mode 0 (default): Saturday closes the Sunday-start week; modes
+    # 1/3: Sunday closes the Monday-start week
+    d = parts[0]
+    mode = parts[1].strip() if len(parts) > 1 else "0"
+    if mode in ("0", "2"):
+        return f"date_add(CAST({d} AS DATE), 7 - dayofweek({d}))"
+    if mode in ("1", "3"):
+        return f"date_add(CAST({d} AS DATE), 6 - weekday({d}))"
+    raise ValueError("toLastDayOfWeek mode must be a literal 0..3")
+
+
+def _tuple_concat(inner, parts, literals):
+    # structurally impossible lexically (field counts unknown): raise
+    raise ValueError(
+        "tupleConcat needs the operand tuples' arity; build the wider "
+        "tuple() explicitly"
+    )
+
+
+def _tuple_hamming(inner, parts, literals):
+    # tupleHammingDistance(t1, t2) over the col1/col2 2-tuples the
+    # tuple() handler builds (ClickHouse's common use: simhash pairs)
+    _need(parts, 2, "tupleHammingDistance", "(tuple(a, b), tuple(c, d))")
+    a, b = parts
+    return (
+        f"(CAST(({a}).col1 != ({b}).col1 AS INT) "
+        f"+ CAST(({a}).col2 != ({b}).col2 AS INT))"
+    )
+
+
+def _add_sub_small_unit(unit_us: int, sub: bool):
+    def h(inner, parts, literals):
+        _need(parts, 2, "add/subtract sub-second unit", "(ts, n)")
+        ts, n = parts
+        sign = "-" if sub else "+"
+        return (
+            f"timestamp_micros(unix_micros(CAST({ts} AS TIMESTAMP)) "
+            f"{sign} CAST({n} AS BIGINT) * {unit_us})"
+        )
+    return h
+
+
 #: emptyArray<T>() zero-arg typed empties
 _EMPTY_ARRAY_TYPES = {
     "emptyArrayUInt8": "SMALLINT", "emptyArrayUInt16": "INT",
@@ -827,6 +886,15 @@ EXT_WRAPS: dict = {
     "parseDateTimeInJodaSyntax": _joda_parse,
     "parseDateTimeInJodaSyntaxOrNull": _joda_parse,
     "countSubstringsCaseInsensitive": _count_substrings_ci,
+    "positionCaseInsensitiveUTF8": _position_ci_utf8,
+    "toStartOfISOYear": _to_start_of_iso_year,
+    "toLastDayOfWeek": _to_last_day_of_week,
+    "tupleConcat": _tuple_concat,
+    "tupleHammingDistance": _tuple_hamming,
+    "addMilliseconds": _add_sub_small_unit(1000, False),
+    "subtractMilliseconds": _add_sub_small_unit(1000, True),
+    "addMicroseconds": _add_sub_small_unit(1, False),
+    "subtractMicroseconds": _add_sub_small_unit(1, True),
     "mapExtractKeyLike": _map_extract_key_like,
     "mapContainsKeyLike": _map_contains_key_like,
     **{name: _empty_array(t) for name, t in _EMPTY_ARRAY_TYPES.items()},

@@ -290,6 +290,29 @@ def test_batch_g_datetime(spark):
     assert isinstance(const(spark, "now64(3)"), __import__("datetime").datetime)
 
 
+def test_batch_h_stragglers(spark):
+    import datetime as dt
+
+    assert const(spark, "positionCaseInsensitiveUTF8('Hello', 'hell')") == 1
+    # 2024-01-05 is a Friday; ISO year 2024 starts Mon 2024-01-01
+    assert const(spark, "toStartOfISOYear(toDate('2024-01-05'))") == dt.date(2024, 1, 1)
+    # ISO year of 2021-01-01 (a Friday) is 2020, starting 2019-12-30
+    assert const(spark, "toStartOfISOYear(toDate('2021-01-01'))") == dt.date(2019, 12, 30)
+    assert const(spark, "toLastDayOfWeek(toDate('2024-01-05'))") == dt.date(2024, 1, 6)
+    assert const(spark, "toLastDayOfWeek(toDate('2024-01-05'), 1)") == dt.date(2024, 1, 7)
+    assert const(spark, "tupleHammingDistance(tuple(1, 2), tuple(1, 3))") == 1
+    assert (
+        str(const(spark, "addMilliseconds(toDateTime('2024-01-01 00:00:00'), 1500)"))
+        == "2024-01-01 00:00:01.500000"
+    )
+    assert (
+        str(const(spark, "subtractMicroseconds(toDateTime('2024-01-01 00:00:01'), 1)"))
+        == "2024-01-01 00:00:00.999999"
+    )
+    with pytest.raises(ValueError, match="arity"):
+        t("SELECT tupleConcat(tuple(1), tuple(2)) FROM t_ext")
+
+
 def test_batch_g_hashes(spark):
     a = const(spark, "intHash64(42)")
     assert a == const(spark, "intHash64(42)")
