@@ -85,6 +85,7 @@ from substreams_sink_clickhouse_spark.functions.dialect_ext import (
     EXT_NAME_SWAPS,
     EXT_PARAM_AGGS,
     EXT_WRAPS,
+    int_div_expr as _int_div_expr,
 )
 
 #: Sentinel -> real spelling, restored once at the END of the
@@ -592,6 +593,14 @@ def _rewrite_wraps(code: str, literals: tuple = (), _top: bool = True) -> str:
     if _WRAPS_PAT is None:
         _WRAPS_PAT = _build_wraps_pat()
     pat = _WRAPS_PAT
+    if _top:
+        # CAST is a case-insensitive KEYWORD in ClickHouse, so
+        # cast(x, 'Int64') is valid input, but the wraps alternation is
+        # case-sensitive and would pass it through untranslated
+        # (round-7 advisory).  Canonicalize before scanning: literals
+        # are already masked at this stage, so string contents can't be
+        # touched, and \b keeps identifiers like broadcast( intact.
+        code = re.sub(r"\b[cC][aA][sS][tT](?=\s*\()", "CAST", code)
     return _run_wraps(pat, code, literals, _top)
 
 
@@ -1598,13 +1607,16 @@ def _run_wraps(pat, code: str, literals: tuple, _top: bool) -> str:
             parts = _split_top_commas(inner)
             if len(parts) != 2:
                 raise ValueError("intDiv needs (a, b)")
-            # CAST keeps fractional operands legal (Spark's div is
-            # integral-only; ClickHouse intDiv accepts floats and
-            # truncates) and is a no-op on already-integral input
-            repl = (
-                f"(CAST({parts[0]} AS BIGINT) div "
-                f"CAST({parts[1]} AS BIGINT))"
-            )
+            # ClickHouse truncates the QUOTIENT, not the operands:
+            # intDiv(10, 2.5) = 4, never 10 div 2 = 5 (round-7
+            # advisory).  Integral inputs keep the exact `div` path
+            # (a DOUBLE round-trip would corrupt values > 2^53);
+            # everything else divides as DOUBLE first and truncates
+            # via CAST (toward zero, matching ClickHouse's float
+            # intDiv).  typeof() resolves per input at runtime and
+            # constant-folds for literals, so the CASE costs nothing
+            # in the common all-integer plans.
+            repl = _int_div_expr(parts[0], parts[1])
         elif name == "modulo":
             parts = _split_top_commas(inner)
             if len(parts) != 2:

@@ -73,11 +73,20 @@ def _lam(part: str, name: str) -> tuple[str, str]:
     body = body.strip()
     if not re.fullmatch(r"\w+", var):
         raise ValueError(f"{name} supports single-variable lambdas only")
-    if re.search(rf"\b{re.escape(var)}\s*->|\(\s*{re.escape(var)}\s*[,)]\s*->", body):
-        raise ValueError(
-            f"{name}: nested lambda rebinds {var!r} - rename the inner "
-            "variable"
+    # Scan EVERY nested lambda's full parameter list (round-7 advisory:
+    # `(y, x) -> ...` rebinds x as a non-first parameter, which the old
+    # first-position regex missed and _subst then corrupted).
+    for lm in re.finditer(r"(?:\(([^()]*)\)|(\w+))\s*->", body):
+        params = (
+            [p.strip() for p in lm.group(1).split(",")]
+            if lm.group(1) is not None
+            else [lm.group(2)]
         )
+        if var in params:
+            raise ValueError(
+                f"{name}: nested lambda rebinds {var!r} - rename the "
+                "inner variable"
+            )
     return var, body
 
 
@@ -157,15 +166,145 @@ def _trunc(inner, parts, literals):
     )
 
 
+def _integral_test(x: str) -> str:
+    """Runtime predicate: does ``x`` carry an exact-integer SQL type?
+    typeof() constant-folds for literals; scale-0 decimals count (sum()
+    over integers is DECIMAL in ClickHouse-shaped pipelines)."""
+    return (
+        f"(typeof({x}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+        f"OR typeof({x}) RLIKE 'decimal\\\\([0-9]+,0\\\\)')"
+    )
+
+
+def int_div_expr(a: str, b: str) -> str:
+    """ClickHouse ``intDiv`` semantics: truncate the QUOTIENT toward
+    zero (intDiv(10, 2.5) = trunc(4.0) = 4 — round-7 advisory; the old
+    operand-level BIGINT casts computed 10 div 2 = 5).  Exact-integer
+    inputs keep Spark's integral ``div`` (no 2^53 DOUBLE precision
+    cliff); any fractional input divides as DOUBLE and truncates via
+    ANSI CAST, which is toward-zero like ClickHouse's float intDiv."""
+    return (
+        f"(CASE WHEN {_integral_test(a)} AND {_integral_test(b)} "
+        f"THEN CAST({a} AS BIGINT) div CAST({b} AS BIGINT) "
+        f"ELSE CAST(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE) AS BIGINT) "
+        f"END)"
+    )
+
+
 def _int_div_or_zero(inner, parts, literals):
     _need(parts, 2, "intDivOrZero", "(a, b)")
     a, b = parts
-    # CAST keeps fractional operands legal (property-test find:
-    # intDivOrZero(arraySum(a), n) — div is integral-only in Spark)
+    # quotient-truncating core shared with intDiv (round-7 advisory);
+    # the zero guard mirrors ClickHouse's OrZero contract
     return (
         f"(CASE WHEN ({b}) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE CAST({a} AS BIGINT) div CAST({b} AS BIGINT) END)"
+        f"ELSE {int_div_expr(a, b)} END)"
     )
+
+
+def _jaro_core(a: str, b: str, winkler: bool) -> str:
+    """Jaro (and Jaro-Winkler) similarity as a pure codegen expression.
+
+    The greedy matcher is an ``aggregate()`` fold over s1's positions
+    carrying (used s2 positions, matched chars); transpositions compare
+    the two matched-character sequences.  Two levels of the
+    transform-array binding trick evaluate each input expression
+    exactly once.  Semantics follow the textbook definition ClickHouse
+    implements: match window ``max(0, max(len1, len2) / 2 - 1)``,
+    transpositions = floor(mismatched matched-position count / 2),
+    ``jaro('', '') = 1``, one-side-empty = 0, NULL in = NULL out.
+    Winkler adds the unconditional prefix bonus ``l * 0.1 * (1 - j)``
+    with l = common prefix length capped at 4.
+
+    O(len1 * window) per row with no shuffle and no Python — fine for
+    the bounded identifier/word strings similarity joins compare; the
+    quadratic blowup on megabyte strings is the caller's to avoid,
+    exactly as it is in ClickHouse.
+    """
+    d_expr = (
+        "__sql_cast__(greatest(0, (greatest(length(__jp0.a), "
+        "length(__jp0.b)) div 2) - 1) AS INT)"
+    )
+    window = (
+        "CASE WHEN least(length(__jp.b), __ji + __jp.d) "
+        ">= greatest(1, __ji - __jp.d) "
+        "THEN sequence(greatest(1, __ji - __jp.d), "
+        "least(length(__jp.b), __ji + __jp.d)) "
+        "ELSE __sql_cast__(array() AS ARRAY<INT>) END"
+    )
+    step = (
+        "(__ja, __ji) -> element_at(__xform__(array("
+        "try_element_at(filter(" + window + ", "
+        "__jj -> substring(__jp.b, __jj, 1) = substring(__jp.a, __ji, 1) "
+        "AND NOT array_contains(__ja.u, __jj)), 1)), "
+        "__jf -> CASE WHEN __jf IS NULL THEN __ja "
+        "ELSE named_struct('u', concat(__ja.u, array(__jf)), "
+        "'m', concat(__ja.m, substring(__jp.a, __ji, 1))) END), 1)"
+    )
+    # matched chars of s2 in POSITION order (the transposition partner)
+    m2 = (
+        "aggregate(array_sort(__jz.u), '', "
+        "(__js, __jq) -> concat(__js, substring(__jp.b, __jq, 1)))"
+    )
+    jaro_arith = (
+        "(__sql_cast__(size(__jz.u) AS DOUBLE) / length(__jp.a) "
+        "+ __sql_cast__(size(__jz.u) AS DOUBLE) / length(__jp.b) "
+        "+ (size(__jz.u) - __sql_cast__((size(filter("
+        "sequence(1, size(__jz.u)), "
+        "__jk -> substring(__jz.m, __jk, 1) <> substring(__jm, __jk, 1)"
+        ")) div 2) AS DOUBLE)) / size(__jz.u)) "
+        "/ __sql_cast__(3 AS DOUBLE)"
+    )
+    if winkler:
+        prefix_len = (
+            "size(filter(CASE WHEN least(4, length(__jp.a), length(__jp.b)) >= 1 "
+            "THEN sequence(1, least(4, length(__jp.a), length(__jp.b))) "
+            "ELSE __sql_cast__(array() AS ARRAY<INT>) END, "
+            "__jl -> substring(__jp.a, 1, __jl) = substring(__jp.b, 1, __jl)))"
+        )
+        value = (
+            "element_at(__xform__(array(" + jaro_arith + "), "
+            "__jw -> __jw + " + prefix_len
+            + " * __sql_cast__(0.1 AS DOUBLE) "
+            "* (__sql_cast__(1 AS DOUBLE) - __jw)), 1)"
+        )
+    else:
+        value = jaro_arith
+    finish = (
+        "__jz -> CASE "
+        "WHEN __jp.a IS NULL OR __jp.b IS NULL "
+        "THEN __sql_cast__(NULL AS DOUBLE) "
+        "WHEN length(__jp.a) = 0 AND length(__jp.b) = 0 "
+        "THEN __sql_cast__(1 AS DOUBLE) "
+        "WHEN size(__jz.u) = 0 THEN __sql_cast__(0 AS DOUBLE) "
+        "ELSE element_at(__xform__(array(" + m2 + "), "
+        "__jm -> " + value + "), 1) END"
+    )
+    agg = (
+        "aggregate("
+        "CASE WHEN length(__jp.a) >= 1 THEN sequence(1, length(__jp.a)) "
+        "ELSE __sql_cast__(array() AS ARRAY<INT>) END, "
+        "named_struct('u', __sql_cast__(array() AS ARRAY<INT>), 'm', ''), "
+        + step + ", " + finish + ")"
+    )
+    return (
+        "element_at(__xform__(array(named_struct("
+        f"'a', __sql_cast__(({a}) AS STRING), "
+        f"'b', __sql_cast__(({b}) AS STRING))), "
+        "__jp0 -> element_at(__xform__(array(named_struct("
+        "'a', __jp0.a, 'b', __jp0.b, 'd', " + d_expr + ")), "
+        "__jp -> " + agg + "), 1)), 1)"
+    )
+
+
+def _jaro_similarity(inner, parts, literals):
+    _need(parts, 2, "jaroSimilarity", "(s1, s2)")
+    return _jaro_core(parts[0], parts[1], winkler=False)
+
+
+def _jaro_winkler_similarity(inner, parts, literals):
+    _need(parts, 2, "jaroWinklerSimilarity", "(s1, s2)")
+    return _jaro_core(parts[0], parts[1], winkler=True)
 
 
 def _modulo_or_zero(inner, parts, literals):
@@ -898,14 +1037,9 @@ EXT_WRAPS: dict = {
     "mapExtractKeyLike": _map_extract_key_like,
     "mapContainsKeyLike": _map_contains_key_like,
     **{name: _empty_array(t) for name, t in _EMPTY_ARRAY_TYPES.items()},
-    "jaroSimilarity": _raise_with(
-        "jaroSimilarity has no Spark builtin; use levenshtein() "
-        "(editDistance) or stringJaccardIndex for string similarity"
-    ),
-    "jaroWinklerSimilarity": _raise_with(
-        "jaroWinklerSimilarity has no Spark builtin; use levenshtein() "
-        "(editDistance) or stringJaccardIndex for string similarity"
-    ),
+    # round-8: exact codegen implementations (formerly curated raises)
+    "jaroSimilarity": _jaro_similarity,
+    "jaroWinklerSimilarity": _jaro_winkler_similarity,
     "lgamma": _raise_with(
         "lgamma has no Spark builtin (factorial() covers integer "
         "arguments up to 20; a series approximation would silently "

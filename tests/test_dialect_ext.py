@@ -860,3 +860,71 @@ def test_nested_string_composition_property(spark):
         sql = t(f"SELECT {expr} AS v FROM t_ext")
         got = spark.sql(sql).collect()
         assert len(got) == 2, expr
+
+
+# ------------------------------------------- round-8 advisory fixes
+def test_int_div_truncates_quotient_not_operands(spark):
+    # round-7 advisory: ClickHouse intDiv(10, 2.5) = trunc(4.0) = 4;
+    # operand-level BIGINT casts computed 10 div 2 = 5
+    assert const(spark, "intDiv(10, 2.5)") == 4
+    assert const(spark, "intDiv(7.5, 2)") == 3
+    assert const(spark, "intDiv(7, 2)") == 3
+    assert const(spark, "intDivOrZero(10, 2.5)") == 4
+    assert const(spark, "intDivOrZero(10.0, 0)") == 0
+    # exact path survives beyond the 2^53 DOUBLE cliff
+    assert (
+        const(spark, "intDiv(9007199254740995, 1)") == 9007199254740995
+    )
+    # negative quotient truncates toward zero on the float path,
+    # matching ClickHouse's float intDiv and Spark's integral div
+    assert const(spark, "intDiv(-7.5, 2)") == -3
+
+
+def test_cast_keyword_case_insensitive(spark):
+    # round-7 advisory: CAST is a case-insensitive keyword in
+    # ClickHouse, so lowercase comma-form cast must translate too
+    assert const(spark, "cast('11', 'Int64')") == 11
+    assert const(spark, "Cast(11, 'String')") == "11"
+    # identifiers embedding 'cast' stay untouched
+    out = t("SELECT broadcast_id FROM t_ext")
+    assert "broadcast_id" in out
+
+
+def test_lam_rejects_nested_multiparam_rebind():
+    # round-7 advisory: (y, x) -> rebinding x as a NON-first parameter
+    # must be refused, not silently substituted
+    with pytest.raises(ValueError, match="rebind"):
+        t("SELECT arrayFill(x -> arrayMap((y, x) -> x, arr)[1] > 0, arr) FROM t_ext")
+
+
+def test_jaro_similarity(spark):
+    # textbook fixtures (Winkler 1990 examples)
+    assert math.isclose(
+        const(spark, "jaroSimilarity('martha', 'marhta')"), 0.9444444444, rel_tol=1e-6
+    )
+    assert math.isclose(
+        const(spark, "jaroSimilarity('dixon', 'dicksonx')"), 0.7666666666, rel_tol=1e-6
+    )
+    assert const(spark, "jaroSimilarity('', '')") == 1.0
+    assert const(spark, "jaroSimilarity('abc', '')") == 0.0
+    assert const(spark, "jaroSimilarity(NULL, 'x')") is None
+    # transposition-heavy pair exercises the matched-sequence compare
+    assert math.isclose(
+        const(spark, "jaroSimilarity('crate', 'trace')"), 0.7333333333, rel_tol=1e-6
+    )
+
+
+def test_jaro_winkler_similarity(spark):
+    assert math.isclose(
+        const(spark, "jaroWinklerSimilarity('martha', 'marhta')"),
+        0.9611111111, rel_tol=1e-6,
+    )
+    assert math.isclose(
+        const(spark, "jaroWinklerSimilarity('dixon', 'dicksonx')"),
+        0.8133333333, rel_tol=1e-6,
+    )
+    # column input (per-row, both rows; 'xyz42' shares no char with 'abc1')
+    vals = one(spark, "jaroWinklerSimilarity(s, 'abc1')")
+    assert vals[0] == 1.0 and vals[1] == 0.0
+    partial = one(spark, "jaroWinklerSimilarity(s, 'xyz99')")
+    assert partial[0] == 0.0 and 0.0 < partial[1] < 1.0
