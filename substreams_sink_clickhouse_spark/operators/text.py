@@ -1306,3 +1306,171 @@ SPECS.append(
         _BPE_MERGE_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------ BPE training loop
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, post_top_k: int = 10
+) -> DataFrame:
+    """Multi-iteration BPE tokenizer training: learn ``n_merges``
+    merges in order, then report the next iteration's top candidates.
+
+    Output schema ``(step INT, pair STRING, cnt BIGINT)``: steps
+    ``1..n_merges`` are the learned merges (each with the pair count
+    that won its iteration); step ``n_merges + 1`` rows are the top
+    ``post_top_k`` remaining candidates AFTER all merges — so the
+    result hash-checks both the merge sequence and the post-merge pair
+    distribution against the oracle.
+
+    Scale design (the round-7 verdict's ask): the corpus is scanned
+    exactly ONCE — the first job collapses it to the (symbols, freq)
+    vocabulary table and ``localCheckpoint`` materializes it (a cluster
+    deployment would use ``checkpoint()`` to durable storage).  Every
+    iteration then runs two vocabulary-cardinality jobs — a pair-count
+    aggregate and a merge-apply map — against the PREVIOUS iteration's
+    checkpoint, so plan depth and corpus scans are both independent of
+    ``n_merges`` (``bpe_merge_step`` re-derived the vocabulary from its
+    temp view twice per iteration; this is the fix).  The only driver
+    transfer is the single winning (pair, cnt) row per iteration — the
+    learned model parameter, O(1) per step.
+
+    The merge applies left-to-right over non-overlapping occurrences
+    (the fold never re-merges the symbol it just built), pair identity
+    is ``s1 + '+' + s2``, ties break (cnt DESC, pair ASC) — all
+    identical to :func:`bpe_merge_step`.
+    """
+    import re as _re
+
+    spark = docs.sparkSession
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "__i -> concat(element_at(syms, __i), '+', "
+        "element_at(syms, __i + 1)))"
+    )
+
+    def pair_counts(vocab_df: DataFrame) -> DataFrame:
+        return (
+            vocab_df.where(F.expr("size(syms) >= 2"))
+            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w) + 1), "
+                "__i -> substring(concat(w, '_'), __i, 1))"
+            ).alias("syms"),
+            "f",
+        )
+        .localCheckpoint(eager=True)  # ONE corpus scan, lineage cut
+    )
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not top:
+            break  # vocabulary fully merged before n_merges
+        bp, cnt = top[0]["pair"], int(top[0]["cnt"])
+        # the winning pair is word chars + the two markers by
+        # construction; assert before inlining it into the fold
+        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
+            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
+        merges.append((step, bp, cnt))
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+                "(__a, __s) -> CASE WHEN size(__a) > 0 "
+                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
+                "THEN concat(slice(__a, 1, size(__a) - 1), "
+                "array(concat(element_at(__a, -1), __s))) "
+                "ELSE concat(__a, array(__s)) END)"
+            ).alias("syms"),
+            "f",
+        ).localCheckpoint(eager=True)
+    post = (
+        pair_counts(vocab)
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(post_top_k)
+        .select(
+            F.lit(n_merges + 1).cast("int").alias("step"), "pair", "cnt"
+        )
+    )
+    learned = spark.createDataFrame(
+        merges, "step int, pair string, cnt long"
+    )
+    return learned.unionByName(post).orderBy("step", F.desc("cnt"), "pair")
+
+
+def _text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """8 learned merges + top-10 post-merge candidates."""
+    return bpe_train(load_table(spark, sf, "documents"), n_merges=8, post_top_k=10)
+
+
+def _bpe_train_oracle(n_merges: int = 8, post_top_k: int = 10) -> str:
+    """DuckDB oracle for :func:`bpe_train`: one MATERIALIZED CTE block
+    per iteration (materialization is load-bearing — ``s{n}`` is
+    referenced twice, and un-materialized inlining would re-evaluate
+    the whole chain per reference, exponentially)."""
+    blocks = []
+    for n in range(1, n_merges + 1):
+        blocks.append(f"""pc{n} AS MATERIALIZED (
+  SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+  FROM s{n - 1}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  WHERE len(syms) >= 2 GROUP BY pair
+), best{n} AS MATERIALIZED (
+  SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1
+), s{n} AS MATERIALIZED (
+  SELECT list_reduce(list_transform(syms, s -> [s]),
+           (acc, b) -> CASE
+             WHEN acc[-1] || '+' || b[1] = bp
+             THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || b[1])
+             ELSE list_append(acc, b[1]) END) AS syms, f
+  FROM (SELECT syms, f, (SELECT pair FROM best{n}) AS bp FROM s{n - 1})
+)""")
+        union = "\nUNION ALL ".join(
+            f"SELECT CAST({n} AS INT) AS step, pair, cnt FROM best{n}"
+            for n in range(1, n_merges + 1)
+        )
+    joined_blocks = ",\n".join(blocks)
+    return f"""WITH wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, length(w) + 1),
+                        i -> substr(w || '_', i, 1)) AS syms, f
+  FROM wf
+),
+{joined_blocks},
+pc_post AS MATERIALIZED (
+  SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+  FROM s{n_merges}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  WHERE len(syms) >= 2 GROUP BY pair
+)
+SELECT * FROM (
+{union}
+UNION ALL
+SELECT CAST({n_merges + 1} AS INT) AS step, pair, cnt FROM (
+  SELECT pair, cnt FROM pc_post ORDER BY cnt DESC, pair LIMIT {post_top_k})
+) ORDER BY step, cnt DESC, pair"""
+
+
+_BPE_TRAIN_ORACLE = _bpe_train_oracle(8, 10)
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_train",
+        "Multi-iteration BPE training: 8 ordered merges learned over "
+        "the checkpointed vocabulary (one corpus scan total) plus the "
+        "post-merge top candidates",
+        _text_bpe_train,
+        _BPE_TRAIN_ORACLE,
+    )
+)

@@ -191,3 +191,61 @@ def test_bpe_merge_step_exact(spark):
     # merge 'a+b' (cnt 3 ties 'b+_' 3, pair asc wins); after merge:
     # aab_ -> [a, ab, _] (x2), ab_ -> [ab, _]
     assert out == {"a+ab": 2, "ab+_": 3}
+
+
+def test_bpe_train_model_comparison(spark):
+    """Multi-iteration BPE training vs an independent Python model:
+    learned merge ORDER, winning counts, and the post-merge candidate
+    distribution all match; the returned plan reads only the
+    checkpointed vocabulary (no parquet/file scan — the corpus-scan
+    count is independent of n_merges)."""
+    import collections
+
+    from substreams_sink_clickhouse_spark.operators.text import bpe_train
+
+    corpus = [(1, "aab aab ab ba"), (2, "ab b aab"), (3, "bbb aab ba")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    # independent model (same rules: '_' marker, '+' pair identity,
+    # left-to-right non-overlapping apply, cnt DESC / pair ASC ties)
+    words = collections.Counter(
+        w for _, t in corpus for w in t.split() if w.isalnum()
+    )
+    vocab = {tuple(w) + ("_",): f for w, f in words.items()}
+    expect = []
+    for step in range(1, 5):
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[syms[i] + "+" + syms[i + 1]] += f
+        mx = max(pc.values())
+        bp = min(p for p, n in pc.items() if n == mx)
+        expect.append((step, bp, mx))
+        left, right = bp.split("+")
+        nxt = collections.Counter()
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = out[-1] + s
+                else:
+                    out.append(s)
+            nxt[tuple(out)] += f
+        vocab = nxt
+    post_pc = collections.Counter()
+    for syms, f in vocab.items():
+        for i in range(len(syms) - 1):
+            post_pc[syms[i] + "+" + syms[i + 1]] += f
+
+    result = bpe_train(docs, n_merges=4, post_top_k=5)
+    rows = result.collect()
+    got_merges = [(r.step, r.pair, r.cnt) for r in rows if r.step <= 4]
+    assert got_merges == expect
+    got_post = {r.pair: r.cnt for r in rows if r.step == 5}
+    want_post = dict(
+        sorted(post_pc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert got_post == want_post
+    # scale contract: the output plan never rescans the corpus
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
