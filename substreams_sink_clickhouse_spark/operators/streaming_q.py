@@ -988,3 +988,218 @@ SPECS.append(
         """,
     )
 )
+
+
+def _q182_scd2_from_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension reconstructed from the ENGINE'S OWN versioned
+    commit history (round-7 verdict item 6 — closes the loop between
+    the ingest layer and the query layer that ``q173_scd2_join`` only
+    synthesized):
+
+    * three CDC epochs run through the FULL streaming pipeline —
+      CREATE every order; UPDATE status='X' for key %% 5 == 0;
+      UPDATE status='Y' for key %% 7 == 0 then DELETE key %% 11 == 0;
+    * the three committed snapshots are read back via time travel
+      (``state.table_state_as_of`` — the reference's users get the
+      analogous history from ReplacingMergeTree versions,
+      /root/reference/README.md:29-52);
+    * SCD2 validity intervals are derived from snapshot diffs with one
+      window over (pk, version): a status change opens a version,
+      ``lead(valid_from)`` closes it, disappearance (the DELETE) closes
+      the final one, survival leaves ``valid_to`` NULL (open).
+
+    The oracle recomputes the same three logical states directly from
+    ``orders`` — so a wrong snapshot, a broken time-travel read, or a
+    mis-derived interval all hash-mismatch.
+
+    Scale design: snapshot reads are manifest-pruned parquet scans; the
+    union carries 3 rows per pk into ONE hash exchange on pk (both
+    windows and the dedup-groupBy share it); per-pk state is bounded by
+    the snapshot count, never by table size.  The final rollup is a
+    few dozen rows."""
+    from substreams_sink_clickhouse_spark.streaming.pipeline import (
+        ChangesIngestPipeline,
+    )
+
+    o = load_table(spark, sf, "orders")
+    workdir = _scratch_dir("scd2v_gate_")  # atexit-cleaned
+    stream = os.path.join(workdir, "stream")
+    os.makedirs(stream)
+
+    def msg(block, op, fields_expr):
+        return F.to_json(
+            F.struct(
+                F.lit(block).cast("long").alias("block_num"),
+                F.concat(F.lit("b"), F.lit(block)).alias("block_id"),
+                F.array(
+                    F.struct(
+                        F.lit("orders_t").alias("table"),
+                        F.col("o_orderkey").cast("string").alias("pk"),
+                        F.col("o_orderkey").alias("ordinal"),
+                        F.lit(op).alias("operation"),
+                        fields_expr.alias("fields"),
+                    )
+                ).alias("table_changes"),
+            )
+        )
+
+    def fields(*pairs):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("name"),
+                    v.alias("new_value"),
+                    F.lit(None).cast("string").alias("old_value"),
+                )
+                for n, v in pairs
+            ]
+        )
+
+    null_fields = F.lit(None).cast(
+        "array<struct<name:string,new_value:string,old_value:string>>"
+    )
+    pipe = ChangesIngestPipeline(
+        spark,
+        _dv_catalog(),
+        warehouse_dir=os.path.join(workdir, "wh"),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+    )
+    # epoch 1: initial load
+    o.select(
+        msg(
+            1,
+            "CREATE",
+            fields(
+                ("status", F.col("o_orderstatus")),
+                ("price", F.col("o_totalprice").cast("string")),
+            ),
+        ).alias("value")
+    ).coalesce(1).write.mode("append").text(stream)
+    pipe.run_to_completion(stream, timeout_s=300)
+    # epoch 2: status change wave 1
+    o.filter(F.col("o_orderkey") % 5 == 0).select(
+        msg(2, "UPDATE", fields(("status", F.lit("X")))).alias("value")
+    ).coalesce(1).write.mode("append").text(stream)
+    pipe.run_to_completion(stream, timeout_s=300)
+    # epoch 3: status change wave 2 + deletions (DELETE is the later
+    # block, so a key matching both %7 and %11 ends up deleted)
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        msg(3, "UPDATE", fields(("status", F.lit("Y")))).alias("value")
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        msg(4, "DELETE", null_fields).alias("value")
+    )
+    upd.unionByName(dele).coalesce(1).write.mode("append").text(stream)
+    pipe.run_to_completion(stream, timeout_s=300)
+
+    entry = pipe.state.read_manifest()["tables"]["orders_t"]
+    eps = sorted({h["epoch"] for h in entry.get("history", [])} | {entry["epoch"]})
+    if len(eps) != 3:
+        raise AssertionError(
+            f"expected 3 committed epochs in version history, got {eps}"
+        )
+    from pyspark.sql import Window
+
+    snaps = [
+        pipe.state.table_state_as_of("orders_t", ep).select(
+            F.lit(v).cast("int").alias("v"), "id", "status"
+        )
+        for v, ep in enumerate(eps, start=1)
+    ]
+    hist = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    w = Window.partitionBy("id").orderBy("v")
+    ver = hist.select(
+        "id", "status", "v", F.lag("status").over(w).alias("__prev")
+    ).select(
+        "id",
+        "status",
+        "v",
+        F.sum(
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__prev") != F.col("status")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("ver_id"),
+    )
+    scd = ver.groupBy("id", "ver_id", "status").agg(
+        F.min("v").alias("valid_from"), F.max("v").alias("__last_seen")
+    )
+    w2 = Window.partitionBy("id").orderBy("ver_id")
+    scd2 = scd.select(
+        "id",
+        "status",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w2),
+            F.when(F.col("__last_seen") < 3, F.col("__last_seen") + 1),
+        ).alias("valid_to"),
+    )
+    return (
+        scd2.groupBy("status", "valid_from", "valid_to")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id").cast("bigint")).alias("sum_pk"),
+        )
+        .orderBy("status", "valid_from", "valid_to")
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "q182_scd2_from_versions",
+        "SCD2 intervals derived from the engine's own versioned commit "
+        "history (3 CDC epochs -> time-travel snapshots -> validity "
+        "windows), oracle-checked against a direct recomputation",
+        _q182_scd2_from_versions,
+        """
+        WITH s1 AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS id, o_orderstatus AS status
+          FROM orders),
+        s2 AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS status
+          FROM orders),
+        s3 AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'Y'
+                      WHEN o_orderkey % 5 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS status
+          FROM orders WHERE o_orderkey % 11 <> 0),
+        hist AS (
+          SELECT 1 AS v, id, status FROM s1
+          UNION ALL SELECT 2, id, status FROM s2
+          UNION ALL SELECT 3, id, status FROM s3),
+        marked AS (
+          SELECT id, status, v,
+                 lag(status) OVER (PARTITION BY id ORDER BY v) AS prev
+          FROM hist),
+        ver AS (
+          SELECT id, status, v,
+                 CAST(sum(CASE WHEN prev IS NULL OR prev <> status
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY id ORDER BY v) AS INT) AS ver_id
+          FROM marked),
+        scd AS (
+          SELECT id, ver_id, status, min(v) AS valid_from,
+                 max(v) AS last_seen
+          FROM ver GROUP BY id, ver_id, status),
+        scd2 AS (
+          SELECT id, status, CAST(valid_from AS INT) AS valid_from,
+                 CAST(coalesce(
+                   lead(valid_from) OVER (PARTITION BY id ORDER BY ver_id),
+                   CASE WHEN last_seen < 3 THEN last_seen + 1 END)
+                 AS INT) AS valid_to
+          FROM scd)
+        SELECT status, valid_from, valid_to,
+               count(*) AS n,
+               CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS sum_pk
+        FROM scd2
+        GROUP BY status, valid_from, valid_to
+        ORDER BY status, valid_from, valid_to
+        """,
+    )
+)
