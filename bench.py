@@ -58,6 +58,24 @@ ORACLE_TABLES = [
 ]
 
 
+def stage_shuffle_read_total(ui_port: int) -> int:
+    """App-wide completed-stage shuffle read bytes (Spark REST) — the
+    same probe tools/shuffle_budget.py uses; bracketing one execution
+    with two calls attributes its shuffle volume."""
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"http://localhost:{ui_port}/api/v1/applications", timeout=10
+    ) as r:
+        app = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"http://localhost:{ui_port}/api/v1/applications/{app}/stages?status=complete",
+        timeout=10,
+    ) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleReadBytes", 0) for s in stages)
+
+
 def loadavg_1m() -> float | None:
     """1-minute load average, or None where /proc is unavailable."""
     try:
@@ -203,8 +221,14 @@ def main() -> None:
     from substreams_sink_clickhouse_spark.registry import all_specs
     from substreams_sink_clickhouse_spark.session import get_spark, interactive_session
 
-    spark = get_spark("bench")
+    # UI on: the per-query shuffle-byte line item reads REST stage
+    # totals (outside every timed window)
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        ui_port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
+    except Exception:
+        ui_port = None
     queries = entry_mod.queries()
 
     # Per-plan execution profiles: each prepared plan runs on the
@@ -255,7 +279,7 @@ def main() -> None:
     # sleep lets the previous rep's executor threads fully park so one
     # rep's tail doesn't inflate the next (the pauses are outside the
     # timed window).
-    def settle(threshold: float = 2.5, cap_s: float = 12.0) -> None:
+    def settle(threshold: float = 2.5, cap_s: float = 60.0) -> None:
         """Wait (bounded) for the 1-minute loadavg to drain.  The
         container shares a host; BASELINE.md's numbers are comparable
         only at matched load, so each query's reps start from a
@@ -274,6 +298,7 @@ def main() -> None:
     loadavg_before = loadavg_1m()
     timings: dict[str, float] = {}
     loadavg_at_reps: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
@@ -290,6 +315,17 @@ def main() -> None:
             best = min(best, time.time() - t0)
             time.sleep(0.2)
         timings[name] = round(best, 3)
+        # one extra (untimed) execution bracketed by REST stage totals:
+        # the artifact then self-adjudicates plan shape (a lost
+        # broadcast or dropped partial aggregate shows up as a
+        # shuffle-byte jump) the way it already self-adjudicates load
+        if ui_port is not None:
+            try:
+                before = stage_shuffle_read_total(ui_port)
+                fn(sess(name), sf_dir).count()
+                shuffle_bytes[name] = stage_shuffle_read_total(ui_port) - before
+            except Exception:
+                pass
 
     # Paired oracle: the SAME box, back-to-back with the sequential
     # engine numbers above, so BENCH_rN.json carries its own
@@ -332,6 +368,31 @@ def main() -> None:
         ingest_sec = round(min(bench_ingest(inter, sf_dir) for _ in range(2)), 3)
     except Exception:
         ingest_sec = None
+    # shuffle-budget verdict inside the artifact (round-7 verdict item
+    # 5): compare measured bytes to the committed budgets with the same
+    # slack rule tools/shuffle_budget.py enforces in CI
+    shuffle_verdict: dict[str, str] = {}
+    budget_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "shuffle_budgets.json"
+    )
+    try:
+        with open(budget_path, encoding="utf-8") as fh:
+            rec = json.load(fh)
+        # budgets are only comparable at the SF they were recorded at
+        shuffle_budgets = (
+            rec["shuffle_read_bytes"] if rec.get("sf_dir") == sf_dir else {}
+        )
+    except (OSError, KeyError, json.JSONDecodeError):
+        shuffle_budgets = {}
+    for name, got in shuffle_bytes.items():
+        budget = shuffle_budgets.get(name)
+        if budget is None:
+            shuffle_verdict[name] = "no-budget"
+        elif got > max(2 * budget, budget + 1_000_000):
+            shuffle_verdict[name] = "FAIL"
+        else:
+            shuffle_verdict[name] = "ok"
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     loadavg_after = loadavg_1m()
@@ -360,9 +421,13 @@ def main() -> None:
                 "loadavg_after": loadavg_after,
                 # per-query loadavg at the moment its reps started,
                 # after the bounded settle() gate (wait for 1-min load
-                # < 2.5, cap 12 s, outside every timed window)
+                # < 2.5, cap 60 s, outside every timed window)
                 "loadavg_at_reps": loadavg_at_reps,
-                "loadavg_gate": {"threshold": 2.5, "cap_s": 12.0},
+                "loadavg_gate": {"threshold": 2.5, "cap_s": 60.0},
+                # measured shuffle read bytes per query (one bracketed
+                # execution) + verdict vs tools/shuffle_budgets.json
+                "shuffle_bytes": shuffle_bytes,
+                "shuffle_budget_verdict": shuffle_verdict,
                 "oracle_total_sec": oracle_total,
                 "oracle_queries": oracle,
                 "oracle_skipped": oracle_skipped,
