@@ -227,6 +227,28 @@ class Corpus:
         # __init__ normalizes the text column's name to ``text``
         return bpe_pair_counts(self.df.select("text"), top_k=top_k)
 
+    def bpe_train(self, n_merges: int = 8, post_top_k: int = 10) -> DataFrame:
+        """Learn ``n_merges`` BPE merges over this corpus (the
+        ``text_bpe_train`` gate semantics): ordered merge table plus
+        the post-merge top candidates; ONE corpus scan total — the
+        vocabulary is checkpointed between iterations."""
+        from substreams_sink_clickhouse_spark.operators.text import bpe_train
+
+        return bpe_train(
+            self.df.select("text"), n_merges=n_merges, post_top_k=post_top_k
+        )
+
+    def bpe_vocab_stats(self, n_merges: int = 8, top_k: int = 30) -> DataFrame:
+        """Token frequency table after ``n_merges`` learned merges (the
+        ``text_bpe_vocab_stats`` gate semantics)."""
+        from substreams_sink_clickhouse_spark.operators.text import (
+            bpe_vocab_stats,
+        )
+
+        return bpe_vocab_stats(
+            self.df.select("text"), n_merges=n_merges, top_k=top_k
+        )
+
     def card(self) -> DataFrame:
         """One-row dataset-card summary (the ``corpus_card`` gate
         semantics): volume, breadth, exact-dup rate, Gopher pass

@@ -1474,3 +1474,112 @@ SPECS.append(
         _BPE_TRAIN_ORACLE,
     )
 )
+
+
+def bpe_vocab_stats(
+    docs: DataFrame, n_merges: int = 8, top_k: int = 30
+) -> DataFrame:
+    """Encode-side complement of :func:`bpe_train`: after learning
+    ``n_merges`` merges, report the resulting TOKEN frequency table —
+    the vocabulary a tokenizer built from this corpus would actually
+    emit (each word's final symbols, frequency-weighted).
+
+    Output ``(token STRING, cnt BIGINT)``, top ``top_k`` by
+    (cnt DESC, token ASC).  Same scale shape as the trainer: the
+    explode runs over the checkpointed vocabulary, so the corpus is
+    still scanned exactly once end-to-end.
+    """
+    import re as _re
+
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "__i -> concat(element_at(syms, __i), '+', "
+        "element_at(syms, __i + 1)))"
+    )
+
+    def pair_counts(vocab_df: DataFrame) -> DataFrame:
+        return (
+            vocab_df.where(F.expr("size(syms) >= 2"))
+            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w) + 1), "
+                "__i -> substring(concat(w, '_'), __i, 1))"
+            ).alias("syms"),
+            "f",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _step in range(n_merges):
+        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not top:
+            break
+        bp = top[0]["pair"]
+        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
+            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+                "(__a, __s) -> CASE WHEN size(__a) > 0 "
+                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
+                "THEN concat(slice(__a, 1, size(__a) - 1), "
+                "array(concat(element_at(__a, -1), __s))) "
+                "ELSE concat(__a, array(__s)) END)"
+            ).alias("syms"),
+            "f",
+        ).localCheckpoint(eager=True)
+    return (
+        vocab.select(F.explode("syms").alias("token"), "f")
+        .groupBy("token")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(top_k)
+    )
+
+
+def _text_bpe_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token frequency table after 8 learned merges."""
+    return bpe_vocab_stats(
+        load_table(spark, sf, "documents"), n_merges=8, top_k=30
+    )
+
+
+def _bpe_vocab_stats_oracle(n_merges: int = 8, top_k: int = 30) -> str:
+    """Reuses the trainer's chained-CTE blocks, then explodes the final
+    symbol table into token counts."""
+    train = _bpe_train_oracle(n_merges, 1)
+    # keep everything up to (and including) the last s{n} block; swap
+    # the final projection for the token explode
+    cut = train.index(",\npc_post AS MATERIALIZED")
+    return (
+        train[:cut]
+        + f"""
+SELECT token, CAST(sum(f) AS BIGINT) AS cnt
+FROM (SELECT unnest(syms) AS token, f FROM s{n_merges})
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {top_k}"""
+    )
+
+
+_BPE_VOCAB_STATS_ORACLE = _bpe_vocab_stats_oracle(8, 30)
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_vocab_stats",
+        "BPE encode-side check: token frequency table after 8 learned "
+        "merges (the tokenizer's emitted vocabulary)",
+        _text_bpe_vocab_stats,
+        _BPE_VOCAB_STATS_ORACLE,
+    )
+)

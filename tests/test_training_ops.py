@@ -249,3 +249,30 @@ def test_bpe_train_model_comparison(spark):
     # scale contract: the output plan never rescans the corpus
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def test_bpe_vocab_stats_and_corpus_wrappers(spark):
+    """Encode-side token table: after merging 'a+b' etc., token counts
+    match the final vocabulary's weighted symbols; the Corpus wrappers
+    return the identical result."""
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+    from substreams_sink_clickhouse_spark.operators.text import (
+        bpe_train,
+        bpe_vocab_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab"), (2, "ab")], ["doc_id", "text"]
+    )
+    # merge 1 is a+b (cnt 3, pair asc beats b+_); with n_merges=1 the
+    # vocabulary is aab_ -> [a, ab, _] x2, ab_ -> [ab, _]
+    out = {r.token: r.cnt for r in bpe_vocab_stats(docs, n_merges=1, top_k=10).collect()}
+    assert out == {"a": 2, "ab": 3, "_": 3}
+    via_corpus = {
+        r.token: r.cnt
+        for r in Corpus(docs).bpe_vocab_stats(n_merges=1, top_k=10).collect()
+    }
+    assert via_corpus == out
+    direct = [tuple(r) for r in bpe_train(docs, n_merges=2, post_top_k=3).collect()]
+    wrapped = [tuple(r) for r in Corpus(docs).bpe_train(n_merges=2, post_top_k=3).collect()]
+    assert direct == wrapped and direct[0][1] == "a+b"
