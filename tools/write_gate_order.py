@@ -37,21 +37,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Never-driver-checked entries the round-6 verdict ordered to the
+#: Never-driver-checked entries the round-7 verdict ordered to the
 #: front of the next sample (after the last-FAIL entries, which are
 #: computed from the CORRECTNESS artifacts, not pinned here): the
-#: round-6 additions that have never seen any driver check, plus the
-#: ClickHouse-dialect anchor entry.
+#: round-7 additions the driver has not seen yet, plus this round's
+#: new entries (BPE trainer family, SCD2-from-versions).
 PRIORITY = [
-    "maintenance_sql",
-    "tpch_q12",
-    "multimodal_phash_dedup",
-    "train_interleave",
-    "dedup_bloom_prefilter",
-    "sim_centroid_classify",
-    "q169_dialect_round6",
-    "q170_dialect_hof",
-    "q122_clickhouse_dialect",
+    "text_bpe_pairs",
+    "text_bpe_merge_step",
+    "text_bpe_train",
+    "text_bpe_vocab_stats",
+    "q173_scd2_join",
+    "q182_scd2_from_versions",
+    "q178_dialect_stat_tests",
+    "q179_dialect_funnel",
+    "q180_dialect_fold_aggs",
+    "q181_dialect_ks_meanz",
 ]
 
 
