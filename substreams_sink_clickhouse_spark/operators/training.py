@@ -503,3 +503,79 @@ SPECS.append(
         _TRAIN_INTERLEAVE_ORACLE,
     )
 )
+
+
+def _train_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based multilingual sampling schedule (the XLM-R /
+    mT5 balancing recipe): per-language sampling weights proportional
+    to n_i^tau with tau = 1/2, so low-resource languages are upsampled
+    relative to their corpus share.
+
+    INTEGER-EXACT formulation so both engines agree bit-for-bit: the
+    weight is floor(sqrt(n_i)) (IEEE sqrt is correctly rounded on both
+    JVMs and libm, and these counts sit far below the 2^52 rounding
+    cliff), the target allocation is (N * w_i) div W, and the
+    upsampling factor is reported in integer percent.  A float
+    pow(n, alpha) would hash-mismatch on a ulp, which is why tau is
+    pinned at 1/2 here; arbitrary-tau schedules belong in application
+    code where cross-engine hashing is not a contract.
+
+    Scale design: one hash exchange to language cardinality, then a
+    single-partition window over ~#languages rows (hundreds at most)
+    for the two totals — nothing here grows with corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+    t = g.select(
+        "lang", "n", "chars", F.floor(F.sqrt("n")).alias("s")
+    )
+    w = Window.partitionBy()
+    t = t.select(
+        "lang",
+        "n",
+        "chars",
+        "s",
+        F.sum("s").over(w).alias("stot"),
+        F.sum("n").over(w).alias("ntot"),
+    )
+    return (
+        t.selectExpr(
+            "lang",
+            "n",
+            "chars",
+            "(ntot * s) div stot AS target",
+            "(((ntot * s) div stot) * 100) div n AS upsample_pct",
+        )
+        .orderBy("lang")
+    )
+
+
+_TRAIN_TEMPERATURE_MIX_ORACLE = """
+WITH g AS (
+  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang),
+t AS (
+  SELECT lang, n, chars, CAST(floor(sqrt(n)) AS BIGINT) AS s,
+         sum(CAST(floor(sqrt(n)) AS BIGINT)) OVER () AS stot,
+         sum(n) OVER () AS ntot
+  FROM g)
+SELECT lang, n, chars,
+       CAST((ntot * s) // stot AS BIGINT) AS target,
+       CAST((((ntot * s) // stot) * 100) // n AS BIGINT) AS upsample_pct
+FROM t ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_temperature_mix",
+        "Temperature-sampling schedule (n^(1/2) weights, integer-exact): "
+        "per-language target allocation and upsampling factor",
+        _train_temperature_mix,
+        _TRAIN_TEMPERATURE_MIX_ORACLE,
+    )
+)

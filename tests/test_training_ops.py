@@ -276,3 +276,30 @@ def test_bpe_vocab_stats_and_corpus_wrappers(spark):
     direct = [tuple(r) for r in bpe_train(docs, n_merges=2, post_top_k=3).collect()]
     wrapped = [tuple(r) for r in Corpus(docs).bpe_train(n_merges=2, post_top_k=3).collect()]
     assert direct == wrapped and direct[0][1] == "a+b"
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    """Temperature sampling (tau=1/2): the low-resource language gets a
+    HIGHER upsampling factor than the high-resource one, allocations
+    sum to ~N, and the arithmetic matches the integer model."""
+    import math
+
+    from substreams_sink_clickhouse_spark.operators.training import (
+        _train_temperature_mix,
+    )
+
+    rows = _train_temperature_mix(spark, "/root/testdata/sf0.001").collect()
+    n = {r.lang: r.n for r in rows}
+    up = {r.lang: r.upsample_pct for r in rows}
+    tgt = {r.lang: r.target for r in rows}
+    ntot = sum(n.values())
+    stot = sum(math.floor(math.sqrt(v)) for v in n.values())
+    for lang, v in n.items():
+        s = math.floor(math.sqrt(v))
+        assert tgt[lang] == (ntot * s) // stot
+        assert up[lang] == (tgt[lang] * 100) // v
+    hi = max(n, key=n.get)
+    lo = min(n, key=n.get)
+    assert up[lo] > up[hi]
+    # allocations never exceed the corpus size and fill most of it
+    assert sum(tgt.values()) <= ntot
