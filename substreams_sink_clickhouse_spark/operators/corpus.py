@@ -249,6 +249,14 @@ class Corpus:
             self.df.select("text"), n_merges=n_merges, top_k=top_k
         )
 
+    def bpe_encode(self, n_merges: int = 8) -> DataFrame:
+        """Per-document token statistics after encoding with
+        ``n_merges`` learned merges (the ``text_bpe_encode`` gate
+        semantics): ``(doc_id, n_words, n_tokens, n_syms0)``."""
+        from substreams_sink_clickhouse_spark.operators.text import bpe_encode
+
+        return bpe_encode(self.df.select("doc_id", "text"), n_merges=n_merges)
+
     def card(self) -> DataFrame:
         """One-row dataset-card summary (the ``corpus_card`` gate
         semantics): volume, breadth, exact-dup rate, Gopher pass

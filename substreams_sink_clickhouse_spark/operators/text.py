@@ -1476,6 +1476,169 @@ SPECS.append(
 )
 
 
+def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Corpus encoding with a learned BPE model — the step a training
+    pipeline actually runs over all 100 TB: learn ``n_merges`` merges
+    (same loop, tie rule, and fold as :func:`bpe_train`), then tokenize
+    every document and report per-document token statistics.
+
+    Output ``(doc_id, n_words, n_tokens, n_syms0)``: matched words per
+    document, tokens emitted after all merges, and the pre-merge symbol
+    count (word chars + the ``_`` end-of-word marker) — so
+    ``n_syms0 / n_tokens`` is the model's compression on that document.
+    Integer-exact end to end.
+
+    Scale design: because BPE tokenization of a word is a pure function
+    of the word, the corpus is never re-tokenized row by row.  The
+    learned model is materialized as a vocabulary-cardinality
+    ``(word, n_tokens)`` map (millions of rows at 100 TB, not
+    billions), broadcast, and map-side joined to the exploded corpus;
+    the per-document rollup is a partial aggregate on the scan side of
+    the join.  Two corpus scans total (one to build the vocabulary, one
+    to encode) — the encode scan IS the job; nothing else grows with
+    corpus size.
+    """
+    import re as _re
+
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "__i -> concat(element_at(syms, __i), '+', "
+        "element_at(syms, __i + 1)))"
+    )
+
+    def pair_counts(vocab_df: DataFrame) -> DataFrame:
+        return (
+            vocab_df.where(F.expr("size(syms) >= 2"))
+            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+        )
+
+    # identical learn loop to bpe_train, but the vocabulary CARRIES the
+    # word column so the final state doubles as the word -> tokens map
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            "w",
+            F.expr(
+                "transform(sequence(1, length(w) + 1), "
+                "__i -> substring(concat(w, '_'), __i, 1))"
+            ).alias("syms"),
+            "f",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _step in range(n_merges):
+        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not top:
+            break
+        bp = top[0]["pair"]
+        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
+            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
+        vocab = vocab.select(
+            "w",
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+                "(__a, __s) -> CASE WHEN size(__a) > 0 "
+                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
+                "THEN concat(slice(__a, 1, size(__a) - 1), "
+                "array(concat(element_at(__a, -1), __s))) "
+                "ELSE concat(__a, array(__s)) END)"
+            ).alias("syms"),
+            "f",
+        ).localCheckpoint(eager=True)
+    tokmap = vocab.select(
+        "w",
+        F.size("syms").cast("long").alias("n_tok"),
+        (F.length("w") + F.lit(1)).cast("long").alias("n_sym0"),
+    )
+    docwords = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.col("w").rlike("^[a-z0-9]+$"))
+    return (
+        docwords.join(F.broadcast(tokmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_sym0").cast("long").alias("n_syms0"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counts after encoding with 8 learned merges."""
+    return bpe_encode(load_table(spark, sf, "documents"), n_merges=8)
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_encode`: the trainer's chained
+    MATERIALIZED merge blocks, re-generated to carry the word column,
+    then joined back to the exploded corpus."""
+    blocks = []
+    for n in range(1, n_merges + 1):
+        blocks.append(f"""pc{n} AS MATERIALIZED (
+  SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+  FROM s{n - 1}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+  WHERE len(syms) >= 2 GROUP BY pair
+), best{n} AS MATERIALIZED (
+  SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1
+), s{n} AS MATERIALIZED (
+  SELECT w, list_reduce(list_transform(syms, s -> [s]),
+           (acc, b) -> CASE
+             WHEN acc[-1] || '+' || b[1] = bp
+             THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || b[1])
+             ELSE list_append(acc, b[1]) END) AS syms, f
+  FROM (SELECT w, syms, f, (SELECT pair FROM best{n}) AS bp FROM s{n - 1})
+)""")
+    joined_blocks = ",\n".join(blocks)
+    return f"""WITH wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT w, list_transform(generate_series(1, length(w) + 1),
+                           i -> substr(w || '_', i, 1)) AS syms, f
+  FROM wf
+),
+{joined_blocks},
+tokmap AS (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_tok,
+         CAST(length(w) + 1 AS BIGINT) AS n_sym0
+  FROM s{n_merges}
+), docwords AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym0) AS BIGINT) AS n_syms0
+FROM docwords JOIN tokmap USING (w)
+WHERE regexp_matches(w, '^[a-z0-9]+$')
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+_BPE_ENCODE_ORACLE = _bpe_encode_oracle(8)
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_encode",
+        "Encode the corpus with 8 learned BPE merges: broadcast the "
+        "vocabulary-cardinality (word, tokens) map back over the "
+        "exploded corpus, per-document token stats",
+        _text_bpe_encode,
+        _BPE_ENCODE_ORACLE,
+    )
+)
+
+
 def bpe_vocab_stats(
     docs: DataFrame, n_merges: int = 8, top_k: int = 30
 ) -> DataFrame:
@@ -1581,5 +1744,112 @@ SPECS.append(
         "merges (the tokenizer's emitted vocabulary)",
         _text_bpe_vocab_stats,
         _BPE_VOCAB_STATS_ORACLE,
+    )
+)
+
+
+# ------------------------------------------------- bigram LM perplexity
+
+def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    CCNet-style quality filter one tier above
+    :func:`_unigram_logprob`: train bigram counts on the corpus itself,
+    score each document by its average bigram log-probability
+    ``ln((c(w1,w2) + 1) / (c(w1) + V))``, and roll up per language.
+
+    Scale design: bigram pairing happens ARRAY-SIDE (a ``transform``
+    over the split array — no window, no per-doc sort, no shuffle to
+    form adjacency); the bigram and unigram count tables are
+    vocabulary-cardinality and broadcast back over the exploded corpus,
+    so the only corpus-cardinality exchange is the final per-doc
+    partial aggregate.  Rounded before the per-language fold so
+    summation order can't leak into the hash.
+    """
+    d = load_table(spark, sf, "documents")
+    base = d.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
+    )
+    tokens = base.select(F.explode("ws").alias("w"))
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
+    # guard size >= 2: Spark's sequence(1, 0) is DESCENDING [1, 0],
+    # not empty — the filter keeps the domain identical to DuckDB's
+    # empty generate_series(1, 0)
+    bigr = (
+        base.where(F.expr("size(ws) >= 2"))
+        .select(
+            "doc_id",
+            "lang",
+            "ws",
+            F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("element_at(ws, i)").alias("w1"),
+            F.expr("element_at(ws, i + 1)").alias("w2"),
+        )
+    )
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bigr.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cb") + F.lit(1)).cast("double")
+                        / (F.col("cu") + F.col("v")).cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_lp")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_lp"),
+            F.round(F.min("avg_lp"), 4).alias("worst_lp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BIGRAM_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+uni AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(ws) AS w FROM base) GROUP BY w),
+vocab_n AS (SELECT count(*) AS v FROM uni),
+bigr AS (
+  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+  WHERE len(ws) >= 2),
+bc AS (SELECT w1, w2, count(*) AS cb FROM bigr GROUP BY w1, w2),
+scored AS (
+  SELECT doc_id, lang,
+         round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS avg_lp
+  FROM bigr JOIN bc USING (w1, w2) JOIN uni ON bigr.w1 = uni.w
+       CROSS JOIN vocab_n
+  GROUP BY doc_id, lang)
+SELECT lang, count(*) AS n_docs,
+       round(avg(avg_lp), 4) AS mean_lp,
+       round(min(avg_lp), 4) AS worst_lp
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bigram_logprob",
+        "Bigram LM scoring with add-one smoothing: array-side pairing, "
+        "broadcast count tables, per-lang rollup",
+        _bigram_logprob,
+        _BIGRAM_ORACLE,
     )
 )

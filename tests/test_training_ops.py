@@ -303,3 +303,110 @@ def test_temperature_mix_upsamples_low_resource(spark):
     assert up[lo] > up[hi]
     # allocations never exceed the corpus size and fill most of it
     assert sum(tgt.values()) <= ntot
+
+
+def test_bpe_encode_model_comparison(spark):
+    """Per-document encoding vs an independent Python BPE model: learn
+    3 merges, tokenize every word, and compare per-doc word/token/
+    symbol counts exactly.  Also asserts the Corpus wrapper agrees and
+    that the token map reaches the corpus join as a broadcast."""
+    import collections
+
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+    from substreams_sink_clickhouse_spark.operators.text import bpe_encode
+
+    corpus = [(1, "aab aab ab ba"), (2, "ab b aab x!y"), (3, "bbb aab ba")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    words = collections.Counter(
+        w for _, t in corpus for w in t.split() if w.isalnum()
+    )
+    vocab = {w: tuple(w) + ("_",) for w in words}
+    for _ in range(3):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[syms[i] + "+" + syms[i + 1]] += words[w]
+        mx = max(pc.values())
+        bp = min(p for p, n in pc.items() if n == mx)
+        left, right = bp.split("+")
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = out[-1] + s
+                else:
+                    out.append(s)
+            vocab[w] = tuple(out)
+    expect = {}
+    for doc_id, t in corpus:
+        ws = [w for w in t.split() if w.isalnum()]
+        expect[doc_id] = (
+            len(ws),
+            sum(len(vocab[w]) for w in ws),
+            sum(len(w) + 1 for w in ws),
+        )
+
+    result = bpe_encode(docs, n_merges=3)
+    got = {r.doc_id: (r.n_words, r.n_tokens, r.n_syms0) for r in result.collect()}
+    assert got == expect
+    via_corpus = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_syms0)
+        for r in Corpus(docs).bpe_encode(n_merges=3).collect()
+    }
+    assert via_corpus == expect
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one-smoothed bigram scoring on a 2-doc fixture: per-lang
+    mean/worst average log-probs match a hand computation with the
+    exact (c(w1,w2)+1)/(c(w1)+V) formula over the same space-split
+    token stream."""
+    import math
+
+    from substreams_sink_clickhouse_spark.operators import text as T
+
+    corpus = [(1, "a b a b", "en"), (2, "a a b", "en"), (3, "b b", "fr")]
+
+    # model: tokens are space-split (no filtering), V = distinct tokens
+    uni = {}
+    bigr = {}
+    for _, t, _l in corpus:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(ws) - 1):
+            bigr[(ws[i], ws[i + 1])] = bigr.get((ws[i], ws[i + 1]), 0) + 1
+    v = len(uni)
+    per_doc = {}
+    for doc_id, t, lang in corpus:
+        ws = t.split(" ")
+        lps = [
+            math.log((bigr[(ws[i], ws[i + 1])] + 1) / (uni[ws[i]] + v))
+            for i in range(len(ws) - 1)
+        ]
+        per_doc[doc_id] = (lang, round(sum(lps) / len(lps), 6))
+    by_lang = {}
+    for lang, lp in per_doc.values():
+        by_lang.setdefault(lang, []).append(lp)
+    expect = {
+        lang: (len(lps), round(sum(lps) / len(lps), 4), round(min(lps), 4))
+        for lang, lps in by_lang.items()
+    }
+
+    docs = spark.createDataFrame(corpus, ["doc_id", "text", "lang"])
+    docs.createOrReplaceTempView("__bigram_fixture")
+
+    # drive the gate function body on the fixture by monkeypatching the
+    # loader boundary (the gate entry itself is oracle-checked; this
+    # pins the arithmetic on a case small enough to verify by hand)
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _sf, _t: docs
+        rows = T._bigram_logprob(spark, "unused").collect()
+    finally:
+        T.load_table = orig
+    got = {r.lang: (r.n_docs, r.mean_lp, r.worst_lp) for r in rows}
+    assert got == expect
