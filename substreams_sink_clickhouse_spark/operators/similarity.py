@@ -1012,3 +1012,167 @@ SPECS.append(
         _CENTROID_ORACLE,
     )
 )
+
+
+# ------------------------------------------------ MMR re-ranking
+
+#: MMR trade-off between relevance and diversity (Carbonell &
+#: Goldstein 1998, "The use of MMR, diversity-based reranking for
+#: reordering documents and producing summaries" — public paper).
+MMR_LAMBDA = "CAST(0.7 AS DOUBLE)"
+MMR_POOL = 20
+MMR_K = 5
+
+
+def _sim_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: retrieve a cosine top-20
+    candidate pool for the probe vector, then greedily select 5
+    results maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``
+    (λ = 0.7; the empty-set max is 0, ties break mmr DESC / vec_id
+    ASC) — the standard diversity re-ranker a retrieval pipeline runs
+    after ANN.
+
+    Scale design: the DISTRIBUTED stage is pool retrieval — the
+    ``sim_topk`` plan (embarrassingly parallel scan, no shuffle until
+    TakeOrdered); at 100 TB that stage is IVF/LSH-pruned instead
+    (``sim_ivf`` / ``sim_lsh``) and this operator is unchanged.  The
+    greedy selection then runs entirely on the LOCALLY CHECKPOINTED
+    20-row pool: each unrolled step is a bounded broadcast join
+    (≤20 candidates × ≤4 selected), so the corpus is scanned exactly
+    once and nothing downstream grows with data size.
+
+    Exactly oracle-checkable despite the floats: relevance and
+    pairwise similarities fold in identical order on both engines
+    (same contract as ``sim_topk``), so every argmax decision is
+    bit-identical; rounding happens only at output.
+    """
+    e = load_table(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    pool = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "rel",
+            F.expr(_dot_expr("embedding", "p"))
+            / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+        )
+        .select("vec_id", "embedding", "rel")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)  # 20 rows; corpus never re-read
+    )
+    lam = F.expr(MMR_LAMBDA)
+    # each greedy pick is localCheckpoint'd (1 row): without the cut,
+    # step t would re-embed every prior step's plan subtree and the
+    # physical plan grows exponentially in k (85 exchanges at k=5)
+    selected = (
+        pool.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("step"),
+            "vec_id",
+            "embedding",
+            "rel",
+            (lam * F.col("rel")).alias("mmr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, MMR_K + 1):
+        sel_keys = selected.select("vec_id")
+        rem = pool.join(F.broadcast(sel_keys), "vec_id", "left_anti")
+        msim = (
+            rem.crossJoin(
+                F.broadcast(selected.select(F.col("embedding").alias("se")))
+            )
+            .withColumn(
+                "sim",
+                F.expr(_dot_expr("embedding", "se"))
+                / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("se"))),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            rem.join(F.broadcast(msim), "vec_id")
+            .withColumn(
+                "mmr",
+                lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("msim"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(t).cast("int").alias("step"),
+                "vec_id",
+                "embedding",
+                "rel",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "step",
+        "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr", 6).alias("mmr"),
+    ).orderBy("step")
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: one MATERIALIZED CTE per step,
+    the selected set referenced as a UNION of prior steps."""
+    lam = MMR_LAMBDA
+    dot_cs = _duck_dot("c.embedding", "s.embedding")
+    norm_c = _duck_norm("c.embedding")
+    norm_s = _duck_norm("s.embedding")
+    blocks = [
+        f"""s1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS step, vec_id, embedding, rel, {lam} * rel AS mmr
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT * FROM s{i}" for i in range(1, t)
+        )
+        blocks.append(f"""sel{t} AS ({sel}),
+s{t} AS MATERIALIZED (
+  SELECT CAST({t} AS INT) AS step, vec_id, embedding, rel,
+         {lam} * rel - (CAST(1.0 AS DOUBLE) - {lam}) * msim AS mmr
+  FROM (
+    SELECT c.vec_id, c.embedding, c.rel,
+           max({dot_cs} / ({norm_c} * {norm_s})) AS msim
+    FROM pool c, sel{t} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t})
+    GROUP BY c.vec_id, c.embedding, c.rel)
+  ORDER BY mmr DESC, vec_id LIMIT 1)""")
+    joined = ",\n".join(blocks)
+    dot_ep = _duck_dot("e.embedding", "probe.p")
+    norm_e = _duck_norm("e.embedding")
+    norm_p = _duck_norm("probe.p")
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}" for t in range(1, MMR_K + 1))
+    return f"""WITH probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         {dot_ep} / ({norm_e} * {norm_p}) AS rel
+  FROM embeddings e, probe
+  WHERE e.vec_id != {PROBE_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+{joined}
+SELECT step, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+FROM ({union}) ORDER BY step"""
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_mmr",
+        "MMR diversity re-ranking: distributed pool retrieval, then "
+        "greedy λ-tradeoff selection over the checkpointed 20-row pool",
+        _sim_mmr,
+        _MMR_ORACLE,
+    )
+)
