@@ -1176,3 +1176,103 @@ SPECS.append(
         _MMR_ORACLE,
     )
 )
+
+
+# ------------------------------------------------ greedy k-center
+
+KCENTER_K = 5
+
+
+def _sim_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985 farthest-point
+    traversal, the classic 2-approximation) — the coreset / diversity
+    data-selection primitive: seed with the probe vector, then
+    repeatedly pick the vector FARTHEST (squared L2) from its nearest
+    already-selected center.  Training-data pipelines run exactly this
+    to pick maximally-covering subsets for annotation or mixing.
+
+    Output ``(step, vec_id, dist)``: selection order, chosen vector,
+    its distance to the nearest prior center at pick time (0 for the
+    seed), rounded only at output.
+
+    Scale design: each of the k-1 greedy steps is ONE embarrassingly
+    parallel corpus scan — the selected centers are inlined as plan
+    literals (the ``sim_pq`` codebook pattern; O(k·dim) driver bytes,
+    the learned model itself), the min-distance is a ``least(...)``
+    over k ordered folds inside whole-stage codegen, and the argmax is
+    a TakeOrdered.  ZERO shuffles at any k; at 100 TB the k scans are
+    the textbook cost of greedy k-center (sampling variants trade
+    approximation for fewer scans, same operator shape).
+    """
+    e = load_table(spark, sf, "embeddings")
+    seed = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        "vec_id", "embedding"
+    ).collect()[0]
+    centers = [(1, int(seed["vec_id"]), 0.0, [float(x) for x in seed["embedding"]])]
+    for t in range(2, KCENTER_K + 1):
+        mind = "least(" + ", ".join(
+            _sqdist_spark("embedding", emb) for _, _, _, emb in centers
+        ) + ")" if len(centers) > 1 else _sqdist_spark(
+            "embedding", centers[0][3]
+        )
+        pick = (
+            e.where(~F.col("vec_id").isin([vid for _, vid, _, _ in centers]))
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(mind).alias("mind"),
+            )
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select("vec_id", F.round("mind", 6).alias("d"), "embedding")
+            .collect()[0]
+        )
+        centers.append(
+            (t, int(pick["vec_id"]), float(pick["d"]), [float(x) for x in pick["embedding"]])
+        )
+    return spark.createDataFrame(
+        [(s, v, d) for s, v, d, _ in centers], "step int, vec_id long, dist double"
+    ).orderBy("step")
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center in DuckDB: per step, min squared-L2 to
+    the union of prior picks, argmax with (mind DESC, vec_id) ties."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.embedding), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    blocks = [
+        f"""s1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS step, vec_id, embedding, CAST(0.0 AS DOUBLE) AS d
+  FROM embeddings WHERE vec_id = {PROBE_VEC_ID})"""
+    ]
+    for t in range(2, KCENTER_K + 1):
+        sel = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, t))
+        blocks.append(f"""sel{t} AS ({sel}),
+s{t} AS MATERIALIZED (
+  SELECT CAST({t} AS INT) AS step, vec_id, embedding, round(mind, 6) AS d
+  FROM (
+    SELECT e.vec_id, e.embedding, min({dist}) AS mind
+    FROM embeddings e CROSS JOIN sel{t} c
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{t})
+    GROUP BY e.vec_id, e.embedding)
+  ORDER BY mind DESC, vec_id LIMIT 1)""")
+    joined = ",\n".join(blocks)
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, d FROM s{t}" for t in range(1, KCENTER_K + 1)
+    )
+    return f"""WITH {joined}
+SELECT step, CAST(vec_id AS BIGINT) AS vec_id, d AS dist
+FROM ({union}) ORDER BY step"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_kcenter",
+        "Greedy k-center (farthest-point) data selection: k-1 "
+        "zero-shuffle corpus scans with plan-literal centers",
+        _sim_kcenter,
+        _kcenter_oracle(),
+    )
+)

@@ -59,3 +59,38 @@ def test_sim_mmr_model_comparison(spark):
     topk = pool[: S.MMR_K]
     if [v for _, v, *_ in expect] != topk:
         assert [v for _, v, *_ in got] != topk
+
+
+def test_sim_kcenter_model_comparison(spark):
+    """Greedy farthest-point traversal vs an independent Python model:
+    pick order and min-distances match exactly (squared L2, seed =
+    probe vector, mind DESC / vec_id ASC ties)."""
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    selected = [S.PROBE_VEC_ID]
+    expect = [(1, S.PROBE_VEC_ID, 0.0)]
+    for step in range(2, S.KCENTER_K + 1):
+        best = None
+        for vid, v in vecs.items():
+            if vid in selected:
+                continue
+            mind = min(sqd(v, vecs[s]) for s in selected)
+            if best is None or (-mind, vid) < (-best[1], best[0]):
+                best = (vid, mind)
+        selected.append(best[0])
+        expect.append((step, best[0], round(best[1], 6)))
+
+    got = [(r.step, r.vec_id, r.dist) for r in S._sim_kcenter(spark, SF).collect()]
+    assert [(s, v) for s, v, _ in got] == [(s, v) for s, v, _ in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[2] - e[2]) < 1e-6
+    # the traversal spreads out: every later pick is no farther than
+    # the previous one (greedy k-center's monotone radius property)
+    dists = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
