@@ -343,6 +343,29 @@ SHOWCASE = [
         "size, never corpus size.  The iteration loop of a real BPE "
         "train re-reads only that table.",
     ),
+    (
+        "text_bpe_encode",
+        "BPE corpus encoding: tokenization is a pure function of the "
+        "word, so the learned model is a vocabulary-cardinality "
+        "(word, n_tokens) BROADCAST map joined map-side to the "
+        "exploded corpus — the encode scan is the only corpus-sized "
+        "work, and the per-doc rollup is a partial aggregate.",
+    ),
+    (
+        "text_bigram_logprob",
+        "Bigram LM scoring: adjacency is built ARRAY-SIDE (a transform "
+        "over the split array — no window, no per-doc sort shuffle); "
+        "the bigram and unigram count tables broadcast back over the "
+        "corpus, so the only corpus-cardinality exchange is the "
+        "per-doc partial aggregate.",
+    ),
+    (
+        "sim_kcenter",
+        "Greedy k-center selection: each step is one embarrassingly "
+        "parallel scan — centers are plan literals, min-distance a "
+        "least() of ordered codegen folds, the argmax a TakeOrdered.  "
+        "ZERO shuffle bytes at any k or corpus size.",
+    ),
 ]
 
 
