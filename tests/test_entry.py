@@ -37,13 +37,18 @@ def test_queries_order_is_committed_and_deterministic():
         committed = json.load(fh)
     present = [n for n in committed if n in set(ks1)]
     assert ks1[: len(present)] == present
-    # round-7 prefix: the six entries last driver-sampled as FAIL
-    # (r5's HUGEINT class), so CORRECTNESS_r07 confirms the fix
-    assert set(ks1[:6]) == {
-        "q05b_approx_distinct",
-        "q78_json_extract",
-        "q111_interval_length_sum",
-        "q87_sessionize",
-        "dedup_exact",
-        "train_mix",
-    }
+    # prefix policy, asserted against the tool's own committed inputs
+    # rather than a hardcoded round snapshot: entries whose most recent
+    # driver signal is FAIL lead; then the hand-pinned PRIORITY prefix
+    # of never-sampled entries (round-8: zero last-FAIL entries remain,
+    # so the pinned prefix IS the front)
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import write_gate_order as wgo
+
+    pinned = [n for n in wgo.PRIORITY if n in set(ks1)]
+    n_lead = next(
+        (i for i, n in enumerate(ks1) if n in pinned), 0
+    )  # last-FAIL entries (if any) come before the pinned block
+    assert ks1[n_lead : n_lead + len(pinned)] == pinned

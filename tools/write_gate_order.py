@@ -53,6 +53,12 @@ PRIORITY = [
     "q179_dialect_funnel",
     "q180_dialect_fold_aggs",
     "q181_dialect_ks_meanz",
+    # round-8 session additions, never driver-sampled
+    "text_bpe_encode",
+    "text_bigram_logprob",
+    "sim_mmr",
+    "sim_kcenter",
+    "train_temperature_mix",
 ]
 
 
