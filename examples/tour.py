@@ -177,6 +177,26 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         .count(),
     }
 
+    # round 8: the tokenizer loop end-to-end (train merges over the
+    # vocabulary, then encode the corpus with them) + diverse selection
+    out["bpe"] = {
+        "merges": [
+            r["pair"]
+            for r in c.bpe_train(n_merges=4, post_top_k=1).collect()
+            if r["step"] <= 4
+        ],
+        "encoded_docs": c.bpe_encode(n_merges=4).count(),
+    }
+    from substreams_sink_clickhouse_spark.operators.similarity import (
+        _sim_kcenter,
+        _sim_mmr,
+    )
+
+    out["selection"] = {
+        "kcenter_picks": [r["vec_id"] for r in _sim_kcenter(spark, sf_dir).collect()],
+        "mmr_picks": [r["vec_id"] for r in _sim_mmr(spark, sf_dir).collect()],
+    }
+
     # multimodal: real codec roundtrip (baseline JPEG, stdlib+numpy)
     from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
         decode_jpeg_gray,

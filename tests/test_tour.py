@@ -17,3 +17,7 @@ def test_tour_runs_all_layers(spark, tmp_path):
     assert len(out["bm25_top"]) == 3
     assert out["optimize"]["files_after"] >= 1
     assert out["parts"][0]["rows"] > 0
+    assert len(out["bpe"]["merges"]) == 4
+    assert out["bpe"]["encoded_docs"] > 0
+    assert len(out["selection"]["kcenter_picks"]) == 5
+    assert len(out["selection"]["mmr_picks"]) == 5
