@@ -300,8 +300,51 @@ def main() -> None:
     print(json.dumps(results))
 
 
+def main_bpe100x() -> None:
+    """BPE-trainer scale proof: 100x corpus with a FIXED vocabulary
+    (pure replication — texts unchanged, frequencies x100).  This
+    isolates the trainer's core claim: merge iterations run at
+    vocabulary cardinality, so only the single corpus-collapse scan
+    grows with data; per-iteration cost is corpus-size-independent."""
+    import time as _t
+
+    from substreams_sink_clickhouse_spark.operators.text import bpe_train
+    from substreams_sink_clickhouse_spark.session import get_spark
+
+    spark = get_spark("scale-proof-bpe100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1/documents.parquet"
+    base = spark.read.parquet(src)
+    rep = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep"), "doc_id", "text"
+    ).select((F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text")
+    out = SCRATCH + "/bpe100x"
+    rep.repartition(32).write.mode("overwrite").parquet(out)
+    results = {}
+    for name, df in (("1x", base), ("100x", spark.read.parquet(out))):
+        t0 = _t.time()
+        rows = bpe_train(df, n_merges=8, post_top_k=10).collect()
+        results[name] = {"wall_s": round(_t.time() - t0, 3), "rows": len(rows)}
+        print(f"bpe_train@{name}:", results[name])
+    # fixed vocabulary -> identical learned merges at both scales
+    m1 = [
+        (r.step, r.pair)
+        for r in bpe_train(base, n_merges=8, post_top_k=1).collect()
+        if r.step <= 8
+    ]
+    m100 = [
+        (r.step, r.pair)
+        for r in bpe_train(spark.read.parquet(out), n_merges=8, post_top_k=1).collect()
+        if r.step <= 8
+    ]
+    assert m1 == m100, "merge sequence must be scale-invariant under replication"
+    print(json.dumps(results))
+
+
 if __name__ == "__main__":
     if "100x" in sys.argv[1:]:
         main_100x()
+    elif "bpe100x" in sys.argv[1:]:
+        main_bpe100x()
     else:
         main()
