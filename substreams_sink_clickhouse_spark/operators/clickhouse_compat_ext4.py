@@ -644,3 +644,65 @@ SPECS.append(QuerySpec(
     _q181_dialect_ks_meanz,
     _Q181_ORACLE,
 ))
+
+
+# --------------------------------------------- q183 string similarity
+_Q183_CH = """
+SELECT toInt64(count())                                           AS n,
+       round(avg(round(jaroSimilarity(a, b), 6)), 4)              AS jaro_avg,
+       round(min(jaroSimilarity(a, b)), 6)                        AS jaro_min,
+       round(avg(round(jaroWinklerSimilarity(a, b), 6)), 4)       AS jw_avg,
+       round(max(jaroWinklerSimilarity(a, b)), 6)                 AS jw_max,
+       toInt64(sum(editDistance(a, b)))                           AS lev_sum
+FROM (
+  SELECT a, b FROM (
+    SELECT c1.c_name AS a, c2.c_name AS b
+    FROM customer c1 INNER JOIN customer c2 ON c2.c_custkey = c1.c_custkey + 1
+  ) WHERE jaroSimilarity(a, b) > 0.805
+)
+"""
+
+
+def _q183_dialect_strsim(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-8 string-similarity surface (exact Jaro /
+    Jaro-Winkler codegen expressions + editDistance) proven against
+    DuckDB's NATIVE jaro_similarity / jaro_winkler_similarity /
+    levenshtein over adjacent-customer-name pairs.
+
+    The ``> 0.805`` filter pins the pair set to the regime where the
+    two Winkler conventions coincide: the shim applies the 0.1 prefix
+    bonus unconditionally (the ClickHouse convention), DuckDB only
+    above its 0.7 boost threshold — above the cut both apply it.  The
+    cut itself is robust: Jaro values are rationals with denominators
+    dividing 3·|a|·|b|·m, which cannot fall within ~3e-5 of 0.805, so
+    an engine-side 1e-16 difference can never flip a pair across the
+    filter.  Per-pair doubles round to 6 before the averages (sum
+    order cannot leak into the hash); the join is a 1-row-offset
+    self-equi-join (broadcast at this dimension size, co-located at
+    scale)."""
+    return _via_shim(spark, sf, ["customer"], _Q183_CH)
+
+
+_Q183_ORACLE = r"""
+WITH p AS (
+  SELECT c1.c_name AS a, c2.c_name AS b
+  FROM customer c1 JOIN customer c2 ON c2.c_custkey = c1.c_custkey + 1
+), f AS (
+  SELECT a, b FROM p WHERE jaro_similarity(a, b) > 0.805
+)
+SELECT CAST(count(*) AS BIGINT)                                    AS n,
+       round(avg(round(jaro_similarity(a, b), 6)), 4)              AS jaro_avg,
+       round(min(jaro_similarity(a, b)), 6)                        AS jaro_min,
+       round(avg(round(jaro_winkler_similarity(a, b), 6)), 4)      AS jw_avg,
+       round(max(jaro_winkler_similarity(a, b)), 6)                AS jw_max,
+       CAST(sum(levenshtein(a, b)) AS BIGINT)                      AS lev_sum
+FROM f
+"""
+
+SPECS.append(QuerySpec(
+    "q183_dialect_strsim",
+    "jaroSimilarity / jaroWinklerSimilarity / editDistance vs DuckDB "
+    "natives — through the shim",
+    _q183_dialect_strsim,
+    _Q183_ORACLE,
+))
