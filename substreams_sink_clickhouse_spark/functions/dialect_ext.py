@@ -99,6 +99,7 @@ def _subst(body: str, var: str, new: str) -> str:
 EXT_NAME_SWAPS = {
     "arrayShuffle": "shuffle",  # both: uniform random permutation
     "isValidUTF8": "is_valid_utf8",
+    "toValidUTF8": "make_valid_utf8",
     "lastDayOfMonth": "last_day",
     "toJSONString": "to_json",
     "JSON_VALUE": "get_json_object",  # $.path syntax is shared
@@ -738,6 +739,28 @@ def _multi_search_all_positions(inner, parts, literals):
     return f"__xform__({arr}, __mp -> CAST(locate(__mp, {s}) AS BIGINT))"
 
 
+def _multi_search_any_ci(inner, parts, literals):
+    if len(parts) != 2:
+        raise ValueError(
+            "multiSearchAnyCaseInsensitive needs (haystack, [needles])"
+        )
+    s, arr = parts
+    return f"exists({arr}, __ms -> locate(lower(__ms), lower({s})) > 0)"
+
+
+def _multi_search_first_position(inner, parts, literals):
+    # ClickHouse: leftmost 1-based position of ANY needle, 0 if none
+    if len(parts) != 2:
+        raise ValueError(
+            "multiSearchFirstPosition needs (haystack, [needles])"
+        )
+    s, arr = parts
+    return (
+        f"CAST(coalesce(array_min(filter(__xform__({arr}, "
+        f"__ms -> locate(__ms, {s})), __p -> __p > 0)), 0) AS BIGINT)"
+    )
+
+
 def _has_token(inner, parts, literals):
     # token = run separated by non-alphanumerics, exactly tokens()'s
     # splitter; the needle must be a clean token
@@ -1015,6 +1038,8 @@ EXT_WRAPS: dict = {
     "arrayShingles": _array_shingles,
     "multiSearchAny": _multi_search_any,
     "multiSearchAllPositions": _multi_search_all_positions,
+    "multiSearchAnyCaseInsensitive": _multi_search_any_ci,
+    "multiSearchFirstPosition": _multi_search_first_position,
     "hasToken": _has_token,
     "splitByNonAlpha": _split_by_non_alpha,
     "timeDiff": _time_diff,

@@ -928,3 +928,25 @@ def test_jaro_winkler_similarity(spark):
     assert vals[0] == 1.0 and vals[1] == 0.0
     partial = one(spark, "jaroWinklerSimilarity(s, 'xyz99')")
     assert partial[0] == 0.0 and 0.0 < partial[1] < 1.0
+
+
+def test_multisearch_ci_firstpos_validutf8(spark):
+    """Round-8 stragglers: case-insensitive multi-search, leftmost
+    any-needle position (0 when absent), and toValidUTF8."""
+    from substreams_sink_clickhouse_spark.functions.dialect import (
+        clickhouse_to_spark_sql,
+    )
+
+    spark.createDataFrame(
+        [("Hello ClickHouse",), ("xyz",)], ["s"]
+    ).createOrReplaceTempView("__ms_t")
+    sql = clickhouse_to_spark_sql(
+        "SELECT multiSearchAnyCaseInsensitive(s, ['CLICK', 'nope']) AS a, "
+        "multiSearchFirstPosition(s, ['louse', 'ello']) AS p, "
+        "toValidUTF8(s) AS v FROM __ms_t ORDER BY s"
+    )
+    rows = spark.sql(sql).collect()
+    assert [(r.a, r.p, r.v) for r in rows] == [
+        (True, 2, "Hello ClickHouse"),  # 'ello' at 2 beats 'louse' at 11
+        (False, 0, "xyz"),
+    ]
