@@ -1636,3 +1636,105 @@ SPECS.append(
         _Q133_ORACLE,
     )
 )
+
+
+# ------------------------------------------------ q184 z-order layout
+
+def _q184_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) data-layout audit: key events by the REAL
+    maintenance function (``functions/zorder.py:zorder_key`` — the one
+    ``optimize(zorder=[...])`` writes files with), bucket rows into 16
+    "files" by the key's top 4 bits, and report per-file min/max
+    ranges for BOTH participating columns plus whether a
+    ``user_id BETWEEN 100 AND 200`` probe could skip the file.
+
+    This is the lakehouse data-skipping contract made checkable: after
+    Z-ordering, min/max stats stay narrow on every clustered column,
+    so most buckets are provably skippable for a point/range predicate
+    on any of them.
+
+    Scale shape: the key is pure codegen arithmetic (one tiny stats
+    aggregate broadcast as plan literals inside ``zorder_key``); the
+    bucket id is ``z >> 28`` — no global sort, no window, map-only —
+    and the audit is ONE hash aggregate on 16 groups.  At 100 TB this
+    is exactly the OPTIMIZE ZORDER write path plus a stats rollup.
+    """
+    from substreams_sink_clickhouse_spark.functions.zorder import zorder_key
+
+    e = load_table(spark, sf, "events")
+    keyed = e.select(
+        "user_id",
+        "value",
+        zorder_key(e, ["user_id", "value"]).alias("z"),
+    )
+    return (
+        keyed.select(
+            F.shiftright(F.col("z"), 28).cast("int").alias("bucket"),
+            "user_id",
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+        )
+        .withColumn(
+            "skip_u100_200",
+            (F.col("u_min") > 200) | (F.col("u_max") < 100),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Q184_ORACLE = r"""
+WITH st AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS ulo, CAST(max(user_id) AS DOUBLE) AS uhi,
+         CAST(min(value) AS DOUBLE)  AS vlo, CAST(max(value) AS DOUBLE)  AS vhi
+  FROM events
+), ranked AS (
+  -- mirrors zorder_key exactly: bits=16, top=65535, rank =
+  -- least(top, greatest(0, trunc((v - lo) / span * top))), span
+  -- guarded to 1.0 when degenerate; identical double arithmetic on
+  -- both engines makes truncation boundaries engine-invariant
+  SELECT
+    least(65535, greatest(0, CAST(trunc(
+      (CAST(user_id AS DOUBLE) - ulo)
+        / (CASE WHEN uhi - ulo = 0 THEN 1.0 ELSE uhi - ulo END) * 65535
+    ) AS BIGINT))) AS ur,
+    least(65535, greatest(0, CAST(trunc(
+      (CAST(value AS DOUBLE) - vlo)
+        / (CASE WHEN vhi - vlo = 0 THEN 1.0 ELSE vhi - vlo END) * 65535
+    ) AS BIGINT))) AS vr,
+    user_id, value
+  FROM events, st
+), keyed AS (
+  SELECT user_id, value,
+         list_sum(list_transform(range(0, 16),
+           i -> ((ur >> i) & 1) * (CAST(1 AS BIGINT) << (i * 2))))
+       + list_sum(list_transform(range(0, 16),
+           i -> ((vr >> i) & 1) * (CAST(1 AS BIGINT) << (i * 2 + 1)))) AS z
+  FROM ranked
+)
+SELECT CAST(z >> 28 AS INT) AS bucket,
+       count(*) AS n,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+       (min(user_id) > 200 OR max(user_id) < 100) AS skip_u100_200
+FROM keyed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "q184_zorder_skipping",
+        "Z-order layout audit: Morton-keyed 16-file bucketing, per-file "
+        "min/max ranges and predicate skippability",
+        _q184_zorder_skipping,
+        _Q184_ORACLE,
+    )
+)
