@@ -740,6 +740,11 @@ def _multi_search_all_positions(inner, parts, literals):
 
 
 def _multi_search_any_ci(inner, parts, literals):
+    # NOTE: lower() folds full Unicode; ClickHouse's non-UTF8 variant
+    # folds ASCII only (its *CaseInsensitiveUTF8 sibling is the Unicode
+    # one).  Same documented approximation as
+    # countSubstringsCaseInsensitive — divergence is limited to
+    # non-ASCII case pairs like 'Ö'/'ö'.
     if len(parts) != 2:
         raise ValueError(
             "multiSearchAnyCaseInsensitive needs (haystack, [needles])"

@@ -1685,7 +1685,12 @@ def _q184_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
             "skip_u100_200",
             (F.col("u_min") > 200) | (F.col("u_max") < 100),
         )
-        .orderBy("bucket")
+        # asc_nulls_last mirrors DuckDB's default NULLS LAST: a NULL
+        # user_id/value row yields a NULL bucket on both engines, and
+        # the sort must then agree too (the checker hashes are
+        # order-insensitive, but consumers of this layout audit see
+        # the displayed order)
+        .orderBy(F.asc_nulls_last("bucket"))
     )
 
 

@@ -1310,6 +1310,94 @@ SPECS.append(
 
 # ------------------------------------------------------ BPE training loop
 
+#: adjacent-pair expression over a ``syms`` array column — the single
+#: source of truth for pair identity (``s1 + '+' + s2``)
+_BPE_PAIR_EXPR = (
+    "transform(sequence(1, size(syms) - 1), "
+    "__i -> concat(element_at(syms, __i), '+', "
+    "element_at(syms, __i + 1)))"
+)
+
+
+def _bpe_pair_counts_df(vocab_df: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over a (syms, f) frame."""
+    return (
+        vocab_df.where(F.expr("size(syms) >= 2"))
+        .select(F.explode(F.expr(_BPE_PAIR_EXPR)).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_merge_fold_expr(bp: str) -> str:
+    """The left-to-right non-overlapping merge-apply fold for the
+    (validated) winning pair ``bp`` — identical text in every caller so
+    the three entries can never drift on merge semantics."""
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+        "(__a, __s) -> CASE WHEN size(__a) > 0 "
+        f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
+        "THEN concat(slice(__a, 1, size(__a) - 1), "
+        "array(concat(element_at(__a, -1), __s))) "
+        "ELSE concat(__a, array(__s)) END)"
+    )
+
+
+def _bpe_learn(
+    docs: DataFrame, n_merges: int, carry_word: bool = False
+) -> tuple[DataFrame, list[tuple[int, str, int]]]:
+    """Shared BPE learn loop (the ONE implementation behind
+    ``bpe_train`` / ``bpe_vocab_stats`` / ``bpe_encode``): collapse the
+    corpus to the checkpointed (syms, f) vocabulary, learn ``n_merges``
+    merges (ties cnt DESC / pair ASC), apply each with the standard
+    left-to-right fold, re-checkpointing between iterations so the
+    corpus is scanned exactly once and plan depth is k-independent.
+
+    Returns the final vocabulary frame (plus the ``w`` word column when
+    ``carry_word`` — the encode path's word -> tokens map) and the
+    ordered merge list ``[(step, pair, cnt)]``.
+    """
+    import re as _re
+
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            *((["w"] if carry_word else [])),
+            F.expr(
+                "transform(sequence(1, length(w) + 1), "
+                "__i -> substring(concat(w, '_'), __i, 1))"
+            ).alias("syms"),
+            "f",
+        )
+        .localCheckpoint(eager=True)  # ONE corpus scan, lineage cut
+    )
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts_df(vocab)
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged before n_merges
+        bp, cnt = top[0]["pair"], int(top[0]["cnt"])
+        # the winning pair is word chars + the two markers by
+        # construction; assert before inlining it into the fold
+        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
+            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
+        merges.append((step, bp, cnt))
+        vocab = vocab.select(
+            *((["w"] if carry_word else [])),
+            F.expr(_bpe_merge_fold_expr(bp)).alias("syms"),
+            "f",
+        ).localCheckpoint(eager=True)
+    return vocab, merges
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int = 8, post_top_k: int = 10
 ) -> DataFrame:
@@ -1340,61 +1428,10 @@ def bpe_train(
     is ``s1 + '+' + s2``, ties break (cnt DESC, pair ASC) — all
     identical to :func:`bpe_merge_step`.
     """
-    import re as _re
-
     spark = docs.sparkSession
-    pair_expr = (
-        "transform(sequence(1, size(syms) - 1), "
-        "__i -> concat(element_at(syms, __i), '+', "
-        "element_at(syms, __i + 1)))"
-    )
-
-    def pair_counts(vocab_df: DataFrame) -> DataFrame:
-        return (
-            vocab_df.where(F.expr("size(syms) >= 2"))
-            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
-            .groupBy("pair")
-            .agg(F.sum("f").cast("long").alias("cnt"))
-        )
-
-    vocab = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
-        .where(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
-        .agg(F.count("*").alias("f"))
-        .select(
-            F.expr(
-                "transform(sequence(1, length(w) + 1), "
-                "__i -> substring(concat(w, '_'), __i, 1))"
-            ).alias("syms"),
-            "f",
-        )
-        .localCheckpoint(eager=True)  # ONE corpus scan, lineage cut
-    )
-    merges: list[tuple[int, str, int]] = []
-    for step in range(1, n_merges + 1):
-        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
-        if not top:
-            break  # vocabulary fully merged before n_merges
-        bp, cnt = top[0]["pair"], int(top[0]["cnt"])
-        # the winning pair is word chars + the two markers by
-        # construction; assert before inlining it into the fold
-        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
-            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
-        merges.append((step, bp, cnt))
-        vocab = vocab.select(
-            F.expr(
-                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
-                "(__a, __s) -> CASE WHEN size(__a) > 0 "
-                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
-                "THEN concat(slice(__a, 1, size(__a) - 1), "
-                "array(concat(element_at(__a, -1), __s))) "
-                "ELSE concat(__a, array(__s)) END)"
-            ).alias("syms"),
-            "f",
-        ).localCheckpoint(eager=True)
+    vocab, merges = _bpe_learn(docs, n_merges)
     post = (
-        pair_counts(vocab)
+        _bpe_pair_counts_df(vocab)
         .orderBy(F.desc("cnt"), "pair")
         .limit(post_top_k)
         .select(
@@ -1412,11 +1449,15 @@ def _text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(load_table(spark, sf, "documents"), n_merges=8, post_top_k=10)
 
 
-def _bpe_train_oracle(n_merges: int = 8, post_top_k: int = 10) -> str:
-    """DuckDB oracle for :func:`bpe_train`: one MATERIALIZED CTE block
-    per iteration (materialization is load-bearing — ``s{n}`` is
-    referenced twice, and un-materialized inlining would re-evaluate
-    the whole chain per reference, exponentially)."""
+def _bpe_merge_blocks(n_merges: int, carry_word: bool = False) -> str:
+    """Shared DuckDB CTE prefix for the BPE family (the oracle-side
+    twin of :func:`_bpe_learn`): the word-frequency collapse, the s0
+    symbol split, and one MATERIALIZED learn/apply block per iteration
+    (materialization is load-bearing — ``s{{n}}`` is referenced twice,
+    and un-materialized inlining would re-evaluate the whole chain per
+    reference, exponentially).  ``carry_word`` threads the word column
+    through every block for the encode path's word -> tokens map."""
+    wc = "w, " if carry_word else ""
     blocks = []
     for n in range(1, n_merges + 1):
         blocks.append(f"""pc{n} AS MATERIALIZED (
@@ -1426,28 +1467,34 @@ def _bpe_train_oracle(n_merges: int = 8, post_top_k: int = 10) -> str:
 ), best{n} AS MATERIALIZED (
   SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1
 ), s{n} AS MATERIALIZED (
-  SELECT list_reduce(list_transform(syms, s -> [s]),
+  SELECT {wc}list_reduce(list_transform(syms, s -> [s]),
            (acc, b) -> CASE
              WHEN acc[-1] || '+' || b[1] = bp
              THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || b[1])
              ELSE list_append(acc, b[1]) END) AS syms, f
-  FROM (SELECT syms, f, (SELECT pair FROM best{n}) AS bp FROM s{n - 1})
+  FROM (SELECT {wc}syms, f, (SELECT pair FROM best{n}) AS bp FROM s{n - 1})
 )""")
-        union = "\nUNION ALL ".join(
-            f"SELECT CAST({n} AS INT) AS step, pair, cnt FROM best{n}"
-            for n in range(1, n_merges + 1)
-        )
     joined_blocks = ",\n".join(blocks)
     return f"""WITH wf AS MATERIALIZED (
   SELECT w, count(*)::BIGINT AS f
   FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
   WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
 ), s0 AS MATERIALIZED (
-  SELECT list_transform(generate_series(1, length(w) + 1),
+  SELECT {wc}list_transform(generate_series(1, length(w) + 1),
                         i -> substr(w || '_', i, 1)) AS syms, f
   FROM wf
 ),
-{joined_blocks},
+{joined_blocks}"""
+
+
+def _bpe_train_oracle(n_merges: int = 8, post_top_k: int = 10) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the shared merge blocks
+    plus the learned-merge union and post-merge candidate slice."""
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({n} AS INT) AS step, pair, cnt FROM best{n}"
+        for n in range(1, n_merges + 1)
+    )
+    return f"""{_bpe_merge_blocks(n_merges)},
 pc_post AS MATERIALIZED (
   SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
   FROM s{n_merges}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
@@ -1498,58 +1545,9 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     to encode) — the encode scan IS the job; nothing else grows with
     corpus size.
     """
-    import re as _re
-
-    pair_expr = (
-        "transform(sequence(1, size(syms) - 1), "
-        "__i -> concat(element_at(syms, __i), '+', "
-        "element_at(syms, __i + 1)))"
-    )
-
-    def pair_counts(vocab_df: DataFrame) -> DataFrame:
-        return (
-            vocab_df.where(F.expr("size(syms) >= 2"))
-            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
-            .groupBy("pair")
-            .agg(F.sum("f").cast("long").alias("cnt"))
-        )
-
-    # identical learn loop to bpe_train, but the vocabulary CARRIES the
-    # word column so the final state doubles as the word -> tokens map
-    vocab = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
-        .where(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
-        .agg(F.count("*").alias("f"))
-        .select(
-            "w",
-            F.expr(
-                "transform(sequence(1, length(w) + 1), "
-                "__i -> substring(concat(w, '_'), __i, 1))"
-            ).alias("syms"),
-            "f",
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _step in range(n_merges):
-        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
-        if not top:
-            break
-        bp = top[0]["pair"]
-        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
-            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
-        vocab = vocab.select(
-            "w",
-            F.expr(
-                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
-                "(__a, __s) -> CASE WHEN size(__a) > 0 "
-                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
-                "THEN concat(slice(__a, 1, size(__a) - 1), "
-                "array(concat(element_at(__a, -1), __s))) "
-                "ELSE concat(__a, array(__s)) END)"
-            ).alias("syms"),
-            "f",
-        ).localCheckpoint(eager=True)
+    # the shared learn loop, with the vocabulary CARRYING the word
+    # column so the final state doubles as the word -> tokens map
+    vocab, _merges = _bpe_learn(docs, n_merges, carry_word=True)
     tokmap = vocab.select(
         "w",
         F.size("syms").cast("long").alias("n_tok"),
@@ -1576,36 +1574,9 @@ def _text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bpe_encode_oracle(n_merges: int = 8) -> str:
-    """DuckDB oracle for :func:`bpe_encode`: the trainer's chained
-    MATERIALIZED merge blocks, re-generated to carry the word column,
-    then joined back to the exploded corpus."""
-    blocks = []
-    for n in range(1, n_merges + 1):
-        blocks.append(f"""pc{n} AS MATERIALIZED (
-  SELECT syms[i] || '+' || syms[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
-  FROM s{n - 1}, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
-  WHERE len(syms) >= 2 GROUP BY pair
-), best{n} AS MATERIALIZED (
-  SELECT pair, cnt FROM pc{n} ORDER BY cnt DESC, pair LIMIT 1
-), s{n} AS MATERIALIZED (
-  SELECT w, list_reduce(list_transform(syms, s -> [s]),
-           (acc, b) -> CASE
-             WHEN acc[-1] || '+' || b[1] = bp
-             THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || b[1])
-             ELSE list_append(acc, b[1]) END) AS syms, f
-  FROM (SELECT w, syms, f, (SELECT pair FROM best{n}) AS bp FROM s{n - 1})
-)""")
-    joined_blocks = ",\n".join(blocks)
-    return f"""WITH wf AS MATERIALIZED (
-  SELECT w, count(*)::BIGINT AS f
-  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
-  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
-), s0 AS MATERIALIZED (
-  SELECT w, list_transform(generate_series(1, length(w) + 1),
-                           i -> substr(w || '_', i, 1)) AS syms, f
-  FROM wf
-),
-{joined_blocks},
+    """DuckDB oracle for :func:`bpe_encode`: the shared merge blocks
+    carrying the word column, joined back to the exploded corpus."""
+    return f"""{_bpe_merge_blocks(n_merges, carry_word=True)},
 tokmap AS (
   SELECT w, CAST(len(syms) AS BIGINT) AS n_tok,
          CAST(length(w) + 1 AS BIGINT) AS n_sym0
@@ -1652,54 +1623,7 @@ def bpe_vocab_stats(
     explode runs over the checkpointed vocabulary, so the corpus is
     still scanned exactly once end-to-end.
     """
-    import re as _re
-
-    pair_expr = (
-        "transform(sequence(1, size(syms) - 1), "
-        "__i -> concat(element_at(syms, __i), '+', "
-        "element_at(syms, __i + 1)))"
-    )
-
-    def pair_counts(vocab_df: DataFrame) -> DataFrame:
-        return (
-            vocab_df.where(F.expr("size(syms) >= 2"))
-            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
-            .groupBy("pair")
-            .agg(F.sum("f").cast("long").alias("cnt"))
-        )
-
-    vocab = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
-        .where(F.col("w").rlike("^[a-z0-9]+$"))
-        .groupBy("w")
-        .agg(F.count("*").alias("f"))
-        .select(
-            F.expr(
-                "transform(sequence(1, length(w) + 1), "
-                "__i -> substring(concat(w, '_'), __i, 1))"
-            ).alias("syms"),
-            "f",
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _step in range(n_merges):
-        top = pair_counts(vocab).orderBy(F.desc("cnt"), "pair").limit(1).collect()
-        if not top:
-            break
-        bp = top[0]["pair"]
-        if not _re.fullmatch(r"[a-z0-9_+]+", bp):
-            raise AssertionError(f"unexpected BPE pair token: {bp!r}")
-        vocab = vocab.select(
-            F.expr(
-                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
-                "(__a, __s) -> CASE WHEN size(__a) > 0 "
-                f"AND concat(element_at(__a, -1), '+', __s) = '{bp}' "
-                "THEN concat(slice(__a, 1, size(__a) - 1), "
-                "array(concat(element_at(__a, -1), __s))) "
-                "ELSE concat(__a, array(__s)) END)"
-            ).alias("syms"),
-            "f",
-        ).localCheckpoint(eager=True)
+    vocab, _merges = _bpe_learn(docs, n_merges)
     return (
         vocab.select(F.explode("syms").alias("token"), "f")
         .groupBy("token")

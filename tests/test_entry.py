@@ -38,17 +38,23 @@ def test_queries_order_is_committed_and_deterministic():
     present = [n for n in committed if n in set(ks1)]
     assert ks1[: len(present)] == present
     # prefix policy, asserted against the tool's own committed inputs
-    # rather than a hardcoded round snapshot: entries whose most recent
-    # driver signal is FAIL lead; then the hand-pinned PRIORITY prefix
-    # of never-sampled entries (round-8: zero last-FAIL entries remain,
-    # so the pinned prefix IS the front)
+    # rather than a hardcoded round snapshot.  The tool's exact order
+    # is failed + (PRIORITY - failed) + rest, and "failed" is computed
+    # from CORRECTNESS artifacts this test should not re-derive — so
+    # assert the two policy properties that hold in EVERY round:
+    # every pinned entry lands in the driver-visible head (failed set
+    # is bounded well below the sample size), and un-failed pinned
+    # entries keep PRIORITY's relative order (a failed one may
+    # queue-jump ahead, never fall behind).
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     import write_gate_order as wgo
 
     pinned = [n for n in wgo.PRIORITY if n in set(ks1)]
-    n_lead = next(
-        (i for i, n in enumerate(ks1) if n in pinned), 0
-    )  # last-FAIL entries (if any) come before the pinned block
-    assert ks1[n_lead : n_lead + len(pinned)] == pinned
+    pos = {n: i for i, n in enumerate(ks1)}
+    assert all(pos[n] < 64 for n in pinned)
+    tail_sorted = [n for n in ks1 if n in pinned]
+    # each pinned entry appears no LATER than its PRIORITY rank allows
+    for rank, n in enumerate(pinned):
+        assert tail_sorted.index(n) <= rank

@@ -30,17 +30,22 @@ def test_sample_manifest_stratified_and_deterministic():
     all_names = set(name_to_fam)
     assert plan["sample"] == [n for n in committed if n in all_names][:50]
     assert plan["source"] == "GATE_ORDER.json prefix"
-    # the rotation's priority block leads (after any last-FAIL
-    # queue-jumpers, of which round 8 has none) — asserted against the
-    # tool's committed PRIORITY list, not a hardcoded round snapshot
+    # the rotation's priority block lands inside the sample (after any
+    # last-FAIL queue-jumpers) — asserted against the tool's committed
+    # PRIORITY list, not a hardcoded round snapshot.  A failed pinned
+    # entry may queue-jump ahead of its PRIORITY rank, never behind,
+    # so assert containment + never-later relative order.
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import write_gate_order as wgo
 
     pinned = [n for n in wgo.PRIORITY if n in all_names]
-    lead = next(i for i, n in enumerate(plan["sample"]) if n in pinned)
-    assert plan["sample"][lead : lead + len(pinned)] == pinned
+    sample = plan["sample"]
+    assert set(pinned) <= set(sample)
+    in_sample = [n for n in sample if n in pinned]
+    for rank, n in enumerate(pinned):
+        assert in_sample.index(n) <= rank
 
 
 def test_oracle_type_audit_catches_nested_banned_types():
