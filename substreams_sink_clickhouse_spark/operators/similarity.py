@@ -1276,3 +1276,116 @@ SPECS.append(
         _kcenter_oracle(),
     )
 )
+
+
+# ------------------------------------------------ RRF hybrid fusion
+
+RRF_K0 = 60
+RRF_LEG = 20
+
+
+def _sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    lexical and dense retrieval legs — THE standard hybrid-search
+    combiner: score = Σ_legs 1/(k0 + rank), k0 = 60, over the BM25
+    top-20 (``text_bm25``'s exact scorer) and the cosine top-20 for
+    the probe vector (``sim_topk``'s exact scorer), full-outer joined
+    so single-leg documents keep their one-term score.
+
+    Output ``(id, r_lex, r_dense, rrf)`` top-10 by (rrf DESC, id):
+    ranks are INTs (NULL when a document is absent from that leg), the
+    fusion score rational in integer ranks, so the only doubles are
+    1/(60+r) terms summed in a fixed order — exactly reproducible.
+
+    Scale shape: each leg is its own top-k (TakeOrdered, no shuffle
+    before it — BM25's stats broadcast, cosine's probe broadcast); the
+    fusion then runs on 2×20 rows.  At 100 TB the legs are the
+    expensive part and keep their own pruned plans (inverted-index /
+    ANN); fusion cost is rank-bounded, independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from substreams_sink_clickhouse_spark.operators.text import _bm25
+
+    lex = _bm25(spark, sf)  # (doc_id, bm25), top-20, exact scorer
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lexr = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(wl).cast("int").alias("r_lex"),
+    )
+    e = load_table(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    dense = (
+        e.crossJoin(F.broadcast(probe))
+        .withColumn(
+            "sim",
+            F.expr(_dot_expr("embedding", "p"))
+            / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(RRF_LEG)
+    )
+    wd = Window.orderBy(F.desc("sim"), "vec_id")
+    denser = dense.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(wd).cast("int").alias("r_dense"),
+    )
+    k0 = F.lit(float(RRF_K0))
+    fused = (
+        lexr.join(denser, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (k0 + F.col("r_lex").cast("double")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (k0 + F.col("r_dense").cast("double")), F.lit(0.0)
+            ),
+        )
+        .orderBy(F.desc("rrf"), "id")
+        .limit(10)
+        .select("id", "r_lex", "r_dense", F.round("rrf", 6).alias("rrf"))
+    )
+    return fused
+
+
+def _rrf_oracle() -> str:
+    from substreams_sink_clickhouse_spark.operators.text import _bm25_oracle
+
+    bm25 = _bm25_oracle().strip()
+    dot = _duck_dot("e.embedding", "probe.p")
+    ne = _duck_norm("e.embedding")
+    np_ = _duck_norm("probe.p")
+    return f"""WITH lex AS (
+  FROM ({bm25})
+), lexr AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+  FROM lex
+), probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+), dense AS (
+  SELECT e.vec_id, {dot} / ({ne} * {np_}) AS sim
+  FROM embeddings e, probe
+  ORDER BY sim DESC, vec_id LIMIT {RRF_LEG}
+), denser AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS r_dense
+  FROM dense
+)
+SELECT coalesce(lexr.id, denser.id) AS id, r_lex, r_dense,
+       round(coalesce(1.0 / ({RRF_K0} + CAST(r_lex AS DOUBLE)), 0.0)
+           + coalesce(1.0 / ({RRF_K0} + CAST(r_dense AS DOUBLE)), 0.0), 6) AS rrf
+FROM lexr FULL OUTER JOIN denser ON lexr.id = denser.id
+ORDER BY rrf DESC, id LIMIT 10"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_rrf_fusion",
+        "Reciprocal-rank fusion of the BM25 and cosine top-20 legs — "
+        "the standard hybrid-search combiner, rank-bounded fusion",
+        _sim_rrf_fusion,
+        _rrf_oracle(),
+    )
+)

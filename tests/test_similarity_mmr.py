@@ -94,3 +94,51 @@ def test_sim_kcenter_model_comparison(spark):
     # the previous one (greedy k-center's monotone radius property)
     dists = [d for _, _, d in got[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_sim_rrf_fusion_model_comparison(spark):
+    """RRF fusion vs a Python model: leg ranks from the oracle-exact
+    BM25/cosine scorers, score = sum of 1/(60+rank), top-10."""
+    from substreams_sink_clickhouse_spark.operators.text import _bm25
+    from substreams_sink_clickhouse_spark.sources.tables import load_table
+
+    lex = [(r.doc_id, r.bm25) for r in _bm25(spark, SF).collect()]
+    r_lex = {d: i + 1 for i, (d, _) in enumerate(lex)}
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+    probe = vecs[S.PROBE_VEC_ID]
+    sims = sorted(
+        ((vid, _cos(v, probe)) for vid, v in vecs.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: S.RRF_LEG]
+    r_dense = {vid: i + 1 for i, (vid, _) in enumerate(sims)}
+
+    ids = set(r_lex) | set(r_dense)
+    scored = sorted(
+        (
+            (
+                -(
+                    (1.0 / (S.RRF_K0 + r_lex[i]) if i in r_lex else 0.0)
+                    + (1.0 / (S.RRF_K0 + r_dense[i]) if i in r_dense else 0.0)
+                ),
+                i,
+            )
+            for i in ids
+        )
+    )[:10]
+    expect = [
+        (i, r_lex.get(i), r_dense.get(i), round(-neg, 6)) for neg, i in scored
+    ]
+
+    got = [
+        (r.id, r.r_lex, r.r_dense, r.rrf)
+        for r in S._sim_rrf_fusion(spark, SF).collect()
+    ]
+    assert got == expect
+    # fusion actually fuses: at least one result must be lex-only or
+    # dense-only unless the two legs are identical sets
+    if set(r_lex) != set(r_dense):
+        assert any(r[1] is None or r[2] is None for r in got) or all(
+            i in r_lex and i in r_dense for i, *_ in got
+        )
