@@ -579,3 +579,90 @@ SPECS.append(
         _TRAIN_TEMPERATURE_MIX_ORACLE,
     )
 )
+
+
+# ------------------------------------------------ curriculum schedule
+
+def _train_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning schedule: partition the corpus into 4
+    difficulty phases by a deterministic difficulty proxy (average
+    word length, ``n_chars / n_words``) and report each phase's volume
+    and score envelope — the plan a curriculum loader feeds from
+    easiest to hardest (Bengio et al. 2009).
+
+    Scale design — NO global sort: the phase boundaries come from ONE
+    exact-percentile aggregate (quartiles of the score, a 1-row
+    broadcast), and phase assignment is then a map-only CASE against
+    the broadcast thresholds.  An ntile() window would single-partition
+    the corpus; this shape costs one tiny aggregate plus one hash
+    aggregate at any corpus size.  Threshold comparisons use a +1e-9
+    nudge: score gaps are bounded below by ~1/n_words² (rationals),
+    far above any engine-side 1e-16 percentile difference, so the
+    boundary docs can never flip phase between engines.
+    """
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        (
+            F.col("n_chars").cast("double")
+            / F.size(F.split(F.lower("text"), " "))
+        ).alias("s"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_words"),
+    )
+    thr = scored.agg(
+        F.expr("percentile(s, array(0.25D, 0.5D, 0.75D))").alias("t")
+    )
+    eps = F.lit(1e-9)
+    phased = scored.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("s") <= F.expr("t[0]") + eps, F.lit(1))
+        .when(F.col("s") <= F.expr("t[1]") + eps, F.lit(2))
+        .when(F.col("s") <= F.expr("t[2]") + eps, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("int")
+        .alias("phase"),
+        "s",
+        "n_words",
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("tok_sum"),
+            F.round(F.min("s"), 6).alias("s_min"),
+            F.round(F.max("s"), 6).alias("s_max"),
+            F.round(F.avg("s"), 4).alias("s_mean"),
+        )
+        .orderBy("phase")
+    )
+
+
+_TRAIN_CURRICULUM_ORACLE = r"""
+WITH scored AS (
+  SELECT CAST(n_chars AS DOUBLE) / len(string_split(lower(text), ' ')) AS s,
+         len(string_split(lower(text), ' ')) AS n_words
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS t FROM scored
+), phased AS (
+  SELECT CAST(CASE WHEN s <= t[1] + 1e-9 THEN 1
+              WHEN s <= t[2] + 1e-9 THEN 2
+              WHEN s <= t[3] + 1e-9 THEN 3
+              ELSE 4 END AS INT) AS phase, s, n_words
+  FROM scored, thr
+)
+SELECT phase, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS tok_sum,
+       round(min(s), 6) AS s_min, round(max(s), 6) AS s_max,
+       round(avg(s), 4) AS s_mean
+FROM phased GROUP BY phase ORDER BY phase
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_curriculum",
+        "Curriculum phases by exact-percentile difficulty thresholds: "
+        "1-row quartile broadcast + map-only assignment, no global sort",
+        _train_curriculum,
+        _TRAIN_CURRICULUM_ORACLE,
+    )
+)

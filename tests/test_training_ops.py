@@ -410,3 +410,41 @@ def test_bigram_logprob_hand_computed(spark):
         T.load_table = orig
     got = {r.lang: (r.n_docs, r.mean_lp, r.worst_lp) for r in rows}
     assert got == expect
+
+
+def test_train_curriculum_phases(spark):
+    """Curriculum phases vs a Python model: quartile thresholds on the
+    avg-word-length score, 4 phases covering all docs, monotone score
+    envelopes, and exact per-phase counts."""
+    from substreams_sink_clickhouse_spark.operators.training import (
+        _train_curriculum,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+    scores = []
+    for r in docs:
+        ws = r.text.lower().split(" ")
+        scores.append((r.n_chars / len(ws), len(ws)))
+    import numpy as np
+
+    t = np.percentile([s for s, _ in scores], [25, 50, 75],
+                      method="linear")
+    phase_of = lambda s: (
+        1 if s <= t[0] + 1e-9 else 2 if s <= t[1] + 1e-9
+        else 3 if s <= t[2] + 1e-9 else 4
+    )
+    expect = {}
+    for s, nw in scores:
+        p = phase_of(s)
+        n, tok = expect.get(p, (0, 0))
+        expect[p] = (n + 1, tok + nw)
+
+    rows = _train_curriculum(spark, "/root/testdata/sf0.001").collect()
+    got = {r.phase: (r.n_docs, r.tok_sum) for r in rows}
+    assert got == expect
+    assert sum(n for n, _ in got.values()) == len(docs)
+    # phases are ordered by difficulty: envelopes must not overlap
+    # beyond the threshold nudge
+    ordered = sorted(rows, key=lambda r: r.phase)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.s_max <= b.s_min + 1e-6
