@@ -1470,3 +1470,111 @@ SPECS.append(
         _PHASH_ORACLE,
     )
 )
+
+
+# ---------------------------------------------- phash Hamming near-dup
+
+PHASH_BANDS = 4
+PHASH_HAM_T = 6
+
+
+def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate images by Hamming distance on the 64-bit
+    perceptual hash — the real-world upgrade of
+    ``multimodal_phash_dedup`` (exact-equal buckets): images that
+    differ by compression/resize noise land a few bits apart, not
+    zero.
+
+    Banded Hamming LSH: the 16-hex phash splits into 4 bands of 16
+    bits; candidate pairs share at least one exact band (pigeonhole:
+    any pair within Hamming distance 3 differs in at most 3 bands, so
+    one band must match — guaranteed recall at d<=3, probabilistic
+    above).  Candidates verify with an integer popcount over the
+    nibble XORs and the result is the pair-count histogram by distance
+    (bounded output at any corpus size).
+
+    Scale shape: the same banding contract as ``dedup_minhash`` — ONE
+    exchange on (band, value) equi-keys, never an all-pairs join; the
+    verification arithmetic is whole-stage codegen.  A production run
+    adds the MAX_BUCKET_SIZE hot-bucket cap exactly as the MinHash
+    path does.
+    """
+    docs = load_table(spark, sf, "documents")
+    hashed = phash_assets(assets_from_documents(docs))
+    bands = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bv", F.expr("substring(phash, band * 4 + 1, 4)")
+    )
+    a = bands.select(
+        F.col("asset_id").alias("ida"),
+        F.col("phash").alias("pa"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("idb"),
+        F.col("phash").alias("pb"),
+        "band",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "pa", "pb")
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming",
+        F.expr(
+            "CAST(aggregate(transform(sequence(0, 15), __i -> "
+            "bit_count(CAST(conv(substring(pa, __i + 1, 1), 16, 10) AS INT) "
+            "^ CAST(conv(substring(pb, __i + 1, 1), 16, 10) AS INT))), "
+            "0, (__acc, __x) -> __acc + __x) AS BIGINT)"
+        ),
+    )
+    return (
+        ham.where(F.col("hamming") <= PHASH_HAM_T)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def _phash_near_oracle() -> str:
+    """Reuses the exact-phash oracle's decode/hash CTE chain, then
+    bands, candidate-joins, and popcount-verifies in DuckDB."""
+    prefix = _PHASH_ORACLE[: _PHASH_ORACLE.rindex("SELECT asset_id, phash,")]
+    return f"""{prefix.rstrip()},
+bands AS (
+  SELECT asset_id, phash, i AS band, substr(phash, i * 4 + 1, 4) AS bv
+  FROM hashed, LATERAL (SELECT unnest(range(0, {PHASH_BANDS})) AS i)
+), cand AS (
+  SELECT DISTINCT a.asset_id AS ida, b.asset_id AS idb,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.asset_id < b.asset_id
+), ham AS (
+  SELECT ida, idb,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           bit_count(xor(instr('0123456789abcdef', substr(pa, i + 1, 1)) - 1,
+                         instr('0123456789abcdef', substr(pb, i + 1, 1)) - 1))))
+              AS BIGINT) AS hamming
+  FROM cand
+)
+SELECT hamming, count(*) AS n_pairs
+FROM ham WHERE hamming <= {PHASH_HAM_T}
+GROUP BY hamming ORDER BY hamming"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_phash_near",
+        "Near-duplicate images: 4-band Hamming LSH on the perceptual "
+        "hash, popcount-verified pair histogram",
+        _multimodal_phash_near,
+        _phash_near_oracle(),
+    )
+)
