@@ -366,6 +366,33 @@ SHOWCASE = [
         "least() of ordered codegen folds, the argmax a TakeOrdered.  "
         "ZERO shuffle bytes at any k or corpus size.",
     ),
+    (
+        "sim_rrf_fusion",
+        "Reciprocal-rank fusion: each leg (BM25, cosine) keeps its own "
+        "pruned top-k plan with 1-row broadcasts; the fusion is a "
+        "2×20-row full-outer join — rank-bounded, corpus-independent.",
+    ),
+    (
+        "train_curriculum",
+        "Curriculum phases WITHOUT a global sort: exact-quartile "
+        "thresholds from one 1-row percentile aggregate broadcast "
+        "into a map-only CASE — an ntile() window would "
+        "single-partition the corpus.",
+    ),
+    (
+        "q184_zorder_skipping",
+        "Z-order layout audit: the Morton key is pure codegen "
+        "arithmetic (stats as plan literals), bucket = top 4 bits — "
+        "no global sort — and the skipping report is one 16-group "
+        "hash aggregate.",
+    ),
+    (
+        "multimodal_phash_near",
+        "Near-dup images: 4-band Hamming LSH — candidates from a "
+        "(band, value) equi-join exactly like dedup_minhash, popcount "
+        "verify in codegen, bounded histogram output.  Never an "
+        "all-pairs join.",
+    ),
 ]
 
 
