@@ -674,9 +674,10 @@ def _q183_dialect_strsim(spark: SparkSession, sf: str) -> DataFrame:
     bonus unconditionally (the ClickHouse convention), DuckDB only
     above its 0.7 boost threshold — above the cut both apply it.  The
     cut itself is robust: Jaro values are rationals with denominators
-    dividing 3·|a|·|b|·m, which cannot fall within ~3e-5 of 0.805, so
-    an engine-side 1e-16 difference can never flip a pair across the
-    filter.  Per-pair doubles round to 6 before the averages (sum
+    dividing 3·|a|·|b|·m, so at customer-name lengths (~18 chars) two
+    distinct values — and hence any value and the cut — are separated
+    by at least ~2.9e-7 (1 / (3·|a|·|b|·m) worst case); an engine-side
+    1e-16 difference can never flip a pair across the filter.  Per-pair doubles round to 6 before the averages (sum
     order cannot leak into the hash); the join is a 1-row-offset
     self-equi-join (broadcast at this dimension size, co-located at
     scale)."""

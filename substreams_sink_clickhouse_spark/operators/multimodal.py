@@ -1475,7 +1475,54 @@ SPECS.append(
 # ---------------------------------------------- phash Hamming near-dup
 
 PHASH_BANDS = 4
-PHASH_HAM_T = 6
+#: 4 bands of 16 bits guarantee recall only at Hamming distance <= 3
+#: (pigeonhole: d differing bits can touch at most d bands, so one
+#: band is exact whenever d < PHASH_BANDS).  The histogram threshold
+#: therefore stops at 3 — every reported bucket is COMPLETE, not a
+#: candidate subset (round-8 advisory: at the old threshold 6, pairs
+#: at d=4..6 whose bits spanned all 4 bands were silently missing).
+PHASH_HAM_T = PHASH_BANDS - 1
+
+
+def phash_near_pairs(hashed: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs ``(ida, idb, pa, pb)`` from a
+    ``(asset_id, phash)`` DataFrame via banded Hamming LSH with the
+    same bucket-expansion + hot-bucket contract as ``dedup_minhash``
+    (dedup.py:182-216): band values group (ONE exchange), each bucket
+    emits its ordered pairs as an array expansion — no join operator
+    in the plan — and buckets over :data:`dedup.MAX_BUCKET_SIZE`
+    collapse to linear star pairs against the bucket minimum instead
+    of exploding quadratically (the degenerate-corpus hazard: a
+    constant-color thumbnail corpus shares one 16-bit band value)."""
+    from substreams_sink_clickhouse_spark.operators.dedup import _pair_expand_capped
+
+    bands = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn("bv", F.expr("substring(phash, band * 4 + 1, 4)"))
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list(F.struct("asset_id", "phash"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    _pair_expand_capped(
+                        "ids",
+                        "x.asset_id AS ida, y.asset_id AS idb, "
+                        "x.phash AS pa, y.phash AS pb",
+                        "element_at(ids, 1).asset_id AS ida, y.asset_id AS idb, "
+                        "element_at(ids, 1).phash AS pa, y.phash AS pb",
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.ida", "p.idb", "p.pa", "p.pb")
+        .distinct()
+    )
 
 
 def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
@@ -1485,48 +1532,23 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
     differ by compression/resize noise land a few bits apart, not
     zero.
 
-    Banded Hamming LSH: the 16-hex phash splits into 4 bands of 16
-    bits; candidate pairs share at least one exact band (pigeonhole:
-    any pair within Hamming distance 3 differs in at most 3 bands, so
-    one band must match — guaranteed recall at d<=3, probabilistic
-    above).  Candidates verify with an integer popcount over the
-    nibble XORs and the result is the pair-count histogram by distance
-    (bounded output at any corpus size).
+    Banded Hamming LSH (see :func:`phash_near_pairs`): the 16-hex
+    phash splits into 4 bands of 16 bits; candidate pairs share at
+    least one exact band, which guarantees recall at Hamming distance
+    <= :data:`PHASH_HAM_T` = 3 — so the returned per-distance pair
+    histogram is complete, not approximate.  Candidates verify with an
+    integer popcount over the nibble XORs (whole-stage codegen) and
+    the output is bounded (<= 4 rows) at any corpus size.
 
-    Scale shape: the same banding contract as ``dedup_minhash`` — ONE
-    exchange on (band, value) equi-keys, never an all-pairs join; the
-    verification arithmetic is whole-stage codegen.  A production run
-    adds the MAX_BUCKET_SIZE hot-bucket cap exactly as the MinHash
-    path does.
+    Scale shape: the full ``dedup_minhash`` banding contract — ONE
+    exchange on (band, value) equi-keys, bucket EXPANSION rather than
+    a band self-join (no join operator in the plan), and the
+    MAX_BUCKET_SIZE hot-bucket cap with star-pair collapse, mirrored
+    in the oracle.
     """
     docs = load_table(spark, sf, "documents")
     hashed = phash_assets(assets_from_documents(docs))
-    bands = hashed.select(
-        "asset_id",
-        "phash",
-        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
-    ).withColumn(
-        "bv", F.expr("substring(phash, band * 4 + 1, 4)")
-    )
-    a = bands.select(
-        F.col("asset_id").alias("ida"),
-        F.col("phash").alias("pa"),
-        "band",
-        "bv",
-    )
-    b = bands.select(
-        F.col("asset_id").alias("idb"),
-        F.col("phash").alias("pb"),
-        "band",
-        "bv",
-    )
-    cand = (
-        a.join(b, ["band", "bv"])
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", "pa", "pb")
-        .distinct()
-    )
-    ham = cand.withColumn(
+    ham = phash_near_pairs(hashed).withColumn(
         "hamming",
         F.expr(
             "CAST(aggregate(transform(sequence(0, 15), __i -> "
@@ -1545,18 +1567,41 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
 
 def _phash_near_oracle() -> str:
     """Reuses the exact-phash oracle's decode/hash CTE chain, then
-    bands, candidate-joins, and popcount-verifies in DuckDB."""
+    bands, candidate-generates (mirroring the Spark side's
+    MAX_BUCKET_SIZE star-pair cap exactly as ``_duck_pairs_cte`` does
+    for minhash), and popcount-verifies in DuckDB."""
+    from substreams_sink_clickhouse_spark.operators.dedup import MAX_BUCKET_SIZE
+
     prefix = _PHASH_ORACLE[: _PHASH_ORACLE.rindex("SELECT asset_id, phash,")]
-    return f"""{prefix.rstrip()},
-bands AS (
-  SELECT asset_id, phash, i AS band, substr(phash, i * 4 + 1, 4) AS bv
-  FROM hashed, LATERAL (SELECT unnest(range(0, {PHASH_BANDS})) AS i)
-), cand AS (
+    if MAX_BUCKET_SIZE is None:
+        cand = """cand AS (
   SELECT DISTINCT a.asset_id AS ida, b.asset_id AS idb,
          a.phash AS pa, b.phash AS pb
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.asset_id < b.asset_id
-), ham AS (
+)"""
+    else:
+        cand = f"""bsz AS (
+  SELECT band, bv, count(*) AS n,
+         min(asset_id) AS rep, arg_min(phash, asset_id) AS rep_phash
+  FROM bands GROUP BY 1, 2
+), cand AS (
+  SELECT a.asset_id AS ida, b.asset_id AS idb, a.phash AS pa, b.phash AS pb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.asset_id < b.asset_id
+  JOIN bsz s ON a.band = s.band AND a.bv = s.bv
+  WHERE s.n <= {MAX_BUCKET_SIZE}
+  UNION
+  SELECT s.rep AS ida, b.asset_id AS idb, s.rep_phash AS pa, b.phash AS pb
+  FROM bands b
+  JOIN bsz s ON b.band = s.band AND b.bv = s.bv
+  WHERE s.n > {MAX_BUCKET_SIZE} AND b.asset_id > s.rep
+)"""
+    return f"""{prefix.rstrip()},
+bands AS (
+  SELECT asset_id, phash, i AS band, substr(phash, i * 4 + 1, 4) AS bv
+  FROM hashed, LATERAL (SELECT unnest(range(0, {PHASH_BANDS})) AS i)
+), {cand}, ham AS (
   SELECT ida, idb,
          CAST(list_sum(list_transform(range(0, 16), i ->
            bit_count(xor(instr('0123456789abcdef', substr(pa, i + 1, 1)) - 1,

@@ -30,10 +30,12 @@ def test_queries_order_is_committed_and_deterministic():
     driver signal is a FAIL lead the prefix (round-6 verdict item 1:
     the driver gate must re-confirm builder-verified fixes first)."""
     import json
+    import os
 
+    repo = os.path.join(os.path.dirname(__file__), "..")
     ks1, ks2 = list(entry_mod.queries()), list(entry_mod.queries())
     assert ks1 == ks2
-    with open("/root/repo/GATE_ORDER.json", encoding="utf-8") as fh:
+    with open(os.path.join(repo, "GATE_ORDER.json"), encoding="utf-8") as fh:
         committed = json.load(fh)
     present = [n for n in committed if n in set(ks1)]
     assert ks1[: len(present)] == present
@@ -48,7 +50,7 @@ def test_queries_order_is_committed_and_deterministic():
     # queue-jump ahead, never fall behind).
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(repo, "tools"))
     import write_gate_order as wgo
 
     pinned = [n for n in wgo.PRIORITY if n in set(ks1)]

@@ -444,3 +444,71 @@ def test_phash_identical_payloads_collide(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert len(out[1]) == 16 and int(out[1], 16) >= 0
+
+
+def test_phash_near_plan_has_no_join(spark):
+    # the banding contract: candidates come from bucket EXPANSION
+    # (groupBy + per-bucket pair arrays), never a band self-join —
+    # same pin as test_minhash_has_no_join
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        _multimodal_phash_near,
+    )
+    from substreams_sink_clickhouse_spark.plans.explain import simple_plan
+
+    plan = simple_plan(_multimodal_phash_near(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_phash_near_hot_bucket_collapses_to_star_pairs(spark):
+    """Degenerate corpus (constant-color thumbnails -> one shared band
+    value per band): an over-cap bucket must emit n-1 linear star
+    pairs against the bucket minimum, not n*(n-1)/2 quadratic pairs —
+    the MAX_BUCKET_SIZE contract inherited from dedup_minhash."""
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    n = 20
+    rows = [(i, "0" * 16) for i in range(n)]  # constant image -> zero hash
+    hashed = spark.createDataFrame(rows, "asset_id long, phash string")
+    old = D.MAX_BUCKET_SIZE
+    D.MAX_BUCKET_SIZE = 8  # force every band bucket (size 20) over cap
+    try:
+        pairs = phash_near_pairs(hashed).collect()
+    finally:
+        D.MAX_BUCKET_SIZE = old
+    got = sorted((r.ida, r.idb) for r in pairs)
+    assert got == [(0, i) for i in range(1, n)], got[:30]
+
+
+def test_phash_near_under_cap_matches_self_join(spark):
+    # value parity with the self-join it replaced on a mixed corpus:
+    # two 3-member clusters one bit apart plus singletons
+    from pyspark.sql import functions as F
+
+    from substreams_sink_clickhouse_spark.operators.multimodal import (
+        PHASH_BANDS,
+        phash_near_pairs,
+    )
+
+    rows = [
+        (1, "00ab00cd00ef0011"), (2, "00ab00cd00ef0011"), (3, "00ab00cd00ef0013"),
+        (4, "ffab11cd22ef3311"), (5, "ffab11cd22ef3311"), (6, "ffab11cd22ef3319"),
+        (7, "1234567890abcdef"),
+    ]
+    hashed = spark.createDataFrame(rows, "asset_id long, phash string")
+    got = sorted((r.ida, r.idb) for r in phash_near_pairs(hashed).collect())
+    bands = hashed.select(
+        "asset_id", "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn("bv", F.expr("substring(phash, band * 4 + 1, 4)"))
+    a = bands.select(F.col("asset_id").alias("ida"), "band", "bv")
+    b = bands.select(F.col("asset_id").alias("idb"), "band", "bv")
+    want = sorted(
+        (r.ida, r.idb)
+        for r in a.join(b, ["band", "bv"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb").distinct().collect()
+    )
+    assert got == want and len(got) >= 6, (got, want)

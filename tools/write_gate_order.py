@@ -37,28 +37,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Never-driver-checked entries the round-7 verdict ordered to the
-#: front of the next sample (after the last-FAIL entries, which are
-#: computed from the CORRECTNESS artifacts, not pinned here): the
-#: round-7 additions the driver has not seen yet, plus this round's
-#: new entries (BPE trainer family, SCD2-from-versions).
+#: Never-driver-checked entries ordered to the front of the next
+#: sample (after the last-FAIL entries, which are computed from the
+#: CORRECTNESS artifacts, not pinned here).  Refreshed each round:
+#: the round-8 pins were all driver-sampled in r8, so the list now
+#: holds the LATE round-8 additions the driver has not seen (the
+#: round-8 advisory: they were never-sampled but unpinned) plus the
+#: round-9 session additions as they land.  multimodal_phash_near
+#: leads because round 9 rewrote it (bucket-expansion + hot-bucket
+#: cap) and the driver must re-verify the new shape.
 PRIORITY = [
-    "text_bpe_pairs",
-    "text_bpe_merge_step",
-    "text_bpe_train",
-    "text_bpe_vocab_stats",
-    "q173_scd2_join",
-    "q182_scd2_from_versions",
-    "q178_dialect_stat_tests",
-    "q179_dialect_funnel",
-    "q180_dialect_fold_aggs",
-    "q181_dialect_ks_meanz",
-    # round-8 session additions, never driver-sampled
-    "text_bpe_encode",
-    "text_bigram_logprob",
-    "sim_mmr",
-    "sim_kcenter",
-    "train_temperature_mix",
+    "multimodal_phash_near",
+    "q183_dialect_strsim",
+    "q184_zorder_skipping",
+    "sim_rrf_fusion",
+    "train_curriculum",
 ]
 
 
