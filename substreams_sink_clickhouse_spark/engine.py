@@ -223,6 +223,8 @@ class Engine:
         any ingest epoch or storage mutation advances.  Opt-in, like
         ClickHouse's setting — correctness-sensitive callers skip it."""
         fill_spec = None
+        if "SYSTEM_TIME" in query.upper():
+            query = self._rewrite_system_time(query)
         if dialect == "clickhouse":
             from substreams_sink_clickhouse_spark.functions.dialect import (
                 clickhouse_to_spark_sql,
@@ -379,6 +381,61 @@ class Engine:
             elif info.engine.upper() == "SUMMINGMERGETREE":
                 df = collapse_summing(df, info.primary_key, info.sum_columns)
         return df
+
+    def table_as_of(
+        self,
+        name: str,
+        epoch: int | None = None,
+        block: int | None = None,
+        module_hash: str | None = None,
+    ) -> DataFrame:
+        """Time travel on a sunk table: its committed state as of a
+        flush ``epoch`` or as of a stream ``block`` number (resolved
+        through the cursor's block-per-epoch provenance, reference
+        analog db/cursor.go:120-125).  Snapshot history is free with
+        the versioned-bucket layout (subject to vacuum retention).
+        Exactly one of ``epoch`` / ``block`` must be given."""
+        if (epoch is None) == (block is None):
+            raise ValueError("pass exactly one of epoch= / block=")
+        for mh, pipe in sorted(self._pipelines.items()):
+            if module_hash not in (None, mh):
+                continue
+            if name in pipe.catalog.tables:
+                e = pipe.state.epoch_for_block(block) if epoch is None else epoch
+                return pipe.state.table_state_as_of(name, e)
+        raise ValueError(f"unknown sunk table: {name!r}")
+
+    def _rewrite_system_time(self, query: str) -> str:
+        """SQL:2011 temporal-query surface over the DV snapshot layers:
+        ``FROM t FOR SYSTEM_TIME AS OF [BLOCK|EPOCH] <n>`` resolves the
+        table to its historical state (BLOCK is the default unit — the
+        reference's provenance domain) by registering an as-of temp
+        view and substituting its name.  Runs before dialect
+        translation so ClickHouse-dialect queries can use it too."""
+        import re as _re
+
+        def _sub(m: "_re.Match[str]") -> str:
+            name, kind, n = (
+                m.group(1),
+                (m.group(2) or "BLOCK").upper(),
+                int(m.group(3)),
+            )
+            df = self.table_as_of(
+                name,
+                epoch=n if kind == "EPOCH" else None,
+                block=n if kind == "BLOCK" else None,
+            )
+            view = f"__asof_{name}_{kind.lower()}{n}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _re.sub(
+            r"\b(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+            r"(?:(EPOCH|BLOCK)\s+)?(\d+)",
+            _sub,
+            query,
+            flags=_re.IGNORECASE,
+        )
 
     def cursor(self, module_hash: str = "default", on_mismatch: str = "error"):
         pipe = self._pipelines.get(module_hash) or next(iter(self._pipelines.values()), None)

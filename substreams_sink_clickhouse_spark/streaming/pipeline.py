@@ -332,6 +332,23 @@ class TableStateStore:
             )
         return self._read_bmap_subset(info, bmap, list(bmap))
 
+    def epoch_for_block(self, block_num: int) -> int:
+        """Resolve a BLOCK number to the committed epoch visible at it:
+        the highest epoch whose cursor block is <= ``block_num`` (the
+        cursor records each flush's highest applied block — reference
+        analog db/cursor.go:120-125, cursor-at-block provenance).
+        Granularity is the flush epoch, exactly as in the reference: a
+        block inside a multi-block flush window resolves to the last
+        state that does not read past it."""
+        blocks = self.read_manifest().get("epoch_blocks", {})
+        cands = [int(e) for e, b in blocks.items() if b <= block_num]
+        if not cands:
+            raise ValueError(
+                f"no committed epoch at or below block {block_num} "
+                f"(recorded epoch blocks: {sorted(blocks.items())})"
+            )
+        return max(cands)
+
     def epoch_applied(self, epoch_id: int) -> bool:
         return epoch_id in self.read_manifest()["applied_epochs"]
 

@@ -305,3 +305,57 @@ def test_query_cache_invalidates_on_external_table_change(spark, tmp_path):
     os.utime(pq)
     eng.register_external("ext_t", pq)  # re-register the new snapshot
     assert eng.sql(q, use_query_cache=True).collect()[0]["n"] == 9
+
+
+def test_asof_sql_and_block_resolution(spark, tmp_path):
+    """Engine.sql FOR SYSTEM_TIME AS OF: block-number resolution via
+    cursor provenance (default unit), EPOCH unit, table_as_of arg
+    validation, and the pre-history error."""
+    import pytest
+
+    stream = tmp_path / "changes"
+    stream.mkdir()
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    cat = _catalog()
+    (stream / "b1.jsonl").write_text(
+        _msg(5, [("block_meta", "k1", 1, "CREATE", {"number": "1"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+    (stream / "b2.jsonl").write_text(
+        _msg(9, [("block_meta", "k1", 1, "UPDATE", {"number": "2"})])
+    )
+    pipe = eng.ingest(str(stream), cat)
+
+    def vals(df):
+        return {r["id"]: r["number"] for r in df.collect()}
+
+    # block 5 (exact cursor) and block 7 (inside the gap) both resolve
+    # to the first epoch; block 9 sees the update
+    for blk, want in ((5, 1), (7, 1), (9, 2)):
+        got = vals(eng.sql(
+            f"SELECT id, number FROM block_meta FOR SYSTEM_TIME AS OF {blk}"
+        ))
+        assert got == {"k1": want}, (blk, got)
+    # explicit units
+    assert vals(eng.sql(
+        "SELECT id, number FROM block_meta FOR SYSTEM_TIME AS OF EPOCH 0"
+    )) == {"k1": 1}
+    assert vals(eng.sql(
+        "SELECT id, number FROM block_meta FOR SYSTEM_TIME AS OF BLOCK 9"
+    )) == {"k1": 2}
+    # API argument contract
+    assert vals(eng.table_as_of("block_meta", block=5)) == {"k1": 1}
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.table_as_of("block_meta")
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.table_as_of("block_meta", epoch=0, block=5)
+    with pytest.raises(ValueError, match="unknown sunk table"):
+        eng.table_as_of("nope", block=5)
+    # a block before the first commit has no snapshot to serve
+    with pytest.raises(ValueError, match="no committed epoch"):
+        eng.sql("SELECT * FROM block_meta FOR SYSTEM_TIME AS OF 4")

@@ -47,6 +47,7 @@ sys.path.insert(0, REPO)
 #: leads because round 9 rewrote it (bucket-expansion + hot-bucket
 #: cap) and the driver must re-verify the new shape.
 PRIORITY = [
+    "q185_asof_state",  # round-9 addition
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
