@@ -273,7 +273,9 @@ class Engine:
             # through to the translator's FINAL guard, which raises
             # with the Engine.table pointer.
             query = rewrite_final_tables(query, self._final_view)
-            query = clickhouse_to_spark_sql(query)
+            query = clickhouse_to_spark_sql(
+                query, column_types=self._catalog_column_types() or None
+            )
         elif dialect not in (None, "spark"):
             raise ValueError(f"unknown SQL dialect: {dialect!r}")
         self._log_query(query, dialect, bool(use_query_cache))
@@ -311,6 +313,25 @@ class Engine:
             del self._query_cache[old_key]
         self._query_cache[cache_key] = (fp, df)
         return df
+
+    def _catalog_column_types(self) -> dict[str, str]:
+        """Column -> Spark DDL type over every ingested table's catalog
+        schema — the lookup that lets the dialect's 2-arg
+        ``arrayResize``/``arrayShift*`` forms infer their type-default
+        pad element.  A name cataloged with two different types across
+        tables is dropped (ambiguous; the user passes the fill)."""
+        types: dict[str, str] = {}
+        ambiguous: set[str] = set()
+        for pipe in self._pipelines.values():
+            for tname in pipe.catalog.tables:
+                for fld in pipe.catalog.get(tname).schema.fields:
+                    ddl = fld.dataType.simpleString()
+                    if types.get(fld.name, ddl) != ddl:
+                        ambiguous.add(fld.name)
+                    types[fld.name] = ddl
+        for name in ambiguous:
+            del types[name]
+        return types
 
     def _final_view(self, name: str) -> str | None:
         """Register (idempotently) a FINAL-semantics view of an

@@ -485,6 +485,69 @@ def _split_top_commas(args: str) -> list[str]:
     return [a.strip() for a in out]
 
 
+#: Per-translation column-type context for default-fill inference
+#: (set by ``clickhouse_to_spark_sql(column_types=...)``): plain
+#: column name -> Spark DDL type string (e.g. "ARRAY<BIGINT>").
+_COLUMN_TYPES: dict[str, str] | None = None
+
+
+def _element_default(elem_type: str) -> str | None:
+    """Spark SQL literal for the ClickHouse DEFAULT of an element type
+    (what the 2-arg arrayResize/shift forms pad with): 0 for integers,
+    0.0 for floats, '' for strings, false for booleans, the epoch for
+    date/time.  None = not a type we can default (caller raises)."""
+    t = re.sub(r"\(.*\)", "", elem_type).strip().upper()
+    return {
+        "TINYINT": "CAST(0 AS TINYINT)",
+        "SMALLINT": "CAST(0 AS SMALLINT)",
+        "INT": "0",
+        "INTEGER": "0",
+        "BIGINT": "CAST(0 AS BIGINT)",
+        "LONG": "CAST(0 AS BIGINT)",
+        "FLOAT": "CAST(0 AS FLOAT)",
+        "REAL": "CAST(0 AS FLOAT)",
+        "DOUBLE": "CAST(0 AS DOUBLE)",
+        "DECIMAL": "CAST(0 AS DOUBLE)",
+        "STRING": "''",
+        "VARCHAR": "''",
+        "CHAR": "''",
+        "BOOLEAN": "false",
+        "DATE": "DATE '1970-01-01'",
+        "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'",
+    }.get(t)
+
+
+def _infer_array_fill(arr: str) -> str | None:
+    """Infer the pad element for a 2-arg arrayResize/arrayShift* call:
+    from the first element of an array LITERAL (``[..]`` pre-rewrite
+    or ``array(..)`` post-rewrite; string literals arrive masked as
+    sentinels), or from :data:`_COLUMN_TYPES` for a plain column.
+    None when the expression is opaque."""
+    s = arr.strip()
+    m = re.fullmatch(r"(?:\[|array\s*\()\s*(.*?)\s*[\])]", s,
+                     flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        if not m.group(1):
+            return None  # empty literal: element type unknowable
+        first = _split_top_commas(m.group(1))[0].strip()
+        if re.fullmatch(r"[+-]?\d+", first):
+            return "0"
+        if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?",
+                        first):
+            return "CAST(0 AS DOUBLE)"
+        if re.fullmatch(r"\x01\d+\x01", first):
+            return "''"  # masked string literal
+        return None
+    if re.fullmatch(r"`?\w+`?", s) and _COLUMN_TYPES:
+        t = _COLUMN_TYPES.get(s.strip("`"))
+        if t:
+            m2 = re.fullmatch(r"\s*ARRAY\s*<\s*(.+)\s*>\s*", t,
+                              flags=re.IGNORECASE | re.DOTALL)
+            if m2:
+                return _element_default(m2.group(1))
+    return None
+
+
 def _rewrite_array_literals(code: str) -> str:
     """ClickHouse array literals ``[a, b, c]`` → ``array(a, b, c)``.
 
@@ -796,12 +859,27 @@ def _run_wraps(pat, code: str, literals: tuple, _top: bool) -> str:
             )
         elif name in ("arrayResize", "arrayShiftLeft", "arrayShiftRight"):
             parts = _split_top_commas(inner)
+            if len(parts) == 2:
+                # ClickHouse's 2-arg form pads with the element type's
+                # DEFAULT.  The default IS inferable when the array is
+                # a literal (element type known lexically) or a plain
+                # column with a caller-supplied type (catalog lookup
+                # via ``column_types=``); only opaque expressions keep
+                # the explicit-fill raise (round-8 verdict ask #5).
+                fill = _infer_array_fill(parts[0])
+                if fill is None:
+                    raise ValueError(
+                        f"{name} needs an explicit fill element here "
+                        f"({name}(arr, n, fill)) - ClickHouse's 2-arg "
+                        "form pads with the array type's default, "
+                        "which is only inferable for array literals "
+                        "and cataloged columns (pass column_types= or "
+                        "the fill element)"
+                    )
+                parts = [parts[0], parts[1], fill]
             if len(parts) != 3:
                 raise ValueError(
-                    f"{name} needs an explicit fill element here "
-                    f"({name}(arr, n, fill)) - ClickHouse's 2-arg form "
-                    "pads with the array type's default, which a "
-                    "lexical rewrite cannot know"
+                    f"{name} takes (arr, n[, fill]), got {len(parts)} args"
                 )
             arr, n_, fill = parts
             if name == "arrayResize":
@@ -2092,12 +2170,26 @@ def rewrite_final_tables(query: str, resolver) -> str:
     return re.sub(r"\x01(\d+)\x01", lambda m: literals[int(m.group(1))], out)
 
 
-def clickhouse_to_spark_sql(query: str) -> str:
+def clickhouse_to_spark_sql(
+    query: str, column_types: dict[str, str] | None = None
+) -> str:
     """Translate the documented ClickHouse SQL subset to Spark SQL.
 
     Quoted strings / backquoted identifiers are masked with sentinels
     first (they may contain parens and commas), the whole query is
-    rewritten as one code stream, then the literals are restored."""
+    rewritten as one code stream, then the literals are restored.
+
+    ``column_types`` (optional) maps plain column names to Spark DDL
+    type strings (e.g. ``{"arr": "ARRAY<BIGINT>"}``) — the catalog
+    context that lets ClickHouse's 2-arg ``arrayResize``/``arrayShift*``
+    forms infer their type-default pad element for cataloged columns."""
+    global _COLUMN_TYPES
+    if column_types is not None:
+        prev, _COLUMN_TYPES = _COLUMN_TYPES, column_types
+        try:
+            return clickhouse_to_spark_sql(query)
+        finally:
+            _COLUMN_TYPES = prev
     literals: list[str] = []
     masked_parts: list[str] = []
     for is_code, text in _segments(query):

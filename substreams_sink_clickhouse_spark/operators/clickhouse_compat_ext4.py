@@ -40,14 +40,20 @@ from substreams_sink_clickhouse_spark.sources.tables import load_table
 SPECS: list[QuerySpec] = []
 
 
-def _via_shim(spark: SparkSession, sf: str, tables: list[str], sql: str) -> DataFrame:
+def _via_shim(
+    spark: SparkSession,
+    sf: str,
+    tables: list[str],
+    sql: str,
+    column_types: dict[str, str] | None = None,
+) -> DataFrame:
     from substreams_sink_clickhouse_spark.functions.dialect import (
         clickhouse_to_spark_sql,
     )
 
     for name in tables:
         load_table(spark, sf, name).createOrReplaceTempView(name)
-    return spark.sql(clickhouse_to_spark_sql(sql))
+    return spark.sql(clickhouse_to_spark_sql(sql, column_types=column_types))
 
 
 # ------------------------------------------------------- q175 math
@@ -706,4 +712,75 @@ SPECS.append(QuerySpec(
     "natives — through the shim",
     _q183_dialect_strsim,
     _Q183_ORACLE,
+))
+
+
+# ------------------------------------- q186 2-arg arrayResize defaults
+_Q186_CH = """
+SELECT vec_id,
+       toInt64(countEqual(arrayResize(embedding, toInt32(64 + vec_id % 9)), 0)) AS n_pad_f,
+       toInt64(arraySum(arrayResize([1, 2], toInt32(4 + vec_id % 3))))          AS s_int,
+       round(arraySum(arrayResize([0.25], toInt32(3 + vec_id % 4))), 6)         AS s_float,
+       arrayStringConcat(arrayResize(['a', 'b'], toInt32(3 + vec_id % 2)), '|') AS s_str,
+       toInt64(arraySum(arrayShiftLeft([3, 4, 5], toInt32(1 + vec_id % 2))))    AS s_shift
+FROM embeddings
+WHERE vec_id % 7 = 0
+ORDER BY vec_id
+"""
+
+
+def _q186_dialect_array_defaults(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse's 2-arg ``arrayResize``/``arrayShiftLeft`` forms,
+    which pad with the ELEMENT TYPE'S DEFAULT — the round-8 verdict's
+    curated-raise closure: the fill is now inferred for array literals
+    (element type known lexically: Int → 0, Float → 0.0, String → '')
+    and for cataloged columns (``column_types=`` lookup; here the
+    ``embedding ARRAY<FLOAT>`` column pads with 0.0f, surfaced as the
+    ``countEqual(..., 0)`` of the resized vector — the fixture
+    embeddings contain no natural zeros, so the count IS the pad
+    width).  Opaque array expressions still raise with the
+    explicit-fill guidance.  Map-only projection: no exchange before
+    the presentation sort."""
+    return _via_shim(
+        spark,
+        sf,
+        ["embeddings"],
+        _Q186_CH,
+        column_types={"embedding": "ARRAY<FLOAT>"},
+    )
+
+
+#: DuckDB 1.0.0's list_resize crashes (std::bad_array_new_length) on
+#: non-constant sizes over some vector layouts, so the oracle spells
+#: the pad out as list_concat + a range-generated default list.
+_Q186_ORACLE = r"""
+SELECT vec_id,
+       CAST(len(list_filter(
+              list_concat(embedding,
+                          list_transform(range(vec_id % 9), i -> 0.0)),
+              x -> x = 0)) AS BIGINT)                                          AS n_pad_f,
+       CAST(list_sum(
+              list_concat([1, 2],
+                          list_transform(range(2 + vec_id % 3), i -> 0)))
+            AS BIGINT)                                                         AS s_int,
+       round(CAST(list_sum(
+              list_concat([0.25],
+                          list_transform(range(2 + vec_id % 4), i -> 0.0)))
+             AS DOUBLE), 6)                                                    AS s_float,
+       array_to_string(
+              list_concat(['a', 'b'],
+                          list_transform(range(1 + vec_id % 2), i -> '')),
+              '|')                                                             AS s_str,
+       CAST(list_sum(([3, 4, 5])[(1 + vec_id % 2) + 1 :]) AS BIGINT)           AS s_shift
+FROM embeddings
+WHERE vec_id % 7 = 0
+ORDER BY vec_id
+"""
+
+SPECS.append(QuerySpec(
+    "q186_dialect_array_defaults",
+    "2-arg arrayResize / arrayShiftLeft type-default padding: literal "
+    "Int/Float/String inference + cataloged-column lookup",
+    _q186_dialect_array_defaults,
+    _Q186_ORACLE,
 ))

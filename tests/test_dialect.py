@@ -994,8 +994,50 @@ def test_array_mutation_family():
     assert "array_join(a, '')" in out
     import pytest
 
+    # an UNCATALOGED column stays a curated raise (fill unknowable)
     with pytest.raises(ValueError, match="explicit fill"):
         clickhouse_to_spark_sql("SELECT arrayResize(a, 7) FROM t")
+
+
+def test_array_resize_default_fill_inference():
+    """2-arg arrayResize/arrayShift*: the type-default pad element is
+    inferred for array literals (lexically) and cataloged columns
+    (column_types lookup); opaque expressions keep the raise."""
+    import pytest
+
+    # literal legs: Int -> 0, Float -> 0.0d, String -> ''
+    assert "array_repeat(0," in clickhouse_to_spark_sql(
+        "SELECT arrayResize([1, 2], 5)"
+    )
+    assert "array_repeat(CAST(0 AS DOUBLE)," in clickhouse_to_spark_sql(
+        "SELECT arrayResize([1.5], 3)"
+    )
+    assert "array_repeat(''," in clickhouse_to_spark_sql(
+        "SELECT arrayResize(['a'], 3)"
+    )
+    # cataloged column: element type from the lookup
+    out = clickhouse_to_spark_sql(
+        "SELECT arrayResize(arr, 5) FROM t",
+        column_types={"arr": "ARRAY<BIGINT>"},
+    )
+    assert "array_repeat(CAST(0 AS BIGINT)," in out
+    out = clickhouse_to_spark_sql(
+        "SELECT arrayShiftLeft(sarr, 1) FROM t",
+        column_types={"sarr": "array<string>"},
+    )
+    assert "array_repeat(''," in out
+    # the context must not leak into the next translation
+    with pytest.raises(ValueError, match="explicit fill"):
+        clickhouse_to_spark_sql("SELECT arrayResize(arr, 5) FROM t")
+    # opaque expression: still a raise even with a catalog
+    with pytest.raises(ValueError, match="explicit fill"):
+        clickhouse_to_spark_sql(
+            "SELECT arrayResize(arrayConcat(arr, arr), 5) FROM t",
+            column_types={"arr": "ARRAY<BIGINT>"},
+        )
+    # empty literal: element type unknowable
+    with pytest.raises(ValueError, match="explicit fill"):
+        clickhouse_to_spark_sql("SELECT arrayResize([], 5)")
 
 
 def test_bit_scalar_family():

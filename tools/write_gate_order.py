@@ -47,7 +47,8 @@ sys.path.insert(0, REPO)
 #: leads because round 9 rewrote it (bucket-expansion + hot-bucket
 #: cap) and the driver must re-verify the new shape.
 PRIORITY = [
-    "q185_asof_state",  # round-9 addition
+    "q185_asof_state",  # round-9 additions
+    "q186_dialect_array_defaults",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
