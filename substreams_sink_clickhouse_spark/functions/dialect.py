@@ -2047,16 +2047,11 @@ def _rewrite_clauses(code: str) -> str:
             "fill.py), or use the explicit gap-fill operators (the "
             "q47_gapfill / q118_interpolate shapes)"
         )
-    # ClickHouse join STRICTNESS: both have engine equivalents but no
-    # lexical Spark form (they change row multiplicity, which a
-    # keyword drop would silently corrupt) — raise with the operator.
-    if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", code, flags=re.IGNORECASE):
-        raise ValueError(
-            "ASOF JOIN picks one closest-timestamp row per left row - "
-            "use the engine's as-of join operator (the q31_asof_join "
-            "shape: equi-join + max_by/window latest-match reduce) "
-            "instead of SQL strictness keywords"
-        )
+    # ClickHouse join STRICTNESS: ASOF JOIN is translated for real by
+    # _rewrite_asof_join (equi-join + top-1 window), which consumes
+    # the keyword before this guard and raises its own curated errors
+    # for the unsupported forms.  ANY JOIN stays a raise: it changes
+    # row multiplicity, which a keyword drop would silently corrupt.
     if re.search(
         r"\b(?:ANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN|"
         r"(?:LEFT|RIGHT|INNER|FULL)\s+ANY\s+JOIN)\b",
@@ -2097,7 +2092,144 @@ def _rewrite_clauses(code: str) -> str:
     return code
 
 
+_ASOF_PAT = re.compile(
+    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b)(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
+    re.IGNORECASE,
+)
+
+#: depth-0 keywords that end an ASOF join's ON condition list
+_ASOF_TERM = re.compile(
+    r"\b(WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|"
+    r"SETTINGS|WINDOW|FORMAT|JOIN|LEFT|RIGHT|INNER|CROSS|FULL|ASOF)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_asof_join(code: str) -> str:
+    """ClickHouse ``[LEFT] ASOF JOIN`` → an equi-join + per-left-row
+    top-1 window (docs: for each left row, pick the right row with the
+    closest value satisfying the one inequality in ON).
+
+    The rewrite wraps both sides as single-STRUCT-column derived
+    tables named by their aliases, joins on the original conditions
+    (alias.col becomes struct-field access — qualified references in
+    the rest of the query keep working unchanged), identifies left
+    rows by ``monotonically_increasing_id()`` (duplicate left rows
+    each keep their own match, exactly ClickHouse's semantics), ranks
+    right rows by the inequality's right-side operand, and keeps rank
+    1.  Catalyst plans the rank-1 filter as ``WindowGroupLimit`` — a
+    streaming top-1 per left row, never a full sort — on top of a
+    plain equi shuffle join; no cartesian/BNLJ anywhere (the LATERAL
+    formulation decorrelates into a CartesianProduct domain join,
+    measured — hence this shape).
+
+    Lexical scope (raise otherwise): both sides plain identifiers
+    (tables/CTEs — pre-wrap subqueries in a WITH), the ASOF join is
+    the last join in its FROM, and the query references columns
+    QUALIFIED by the join aliases (``SELECT *`` would expose the
+    struct columns, not flattened fields).
+
+    Scale note: the pre-rank join fans out each left row to ALL
+    earlier right rows in its key (ClickHouse bounds the same blow-up
+    by materializing per-key sorted arrays in memory).  For the
+    bounded-state path use the engine's native as-of operator
+    (operators/relational.py:_q31_asof — one union + one window, no
+    fan-out)."""
+    while True:
+        m = _ASOF_PAT.search(code)
+        if m is None:
+            break
+        a_tbl, a_alias, left_kw, b_tbl, b_alias = (
+            m.group(1),
+            m.group(2) or m.group(1),
+            m.group(3) or "",
+            m.group(4),
+            m.group(5) or m.group(4),
+        )
+        # ON-condition extent: scan the paren-blanked tail for the
+        # first depth-0 clause keyword (or end of string)
+        tail = code[m.end() :]
+        blanked = _blank_parens(tail)
+        tm = _ASOF_TERM.search(blanked)
+        end = tm.start() if tm else len(tail)
+        conds_sql = tail[:end]
+        suffix = tail[end:]
+        if tm and tm.group(1).upper() in (
+            "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "FULL", "ASOF",
+        ):
+            raise ValueError(
+                "ASOF JOIN must be the last join in its FROM clause "
+                "here - put preceding joins in a WITH subquery"
+            )
+        # split depth-0 ANDs; exactly one inequality drives the pick
+        parts: list[str] = []
+        start = 0
+        for am in re.finditer(r"\bAND\b", _blank_parens(conds_sql),
+                              flags=re.IGNORECASE):
+            parts.append(conds_sql[start : am.start()])
+            start = am.end()
+        parts.append(conds_sql[start:])
+        ineqs = [
+            p for p in parts
+            if re.search(r"(?<![<>!=])(>=|<=|<(?!=)|>(?!=))(?!=)",
+                         _blank_parens(p))
+        ]
+        if len(ineqs) != 1:
+            raise ValueError(
+                f"ASOF JOIN needs exactly ONE inequality in ON "
+                f"(found {len(ineqs)}): the closest-match condition"
+            )
+        om = re.search(r"(>=|<=|<|>)", _blank_parens(ineqs[0]))
+        lhs = ineqs[0][: om.start()].strip()
+        op = om.group(1)
+        rhs = ineqs[0][om.end() :].strip()
+        b_ref = re.compile(rf"\b{re.escape(b_alias)}\s*\.")
+        if b_ref.search(rhs) and not b_ref.search(lhs):
+            b_expr, b_low = rhs, op in (">=", ">")
+        elif b_ref.search(lhs) and not b_ref.search(rhs):
+            b_expr, b_low = lhs, op in ("<=", "<")
+        else:
+            raise ValueError(
+                "ASOF JOIN inequality must compare a left-side to a "
+                f"right-side ({b_alias}.) expression"
+            )
+        # right side is the lower bound -> closest match = MAX of it
+        direction = "DESC" if b_low else "ASC"
+        rewritten = (
+            f"(SELECT {a_alias}, {b_alias}, row_number() OVER ("
+            f"PARTITION BY __asof_rid ORDER BY {b_expr} {direction}) "
+            f"AS __asof_rn "
+            f"FROM (SELECT struct(*) AS {a_alias}, "
+            f"monotonically_increasing_id() AS __asof_rid "
+            f"FROM {a_tbl}) AS __asof_l "
+            f"{left_kw.strip() + ' ' if left_kw.strip() else ''}JOIN "
+            f"(SELECT struct(*) AS {b_alias} FROM {b_tbl}) AS __asof_r "
+            f"ON {conds_sql.strip()}) "
+        )
+        wm = re.match(r"\s*WHERE\b", suffix, flags=re.IGNORECASE)
+        if wm:
+            suffix = re.sub(
+                r"\s*WHERE\b", " WHERE __asof_rn = 1 AND", suffix,
+                count=1, flags=re.IGNORECASE,
+            )
+        else:
+            suffix = " WHERE __asof_rn = 1" + (
+                " " + suffix if suffix.strip() else ""
+            )
+        code = code[: m.start()] + rewritten + suffix
+    if re.search(r"\bASOF\b", code, flags=re.IGNORECASE):
+        raise ValueError(
+            "unsupported ASOF JOIN form (both sides must be plain "
+            "table/CTE identifiers with an ON clause; USING is not "
+            "supported - spell the conditions in ON)"
+        )
+    return code
+
+
 def _rewrite_code(code: str, literals: tuple = ()) -> str:
+    code = _rewrite_asof_join(code)
     code = _rewrite_array_literals(code)
     code = _rewrite_limit_by(code)
     code = _rewrite_with_totals(code)

@@ -784,3 +784,59 @@ SPECS.append(QuerySpec(
     _q186_dialect_array_defaults,
     _Q186_ORACLE,
 ))
+
+
+# ----------------------------------------------- q187 ASOF JOIN
+_Q187_CH = """
+WITH p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click')
+SELECT p2.user_id AS uid,
+       p2.event_id AS eid,
+       c2.event_id AS prior_click,
+       round(c2.value, 4) AS prior_value
+FROM p AS p2 ASOF LEFT JOIN c AS c2
+  ON p2.user_id = c2.user_id AND p2.event_id >= c2.event_id
+ORDER BY uid, eid
+"""
+
+
+def _q187_dialect_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN`` through the dialect shim: each
+    purchase picks the user's latest click at-or-before it (the
+    canonical ClickHouse ASOF use, docs sql-reference/statements/
+    select/join#asof-join-usage) — oracled against DuckDB's NATIVE
+    ``ASOF LEFT JOIN``, so both the pick semantics (max right value
+    satisfying the single inequality) and the unmatched-row NULL leg
+    are engine-cross-checked.
+
+    The shim rewrite (functions/dialect.py:_rewrite_asof_join) plans
+    as ONE equi shuffle join on user_id plus a WindowGroupLimit top-1
+    per left row — no cartesian, no BNLJ (the obvious LATERAL-LIMIT
+    formulation decorrelates into a CartesianProduct domain join;
+    measured and rejected).  (user_id, event_id) is unique in the
+    fixture, so the pick is deterministic.  Scale: the pre-rank join
+    fans out to all prior clicks per (purchase, user) — ClickHouse
+    pays the same class of cost materializing per-key arrays; the
+    engine's bounded-state path is the q31 union+window as-of."""
+    return _via_shim(spark, sf, ["events"], _Q187_CH)
+
+
+_Q187_ORACLE = r"""
+WITH p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click')
+SELECT p.user_id AS uid,
+       p.event_id AS eid,
+       c.event_id AS prior_click,
+       round(c.value, 4) AS prior_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.event_id >= c.event_id
+ORDER BY uid, eid
+"""
+
+SPECS.append(QuerySpec(
+    "q187_dialect_asof_join",
+    "ClickHouse ASOF LEFT JOIN through the shim (equi-join + "
+    "WindowGroupLimit top-1) vs DuckDB's native ASOF JOIN",
+    _q187_dialect_asof_join,
+    _Q187_ORACLE,
+))

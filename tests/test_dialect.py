@@ -946,10 +946,8 @@ def test_clickhouse_transform_value_mapping(spark):
 def test_asof_and_any_join_guidance():
     import pytest
 
-    with pytest.raises(ValueError, match="q31_asof_join"):
-        clickhouse_to_spark_sql(
-            "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
-        )
+    # ASOF JOIN translates for real since round 9 (see
+    # test_asof_join_rewrite); ANY JOIN remains a curated raise
     with pytest.raises(ValueError, match="ch_any_join"):
         clickhouse_to_spark_sql("SELECT * FROM a ANY LEFT JOIN b USING (k)")
     with pytest.raises(ValueError, match="ch_any_join"):
@@ -1577,3 +1575,71 @@ def test_round7_map_apply_rejects_rebinding():
         "SELECT mapApply((k, v) -> (k, arrayMap(z -> z + v, a)), m) FROM t"
     )
     assert "map_from_entries" in out and "__e.value" in out
+
+
+def test_asof_join_rewrite():
+    """ClickHouse ASOF JOIN -> equi-join + top-1 window: translation
+    shape, alias forms, WHERE merge, and the curated raises."""
+    import pytest
+
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x, b.y FROM t1 AS a ASOF JOIN t2 AS b "
+        "ON a.k = b.k AND a.t >= b.t"
+    )
+    assert "row_number() OVER (PARTITION BY __asof_rid ORDER BY b.t DESC)" in out
+    assert "monotonically_increasing_id() AS __asof_rid" in out
+    assert "WHERE __asof_rn = 1" in out
+    assert "struct(*) AS a" in out and "struct(*) AS b" in out
+    # bare aliases + LEFT + reversed inequality (b-side on the left)
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x FROM t1 a ASOF LEFT JOIN t2 b "
+        "ON a.k = b.k AND b.ts <= a.ts WHERE a.x > 0"
+    )
+    assert "LEFT JOIN" in out
+    assert "ORDER BY b.ts DESC" in out  # b is the lower bound -> max
+    assert "WHERE __asof_rn = 1 AND a.x > 0" in out
+    # upper-bound direction: b >= a -> closest match is MIN -> ASC
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND b.ts >= a.ts"
+    )
+    assert "ORDER BY b.ts ASC" in out
+    with pytest.raises(ValueError, match="exactly ONE inequality"):
+        clickhouse_to_spark_sql(
+            "SELECT * FROM t1 a ASOF JOIN t2 b ON a.k = b.k"
+        )
+    with pytest.raises(ValueError, match="last join"):
+        clickhouse_to_spark_sql(
+            "SELECT * FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t "
+            "JOIN t3 c ON c.k = a.k"
+        )
+    with pytest.raises(ValueError, match="unsupported ASOF"):
+        clickhouse_to_spark_sql("SELECT * FROM t1 a ASOF JOIN t2 b USING (k, t)")
+
+
+def test_asof_join_executes(spark):
+    """End-to-end on a hand-computed fixture: inner pick, LEFT null
+    leg, duplicate left rows each keep their own match."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (2, 30), (3, 7)], "k int, t int"
+    ).createOrReplaceTempView("asof_a")
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 15, "y"), (1, 25, "z"), (2, 1, "w")],
+        "k int, t int, v string",
+    ).createOrReplaceTempView("asof_b")
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.t AS t, b.t AS bt, b.v AS v "
+        "FROM asof_a a ASOF LEFT JOIN asof_b b "
+        "ON a.k = b.k AND a.t >= b.t ORDER BY k, t"
+    ))
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, 10, 5, "x"),
+        (1, 20, 15, "y"),
+        (2, 30, 1, "w"),
+        (2, 30, 1, "w"),
+        (3, 7, None, None),
+    ], rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan

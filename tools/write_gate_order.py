@@ -49,6 +49,7 @@ sys.path.insert(0, REPO)
 PRIORITY = [
     "q185_asof_state",  # round-9 additions
     "q186_dialect_array_defaults",
+    "q187_dialect_asof_join",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
