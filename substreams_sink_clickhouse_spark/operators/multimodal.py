@@ -1485,7 +1485,7 @@ PHASH_HAM_T = PHASH_BANDS - 1
 
 
 def phash_near_pairs(hashed: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs ``(ida, idb, pa, pb)`` from a
+    """Candidate near-dup pairs ``(ida, idb, la, lb)`` from a
     ``(asset_id, phash)`` DataFrame via banded Hamming LSH with the
     same bucket-expansion + hot-bucket contract as ``dedup_minhash``
     (dedup.py:182-216): band values group (ONE exchange), each bucket
@@ -1493,17 +1493,31 @@ def phash_near_pairs(hashed: DataFrame) -> DataFrame:
     in the plan — and buckets over :data:`dedup.MAX_BUCKET_SIZE`
     collapse to linear star pairs against the bucket minimum instead
     of exploding quadratically (the degenerate-corpus hazard: a
-    constant-color thumbnail corpus shares one 16-bit band value)."""
+    constant-color thumbnail corpus shares one 16-bit band value).
+
+    The 16-hex phash is reinterpreted ONCE as a signed 64-bit integer
+    (``la``/``lb``); bands are 16-bit integer slices of it and the
+    downstream Hamming verify is a single ``bit_count(la ^ lb)`` —
+    at 10x-replicated corpora the candidate set grows ~100x
+    (quadratic in near-dup family size, by design), so per-pair cost
+    must be one codegen op, not 32 substring/conv string allocations
+    (measured: the string form turned the 10x scale proof from
+    seconds into minutes)."""
     from substreams_sink_clickhouse_spark.operators.dedup import _pair_expand_capped
 
-    bands = hashed.select(
+    with_long = hashed.select(
+        "asset_id", F.expr("CAST(conv(phash, 16, -10) AS BIGINT)").alias("l")
+    )
+    bands = with_long.select(
         "asset_id",
-        "phash",
+        "l",
         F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
-    ).withColumn("bv", F.expr("substring(phash, band * 4 + 1, 4)"))
+    ).withColumn(
+        "bv", F.expr("CAST(shiftrightunsigned(l, 48 - band * 16) & 65535 AS INT)")
+    )
     buckets = (
         bands.groupBy("band", "bv")
-        .agg(F.sort_array(F.collect_list(F.struct("asset_id", "phash"))).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("asset_id", "l"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     return (
@@ -1513,14 +1527,14 @@ def phash_near_pairs(hashed: DataFrame) -> DataFrame:
                     _pair_expand_capped(
                         "ids",
                         "x.asset_id AS ida, y.asset_id AS idb, "
-                        "x.phash AS pa, y.phash AS pb",
+                        "x.l AS la, y.l AS lb",
                         "element_at(ids, 1).asset_id AS ida, y.asset_id AS idb, "
-                        "element_at(ids, 1).phash AS pa, y.phash AS pb",
+                        "element_at(ids, 1).l AS la, y.l AS lb",
                     )
                 )
             ).alias("p")
         )
-        .select("p.ida", "p.idb", "p.pa", "p.pb")
+        .select("p.ida", "p.idb", "p.la", "p.lb")
         .distinct()
     )
 
@@ -1536,9 +1550,10 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
     phash splits into 4 bands of 16 bits; candidate pairs share at
     least one exact band, which guarantees recall at Hamming distance
     <= :data:`PHASH_HAM_T` = 3 — so the returned per-distance pair
-    histogram is complete, not approximate.  Candidates verify with an
-    integer popcount over the nibble XORs (whole-stage codegen) and
-    the output is bounded (<= 4 rows) at any corpus size.
+    histogram is complete, not approximate.  Candidates verify with a
+    single ``bit_count(la ^ lb)`` over the longs carried through the
+    banding (whole-stage codegen, one op per pair) and the output is
+    bounded (<= 4 rows) at any corpus size.
 
     Scale shape: the full ``dedup_minhash`` banding contract — ONE
     exchange on (band, value) equi-keys, bucket EXPANSION rather than
@@ -1549,13 +1564,7 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     hashed = phash_assets(assets_from_documents(docs))
     ham = phash_near_pairs(hashed).withColumn(
-        "hamming",
-        F.expr(
-            "CAST(aggregate(transform(sequence(0, 15), __i -> "
-            "bit_count(CAST(conv(substring(pa, __i + 1, 1), 16, 10) AS INT) "
-            "^ CAST(conv(substring(pb, __i + 1, 1), 16, 10) AS INT))), "
-            "0, (__acc, __x) -> __acc + __x) AS BIGINT)"
-        ),
+        "hamming", F.expr("CAST(bit_count(la ^ lb) AS BIGINT)")
     )
     return (
         ham.where(F.col("hamming") <= PHASH_HAM_T)
@@ -1566,47 +1575,61 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _phash_near_oracle() -> str:
-    """Reuses the exact-phash oracle's decode/hash CTE chain, then
-    bands, candidate-generates (mirroring the Spark side's
-    MAX_BUCKET_SIZE star-pair cap exactly as ``_duck_pairs_cte`` does
-    for minhash), and popcount-verifies in DuckDB."""
+    """Reuses the exact-phash oracle's decode CTE chain up to the
+    ``bits`` CTE, re-packs the 64 bits as a SIGNED 64-bit integer
+    (two's-complement — exactly Spark's ``conv(phash, 16, -10)``
+    reinterpretation), bands it with integer arithmetic, candidate-
+    generates (mirroring the Spark side's MAX_BUCKET_SIZE star-pair
+    cap exactly as ``_duck_pairs_cte`` does for minhash), and
+    verifies with one integer ``bit_count(xor(la, lb))`` per pair."""
     from substreams_sink_clickhouse_spark.operators.dedup import MAX_BUCKET_SIZE
 
-    prefix = _PHASH_ORACLE[: _PHASH_ORACLE.rindex("SELECT asset_id, phash,")]
+    prefix = _PHASH_ORACLE[: _PHASH_ORACLE.rindex("hashed AS (")]
     if MAX_BUCKET_SIZE is None:
         cand = """cand AS (
-  SELECT DISTINCT a.asset_id AS ida, b.asset_id AS idb,
-         a.phash AS pa, b.phash AS pb
+  SELECT DISTINCT a.asset_id AS ida, b.asset_id AS idb, a.l AS la, b.l AS lb
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.asset_id < b.asset_id
 )"""
     else:
         cand = f"""bsz AS (
   SELECT band, bv, count(*) AS n,
-         min(asset_id) AS rep, arg_min(phash, asset_id) AS rep_phash
+         min(asset_id) AS rep, arg_min(l, asset_id) AS rep_l
   FROM bands GROUP BY 1, 2
 ), cand AS (
-  SELECT a.asset_id AS ida, b.asset_id AS idb, a.phash AS pa, b.phash AS pb
+  SELECT a.asset_id AS ida, b.asset_id AS idb, a.l AS la, b.l AS lb
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.asset_id < b.asset_id
   JOIN bsz s ON a.band = s.band AND a.bv = s.bv
   WHERE s.n <= {MAX_BUCKET_SIZE}
   UNION
-  SELECT s.rep AS ida, b.asset_id AS idb, s.rep_phash AS pa, b.phash AS pb
+  SELECT s.rep AS ida, b.asset_id AS idb, s.rep_l AS la, b.l AS lb
   FROM bands b
   JOIN bsz s ON b.band = s.band AND b.bv = s.bv
   WHERE s.n > {MAX_BUCKET_SIZE} AND b.asset_id > s.rep
 )"""
-    return f"""{prefix.rstrip()},
+    return f"""{prefix.rstrip().rstrip(',')},
+hl AS (
+  SELECT asset_id, hi, lo,
+         CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+              * 4294967296 + lo AS BIGINT) AS l
+  FROM (
+    SELECT asset_id,
+           CAST(list_sum(list_transform(range(32, 64),
+                k -> bit[k + 1] * (1::BIGINT << (k - 32)))) AS BIGINT) AS hi,
+           CAST(list_sum(list_transform(range(0, 32),
+                k -> bit[k + 1] * (1::BIGINT << k))) AS BIGINT) AS lo
+    FROM bits)),
 bands AS (
-  SELECT asset_id, phash, i AS band, substr(phash, i * 4 + 1, 4) AS bv
-  FROM hashed, LATERAL (SELECT unnest(range(0, {PHASH_BANDS})) AS i)
+  SELECT asset_id, l, 0 AS band, CAST(hi // 65536 AS INT) AS bv FROM hl
+  UNION ALL
+  SELECT asset_id, l, 1, CAST(hi % 65536 AS INT) FROM hl
+  UNION ALL
+  SELECT asset_id, l, 2, CAST(lo // 65536 AS INT) FROM hl
+  UNION ALL
+  SELECT asset_id, l, 3, CAST(lo % 65536 AS INT) FROM hl
 ), {cand}, ham AS (
-  SELECT ida, idb,
-         CAST(list_sum(list_transform(range(0, 16), i ->
-           bit_count(xor(instr('0123456789abcdef', substr(pa, i + 1, 1)) - 1,
-                         instr('0123456789abcdef', substr(pb, i + 1, 1)) - 1))))
-              AS BIGINT) AS hamming
+  SELECT ida, idb, CAST(bit_count(xor(la, lb)) AS BIGINT) AS hamming
   FROM cand
 )
 SELECT hamming, count(*) AS n_pairs

@@ -1389,3 +1389,109 @@ SPECS.append(
         _rrf_oracle(),
     )
 )
+
+
+# ------------------------------------------- Matryoshka prefix eval
+
+#: Prefix dimensions evaluated against the full 64-dim ranking
+#: (Matryoshka representation learning: a well-trained MRL embedding
+#: keeps most retrieval quality in its leading dimensions, so ANN can
+#: search cheap prefixes first).
+MRL_DIMS = (8, 16, 32)
+
+
+def _sim_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval evaluation: for each
+    prefix length d, the cosine top-10 using only ``embedding[1:d]``
+    is compared with the full-dimension top-10 — per-dim overlap@10
+    and top-1 agreement.  This is the measurement that decides how
+    small a prefix an adaptive-retrieval deployment can serve (MRL,
+    Kusupati et al. 2022) — and at 100 TB it is the cheap screen
+    before committing to a truncated index.
+
+    Plan shape: each leg is ONE TakeOrderedAndProject over the scan
+    (no global sort, no shuffle — count_shuffles = 0, test-pinned at
+    the sweep), ranks are a row_number window over the already-
+    LIMITed 10-row result (driver-size state), and the per-dim
+    overlap joins are 10-row broadcasts; 2 bounded top-k scans per
+    prefix dim, output bounded (one row per dim) at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    scored = e.crossJoin(F.broadcast(probe))
+
+    def topk_ranked(dim: int | None) -> DataFrame:
+        if dim is None:
+            emb, pr = "embedding", "p"
+        else:
+            emb, pr = f"slice(embedding, 1, {dim})", f"slice(p, 1, {dim})"
+        sim = (
+            F.expr(_dot_expr(emb, pr))
+            / (F.expr(_norm_expr(emb)) * F.expr(_norm_expr(pr)))
+        )
+        top = (
+            scored.withColumn("__sim", sim)
+            .orderBy(F.desc("__sim"), "vec_id")
+            .limit(10)
+        )
+        # rank over the 10 surviving rows only (post-LIMIT window)
+        w = Window.orderBy(F.desc("__sim"), "vec_id")
+        return top.select("vec_id", F.row_number().over(w).alias("rank"))
+
+    rows = None
+    for d in MRL_DIMS:
+        full = topk_ranked(None)
+        pre = topk_ranked(d).withColumnRenamed("rank", "prank")
+        row = full.join(pre, "vec_id").agg(
+            F.lit(d).cast("long").alias("dim"),
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum(
+                F.when((F.col("rank") == 1) & (F.col("prank") == 1), 1).otherwise(0)
+            ).alias("top1_match"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("dim")
+
+
+def _matryoshka_oracle() -> str:
+    def scored(dim: int | None) -> str:
+        emb = "e.embedding" if dim is None else f"e.embedding[1:{dim}]"
+        pr = "probe.p" if dim is None else f"probe.p[1:{dim}]"
+        return (
+            f"SELECT e.vec_id, {_duck_dot(emb, pr)}"
+            f" / ({_duck_norm(emb)} * {_duck_norm(pr)}) AS simx"
+            f" FROM embeddings e, probe"
+        )
+
+    legs = []
+    for d in MRL_DIMS:
+        legs.append(f"""
+SELECT CAST({d} AS BIGINT) AS dim,
+       (SELECT count(*) FROM
+          (SELECT vec_id FROM ({scored(None)}) ORDER BY simx DESC, vec_id LIMIT 10) f
+          JOIN (SELECT vec_id FROM ({scored(d)}) ORDER BY simx DESC, vec_id LIMIT 10) pre
+          USING (vec_id)) AS n_overlap,
+       (SELECT count(*) FROM
+          (SELECT vec_id FROM ({scored(None)}) ORDER BY simx DESC, vec_id LIMIT 1) f1
+          JOIN (SELECT vec_id FROM ({scored(d)}) ORDER BY simx DESC, vec_id LIMIT 1) p1
+          USING (vec_id)) AS top1_match""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+{union}
+ORDER BY dim"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_matryoshka",
+        "Matryoshka prefix-dim retrieval eval: overlap@10 + top-1 "
+        "agreement of embedding[1:d] cosine vs full-dim, per prefix",
+        _sim_matryoshka,
+        _matryoshka_oracle(),
+    )
+)

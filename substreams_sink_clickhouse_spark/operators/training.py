@@ -666,3 +666,81 @@ SPECS.append(
         _TRAIN_CURRICULUM_ORACLE,
     )
 )
+
+
+# -------------------------------------------- importance sampling
+
+def _train_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted importance sampling with the Horvitz–Thompson
+    diagnostic — the continuous-probability upgrade of ``train_mix``'s
+    per-tier constant rates: every document gets its OWN keep
+    probability p = clamp(n_chars / 2000, 0.05, 1) (longer documents
+    are likelier training keeps), the keep decision is a deterministic
+    MD5 uniform u < p (reproducible across engines and runs — no RNG
+    state), and each source reports actual kept vs expected (Σp) and
+    the HT estimate Σ 1/p over keeps, which re-estimates the original
+    corpus size from the sample — the standard audit that the sampler
+    is unbiased.
+
+    The half-step in u ((h % 1e6 + 0.5) / 1e6) makes u == p impossible
+    (p is a multiple of 1/2000 = 500/1e6; u is never an integer
+    multiple), so the strict < is tie-free on both engines.
+
+    Scale: map-only projection + one hash-aggregate exchange carrying
+    source cardinality; the filter rides the scan at 100 TB."""
+    d = load_table(spark, sf, "documents")
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.05), F.col("n_chars") / F.lit(2000.0))
+    )
+    u = (
+        md5_long(F.concat(F.lit("imp:"), F.col("doc_id").cast("string")))
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    kept = F.col("__u") < F.col("__p")
+    return (
+        d.withColumn("__p", p)
+        .withColumn("__u", u)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.sum("__p"), 4).alias("expected_kept"),
+            F.round(
+                F.sum(F.when(kept, 1.0 / F.col("__p")).otherwise(0.0)), 4
+            ).alias("ht_estimate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _train_importance_oracle() -> str:
+    h = duck_md5_long_sql("CONCAT('imp:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH x AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               greatest(CAST(0.05 AS DOUBLE),
+                        n_chars / CAST(2000.0 AS DOUBLE))) AS p,
+         ({h} % 1000000 + 0.5) / 1000000.0 AS u
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(p), 4) AS expected_kept,
+       round(sum(CASE WHEN u < p THEN CAST(1.0 AS DOUBLE) / p
+                      ELSE 0.0 END), 4) AS ht_estimate
+FROM x GROUP BY source ORDER BY source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_importance",
+        "Quality-weighted importance sampling: per-doc keep "
+        "probability, deterministic tie-free uniform, Horvitz–"
+        "Thompson corpus-size audit per source",
+        _train_importance,
+        _train_importance_oracle(),
+    )
+)

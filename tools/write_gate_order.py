@@ -50,6 +50,8 @@ PRIORITY = [
     "q185_asof_state",  # round-9 additions
     "q186_dialect_array_defaults",
     "q187_dialect_asof_join",
+    "train_importance",
+    "sim_matryoshka",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
