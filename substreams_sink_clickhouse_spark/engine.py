@@ -226,6 +226,9 @@ class Engine:
         if "SYSTEM_TIME" in query.upper():
             query = self._rewrite_system_time(query)
         if dialect == "clickhouse":
+            routed = self._route_explain(query)
+            if routed is not None:
+                return routed
             from substreams_sink_clickhouse_spark.functions.dialect import (
                 clickhouse_to_spark_sql,
                 rewrite_final_tables,
@@ -479,6 +482,68 @@ class Engine:
         # refresh the SQL view to expose the widened schema
         pipe.table(table).createOrReplaceTempView(table)
         return info
+
+    def _route_explain(self, query: str):
+        """ClickHouse ``EXPLAIN [kind] <query>`` parity: a reference
+        user's plan-inspection statements run unchanged.
+
+        * ``EXPLAIN SYNTAX q`` — ClickHouse returns the rewritten
+          query; here that is the TRANSLATED Spark SQL text (the most
+          useful shim-debugging surface), one row per line.
+        * ``EXPLAIN [PLAN] q`` / ``EXPLAIN PIPELINE q`` — the Spark
+          formatted physical plan (``EXPLAIN FORMATTED``) of the
+          translated query, as Spark's own one-column plan frame.
+        * ``EXPLAIN ESTIMATE q`` — ``EXPLAIN COST`` (Spark's stats
+          estimates are the engine analogue of ClickHouse's
+          rows/marks estimate).
+        * ``EXPLAIN AST`` — raises: the ClickHouse AST has no Spark
+          equivalent; use SYNTAX for the rewritten query.
+
+        Returns ``None`` when ``query`` is not an EXPLAIN statement.
+        ``ORDER BY ... WITH FILL`` inside an explained query is
+        stripped (the fill is a structural post-step applied outside
+        the SQL plan; the explained plan covers everything below it)."""
+        import re as _re
+
+        m = _re.match(
+            r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+"
+            r"(?=SELECT\b|WITH\b)(.+)$",
+            query,
+            flags=_re.IGNORECASE | _re.DOTALL,
+        )
+        if m is None:
+            return None
+        kind = (m.group(1) or "PLAN").upper()
+        if kind == "AST":
+            raise ValueError(
+                "EXPLAIN AST has no Spark equivalent - use EXPLAIN "
+                "SYNTAX for the translated query text or EXPLAIN for "
+                "the physical plan"
+            )
+        from substreams_sink_clickhouse_spark.functions.dialect import (
+            clickhouse_to_spark_sql,
+            rewrite_final_tables,
+        )
+        from substreams_sink_clickhouse_spark.functions.fill import strip_with_fill
+
+        inner, _fill = strip_with_fill(m.group(2))
+        inner = rewrite_final_tables(inner, self._final_view)
+        translated = clickhouse_to_spark_sql(
+            inner, column_types=self._catalog_column_types() or None
+        )
+        if kind == "SYNTAX":
+            from pyspark.sql import types as T
+
+            from substreams_sink_clickhouse_spark.functions.localdata import local_df
+
+            return local_df(
+                self.spark,
+                [(line,) for line in translated.splitlines() if line.strip()]
+                or [(translated.strip(),)],
+                T.StructType([T.StructField("explain", T.StringType())]),
+            )
+        mode = "COST" if kind == "ESTIMATE" else "FORMATTED"
+        return self.spark.sql(f"EXPLAIN {mode} {translated}")
 
     def _route_maintenance_statement(self, query: str):
         """Recognize the ClickHouse maintenance statements a reference

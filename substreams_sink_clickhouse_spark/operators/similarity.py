@@ -170,26 +170,12 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def _sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-Flat approximate search: an inverted-file index with a
-    deterministic coarse quantizer.
-
-    * centroids — the first ``N_CENTROIDS`` corpus vectors (a real
-      deployment would k-means a sample; a fixed pick keeps both
-      engines bit-identical);
-    * assignment — every vector joins its nearest centroid by cosine
-      (broadcast of the tiny centroid set; ties break to the lower
-      centroid id);
-    * search — the probe scans only the ``N_PROBE`` inverted lists
-      nearest to it, then exact cosine + top-5 inside them.
-
-    At scale the inverted lists are the partitioning: cluster the
-    stored corpus by ``cid`` so a query touches ``N_PROBE``/``nlist``
-    of the data — the IVF contract.
-    """
+def _ivf_parts(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Coarse-quantizer halves shared by ``sim_ivf`` and
+    ``sim_ivf_pq``: (per-vector inverted-list assignment DataFrame
+    ``(vec_id, embedding, cid)``, probe's top-``N_PROBE`` list ids)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf, "embeddings")
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
@@ -209,6 +195,28 @@ def _sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
         ranked.filter((F.col("vec_id") == PROBE_VEC_ID) & (F.col("rn") <= N_PROBE))
         .select("cid")
     )
+    return assign, probed_lists
+
+
+def _sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat approximate search: an inverted-file index with a
+    deterministic coarse quantizer.
+
+    * centroids — the first ``N_CENTROIDS`` corpus vectors (a real
+      deployment would k-means a sample; a fixed pick keeps both
+      engines bit-identical);
+    * assignment — every vector joins its nearest centroid by cosine
+      (broadcast of the tiny centroid set; ties break to the lower
+      centroid id);
+    * search — the probe scans only the ``N_PROBE`` inverted lists
+      nearest to it, then exact cosine + top-5 inside them.
+
+    At scale the inverted lists are the partitioning: cluster the
+    stored corpus by ``cid`` so a query touches ``N_PROBE``/``nlist``
+    of the data — the IVF contract.
+    """
+    e = load_table(spark, sf, "embeddings")
+    assign, probed_lists = _ivf_parts(e)
     probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("embedding").alias("p"))
     cands = assign.join(F.broadcast(probed_lists), "cid", "left_semi")
     scored = cands.crossJoin(F.broadcast(probe)).withColumn(
@@ -621,6 +629,23 @@ def _sim_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     folds — so the DuckDB oracle reproduces every distance bit-for-bit.
     """
     e = load_table(spark, sf, "embeddings")
+    adc = _adc_expr(e)
+    return (
+        e.select("vec_id", F.round(F.expr(f"sqrt({adc})"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
+
+
+def _adc_expr(e: DataFrame) -> str:
+    """Plan-literal ADC distance expression over an ``embedding``
+    column: collects the PQ_K codebook vectors + the probe to the
+    driver (the learned model — a bounded PQ_K+1 row transfer), builds
+    the per-subspace probe-to-centroid lookup tables in Python doubles
+    (same IEEE sequence as the engines' folds), and returns the SQL
+    summing PQ_M table lookups on the row's nearest-centroid codes.
+    Shared by ``sim_pq_adc`` (flat scan) and ``sim_ivf_pq`` (scan
+    restricted to the probed inverted lists)."""
     rows = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in e.filter(
@@ -661,12 +686,7 @@ def _sim_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         ]
         tab = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in table) + ")"
         score_terms.append(f"element_at({tab}, {best_exprs[m]}.c + 1)")
-    adc = " + ".join(score_terms)
-    return (
-        e.select("vec_id", F.round(F.expr(f"sqrt({adc})"), 6).alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(5)
-    )
+    return " + ".join(score_terms)
 
 
 def _pq_adc_oracle() -> str:
@@ -1493,5 +1513,92 @@ SPECS.append(
         "agreement of embedding[1:d] cosine vs full-dim, per prefix",
         _sim_matryoshka,
         _matryoshka_oracle(),
+    )
+)
+
+
+# ------------------------------------------------ IVF-PQ composition
+
+def _sim_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: the production ANN architecture (FAISS ``IVFx,PQy``
+    with ``by_residual=false``) composed from the engine's two halves
+    — the IVF coarse quantizer prunes the scan to the probe's
+    ``N_PROBE`` inverted lists, and inside them distances come from
+    PQ ADC table lookups, never raw-vector arithmetic.
+
+    At 100 TB this multiplies the two savings: the list pruning cuts
+    ROWS to ~N_PROBE/nlist of the corpus (the lists are the storage
+    partitioning), and ADC cuts BYTES per surviving row to PQ_M code
+    lookups against plan-literal tables (the learned model ships in
+    the plan; nothing joins, nothing shuffles — the only exchange is
+    the coarse assignment's per-vector rank, which a real deployment
+    precomputes into the layout).  Top-5 by approximate distance over
+    the probed lists."""
+    e = load_table(spark, sf, "embeddings")
+    assign, probed_lists = _ivf_parts(e)
+    cands = assign.join(F.broadcast(probed_lists), "cid", "left_semi")
+    adc = _adc_expr(e)
+    return (
+        cands.select(
+            "vec_id", F.round(F.expr(f"sqrt({adc})"), 6).alias("adc_dist")
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    dists = []
+    for m in range(PQ_M):
+        dists.append(
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1), j -> "
+            f"(CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE))"
+            f" * (CAST(e.embedding[{m * PQ_SUB} + j] AS DOUBLE) - CAST(c.cvec[{m * PQ_SUB} + j] AS DOUBLE)))) AS d{m}"
+        )
+    bests = ", ".join(
+        f"list_min(list({{'d': d{m}, 'c': cid}})) AS b{m}" for m in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN ptab t{m} ON t{m}.cid = b.b{m}.c" for m in range(PQ_M)
+    )
+    total = " + ".join(f"t{m}.d{m}" for m in range(PQ_M))
+    return f"""
+WITH ccents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+csims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_duck_dot('e.embedding', 'c.cemb')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('c.cemb')}) AS csim
+  FROM embeddings e CROSS JOIN ccents c),
+cranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+  FROM csims),
+cassign AS (SELECT vec_id, embedding, cid FROM cranked WHERE rn = 1),
+cprobed AS (SELECT cid FROM cranked WHERE vec_id = {PROBE_VEC_ID} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT vec_id, embedding FROM cassign
+  WHERE cid IN (SELECT cid FROM cprobed)),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {PQ_K}),
+pair AS (
+  SELECT e.vec_id, c.cid, {', '.join(dists)}
+  FROM cand e CROSS JOIN cent c),
+best AS (SELECT vec_id, {bests} FROM pair GROUP BY vec_id),
+ptab AS (SELECT cid, {', '.join(f'd{m}' for m in range(PQ_M))}
+         FROM pair WHERE vec_id = {PROBE_VEC_ID})
+SELECT b.vec_id, round(sqrt({total}), 6) AS adc_dist
+FROM best b {joins}
+ORDER BY adc_dist, b.vec_id LIMIT 5
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_ivf_pq",
+        "IVF-PQ composition: coarse-quantizer list pruning + ADC "
+        "table-lookup distances inside the probed lists (FAISS "
+        "IVFx,PQy by_residual=false)",
+        _sim_ivf_pq,
+        _ivf_pq_oracle(),
     )
 )

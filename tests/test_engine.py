@@ -359,3 +359,34 @@ def test_asof_sql_and_block_resolution(spark, tmp_path):
     # a block before the first commit has no snapshot to serve
     with pytest.raises(ValueError, match="no committed epoch"):
         eng.sql("SELECT * FROM block_meta FOR SYSTEM_TIME AS OF 4")
+
+
+def test_explain_statement_parity(spark, tmp_path):
+    """ClickHouse EXPLAIN routes: SYNTAX returns the translated Spark
+    SQL, default/PLAN returns Spark's formatted physical plan, AST
+    raises with guidance, and non-EXPLAIN queries are untouched."""
+    import pytest
+
+    eng = Engine(
+        spark,
+        EngineConfig(
+            warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ckpt")
+        ),
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string") \
+        .createOrReplaceTempView("exp_t")
+    syn = eng.sql(
+        "EXPLAIN SYNTAX SELECT toInt64(id) AS v FROM exp_t", dialect="clickhouse"
+    )
+    text = "\n".join(r["explain"] for r in syn.collect())
+    assert "CAST(id AS BIGINT)" in text, text
+    plan = eng.sql(
+        "EXPLAIN SELECT count() AS n FROM exp_t", dialect="clickhouse"
+    ).collect()
+    joined = "\n".join(r[0] for r in plan)
+    assert "HashAggregate" in joined or "Aggregate" in joined, joined[:500]
+    with pytest.raises(ValueError, match="EXPLAIN AST"):
+        eng.sql("EXPLAIN AST SELECT 1 FROM exp_t", dialect="clickhouse")
+    # a column literally named explain must not trigger the route
+    n = eng.sql("SELECT count() AS explain FROM exp_t", dialect="clickhouse")
+    assert n.collect()[0][0] == 2

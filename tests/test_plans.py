@@ -497,3 +497,27 @@ def test_theils_u_join_free_single_exchange(spark):
     plan = simple_plan(df)
     assert "Join" not in plan, plan
     assert count_shuffles(df) <= 2
+
+
+def test_ivf_pq_broadcast_only_scan_topk(spark):
+    """sim_ivf_pq: list pruning must be a broadcast semi join and the
+    ADC distances plan literals — no sort-merge join, one TakeOrdered,
+    no extra exchange beyond the coarse-assignment window."""
+    from substreams_sink_clickhouse_spark.operators import similarity as SIM
+
+    df = SIM._sim_ivf_pq(spark, SF)
+    plan = simple_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert count_shuffles(df) <= 2, plan[:2000]
+
+
+def test_matryoshka_zero_shuffle(spark):
+    """sim_matryoshka: every leg is a TakeOrdered over the scan; the
+    10-row rank windows and overlap joins must add no exchange."""
+    from substreams_sink_clickhouse_spark.operators import similarity as SIM
+
+    df = SIM._sim_matryoshka(spark, SF)
+    assert count_shuffles(df) == 0, simple_plan(df)[:2000]
+    assert "CartesianProduct" not in simple_plan(df)

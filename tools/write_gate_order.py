@@ -52,6 +52,7 @@ PRIORITY = [
     "q187_dialect_asof_join",
     "train_importance",
     "sim_matryoshka",
+    "sim_ivf_pq",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
