@@ -1777,3 +1777,118 @@ SPECS.append(
         _BIGRAM_ORACLE,
     )
 )
+
+
+# ------------------------------------------------------------- DSIR
+
+#: Hashed-feature buckets for DSIR importance weights.  Small enough
+#: that the fitted model is a broadcastable table; collisions are part
+#: of the method (hashed n-gram features, Xie et al. 2023).
+DSIR_BUCKETS = 64
+
+
+def _text_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): select raw-corpus documents that look
+    like a TARGET distribution by importance weights under two hashed
+    unigram bucket models.
+
+    * fit — ONE aggregation over the exploded words computes, per
+      hash bucket, the raw count and the target count (target = the
+      ``lang = 'en'`` slice) simultaneously; add-one smoothing turns
+      them into p (target) and q (raw), and the per-bucket
+      ``log p - log q`` table is the fitted model — DSIR_BUCKETS rows,
+      broadcast everywhere (the window computing the two totals runs
+      on those 64 rows, not the corpus).
+    * apply — a second pass over the words joins the broadcast model
+      and sums per-document log-weights.
+
+    Output: per source — docs seen, docs selected (log w > 0, i.e.
+    target-likelier-than-raw), and the rounded total log-weight.  Two
+    corpus scans total (fit + apply), each a single exchange; the
+    model is O(DSIR_BUCKETS) driver/broadcast state at any corpus
+    size — the paper's own architecture (hashing is what makes the
+    model size corpus-independent).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).withColumn("b", md5_long(F.col("w")) % DSIR_BUCKETS)
+    counts = words.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_n"),
+    )
+    w_all = Window.partitionBy()
+    model = counts.select(
+        "b",
+        (
+            F.log(
+                (F.col("tgt_n") + 1.0)
+                / (F.sum("tgt_n").over(w_all) + F.lit(float(DSIR_BUCKETS)))
+            )
+            - F.log(
+                (F.col("raw_n") + 1.0)
+                / (F.sum("raw_n").over(w_all) + F.lit(float(DSIR_BUCKETS)))
+            )
+        ).alias("lr"),
+    )
+    docw = (
+        words.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("logw") > 0, 1).otherwise(0)).alias("n_selected"),
+            F.round(F.sum("logw"), 3).alias("sum_logw"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dsir_oracle() -> str:
+    h = duck_md5_long_sql("w")
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, source, w, {h} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, source,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)),
+counts AS (
+  SELECT b, count(*) AS raw_n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+  FROM words GROUP BY b),
+model AS (
+  SELECT b,
+         ln((tgt_n + 1.0) / (sum(tgt_n) OVER () + {DSIR_BUCKETS}.0))
+       - ln((raw_n + 1.0) / (sum(raw_n) OVER () + {DSIR_BUCKETS}.0)) AS lr
+  FROM counts),
+docw AS (
+  SELECT w.doc_id, w.source, sum(m.lr) AS logw
+  FROM words w JOIN model m ON m.b = w.b
+  GROUP BY 1, 2)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       round(sum(logw), 3) AS sum_logw
+FROM docw GROUP BY source ORDER BY source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_dsir",
+        "DSIR data selection (Xie et al. 2023): hashed-unigram "
+        "target/raw importance weights, broadcast 64-bucket model, "
+        "per-source selection counts",
+        _text_dsir,
+        _dsir_oracle(),
+    )
+)

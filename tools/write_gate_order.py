@@ -53,6 +53,7 @@ PRIORITY = [
     "train_importance",
     "sim_matryoshka",
     "sim_ivf_pq",
+    "text_dsir",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
