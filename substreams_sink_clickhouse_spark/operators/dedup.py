@@ -1418,3 +1418,98 @@ SPECS.append(
         _bloom_oracle(),
     )
 )
+
+
+# ------------------------------------------------------- containment
+
+#: Containment threshold: pairs where EITHER direction's containment
+#: reaches it are reported.  Deliberately higher than the Jaccard cut
+#: (a short doc fully quoted inside a long one has c ≈ 1 but Jaccard
+#: ≈ |short|/|long|, far below any symmetric threshold).
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def _dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder 1997, "On the
+    resemblance and containment of documents"): c(A→B) =
+    |S(A) ∩ S(B)| / |S(A)|.  This is the sub-document-duplication
+    detector Jaccard structurally misses — a short document wholly
+    quoted inside a long one scores c ≈ 1 while its Jaccard is only
+    |short|/|long|, far under any usable symmetric cut.
+
+    Same scale shape as ``dedup_ngram_jaccard``: common-shingle counts
+    come from per-shingle bucket EXPANSION (one exchange; stop-shingle
+    buckets over MAX_BUCKET_SIZE dropped, mirrored in the oracle), the
+    per-doc shingle-set sizes join in, and both directions report —
+    pairs survive when either direction reaches
+    :data:`CONTAINMENT_THRESHOLD`."""
+    aug = _aug_docs(spark, sf)
+    sh = _shingle_rows(aug)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingle_buckets = _cap_buckets(
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1),
+        "ids",
+    )
+    common = (
+        shingle_buckets.select(
+            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("c_ab", F.col("common").cast("double") / F.col("na").cast("double"))
+        .withColumn("c_ba", F.col("common").cast("double") / F.col("nb").cast("double"))
+        .filter(
+            (F.col("c_ab") >= CONTAINMENT_THRESHOLD)
+            | (F.col("c_ba") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+    return cont.select(
+        "doc_a",
+        "doc_b",
+        F.round("c_ab", 4).alias("c_ab"),
+        F.round("c_ba", 4).alias("c_ba"),
+    ).orderBy("doc_a", "doc_b")
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_DUCK_AUG.strip()},
+{_DUCK_SHINGLES.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN shc ON shc.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 4) AS c_ab,
+       round(CAST(common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE), 4) AS c_ba
+FROM common
+JOIN counts na ON na.doc_id = common.doc_a
+JOIN counts nb ON nb.doc_id = common.doc_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+   OR CAST(common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_containment",
+        "Asymmetric shingle containment (Broder): sub-document "
+        "duplication both directions, bucket-expansion common counts",
+        _dedup_containment,
+        _CONTAINMENT_ORACLE,
+    )
+)

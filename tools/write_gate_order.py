@@ -54,6 +54,7 @@ PRIORITY = [
     "sim_matryoshka",
     "sim_ivf_pq",
     "text_dsir",
+    "dedup_containment",
     "multimodal_phash_near",
     "q183_dialect_strsim",
     "q184_zorder_skipping",
