@@ -387,11 +387,32 @@ SHOWCASE = [
         "hash aggregate.",
     ),
     (
+        "q187_dialect_asof_join",
+        "ClickHouse ASOF JOIN translated to an equi shuffle join + "
+        "WindowGroupLimit top-1 per left row: no cartesian, no "
+        "decorrelation domain join - the rank filter is a streaming "
+        "top-1, never a full sort.",
+    ),
+    (
+        "sim_ivf_pq",
+        "IVF-PQ composition: the coarse quantizer's broadcast semi "
+        "join prunes ROWS to the probed lists; ADC's plan-literal "
+        "lookup tables prune BYTES per surviving row - the FAISS "
+        "architecture as one Catalyst plan.",
+    ),
+    (
         "multimodal_phash_near",
-        "Near-dup images: 4-band Hamming LSH — candidates from a "
-        "(band, value) equi-join exactly like dedup_minhash, popcount "
-        "verify in codegen, bounded histogram output.  Never an "
-        "all-pairs join.",
+        "Banded Hamming LSH on a SIGNED 64-bit reinterpretation of "
+        "the perceptual hash: integer band keys, bucket expansion "
+        "(no join operator), capped hot buckets, and a one-op "
+        "bit_count(xor) verify - 8x the string formulation at both "
+        "measured scales.",
+    ),
+    (
+        "text_dsir",
+        "DSIR data selection: the fitted model is a 64-row broadcast "
+        "(hashing makes it corpus-size-independent); fit and apply "
+        "are two single-exchange scans.",
     ),
 ]
 
