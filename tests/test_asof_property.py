@@ -1,0 +1,63 @@
+"""Property test: the dialect's ASOF JOIN translation must agree with
+a direct Python model of ClickHouse's semantics (for each left row,
+the right row with the maximal right-side value satisfying the single
+inequality within equal keys; LEFT keeps unmatched rows with NULLs;
+duplicate left rows each keep their own match) on random tables."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from substreams_sink_clickhouse_spark.functions.dialect import (
+    clickhouse_to_spark_sql,
+)
+
+_ROW_A = st.tuples(st.integers(0, 3), st.integers(0, 20))
+_ROW_B = st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99))
+
+
+def _model(a_rows, b_rows, op, left):
+    out = []
+    for k, t in a_rows:
+        cands = [
+            (bt, v)
+            for bk, bt, v in b_rows
+            if bk == k
+            and ((op == ">=" and bt <= t) or (op == ">" and bt < t))
+        ]
+        if cands:
+            # max right-side value; ClickHouse picks the closest —
+            # ties on bt are impossible here (we dedupe b on (k, t))
+            bt, v = max(cands)
+            out.append((k, t, bt, v))
+        elif left:
+            out.append((k, t, None, None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_ROW_A, min_size=1, max_size=8),
+    st.lists(_ROW_B, min_size=0, max_size=8),
+    st.sampled_from([">=", ">"]),
+    st.booleans(),
+)
+def test_asof_translation_matches_model(spark, a_rows, b_rows, op, left):
+    # dedupe b on (k, t): with ties the pick among equal bt values is
+    # engine-arbitrary (same as ClickHouse), so the property excludes it
+    b_map = {}
+    for k, t, v in b_rows:
+        b_map[(k, t)] = v
+    b_rows = [(k, t, v) for (k, t), v in sorted(b_map.items())]
+    spark.createDataFrame(a_rows, "k int, t int").createOrReplaceTempView("pa_t")
+    (spark.createDataFrame(b_rows, "k int, t int, v int")
+        .createOrReplaceTempView("pb_t"))
+    kw = "ASOF LEFT JOIN" if left else "ASOF JOIN"
+    sql = clickhouse_to_spark_sql(
+        f"SELECT a.k AS k, a.t AS t, b.t AS bt, b.v AS v "
+        f"FROM pa_t a {kw} pb_t b ON a.k = b.k AND a.t {op} b.t"
+    )
+    got = sorted(
+        [tuple(r) for r in spark.sql(sql).collect()],
+        key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0),
+    )
+    assert got == _model(a_rows, b_rows, op, left), (got, a_rows, b_rows, op, left)
