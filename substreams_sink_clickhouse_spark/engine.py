@@ -435,8 +435,16 @@ class Engine:
         table to its historical state (BLOCK is the default unit — the
         reference's provenance domain) by registering an as-of temp
         view and substituting its name.  Runs before dialect
-        translation so ClickHouse-dialect queries can use it too."""
+        translation so ClickHouse-dialect queries can use it too.
+        String literals are masked first (the same segment scan as the
+        translator) so SYSTEM_TIME-shaped TEXT inside a quoted string
+        is never rewritten — no spurious ``__asof_*`` views, no raise
+        for an unknown table named in prose."""
         import re as _re
+
+        from substreams_sink_clickhouse_spark.functions.dialect import (
+            _segments,
+        )
 
         def _sub(m: "_re.Match[str]") -> str:
             name, kind, n = (
@@ -453,12 +461,14 @@ class Engine:
             df.createOrReplaceTempView(view)
             return view
 
-        return _re.sub(
+        pat = _re.compile(
             r"\b(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
             r"(?:(EPOCH|BLOCK)\s+)?(\d+)",
-            _sub,
-            query,
             flags=_re.IGNORECASE,
+        )
+        return "".join(
+            pat.sub(_sub, text) if is_code else text
+            for is_code, text in _segments(query)
         )
 
     def cursor(self, module_hash: str = "default", on_mismatch: str = "error"):

@@ -79,6 +79,7 @@ reference's documented workloads.
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 from substreams_sink_clickhouse_spark.functions.dialect_ext import (
@@ -488,7 +489,12 @@ def _split_top_commas(args: str) -> list[str]:
 #: Per-translation column-type context for default-fill inference
 #: (set by ``clickhouse_to_spark_sql(column_types=...)``): plain
 #: column name -> Spark DDL type string (e.g. "ARRAY<BIGINT>").
-_COLUMN_TYPES: dict[str, str] | None = None
+#: A ContextVar, not a module global: translation stays reentrant and
+#: thread-safe (concurrent Engine.sql calls never see each other's
+#: catalog context).
+_COLUMN_TYPES: contextvars.ContextVar[dict[str, str] | None] = (
+    contextvars.ContextVar("_COLUMN_TYPES", default=None)
+)
 
 
 def _element_default(elem_type: str) -> str | None:
@@ -538,8 +544,9 @@ def _infer_array_fill(arr: str) -> str | None:
         if re.fullmatch(r"\x01\d+\x01", first):
             return "''"  # masked string literal
         return None
-    if re.fullmatch(r"`?\w+`?", s) and _COLUMN_TYPES:
-        t = _COLUMN_TYPES.get(s.strip("`"))
+    column_types = _COLUMN_TYPES.get()
+    if re.fullmatch(r"`?\w+`?", s) and column_types:
+        t = column_types.get(s.strip("`"))
         if t:
             m2 = re.fullmatch(r"\s*ARRAY\s*<\s*(.+)\s*>\s*", t,
                               flags=re.IGNORECASE | re.DOTALL)
@@ -2106,37 +2113,104 @@ _ASOF_TERM = re.compile(
     re.IGNORECASE,
 )
 
+#: depth-0 keywords that end a WHERE predicate (a WHERE can never be
+#: followed by a join keyword, so the list is _ASOF_TERM minus those)
+_ASOF_PRED_TERM = re.compile(
+    r"\b(GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|"
+    r"SETTINGS|WINDOW|FORMAT)\b",
+    re.IGNORECASE,
+)
+
+
+def _flatten_owner_star(
+    code: str, pos: int, a_alias: str, b_alias: str
+) -> str | None:
+    """Rewrite a bare ``*`` in the SELECT list that owns the ASOF join
+    at ``pos`` to ``a.*, b.*`` (Spark expands a struct column's fields
+    for ``col.*``), so ``SELECT *`` yields ClickHouse's flattened
+    left-then-right columns instead of the rewrite's two struct
+    columns.  Returns None when there is nothing to flatten."""
+    # owning SELECT: scan backwards for a SELECT at the same paren
+    # depth; hitting an unmatched '(' means the join's subquery scope
+    # started without one (no owning SELECT — leave the query alone)
+    sel = None
+    depth = 0
+    for tm in reversed(
+        list(re.finditer(r"[()]|\bSELECT\b", code[:pos], re.IGNORECASE))
+    ):
+        tok = tm.group(0)
+        if tok == ")":
+            depth += 1
+        elif tok == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            sel = tm.end()
+            break
+    if sel is None:
+        return None
+    seg = code[sel:pos]
+    fm = re.search(r"\bFROM\b", _blank_parens(seg), re.IGNORECASE)
+    if fm is None:
+        return None
+    blanked = _blank_parens(seg[: fm.start()])
+    start = 0
+    bounds = [c.start() for c in re.finditer(r",", blanked)] + [len(blanked)]
+    for end in bounds:
+        item = blanked[start:end]
+        im = re.fullmatch(
+            r"\s*(?:(?:DISTINCT|ALL)\s+)?(\*)\s*", item, re.IGNORECASE
+        )
+        if im:
+            at = sel + start + im.start(1)
+            return (
+                code[:at] + f"{a_alias}.*, {b_alias}.*" + code[at + 1 :]
+            )
+        start = end + 1
+    return None
+
 
 def _rewrite_asof_join(code: str) -> str:
-    """ClickHouse ``[LEFT] ASOF JOIN`` → an equi-join + per-left-row
-    top-1 window (docs: for each left row, pick the right row with the
-    closest value satisfying the one inequality in ON).
+    """ClickHouse ``[LEFT] ASOF JOIN`` → Spark SQL, two shapes (docs:
+    for each left row, pick the right row with the closest value
+    satisfying the one inequality in ON, within equal join keys).
 
-    The rewrite wraps both sides as single-STRUCT-column derived
-    tables named by their aliases, joins on the original conditions
-    (alias.col becomes struct-field access — qualified references in
-    the rest of the query keep working unchanged), identifies left
-    rows by ``monotonically_increasing_id()`` (duplicate left rows
-    each keep their own match, exactly ClickHouse's semantics), ranks
-    right rows by the inequality's right-side operand, and keeps rank
-    1.  Catalyst plans the rank-1 filter as ``WindowGroupLimit`` — a
-    streaming top-1 per left row, never a full sort — on top of a
-    plain equi shuffle join; no cartesian/BNLJ anywhere (the LATERAL
-    formulation decorrelates into a CartesianProduct domain join,
-    measured — hence this shape).
+    **Bounded shape** (the common case — every ON condition is a plain
+    qualified column: ``a.k = b.k … AND a.ts >= b.ts``): tag both
+    sides, UNION ALL, ONE running ``last_value(…, true)`` window per
+    key ordered by (ts, side), keep tagged left rows — the shape of
+    the engine's native as-of operator (operators/relational.py:
+    _q31_asof).  One exchange per side into the window's hash
+    partitioning, O(1) state per row, NO join operator in the plan:
+    a hot key (one instrument holding millions of right rows) streams
+    instead of fanning out.  Tie (equal ts) resolution follows the
+    operator: inclusive ops see same-ts right rows, strict ops do
+    not.  NULL join keys / NULL asof columns never match (equi-join
+    semantics), enforced by NULL-ing the carried struct on both
+    sides.  The rewritten text names its derived tables ``__asof_u/
+    __asof_w/__asof_b`` — ``Engine.sql("EXPLAIN SYNTAX …")`` shows
+    which shape a query took.
+
+    **Fallback shape** (general expressions in ON): equi-join + per-
+    left-row top-1 window.  Both sides become single-STRUCT-column
+    derived tables named by their aliases (qualified references keep
+    working unchanged), left rows are identified by
+    ``monotonically_increasing_id()`` (duplicate left rows each keep
+    their own match, exactly ClickHouse's semantics), right rows rank
+    by the inequality's right-side operand, rank 1 wins.  Catalyst
+    plans the rank-1 filter as ``WindowGroupLimit`` — a streaming
+    top-1, never a full sort — but the join output before it is
+    O(|L_k|·|R_k|) per key (ClickHouse bounds the same blow-up by
+    materializing per-key sorted arrays in memory); the fallback's
+    rewritten text carries ``__asof_rn``/``__asof_rid``.
 
     Lexical scope (raise otherwise): both sides plain identifiers
-    (tables/CTEs — pre-wrap subqueries in a WITH), the ASOF join is
-    the last join in its FROM, and the query references columns
-    QUALIFIED by the join aliases (``SELECT *`` would expose the
-    struct columns, not flattened fields).
-
-    Scale note: the pre-rank join fans out each left row to ALL
-    earlier right rows in its key (ClickHouse bounds the same blow-up
-    by materializing per-key sorted arrays in memory).  For the
-    bounded-state path use the engine's native as-of operator
-    (operators/relational.py:_q31_asof — one union + one window, no
-    fan-out)."""
+    (tables/CTEs — pre-wrap subqueries in a WITH) and the ASOF join
+    is the last join in its FROM.  A bare ``SELECT *`` over the join
+    is flattened to ``a.*, b.*`` (ClickHouse's column order);
+    ``a.*``/``b.*`` and qualified columns work as-is via struct-field
+    expansion."""
     while True:
         m = _ASOF_PAT.search(code)
         if m is None:
@@ -2163,6 +2237,13 @@ def _rewrite_asof_join(code: str) -> str:
                 "ASOF JOIN must be the last join in its FROM clause "
                 "here - put preceding joins in a WITH subquery"
             )
+        # a bare SELECT * over the join flattens to a.*, b.* FIRST
+        # (the replacement shifts positions, so re-search from scratch;
+        # the star is gone after one pass, so the loop converges)
+        flat = _flatten_owner_star(code, m.start(), a_alias, b_alias)
+        if flat is not None:
+            code = flat
+            continue
         # split depth-0 ANDs; exactly one inequality drives the pick
         parts: list[str] = []
         start = 0
@@ -2171,31 +2252,108 @@ def _rewrite_asof_join(code: str) -> str:
             parts.append(conds_sql[start : am.start()])
             start = am.end()
         parts.append(conds_sql[start:])
-        ineqs = [
-            p for p in parts
+        ineq_idx = [
+            i for i, p in enumerate(parts)
             if re.search(r"(?<![<>!=])(>=|<=|<(?!=)|>(?!=))(?!=)",
                          _blank_parens(p))
         ]
-        if len(ineqs) != 1:
+        if len(ineq_idx) != 1:
             raise ValueError(
                 f"ASOF JOIN needs exactly ONE inequality in ON "
-                f"(found {len(ineqs)}): the closest-match condition"
+                f"(found {len(ineq_idx)}): the closest-match condition"
             )
-        om = re.search(r"(>=|<=|<|>)", _blank_parens(ineqs[0]))
-        lhs = ineqs[0][: om.start()].strip()
+        ineq = parts[ineq_idx[0]]
+        om = re.search(r"(>=|<=|<|>)", _blank_parens(ineq))
+        lhs = ineq[: om.start()].strip()
         op = om.group(1)
-        rhs = ineqs[0][om.end() :].strip()
+        rhs = ineq[om.end() :].strip()
         b_ref = re.compile(rf"\b{re.escape(b_alias)}\s*\.")
         if b_ref.search(rhs) and not b_ref.search(lhs):
-            b_expr, b_low = rhs, op in (">=", ">")
+            a_expr, b_expr, b_low = lhs, rhs, op in (">=", ">")
         elif b_ref.search(lhs) and not b_ref.search(rhs):
-            b_expr, b_low = lhs, op in ("<=", "<")
+            a_expr, b_expr, b_low = rhs, lhs, op in ("<=", "<")
         else:
             raise ValueError(
                 "ASOF JOIN inequality must compare a left-side to a "
                 f"right-side ({b_alias}.) expression"
             )
-        # right side is the lower bound -> closest match = MAX of it
+
+        # ---- bounded path: every ON condition is a plain qualified
+        # column -> union + one running last_value window (no join)
+        def _plain(expr: str, alias: str) -> str | None:
+            pm = re.fullmatch(
+                rf"\s*{re.escape(alias)}\s*\.\s*(\w+)\s*", expr
+            )
+            return pm.group(1) if pm else None
+
+        l_keys: list[str] = []
+        r_keys: list[str] = []
+        bounded = a_alias != b_alias
+        for i, p in enumerate(parts):
+            if i == ineq_idx[0]:
+                continue
+            em = re.fullmatch(
+                r"\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*", p
+            )
+            if em and {em.group(1), em.group(3)} == {a_alias, b_alias}:
+                if em.group(1) == a_alias:
+                    l_keys.append(em.group(2))
+                    r_keys.append(em.group(4))
+                else:
+                    l_keys.append(em.group(4))
+                    r_keys.append(em.group(2))
+            else:
+                bounded = False
+        l_ts = _plain(a_expr, a_alias)
+        r_ts = _plain(b_expr, b_alias)
+        if bounded and l_keys and l_ts is not None and r_ts is not None:
+            # b is the lower bound (closest = MAX b.ts <= bound) ->
+            # walk time forward and carry the last right row; upper
+            # bound -> walk backward.  Tie order: inclusive ops see
+            # same-ts right rows (right sorts first: side 0 < 1),
+            # strict ops don't (left first: side DESC).
+            ts_dir = "ASC" if b_low else "DESC"
+            side_dir = "ASC" if op in (">=", "<=") else "DESC"
+            part_cols = ", ".join(
+                f"__asof_k{i}" for i in range(len(l_keys))
+            )
+            lsel = ", ".join(
+                f"{c} AS __asof_k{i}" for i, c in enumerate(l_keys)
+            )
+            rsel = ", ".join(
+                f"{c} AS __asof_k{i}" for i, c in enumerate(r_keys)
+            )
+            lnull = " OR ".join(
+                f"{a_alias}.{c} IS NULL" for c in [*l_keys, l_ts]
+            )
+            rnull = " OR ".join(
+                f"{c} IS NULL" for c in [*r_keys, r_ts]
+            )
+            match_f = "" if left_kw.strip() else (
+                f" AND {b_alias} IS NOT NULL"
+            )
+            rewritten = (
+                f"(SELECT {a_alias}, {b_alias} FROM "
+                f"(SELECT {a_alias}, IF({lnull}, NULL, "
+                f"last_value({b_alias}, true) OVER ("
+                f"PARTITION BY {part_cols} "
+                f"ORDER BY __asof_ts {ts_dir}, __asof_side {side_dir} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+                f"AS {b_alias}, __asof_side FROM "
+                f"(SELECT struct(*) AS {a_alias}, NULL AS {b_alias}, "
+                f"{lsel}, {l_ts} AS __asof_ts, 1 AS __asof_side "
+                f"FROM {a_tbl} UNION ALL "
+                f"SELECT NULL AS {a_alias}, "
+                f"IF({rnull}, NULL, struct(*)) AS {b_alias}, "
+                f"{rsel}, {r_ts} AS __asof_ts, 0 AS __asof_side "
+                f"FROM {b_tbl}) AS __asof_u) AS __asof_w "
+                f"WHERE __asof_side = 1{match_f}) AS __asof_b "
+            )
+            code = code[: m.start()] + rewritten + suffix
+            continue
+
+        # ---- fallback: general expressions in ON -> equi-join +
+        # per-left-row top-1 (fan-out hazard documented above)
         direction = "DESC" if b_low else "ASC"
         rewritten = (
             f"(SELECT {a_alias}, {b_alias}, row_number() OVER ("
@@ -2210,9 +2368,15 @@ def _rewrite_asof_join(code: str) -> str:
         )
         wm = re.match(r"\s*WHERE\b", suffix, flags=re.IGNORECASE)
         if wm:
-            suffix = re.sub(
-                r"\s*WHERE\b", " WHERE __asof_rn = 1 AND", suffix,
-                count=1, flags=re.IGNORECASE,
+            # parenthesize the original predicate up to its depth-0
+            # clause terminator: a top-level OR must not let non-top-1
+            # fan-out rows leak through (AND binds tighter than OR)
+            rest = suffix[wm.end() :]
+            pt = _ASOF_PRED_TERM.search(_blank_parens(rest))
+            pend = pt.start() if pt else len(rest)
+            suffix = (
+                f" WHERE __asof_rn = 1 AND ({rest[:pend].strip()}) "
+                + rest[pend:]
             )
         else:
             suffix = " WHERE __asof_rn = 1" + (
@@ -2314,14 +2478,15 @@ def clickhouse_to_spark_sql(
     ``column_types`` (optional) maps plain column names to Spark DDL
     type strings (e.g. ``{"arr": "ARRAY<BIGINT>"}``) — the catalog
     context that lets ClickHouse's 2-arg ``arrayResize``/``arrayShift*``
-    forms infer their type-default pad element for cataloged columns."""
-    global _COLUMN_TYPES
+    forms infer their type-default pad element for cataloged columns.
+    Carried in a ContextVar for the duration of this call (reentrant
+    and thread-safe — concurrent translations can't leak context)."""
     if column_types is not None:
-        prev, _COLUMN_TYPES = _COLUMN_TYPES, column_types
+        token = _COLUMN_TYPES.set(column_types)
         try:
             return clickhouse_to_spark_sql(query)
         finally:
-            _COLUMN_TYPES = prev
+            _COLUMN_TYPES.reset(token)
     literals: list[str] = []
     masked_parts: list[str] = []
     for is_code, text in _segments(query):

@@ -809,15 +809,16 @@ def _q187_dialect_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     satisfying the single inequality) and the unmatched-row NULL leg
     are engine-cross-checked.
 
-    The shim rewrite (functions/dialect.py:_rewrite_asof_join) plans
-    as ONE equi shuffle join on user_id plus a WindowGroupLimit top-1
-    per left row — no cartesian, no BNLJ (the obvious LATERAL-LIMIT
-    formulation decorrelates into a CartesianProduct domain join;
-    measured and rejected).  (user_id, event_id) is unique in the
-    fixture, so the pick is deterministic.  Scale: the pre-rank join
-    fans out to all prior clicks per (purchase, user) — ClickHouse
-    pays the same class of cost materializing per-key arrays; the
-    engine's bounded-state path is the q31 union+window as-of."""
+    The shim rewrite (functions/dialect.py:_rewrite_asof_join) takes
+    the BOUNDED path for this plain-column ON: tag both sides, UNION
+    ALL, one running ``last_value(…, true)`` window per user ordered
+    by (event_id, side) — the same shape as the engine's native as-of
+    operator (relational.py:_q31_asof).  NO join operator in the
+    plan, O(1) state per row: a hot user holding millions of clicks
+    streams instead of fanning out (the fan-out equi-join + top-1
+    shape remains only as the general-expression fallback, and
+    ``EXPLAIN SYNTAX`` shows which shape a query took).  (user_id,
+    event_id) is unique in the fixture, so the pick is deterministic."""
     return _via_shim(spark, sf, ["events"], _Q187_CH)
 
 

@@ -1466,12 +1466,20 @@ def _sim_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
     for d in MRL_DIMS:
         full = topk_ranked(None)
         pre = topk_ranked(d).withColumnRenamed("rank", "prank")
+        # coalesce: a prefix top-10 DISJOINT from the full top-10 makes
+        # the overlap join empty, where sum() is NULL but the oracle's
+        # count(*) is 0 — the zero-row aggregate must agree
         row = full.join(pre, "vec_id").agg(
             F.lit(d).cast("long").alias("dim"),
             F.count(F.lit(1)).alias("n_overlap"),
-            F.sum(
-                F.when((F.col("rank") == 1) & (F.col("prank") == 1), 1).otherwise(0)
-            ).alias("top1_match"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("rank") == 1) & (F.col("prank") == 1), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("top1_match"),
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("dim")

@@ -52,12 +52,21 @@ def test_asof_translation_matches_model(spark, a_rows, b_rows, op, left):
     (spark.createDataFrame(b_rows, "k int, t int, v int")
         .createOrReplaceTempView("pb_t"))
     kw = "ASOF LEFT JOIN" if left else "ASOF JOIN"
+    expect = _model(a_rows, b_rows, op, left)
+    key = lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0)  # noqa: E731
+    # plain-column ON -> bounded union+window path
     sql = clickhouse_to_spark_sql(
         f"SELECT a.k AS k, a.t AS t, b.t AS bt, b.v AS v "
         f"FROM pa_t a {kw} pb_t b ON a.k = b.k AND a.t {op} b.t"
     )
-    got = sorted(
-        [tuple(r) for r in spark.sql(sql).collect()],
-        key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0),
+    assert "last_value" in sql and "__asof_rn" not in sql
+    got = sorted([tuple(r) for r in spark.sql(sql).collect()], key=key)
+    assert got == expect, (got, a_rows, b_rows, op, left)
+    # expression ON (b.t + 0: same semantics) -> fan-out fallback path
+    sql = clickhouse_to_spark_sql(
+        f"SELECT a.k AS k, a.t AS t, b.t AS bt, b.v AS v "
+        f"FROM pa_t a {kw} pb_t b ON a.k = b.k AND a.t {op} b.t + 0"
     )
-    assert got == _model(a_rows, b_rows, op, left), (got, a_rows, b_rows, op, left)
+    assert "__asof_rn" in sql
+    got = sorted([tuple(r) for r in spark.sql(sql).collect()], key=key)
+    assert got == expect, (got, a_rows, b_rows, op, left)

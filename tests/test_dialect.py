@@ -1578,52 +1578,114 @@ def test_round7_map_apply_rejects_rebinding():
 
 
 def test_asof_join_rewrite():
-    """ClickHouse ASOF JOIN -> equi-join + top-1 window: translation
-    shape, alias forms, WHERE merge, and the curated raises."""
+    """ClickHouse ASOF JOIN translation shapes: the bounded
+    union+last_value path for plain-column ON, the fan-out fallback
+    for expression ON, the WHERE handling of each, and the raises."""
     import pytest
 
+    # plain-column ON -> BOUNDED shape: union + running last_value,
+    # no join operator anywhere in the rewritten text
     out = clickhouse_to_spark_sql(
         "SELECT a.x, b.y FROM t1 AS a ASOF JOIN t2 AS b "
         "ON a.k = b.k AND a.t >= b.t"
     )
-    assert "row_number() OVER (PARTITION BY __asof_rid ORDER BY b.t DESC)" in out
-    assert "monotonically_increasing_id() AS __asof_rid" in out
-    assert "WHERE __asof_rn = 1" in out
-    assert "struct(*) AS a" in out and "struct(*) AS b" in out
-    # bare aliases + LEFT + reversed inequality (b-side on the left)
+    assert "UNION ALL" in out and "last_value(b, true)" in out
+    assert "PARTITION BY __asof_k0" in out
+    assert "ORDER BY __asof_ts ASC, __asof_side ASC" in out
+    assert "AND b IS NOT NULL" in out  # inner join needs a match
+    assert "JOIN" not in out.replace("UNION ALL", "")
+    assert "__asof_rn" not in out
+    # bare aliases + LEFT + reversed inequality (b-side on the left):
+    # still bounded, WHERE stays untouched, LEFT keeps unmatched rows
     out = clickhouse_to_spark_sql(
         "SELECT a.x FROM t1 a ASOF LEFT JOIN t2 b "
         "ON a.k = b.k AND b.ts <= a.ts WHERE a.x > 0"
     )
-    assert "LEFT JOIN" in out
-    assert "ORDER BY b.ts DESC" in out  # b is the lower bound -> max
-    assert "WHERE __asof_rn = 1 AND a.x > 0" in out
-    # upper-bound direction: b >= a -> closest match is MIN -> ASC
+    assert "last_value(b, true)" in out
+    assert "ORDER BY __asof_ts ASC" in out  # b lower bound -> forward
+    assert "WHERE __asof_side = 1)" in out  # no IS-NOT-NULL match gate
+    assert "WHERE a.x > 0" in out
+    # upper-bound direction: b >= a -> closest match is MIN -> walk
+    # time backward; strict op -> left sorts first at equal ts
     out = clickhouse_to_spark_sql(
-        "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND b.ts >= a.ts"
+        "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND b.ts > a.ts"
     )
-    assert "ORDER BY b.ts ASC" in out
+    assert "ORDER BY __asof_ts DESC, __asof_side DESC" in out
+    # expression ON -> FALLBACK shape: equi-join + top-1 window
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x, b.y FROM t1 AS a ASOF JOIN t2 AS b "
+        "ON a.k = b.k AND a.t >= b.t + 1"
+    )
+    assert (
+        "row_number() OVER (PARTITION BY __asof_rid ORDER BY b.t + 1 DESC)"
+        in out
+    )
+    assert "monotonically_increasing_id() AS __asof_rid" in out
+    assert "WHERE __asof_rn = 1" in out
+    assert "struct(*) AS a" in out and "struct(*) AS b" in out
+    # fallback WHERE merge parenthesizes the original predicate: a
+    # top-level OR must not leak non-top-1 fan-out rows (AND > OR)
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x FROM t1 a ASOF JOIN t2 b "
+        "ON a.k = b.k AND a.t >= b.t + 1 "
+        "WHERE a.x = 1 OR a.x = 2 ORDER BY a.x"
+    )
+    assert "WHERE __asof_rn = 1 AND (a.x = 1 OR a.x = 2)" in out
+    assert "ORDER BY a.x" in out
     with pytest.raises(ValueError, match="exactly ONE inequality"):
         clickhouse_to_spark_sql(
-            "SELECT * FROM t1 a ASOF JOIN t2 b ON a.k = b.k"
+            "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k"
         )
     with pytest.raises(ValueError, match="last join"):
         clickhouse_to_spark_sql(
-            "SELECT * FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t "
+            "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t "
             "JOIN t3 c ON c.k = a.k"
         )
     with pytest.raises(ValueError, match="unsupported ASOF"):
-        clickhouse_to_spark_sql("SELECT * FROM t1 a ASOF JOIN t2 b USING (k, t)")
+        clickhouse_to_spark_sql("SELECT a.x FROM t1 a ASOF JOIN t2 b USING (k, t)")
+
+
+def test_asof_join_select_star_flattens():
+    """A bare SELECT * over an ASOF join flattens to a.*, b.* (the
+    ClickHouse column order) instead of exposing the rewrite's struct
+    columns; DISTINCT and extra items survive; qualified stars and
+    count(*) are left alone."""
+    out = clickhouse_to_spark_sql(
+        "SELECT * FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t"
+    )
+    assert out.startswith("SELECT a.*, b.* FROM")
+    out = clickhouse_to_spark_sql(
+        "SELECT DISTINCT *, 1 AS one FROM t1 a ASOF LEFT JOIN t2 b "
+        "ON a.k = b.k AND a.t >= b.t"
+    )
+    assert "SELECT DISTINCT a.*, b.*, 1 AS one" in out
+    # count(*) is inside parens - not a select-list star item
+    out = clickhouse_to_spark_sql(
+        "SELECT count(*) AS n FROM t1 a ASOF JOIN t2 b "
+        "ON a.k = b.k AND a.t >= b.t"
+    )
+    assert "count(*) AS n" in out and "a.*, b.*" not in out
+    # a star in an unrelated subquery's select list is untouched
+    out = clickhouse_to_spark_sql(
+        "WITH c AS (SELECT * FROM src) "
+        "SELECT a.x FROM c a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t"
+    )
+    assert "(SELECT * FROM src)" in out
 
 
 def test_asof_join_executes(spark):
     """End-to-end on a hand-computed fixture: inner pick, LEFT null
-    leg, duplicate left rows each keep their own match."""
+    leg, duplicate left rows each keep their own match, NULL keys /
+    NULL asof values never match.  Plain-column ON takes the BOUNDED
+    path: NO join operator in the physical plan (a hot key streams
+    through the running window instead of fanning out)."""
     spark.createDataFrame(
-        [(1, 10), (1, 20), (2, 30), (2, 30), (3, 7)], "k int, t int"
+        [(1, 10), (1, 20), (2, 30), (2, 30), (3, 7), (None, 5), (4, None)],
+        "k int, t int",
     ).createOrReplaceTempView("asof_a")
     spark.createDataFrame(
-        [(1, 5, "x"), (1, 15, "y"), (1, 25, "z"), (2, 1, "w")],
+        [(1, 5, "x"), (1, 15, "y"), (1, 25, "z"), (2, 1, "w"),
+         (None, 1, "n"), (4, 1, "m")],
         "k int, t int, v string",
     ).createOrReplaceTempView("asof_b")
     out = spark.sql(clickhouse_to_spark_sql(
@@ -1633,12 +1695,57 @@ def test_asof_join_executes(spark):
     ))
     rows = [tuple(r) for r in out.collect()]
     assert rows == [
+        (None, 5, None, None),
         (1, 10, 5, "x"),
         (1, 20, 15, "y"),
         (2, 30, 1, "w"),
         (2, 30, 1, "w"),
         (3, 7, None, None),
+        (4, None, None, None),
     ], rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    # inner variant drops the unmatched rows
+    inner = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.t AS t, b.t AS bt "
+        "FROM asof_a a ASOF JOIN asof_b b "
+        "ON a.k = b.k AND a.t >= b.t ORDER BY k, t"
+    ))
+    assert [tuple(r) for r in inner.collect()] == [
+        (1, 10, 5), (1, 20, 15), (2, 30, 1), (2, 30, 1)
+    ]
+    # strict op excludes the equal-ts right row
+    strict = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.t AS t, b.t AS bt "
+        "FROM asof_a a ASOF JOIN asof_b b "
+        "ON a.k = b.k AND a.t > b.t WHERE a.t = 15 OR a.k = 1 "
+        "ORDER BY k, t"
+    ))
+    assert [tuple(r) for r in strict.collect()] == [(1, 10, 5), (1, 20, 15)]
+
+
+def test_asof_join_fallback_executes(spark):
+    """Expression ON (not plain columns) takes the fan-out fallback:
+    same answers, WindowGroupLimit top-1, no cartesian/BNLJ — and the
+    parenthesized WHERE merge keeps OR predicates correct."""
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 7)], "k int, t int"
+    ).createOrReplaceTempView("asof_fa")
+    spark.createDataFrame(
+        [(1, 4, "x"), (1, 14, "y"), (1, 24, "z"), (2, 0, "w")],
+        "k int, t int, v string",
+    ).createOrReplaceTempView("asof_fb")
+    sql = clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.t AS t, b.t AS bt, b.v AS v "
+        "FROM asof_fa a ASOF LEFT JOIN asof_fb b "
+        "ON a.k = b.k AND a.t >= b.t + 1 "
+        "WHERE a.t = 10 OR a.t = 30 ORDER BY k, t"
+    )
+    assert "__asof_rn = 1 AND (a.t = 10 OR a.t = 30)" in sql
+    out = spark.sql(sql)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, 10, 4, "x"), (2, 30, 0, "w")], rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -359,6 +359,17 @@ def test_asof_sql_and_block_resolution(spark, tmp_path):
     # a block before the first commit has no snapshot to serve
     with pytest.raises(ValueError, match="no committed epoch"):
         eng.sql("SELECT * FROM block_meta FOR SYSTEM_TIME AS OF 4")
+    # SYSTEM_TIME-shaped TEXT inside a string literal is opaque: no
+    # rewrite, no raise for the unknown table named in prose, and no
+    # spurious __asof_* temp view registered as a side effect
+    row = eng.sql(
+        "SELECT 'nope FOR SYSTEM_TIME AS OF 4' AS s, id "
+        "FROM block_meta FOR SYSTEM_TIME AS OF 9"
+    ).collect()[0]
+    assert row["s"] == "nope FOR SYSTEM_TIME AS OF 4" and row["id"] == "k1"
+    assert not any(
+        "asof_nope" in t.name for t in spark.catalog.listTables()
+    )
 
 
 def test_explain_statement_parity(spark, tmp_path):

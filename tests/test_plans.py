@@ -89,6 +89,21 @@ def test_asof_join_is_union_plus_window(spark):
     assert "Window" in plan
 
 
+def test_dialect_asof_translation_is_bounded(spark):
+    # the ClickHouse ASOF JOIN translation's common case (plain-column
+    # ON) takes the same union+window shape as the native operator:
+    # NO join fan-out before the pick — a hot key streams
+    from substreams_sink_clickhouse_spark.operators import (
+        clickhouse_compat_ext4 as C4,
+    )
+
+    df = C4._q187_dialect_asof_join(spark, SF)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert count_shuffles(df) <= 2
+
+
 def test_cdc_merge_empty_target_skips_reconcile_join(spark):
     from substreams_sink_clickhouse_spark.operators import streaming_q as S
 

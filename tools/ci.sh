@@ -8,6 +8,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 
+echo "== README gate-count freshness (no hardcoded entry counts) =="
+# Hardcoded gate sizes rot every round (round-9 verdict residual #6):
+# README must say "len(GATE_ORDER.json)", never a literal count.
+if grep -nE '\b(2[0-9]{2}|3[0-9]{2})(-entry| queries| entries)' README.md; then
+  echo "FAIL: README hardcodes a gate-entry count (use len(GATE_ORDER.json))"
+  exit 1
+fi
+echo "README clean"
+
 echo "== schema audit =="
 python tools/audit_schemas.py
 

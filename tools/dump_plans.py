@@ -388,10 +388,12 @@ SHOWCASE = [
     ),
     (
         "q187_dialect_asof_join",
-        "ClickHouse ASOF JOIN translated to an equi shuffle join + "
-        "WindowGroupLimit top-1 per left row: no cartesian, no "
-        "decorrelation domain join - the rank filter is a streaming "
-        "top-1, never a full sort.",
+        "ClickHouse ASOF JOIN on plain columns takes the BOUNDED "
+        "translation: union both sides, one running last_value "
+        "window per key - NO join operator, O(1) state per row, a "
+        "hot key streams instead of fanning out (the equi-join + "
+        "WindowGroupLimit top-1 shape survives only as the "
+        "general-expression fallback).",
     ),
     (
         "sim_ivf_pq",

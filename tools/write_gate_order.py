@@ -40,26 +40,35 @@ sys.path.insert(0, REPO)
 #: Never-driver-checked entries ordered to the front of the next
 #: sample (after the last-FAIL entries, which are computed from the
 #: CORRECTNESS artifacts, not pinned here).  Refreshed each round:
-#: the round-8 pins were all driver-sampled in r8, so the list now
-#: holds the LATE round-8 additions the driver has not seen (the
-#: round-8 advisory: they were never-sampled but unpinned) plus the
-#: round-9 session additions as they land.  multimodal_phash_near
-#: leads because round 9 rewrote it (bucket-expansion + hot-bucket
-#: cap) and the driver must re-verify the new shape.
+#: the round-9 pins were all driver-sampled in r9.  Round 10 leads
+#: with the two entries whose SHAPE changed this round (q187 took the
+#: bounded union+window translation; sim_matryoshka's zero-overlap
+#: aggregate is now NULL-safe) and the round-10 additions, then pins
+#: the LAST 17 never-driver-sampled entries (the round-5 dialect
+#: batches) explicitly so the next ~50-entry prefix finishes draining
+#: the round-5 verification debt (round-9 verdict, item 2).
 PRIORITY = [
-    "q185_asof_state",  # round-9 additions
-    "q186_dialect_array_defaults",
-    "q187_dialect_asof_join",
-    "train_importance",
+    "q187_dialect_asof_join",  # round-10 shape changes first
     "sim_matryoshka",
-    "sim_ivf_pq",
-    "text_dsir",
-    "dedup_containment",
-    "multimodal_phash_near",
-    "q183_dialect_strsim",
-    "q184_zorder_skipping",
-    "sim_rrf_fusion",
-    "train_curriculum",
+    "dedup_semantic",  # round-10 additions as they land
+    "dedup_span_scrub",
+    "q155_map_functions",  # the last 17 never-driver-sampled
+    "q156_format_readable",
+    "q157_datetime_accessors",
+    "q158_date_arithmetic",
+    "q159_json_functions",
+    "q160_url_batch2",
+    "q161_vector_distances",
+    "q162_geo_radius_join",
+    "q163_regex_tuple",
+    "q164_geohashes_in_box",
+    "q165_point_in_polygon",
+    "q166_iso_time",
+    "q167_ipv4_roundtrip",
+    "q168_rounding_family",
+    "q171_dialect_strsim",
+    "q172_dialect_maps_stats",
+    "q174_dialect_combinators",
 ]
 
 
