@@ -62,6 +62,7 @@ from substreams_sink_clickhouse_spark.operators.similarity import (
     _duck_dot,
     _duck_norm,
     _norm_expr,
+    _sqdist_spark,
 )
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
 from substreams_sink_clickhouse_spark.sources.tables import load_table
@@ -1511,5 +1512,266 @@ SPECS.append(
         "duplication both directions, bucket-expansion common counts",
         _dedup_containment,
         _CONTAINMENT_ORACLE,
+    )
+)
+
+
+# ------------------------------------------------------ semantic dedup
+
+SEMANTIC_K = 8       #: clusters; at real scale k grows with the corpus
+SEMANTIC_EPS = 0.97  #: intra-cluster cosine duplicate threshold
+SEMANTIC_ROUND = 6   #: input rounding (decimals) for bit-identity
+
+
+def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    duplicate PRUNING — the modern LLM-corpus step that removes
+    *semantic* duplicates (paraphrases, templated rewrites) exact and
+    MinHash dedup structurally miss.  Paper recipe: k-means the
+    embeddings, compare pairs ONLY within a cluster, and inside each
+    duplicate group keep one representative.
+
+    Keep rule (the NeMo-Curator formulation of the paper's): order
+    each cluster by (distance to centroid ASC, vec_id) and drop a
+    vector iff its max cosine against any EARLIER member reaches
+    :data:`SEMANTIC_EPS` — the survivor of every duplicate group is
+    its most-central member, deterministically.
+
+    Scale shape: cluster assignment is map-only (k plan-literal
+    centroids — the k×d driver transfer is a few KB regardless of
+    corpus size, same contract as sim_kmeans); candidate generation is
+    the per-cluster bucket EXPANSION of the dedup family (ONE exchange
+    on cluster id; no join operator anywhere — cross-cluster pairs are
+    structurally impossible, test-pinned) with the same
+    :data:`MAX_BUCKET_SIZE` drop cap mirrored in the oracle.  At
+    100 TB, k scales with the corpus (the paper uses k ≈ #docs/√#docs)
+    so cluster population — and the quadratic-in-cluster verify —
+    stays bounded; the cap screens degenerate clusters.
+
+    Fixture: embeddings ∪ perturbed copies (+100000, dim0 + 0.05),
+    the dedup_embedding corpus — copies land in their source's cluster
+    and score cos ≈ 1 against it."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb0"),
+    )
+    copies = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(emb0, (x, i) -> x + CASE WHEN i = 0 THEN "
+            "CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("emb0"),
+    )
+    aug = ensure_parallelism(e.unionByName(copies)).select(
+        "vec_id",
+        F.expr(f"transform(emb0, x -> round(x, {SEMANTIC_ROUND}))").alias("emb"),
+    )
+    # deterministic zero-training quantizer (sim_ivf's stand-in for a
+    # trained sim_kmeans codebook): the first K base vectors by vec_id
+    cents = [
+        [float(x) for x in r["emb"]]
+        for r in aug.filter(F.col("vec_id") < 100000)
+        .orderBy("vec_id")
+        .limit(SEMANTIC_K)
+        .collect()
+    ]
+    structs = ", ".join(
+        f"named_struct('d', {_sqdist_spark('emb', c)}, 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    a = F.expr(f"array_min(array({structs}))")
+    assigned = aug.select(
+        "vec_id",
+        "emb",
+        a["c"].alias("cluster"),
+        a["d"].alias("d"),
+    )
+    clusters = _cap_buckets(
+        assigned.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "vec_id", "emb"))).alias("vs"))
+        .filter(F.size("vs") > 1),
+        "vs",
+    )
+    dot = _dot_expr("x.emb", "y.emb")
+    nx, ny = _norm_expr("x.emb"), _norm_expr("y.emb")
+    pairs = clusters.select(
+        "cluster",
+        F.explode(
+            F.expr(
+                _pair_expand(
+                    "vs",
+                    f"y.vec_id AS vec, ({dot}) / (({nx}) * ({ny})) AS simx",
+                )
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.vec").alias("vec_id"),
+                      F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.max("p.simx").alias("mx"))
+        .filter(F.col("mx") >= SEMANTIC_EPS)
+        .select("vec_id", "cluster", F.round("mx", 6).alias("max_sim"))
+        .orderBy("vec_id")
+    )
+
+
+_SEMANTIC_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb0
+  FROM embeddings),
+aug0 AS (
+  SELECT vec_id, emb0 FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(emb0, (x, i) -> x + CASE WHEN i = 1 THEN CAST(0.05 AS DOUBLE)
+                                              ELSE CAST(0.0 AS DOUBLE) END) AS emb0
+  FROM base),
+aug AS (SELECT vec_id, list_transform(emb0, x -> round(x, {SEMANTIC_ROUND})) AS emb
+        FROM aug0),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
+  FROM aug WHERE vec_id < 100000 ORDER BY vec_id LIMIT {SEMANTIC_K}),
+scored AS (
+  SELECT a.vec_id, a.emb, c.cluster,
+         list_sum(list_transform(list_zip(a.emb, c.cent),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM aug a CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, emb, cluster, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM scored)
+  WHERE rn = 1),
+ok AS (
+  -- mirror of MAX_BUCKET_SIZE drop semantics (see _cap_buckets)
+  SELECT cluster FROM assigned GROUP BY cluster
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
+pos AS (
+  SELECT a.*, row_number() OVER (PARTITION BY a.cluster ORDER BY a.d, a.vec_id) AS rnk
+  FROM assigned a JOIN ok USING (cluster)),
+pairs AS (
+  SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+         {_duck_dot('a.emb', 'b.emb')}
+           / ({_duck_norm('a.emb')} * {_duck_norm('b.emb')}) AS simx
+  FROM pos a JOIN pos b ON a.cluster = b.cluster AND a.rnk < b.rnk)
+SELECT vec_id, cluster, round(max(simx), 6) AS max_sim
+FROM pairs GROUP BY vec_id, cluster
+HAVING max(simx) >= {SEMANTIC_EPS}
+ORDER BY vec_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_semantic",
+        "SemDeDup (Abbas et al. 2023): plan-literal k-means assignment "
+        "+ intra-cluster cosine pruning, most-central member kept",
+        _dedup_semantic,
+        _SEMANTIC_ORACLE,
+    )
+)
+
+
+# ------------------------------------------------- span-level scrubbing
+
+def _dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-level duplicate REMOVAL (the production step
+    after ``dedup_ngram_stats`` measures and ``dedup_span_flags``
+    flags — Lee et al. 2021's ExactSubstr applied at span granularity
+    with a keep-one policy): every document splits into disjoint
+    20-word spans (INCLUDING the short tail window, so the word
+    accounting is complete), and a span instance is scrubbed iff an
+    identical span occurs earlier in the corpus — the canonical
+    (lowest ``(doc_id, position)``) occurrence survives, every later
+    copy is removed.  Output is the per-document cleaned-text
+    accounting (span/word counts before and after, keep fraction),
+    not the text itself, keeping rows driver-canonicalizable.
+
+    Scale shape: spans travel as 60-bit MD5 hashes; the scrub decision
+    is ``row_number() OVER (PARTITION BY span_hash ORDER BY doc_id,
+    pos) > 1`` — ONE exchange on the hash and *streaming* O(1) window
+    state (no per-hash array, no count() buffering, no join: a
+    boilerplate span occurring a billion times costs a partition-local
+    scan, not a collect).  The per-doc rollup is the second, rollup-
+    cardinality exchange, same as dedup_span_flags."""
+    aug = _aug_docs(spark, sf)
+    inst = (
+        aug.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, ((size(split(lower(text), ' ')) + {_SPAN_W - 1}) div {_SPAN_W}) - 1),
+                              i -> named_struct(
+                                'pos', i,
+                                'sp', concat_ws(' ', slice(split(lower(text), ' '), i * {_SPAN_W} + 1, {_SPAN_W})),
+                                'nw', size(slice(split(lower(text), ' '), i * {_SPAN_W} + 1, {_SPAN_W}))))
+                    """
+                )
+            ).alias("u"),
+        )
+        .select(
+            "doc_id",
+            F.col("u.pos").alias("pos"),
+            F.col("u.nw").alias("nw"),
+            md5_long(F.col("u.sp")).alias("h"),
+        )
+    )
+    marked = inst.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "pos")
+        ),
+    )
+    kept_words = F.sum(F.when(F.col("rn") > 1, 0).otherwise(F.col("nw")))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("scrubbed_spans"),
+            F.sum("nw").cast("long").alias("words_before"),
+            kept_words.cast("long").alias("words_after"),
+            F.round(
+                kept_words.cast("double") / F.sum("nw").cast("double"), 4
+            ).alias("keep_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_scrub_oracle() -> str:
+    h = duck_md5_long_sql("u.sp")
+    return f"""
+WITH {_DUCK_AUG.strip()},
+d AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM aug),
+inst AS (
+  SELECT doc_id, u.pos AS pos, u.nw AS nw, {h} AS h FROM (
+    SELECT doc_id, unnest(
+      list_transform(range(0, (len(words) + {_SPAN_W - 1}) // {_SPAN_W}),
+        i -> {{'pos': i,
+               'sp': concat_ws(' ', words[i * {_SPAN_W} + 1 : i * {_SPAN_W} + {_SPAN_W}]),
+               'nw': len(words[i * {_SPAN_W} + 1 : i * {_SPAN_W} + {_SPAN_W}])}})) AS u
+    FROM d) t),
+marked AS (
+  SELECT doc_id, nw,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM inst)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS scrubbed_spans,
+       CAST(sum(nw) AS BIGINT) AS words_before,
+       CAST(sum(CASE WHEN rn > 1 THEN 0 ELSE nw END) AS BIGINT) AS words_after,
+       round(sum(CASE WHEN rn > 1 THEN 0 ELSE nw END)::DOUBLE
+             / sum(nw)::DOUBLE, 4) AS keep_frac
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_span_scrub",
+        "Span-level exact-duplicate scrubbing (keep-first): per-doc "
+        "cleaned-corpus accounting via one streaming hash window",
+        _dedup_span_scrub,
+        _span_scrub_oracle(),
     )
 )

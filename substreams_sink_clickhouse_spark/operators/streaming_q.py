@@ -400,44 +400,54 @@ def _write_cdc_upd_del(o: DataFrame, stream: str) -> None:
     upd.unionByName(dele).coalesce(1).write.mode("append").text(stream)
 
 
-def _cdc_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
-    """Two-epoch CDC replay through the FULL streaming pipeline with
-    deletion-vector commits (round-5 merge-on-read path):
+#: (session id, sf) -> (Engine, pipeline) of the committed two-epoch
+#: DV replay.  cdc_merge_dv and q185_asof_state exercise DIFFERENT
+#: read contracts (live merge-on-read vs time travel) over the SAME
+#: committed layout, so the expensive part — two streaming ingest
+#: windows — builds once per gate run and both entries read from it
+#: (round-9 verdict #3: the duplicate replay made q185 the slowest
+#: entry in the gate, ~6% of full-gate wall by itself).  Entries only
+#: READ the cached state; every commit below is finished before the
+#: cache is populated.
+_DV_REPLAY_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _dv_replay_fixture(spark: SparkSession, sf: str):
+    """Build (once per session+sf) the shared two-epoch DV replay
+    through the Engine facade:
 
     * epoch 1: CREATE every order (initial load — full-rewrite commit)
-    * epoch 2: UPDATE price += 50 for orderkey %% 5 == 0 (block 2) and
-      DELETE orderkey %% 11 == 0 (block 3) — an update/delete-heavy
+    * epoch 2: UPDATE price += 50 for orderkey % 5 == 0 (block 2) and
+      DELETE orderkey % 11 == 0 (block 3) — an update/delete-heavy
       window, committed as sidecars: one small delta parquet + one
       (src, pk) deletion-vector parquet per touched bucket
-      (streaming/pipeline.py commit_epoch sidecar_states)
+      (streaming/pipeline.py commit_epoch sidecar_states).
 
-    The returned state is read through the layered merge-on-read path
-    (union of data layers minus a broadcast anti-join on the dv), so
-    the oracle checks the WHOLE write+read contract end-to-end.  The
-    builder asserts the sidecar layout actually engaged — if the
-    eligibility logic regresses to full rewrites, this entry fails
+    Asserts the sidecar layout actually engaged — if the eligibility
+    logic regresses to full rewrites, both dependent entries fail
     rather than silently passing on the rewrite path."""
-    from substreams_sink_clickhouse_spark.streaming.pipeline import (
-        ChangesIngestPipeline,
-    )
+    key = (id(spark), sf)
+    got = _DV_REPLAY_CACHE.get(key)
+    if got is not None:
+        return got
+    from substreams_sink_clickhouse_spark.config import EngineConfig
+    from substreams_sink_clickhouse_spark.engine import Engine
 
     o = load_table(spark, sf, "orders")
     workdir = _scratch_dir("dv_gate_")  # atexit-cleaned
     stream = os.path.join(workdir, "stream")
     os.makedirs(stream)
-    pipe = ChangesIngestPipeline(
+    eng = Engine(
         spark,
-        _dv_catalog(),
-        warehouse_dir=os.path.join(workdir, "wh"),
-        checkpoint_dir=os.path.join(workdir, "ckpt"),
-        write_mode="auto",
+        EngineConfig(
+            warehouse_dir=os.path.join(workdir, "wh"),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+        ),
     )
-    # epoch 1: creates
     _write_cdc_creates(o, stream)
-    pipe.run_to_completion(stream, timeout_s=300)
-    # epoch 2: update-heavy window (arrives as new files)
+    eng.ingest(stream, _dv_catalog())
     _write_cdc_upd_del(o, stream)
-    pipe.run_to_completion(stream, timeout_s=300)
+    pipe = eng.ingest(stream, _dv_catalog())
     entry = pipe.state.read_manifest()["tables"]["orders_t"]
     if not any(
         isinstance(v, dict) and v.get("dv") for v in entry["buckets"].values()
@@ -445,6 +455,19 @@ def _cdc_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
         raise AssertionError(
             "deletion-vector commit did not engage on the update-heavy epoch"
         )
+    _DV_REPLAY_CACHE[key] = (eng, pipe)
+    return eng, pipe
+
+
+def _cdc_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-epoch CDC replay through the FULL streaming pipeline with
+    deletion-vector commits (round-5 merge-on-read path; fixture
+    shared with q185_asof_state, see _dv_replay_fixture).
+
+    The returned state is read through the layered merge-on-read path
+    (union of data layers minus a broadcast anti-join on the dv), so
+    the oracle checks the WHOLE write+read contract end-to-end."""
+    _, pipe = _dv_replay_fixture(spark, sf)
     return pipe.table("orders_t")  # unordered; gate compare sorts
 
 
@@ -461,37 +484,20 @@ def _q185_asof_state(spark: SparkSession, sf: str) -> DataFrame:
     engine's own commit history; this one reads a HISTORICAL epoch
     back through the DV snapshot layers).
 
-    Fixture: the cdc_merge_dv two-epoch replay (CREATEs at block 1,
-    then an update/delete window at blocks 2-3 committed as
-    delta+deletion-vector sidecars).  The query asks for the state as
-    of BLOCK 1, which the engine resolves through the cursor's
-    block-per-epoch provenance (reference analog db/cursor.go:120-125)
-    to the pre-mutation snapshot — so the oracle is the ORIGINAL
-    orders projection with no +50 updates and no deletes; if time
-    travel silently returned the current state, every %5 price and
-    every %11 row would hash-mismatch.
+    Fixture: the shared two-epoch DV replay (_dv_replay_fixture —
+    CREATEs at block 1, then an update/delete window at blocks 2-3
+    committed as delta+deletion-vector sidecars).  The query asks for
+    the state as of BLOCK 1, which the engine resolves through the
+    cursor's block-per-epoch provenance (reference analog
+    db/cursor.go:120-125) to the pre-mutation snapshot — so the oracle
+    is the ORIGINAL orders projection with no +50 updates and no
+    deletes; if time travel silently returned the current state, every
+    %5 price and every %11 row would hash-mismatch.
 
     Scale shape: snapshot reads are manifest lookups + the same
     bucketed parquet scan as the live table — no extra shuffle; the
     historical bucket map is carried by reference, never copied."""
-    from substreams_sink_clickhouse_spark.config import EngineConfig
-    from substreams_sink_clickhouse_spark.engine import Engine
-
-    o = load_table(spark, sf, "orders")
-    workdir = _scratch_dir("asof_gate_")  # atexit-cleaned
-    stream = os.path.join(workdir, "stream")
-    os.makedirs(stream)
-    eng = Engine(
-        spark,
-        EngineConfig(
-            warehouse_dir=os.path.join(workdir, "wh"),
-            checkpoint_dir=os.path.join(workdir, "ckpt"),
-        ),
-    )
-    _write_cdc_creates(o, stream)
-    eng.ingest(stream, _dv_catalog())
-    _write_cdc_upd_del(o, stream)
-    pipe = eng.ingest(stream, _dv_catalog())
+    eng, pipe = _dv_replay_fixture(spark, sf)
     # builder guard: block 1 must resolve to an epoch STRICTLY BEFORE
     # the mutation epoch — i.e. time travel has real history to read
     manifest = pipe.state.read_manifest()

@@ -89,6 +89,30 @@ def test_asof_join_is_union_plus_window(spark):
     assert "Window" in plan
 
 
+def test_semantic_dedup_has_no_cross_cluster_pairs(spark):
+    # SemDeDup candidates come from per-cluster bucket expansion over
+    # plan-literal centroid assignment: no join operator anywhere, so
+    # cross-cluster pairs are structurally impossible
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    df = D._dedup_semantic(spark, SF)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert count_shuffles(df) <= 3
+
+
+def test_span_scrub_streams_no_join(spark):
+    # the scrub decision is a streaming row_number over the span-hash
+    # partition: no join back on the hash, no per-hash array buffering
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    df = D._dedup_span_scrub(spark, SF)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert count_shuffles(df) <= 3
+
+
 def test_dialect_asof_translation_is_bounded(spark):
     # the ClickHouse ASOF JOIN translation's common case (plain-column
     # ON) takes the same union+window shape as the native operator:
