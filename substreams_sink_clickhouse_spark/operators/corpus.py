@@ -196,6 +196,65 @@ class Corpus:
         map-only, zero shuffle."""
         return Corpus(_corpus_scrub_pii(self.df))
 
+    def scrub_dup_spans(self) -> "Corpus":
+        """REMOVE corpus-duplicated 20-word spans keep-first and
+        re-emit the cleaned text — the production form of the
+        ``dedup_span_scrub`` gate entry (which reports the accounting;
+        this rebuilds the document).  The scrub decision is identical:
+        a span instance is dropped iff a case-insensitively identical
+        span occurs earlier in the corpus by ``(doc_id, position)``
+        (streaming ``row_number`` per span hash — no join, no per-hash
+        buffering); surviving spans re-join in position order,
+        original case preserved.  Documents whose every span is
+        duplicated elsewhere survive with empty text (filter on
+        ``text != ''`` to drop them)."""
+        from pyspark.sql import Window
+
+        from substreams_sink_clickhouse_spark.operators.dedup import _SPAN_W
+
+        others = [c for c in self.df.columns if c != "text"]
+        inst = self.df.select(
+            *others,
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, ((size(split(text, ' ')) + {_SPAN_W - 1}) div {_SPAN_W}) - 1),
+                              i -> named_struct(
+                                'pos', i,
+                                'sp', concat_ws(' ', slice(split(text, ' '), i * {_SPAN_W} + 1, {_SPAN_W}))))
+                    """
+                )
+            ).alias("u"),
+        ).select(
+            *others,
+            F.col("u.pos").alias("__pos"),
+            F.col("u.sp").alias("__sp"),
+            md5_long(F.lower(F.col("u.sp"))).alias("__h"),
+        )
+        marked = inst.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__h").orderBy("doc_id", "__pos")
+            ),
+        )
+        rebuilt = (
+            marked.filter(F.col("__rn") == 1)
+            .groupBy(*others)
+            .agg(
+                F.array_join(
+                    F.expr("transform(sort_array(collect_list(struct(__pos, __sp))), s -> s.__sp)"),
+                    " ",
+                ).alias("text")
+            )
+        )
+        # documents whose EVERY span was scrubbed drop out of the
+        # groupBy entirely — restore them with empty text so the
+        # corpus keeps one row per input document
+        emptied = self.df.select(*others).join(
+            rebuilt.select("doc_id"), "doc_id", "left_anti"
+        ).withColumn("text", F.lit(""))
+        return Corpus(rebuilt.unionByName(emptied))
+
     # -- composition ---------------------------------------------------
 
     def split(

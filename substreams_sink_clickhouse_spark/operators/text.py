@@ -1674,21 +1674,19 @@ SPECS.append(
 
 # ------------------------------------------------- bigram LM perplexity
 
-def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
-    """Bigram language-model scoring with add-one smoothing — the
-    CCNet-style quality filter one tier above
-    :func:`_unigram_logprob`: train bigram counts on the corpus itself,
-    score each document by its average bigram log-probability
-    ``ln((c(w1,w2) + 1) / (c(w1) + V))``, and roll up per language.
+def _bigram_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document average bigram log-probability (add-one smoothing,
+    ``ln((c(w1,w2) + 1) / (c(w1) + V))``) — the shared scoring core of
+    ``text_bigram_logprob`` (per-language rollup) and
+    ``text_ccnet_buckets`` (perplexity terciles).
 
     Scale design: bigram pairing happens ARRAY-SIDE (a ``transform``
     over the split array — no window, no per-doc sort, no shuffle to
     form adjacency); the bigram and unigram count tables are
     vocabulary-cardinality and broadcast back over the exploded corpus,
     so the only corpus-cardinality exchange is the final per-doc
-    partial aggregate.  Rounded before the per-language fold so
-    summation order can't leak into the hash.
-    """
+    partial aggregate.  Rounded before any downstream fold so
+    summation order can't leak into the hash."""
     d = load_table(spark, sf, "documents")
     base = d.select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
@@ -1715,7 +1713,7 @@ def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    scored = (
+    return (
         bigr.join(F.broadcast(bc), ["w1", "w2"])
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
         .crossJoin(F.broadcast(vocab_n))
@@ -1732,6 +1730,14 @@ def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("avg_lp")
         )
     )
+
+
+def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    CCNet-style quality filter one tier above
+    :func:`_unigram_logprob`: per-doc scores from
+    :func:`_bigram_doc_scores`, rolled up per language."""
+    scored = _bigram_doc_scores(spark, sf)
     return (
         scored.groupBy("lang")
         .agg(
@@ -1743,8 +1749,8 @@ def _bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BIGRAM_ORACLE = r"""
-WITH base AS (
+#: shared per-doc bigram-score CTEs (mirror of _bigram_doc_scores)
+_BIGRAM_SCORED_CTES = r"""base AS (
   SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
 uni AS (
   SELECT w, count(*) AS cu
@@ -1760,7 +1766,10 @@ scored AS (
          round(avg(ln((cb + 1)::DOUBLE / (cu + v)::DOUBLE)), 6) AS avg_lp
   FROM bigr JOIN bc USING (w1, w2) JOIN uni ON bigr.w1 = uni.w
        CROSS JOIN vocab_n
-  GROUP BY doc_id, lang)
+  GROUP BY doc_id, lang)"""
+
+_BIGRAM_ORACLE = f"""
+WITH {_BIGRAM_SCORED_CTES}
 SELECT lang, count(*) AS n_docs,
        round(avg(avg_lp), 4) AS mean_lp,
        round(min(avg_lp), 4) AS worst_lp
@@ -1775,6 +1784,74 @@ SPECS.append(
         "broadcast count tables, per-lang rollup",
         _bigram_logprob,
         _BIGRAM_ORACLE,
+    )
+)
+
+
+def _text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail quality split (Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web
+    crawl data"): score every document with the corpus-trained LM
+    (:func:`_bigram_doc_scores` — CCNet uses a 5-gram KenLM; the
+    perplexity ORDERING is what the split consumes), then cut each
+    LANGUAGE into perplexity terciles — ``head`` is the highest
+    average log-probability (lowest perplexity) third.  The per-
+    (lang, bucket) report is what decides which slices feed training.
+
+    Terciles are EXACT rank terciles — ``ntile(3)`` over
+    ``(avg_lp DESC, doc_id)`` — not interpolated quantile cutoffs:
+    both engines implement SQL ntile identically (earlier buckets take
+    the remainder), so the split is deterministic and engine-exact,
+    where a floating quantile boundary could flip a doc's bucket on
+    the 1e-16 of an interpolation.  Scale: the window sorts per-lang
+    partitions (parallel across languages, spill-backed); at 100 TB
+    the production route is CCNet's own — fit cutoffs on a sample,
+    broadcast, bucket map-side (the train_curriculum pattern) — with
+    ntile as the exact-contract oracle."""
+    from pyspark.sql import Window
+
+    scored = _bigram_doc_scores(spark, sf)
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_lp"), "doc_id")
+    b = scored.withColumn("t", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_lp"), 4).alias("mean_lp"),
+            F.round(F.min("avg_lp"), 4).alias("min_lp"),
+            F.round(F.max("avg_lp"), 4).alias("max_lp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_CCNET_ORACLE = f"""
+WITH {_BIGRAM_SCORED_CTES},
+b AS (
+  SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS t
+  FROM scored)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(avg_lp), 4) AS mean_lp,
+       round(min(avg_lp), 4) AS min_lp,
+       round(max(avg_lp), 4) AS max_lp
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_ccnet_buckets",
+        "CCNet head/middle/tail perplexity terciles per language "
+        "(Wenzek et al. 2020): exact rank ntile over the LM scores",
+        _text_ccnet_buckets,
+        _CCNET_ORACLE,
     )
 )
 

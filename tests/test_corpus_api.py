@@ -171,6 +171,35 @@ def test_corpus_scrub_pii(spark):
     assert out[2] == ("clean text", 0)
 
 
+def test_scrub_dup_spans_matches_gate_accounting(spark):
+    """Corpus.scrub_dup_spans rebuilds cleaned text; its per-doc word
+    counts must equal the dedup_span_scrub gate entry's words_after on
+    the same corpus (same keep-first decision, case-insensitive hash,
+    original case preserved in the output)."""
+    from substreams_sink_clickhouse_spark.operators.dedup import (
+        _aug_docs,
+        _dedup_span_scrub,
+    )
+
+    aug = _aug_docs(spark, SF)
+    cleaned = Corpus(aug).scrub_dup_spans().df
+    got = cleaned.select(
+        "doc_id",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("wa"),
+    )
+    want = _dedup_span_scrub(spark, SF).select("doc_id", "words_after")
+    joined = got.join(want, "doc_id")
+    assert joined.count() == want.count() == got.count()
+    assert joined.filter(F.col("wa") != F.col("words_after")).count() == 0
+    # scrubbing engaged: the near-dup copies lose their duplicated spans
+    assert (
+        got.agg(F.sum("wa")).collect()[0][0]
+        < aug.select(F.size(F.split("text", " ")).alias("n")).agg(F.sum("n")).collect()[0][0]
+    )
+
+
 def test_corpus_export_shards(spark, tmp_path):
     """Size-capped shard export + manifest: per-shard row caps hold,
     the manifest's totals equal what landed on disk (counted by ONE

@@ -401,3 +401,22 @@ def test_explain_statement_parity(spark, tmp_path):
     # a column literally named explain must not trigger the route
     n = eng.sql("SELECT count() AS explain FROM exp_t", dialect="clickhouse")
     assert n.collect()[0][0] == 2
+    # EXPLAIN SYNTAX shows which ASOF translation shape a query took:
+    # plain-column ON -> the bounded union+window (__asof_w), general
+    # expressions -> the fan-out fallback (__asof_rn)
+    spark.createDataFrame([(1, 2)], "k int, t int") \
+        .createOrReplaceTempView("exp_b")
+    syn = eng.sql(
+        "EXPLAIN SYNTAX SELECT a.id AS id, b.t AS bt FROM exp_t a "
+        "ASOF JOIN exp_b b ON a.id = b.k AND a.id >= b.t",
+        dialect="clickhouse",
+    )
+    text = "\n".join(r["explain"] for r in syn.collect())
+    assert "__asof_w" in text and "__asof_rn" not in text, text
+    syn = eng.sql(
+        "EXPLAIN SYNTAX SELECT a.id AS id, b.t AS bt FROM exp_t a "
+        "ASOF JOIN exp_b b ON a.id = b.k AND a.id >= b.t + 0",
+        dialect="clickhouse",
+    )
+    text = "\n".join(r["explain"] for r in syn.collect())
+    assert "__asof_rn" in text and "__asof_w" not in text, text

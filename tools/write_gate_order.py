@@ -52,6 +52,7 @@ PRIORITY = [
     "sim_matryoshka",
     "dedup_semantic",  # round-10 additions as they land
     "dedup_span_scrub",
+    "text_ccnet_buckets",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
