@@ -744,3 +744,115 @@ SPECS.append(
         _train_importance_oracle(),
     )
 )
+
+
+# -------------------------------------------- UniMax budget allocation
+
+UNIMAX_EPOCH_CAP = 4  #: max epochs over any language's corpus (paper's C)
+
+
+def _train_unimax(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): allocate a total training-character budget as
+    UNIFORMLY as possible across languages, capping every language at
+    ``C`` epochs of its own corpus — the closed-form alternative to
+    temperature sampling (``train_temperature_mix``) that never
+    over-repeats a low-resource language.
+
+    Water-filling, INTEGER-EXACT (the ``train_temperature_mix``
+    contract: float shares would hash-mismatch on a ulp): sort
+    languages by cap ``C·n_i`` ascending; language i is CAPPED iff
+    even granting every not-yet-filled language ``cap_i`` fits the
+    remaining budget (``cap_i · (L-i+1) <= B - P_{i-1}`` over prefix
+    sums — cappedness is prefix-closed because caps ascend while the
+    per-language remainder shrinks); the uncapped languages split the
+    remainder evenly by integer division.  Budget B = half the total
+    corpus characters (a deterministic fixture relation).
+
+    Scale: one hash exchange to language cardinality, then windows
+    over ~#languages rows (hundreds at most) — nothing grows with
+    corpus size, the train_temperature_mix shape exactly."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    g = d.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("n"))
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    t = (
+        g.withColumn("cap", F.col("n") * UNIMAX_EPOCH_CAP)
+        .withColumn("budget", F.expr("sum(n) OVER ()") .cast("long"))
+        .withColumn("budget", F.expr("budget div 2"))
+        .withColumn("nlang", F.count(F.lit(1)).over(w_all))
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("p_prev", F.coalesce(F.sum("cap").over(w_prev), F.lit(0)))
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("nlang") - F.col("i") + 1)
+            <= F.col("budget") - F.col("p_prev"),
+        )
+    )
+    t = t.withColumn(
+        "n_capped", F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(w_all)
+    ).withColumn(
+        "p_capped",
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0)).over(w_all),
+    )
+    # integer `div` everywhere: a double quotient + floor would differ
+    # from DuckDB's exact // above the 2^53 mantissa cliff
+    return (
+        t.selectExpr(
+            "lang",
+            "n",
+            "cap",
+            "CASE WHEN capped THEN cap "
+            "ELSE (budget - p_capped) div (nlang - n_capped) END AS alloc",
+            "(CASE WHEN capped THEN cap "
+            "ELSE (budget - p_capped) div (nlang - n_capped) END * 100) div n "
+            "AS epoch_pct",
+        )
+        .orderBy("lang")
+    )
+
+
+_TRAIN_UNIMAX_ORACLE = f"""
+WITH g AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY lang),
+t AS (
+  SELECT lang, n, n * {UNIMAX_EPOCH_CAP} AS cap,
+         CAST(sum(n) OVER () // 2 AS BIGINT) AS budget,
+         count(*) OVER () AS nlang,
+         row_number() OVER (ORDER BY n * {UNIMAX_EPOCH_CAP}, lang) AS i,
+         COALESCE(sum(n * {UNIMAX_EPOCH_CAP}) OVER (
+           ORDER BY n * {UNIMAX_EPOCH_CAP}, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev
+  FROM g),
+m AS (
+  SELECT *, (cap * (nlang - i + 1) <= budget - p_prev) AS capped FROM t),
+s AS (
+  SELECT *,
+         sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+         sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS p_capped
+  FROM m)
+SELECT lang, n, cap,
+       CAST(CASE WHEN capped THEN cap
+                 ELSE (budget - p_capped) // (nlang - n_capped) END AS BIGINT)
+         AS alloc,
+       CAST((CASE WHEN capped THEN cap
+                  ELSE (budget - p_capped) // (nlang - n_capped) END * 100) // n
+            AS BIGINT) AS epoch_pct
+FROM s ORDER BY lang
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_unimax",
+        "UniMax budget allocation (Chung et al. 2023): integer-exact "
+        "water-filling with a per-language epoch cap, closed form "
+        "over sorted prefix sums",
+        _train_unimax,
+        _TRAIN_UNIMAX_ORACLE,
+    )
+)

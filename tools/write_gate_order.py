@@ -53,6 +53,7 @@ PRIORITY = [
     "dedup_semantic",  # round-10 additions as they land
     "dedup_span_scrub",
     "text_ccnet_buckets",
+    "train_unimax",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
