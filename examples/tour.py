@@ -175,6 +175,12 @@ def run(spark, sf_dir: str, workdir: str) -> dict:
         "interleave_first_slot": c.interleave(_F.lit(1))
         .filter("interleave_rank = 1")
         .count(),
+        # round 10: span-level duplicate REMOVAL (cleaned text re-emitted)
+        "words_after_span_scrub": c.scrub_dup_spans()
+        .df.selectExpr(
+            "sum(CASE WHEN text = '' THEN 0 ELSE size(split(text, ' ')) END) AS w"
+        )
+        .collect()[0]["w"],
     }
 
     # round 8: the tokenizer loop end-to-end (train merges over the

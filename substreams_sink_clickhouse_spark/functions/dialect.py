@@ -2055,10 +2055,13 @@ def _rewrite_clauses(code: str) -> str:
             "q47_gapfill / q118_interpolate shapes)"
         )
     # ClickHouse join STRICTNESS: ASOF JOIN is translated for real by
-    # _rewrite_asof_join (equi-join + top-1 window), which consumes
-    # the keyword before this guard and raises its own curated errors
-    # for the unsupported forms.  ANY JOIN stays a raise: it changes
-    # row multiplicity, which a keyword drop would silently corrupt.
+    # _rewrite_asof_join (bounded union+window / fallback top-1) and
+    # [LEFT|INNER] ANY JOIN by _rewrite_any_join (right side deduped
+    # per key BEFORE the join, pick pinned to the lexicographic min);
+    # both consume the keyword before this guard.  What remains is the
+    # unsupported surface — RIGHT/FULL ANY, USING, non-equi ON — which
+    # must raise: dropping the strictness keyword would silently
+    # change row multiplicity.
     if re.search(
         r"\b(?:ANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN|"
         r"(?:LEFT|RIGHT|INNER|FULL)\s+ANY\s+JOIN)\b",
@@ -2066,9 +2069,11 @@ def _rewrite_clauses(code: str) -> str:
         flags=re.IGNORECASE,
     ):
         raise ValueError(
-            "ANY JOIN keeps one matching row per key - reduce the "
-            "right side first (the ch_any_join shape: min_by/max_by "
-            "per key before a plain join)"
+            "this ANY JOIN form is not translatable (supported: "
+            "[LEFT|INNER] ANY JOIN with plain-column equality ON; "
+            "ch_any_join) - ANY keeps one matching row per key, so "
+            "for other forms reduce the right side yourself "
+            "(min_by/max_by per key before a plain join)"
         )
     if re.search(r"\bINTO\s+OUTFILE\b", code, flags=re.IGNORECASE):
         raise ValueError(
@@ -2392,8 +2397,100 @@ def _rewrite_asof_join(code: str) -> str:
     return code
 
 
+_ANY_PAT = re.compile(
+    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ANY\b|JOIN\b|LEFT\b|INNER\b|ON\b)(\w+))?"
+    r"\s+(?:ANY\s+(?:(LEFT|INNER)\s+)?JOIN|(LEFT|INNER)\s+ANY\s+JOIN)\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_any_join(code: str) -> str:
+    """ClickHouse ``[LEFT|INNER] ANY JOIN`` → dedupe-the-right-side +
+    plain equi join (docs: ANY keeps at most one matching right row
+    per left row; modern semantics, join#any-strictness).
+
+    The right side collapses to ONE row per join key BEFORE the join
+    — ``min(struct(*))`` per key — so the join itself can never fan
+    out and the aggregate combines map-side: bounded at any key skew,
+    the opposite of joining first and ranking later.  ClickHouse's
+    pick among equal-key rows is explicitly arbitrary ("any"); this
+    translation PINS it to the lexicographically smallest right row
+    (struct comparison over the full row in column order), making
+    results reproducible and oracle-checkable — any single match is a
+    correct ANY result.
+
+    Lexical scope (the guard in _rewrite_clauses raises otherwise):
+    both sides plain identifiers, ON conditions ALL plain qualified
+    column equalities (``a.k = b.k AND …``), LEFT or INNER strictness
+    (RIGHT/FULL ANY and USING stay curated raises).  The left side
+    stays the raw table — its qualified references resolve natively;
+    right-side references resolve as struct fields of the ``b`` column
+    (``SELECT *`` flattens via _flatten_owner_star, as for ASOF)."""
+    while True:
+        m = _ANY_PAT.search(code)
+        if m is None:
+            return code
+        a_tbl, a_alias = m.group(1), m.group(2) or m.group(1)
+        kw = (m.group(3) or m.group(4) or "INNER").upper()
+        b_tbl, b_alias = m.group(5), m.group(6) or m.group(5)
+        tail = code[m.end() :]
+        blanked = _blank_parens(tail)
+        tm = _ASOF_TERM.search(blanked)
+        end = tm.start() if tm else len(tail)
+        conds_sql = tail[:end]
+        suffix = tail[end:]
+        flat = _flatten_owner_star(code, m.start(), a_alias, b_alias)
+        if flat is not None:
+            code = flat
+            continue
+        parts: list[str] = []
+        start = 0
+        for am in re.finditer(r"\bAND\b", _blank_parens(conds_sql),
+                              flags=re.IGNORECASE):
+            parts.append(conds_sql[start : am.start()])
+            start = am.end()
+        parts.append(conds_sql[start:])
+        l_keys: list[str] = []
+        r_keys: list[str] = []
+        for p in parts:
+            em = re.fullmatch(
+                r"\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*", p
+            )
+            if (
+                em is None
+                or a_alias == b_alias
+                or {em.group(1), em.group(3)} != {a_alias, b_alias}
+            ):
+                return code  # unsupported form: the curated raise fires
+            if em.group(1) == a_alias:
+                l_keys.append(em.group(2))
+                r_keys.append(em.group(4))
+            else:
+                l_keys.append(em.group(4))
+                r_keys.append(em.group(2))
+        rsel = ", ".join(
+            f"{c} AS __any_k{i}" for i, c in enumerate(r_keys)
+        )
+        gcols = ", ".join(f"__any_k{i}" for i in range(len(r_keys)))
+        on = " AND ".join(
+            f"{a_alias}.{lc} = __any_r.__any_k{i}"
+            for i, lc in enumerate(l_keys)
+        )
+        join_kw = "LEFT JOIN" if kw == "LEFT" else "JOIN"
+        alias_sql = f" AS {a_alias}" if m.group(2) else ""
+        rewritten = (
+            f"{a_tbl}{alias_sql} {join_kw} "
+            f"(SELECT min({b_alias}) AS {b_alias}, {gcols} FROM "
+            f"(SELECT struct(*) AS {b_alias}, {rsel} FROM {b_tbl}) "
+            f"AS __any_s GROUP BY {gcols}) AS __any_r ON {on} "
+        )
+        code = code[: m.start()] + rewritten + suffix
+
+
 def _rewrite_code(code: str, literals: tuple = ()) -> str:
     code = _rewrite_asof_join(code)
+    code = _rewrite_any_join(code)
     code = _rewrite_array_literals(code)
     code = _rewrite_limit_by(code)
     code = _rewrite_with_totals(code)

@@ -756,7 +756,9 @@ def _q124_student_ttest(spark: SparkSession, sf: str) -> DataFrame:
     b = g.filter(F.col("event_type") == "purchase").select(
         F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
     )
-    j = a.crossJoin(b)
+    # both sides are 1-row moment frames; broadcast makes the
+    # bounded-ness explicit (a 1x1 product, never a data join)
+    j = a.crossJoin(F.broadcast(b))
     df_ = F.col("n1") + F.col("n2") - 2
     sp2 = (
         (F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2")

@@ -841,3 +841,60 @@ SPECS.append(QuerySpec(
     _q187_dialect_asof_join,
     _Q187_ORACLE,
 ))
+
+
+# ----------------------------------------------- q188 ANY JOIN
+_Q188_CH = """
+WITH p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click')
+SELECT p2.user_id AS uid,
+       p2.event_id AS eid,
+       c2.event_id AS any_click,
+       round(c2.value, 4) AS any_value
+FROM p AS p2 ANY LEFT JOIN c AS c2 ON p2.user_id = c2.user_id
+ORDER BY uid, eid
+"""
+
+
+def _q188_dialect_any_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN`` through the dialect shim: each
+    purchase joins AT MOST ONE click of its user (docs sql-reference/
+    statements/select/join#any-strictness).  ClickHouse's pick among a
+    user's clicks is arbitrary; the translation
+    (functions/dialect.py:_rewrite_any_join) pins it to the
+    lexicographically smallest right row — here the lowest event_id,
+    since event_id is unique — so the oracle can assert the exact
+    rows, not just the multiplicity.
+
+    Scale shape: the right side collapses to one row per user BEFORE
+    the join (min(struct) — partial/final aggregate, map-side
+    combine), so the join input is key-cardinality and can never fan
+    out; the opposite of join-then-rank."""
+    return _via_shim(spark, sf, ["events"], _Q188_CH)
+
+
+_Q188_ORACLE = r"""
+WITH p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click'),
+c1 AS (
+  -- the translation's pick: lexicographic min over (user_id, event_id,
+  -- value); event_id is unique per user, so ORDER BY event_id decides
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id, value) AS rn FROM c)
+  WHERE rn = 1)
+SELECT p.user_id AS uid,
+       p.event_id AS eid,
+       c1.event_id AS any_click,
+       round(c1.value, 4) AS any_value
+FROM p LEFT JOIN c1 USING (user_id)
+ORDER BY uid, eid
+"""
+
+SPECS.append(QuerySpec(
+    "q188_dialect_any_join",
+    "ClickHouse ANY LEFT JOIN through the shim: right side deduped "
+    "per key pre-join (pinned lexicographic-min pick), no fan-out",
+    _q188_dialect_any_join,
+    _Q188_ORACLE,
+))

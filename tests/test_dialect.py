@@ -947,11 +947,62 @@ def test_asof_and_any_join_guidance():
     import pytest
 
     # ASOF JOIN translates for real since round 9 (see
-    # test_asof_join_rewrite); ANY JOIN remains a curated raise
+    # test_asof_join_rewrite); [LEFT|INNER] ANY JOIN with plain-column
+    # equality ON translates since round 10 (dedupe-right + equi join)
+    for q in (
+        "SELECT a.x, b.y FROM t1 a ANY LEFT JOIN t2 b ON a.k = b.k",
+        "SELECT a.x, b.y FROM t1 a LEFT ANY JOIN t2 b ON a.k = b.k",
+        "SELECT a.x, b.y FROM t1 a INNER ANY JOIN t2 b ON a.k = b.k",
+    ):
+        out = clickhouse_to_spark_sql(q)
+        assert "min(b) AS b" in out and "GROUP BY __any_k0" in out, out
+        assert ("LEFT JOIN" in out) == ("LEFT" in q)
+    # unsupported forms stay curated raises
     with pytest.raises(ValueError, match="ch_any_join"):
         clickhouse_to_spark_sql("SELECT * FROM a ANY LEFT JOIN b USING (k)")
     with pytest.raises(ValueError, match="ch_any_join"):
         clickhouse_to_spark_sql("SELECT * FROM a LEFT ANY JOIN b USING (k)")
+    with pytest.raises(ValueError, match="ch_any_join"):
+        # non-equi ON is not an ANY translation target
+        clickhouse_to_spark_sql(
+            "SELECT a.x FROM t1 a ANY LEFT JOIN t2 b ON a.k >= b.k"
+        )
+
+
+def test_any_join_executes(spark):
+    """LEFT/INNER ANY JOIN end-to-end: one row per left row, the pick
+    pinned to the lexicographically smallest right row, unmatched
+    LEFT rows keep NULLs, and the plan joins a PRE-AGGREGATED right
+    side (no fan-out: the join input is one row per key)."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, a int"
+    ).createOrReplaceTempView("any_a")
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 3, "y"), (2, 7, "z")], "k int, v int, s string"
+    ).createOrReplaceTempView("any_b")
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.a AS av, b.v AS bv, b.s AS bs FROM any_a a "
+        "ANY LEFT JOIN any_b b ON a.k = b.k ORDER BY av"
+    ))
+    assert [tuple(r) for r in out.collect()] == [
+        (10, 3, "y"),  # min struct of k=1: (1, 3, 'y') < (1, 5, 'x')
+        (20, 7, "z"),
+        (30, None, None),
+    ]
+    inner = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.a AS av, b.v AS bv FROM any_a a "
+        "INNER ANY JOIN any_b b ON a.k = b.k ORDER BY av"
+    ))
+    assert [tuple(r) for r in inner.collect()] == [(10, 3), (20, 7)]
+    # SELECT * flattens to left-table star + right struct star
+    star = spark.sql(clickhouse_to_spark_sql(
+        "SELECT * FROM any_a a ANY LEFT JOIN any_b b ON a.k = b.k"
+    ))
+    assert star.columns == ["k", "a", "k", "v", "s"]
+    # the right side is deduped pre-join (min over struct plans as a
+    # SortAggregate - still partial/final, map-side combine intact)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan and plan.index("Aggregate") > 0
     # a column named any_join / table alias 'any' must not false-fire
     out = clickhouse_to_spark_sql("SELECT any_join FROM t")
     assert "any_join" in out

@@ -416,6 +416,32 @@ SHOWCASE = [
         "(hashing makes it corpus-size-independent); fit and apply "
         "are two single-exchange scans.",
     ),
+    (
+        "dedup_semantic",
+        "SemDeDup: cluster assignment is map-only (k plan-literal "
+        "centroids, no join); candidates come from per-cluster bucket "
+        "expansion with the hot-bucket cap - cross-cluster pairs are "
+        "structurally impossible.",
+    ),
+    (
+        "dedup_span_scrub",
+        "Span-level duplicate removal: the keep-first decision is a "
+        "STREAMING row_number over the span-hash partition - no join "
+        "back on the hash, no per-hash array; spans travel as 60-bit "
+        "hashes.",
+    ),
+    (
+        "text_ccnet_buckets",
+        "CCNet terciles: broadcast count tables feed the per-doc LM "
+        "score; the only non-scoring work is a per-language ntile "
+        "window (exact rank split) and a 15-group rollup.",
+    ),
+    (
+        "train_unimax",
+        "UniMax water-filling: one exchange to language cardinality, "
+        "then prefix-sum windows over ~#languages rows; every share "
+        "is integer 'div' so both engines agree bit-for-bit.",
+    ),
 ]
 
 

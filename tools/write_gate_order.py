@@ -54,6 +54,7 @@ PRIORITY = [
     "dedup_span_scrub",
     "text_ccnet_buckets",
     "train_unimax",
+    "q188_dialect_any_join",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
