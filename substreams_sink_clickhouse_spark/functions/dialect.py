@@ -2398,8 +2398,8 @@ def _rewrite_asof_join(code: str) -> str:
 
 
 _ANY_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ANY\b|JOIN\b|LEFT\b|INNER\b|ON\b)(\w+))?"
-    r"\s+(?:ANY\s+(?:(LEFT|INNER)\s+)?JOIN|(LEFT|INNER)\s+ANY\s+JOIN)\s+"
+    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|ON\b)(\w+))?"
+    r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT)\s+)?JOIN|(LEFT|INNER|RIGHT)\s+ANY\s+JOIN)\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
     re.IGNORECASE,
 )
@@ -2420,13 +2420,17 @@ def _rewrite_any_join(code: str) -> str:
     results reproducible and oracle-checkable — any single match is a
     correct ANY result.
 
+    ``RIGHT ANY`` mirrors: ALL right rows survive, each with at most
+    one left match, so the LEFT side is the one deduped pre-join.
+
     Lexical scope (the guard in _rewrite_clauses raises otherwise):
     both sides plain identifiers, ON conditions ALL plain qualified
-    column equalities (``a.k = b.k AND …``), LEFT or INNER strictness
-    (RIGHT/FULL ANY and USING stay curated raises).  The left side
-    stays the raw table — its qualified references resolve natively;
-    right-side references resolve as struct fields of the ``b`` column
-    (``SELECT *`` flattens via _flatten_owner_star, as for ASOF)."""
+    column equalities (``a.k = b.k AND …``), LEFT/INNER/RIGHT
+    strictness (FULL ANY and USING stay curated raises).  The
+    non-deduped side stays the raw table — its qualified references
+    resolve natively; the deduped side's references resolve as struct
+    fields of its alias column (``SELECT *`` flattens via
+    _flatten_owner_star, as for ASOF)."""
     while True:
         m = _ANY_PAT.search(code)
         if m is None:
@@ -2469,22 +2473,39 @@ def _rewrite_any_join(code: str) -> str:
             else:
                 l_keys.append(em.group(4))
                 r_keys.append(em.group(2))
-        rsel = ", ".join(
-            f"{c} AS __any_k{i}" for i, c in enumerate(r_keys)
-        )
         gcols = ", ".join(f"__any_k{i}" for i in range(len(r_keys)))
-        on = " AND ".join(
-            f"{a_alias}.{lc} = __any_r.__any_k{i}"
-            for i, lc in enumerate(l_keys)
-        )
-        join_kw = "LEFT JOIN" if kw == "LEFT" else "JOIN"
-        alias_sql = f" AS {a_alias}" if m.group(2) else ""
-        rewritten = (
-            f"{a_tbl}{alias_sql} {join_kw} "
-            f"(SELECT min({b_alias}) AS {b_alias}, {gcols} FROM "
-            f"(SELECT struct(*) AS {b_alias}, {rsel} FROM {b_tbl}) "
-            f"AS __any_s GROUP BY {gcols}) AS __any_r ON {on} "
-        )
+        if kw == "RIGHT":
+            # all RIGHT rows survive -> dedupe the LEFT side pre-join
+            lsel = ", ".join(
+                f"{c} AS __any_k{i}" for i, c in enumerate(l_keys)
+            )
+            on = " AND ".join(
+                f"__any_l.__any_k{i} = {b_alias}.{rc}"
+                for i, rc in enumerate(r_keys)
+            )
+            b_sql = f" AS {b_alias}" if m.group(6) else ""
+            rewritten = (
+                f"(SELECT min({a_alias}) AS {a_alias}, {gcols} FROM "
+                f"(SELECT struct(*) AS {a_alias}, {lsel} FROM {a_tbl}) "
+                f"AS __any_s GROUP BY {gcols}) AS __any_l "
+                f"RIGHT JOIN {b_tbl}{b_sql} ON {on} "
+            )
+        else:
+            rsel = ", ".join(
+                f"{c} AS __any_k{i}" for i, c in enumerate(r_keys)
+            )
+            on = " AND ".join(
+                f"{a_alias}.{lc} = __any_r.__any_k{i}"
+                for i, lc in enumerate(l_keys)
+            )
+            join_kw = "LEFT JOIN" if kw == "LEFT" else "JOIN"
+            alias_sql = f" AS {a_alias}" if m.group(2) else ""
+            rewritten = (
+                f"{a_tbl}{alias_sql} {join_kw} "
+                f"(SELECT min({b_alias}) AS {b_alias}, {gcols} FROM "
+                f"(SELECT struct(*) AS {b_alias}, {rsel} FROM {b_tbl}) "
+                f"AS __any_s GROUP BY {gcols}) AS __any_r ON {on} "
+            )
         code = code[: m.start()] + rewritten + suffix
 
 

@@ -994,6 +994,15 @@ def test_any_join_executes(spark):
         "INNER ANY JOIN any_b b ON a.k = b.k ORDER BY av"
     ))
     assert [tuple(r) for r in inner.collect()] == [(10, 3), (20, 7)]
+    # RIGHT ANY mirrors: every RIGHT row survives, at most one left
+    # match each (the LEFT side is the deduped one)
+    right = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.a AS av, b.v AS bv FROM any_b b "
+        "RIGHT ANY JOIN any_a a ON b.k = a.k ORDER BY av"
+    ))
+    assert [tuple(r) for r in right.collect()] == [
+        (10, 3), (20, 7), (30, None)
+    ]
     # SELECT * flattens to left-table star + right struct star
     star = spark.sql(clickhouse_to_spark_sql(
         "SELECT * FROM any_a a ANY LEFT JOIN any_b b ON a.k = b.k"
