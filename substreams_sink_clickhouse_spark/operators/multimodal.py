@@ -1646,3 +1646,114 @@ SPECS.append(
         _phash_near_oracle(),
     )
 )
+
+
+# -------------------------------------------------- voice activity
+
+#: VAD windowing over the decoded PCM: 16 samples per energy window
+#: (AUDIO_WINDOW), clip capped at AUDIO_MAX_BYTES samples like the
+#: wav_decode path.  A window is SPEECH iff its energy exceeds the
+#: clip's MEAN window energy — integer cross-multiplication
+#: (e * n_windows > total), no division, so both engines agree exactly.
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("n_speech", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+    ]
+)
+
+
+def _vad_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Encode -> real WAV decode -> windowed-energy voice-activity
+    segmentation, per Arrow batch."""
+    import pandas as pd
+
+    def feats(b: bytes):
+        wav = encode_wav(b[:AUDIO_MAX_BYTES])
+        _nch, _sw, _rate, samples = decode_audio(wav)
+        wins = [
+            samples[i : i + AUDIO_WINDOW]
+            for i in range(0, len(samples), AUDIO_WINDOW)
+        ]
+        energies = [sum(x * x for x in w) for w in wins]
+        n = len(energies)
+        total = sum(energies)
+        flags = [e * n > total for e in energies]
+        segs = sum(
+            1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1])
+        )
+        return n, sum(flags), segs
+
+    for pdf in batches:
+        rows = [(a,) + feats(p) for a, p in zip(pdf["asset_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n_windows": pd.Series([r[1] for r in rows], dtype="int32"),
+                "n_speech": pd.Series([r[2] for r in rows], dtype="int32"),
+                "n_segments": pd.Series([r[3] for r in rows], dtype="int32"),
+            }
+        )
+
+
+def _multimodal_vad(spark: SparkSession, sf: str) -> DataFrame:
+    """Voice-activity detection over the decoded WAV clips — the audio
+    curation step that decides which clips carry usable speech (energy
+    VAD: windowed short-time energy vs the clip mean, then contiguous
+    speech windows merge into segments).  Real decode path: the bytes
+    round-trip through the RIFF container and the stdlib parser, like
+    multimodal_wav_decode.
+
+    Integer-exact by construction: energies are integer sums of
+    squared 8-bit samples; the speech test cross-multiplies
+    (e * n_windows > total) instead of comparing means, so there is no
+    float anywhere and DuckDB replays the identical decision from the
+    source text bytes.  Scale: one plan-pinned mapInPandas over the
+    asset batch, zero shuffle before the (unordered) result."""
+    docs = load_table(spark, sf, "documents")
+    assets = assets_from_documents(docs).select("asset_id", "payload")
+    return assets.mapInPandas(_vad_batches, schema=VAD_SCHEMA)  # unordered
+
+
+_VAD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, least(len(text), {AUDIO_MAX_BYTES}) + 1),
+                        i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS samp
+  FROM documents),
+e AS (
+  SELECT asset_id,
+         list_transform(range(0, CAST((len(samp) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW} AS INT)),
+                        w -> coalesce(list_sum(list_transform(
+                               samp[w * {AUDIO_WINDOW} + 1 : w * {AUDIO_WINDOW} + {AUDIO_WINDOW}],
+                               x -> x * x)), 0)) AS energies
+  FROM s),
+f AS (
+  SELECT asset_id, energies,
+         CAST(len(energies) AS INT) AS n_windows,
+         coalesce(list_sum(energies), 0) AS total
+  FROM e),
+g AS (
+  SELECT asset_id, n_windows,
+         list_transform(energies, x -> x * n_windows > total) AS flags
+  FROM f)
+SELECT asset_id, n_windows,
+       CAST(coalesce(len(list_filter(flags, x -> x)), 0) AS INT) AS n_speech,
+       CAST(coalesce(len(list_filter(range(1, n_windows + 1),
+                          i -> flags[i] AND (i = 1 OR NOT flags[i - 1]))), 0) AS INT)
+         AS n_segments
+FROM g ORDER BY asset_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "multimodal_vad",
+        "Energy VAD over real-decoded WAV clips: integer windowed "
+        "energies vs clip mean, contiguous speech segments counted",
+        _multimodal_vad,
+        _VAD_ORACLE,
+    )
+)

@@ -55,6 +55,7 @@ PRIORITY = [
     "text_ccnet_buckets",
     "train_unimax",
     "q188_dialect_any_join",
+    "multimodal_vad",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
