@@ -442,6 +442,19 @@ SHOWCASE = [
         "then prefix-sum windows over ~#languages rows; every share "
         "is integer 'div' so both engines agree bit-for-bit.",
     ),
+    (
+        "q188_dialect_any_join",
+        "ClickHouse ANY LEFT JOIN: the right side collapses to one "
+        "lexicographic-min row per key BEFORE the join (partial/final "
+        "aggregate) - the join input is key-cardinality, never a "
+        "fan-out.",
+    ),
+    (
+        "multimodal_vad",
+        "Energy VAD: one plan-pinned mapInPandas (real WAV decode + "
+        "integer windowed energies per clip), zero shuffle - "
+        "decode-bound and embarrassingly parallel.",
+    ),
 ]
 
 
