@@ -1610,6 +1610,81 @@ SPECS.append(
 )
 
 
+def _text_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility — tokens emitted per word —
+    and compression, for the 8-merge learned BPE model: the standard
+    multilingual tokenizer-equity audit (a language with high
+    fertility pays more sequence length per word than the tokenizer's
+    'home' language; mT5/XLM-R-class pipelines check this before
+    committing a vocabulary).
+
+    Same machinery as :func:`bpe_encode` (ONE shared learn loop, the
+    broadcast word→tokens map, one encode scan) with the rollup keyed
+    by language; fertility reported integer-exactly in milli-tokens
+    per word (``(Σtokens · 1000) div Σwords``)."""
+    docs = load_table(spark, sf, "documents")
+    vocab, _merges = _bpe_learn(docs, 8, carry_word=True)
+    tokmap = vocab.select(
+        "w",
+        F.size("syms").cast("long").alias("n_tok"),
+        (F.length("w") + F.lit(1)).cast("long").alias("n_sym0"),
+    )
+    docwords = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).where(F.col("w").rlike("^[a-z0-9]+$"))
+    return (
+        docwords.join(F.broadcast(tokmap), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_sym0").cast("long").alias("n_syms0"),
+        )
+        .selectExpr(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "(n_tokens * 1000) div n_words AS fert_milli",
+            "(n_syms0 * 1000) div n_tokens AS compress_milli",
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 8) -> str:
+    return f"""{_bpe_merge_blocks(n_merges, carry_word=True)},
+tokmap AS (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_tok,
+         CAST(length(w) + 1 AS BIGINT) AS n_sym0
+  FROM s{n_merges}
+), docwords AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+  FROM documents
+), agg AS (
+  SELECT lang,
+         count(*)::BIGINT AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_sym0) AS BIGINT) AS n_syms0
+  FROM docwords JOIN tokmap USING (w)
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY lang)
+SELECT lang, n_words, n_tokens,
+       CAST((n_tokens * 1000) // n_words AS BIGINT) AS fert_milli,
+       CAST((n_syms0 * 1000) // n_tokens AS BIGINT) AS compress_milli
+FROM agg ORDER BY lang"""
+
+
+SPECS.append(
+    QuerySpec(
+        "text_bpe_fertility",
+        "Per-language BPE tokenizer fertility + compression (8 learned "
+        "merges): the multilingual tokenizer-equity audit, integer-exact",
+        _text_bpe_fertility,
+        _bpe_fertility_oracle(8),
+    )
+)
+
+
 def bpe_vocab_stats(
     docs: DataFrame, n_merges: int = 8, top_k: int = 30
 ) -> DataFrame:

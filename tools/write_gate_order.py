@@ -56,6 +56,7 @@ PRIORITY = [
     "train_unimax",
     "q188_dialect_any_join",
     "multimodal_vad",
+    "text_bpe_fertility",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
