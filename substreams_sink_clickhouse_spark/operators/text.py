@@ -47,18 +47,26 @@ def _marker_count(words_col, markers: list[str]):
     return F.size(F.expr(f"filter(__words, w -> w IN ({in_list}))"))
 
 
-def _langid(spark: SparkSession, sf: str) -> DataFrame:
-    """Language ID: per-language stopword hit counts, argmax with a
-    fixed priority order (en > es > de > fr, else 'und')."""
+def _langid_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document stopword hit counts for every marker language,
+    carrying the TRUE ``lang`` label — the shared scorer of
+    ``text_langid`` (per-doc prediction) and ``text_langid_eval``
+    (confusion matrix against the labels)."""
     d = load_table(spark, sf, "documents").withColumn("__words", _words())
-    scored = d.select(
+    return d.select(
         "doc_id",
+        "lang",
         *[
             _marker_count(F.col("__words"), markers).alias(f"s_{lang}")
             for lang, markers in _LANG_MARKERS.items()
         ],
     )
-    pred = (
+
+
+def _langid_pred():
+    """The argmax-with-fixed-priority prediction (en > es > de > fr,
+    else 'und') over the _langid_scored hit counts."""
+    return (
         F.when(
             (F.col("s_en") >= F.col("s_es"))
             & (F.col("s_en") >= F.col("s_de"))
@@ -71,9 +79,19 @@ def _langid(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("s_fr") > 0, "fr")
         .otherwise("und")
     )
-    return scored.select(
-        "doc_id", pred.alias("lang_pred"), "s_en", "s_es", "s_de", "s_fr"
-    ).orderBy("doc_id")
+
+
+def _langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID: per-language stopword hit counts, argmax with a
+    fixed priority order (en > es > de > fr, else 'und')."""
+    return (
+        _langid_scored(spark, sf)
+        .select(
+            "doc_id", _langid_pred().alias("lang_pred"),
+            "s_en", "s_es", "s_de", "s_fr",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _LANGID_ORACLE = f"""
@@ -96,6 +114,69 @@ SELECT doc_id,
             ELSE 'und' END AS lang_pred,
        s_en, s_es, s_de, s_fr
 FROM scored ORDER BY doc_id
+"""
+
+
+def _text_langid_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of the stopword
+    heuristic against the corpus's TRUE ``lang`` labels, with
+    per-true-language recall — the check a pipeline runs before
+    trusting a cheap classifier to route 100 TB of documents (the
+    fastText-vs-labels audit of CCNet-class pipelines, at this
+    engine's heuristic tier).
+
+    Integer-exact recall in basis points (``(n · 10000) div
+    lang_total``).  Scale: one hash exchange to (lang, lang_pred)
+    cardinality (≤ #langs² cells), then a window over those cells —
+    nothing grows with corpus size."""
+    from pyspark.sql import Window
+
+    cells = (
+        _langid_scored(spark, sf)
+        .select("lang", _langid_pred().alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("lang_total", F.sum("n").over(w))
+        .selectExpr(
+            "lang",
+            "lang_pred",
+            "n",
+            "(n * 10000) div lang_total AS recall_bp",
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_LANGID_EVAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['en'])}))) AS INT) AS s_en,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['es'])}))) AS INT) AS s_es,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['de'])}))) AS INT) AS s_de,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(_LANG_MARKERS['fr'])}))) AS INT) AS s_fr
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+  FROM scored),
+cells AS (
+  SELECT lang, lang_pred, count(*)::BIGINT AS n
+  FROM pred GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n,
+       CAST((n * 10000) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS recall_bp
+FROM cells ORDER BY lang, lang_pred
 """
 
 
@@ -688,6 +769,13 @@ SPECS: list[QuerySpec] = [
         """,
     ),
     QuerySpec("text_langid", "Language-ID stopword heuristic", _langid, _LANGID_ORACLE),
+    QuerySpec(
+        "text_langid_eval",
+        "Language-ID confusion matrix vs true labels with per-language "
+        "recall (basis points, integer-exact)",
+        _text_langid_eval,
+        _LANGID_EVAL_ORACLE,
+    ),
     QuerySpec("text_quality", "Document quality scoring", _quality, _QUALITY_ORACLE),
     QuerySpec("text_tokens", "Whitespace + BPE-ish token counting", _tokens, _TOKENS_ORACLE),
     QuerySpec(

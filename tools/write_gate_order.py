@@ -57,6 +57,7 @@ PRIORITY = [
     "q188_dialect_any_join",
     "multimodal_vad",
     "text_bpe_fertility",
+    "text_langid_eval",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
