@@ -223,19 +223,17 @@ def _pair_expand_capped(arr: str, fields: str, star_fields: str) -> str:
 
 # ---------------------------------------------------------------- minhash
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_val) for a (doc_id, text) DataFrame.
-
-    Zero-shuffle signature computation: the shingle set stays an array
-    column, each shingle MD5-hashed once (``g``), and the k minhashes
-    are per-row ``array_min`` folds — no explode, no groupBy; callers
-    pay their first shuffle at the band join/group they stack on top."""
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) minhash signatures for a (doc_id, text)
+    DataFrame.  Zero-shuffle: the shingle set stays an array column,
+    each shingle MD5-hashed once (``g``), and the k minhashes are
+    per-row ``array_min`` folds — no explode, no groupBy."""
     with_g = (
         docs.withColumn("__words", F.split("text", " "))
         .withColumn("__sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
         .withColumn("__g", F.expr(f"transform(__sh, s -> {md5_long_sql('s')} % {MINHASH_P})"))
     )
-    mh = with_g.select(
+    return with_g.select(
         "doc_id",
         *[
             F.expr(
@@ -244,6 +242,13 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
             for j in range(N_MINHASH)
         ],
     )
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) for a (doc_id, text) DataFrame —
+    :func:`_minhash_sigs` banded; callers pay their first shuffle at
+    the band join/group they stack on top."""
+    mh = _minhash_sigs(docs)
     band_structs = F.array(
         *[
             F.struct(
@@ -468,23 +473,26 @@ ORDER BY doc_a, doc_b
 
 # ------------------------------------------------------------ n-gram Jaccard
 
-def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    aug = _aug_docs(spark, sf)
+def _shingle_common(aug: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc shingle counts, per-pair common-shingle counts) for a
+    ``(doc_id, text)`` corpus — the shared core of Jaccard,
+    containment, and the MinHash calibration audit.
+
+    Common-shingle counting via bucket expansion: group docs per
+    shingle, emit each bucket's ordered pairs, count per pair.  The
+    self-join formulation computes the shingle explosion twice and
+    shuffles it twice; this computes it once.  A stop-shingle shared
+    by a large share of docs makes a quadratic bucket — the
+    :data:`MAX_BUCKET_SIZE` drop cap (mirrored in every consumer's
+    oracle) is the standard document-frequency cutoff."""
     sh = _shingle_rows(aug)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Common-shingle counting via bucket expansion: group docs per
-    # shingle, emit each bucket's ordered pairs, count per pair.  The
-    # self-join formulation computes the shingle explosion twice and
-    # shuffles it twice; this computes it once.  A stop-shingle shared
-    # by a large share of docs makes a quadratic bucket — at scale,
-    # drop shingles with document frequency above a cutoff first
-    # (standard near-dup practice).
-    shingle_buckets = (
+    shingle_buckets = _cap_buckets(
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") > 1),
+        "ids",
     )
-    shingle_buckets = _cap_buckets(shingle_buckets, "ids")
     common = (
         shingle_buckets.select(
             F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
@@ -492,6 +500,12 @@ def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    return counts, common
+
+
+def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _aug_docs(spark, sf)
+    counts, common = _shingle_common(aug)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jacc = (
@@ -1445,21 +1459,7 @@ def _dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     pairs survive when either direction reaches
     :data:`CONTAINMENT_THRESHOLD`."""
     aug = _aug_docs(spark, sf)
-    sh = _shingle_rows(aug)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shingle_buckets = _cap_buckets(
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1),
-        "ids",
-    )
-    common = (
-        shingle_buckets.select(
-            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
-        )
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    counts, common = _shingle_common(aug)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     cont = (
@@ -1773,5 +1773,133 @@ SPECS.append(
         "cleaned-corpus accounting via one streaming hash window",
         _dedup_span_scrub,
         _span_scrub_oracle(),
+    )
+)
+
+
+# -------------------------------------------- estimator calibration
+
+def _dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator CALIBRATION audit: over the banding candidate
+    pairs, compare the signature-agreement Jaccard estimate
+    (agreeing components / k — the unbiased MinHash estimator, Broder
+    1997) against the EXACT shingle Jaccard, reporting bias and error
+    in one row.  This is the check that says whether k = 8 hashes are
+    enough before trusting the estimator to threshold a 100 TB dedup
+    run — the ANN-recall audit's analog for the dedup family.
+
+    Shapes reused, not re-implemented: candidate pairs are
+    ``_dedup_minhash``'s (banded bucket expansion, capped), signatures
+    are ``_minhash_sigs`` (zero-shuffle per-row folds), exact common
+    counts are ``_shingle_common`` (capped bucket expansion).  The
+    pair set is broadcast into both signature joins, so the corpus is
+    scanned, never shuffled, for the estimate side.  Exact Jaccard is
+    computed over the same capped-shingle domain as dedup_ngram_jaccard
+    (pairs sharing only over-cap stop-shingles read as 0 — mirrored in
+    the oracle).  Per-pair values are rounded BEFORE the averages so
+    summation order cannot leak into the hash."""
+    aug = _aug_docs(spark, sf)
+    pairs = _dedup_minhash(spark, sf)
+    sigs = _minhash_sigs(aug)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    withsigs = b.join(
+        F.broadcast(a.join(F.broadcast(pairs), "doc_a")), "doc_b"
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    est = withsigs.select(
+        "doc_a", "doc_b",
+        (agree.cast("double") / F.lit(float(N_MINHASH))).alias("est"),
+    )
+    counts, common = _shingle_common(aug)
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    ex = (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            F.round("est", 6).alias("est"),
+            F.round(
+                F.coalesce(
+                    F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("exact"),
+        )
+    )
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("est"), 4).alias("avg_est"),
+        F.round(F.avg("exact"), 4).alias("avg_exact"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 4).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max(F.abs(F.col("est") - F.col("exact"))), 6).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(N_MINHASH)
+    )
+    return f"""
+WITH {_DUCK_AUG.strip()},
+{_minhash_band_ctes()},{_duck_pairs_cte()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN shc ON shc.shingle = a.shingle
+  GROUP BY 1, 2),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(({agree}) AS DOUBLE) / {N_MINHASH} AS est
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b),
+ex AS (
+  SELECT round(e.est, 6) AS est,
+         round(COALESCE(CAST(c.common AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - c.common), 0.0), 6) AS exact
+  FROM est e
+  LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+  JOIN counts na ON na.doc_id = e.doc_a
+  JOIN counts nb ON nb.doc_id = e.doc_b)
+SELECT count(*) AS n_pairs,
+       round(avg(est), 4) AS avg_est,
+       round(avg(exact), 4) AS avg_exact,
+       round(avg(abs(est - exact)), 4) AS mean_abs_err,
+       round(max(abs(est - exact)), 6) AS max_abs_err
+FROM ex
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_minhash_calibration",
+        "MinHash estimator calibration over the banding candidates: "
+        "signature-agreement estimate vs exact shingle Jaccard, bias "
+        "and error in one row",
+        _dedup_minhash_calibration,
+        _minhash_calibration_oracle(),
     )
 )

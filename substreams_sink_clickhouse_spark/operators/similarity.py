@@ -946,6 +946,93 @@ SPECS.append(
 )
 
 
+def _sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 AND probe cost of the IVF index (sim_ivf's
+    nprobe=2 coarse quantizer) against brute-force ground truth —
+    the lsh_recall audit for the OTHER candidate generator, reporting
+    both sides of the ANN trade in one row: ``n_cand`` (vectors the
+    probe actually scans — the cost) next to ``hits``/``recall`` (the
+    quality).  At 100 TB this single row is the nprobe tuning signal:
+    raise nprobe until recall clears the target, n_cand tells you what
+    each step costs.
+
+    Plan: ground truth is one TakeOrdered scan; the candidate set is
+    the same broadcast semi-join prune as sim_ivf; the two 1-row
+    aggregates meet in a broadcast product (allowlisted)."""
+    e = load_table(spark, sf, "embeddings")
+    assign, probed_lists = _ivf_parts(e)
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    scored = e.crossJoin(F.broadcast(probe)).withColumn(
+        "__sim",
+        F.expr(_dot_expr("embedding", "p"))
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr("p"))),
+    )
+    exact_top = (
+        scored.orderBy(F.desc("__sim"), "vec_id").limit(10).select("vec_id")
+    )
+    cand = assign.join(F.broadcast(probed_lists), "cid", "left_semi").select(
+        "vec_id", F.lit(1).alias("__probed")
+    )
+    hits = exact_top.join(cand, "vec_id", "left").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.coalesce("__probed", F.lit(0))).alias("hits"),
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return hits.crossJoin(F.broadcast(n_cand)).select(
+        "k",
+        "hits",
+        F.round(F.col("hits") / F.col("k"), 6).alias("recall"),
+        "n_cand",
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_duck_dot('e.embedding', 'c.cemb')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('c.cemb')}) AS csim
+  FROM embeddings e CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+  FROM sims),
+assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probed AS (SELECT cid FROM ranked WHERE vec_id = {PROBE_VEC_ID} AND rn <= {N_PROBE}),
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT e.vec_id,
+         {_duck_dot('e.embedding', 'probe.p')}
+           / ({_duck_norm('e.embedding')} * {_duck_norm('probe.p')}) AS simx
+  FROM embeddings e, probe),
+exact_top AS (SELECT vec_id FROM scored ORDER BY simx DESC, vec_id LIMIT 10),
+cand AS (
+  SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probed)),
+hits AS (
+  SELECT count(*) AS k,
+         CAST(sum(CASE WHEN t.vec_id IN (SELECT vec_id FROM cand)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM exact_top t),
+nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand)
+SELECT k, hits, round(CAST(hits AS DOUBLE) / k, 6) AS recall, n_cand
+FROM hits, nc
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_ivf_recall",
+        "Recall@10 + probe cost (n_cand) of the IVF nprobe=2 index vs "
+        "brute-force ground truth: the nprobe tuning signal",
+        _sim_ivf_recall,
+        _IVF_RECALL_ORACLE,
+    )
+)
+
+
 # -------------------------------------------- nearest-centroid classify
 
 def _sim_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:

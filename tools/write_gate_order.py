@@ -58,6 +58,8 @@ PRIORITY = [
     "multimodal_vad",
     "text_bpe_fertility",
     "text_langid_eval",
+    "sim_ivf_recall",
+    "dedup_minhash_calibration",
     "q155_map_functions",  # the last 17 never-driver-sampled
     "q156_format_readable",
     "q157_datetime_accessors",
