@@ -1785,6 +1785,55 @@ def test_asof_join_executes(spark):
     assert [tuple(r) for r in strict.collect()] == [(1, 10, 5), (1, 20, 15)]
 
 
+def test_asof_join_multi_key_bounded(spark):
+    """Several equality keys in ON all become window partition keys on
+    the bounded path — rows only match within the FULL key tuple."""
+    spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 10), (2, "x", 10)], "k int, g string, t int"
+    ).createOrReplaceTempView("asof_ma")
+    spark.createDataFrame(
+        [(1, "x", 5, 100), (1, "y", 7, 200), (2, "z", 1, 300)],
+        "k int, g string, t int, v int",
+    ).createOrReplaceTempView("asof_mb")
+    sql = clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.g AS g, b.v AS v FROM asof_ma a "
+        "ASOF LEFT JOIN asof_mb b "
+        "ON a.k = b.k AND b.g = a.g AND a.t >= b.t ORDER BY k, g"
+    )
+    assert "PARTITION BY __asof_k0, __asof_k1" in sql
+    assert "__asof_rn" not in sql  # bounded path
+    out = spark.sql(sql)
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "x", 100),
+        (1, "y", 200),
+        (2, "x", None),  # (2,'z') quote must not leak across g
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_any_join_multi_key(spark):
+    """Multiple equality keys dedupe the right side per FULL key
+    tuple; reversed-side equalities (b.g = a.g) parse fine."""
+    spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20), (3, "x", 30)], "k int, g string, a int"
+    ).createOrReplaceTempView("any_ma")
+    spark.createDataFrame(
+        [(1, "x", 9), (1, "x", 3), (1, "y", 5)], "k int, g string, v int"
+    ).createOrReplaceTempView("any_mb")
+    sql = clickhouse_to_spark_sql(
+        "SELECT a.a AS av, b.v AS bv FROM any_ma a "
+        "ANY LEFT JOIN any_mb b ON a.k = b.k AND b.g = a.g ORDER BY av"
+    )
+    assert "GROUP BY __any_k0, __any_k1" in sql
+    out = spark.sql(sql)
+    assert [tuple(r) for r in out.collect()] == [
+        (10, 3),  # min struct of (1,'x'): (1,'x',3)
+        (20, 5),
+        (30, None),
+    ]
+
+
 def test_asof_join_fallback_executes(spark):
     """Expression ON (not plain columns) takes the fan-out fallback:
     same answers, WindowGroupLimit top-1, no cartesian/BNLJ — and the
