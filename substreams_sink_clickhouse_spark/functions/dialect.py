@@ -2056,12 +2056,13 @@ def _rewrite_clauses(code: str) -> str:
         )
     # ClickHouse join STRICTNESS: ASOF JOIN is translated for real by
     # _rewrite_asof_join (bounded union+window / fallback top-1) and
-    # [LEFT|INNER] ANY JOIN by _rewrite_any_join (right side deduped
-    # per key BEFORE the join, pick pinned to the lexicographic min);
-    # both consume the keyword before this guard.  What remains is the
-    # unsupported surface — RIGHT/FULL ANY, USING, non-equi ON — which
-    # must raise: dropping the strictness keyword would silently
-    # change row multiplicity.
+    # [LEFT|INNER|RIGHT|FULL] ANY JOIN by _rewrite_any_join (the
+    # many-match side(s) deduped per key BEFORE the join, pick pinned
+    # to the lexicographic min); USING desugars to ON for both
+    # (_desugar_strict_using).  All of those consume the keyword
+    # before this guard.  What remains is the unsupported surface —
+    # non-equi ON, self-aliased sides — which must raise: dropping
+    # the strictness keyword would silently change row multiplicity.
     if re.search(
         r"\b(?:ANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN|"
         r"(?:LEFT|RIGHT|INNER|FULL)\s+ANY\s+JOIN)\b",
@@ -2070,10 +2071,11 @@ def _rewrite_clauses(code: str) -> str:
     ):
         raise ValueError(
             "this ANY JOIN form is not translatable (supported: "
-            "[LEFT|INNER] ANY JOIN with plain-column equality ON; "
-            "ch_any_join) - ANY keeps one matching row per key, so "
-            "for other forms reduce the right side yourself "
-            "(min_by/max_by per key before a plain join)"
+            "[LEFT|INNER|RIGHT|FULL] ANY JOIN with plain-column "
+            "equality ON or USING; ch_any_join) - ANY keeps one "
+            "matching row per key, so for other forms reduce the "
+            "many-match side yourself (min_by/max_by per key before "
+            "a plain join)"
         )
     if re.search(r"\bINTO\s+OUTFILE\b", code, flags=re.IGNORECASE):
         raise ValueError(
@@ -2101,6 +2103,117 @@ def _rewrite_clauses(code: str) -> str:
         code,
         flags=re.IGNORECASE,
     )
+    return code
+
+
+def _guard_preceding_join(code: str, pos: int, kind: str) -> None:
+    """ASOF/ANY rewrites splice ``FROM <left table>`` back into the
+    text, so the strict join must be the only join in its FROM scope:
+    a *preceding* join would make the lexical left-table token the
+    trailing identifier of that join's ON clause (e.g. the ``k`` of
+    ``ON t0.k = k.k``) and the splice would corrupt it mid-expression.
+    Walk backwards from the match at paren depth 0; a ``JOIN`` before
+    the owning ``FROM`` means a preceding join — raise the curated
+    guidance instead of emitting unparseable SQL."""
+    depth = 0
+    for tm in reversed(
+        list(re.finditer(r"[()]|\b(?:FROM|JOIN)\b", code[:pos], re.IGNORECASE))
+    ):
+        tok = tm.group(0)
+        if tok == ")":
+            depth += 1
+        elif tok == "(":
+            if depth == 0:
+                return  # subquery scope opened bare; nothing to guard
+            depth -= 1
+        elif depth == 0:
+            if tok.upper() == "JOIN":
+                raise ValueError(
+                    f"{kind} JOIN must be the only join in its FROM "
+                    "clause here - put preceding joins in a WITH "
+                    "subquery"
+                )
+            return  # hit the owning FROM first: clean scope
+
+
+#: ``X [alias] <strictness> JOIN Y [alias] USING (c1, …)`` for the
+#: ASOF / ANY strictnesses.  Group layout mirrors the ON patterns
+#: below plus the column list; the desugar rewrites USING → ON so the
+#: main translations see one canonical form.
+_ASOF_USING_PAT = re.compile(
+    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b|USING\b)(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+
+_ANY_USING_PAT = re.compile(
+    r"\b(\w+)(?:\s+(?:AS\s+)?"
+    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b|USING\b)(\w+))?"
+    r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN"
+    r"|(LEFT|INNER|RIGHT|FULL)\s+ANY\s+JOIN)\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _desugar_strict_using(code: str) -> str:
+    """ClickHouse ``USING (…)`` on ASOF/ANY joins → the equivalent
+    ``ON`` list, so the strictness translations below handle one
+    canonical form (docs join#asof-join-usage: with USING, the LAST
+    column is the closest-match column, semantics ``l.ts >= r.ts``;
+    every other column is a plain equality).
+
+    Column-reference scope after the desugar: the translations carry
+    each side as a struct column named by its alias, so references to
+    the join columns must stay *qualified* (``a.k`` / ``b.k``) —
+    ClickHouse's USING-coalesced bare ``k`` does not resolve, and a
+    bare ``SELECT *`` flattens to ``a.*, b.*`` (both copies of the
+    join columns) rather than ClickHouse's coalesced single copy.
+    Noisy AnalysisException either way, never a silent wrong answer."""
+    def _names(cols_sql: str) -> list[str]:
+        names = [c.strip() for c in cols_sql.split(",") if c.strip()]
+        if not all(re.fullmatch(r"\w+", c) for c in names):
+            raise ValueError(
+                "USING (...) on an ASOF/ANY join must list plain "
+                "column names"
+            )
+        return names
+
+    while True:
+        m = _ASOF_USING_PAT.search(code)
+        if m is None:
+            break
+        a_alias = m.group(2) or m.group(1)
+        b_alias = m.group(5) or m.group(4)
+        names = _names(m.group(6))
+        if len(names) < 2:
+            raise ValueError(
+                "ASOF JOIN USING needs at least two columns - the "
+                "last is the closest-match (inequality) column"
+            )
+        conds = [f"{a_alias}.{c} = {b_alias}.{c}" for c in names[:-1]]
+        conds.append(f"{a_alias}.{names[-1]} >= {b_alias}.{names[-1]}")
+        um = re.search(r"\bUSING\b", code[m.start(): m.end()], re.IGNORECASE)
+        using_at = m.start() + um.start()
+        code = (
+            code[:using_at] + "ON " + " AND ".join(conds) + code[m.end():]
+        )
+    while True:
+        m = _ANY_USING_PAT.search(code)
+        if m is None:
+            break
+        a_alias = m.group(2) or m.group(1)
+        b_alias = m.group(6) or m.group(5)
+        names = _names(m.group(7))
+        if not names:
+            raise ValueError("ANY JOIN USING needs at least one column")
+        conds = [f"{a_alias}.{c} = {b_alias}.{c}" for c in names]
+        um = re.search(r"\bUSING\b", code[m.start(): m.end()], re.IGNORECASE)
+        using_at = m.start() + um.start()
+        code = (
+            code[:using_at] + "ON " + " AND ".join(conds) + code[m.end():]
+        )
     return code
 
 
@@ -2191,7 +2304,13 @@ def _rewrite_asof_join(code: str) -> str:
     a hot key (one instrument holding millions of right rows) streams
     instead of fanning out.  Tie (equal ts) resolution follows the
     operator: inclusive ops see same-ts right rows, strict ops do
-    not.  NULL join keys / NULL asof columns never match (equi-join
+    not; among right rows that tie on (key, ts) the pick is PINNED to
+    the lexicographically smallest right row (the struct column joins
+    the window ORDER BY) — ClickHouse's pick there is arbitrary, this
+    translation's is reproducible, matching the ANY translation's
+    determinism contract (and requiring orderable right-row types,
+    the same constraint as ANY's min(struct)).  NULL join keys /
+    NULL asof columns never match (equi-join
     semantics), enforced by NULL-ing the carried struct on both
     sides.  The rewritten text names its derived tables ``__asof_u/
     __asof_w/__asof_b`` — ``Engine.sql("EXPLAIN SYNTAX …")`` shows
@@ -2227,6 +2346,7 @@ def _rewrite_asof_join(code: str) -> str:
             m.group(4),
             m.group(5) or m.group(4),
         )
+        _guard_preceding_join(code, m.start(), "ASOF")
         # ON-condition extent: scan the paren-blanked tail for the
         # first depth-0 clause keyword (or end of string)
         tail = code[m.end() :]
@@ -2342,7 +2462,8 @@ def _rewrite_asof_join(code: str) -> str:
                 f"(SELECT {a_alias}, IF({lnull}, NULL, "
                 f"last_value({b_alias}, true) OVER ("
                 f"PARTITION BY {part_cols} "
-                f"ORDER BY __asof_ts {ts_dir}, __asof_side {side_dir} "
+                f"ORDER BY __asof_ts {ts_dir}, __asof_side {side_dir}, "
+                f"{b_alias} DESC "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
                 f"AS {b_alias}, __asof_side FROM "
                 f"(SELECT struct(*) AS {a_alias}, NULL AS {b_alias}, "
@@ -2362,7 +2483,8 @@ def _rewrite_asof_join(code: str) -> str:
         direction = "DESC" if b_low else "ASC"
         rewritten = (
             f"(SELECT {a_alias}, {b_alias}, row_number() OVER ("
-            f"PARTITION BY __asof_rid ORDER BY {b_expr} {direction}) "
+            f"PARTITION BY __asof_rid ORDER BY {b_expr} {direction}, "
+            f"{b_alias}) "
             f"AS __asof_rn "
             f"FROM (SELECT struct(*) AS {a_alias}, "
             f"monotonically_increasing_id() AS __asof_rid "
@@ -2391,46 +2513,53 @@ def _rewrite_asof_join(code: str) -> str:
     if re.search(r"\bASOF\b", code, flags=re.IGNORECASE):
         raise ValueError(
             "unsupported ASOF JOIN form (both sides must be plain "
-            "table/CTE identifiers with an ON clause; USING is not "
-            "supported - spell the conditions in ON)"
+            "table/CTE identifiers with an ON clause or a "
+            "plain-column USING list)"
         )
     return code
 
 
 _ANY_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|ON\b)(\w+))?"
-    r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT)\s+)?JOIN|(LEFT|INNER|RIGHT)\s+ANY\s+JOIN)\s+"
+    r"\b(\w+)(?:\s+(?:AS\s+)?"
+    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b)(\w+))?"
+    r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN"
+    r"|(LEFT|INNER|RIGHT|FULL)\s+ANY\s+JOIN)\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
     re.IGNORECASE,
 )
 
 
 def _rewrite_any_join(code: str) -> str:
-    """ClickHouse ``[LEFT|INNER] ANY JOIN`` → dedupe-the-right-side +
-    plain equi join (docs: ANY keeps at most one matching right row
-    per left row; modern semantics, join#any-strictness).
+    """ClickHouse ``[LEFT|INNER|RIGHT|FULL] ANY JOIN`` → dedupe the
+    many-match side(s) + plain equi join (docs: ANY keeps at most one
+    matching right row per left row; modern semantics,
+    join#any-strictness).
 
-    The right side collapses to ONE row per join key BEFORE the join
-    — ``min(struct(*))`` per key — so the join itself can never fan
-    out and the aggregate combines map-side: bounded at any key skew,
-    the opposite of joining first and ranking later.  ClickHouse's
-    pick among equal-key rows is explicitly arbitrary ("any"); this
-    translation PINS it to the lexicographically smallest right row
-    (struct comparison over the full row in column order), making
-    results reproducible and oracle-checkable — any single match is a
-    correct ANY result.
+    The many-match side collapses to ONE row per join key BEFORE the
+    join — ``min(struct(*))`` per key — so the join itself can never
+    fan out and the aggregate combines map-side: bounded at any key
+    skew, the opposite of joining first and ranking later.
+    ClickHouse's pick among equal-key rows is explicitly arbitrary
+    ("any"); this translation PINS it to the lexicographically
+    smallest row (struct comparison over the full row in column
+    order), making results reproducible and oracle-checkable — any
+    single match is a correct ANY result.
 
     ``RIGHT ANY`` mirrors: ALL right rows survive, each with at most
     one left match, so the LEFT side is the one deduped pre-join.
+    ``FULL ANY`` dedupes BOTH sides to one row per key and full-outer
+    joins the two key-cardinality inputs — every key present on
+    either side appears exactly once, its representatives pinned the
+    same lexicographic-min way (ClickHouse's legacy
+    any_join_distinct_right_table_keys behaviour, made deterministic).
 
     Lexical scope (the guard in _rewrite_clauses raises otherwise):
     both sides plain identifiers, ON conditions ALL plain qualified
-    column equalities (``a.k = b.k AND …``), LEFT/INNER/RIGHT
-    strictness (FULL ANY and USING stay curated raises).  The
-    non-deduped side stays the raw table — its qualified references
-    resolve natively; the deduped side's references resolve as struct
-    fields of its alias column (``SELECT *`` flattens via
-    _flatten_owner_star, as for ASOF)."""
+    column equalities (``a.k = b.k AND …``; USING desugars to that
+    form first).  The non-deduped side (when there is one) stays the
+    raw table — its qualified references resolve natively; a deduped
+    side's references resolve as struct fields of its alias column
+    (``SELECT *`` flattens via _flatten_owner_star, as for ASOF)."""
     while True:
         m = _ANY_PAT.search(code)
         if m is None:
@@ -2438,6 +2567,7 @@ def _rewrite_any_join(code: str) -> str:
         a_tbl, a_alias = m.group(1), m.group(2) or m.group(1)
         kw = (m.group(3) or m.group(4) or "INNER").upper()
         b_tbl, b_alias = m.group(5), m.group(6) or m.group(5)
+        _guard_preceding_join(code, m.start(), "ANY")
         tail = code[m.end() :]
         blanked = _blank_parens(tail)
         tm = _ASOF_TERM.search(blanked)
@@ -2474,7 +2604,30 @@ def _rewrite_any_join(code: str) -> str:
                 l_keys.append(em.group(4))
                 r_keys.append(em.group(2))
         gcols = ", ".join(f"__any_k{i}" for i in range(len(r_keys)))
-        if kw == "RIGHT":
+        if kw == "FULL":
+            # every key on either side appears once: dedupe BOTH sides
+            # to key cardinality (same map-side-combining aggregate
+            # shape), then a plain FULL OUTER on the key columns
+            lsel = ", ".join(
+                f"{c} AS __any_k{i}" for i, c in enumerate(l_keys)
+            )
+            rsel = ", ".join(
+                f"{c} AS __any_k{i}" for i, c in enumerate(r_keys)
+            )
+            on = " AND ".join(
+                f"__any_l.__any_k{i} = __any_r.__any_k{i}"
+                for i in range(len(r_keys))
+            )
+            rewritten = (
+                f"(SELECT min({a_alias}) AS {a_alias}, {gcols} FROM "
+                f"(SELECT struct(*) AS {a_alias}, {lsel} FROM {a_tbl}) "
+                f"AS __any_sl GROUP BY {gcols}) AS __any_l "
+                f"FULL JOIN "
+                f"(SELECT min({b_alias}) AS {b_alias}, {gcols} FROM "
+                f"(SELECT struct(*) AS {b_alias}, {rsel} FROM {b_tbl}) "
+                f"AS __any_sr GROUP BY {gcols}) AS __any_r ON {on} "
+            )
+        elif kw == "RIGHT":
             # all RIGHT rows survive -> dedupe the LEFT side pre-join
             lsel = ", ".join(
                 f"{c} AS __any_k{i}" for i, c in enumerate(l_keys)
@@ -2510,6 +2663,7 @@ def _rewrite_any_join(code: str) -> str:
 
 
 def _rewrite_code(code: str, literals: tuple = ()) -> str:
+    code = _desugar_strict_using(code)
     code = _rewrite_asof_join(code)
     code = _rewrite_any_join(code)
     code = _rewrite_array_literals(code)

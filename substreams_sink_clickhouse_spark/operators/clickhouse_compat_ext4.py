@@ -898,3 +898,104 @@ SPECS.append(QuerySpec(
     _q188_dialect_any_join,
     _Q188_ORACLE,
 ))
+
+
+# ----------------------------------------------- q189 FULL ANY JOIN
+_Q189_CH = """
+WITH p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click')
+SELECT p2.user_id AS p_uid,
+       p2.event_id AS p_eid,
+       c2.user_id AS c_uid,
+       c2.event_id AS c_eid,
+       round(coalesce(p2.value, 0) + coalesce(c2.value, 0), 4) AS combined
+FROM p AS p2 FULL ANY JOIN c AS c2 ON p2.user_id = c2.user_id
+ORDER BY coalesce(p2.user_id, c2.user_id), p_eid, c_eid
+"""
+
+
+def _q189_dialect_full_any_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``FULL ANY JOIN`` through the dialect shim (round-10
+    verdict ask #2): one row per user present on EITHER side — users
+    with only purchases, only clicks, or both — each side represented
+    by at most one row.  The translation
+    (functions/dialect.py:_rewrite_any_join) dedupes BOTH sides to key
+    cardinality BEFORE the join (``min(struct(*))`` per user — partial/
+    final aggregate, map-side combine) and full-outer joins the two
+    key-cardinality inputs: no fan-out is structurally possible, and
+    the representative pick is pinned to the lexicographically
+    smallest row per side (lowest event_id — unique in the fixture),
+    so the oracle asserts exact rows.
+
+    Scale shape: two map-side-combining aggregates + one key-
+    cardinality FULL join — the join inputs carry one row per user
+    regardless of how many events a hot user holds."""
+    return _via_shim(spark, sf, ["events"], _Q189_CH)
+
+
+_Q189_ORACLE = r"""
+WITH p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click'),
+p1 AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id, value) AS rn FROM p)
+  WHERE rn = 1),
+c1 AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id, value) AS rn FROM c)
+  WHERE rn = 1)
+SELECT p1.user_id AS p_uid,
+       p1.event_id AS p_eid,
+       c1.user_id AS c_uid,
+       c1.event_id AS c_eid,
+       round(coalesce(p1.value, 0) + coalesce(c1.value, 0), 4) AS combined
+FROM p1 FULL JOIN c1 ON p1.user_id = c1.user_id
+ORDER BY coalesce(p1.user_id, c1.user_id), p_eid, c_eid
+"""
+
+SPECS.append(QuerySpec(
+    "q189_dialect_full_any_join",
+    "ClickHouse FULL ANY JOIN through the shim: BOTH sides deduped to "
+    "key cardinality pre-join (pinned picks), full outer on the keys",
+    _q189_dialect_full_any_join,
+    _Q189_ORACLE,
+))
+
+
+# ----------------------------------------------- q190 ASOF USING
+_Q190_CH = """
+WITH p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click')
+SELECT p2.user_id AS uid,
+       p2.event_id AS eid,
+       c2.event_id AS prior_click,
+       round(c2.value, 4) AS prior_value
+FROM p AS p2 ASOF LEFT JOIN c AS c2 USING (user_id, event_id)
+ORDER BY uid, eid
+"""
+
+
+def _q190_dialect_asof_using(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN … USING (k, ts)`` through the shim
+    (round-10 verdict ask #2): USING desugars to the ON form — every
+    column but the last is a plain equality, the LAST column is the
+    closest-match inequality ``l.ts >= r.ts`` (docs
+    join#asof-join-usage) — and then the BOUNDED union + running
+    last_value translation fires, same as q187: NO join operator in
+    the plan, one exchange per side, O(1) window state per row.
+
+    The oracle runs DuckDB's NATIVE ASOF LEFT JOIN on the equivalent
+    ON spelling, so the desugar's column-role convention (last =
+    inequality) is engine-cross-checked end to end."""
+    return _via_shim(spark, sf, ["events"], _Q190_CH)
+
+
+SPECS.append(QuerySpec(
+    "q190_dialect_asof_using",
+    "ClickHouse ASOF JOIN USING desugared to ON (last column = the "
+    "closest-match inequality), then the bounded no-join translation",
+    _q190_dialect_asof_using,
+    _Q187_ORACLE,
+))

@@ -409,7 +409,7 @@ def _write_cdc_upd_del(o: DataFrame, stream: str) -> None:
 #: entry in the gate, ~6% of full-gate wall by itself).  Entries only
 #: READ the cached state; every commit below is finished before the
 #: cache is populated.
-_DV_REPLAY_CACHE: dict[tuple[int, str], tuple] = {}
+_DV_REPLAY_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _dv_replay_fixture(spark: SparkSession, sf: str):
@@ -426,7 +426,10 @@ def _dv_replay_fixture(spark: SparkSession, sf: str):
     Asserts the sidecar layout actually engaged — if the eligibility
     logic regresses to full rewrites, both dependent entries fail
     rather than silently passing on the rewrite path."""
-    key = (id(spark), sf)
+    # keyed by applicationId, not id(spark): CPython reuses object ids
+    # after GC, so an id-keyed entry could alias a NEW session onto an
+    # Engine bound to a stopped one (round-10 advisory)
+    key = (spark.sparkContext.applicationId, sf)
     got = _DV_REPLAY_CACHE.get(key)
     if got is not None:
         return got

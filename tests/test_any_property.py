@@ -54,3 +54,49 @@ def test_any_translation_matches_model(spark, a_rows, b_rows, left):
         key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0),
     )
     assert got == _model(a_rows, b_rows, left), (got, a_rows, b_rows, left)
+
+
+def _model_full(a_rows, b_rows):
+    besta: dict = {}
+    for k, t in a_rows:
+        if k not in besta or (k, t) < besta[k]:
+            besta[k] = (k, t)
+    bestb: dict = {}
+    for k, bt, v in b_rows:
+        if k not in bestb or (k, bt, v) < bestb[k]:
+            bestb[k] = (k, bt, v)
+    out = []
+    for k in sorted(set(besta) | set(bestb)):
+        la = besta.get(k)
+        rb = bestb.get(k)
+        out.append((
+            la[0] if la else None, la[1] if la else None,
+            rb[0] if rb else None, rb[1] if rb else None,
+            rb[2] if rb else None,
+        ))
+    return sorted(out, key=lambda r: tuple((x is None, x or 0) for x in r))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_ROW_A, min_size=0, max_size=8),
+    st.lists(_ROW_B, min_size=0, max_size=8),
+)
+def test_full_any_translation_matches_model(spark, a_rows, b_rows):
+    """FULL ANY = one row per key on EITHER side, both representatives
+    pinned to the lexicographic min, NULL legs for one-sided keys."""
+    if not a_rows and not b_rows:
+        return
+    spark.createDataFrame(a_rows, "k int, t int").createOrReplaceTempView("pfany_a")
+    (spark.createDataFrame(b_rows, "k int, t int, v int")
+        .createOrReplaceTempView("pfany_b"))
+    sql = clickhouse_to_spark_sql(
+        "SELECT a.k AS ak, a.t AS at, b.k AS bk, b.t AS bt, b.v AS v "
+        "FROM pfany_a a FULL ANY JOIN pfany_b b ON a.k = b.k"
+    )
+    assert "min(a)" in sql and "min(b)" in sql and "FULL JOIN" in sql
+    got = sorted(
+        [tuple(r) for r in spark.sql(sql).collect()],
+        key=lambda r: tuple((x is None, x or 0) for x in r),
+    )
+    assert got == _model_full(a_rows, b_rows), (got, a_rows, b_rows)

@@ -25,9 +25,11 @@ def _model(a_rows, b_rows, op, left):
             and ((op == ">=" and bt <= t) or (op == ">" and bt < t))
         ]
         if cands:
-            # max right-side value; ClickHouse picks the closest —
-            # ties on bt are impossible here (we dedupe b on (k, t))
-            bt, v = max(cands)
+            # max right-side value; among ties on bt the translation
+            # PINS the pick to the lexicographically smallest right
+            # row — full struct (k, bt, v), so min v decides
+            bt = max(bt for bt, _ in cands)
+            v = min(v for cbt, v in cands if cbt == bt)
             out.append((k, t, bt, v))
         elif left:
             out.append((k, t, None, None))
@@ -42,12 +44,9 @@ def _model(a_rows, b_rows, op, left):
     st.booleans(),
 )
 def test_asof_translation_matches_model(spark, a_rows, b_rows, op, left):
-    # dedupe b on (k, t): with ties the pick among equal bt values is
-    # engine-arbitrary (same as ClickHouse), so the property excludes it
-    b_map = {}
-    for k, t, v in b_rows:
-        b_map[(k, t)] = v
-    b_rows = [(k, t, v) for (k, t), v in sorted(b_map.items())]
+    # duplicate (k, t) right rows stay IN: the translation pins the
+    # tie pick to the lexicographic-min right row (round-10 advisory),
+    # so the property covers it instead of dodging it
     spark.createDataFrame(a_rows, "k int, t int").createOrReplaceTempView("pa_t")
     (spark.createDataFrame(b_rows, "k int, t int, v int")
         .createOrReplaceTempView("pb_t"))

@@ -957,15 +957,31 @@ def test_asof_and_any_join_guidance():
         out = clickhouse_to_spark_sql(q)
         assert "min(b) AS b" in out and "GROUP BY __any_k0" in out, out
         assert ("LEFT JOIN" in out) == ("LEFT" in q)
-    # unsupported forms stay curated raises
+    # USING desugars to the equality ON list (round 11), then the
+    # same dedupe-side translation fires
+    for q in (
+        "SELECT a.x, b.y FROM t1 a ANY LEFT JOIN t2 b USING (k)",
+        "SELECT a.x, b.y FROM t1 a LEFT ANY JOIN t2 b USING (k)",
+    ):
+        out = clickhouse_to_spark_sql(q)
+        assert "min(b) AS b" in out and "GROUP BY __any_k0" in out, out
+    # FULL ANY dedupes BOTH sides to key cardinality + FULL JOIN
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x, b.y FROM t1 a FULL ANY JOIN t2 b ON a.k = b.k"
+    )
+    assert "min(a) AS a" in out and "min(b) AS b" in out, out
+    assert "FULL JOIN" in out, out
+    # non-equi ON is not an ANY translation target: curated raise
     with pytest.raises(ValueError, match="ch_any_join"):
-        clickhouse_to_spark_sql("SELECT * FROM a ANY LEFT JOIN b USING (k)")
-    with pytest.raises(ValueError, match="ch_any_join"):
-        clickhouse_to_spark_sql("SELECT * FROM a LEFT ANY JOIN b USING (k)")
-    with pytest.raises(ValueError, match="ch_any_join"):
-        # non-equi ON is not an ANY translation target
         clickhouse_to_spark_sql(
             "SELECT a.x FROM t1 a ANY LEFT JOIN t2 b ON a.k >= b.k"
+        )
+    # a preceding join in the same FROM scope would corrupt the
+    # splice - curated guidance instead of unparseable SQL
+    with pytest.raises(ValueError, match="only join"):
+        clickhouse_to_spark_sql(
+            "SELECT * FROM t0 JOIN t1 k ON t0.k = k.k "
+            "RIGHT ANY JOIN t2 b ON k.id = b.id"
         )
 
 
@@ -1018,6 +1034,57 @@ def test_any_join_executes(spark):
     # the word ANY inside a string literal is opaque
     out = clickhouse_to_spark_sql("SELECT 'ANY LEFT JOIN' AS s FROM t")
     assert "ANY LEFT JOIN" in out
+
+
+def test_full_any_join_executes(spark):
+    """FULL ANY JOIN end-to-end: one row per key present on EITHER
+    side, representatives pinned to the lexicographic min, unmatched
+    legs NULL on the other side."""
+    spark.createDataFrame(
+        [(1, 10), (1, 9), (2, 20)], "k int, a int"
+    ).createOrReplaceTempView("fany_a")
+    spark.createDataFrame(
+        [(1, 5, "x"), (1, 3, "y"), (3, 7, "z")], "k int, v int, s string"
+    ).createOrReplaceTempView("fany_b")
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS lk, a.a AS av, b.k AS rk, b.v AS bv FROM fany_a a "
+        "FULL ANY JOIN fany_b b ON a.k = b.k ORDER BY coalesce(a.k, b.k)"
+    ))
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 9, 1, 3),          # min structs: (1,9) and (1,3,'y')
+        (2, 20, None, None),   # left-only key
+        (None, None, 3, 7),    # right-only key
+    ]
+    # both sides pre-aggregated: exactly one row per key per side, so
+    # the join input is key cardinality - no fan-out possible
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Aggregate") >= 2
+
+
+def test_any_and_asof_using_execute(spark):
+    """USING desugars to the ON equality list (ANY) / equality list +
+    trailing >= closest-match column (ASOF), then the normal
+    translations fire."""
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "k int, t int"
+    ).createOrReplaceTempView("us_a")
+    spark.createDataFrame(
+        [(1, 90, "early"), (1, 99, "late"), (1, 101, "after"), (2, 300, "no")],
+        "k int, t int, s string",
+    ).createOrReplaceTempView("us_b")
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS k, a.t AS at, b.t AS bt, b.s AS bs "
+        "FROM us_a a ASOF LEFT JOIN us_b b USING (k, t) ORDER BY k"
+    ))
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 100, 99, "late"),   # closest t <= 100
+        (2, 200, None, None),   # no b.t <= 200 for k=2
+    ]
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT a.k AS k, b.t AS bt FROM us_a a "
+        "ANY LEFT JOIN us_b b USING (k) ORDER BY k"
+    ))
+    assert [tuple(r) for r in out.collect()] == [(1, 90), (2, 300)]
 
 
 def test_arrayfold_and_tostartofinterval():
@@ -1677,7 +1744,7 @@ def test_asof_join_rewrite():
         "ON a.k = b.k AND a.t >= b.t + 1"
     )
     assert (
-        "row_number() OVER (PARTITION BY __asof_rid ORDER BY b.t + 1 DESC)"
+        "row_number() OVER (PARTITION BY __asof_rid ORDER BY b.t + 1 DESC, b)"
         in out
     )
     assert "monotonically_increasing_id() AS __asof_rid" in out
@@ -1701,8 +1768,19 @@ def test_asof_join_rewrite():
             "SELECT a.x FROM t1 a ASOF JOIN t2 b ON a.k = b.k AND a.t >= b.t "
             "JOIN t3 c ON c.k = a.k"
         )
-    with pytest.raises(ValueError, match="unsupported ASOF"):
-        clickhouse_to_spark_sql("SELECT a.x FROM t1 a ASOF JOIN t2 b USING (k, t)")
+    # USING desugars (last column = the closest-match inequality) and
+    # takes the bounded path
+    out = clickhouse_to_spark_sql(
+        "SELECT a.x FROM t1 a ASOF JOIN t2 b USING (k, t)"
+    )
+    assert "last_value(b, true)" in out and "PARTITION BY __asof_k0" in out
+    with pytest.raises(ValueError, match="at least two columns"):
+        clickhouse_to_spark_sql("SELECT a.x FROM t1 a ASOF JOIN t2 b USING (t)")
+    with pytest.raises(ValueError, match="only join"):
+        clickhouse_to_spark_sql(
+            "SELECT * FROM t0 JOIN t1 k ON t0.k = k.k "
+            "ASOF JOIN t2 b ON k.id = b.id AND k.ts >= b.ts"
+        )
 
 
 def test_asof_join_select_star_flattens():
