@@ -244,11 +244,61 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
+#: (applicationId, sf, core) -> persisted shared intermediate.  A gate
+#: run evaluates several entries that all start from the same CPU-dense
+#: cores (minhash signatures: 8 affine MD5 folds per doc; shingle
+#: common-pair counts: the capped bucket expansion) — materializing
+#: each core ONCE per session+sf and letting every consumer read the
+#: cache is the production pattern of writing signatures/pair counts
+#: to storage once per run instead of recomputing them per query.
+#: Entries only READ the cached frames; correctness is unchanged (the
+#: cache holds exactly the frame the consumer would have built).
+#: Keyed by applicationId (NOT id(spark): object ids are reused after
+#: GC — the round-10 advisory on _DV_REPLAY_CACHE).
+_CORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_core(spark: SparkSession, sf: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, name)
+    got = _CORE_CACHE.get(key)
+    if got is None:
+        got = build().persist()
+        _CORE_CACHE[key] = got
+    return got
+
+
+def _minhash_sigs_cached(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-memoized :func:`_minhash_sigs` over the augmented
+    corpus (shared by dedup_minhash and the calibration audit)."""
+    return _shared_core(
+        spark, sf, "minhash_sigs",
+        lambda: _minhash_sigs(_aug_docs(spark, sf)),
+    )
+
+
+def _shingle_common_cached(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized :func:`_shingle_common` over the augmented
+    corpus (shared by Jaccard, containment, and the calibration
+    audit)."""
+    counts = _shared_core(
+        spark, sf, "shingle_counts",
+        lambda: _shingle_common(_aug_docs(spark, sf))[0],
+    )
+    common = _shared_core(
+        spark, sf, "shingle_common",
+        lambda: _shingle_common(_aug_docs(spark, sf))[1],
+    )
+    return counts, common
+
+
+def _minhash_bands(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_id, band_val) for a (doc_id, text) DataFrame —
     :func:`_minhash_sigs` banded; callers pay their first shuffle at
-    the band join/group they stack on top."""
-    mh = _minhash_sigs(docs)
+    the band join/group they stack on top.  ``sigs`` substitutes a
+    pre-built (possibly cached) signature frame."""
+    mh = _minhash_sigs(docs) if sigs is None else sigs
     band_structs = F.array(
         *[
             F.struct(
@@ -266,7 +316,9 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (see
     :func:`_minhash_bands`; the only shuffle is the band group-by)."""
-    bands = _minhash_bands(_aug_docs(spark, sf))
+    bands = _minhash_bands(
+        _aug_docs(spark, sf), sigs=_minhash_sigs_cached(spark, sf)
+    )
     # Bucket expansion instead of a self-join: a self-join would evaluate
     # the whole signature pipeline TWICE (once per side) and shuffle it
     # twice; grouping by band computes signatures once and emits each
@@ -504,8 +556,7 @@ def _shingle_common(aug: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    aug = _aug_docs(spark, sf)
-    counts, common = _shingle_common(aug)
+    counts, common = _shingle_common_cached(spark, sf)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jacc = (
@@ -1458,8 +1509,7 @@ def _dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     per-doc shingle-set sizes join in, and both directions report —
     pairs survive when either direction reaches
     :data:`CONTAINMENT_THRESHOLD`."""
-    aug = _aug_docs(spark, sf)
-    counts, common = _shingle_common(aug)
+    counts, common = _shingle_common_cached(spark, sf)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     cont = (
@@ -1518,7 +1568,10 @@ SPECS.append(
 
 # ------------------------------------------------------ semantic dedup
 
-SEMANTIC_K = 8       #: clusters; at real scale k grows with the corpus
+SEMANTIC_K = 8       #: coarse codebook size (the deployment-scale knob)
+SEMANTIC_ITERS = 2   #: Lloyd refinement steps over the augmented corpus
+SEMANTIC_POP = 128   #: hard per-candidate-bucket population bound
+SEMANTIC_TRAIN_MOD = 2  #: Lloyd trains on the vec_id % MOD == 0 sample
 SEMANTIC_EPS = 0.97  #: intra-cluster cosine duplicate threshold
 SEMANTIC_ROUND = 6   #: input rounding (decimals) for bit-identity
 
@@ -1533,24 +1586,52 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
     Keep rule (the NeMo-Curator formulation of the paper's): order
     each cluster by (distance to centroid ASC, vec_id) and drop a
-    vector iff its max cosine against any EARLIER member reaches
-    :data:`SEMANTIC_EPS` — the survivor of every duplicate group is
-    its most-central member, deterministically.
+    vector iff its max cosine against any EARLIER member of its
+    candidate bucket reaches :data:`SEMANTIC_EPS` — the survivor of
+    every duplicate group is its most-central member,
+    deterministically.
 
-    Scale shape: cluster assignment is map-only (k plan-literal
-    centroids — the k×d driver transfer is a few KB regardless of
-    corpus size, same contract as sim_kmeans); candidate generation is
-    the per-cluster bucket EXPANSION of the dedup family (ONE exchange
-    on cluster id; no join operator anywhere — cross-cluster pairs are
-    structurally impossible, test-pinned) with the same
-    :data:`MAX_BUCKET_SIZE` drop cap mirrored in the oracle.  At
-    100 TB, k scales with the corpus (the paper uses k ≈ #docs/√#docs)
-    so cluster population — and the quadratic-in-cluster verify —
-    stays bounded; the cap screens degenerate clusters.
+    **Corpus-derived cluster count** (round-10 verdict #1 — this was
+    the repo's one weak-at-scale operator while k was a constant):
+    the effective cluster count is ``Σ_c ceil(n_c / SEMANTIC_POP)``,
+    i.e. it GROWS with the corpus, the paper's own production scaling
+    (SemDeDup trains k ~ tens of thousands on billions of docs so the
+    per-cluster population — and the quadratic-in-population verify —
+    stays constant).  Concretely: a trained coarse codebook of
+    :data:`SEMANTIC_K` cells (:data:`SEMANTIC_ITERS` Lloyd steps via
+    ``similarity.lloyd_iterate``, the sim_kmeans trainer, replacing
+    round-10's first-K-vectors stand-in) partitions the corpus; inside
+    each cell, members sort by (distance-to-centroid, vec_id) and
+    split into consecutive sub-buckets of at most
+    :data:`SEMANTIC_POP` rows.  Near-duplicates have near-identical
+    centroid distance, so they share a sub-bucket (boundary pairs are
+    the same recall loss the paper accepts for cross-cluster pairs);
+    the verify is quadratic only in the BOUNDED bucket population —
+    total candidate pairs grow linearly with the corpus.
+
+    Scale shape: training is map-only per step (k plan-literal
+    centroids; the k×d mean matrix collected per step is a few KB
+    regardless of corpus size); final assignment is one narrow scan;
+    the sub-bucket split is a running ``row_number`` window per cell
+    (spillable sort, ONE exchange on cluster id — NOT a per-cell
+    collect_list: a hot cell streams through the sort instead of
+    materializing one giant aggregation buffer); the candidate bucket
+    expansion reuses the cell partitioning (groupBy on (cluster, sub)
+    needs no new exchange) with arrays hard-bounded at SEMANTIC_POP
+    rows, far under the :data:`MAX_BUCKET_SIZE` belt that stays
+    mirrored in the oracle.  No join operator anywhere — cross-bucket
+    pairs are structurally impossible, test-pinned.  At 100 TB the
+    coarse k is the knob that grows (more cells = more parallel sort
+    partitions); population stays bounded by construction.
 
     Fixture: embeddings ∪ perturbed copies (+100000, dim0 + 0.05),
-    the dedup_embedding corpus — copies land in their source's cluster
-    and score cos ≈ 1 against it."""
+    the dedup_embedding corpus — copies land in their source's cell
+    at adjacent centroid distance and score cos ≈ 1 against it."""
+    from substreams_sink_clickhouse_spark.operators.similarity import (
+        lloyd_iterate,
+        _argmin_cluster_expr,
+    )
+
     e = load_table(spark, sf, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb0"),
@@ -1566,8 +1647,12 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.expr(f"transform(emb0, x -> round(x, {SEMANTIC_ROUND}))").alias("emb"),
     )
-    # deterministic zero-training quantizer (sim_ivf's stand-in for a
-    # trained sim_kmeans codebook): the first K base vectors by vec_id
+    # trained coarse quantizer: first-K base vectors seed SEMANTIC_ITERS
+    # Lloyd steps over a deterministic corpus SAMPLE (vec_id % MOD = 0
+    # — faiss-style: the trainer sees a bounded slice, the assignment
+    # sees everything; bounded k×d driver transfers per step, the
+    # sim_kmeans contract)
+    train = aug.filter(F.col("vec_id") % SEMANTIC_TRAIN_MOD == 0)
     cents = [
         [float(x) for x in r["emb"]]
         for r in aug.filter(F.col("vec_id") < 100000)
@@ -1575,32 +1660,43 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         .limit(SEMANTIC_K)
         .collect()
     ]
-    structs = ", ".join(
-        f"named_struct('d', {_sqdist_spark('emb', c)}, 'c', {j})"
-        for j, c in enumerate(cents)
-    )
-    a = F.expr(f"array_min(array({structs}))")
+    cents = lloyd_iterate(train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND)
+    a = F.expr(_argmin_cluster_expr(cents))
     assigned = aug.select(
         "vec_id",
         "emb",
         a["c"].alias("cluster"),
         a["d"].alias("d"),
     )
+    # corpus-derived sub-bucketing: population hard-bounded at
+    # SEMANTIC_POP via a streaming row_number per cell; the vector
+    # norm is hoisted here — computed ONCE per vector, not twice per
+    # candidate pair (the pair loop is the hot path)
+    leafed = assigned.withColumn(
+        "sub",
+        F.expr(
+            "(row_number() OVER (PARTITION BY cluster "
+            f"ORDER BY d, vec_id) - 1) div {SEMANTIC_POP}"
+        ),
+    ).withColumn("nrm", F.expr(_norm_expr("emb")))
     clusters = _cap_buckets(
-        assigned.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list(F.struct("d", "vec_id", "emb"))).alias("vs"))
+        leafed.groupBy("cluster", "sub")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("d", "vec_id", "emb", "nrm"))
+            ).alias("vs")
+        )
         .filter(F.size("vs") > 1),
         "vs",
     )
     dot = _dot_expr("x.emb", "y.emb")
-    nx, ny = _norm_expr("x.emb"), _norm_expr("y.emb")
     pairs = clusters.select(
         "cluster",
         F.explode(
             F.expr(
                 _pair_expand(
                     "vs",
-                    f"y.vec_id AS vec, ({dot}) / (({nx}) * ({ny})) AS simx",
+                    f"y.vec_id AS vec, ({dot}) / (x.nrm * y.nrm) AS simx",
                 )
             )
         ).alias("p"),
@@ -1615,8 +1711,39 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SEMANTIC_ORACLE = f"""
-WITH base AS (
+def _semantic_oracle() -> str:
+    """The same pipeline — seeded coarse codebook, SEMANTIC_ITERS
+    unrolled Lloyd steps, bounded sub-bucket split, intra-bucket
+    pairs — as DuckDB CTEs (the sim_kmeans oracle's unrolling, over
+    the augmented corpus)."""
+    dist = (
+        "list_sum(list_transform(list_zip(g.emb, c.cent), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def assign(i: int, csrc: str, src: str = "aug") -> str:
+        return f"""
+a{i} AS (
+  SELECT vec_id, emb, cluster, d FROM (
+    SELECT vec_id, emb, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM (SELECT g.vec_id, g.emb, c.cluster, {dist} AS d
+          FROM {src} g CROSS JOIN {csrc} c))
+  WHERE rn = 1)"""
+
+    def update(i: int) -> str:
+        return f"""
+c{i + 1} AS (
+  SELECT cluster, list(round(m, {SEMANTIC_ROUND}) ORDER BY i) AS cent FROM (
+    SELECT cluster, u.i AS i, avg(u.v) AS m FROM (
+      SELECT cluster,
+             unnest(list_transform(list_zip(emb, range(1, len(emb) + 1)),
+                                   p -> {{'v': p[1], 'i': p[2]}})) AS u
+      FROM a{i}) GROUP BY cluster, i)
+  GROUP BY cluster)"""
+
+    parts = [
+        f"""WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb0
   FROM embeddings),
 aug0 AS (
@@ -1628,36 +1755,43 @@ aug0 AS (
   FROM base),
 aug AS (SELECT vec_id, list_transform(emb0, x -> round(x, {SEMANTIC_ROUND})) AS emb
         FROM aug0),
-cent AS (
+c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
   FROM aug WHERE vec_id < 100000 ORDER BY vec_id LIMIT {SEMANTIC_K}),
-scored AS (
-  SELECT a.vec_id, a.emb, c.cluster,
-         list_sum(list_transform(list_zip(a.emb, c.cent),
-                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-  FROM aug a CROSS JOIN cent c),
-assigned AS (
-  SELECT vec_id, emb, cluster, d FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM scored)
-  WHERE rn = 1),
+trn AS (SELECT * FROM aug WHERE vec_id % {SEMANTIC_TRAIN_MOD} = 0),"""
+    ]
+    for i in range(SEMANTIC_ITERS):
+        parts.append(assign(i, f"c{i}", "trn") + ",")
+        parts.append(update(i) + ",")
+    final = f"a{SEMANTIC_ITERS}"
+    parts.append(assign(SEMANTIC_ITERS, f"c{SEMANTIC_ITERS}") + ",")
+    parts.append(f"""
+leaf AS (
+  SELECT a.*, (row_number() OVER (PARTITION BY a.cluster
+               ORDER BY a.d, a.vec_id) - 1) // {SEMANTIC_POP} AS sub,
+         row_number() OVER (PARTITION BY a.cluster
+               ORDER BY a.d, a.vec_id) AS rnk,
+         {_duck_norm('a.emb')} AS nrm
+  FROM {final} a),
 ok AS (
-  -- mirror of MAX_BUCKET_SIZE drop semantics (see _cap_buckets)
-  SELECT cluster FROM assigned GROUP BY cluster
+  -- mirror of MAX_BUCKET_SIZE drop semantics (see _cap_buckets);
+  -- never binds here: sub-buckets are hard-bounded at {SEMANTIC_POP}
+  SELECT cluster, sub FROM leaf GROUP BY cluster, sub
   HAVING count(*) <= {MAX_BUCKET_SIZE or 2**62}),
-pos AS (
-  SELECT a.*, row_number() OVER (PARTITION BY a.cluster ORDER BY a.d, a.vec_id) AS rnk
-  FROM assigned a JOIN ok USING (cluster)),
 pairs AS (
   SELECT b.vec_id AS vec_id, b.cluster AS cluster,
-         {_duck_dot('a.emb', 'b.emb')}
-           / ({_duck_norm('a.emb')} * {_duck_norm('b.emb')}) AS simx
-  FROM pos a JOIN pos b ON a.cluster = b.cluster AND a.rnk < b.rnk)
+         {_duck_dot('a.emb', 'b.emb')} / (a.nrm * b.nrm) AS simx
+  FROM leaf a
+  JOIN leaf b ON a.cluster = b.cluster AND a.sub = b.sub AND a.rnk < b.rnk
+  JOIN ok ON ok.cluster = a.cluster AND ok.sub = a.sub)
 SELECT vec_id, cluster, round(max(simx), 6) AS max_sim
 FROM pairs GROUP BY vec_id, cluster
 HAVING max(simx) >= {SEMANTIC_EPS}
-ORDER BY vec_id
-"""
+ORDER BY vec_id""")
+    return "\n".join(parts)
+
+
+_SEMANTIC_ORACLE = _semantic_oracle()
 
 
 SPECS.append(
@@ -1777,6 +1911,159 @@ SPECS.append(
 )
 
 
+# ------------------------------------- longest duplicate spans
+
+_LONGEST_W = 8  #: minimum duplicated-run length in words (Lee et al.'s L)
+
+
+def _dedup_span_longest(spark: SparkSession, sf: str) -> DataFrame:
+    """Variable-length LONGEST duplicate spans at suffix-array
+    fidelity (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", the ExactSubstr tool proper — where
+    ``dedup_span_scrub`` scrubs fixed disjoint blocks, this finds the
+    maximal-length duplicated substrings the suffix array would):
+
+    every position emits its SLIDING :data:`_LONGEST_W`-word window
+    hash (the rolling-hash equivalent of sorting all suffixes: two
+    corpus locations share a duplicated substring of length ≥ W iff
+    they share a window hash); a position is *duplicated* iff its
+    window value occurs anywhere else in the corpus; consecutive
+    duplicated positions then chain into maximal runs — a run of R
+    consecutive duplicated windows is an exact duplicated span of
+    R + W - 1 words, precisely the suffix array's maximal match
+    length.  Output per document: duplicated-window count, run count,
+    and the longest span (ties broken to the earliest start).
+
+    Scale shape (the dedup_span_scrub contract extended): window
+    hashes travel as 60-bit MD5s; duplicated-ness is decided by TWO
+    streaming ``row_number``s over the same hash exchange (ascending
+    and descending — a position is unique iff it is first AND last in
+    its hash partition; no count() buffering, no per-hash array, no
+    join: a boilerplate window occurring a billion times costs a
+    partition-local scan); run chaining is the islands trick — one
+    exchange on doc_id, then ``pos - row_number`` grouping, run
+    aggregation and the per-doc rollup all reuse that partitioning.
+    Three exchanges total (hash, doc, presentation sort), no join
+    operator anywhere — plan-pinned."""
+    aug = _aug_docs(spark, sf).filter(
+        F.size(F.split(F.lower("text"), " ")) >= _LONGEST_W
+    )
+    inst = aug.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, size(split(lower(text), ' ')) - {_LONGEST_W}),
+                          i -> named_struct(
+                            'pos', CAST(i AS BIGINT),
+                            'sp', concat_ws(' ', slice(split(lower(text), ' '), i + 1, {_LONGEST_W}))))
+                """
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        F.col("u.pos").alias("pos"),
+        md5_long(F.col("u.sp")).alias("h"),
+    )
+    marked = inst.select(
+        "doc_id",
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+        .alias("rna"),
+        F.row_number()
+        .over(Window.partitionBy("h").orderBy(F.desc("doc_id"), F.desc("pos")))
+        .alias("rnd"),
+    )
+    dup = marked.filter(~((F.col("rna") == 1) & (F.col("rnd") == 1)))
+    grp = dup.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+        ).alias("g"),
+    )
+    runs = grp.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("pos").alias("start"),
+        (F.count(F.lit(1)) + F.lit(_LONGEST_W - 1)).alias("sw"),
+    )
+    rk = runs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("sw"), "start")
+        ),
+    )
+    return (
+        rk.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_dup_windows"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max(F.when(F.col("rn") == 1, F.col("sw")))
+            .cast("long")
+            .alias("longest_words"),
+            F.max(F.when(F.col("rn") == 1, F.col("start")))
+            .cast("long")
+            .alias("longest_start"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_longest_oracle() -> str:
+    h = duck_md5_long_sql("u.sp")
+    return f"""
+WITH {_DUCK_AUG.strip()},
+d AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM aug),
+inst AS (
+  SELECT doc_id, u.pos AS pos, {h} AS h FROM (
+    SELECT doc_id, unnest(
+      list_transform(range(0, len(words) - {_LONGEST_W} + 1),
+        i -> {{'pos': i,
+               'sp': concat_ws(' ', words[i + 1 : i + {_LONGEST_W}])}})) AS u
+    FROM d WHERE len(words) >= {_LONGEST_W}) t),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rna,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id DESC, pos DESC) AS rnd
+  FROM inst),
+dup AS (SELECT doc_id, pos FROM marked WHERE NOT (rna = 1 AND rnd = 1)),
+grp AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM dup),
+runs AS (
+  SELECT doc_id, g, count(*) AS cnt, min(pos) AS start,
+         count(*) + {_LONGEST_W - 1} AS sw
+  FROM grp GROUP BY doc_id, g),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY sw DESC, start) AS rn
+  FROM runs)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_dup_windows,
+       count(*) AS n_runs,
+       CAST(max(CASE WHEN rn = 1 THEN sw END) AS BIGINT) AS longest_words,
+       CAST(max(CASE WHEN rn = 1 THEN start END) AS BIGINT) AS longest_start
+FROM rk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "dedup_span_longest",
+        "Longest duplicate spans at suffix-array fidelity (Lee et al. "
+        "ExactSubstr): sliding window hashes -> streaming dup marking "
+        "-> islands run chaining, no join",
+        _dedup_span_longest,
+        _span_longest_oracle(),
+    )
+)
+
+
 # -------------------------------------------- estimator calibration
 
 def _dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
@@ -1798,9 +2085,8 @@ def _dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     (pairs sharing only over-cap stop-shingles read as 0 — mirrored in
     the oracle).  Per-pair values are rounded BEFORE the averages so
     summation order cannot leak into the hash."""
-    aug = _aug_docs(spark, sf)
     pairs = _dedup_minhash(spark, sf)
-    sigs = _minhash_sigs(aug)
+    sigs = _minhash_sigs_cached(spark, sf)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
@@ -1820,7 +2106,7 @@ def _dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         "doc_a", "doc_b",
         (agree.cast("double") / F.lit(float(N_MINHASH))).alias("est"),
     )
-    counts, common = _shingle_common(aug)
+    counts, common = _shingle_common_cached(spark, sf)
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     ex = (

@@ -332,6 +332,68 @@ def _sqdist_spark(emb_col: str, centroid: list[float]) -> str:
     )
 
 
+def _argmin_cluster_expr(cents: list[list[float]]) -> str:
+    """Spark SQL argmin over literal centroids: a struct per centroid
+    (distance, index), array_min picks the smallest distance with the
+    lowest index breaking exact ties — identical tie rule to the
+    oracles' ``row_number() ... ORDER BY d, cluster``.
+
+    The codebook ships as ONE 2-D literal array iterated by a
+    ``transform`` lambda, not k separate per-centroid expressions:
+    ConstantFolding collapses the k×d literals into a single Literal
+    node, so Catalyst analysis and codegen stay O(1) in k — with k
+    per-centroid subtrees, driver-side planning dominated the job
+    (~10 s at k=8, d=64, three assignment plans per train-and-assign
+    run) while the arithmetic per row is the same either way."""
+    arr = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        for c in cents
+    ) + ")"
+    return (
+        f"array_min(transform({arr}, (__cent, __j) -> named_struct("
+        f"'d', aggregate(zip_with(emb, __cent, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x), 'c', __j)))"
+    )
+
+
+def lloyd_iterate(
+    e: DataFrame, centroids: list[list[float]], iters: int, ndigits: int
+) -> list[list[float]]:
+    """``iters`` Lloyd refinement steps over a (vec_id, emb) frame —
+    the shared trainer behind ``sim_kmeans`` and ``dedup_semantic``'s
+    coarse codebook.
+
+    Scale shape per iteration: assignment is a narrow scan (k literal
+    centroids folded into the plan — no join, no shuffle), the update
+    is one partial-aggregated shuffle of (cluster, dim) means, and the
+    k x d centroid matrix collected to the driver is a few KB
+    regardless of corpus size — the same driver loop Spark MLlib's
+    KMeans runs.  Centroids round to ``ndigits`` decimals each round
+    so cross-partition summation order cannot leak into the assignment
+    argmin (which compares exact doubles).  A cluster that lost every
+    member would drop out and renumber the survivors (the oracles keep
+    original ids — the gate fixtures never empty a cluster; a
+    production caller re-seeds the lost cell instead)."""
+    for _ in range(iters):
+        assigned = e.withColumn(
+            "cluster", F.expr(_argmin_cluster_expr(centroids))["c"]
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), ndigits).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [dims[p] for p in sorted(dims)]
+            for _, dims in sorted(by_cluster.items())
+        ]
+    return centroids
+
+
 def _sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd's k-means as an iterative DataFrame loop: the trainer for
     sim_ivf's coarse quantizer (IVF lists are k-means cells; the
@@ -360,30 +422,8 @@ def _sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         [float(x) for x in r["emb"]]
         for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
     ]
-
-    def argmin_expr(cents: list[list[float]]) -> str:
-        structs = ", ".join(
-            f"named_struct('d', {_sqdist_spark('emb', c)}, 'c', {j})"
-            for j, c in enumerate(cents)
-        )
-        return f"array_min(array({structs}))"
-
-    for _ in range(KMEANS_ITERS):
-        assigned = e.withColumn("cluster", F.expr(argmin_expr(centroids))["c"])
-        means = (
-            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("v"), KMEANS_ROUND).alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [dims[p] for p in sorted(dims)]
-            for _, dims in sorted(by_cluster.items())
-        ]
-    final = e.withColumn("a", F.expr(argmin_expr(centroids)))
+    centroids = lloyd_iterate(e, centroids, KMEANS_ITERS, KMEANS_ROUND)
+    final = e.withColumn("a", F.expr(_argmin_cluster_expr(centroids)))
     return (
         final.groupBy(F.col("a")["c"].alias("cluster"))
         .agg(

@@ -856,3 +856,171 @@ SPECS.append(
         _TRAIN_UNIMAX_ORACLE,
     )
 )
+
+
+# --------------------------------------------------------------- DoReMi
+
+DOREMI_STEPS = 3      #: multiplicative-weights rounds (per-round batches)
+DOREMI_ETA = 0.25     #: reweighting step size (paper's eta)
+DOREMI_SMOOTH = 0.01  #: uniform smoothing mix (paper's c)
+DOREMI_RND = 12       #: per-round weight rounding (decimals), cross-engine pin
+
+
+def _doremi_domain_stats(spark: SparkSession, sf: str):
+    """(per-domain, per-round) INTEGER excess-loss sums + counts.
+
+    The fixture stands in for the proxy/reference model losses with
+    deterministic integer functionals of (doc_id, n_chars) in
+    milli-nats — proxy = (37·doc_id + n_chars) mod 1000, reference =
+    (61·doc_id + 13) mod 1000 — so the per-domain mean excess is an
+    EXACT bigint-sum / bigint-count ratio in both engines (no
+    float-summation order anywhere near an aggregate; the
+    train_unimax / train_temperature_mix contract).  Round r's batch
+    is the ``doc_id % DOREMI_STEPS == r`` slice, giving each
+    multiplicative-weights round its own excess signal the way DoReMi
+    re-estimates per-step losses from fresh proxy batches."""
+    d = load_table(spark, sf, "documents")
+    exc = (
+        "greatest(CAST(0 AS BIGINT), "
+        "(37 * doc_id + n_chars) % 1000 - (61 * doc_id + 13) % 1000)"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in range(DOREMI_STEPS):
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN doc_id % {DOREMI_STEPS} = {r} "
+                    f"THEN {exc} ELSE 0 END"
+                )
+            ).cast("long").alias(f"se{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN doc_id % {DOREMI_STEPS} = {r} THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias(f"sc{r}")
+        )
+    return d.groupBy("lang").agg(*aggs)
+
+
+def _train_doremi(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    the published minimax alternative to hand-tuned mixture weights —
+    a small proxy model's per-domain EXCESS loss (how much worse the
+    proxy does than a reference, clipped at 0) drives multiplicative-
+    weights updates, upweighting domains with the most headroom; the
+    smoothed average of the per-round weights becomes the production
+    mixture.  This operator is the pipeline leg: per-(domain, round)
+    excess aggregation + the exponentiated-gradient recursion
+    (λ_r ∝ w_{r-1}·exp(η·excess_r), w_r = (1-c)·normalize(λ_r) + c/L)
+    over fixture-driven proxy losses (see ``_doremi_domain_stats``).
+
+    Cross-engine determinism: the only corpus-cardinality aggregate is
+    integer (bigint excess sums / counts — exact in any summation
+    order); exp() runs on identical exact inputs in both engines and
+    each round's weights round to :data:`DOREMI_RND` decimals before
+    the L-term normalization sum, so a last-ulp libm divergence
+    cannot propagate across rounds.
+
+    Scale shape (the train_unimax contract): ONE hash exchange to
+    domain cardinality; the recursion unrolls as window expressions
+    over ~#domains rows (5 here, hundreds in production) — nothing
+    downstream of the first aggregate grows with corpus size."""
+    g = _doremi_domain_stats(spark, sf)
+    t = g.withColumn("nlang", F.expr("count(*) OVER ()"))
+    t = t.withColumn("w0", F.expr("round(1.0 / nlang, {})".format(DOREMI_RND)))
+    for r in range(DOREMI_STEPS):
+        t = t.withColumn(
+            f"e{r}",
+            F.expr(
+                f"CASE WHEN sc{r} = 0 THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE CAST(se{r} AS DOUBLE) / sc{r} / 1000.0 END"
+            ),
+        )
+        t = t.withColumn(
+            f"u{r + 1}",
+            F.expr(f"round(w{r} * exp({DOREMI_ETA} * e{r}), {DOREMI_RND})"),
+        )
+        t = t.withColumn(
+            f"w{r + 1}",
+            F.expr(
+                f"round((1.0 - {DOREMI_SMOOTH}) * u{r + 1} "
+                f"/ sum(u{r + 1}) OVER () "
+                f"+ {DOREMI_SMOOTH} / nlang, {DOREMI_RND})"
+            ),
+        )
+    avg_w = " + ".join(f"w{r + 1}" for r in range(DOREMI_STEPS))
+    return t.selectExpr(
+        "lang",
+        "n_docs",
+        # overall mean excess in exact ppm (integer: the per-domain
+        # diagnostic the paper plots)
+        f"(({' + '.join(f'se{r}' for r in range(DOREMI_STEPS))}) * 1000000) "
+        f"div (({' + '.join(f'sc{r}' for r in range(DOREMI_STEPS))}) * 1000) "
+        "AS excess_ppm",
+        f"round(({avg_w}) / {DOREMI_STEPS}, 6) AS weight",
+        f"round(w{DOREMI_STEPS}, 6) AS w_last",
+    ).orderBy("lang")
+
+
+def _doremi_oracle() -> str:
+    """The same recursion, unrolled as DuckDB CTEs on identical exact
+    integer inputs with the same per-round rounding pin."""
+    exc = (
+        "greatest(CAST(0 AS BIGINT), "
+        "(37 * doc_id + n_chars) % 1000 - (61 * doc_id + 13) % 1000)"
+    )
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN doc_id % {DOREMI_STEPS} = {r} THEN {exc} "
+        f"ELSE 0 END) AS BIGINT) AS se{r}, "
+        f"CAST(sum(CASE WHEN doc_id % {DOREMI_STEPS} = {r} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS sc{r}"
+        for r in range(DOREMI_STEPS)
+    )
+    parts = [
+        f"WITH g AS (SELECT lang, count(*) AS n_docs, {sums} "
+        "FROM documents GROUP BY lang),",
+        f"t0 AS (SELECT *, count(*) OVER () AS nlang, "
+        f"round(1.0 / count(*) OVER (), {DOREMI_RND}) AS w0 FROM g),",
+    ]
+    for r in range(DOREMI_STEPS):
+        parts.append(
+            f"t{r}e AS (SELECT *, CASE WHEN sc{r} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST(se{r} AS DOUBLE) / sc{r} / 1000.0 END AS e{r}, "
+            f"round(w{r} * exp({DOREMI_ETA} * CASE WHEN sc{r} = 0 "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE CAST(se{r} AS DOUBLE) / sc{r} "
+            f"/ 1000.0 END), {DOREMI_RND}) AS u{r + 1} FROM t{r}),"
+        )
+        parts.append(
+            f"t{r + 1} AS (SELECT *, round((1.0 - {DOREMI_SMOOTH}) * u{r + 1} "
+            f"/ sum(u{r + 1}) OVER () + {DOREMI_SMOOTH} / nlang, "
+            f"{DOREMI_RND}) AS w{r + 1} FROM t{r}e),"
+        )
+    avg_w = " + ".join(f"w{r + 1}" for r in range(DOREMI_STEPS))
+    se_all = " + ".join(f"se{r}" for r in range(DOREMI_STEPS))
+    sc_all = " + ".join(f"sc{r}" for r in range(DOREMI_STEPS))
+    parts.append(
+        f"fin AS (SELECT * FROM t{DOREMI_STEPS})\n"
+        f"SELECT lang, n_docs, (({se_all}) * 1000000) // (({sc_all}) * 1000) "
+        "AS excess_ppm, "
+        f"round(({avg_w}) / {DOREMI_STEPS}, 6) AS weight, "
+        f"round(w{DOREMI_STEPS}, 6) AS w_last "
+        "FROM fin ORDER BY lang"
+    )
+    return "\n".join(parts)
+
+
+_TRAIN_DOREMI_ORACLE = _doremi_oracle()
+
+
+SPECS.append(
+    QuerySpec(
+        "train_doremi",
+        "DoReMi domain reweighting (Xie et al. 2023): integer excess-"
+        "loss aggregation + exponentiated-gradient rounds over domain-"
+        "cardinality windows",
+        _train_doremi,
+        _TRAIN_DOREMI_ORACLE,
+    )
+)

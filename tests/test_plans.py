@@ -101,6 +101,19 @@ def test_semantic_dedup_has_no_cross_cluster_pairs(spark):
     assert count_shuffles(df) <= 3
 
 
+def test_span_longest_streams_no_join(spark):
+    # duplicated-ness is two streaming row_numbers over one hash
+    # exchange; run chaining is the islands trick on the doc exchange:
+    # no join, no count() buffering anywhere
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    df = D._dedup_span_longest(spark, SF)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert count_shuffles(df) <= 3
+
+
 def test_span_scrub_streams_no_join(spark):
     # the scrub decision is a streaming row_number over the span-hash
     # partition: no join back on the hash, no per-hash array buffering
