@@ -281,15 +281,38 @@ def _shingle_common_cached(
 ) -> tuple[DataFrame, DataFrame]:
     """Session-memoized :func:`_shingle_common` over the augmented
     corpus (shared by Jaccard, containment, and the calibration
-    audit)."""
+    audit).  The (doc_id, shingle) EXPLOSION is the cached base — the
+    CPU-dense part both outputs share — and the counts / common-pairs
+    aggregates are cached one level above it, so the explosion
+    materializes exactly once per session+sf and each aggregate's
+    shuffle runs exactly once."""
+    sh = _shared_core(
+        spark, sf, "shingle_rows",
+        lambda: _shingle_rows(_aug_docs(spark, sf)),
+    )
     counts = _shared_core(
         spark, sf, "shingle_counts",
-        lambda: _shingle_common(_aug_docs(spark, sf))[0],
+        lambda: sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
     )
-    common = _shared_core(
-        spark, sf, "shingle_common",
-        lambda: _shingle_common(_aug_docs(spark, sf))[1],
-    )
+
+    def _common() -> DataFrame:
+        buckets = _cap_buckets(
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1),
+            "ids",
+        )
+        return (
+            buckets.select(
+                F.explode(
+                    F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))
+                ).alias("p")
+            )
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+
+    common = _shared_core(spark, sf, "shingle_common", _common)
     return counts, common
 
 

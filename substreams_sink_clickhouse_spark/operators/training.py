@@ -1024,3 +1024,127 @@ SPECS.append(
         _TRAIN_DOREMI_ORACLE,
     )
 )
+
+
+# -------------------------------------------------------- RHO-LOSS
+
+RHO_K_PCT = 25  #: select the top 25% of candidates by reducible loss
+
+
+def _train_rho_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """RHO-LOSS data selection (Mindermann et al. 2022,
+    arXiv:2206.07137, "Prioritized Training on Points that are
+    Learnable, Worth Learning, and Not Yet Learnt"): score every
+    candidate example by its *reducible holdout loss* — current
+    training loss MINUS the irreducible loss an auxiliary model
+    trained on held-out data assigns — and train on the top scorers.
+    High training loss alone selects noise (unlearnable) and
+    duplicates (already learnt elsewhere); subtracting the holdout
+    loss cancels both, which is why this is the published selection
+    rule next to loss-only and uniform sampling.
+
+    Fixture stands in for the two models with deterministic integer
+    functionals of (doc_id, n_chars) in milli-nats (train =
+    (41·doc_id + n_chars) mod 1000, holdout = (29·doc_id + 7) mod
+    1000 — the train_doremi convention), so scores and the selection
+    boundary are integer-exact in both engines; ties at the boundary
+    break on doc_id (deterministic, mirrored).
+
+    Output: per-(lang, selected) cohort sizes and score means — the
+    selection diagnostic the paper plots (selected cohorts should
+    show high train loss but LOW holdout loss).
+
+    Scale shape: scoring is map-only; the selection boundary is NOT a
+    global row_number (a single-partition sort of the corpus — the
+    one window shape that cannot scale) but the value-domain
+    equivalent: rho takes < 2000 distinct integer values, so a
+    (rho -> count) aggregate plus a strictly-greater cumulative sum
+    over that BOUNDED domain gives every row's exact global rank as
+    ``cgt(rho) + rank-within-rho`` — one hash exchange to value
+    cardinality, a broadcast of the 2000-row boundary table back onto
+    the scan, and a per-rho-value row_number (2000-key exchange) for
+    the doc_id tie-break.  Identical selection to the global sort,
+    rank for rank; the rollup is cohort-cardinality."""
+    d = load_table(spark, sf, "documents")
+    scored = d.selectExpr(
+        "doc_id",
+        "lang",
+        "CAST((41 * doc_id + n_chars) % 1000 AS BIGINT) AS train_loss",
+        "CAST((29 * doc_id + 7) % 1000 AS BIGINT) AS holdout_loss",
+        "CAST((41 * doc_id + n_chars) % 1000 - (29 * doc_id + 7) % 1000 "
+        "AS BIGINT) AS rho",
+    )
+    stats = (
+        scored.groupBy("rho")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .selectExpr(
+            "rho",
+            "coalesce(sum(c) OVER (ORDER BY rho DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cgt",
+            "sum(c) OVER () AS n_total",
+        )
+    )
+    sel = scored.join(F.broadcast(stats), "rho").selectExpr(
+        "lang",
+        "train_loss",
+        "holdout_loss",
+        "rho",
+        "CASE WHEN (cgt + row_number() OVER (PARTITION BY rho "
+        f"ORDER BY doc_id)) * 100 <= n_total * {RHO_K_PCT} "
+        "THEN 1 ELSE 0 END AS selected",
+    )
+    return (
+        sel.groupBy("lang", "selected")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("train_loss").alias("__at"),
+            F.avg("holdout_loss").alias("__ah"),
+            F.avg("rho").alias("__ar"),
+        )
+        .selectExpr(
+            "lang",
+            "selected",
+            "n",
+            "round(__at, 4) AS avg_train_loss",
+            "round(__ah, 4) AS avg_holdout_loss",
+            "round(__ar, 4) AS avg_rho",
+        )
+        .orderBy("lang", "selected")
+    )
+
+
+_TRAIN_RHO_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST((41 * doc_id + n_chars) % 1000 AS BIGINT) AS train_loss,
+         CAST((29 * doc_id + 7) % 1000 AS BIGINT) AS holdout_loss,
+         CAST((41 * doc_id + n_chars) % 1000 - (29 * doc_id + 7) % 1000
+              AS BIGINT) AS rho
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rho DESC, doc_id) AS rnk,
+         count(*) OVER () AS n_total
+  FROM scored),
+sel AS (
+  SELECT lang, train_loss, holdout_loss, rho,
+         CASE WHEN rnk * 100 <= n_total * {RHO_K_PCT}
+              THEN 1 ELSE 0 END AS selected
+  FROM ranked)
+SELECT lang, selected, count(*) AS n,
+       round(avg(train_loss), 4) AS avg_train_loss,
+       round(avg(holdout_loss), 4) AS avg_holdout_loss,
+       round(avg(rho), 4) AS avg_rho
+FROM sel GROUP BY lang, selected ORDER BY lang, selected
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "train_rho_loss",
+        "RHO-LOSS selection (Mindermann et al. 2022): reducible-"
+        "holdout-loss scoring, integer-exact percentile boundary, "
+        "cohort diagnostics",
+        _train_rho_loss,
+        _TRAIN_RHO_ORACLE,
+    )
+)

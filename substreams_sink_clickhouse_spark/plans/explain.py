@@ -57,8 +57,59 @@ def has_broadcast(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df) or "BroadcastExchange" in simple_plan(df)
 
 
+def _strip_cached_bodies(text: str) -> str:
+    """Drop ``InMemoryRelation`` subtree printouts from a plan text.
+
+    A cached shared intermediate (``dedup._shared_core``) re-prints
+    its build plan under every ``InMemoryTableScan`` that references
+    it; those exchanges execute at most ONCE per session, at
+    materialization, and whether a given entry's plan happens to
+    carry them depends on which entry ran first — session state, not
+    the entry's topology.  Budgets/pins must be deterministic per
+    entry, so the count covers the exchanges the entry's OWN topology
+    executes; the cached builds' shapes are pinned where they are
+    defined (their consumers' correctness gates + tests).  A subtree
+    is the ``InMemoryRelation`` line plus following lines at deeper
+    tree indentation."""
+    def content_pos(line: str) -> int:
+        # where the node text starts, past the tree-drawing prefix
+        return len(line) - len(line.lstrip(" :+-"))
+
+    lines = text.splitlines()
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" not in line:
+            out.append(line)
+            i += 1
+            continue
+        base = content_pos(line)
+        i += 1
+        while i < len(lines) and content_pos(lines[i]) > base:
+            i += 1
+    return "\n".join(out)
+
+
 def count_shuffles(df: DataFrame) -> int:
-    return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(df).count(
+    """Number of DISTINCT shuffle exchanges the entry's own topology
+    executes: unique ``plan_id``s (the same physical exchange can
+    print several times when a subtree is referenced twice), with
+    cached shared-core build plans excluded (see
+    :func:`_strip_cached_bodies`).  Falls back to raw substring
+    counts for plan texts that carry no plan_ids."""
+    text = _strip_cached_bodies(simple_plan(df))
+    ids = {
+        m.group(2)
+        for m in re.finditer(
+            r"Exchange (hashpartitioning|rangepartitioning)"
+            r"[^\n]*?plan_id=(\d+)",
+            text,
+        )
+    }
+    if ids:
+        return len(ids)
+    return text.count("Exchange hashpartitioning") + text.count(
         "Exchange rangepartitioning"
     )
 

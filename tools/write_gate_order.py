@@ -37,46 +37,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Never-driver-checked entries ordered to the front of the next
-#: sample (after the last-FAIL entries, which are computed from the
-#: CORRECTNESS artifacts, not pinned here).  Refreshed each round:
-#: the round-9 pins were all driver-sampled in r9.  Round 10 leads
-#: with the two entries whose SHAPE changed this round (q187 took the
-#: bounded union+window translation; sim_matryoshka's zero-overlap
-#: aggregate is now NULL-safe) and the round-10 additions, then pins
-#: the LAST 17 never-driver-sampled entries (the round-5 dialect
-#: batches) explicitly so the next ~50-entry prefix finishes draining
-#: the round-5 verification debt (round-9 verdict, item 2).
+#: Entries ordered to the front of the next sample (after the
+#: last-FAIL entries, which are computed from the CORRECTNESS
+#: artifacts, not pinned here).  Refreshed each round: the round-10
+#: pins (additions + the round-5 tail) were ALL driver-sampled in
+#: r10, draining the never-sampled ledger to zero.  Round 11 pins
+#: only the entries whose VALUES or plan shape changed this round —
+#: the five additions (FULL ANY / ASOF USING translations, DoReMi,
+#: RHO-LOSS, longest-span dedup) plus the reworked dedup_semantic
+#: (corpus-derived clusters), the three-epoch shared DV fixture
+#: consumers whose result values changed (cdc_merge_dv, q182), and
+#: q187 (ASOF tie-pin changed its window ORDER BY).  Everything else
+#: rotates by staleness (round-10 verdict #4): least-recently-
+#: driver-sampled first, so every entry's signal stays fresh.
 PRIORITY = [
-    "q187_dialect_asof_join",  # round-10 shape changes first
-    "sim_matryoshka",
-    "dedup_semantic",  # round-10 additions as they land
-    "dedup_span_scrub",
-    "text_ccnet_buckets",
-    "train_unimax",
-    "q188_dialect_any_join",
-    "multimodal_vad",
-    "text_bpe_fertility",
-    "text_langid_eval",
-    "sim_ivf_recall",
-    "dedup_minhash_calibration",
-    "q155_map_functions",  # the last 17 never-driver-sampled
-    "q156_format_readable",
-    "q157_datetime_accessors",
-    "q158_date_arithmetic",
-    "q159_json_functions",
-    "q160_url_batch2",
-    "q161_vector_distances",
-    "q162_geo_radius_join",
-    "q163_regex_tuple",
-    "q164_geohashes_in_box",
-    "q165_point_in_polygon",
-    "q166_iso_time",
-    "q167_ipv4_roundtrip",
-    "q168_rounding_family",
-    "q171_dialect_strsim",
-    "q172_dialect_maps_stats",
-    "q174_dialect_combinators",
+    "dedup_semantic",  # reworked: corpus-derived cluster count
+    "cdc_merge_dv",    # three-epoch fixture: values changed
+    "q182_scd2_from_versions",  # shared fixture: values changed
+    "q187_dialect_asof_join",   # tie-pin joined the window ORDER BY
+    "q189_dialect_full_any_join",  # round-11 additions
+    "q190_dialect_asof_using",
+    "train_doremi",
+    "train_rho_loss",
+    "dedup_span_longest",
 ]
 
 
