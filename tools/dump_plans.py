@@ -418,10 +418,11 @@ SHOWCASE = [
     ),
     (
         "dedup_semantic",
-        "SemDeDup: cluster assignment is map-only (k plan-literal "
-        "centroids, no join); candidates come from per-cluster bucket "
-        "expansion with the hot-bucket cap - cross-cluster pairs are "
-        "structurally impossible.",
+        "SemDeDup, corpus-derived cluster count: trained coarse "
+        "codebook (one constant-folded 2-D literal, map-only argmin) "
+        "+ <=128-row distance-ordered sub-buckets via a streaming "
+        "row_number - population hard-bounded, candidate pairs grow "
+        "linearly, no join anywhere.",
     ),
     (
         "dedup_span_scrub",
@@ -454,6 +455,41 @@ SHOWCASE = [
         "Energy VAD: one plan-pinned mapInPandas (real WAV decode + "
         "integer windowed energies per clip), zero shuffle - "
         "decode-bound and embarrassingly parallel.",
+    ),
+    (
+        "q189_dialect_full_any_join",
+        "ClickHouse FULL ANY JOIN: BOTH sides collapse to one "
+        "lexicographic-min row per key BEFORE the join (map-side-"
+        "combining aggregates), then a key-cardinality FULL outer - "
+        "no fan-out is structurally possible.",
+    ),
+    (
+        "q190_dialect_asof_using",
+        "ASOF USING desugars to the ON form (last column = the "
+        "closest-match inequality) and takes the bounded union + "
+        "running last_value window: NO join operator, one exchange "
+        "per side, O(1) window state per row.",
+    ),
+    (
+        "dedup_span_longest",
+        "Longest duplicate spans at suffix-array fidelity: sliding "
+        "window hashes, duplicated-ness via two STREAMING row_numbers "
+        "on one hash exchange, islands run chaining on the doc "
+        "exchange - no join, no per-hash buffering.",
+    ),
+    (
+        "train_doremi",
+        "DoReMi: the only corpus-cardinality aggregate is integer "
+        "(per-(domain, round) excess sums); the exponentiated-"
+        "gradient recursion is window expressions over ~#domains "
+        "rows.",
+    ),
+    (
+        "train_rho_loss",
+        "RHO-LOSS: exact top-k% boundary from the value-domain "
+        "cumulative (<2000 distinct integer scores) + a 2000-row "
+        "broadcast back onto the scan - rank-identical to a global "
+        "row_number without the single-partition corpus sort.",
     ),
 ]
 
