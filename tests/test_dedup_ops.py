@@ -38,3 +38,28 @@ def test_cluster_sizes_match_membership(spark):
         comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert {r["cluster_id"]: r["n"] for r in sizes} == {1: 3, 7: 2}
+
+
+def test_shared_cores_match_uncached(spark):
+    """The session-memoized cores (_shared_core: minhash signatures,
+    shingle counts/common) must return exactly the frames a cold
+    inline build would - caching is a materialization strategy, never
+    a semantics change.  Also pins cache identity: a second call
+    returns the same persisted DataFrame object."""
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    sigs_cached = D._minhash_sigs_cached(spark, sf)
+    sigs_cold = D._minhash_sigs(D._aug_docs(spark, sf))
+    assert sorted(map(tuple, sigs_cached.collect())) == sorted(
+        map(tuple, sigs_cold.collect())
+    )
+    counts_c, common_c = D._shingle_common_cached(spark, sf)
+    counts_0, common_0 = D._shingle_common(D._aug_docs(spark, sf))
+    assert sorted(map(tuple, counts_c.collect())) == sorted(
+        map(tuple, counts_0.collect())
+    )
+    assert sorted(map(tuple, common_c.collect())) == sorted(
+        map(tuple, common_0.collect())
+    )
+    assert D._minhash_sigs_cached(spark, sf) is sigs_cached

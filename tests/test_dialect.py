@@ -1937,3 +1937,17 @@ def test_asof_join_fallback_executes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_full_any_join_select_star_flattens(spark):
+    """Bare SELECT * over a FULL ANY JOIN flattens to a.*, b.* - both
+    deduped sides expand their struct fields, NULL legs included."""
+    spark.createDataFrame([(1, 10)], "k int, a int").createOrReplaceTempView("fs_a")
+    spark.createDataFrame([(2, 5)], "k int, v int").createOrReplaceTempView("fs_b")
+    out = spark.sql(clickhouse_to_spark_sql(
+        "SELECT * FROM fs_a a FULL ANY JOIN fs_b b ON a.k = b.k"
+    ))
+    assert out.columns == ["k", "a", "k", "v"]
+    rows = sorted([tuple(r) for r in out.collect()],
+                  key=lambda r: tuple((x is None, x or 0) for x in r))
+    assert rows == [(1, 10, None, None), (None, None, 2, 5)]
