@@ -255,6 +255,54 @@ class Corpus:
         ).withColumn("text", F.lit(""))
         return Corpus(rebuilt.unionByName(emptied))
 
+    def longest_dup_spans(self, min_words: int | None = None) -> DataFrame:
+        """Per-document longest-duplicate-span statistics at
+        suffix-array fidelity (the ``dedup_span_longest`` gate entry's
+        core over THIS corpus): duplicated-window count, run count and
+        the longest exact duplicated span with its start position —
+        the Lee et al. ExactSubstr signal that decides whether span
+        scrubbing is worth running.  ``min_words`` is the minimum
+        duplicated-run length (defaults to the gate entry's)."""
+        from substreams_sink_clickhouse_spark.operators.dedup import (
+            _LONGEST_W,
+            span_longest_stats,
+        )
+
+        return span_longest_stats(
+            self.df.select("doc_id", "text"),
+            min_words if min_words is not None else _LONGEST_W,
+        )
+
+    def select_rho_loss(
+        self,
+        train_loss,
+        holdout_loss,
+        keep_pct: int = 25,
+        accuracy: int = 10_000,
+    ) -> "Corpus":
+        """RHO-LOSS selection over REAL loss columns (Mindermann et
+        al. 2022; the ``train_rho_loss`` gate entry runs the same rule
+        on fixture losses): keep the top ``keep_pct``% of documents by
+        reducible holdout loss (train − holdout).  The boundary is an
+        ``approx_percentile`` threshold (one small aggregate broadcast
+        back onto the scan — map-only selection, no global sort; raise
+        ``accuracy`` to tighten the boundary).  Ties AT the threshold
+        are kept, so the kept fraction can exceed keep_pct by the tied
+        mass — deterministic, never sampled."""
+        rho = (F.col(train_loss) - F.col(holdout_loss)).alias("__rho")
+        scored = self.df.withColumn("__rho", rho)
+        thr = scored.agg(
+            F.expr(
+                f"approx_percentile(__rho, {(100 - keep_pct) / 100.0}, {accuracy})"
+            ).alias("t")
+        )
+        kept = (
+            scored.crossJoin(F.broadcast(thr))
+            .filter(F.col("__rho") >= F.col("t"))
+            .drop("__rho", "t")
+        )
+        return Corpus(kept)
+
     # -- composition ---------------------------------------------------
 
     def split(

@@ -1968,18 +1968,26 @@ def _dedup_span_longest(spark: SparkSession, sf: str) -> DataFrame:
     aggregation and the per-doc rollup all reuse that partitioning.
     Three exchanges total (hash, doc, presentation sort), no join
     operator anywhere — plan-pinned."""
-    aug = _aug_docs(spark, sf).filter(
-        F.size(F.split(F.lower("text"), " ")) >= _LONGEST_W
+    return span_longest_stats(_aug_docs(spark, sf), _LONGEST_W)
+
+
+def span_longest_stats(docs: DataFrame, w: int = _LONGEST_W) -> DataFrame:
+    """Longest-duplicate-span statistics for any ``(doc_id, text)``
+    frame — the reusable core of :func:`_dedup_span_longest` (see its
+    docstring for the algorithm and scale shape), exposed for the
+    Corpus fluent API."""
+    aug = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= w
     )
     inst = aug.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"""
-                transform(sequence(0, size(split(lower(text), ' ')) - {_LONGEST_W}),
+                transform(sequence(0, size(split(lower(text), ' ')) - {w}),
                           i -> named_struct(
                             'pos', CAST(i AS BIGINT),
-                            'sp', concat_ws(' ', slice(split(lower(text), ' '), i + 1, {_LONGEST_W}))))
+                            'sp', concat_ws(' ', slice(split(lower(text), ' '), i + 1, {w}))))
                 """
             )
         ).alias("u"),
@@ -2012,7 +2020,7 @@ def _dedup_span_longest(spark: SparkSession, sf: str) -> DataFrame:
     runs = grp.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("pos").alias("start"),
-        (F.count(F.lit(1)) + F.lit(_LONGEST_W - 1)).alias("sw"),
+        (F.count(F.lit(1)) + F.lit(w - 1)).alias("sw"),
     )
     rk = runs.withColumn(
         "rn",

@@ -259,3 +259,37 @@ def test_corpus_from_shards_roundtrip_and_validation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="truncated or"):
         Corpus.from_shards(spark, out, validate=True)
+
+
+def test_longest_dup_spans_matches_gate_core(spark):
+    """Corpus.longest_dup_spans over the augmented fixture equals the
+    dedup_span_longest gate builder (same core, same parameters)."""
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+    from substreams_sink_clickhouse_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    via_api = Corpus(D._aug_docs(spark, sf)).longest_dup_spans()
+    via_gate = D._dedup_span_longest(spark, sf)
+    assert sorted(map(tuple, via_api.collect())) == sorted(
+        map(tuple, via_gate.collect())
+    )
+
+
+def test_select_rho_loss_keeps_top_scorers(spark):
+    """select_rho_loss keeps exactly the documents whose reducible
+    loss reaches the percentile threshold; ties at the boundary stay
+    in; the selection is map-only after one broadcast threshold."""
+    from substreams_sink_clickhouse_spark.operators.corpus import Corpus
+
+    rows = [(i, f"doc {i}", float(i % 10), float(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tl double, hl double"
+    )
+    kept = Corpus(df).select_rho_loss("tl", "hl", keep_pct=25).df
+    got = {r["doc_id"] for r in kept.collect()}
+    rhos = sorted(((i % 10) - (i % 3) for i in range(100)), reverse=True)
+    thr_approx = rhos[24]  # exact percentile on this tiny frame
+    expect = {i for i in range(100) if (i % 10) - (i % 3) >= thr_approx}
+    assert got == expect
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # threshold broadcasts
