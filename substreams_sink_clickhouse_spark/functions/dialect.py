@@ -2139,17 +2139,23 @@ def _guard_preceding_join(code: str, pos: int, kind: str) -> None:
 #: ``X [alias] <strictness> JOIN Y [alias] USING (c1, …)`` for the
 #: ASOF / ANY strictnesses.  Group layout mirrors the ON patterns
 #: below plus the column list; the desugar rewrites USING → ON so the
-#: main translations see one canonical form.
+#: main translations see one canonical form.  The keyword exclusion
+#: mirrors _NOT_KW below (defined with the ON patterns).
+_USING_NOT_KW = r"(?!(?:FROM|WHERE|SELECT|AS|ON|AND|OR|BY|JOIN|GROUP|ORDER|HAVING|UNION)\b)"
+
 _ASOF_USING_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b|USING\b)(\w+))?"
+    r"\b" + _USING_NOT_KW + r"(\w+)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b|USING\b)"
+    + _USING_NOT_KW + r"(\w+))?"
     r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
 
 _ANY_USING_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?"
-    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b|USING\b)(\w+))?"
+    r"\b" + _USING_NOT_KW + r"(\w+)(?:\s+(?:AS\s+)?"
+    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b|USING\b)"
+    + _USING_NOT_KW + r"(\w+))?"
     r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN"
     r"|(LEFT|INNER|RIGHT|FULL)\s+ANY\s+JOIN)\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
@@ -2217,8 +2223,16 @@ def _desugar_strict_using(code: str) -> str:
     return code
 
 
+#: Reserved words that can never be the left-table token or a bare
+#: alias: without this guard, an UNALIASED left side after a select
+#: list ending in an identifier ("… AS bt FROM t ANY JOIN …") binds
+#: ``FROM`` as the table and ``t`` as its alias, splicing unparseable
+#: "FROM AS t" text (caught by test_join_strictness_fuzz).
+_NOT_KW = r"(?!(?:FROM|WHERE|SELECT|AS|ON|AND|OR|BY|JOIN|GROUP|ORDER|HAVING|UNION)\b)"
+
 _ASOF_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b)(\w+))?"
+    r"\b" + _NOT_KW + r"(\w+)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b)" + _NOT_KW + r"(\w+))?"
     r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
     re.IGNORECASE,
@@ -2520,8 +2534,9 @@ def _rewrite_asof_join(code: str) -> str:
 
 
 _ANY_PAT = re.compile(
-    r"\b(\w+)(?:\s+(?:AS\s+)?"
-    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b)(\w+))?"
+    r"\b" + _NOT_KW + r"(\w+)(?:\s+(?:AS\s+)?"
+    r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b)"
+    + _NOT_KW + r"(\w+))?"
     r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN"
     r"|(LEFT|INNER|RIGHT|FULL)\s+ANY\s+JOIN)\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+ON\s+",
