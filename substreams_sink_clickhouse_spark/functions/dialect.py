@@ -2139,23 +2139,29 @@ def _guard_preceding_join(code: str, pos: int, kind: str) -> None:
 #: ``X [alias] <strictness> JOIN Y [alias] USING (c1, …)`` for the
 #: ASOF / ANY strictnesses.  Group layout mirrors the ON patterns
 #: below plus the column list; the desugar rewrites USING → ON so the
-#: main translations see one canonical form.  The keyword exclusion
-#: mirrors _NOT_KW below (defined with the ON patterns).
-_USING_NOT_KW = r"(?!(?:FROM|WHERE|SELECT|AS|ON|AND|OR|BY|JOIN|GROUP|ORDER|HAVING|UNION)\b)"
+#: main translations see one canonical form.
+#:
+#: Reserved words that can never be the left-table token or a bare
+#: alias in ANY of the four strictness patterns: without this guard,
+#: an UNALIASED left side after a select list ending in an identifier
+#: ("… AS bt FROM t ANY JOIN …") binds ``FROM`` as the table and
+#: ``t`` as its alias, splicing unparseable "FROM AS t" text (caught
+#: by test_join_strictness_fuzz).
+_NOT_KW = r"(?!(?:FROM|WHERE|SELECT|AS|ON|AND|OR|BY|JOIN|GROUP|ORDER|HAVING|UNION)\b)"
 
 _ASOF_USING_PAT = re.compile(
-    r"\b" + _USING_NOT_KW + r"(\w+)"
+    r"\b" + _NOT_KW + r"(\w+)"
     r"(?:\s+(?:AS\s+)?(?!ASOF\b|JOIN\b|LEFT\b|ON\b|USING\b)"
-    + _USING_NOT_KW + r"(\w+))?"
+    + _NOT_KW + r"(\w+))?"
     r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
 
 _ANY_USING_PAT = re.compile(
-    r"\b" + _USING_NOT_KW + r"(\w+)(?:\s+(?:AS\s+)?"
+    r"\b" + _NOT_KW + r"(\w+)(?:\s+(?:AS\s+)?"
     r"(?!ANY\b|JOIN\b|LEFT\b|INNER\b|RIGHT\b|FULL\b|CROSS\b|ON\b|USING\b)"
-    + _USING_NOT_KW + r"(\w+))?"
+    + _NOT_KW + r"(\w+))?"
     r"\s+(?:ANY\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN"
     r"|(LEFT|INNER|RIGHT|FULL)\s+ANY\s+JOIN)\s+"
     r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(\w+))?\s+USING\s*\(([^()]*)\)",
@@ -2222,13 +2228,6 @@ def _desugar_strict_using(code: str) -> str:
         )
     return code
 
-
-#: Reserved words that can never be the left-table token or a bare
-#: alias: without this guard, an UNALIASED left side after a select
-#: list ending in an identifier ("… AS bt FROM t ANY JOIN …") binds
-#: ``FROM`` as the table and ``t`` as its alias, splicing unparseable
-#: "FROM AS t" text (caught by test_join_strictness_fuzz).
-_NOT_KW = r"(?!(?:FROM|WHERE|SELECT|AS|ON|AND|OR|BY|JOIN|GROUP|ORDER|HAVING|UNION)\b)"
 
 _ASOF_PAT = re.compile(
     r"\b" + _NOT_KW + r"(\w+)"
@@ -2362,11 +2361,18 @@ def _rewrite_asof_join(code: str) -> str:
         )
         _guard_preceding_join(code, m.start(), "ASOF")
         # ON-condition extent: scan the paren-blanked tail for the
-        # first depth-0 clause keyword (or end of string)
+        # first depth-0 clause keyword, an UNMATCHED ')' (the join
+        # sits inside a subquery/CTE body — a ')' surviving
+        # _blank_parens closes a scope opened before the tail, so the
+        # conditions end there), or end of string
         tail = code[m.end() :]
         blanked = _blank_parens(tail)
         tm = _ASOF_TERM.search(blanked)
         end = tm.start() if tm else len(tail)
+        par = blanked.find(")")
+        if par != -1 and par < end:
+            end = par
+            tm = None
         conds_sql = tail[:end]
         suffix = tail[end:]
         if tm and tm.group(1).upper() in (
@@ -2513,8 +2519,12 @@ def _rewrite_asof_join(code: str) -> str:
             # clause terminator: a top-level OR must not let non-top-1
             # fan-out rows leak through (AND binds tighter than OR)
             rest = suffix[wm.end() :]
-            pt = _ASOF_PRED_TERM.search(_blank_parens(rest))
+            rb = _blank_parens(rest)
+            pt = _ASOF_PRED_TERM.search(rb)
             pend = pt.start() if pt else len(rest)
+            rpar = rb.find(")")  # subquery boundary ends the predicate
+            if rpar != -1 and rpar < pend:
+                pend = rpar
             suffix = (
                 f" WHERE __asof_rn = 1 AND ({rest[:pend].strip()}) "
                 + rest[pend:]
@@ -2562,11 +2572,15 @@ def _rewrite_any_join(code: str) -> str:
 
     ``RIGHT ANY`` mirrors: ALL right rows survive, each with at most
     one left match, so the LEFT side is the one deduped pre-join.
-    ``FULL ANY`` dedupes BOTH sides to one row per key and full-outer
-    joins the two key-cardinality inputs — every key present on
-    either side appears exactly once, its representatives pinned the
-    same lexicographic-min way (ClickHouse's legacy
-    any_join_distinct_right_table_keys behaviour, made deterministic).
+    ``FULL ANY`` follows ClickHouse's legacy
+    ``any_join_distinct_right_table_keys=1`` semantics (the only mode
+    in which ClickHouse accepts the form — modern servers raise "ANY
+    FULL JOINs are not implemented"), made deterministic: EVERY left
+    row survives with at most one right match (the right side — and
+    ONLY the right side — dedupes to key cardinality), and each
+    unmatched right KEY appears once with a NULL left leg.  Left-row
+    multiplicity is never changed; a plain FULL OUTER against the
+    key-cardinality right side delivers exactly that shape.
 
     Lexical scope (the guard in _rewrite_clauses raises otherwise):
     both sides plain identifiers, ON conditions ALL plain qualified
@@ -2587,6 +2601,9 @@ def _rewrite_any_join(code: str) -> str:
         blanked = _blank_parens(tail)
         tm = _ASOF_TERM.search(blanked)
         end = tm.start() if tm else len(tail)
+        par = blanked.find(")")  # subquery boundary ends the ON list
+        if par != -1 and par < end:
+            end = par
         conds_sql = tail[:end]
         suffix = tail[end:]
         flat = _flatten_owner_star(code, m.start(), a_alias, b_alias)
@@ -2620,23 +2637,23 @@ def _rewrite_any_join(code: str) -> str:
                 r_keys.append(em.group(2))
         gcols = ", ".join(f"__any_k{i}" for i in range(len(r_keys)))
         if kw == "FULL":
-            # every key on either side appears once: dedupe BOTH sides
-            # to key cardinality (same map-side-combining aggregate
-            # shape), then a plain FULL OUTER on the key columns
+            # legacy FULL ANY: left multiplicity preserved (the left
+            # side is struct-wrapped but NOT aggregated), right side
+            # deduped to key cardinality, plain FULL OUTER on the keys
+            # — unmatched right KEYS appear once with a NULL left leg
             lsel = ", ".join(
-                f"{c} AS __any_k{i}" for i, c in enumerate(l_keys)
+                f"{c} AS __any_lk{i}" for i, c in enumerate(l_keys)
             )
             rsel = ", ".join(
                 f"{c} AS __any_k{i}" for i, c in enumerate(r_keys)
             )
             on = " AND ".join(
-                f"__any_l.__any_k{i} = __any_r.__any_k{i}"
+                f"__any_l.__any_lk{i} = __any_r.__any_k{i}"
                 for i in range(len(r_keys))
             )
             rewritten = (
-                f"(SELECT min({a_alias}) AS {a_alias}, {gcols} FROM "
                 f"(SELECT struct(*) AS {a_alias}, {lsel} FROM {a_tbl}) "
-                f"AS __any_sl GROUP BY {gcols}) AS __any_l "
+                f"AS __any_l "
                 f"FULL JOIN "
                 f"(SELECT min({b_alias}) AS {b_alias}, {gcols} FROM "
                 f"(SELECT struct(*) AS {b_alias}, {rsel} FROM {b_tbl}) "

@@ -916,49 +916,44 @@ ORDER BY coalesce(p2.user_id, c2.user_id), p_eid, c_eid
 
 def _q189_dialect_full_any_join(spark: SparkSession, sf: str) -> DataFrame:
     """ClickHouse ``FULL ANY JOIN`` through the dialect shim (round-10
-    verdict ask #2): one row per user present on EITHER side — users
-    with only purchases, only clicks, or both — each side represented
-    by at most one row.  The translation
-    (functions/dialect.py:_rewrite_any_join) dedupes BOTH sides to key
-    cardinality BEFORE the join (``min(struct(*))`` per user — partial/
-    final aggregate, map-side combine) and full-outer joins the two
-    key-cardinality inputs: no fan-out is structurally possible, and
-    the representative pick is pinned to the lexicographically
-    smallest row per side (lowest event_id — unique in the fixture),
-    so the oracle asserts exact rows.
+    verdict ask #2), at ClickHouse's legacy
+    ``any_join_distinct_right_table_keys=1`` semantics — the only mode
+    in which ClickHouse accepts the form: EVERY purchase row survives
+    with at most one click of its user (the click side — and only the
+    click side — dedupes to key cardinality pre-join,
+    ``min(struct(*))`` per user with the pick pinned to the lowest
+    event_id), and each user with clicks but NO purchases appears
+    once with NULL purchase legs.  Purchase-row multiplicity is never
+    changed (functions/dialect.py:_rewrite_any_join FULL branch).
 
-    Scale shape: two map-side-combining aggregates + one key-
-    cardinality FULL join — the join inputs carry one row per user
-    regardless of how many events a hot user holds."""
+    Scale shape: one map-side-combining aggregate + a FULL join whose
+    right input is key cardinality — a hot user's million clicks
+    collapse before the join, never fan out across their purchases."""
     return _via_shim(spark, sf, ["events"], _Q189_CH)
 
 
 _Q189_ORACLE = r"""
 WITH p AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'),
      c AS (SELECT user_id, event_id, value FROM events WHERE event_type = 'click'),
-p1 AS (
-  SELECT user_id, event_id, value FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY event_id, value) AS rn FROM p)
-  WHERE rn = 1),
 c1 AS (
   SELECT user_id, event_id, value FROM (
     SELECT *, row_number() OVER (PARTITION BY user_id
                                  ORDER BY event_id, value) AS rn FROM c)
   WHERE rn = 1)
-SELECT p1.user_id AS p_uid,
-       p1.event_id AS p_eid,
+SELECT p.user_id AS p_uid,
+       p.event_id AS p_eid,
        c1.user_id AS c_uid,
        c1.event_id AS c_eid,
-       round(coalesce(p1.value, 0) + coalesce(c1.value, 0), 4) AS combined
-FROM p1 FULL JOIN c1 ON p1.user_id = c1.user_id
-ORDER BY coalesce(p1.user_id, c1.user_id), p_eid, c_eid
+       round(coalesce(p.value, 0) + coalesce(c1.value, 0), 4) AS combined
+FROM p FULL JOIN c1 ON p.user_id = c1.user_id
+ORDER BY coalesce(p.user_id, c1.user_id), p_eid, c_eid
 """
 
 SPECS.append(QuerySpec(
     "q189_dialect_full_any_join",
-    "ClickHouse FULL ANY JOIN through the shim: BOTH sides deduped to "
-    "key cardinality pre-join (pinned picks), full outer on the keys",
+    "ClickHouse FULL ANY JOIN through the shim (legacy semantics): "
+    "all left rows, right side deduped per key (pinned pick), "
+    "unmatched right keys once",
     _q189_dialect_full_any_join,
     _Q189_ORACLE,
 ))

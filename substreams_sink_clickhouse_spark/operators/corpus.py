@@ -291,15 +291,17 @@ class Corpus:
         mass — deterministic, never sampled."""
         rho = (F.col(train_loss) - F.col(holdout_loss)).alias("__rho")
         scored = self.df.withColumn("__rho", rho)
+        # the threshold column is __-prefixed like every internal
+        # column here: a bare name would collide with user columns
         thr = scored.agg(
             F.expr(
                 f"approx_percentile(__rho, {(100 - keep_pct) / 100.0}, {accuracy})"
-            ).alias("t")
+            ).alias("__rho_thr")
         )
         kept = (
             scored.crossJoin(F.broadcast(thr))
-            .filter(F.col("__rho") >= F.col("t"))
-            .drop("__rho", "t")
+            .filter(F.col("__rho") >= F.col("__rho_thr"))
+            .drop("__rho", "__rho_thr")
         )
         return Corpus(kept)
 

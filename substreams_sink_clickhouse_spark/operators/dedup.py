@@ -259,9 +259,15 @@ _CORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _shared_core(spark: SparkSession, sf: str, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf, name)
     got = _CORE_CACHE.get(key)
     if got is None:
+        # evict entries of OTHER applications on insert: a multi-
+        # session process (repeated engine setups, notebook restarts)
+        # must not accumulate persisted frames of stopped contexts
+        for stale in [k for k in _CORE_CACHE if k[0] != app]:
+            del _CORE_CACHE[stale]
         got = build().persist()
         _CORE_CACHE[key] = got
     return got

@@ -454,10 +454,15 @@ def _dv_replay_fixture(spark: SparkSession, sf: str):
     # keyed by applicationId, not id(spark): CPython reuses object ids
     # after GC, so an id-keyed entry could alias a NEW session onto an
     # Engine bound to a stopped one (round-10 advisory)
-    key = (spark.sparkContext.applicationId, sf)
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
     got = _DV_REPLAY_CACHE.get(key)
     if got is not None:
         return got
+    # evict other applications' entries: their engines/scratch dirs
+    # belong to stopped contexts and must not accumulate
+    for stale in [k for k in _DV_REPLAY_CACHE if k[0] != app]:
+        del _DV_REPLAY_CACHE[stale]
     from substreams_sink_clickhouse_spark.config import EngineConfig
     from substreams_sink_clickhouse_spark.engine import Engine
 

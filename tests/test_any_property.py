@@ -57,23 +57,26 @@ def test_any_translation_matches_model(spark, a_rows, b_rows, left):
 
 
 def _model_full(a_rows, b_rows):
-    besta: dict = {}
-    for k, t in a_rows:
-        if k not in besta or (k, t) < besta[k]:
-            besta[k] = (k, t)
+    # legacy any_join_distinct_right_table_keys=1 semantics: EVERY
+    # left row survives with at most one (pinned lexicographic-min)
+    # right match; each unmatched right KEY appears once, left legs
+    # NULL.  Left multiplicity is never changed.
     bestb: dict = {}
     for k, bt, v in b_rows:
         if k not in bestb or (k, bt, v) < bestb[k]:
             bestb[k] = (k, bt, v)
     out = []
-    for k in sorted(set(besta) | set(bestb)):
-        la = besta.get(k)
+    for k, t in a_rows:
         rb = bestb.get(k)
         out.append((
-            la[0] if la else None, la[1] if la else None,
+            k, t,
             rb[0] if rb else None, rb[1] if rb else None,
             rb[2] if rb else None,
         ))
+    akeys = {k for k, _ in a_rows}
+    for k in sorted(set(bestb) - akeys):
+        rb = bestb[k]
+        out.append((None, None, rb[0], rb[1], rb[2]))
     return sorted(out, key=lambda r: tuple((x is None, x or 0) for x in r))
 
 
@@ -83,8 +86,9 @@ def _model_full(a_rows, b_rows):
     st.lists(_ROW_B, min_size=0, max_size=8),
 )
 def test_full_any_translation_matches_model(spark, a_rows, b_rows):
-    """FULL ANY = one row per key on EITHER side, both representatives
-    pinned to the lexicographic min, NULL legs for one-sided keys."""
+    """FULL ANY (legacy ClickHouse semantics, pinned): all left rows,
+    right side deduped to key cardinality, unmatched right keys once
+    with NULL left legs."""
     if not a_rows and not b_rows:
         return
     spark.createDataFrame(a_rows, "k int, t int").createOrReplaceTempView("pfany_a")
@@ -94,7 +98,8 @@ def test_full_any_translation_matches_model(spark, a_rows, b_rows):
         "SELECT a.k AS ak, a.t AS at, b.k AS bk, b.t AS bt, b.v AS v "
         "FROM pfany_a a FULL ANY JOIN pfany_b b ON a.k = b.k"
     )
-    assert "min(a)" in sql and "min(b)" in sql and "FULL JOIN" in sql
+    assert "min(a)" not in sql  # the left side must NOT collapse
+    assert "min(b)" in sql and "FULL JOIN" in sql
     got = sorted(
         [tuple(r) for r in spark.sql(sql).collect()],
         key=lambda r: tuple((x is None, x or 0) for x in r),

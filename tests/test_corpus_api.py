@@ -281,9 +281,14 @@ def test_select_rho_loss_keeps_top_scorers(spark):
     in; the selection is map-only after one broadcast threshold."""
     from substreams_sink_clickhouse_spark.operators.corpus import Corpus
 
-    rows = [(i, f"doc {i}", float(i % 10), float(i % 3)) for i in range(100)]
+    # a user column named 't' pins the regression where the broadcast
+    # threshold column's bare name collided with corpus columns
+    rows = [
+        (i, f"doc {i}", float(i), float(i % 10), float(i % 3))
+        for i in range(100)
+    ]
     df = spark.createDataFrame(
-        rows, "doc_id long, text string, tl double, hl double"
+        rows, "doc_id long, text string, t double, tl double, hl double"
     )
     kept = Corpus(df).select_rho_loss("tl", "hl", keep_pct=25).df
     got = {r["doc_id"] for r in kept.collect()}

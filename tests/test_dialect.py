@@ -965,11 +965,12 @@ def test_asof_and_any_join_guidance():
     ):
         out = clickhouse_to_spark_sql(q)
         assert "min(b) AS b" in out and "GROUP BY __any_k0" in out, out
-    # FULL ANY dedupes BOTH sides to key cardinality + FULL JOIN
+    # FULL ANY (legacy semantics): only the RIGHT side dedupes; the
+    # left stays at full multiplicity, struct-wrapped, FULL JOIN
     out = clickhouse_to_spark_sql(
         "SELECT a.x, b.y FROM t1 a FULL ANY JOIN t2 b ON a.k = b.k"
     )
-    assert "min(a) AS a" in out and "min(b) AS b" in out, out
+    assert "min(b) AS b" in out and "min(a)" not in out, out
     assert "FULL JOIN" in out, out
     # non-equi ON is not an ANY translation target: curated raise
     with pytest.raises(ValueError, match="ch_any_join"):
@@ -1037,9 +1038,10 @@ def test_any_join_executes(spark):
 
 
 def test_full_any_join_executes(spark):
-    """FULL ANY JOIN end-to-end: one row per key present on EITHER
-    side, representatives pinned to the lexicographic min, unmatched
-    legs NULL on the other side."""
+    """FULL ANY JOIN end-to-end (legacy ClickHouse semantics): EVERY
+    left row survives with at most one pinned right match; each
+    unmatched right KEY appears once with NULL left legs; left-row
+    multiplicity is never changed."""
     spark.createDataFrame(
         [(1, 10), (1, 9), (2, 20)], "k int, a int"
     ).createOrReplaceTempView("fany_a")
@@ -1048,15 +1050,20 @@ def test_full_any_join_executes(spark):
     ).createOrReplaceTempView("fany_b")
     out = spark.sql(clickhouse_to_spark_sql(
         "SELECT a.k AS lk, a.a AS av, b.k AS rk, b.v AS bv FROM fany_a a "
-        "FULL ANY JOIN fany_b b ON a.k = b.k ORDER BY coalesce(a.k, b.k)"
+        "FULL ANY JOIN fany_b b ON a.k = b.k"
     ))
-    assert [tuple(r) for r in out.collect()] == [
-        (1, 9, 1, 3),          # min structs: (1,9) and (1,3,'y')
-        (2, 20, None, None),   # left-only key
-        (None, None, 3, 7),    # right-only key
+    got = sorted(
+        [tuple(r) for r in out.collect()],
+        key=lambda r: tuple((x is None, x or 0) for x in r),
+    )
+    assert got == [
+        (1, 9, 1, 3),          # both k=1 left rows keep the min right
+        (1, 10, 1, 3),         #   struct (1, 3, 'y')
+        (2, 20, None, None),   # left-only row
+        (None, None, 3, 7),    # right-only KEY, once
     ]
-    # both sides pre-aggregated: exactly one row per key per side, so
-    # the join input is key cardinality - no fan-out possible
+    # the right side pre-aggregates to key cardinality - the join can
+    # never fan out a left row across right duplicates
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Aggregate") >= 2
 

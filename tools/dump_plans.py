@@ -458,10 +458,10 @@ SHOWCASE = [
     ),
     (
         "q189_dialect_full_any_join",
-        "ClickHouse FULL ANY JOIN: BOTH sides collapse to one "
-        "lexicographic-min row per key BEFORE the join (map-side-"
-        "combining aggregates), then a key-cardinality FULL outer - "
-        "no fan-out is structurally possible.",
+        "ClickHouse FULL ANY JOIN (legacy semantics): every left "
+        "row survives; the right side collapses to one lexicographic-"
+        "min row per key BEFORE the FULL join, so a left row can "
+        "never fan out and unmatched right keys appear once.",
     ),
     (
         "q190_dialect_asof_using",
