@@ -46,13 +46,25 @@ def _via_shim(
     tables: list[str],
     sql: str,
     column_types: dict[str, str] | None = None,
+    parallel: list[str] | None = None,
 ) -> DataFrame:
+    """Translate + run ClickHouse SQL over the named fixture tables.
+
+    ``parallel`` lists tables whose downstream per-row work is
+    expression-dense (string similarity, stat tests): those views are
+    wrapped in ``ensure_parallelism`` so the compute does not ride the
+    fixture's single-row-group scan on one core.  No-op at real scale,
+    where inputs have many splits."""
     from substreams_sink_clickhouse_spark.functions.dialect import (
         clickhouse_to_spark_sql,
     )
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
 
     for name in tables:
-        load_table(spark, sf, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf, name)
+        if parallel and name in parallel:
+            df = ensure_parallelism(df)
+        df.createOrReplaceTempView(name)
     return spark.sql(clickhouse_to_spark_sql(sql, column_types=column_types))
 
 
@@ -686,8 +698,13 @@ def _q183_dialect_strsim(spark: SparkSession, sf: str) -> DataFrame:
     1e-16 difference can never flip a pair across the filter.  Per-pair doubles round to 6 before the averages (sum
     order cannot leak into the hash); the join is a 1-row-offset
     self-equi-join (broadcast at this dimension size, co-located at
-    scale)."""
-    return _via_shim(spark, sf, ["customer"], _Q183_CH)
+    scale).
+
+    The exact Jaro/JW codegen expressions are the per-row cost here, so
+    the customer view registers through ``ensure_parallelism`` — the
+    fixture's single-row-group scan would otherwise evaluate every pair
+    on one core (measured 2.1 s of 1-task executor time at sf0.1)."""
+    return _via_shim(spark, sf, ["customer"], _Q183_CH, parallel=["customer"])
 
 
 _Q183_ORACLE = r"""

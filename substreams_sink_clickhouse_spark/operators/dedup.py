@@ -1681,15 +1681,24 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     # — faiss-style: the trainer sees a bounded slice, the assignment
     # sees everything; bounded k×d driver transfers per step, the
     # sim_kmeans contract)
-    train = aug.filter(F.col("vec_id") % SEMANTIC_TRAIN_MOD == 0)
-    cents = [
-        [float(x) for x in r["emb"]]
-        for r in aug.filter(F.col("vec_id") < 100000)
-        .orderBy("vec_id")
-        .limit(SEMANTIC_K)
-        .collect()
-    ]
-    cents = lloyd_iterate(train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND)
+    # the augmented frame is scanned by THREE training actions (seed
+    # collect + SEMANTIC_ITERS Lloyd steps) before the final plan ever
+    # runs — persist it for exactly that window (guide §5: cache only
+    # what is re-used), then release so the returned plan carries no
+    # hidden cache dependency
+    aug = aug.persist()
+    try:
+        train = aug.filter(F.col("vec_id") % SEMANTIC_TRAIN_MOD == 0)
+        cents = [
+            [float(x) for x in r["emb"]]
+            for r in aug.filter(F.col("vec_id") < 100000)
+            .orderBy("vec_id")
+            .limit(SEMANTIC_K)
+            .collect()
+        ]
+        cents = lloyd_iterate(train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND)
+    finally:
+        aug.unpersist()
     a = F.expr(_argmin_cluster_expr(cents))
     assigned = aug.select(
         "vec_id",

@@ -1156,7 +1156,13 @@ JPEG_SCHEMA = T.StructType(
 
 
 def _multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
+
+    # encode->decode is the per-row-expensive stage of this entry; the
+    # fixture's single-row-group scan would otherwise feed ONE Python
+    # worker (measured 4.4 s of 1-task executor time at sf0.1).
+    # ensure_parallelism is a no-op at real scale.
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_jpeg_decode_batches, schema=JPEG_SCHEMA)  # unordered
 
@@ -1276,7 +1282,11 @@ JPEG_C_SCHEMA = T.StructType(
 
 
 def _multimodal_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
+
+    # see _multimodal_jpeg: the color decode burned 9.3 s of 1-task
+    # executor time at sf0.1 on the single-row-group fixture scan
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_jpeg_color_batches, schema=JPEG_C_SCHEMA)  # unordered
 

@@ -1659,9 +1659,14 @@ def _q184_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
     and the audit is ONE hash aggregate on 16 groups.  At 100 TB this
     is exactly the OPTIMIZE ZORDER write path plus a stats rollup.
     """
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
     from substreams_sink_clickhouse_spark.functions.zorder import zorder_key
 
-    e = load_table(spark, sf, "events")
+    # the Morton-key interleave is ~32 shift/or terms per row — a
+    # compute-dense projection that must not ride the fixture's
+    # single-row-group scan on one core (ensure_parallelism is a
+    # no-op at real scale, where the input has many splits)
+    e = ensure_parallelism(load_table(spark, sf, "events"))
     keyed = e.select(
         "user_id",
         "value",

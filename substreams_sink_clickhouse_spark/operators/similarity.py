@@ -373,25 +373,47 @@ def lloyd_iterate(
     argmin (which compares exact doubles).  A cluster that lost every
     member would drop out and renumber the survivors (the oracles keep
     original ids — the gate fixtures never empty a cluster; a
-    production caller re-seeds the lost cell instead)."""
-    for _ in range(iters):
-        assigned = e.withColumn(
-            "cluster", F.expr(_argmin_cluster_expr(centroids))["c"]
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("v"), ndigits).alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [dims[p] for p in sorted(dims)]
-            for _, dims in sorted(by_cluster.items())
-        ]
+    production caller re-seeds the lost cell instead).
+
+    The training frame is persisted for the duration of the loop when
+    more than one step will scan it (guide: persist only what is
+    re-used; each Lloyd step is a fresh action over the same rows) and
+    unpersisted before returning — callers holding their own persist
+    are left untouched."""
+    from pyspark import StorageLevel
+
+    own_persist = None
+    if iters > 1 and e.storageLevel == StorageLevel.NONE:
+        own_persist = e.persist()
+    try:
+        for _ in range(iters):
+            centroids = _lloyd_step(e, centroids, ndigits)
+    finally:
+        if own_persist is not None:
+            own_persist.unpersist()
     return centroids
+
+
+def _lloyd_step(
+    e: DataFrame, centroids: list[list[float]], ndigits: int
+) -> list[list[float]]:
+    """One assignment + mean-update step of :func:`lloyd_iterate`."""
+    assigned = e.withColumn(
+        "cluster", F.expr(_argmin_cluster_expr(centroids))["c"]
+    )
+    means = (
+        assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("v"), ndigits).alias("m"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    return [
+        [dims[p] for p in sorted(dims)]
+        for _, dims in sorted(by_cluster.items())
+    ]
 
 
 def _sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:

@@ -1285,7 +1285,13 @@ def bpe_merge_step(docs: DataFrame, top_k: int = 20) -> DataFrame:
     the learned merge arrives as a scalar-subquery broadcast (no
     nested-loop join, no driver collect).
     """
-    docs.select(
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
+
+    # the re-tokenize fold (aggregate() over each word's characters) is
+    # the per-row-expensive stage; parallelism must not be pinned to
+    # the fixture's single-row-group scan (measured: 3.6 s of 1-task
+    # executor time at sf0.1).  No-op at real scale.
+    ensure_parallelism(docs).select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("w")
     ).where(F.col("w").rlike("^[a-z0-9]+$")).groupBy("w").agg(
         F.count("*").alias("f")
