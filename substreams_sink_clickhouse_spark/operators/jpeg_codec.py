@@ -95,22 +95,38 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: (length, code) -> value."""
-    out: dict[tuple[int, int], int] = {}
+_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+
+#: (bits, vals) -> flat 16-bit-window lookup (lengths, values): entry
+#: ``w`` (the next 16 bits of the stream, zero-padded at the tail)
+#: resolves the next Huffman symbol in O(1) instead of bit-by-bit dict
+#: probing.  Keyed by the DHT definition so arbitrary baseline tables
+#: work and repeated images share one build (the gate corpus uses the
+#: four Annex-K tables; a 65,536-slot list pair per table).
+_FLAT_DECODE_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _build_flat_decode(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    key = (tuple(bits), tuple(vals))
+    got = _FLAT_DECODE_CACHE.get(key)
+    if got is not None:
+        return got
+    lens = [0] * 65536
+    syms = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lens[start : start + span] = [length] * span
+            syms[start : start + span] = [vals[k]] * span
             code += 1
             k += 1
         code <<= 1
-    return out
-
-
-_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
-_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+    _FLAT_DECODE_CACHE[key] = (lens, syms)
+    return lens, syms
 
 # ------------------------------------------------------------------ DCT
 
@@ -172,6 +188,59 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _quantized_zz_blocks(plane: "np.ndarray", quant: int) -> list[list[int]]:
+    """Level-shift, FDCT, quantize and zigzag EVERY 8x8 block of a
+    padded float64 plane in one batched pass — the same per-block
+    arithmetic as the former block loop (stacked matmul dispatches the
+    identical dgemm per slice; rint/divide are elementwise), so the
+    coefficients are bit-identical.  Returns raster-order rows of 64
+    Python ints (fast to iterate in the sequential entropy coder)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
+    zz = np.rint(coefs.reshape(-1, 64) / quant).astype(np.int64)[:, _ZZ_IDX]
+    return zz.tolist()
+
+
+def _write_block_zz(
+    writer: _BitWriter,
+    zz: list[int],
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-code one quantized zigzag block; returns the new DC
+    predictor.  Identical bit output to the former per-block encoder
+    (DC differential + AC run-length with ZRL/EOB)."""
+    cat, bits = _magnitude(zz[0] - prev_dc)
+    code, length = dc_codes[cat]
+    writer.write(code, length)
+    if cat:
+        writer.write(bits, cat)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            writer.write(zc, zl)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(bits, cat)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        writer.write(ec, el)
+    return zz[0]
+
+
 def encode_jpeg_gray(
     pixels: bytes, width: int, height: int, quant: int = 1
 ) -> bytes:
@@ -192,36 +261,8 @@ def encode_jpeg_gray(
     qtab = bytes([quant] * 64)
     writer = _BitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = np.rint(_fdct(block) / quant).astype(np.int64)
-            zz = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
-            # DC: differential
-            cat, bits = _magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, length = _DC_CODES[cat]
-            writer.write(code, length)
-            if cat:
-                writer.write(bits, cat)
-            # AC: run-length
-            run = 0
-            for i in range(1, 64):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_CODES[0xF0]  # ZRL
-                    writer.write(zc, zl)
-                    run -= 16
-                cat, bits = _magnitude(zz[i])
-                code, length = _AC_CODES[(run << 4) | cat]
-                writer.write(code, length)
-                writer.write(bits, cat)
-                run = 0
-            if run:
-                ec, el = _AC_CODES[0x00]  # EOB
-                writer.write(ec, el)
+    for zz in _quantized_zz_blocks(padded, quant):
+        prev_dc = _write_block_zz(writer, zz, prev_dc, _DC_CODES, _AC_CODES)
     writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -243,38 +284,77 @@ def encode_jpeg_gray(
 # -------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; stops at any real marker."""
+class _EntropyDecoder:
+    """MSB-first reader over entropy-coded data: the 0xFF00-unstuffed
+    stream is prepared ONCE (vectorized) and every symbol resolves
+    with a single 16-bit window peek against a flat Huffman table —
+    O(1) per symbol instead of per-bit dict probing (the former
+    ``_BitReader`` path; ~10x on the decode-bound gate entries).
+
+    Behavior contract of the old reader, preserved: reading past a
+    real marker raises "unexpected marker inside entropy stream";
+    running out of bytes raises "truncated JPEG entropy stream"; an
+    unresolvable code raises "invalid Huffman code in JPEG stream"."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
+        raw = np.frombuffer(data, dtype=np.uint8)[pos:]
+        ff = np.flatnonzero(raw == 0xFF)
+        # lookahead byte after each 0xFF; a trailing 0xFF with nothing
+        # after it counts as a marker (the old reader raised
+        # "unexpected marker" on the missing lookahead)
+        nxt = np.full(ff.shape, 0xD9, dtype=np.uint8)
+        inb = ff + 1 < len(raw)
+        nxt[inb] = raw[ff[inb] + 1]
+        markers = ff[nxt != 0x00]
+        if markers.size:
+            end_at_marker = True
+            end = int(markers[0])
+        else:
+            end_at_marker = False
+            end = len(raw)
+        stuffed = ff[(nxt == 0x00) & (ff < end)]
+        buf = np.delete(raw[:end], stuffed + 1)
+        self._end_at_marker = end_at_marker
+        self.nbits = len(buf) * 8
+        # 32-bit big-endian window per byte offset: bits at position p
+        # are (acc[p >> 3] >> (16 - (p & 7))) & 0xFFFF — zero-padded at
+        # the tail, bounds-checked against nbits before every advance.
+        padded = np.concatenate([buf, np.zeros(3, dtype=np.uint8)]).astype(np.uint32)
+        acc = (
+            (padded[:-3] << 24)
+            | (padded[1:-2] << 16)
+            | (padded[2:-1] << 8)
+            | padded[3:]
+        )
+        self.acc = acc.tolist() or [0]
+        self.p = 0
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    raise ValueError("unexpected marker inside entropy stream")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    def _past_end(self) -> ValueError:
+        if self._end_at_marker:
+            return ValueError("unexpected marker inside entropy stream")
+        return ValueError("truncated JPEG entropy stream")
+
+    def read_huff(self, table: tuple[list[int], list[int]]) -> int:
+        p = self.p
+        if p >= self.nbits:
+            raise self._past_end()
+        w = (self.acc[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        length = table[0][w]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if p + length > self.nbits:
+            raise self._past_end()
+        self.p = p + length
+        return table[1][w]
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.p
+        if p + n > self.nbits:
+            raise self._past_end()
+        self.p = p + n
+        return ((self.acc[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - n)
 
 
 def _extend(bits: int, cat: int) -> int:
@@ -285,14 +365,52 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code in JPEG stream")
+#: Zigzag order as an index array: ``coefs[:, _ZZ_IDX] = zz`` scatters
+#: a batch of zigzag scans into natural order in one numpy op.
+_ZZ_IDX = np.array(_ZIGZAG)
+
+
+def _decode_blocks_zz(
+    reader: _EntropyDecoder,
+    dc_tab: tuple[list[int], list[int]],
+    ac_tab: tuple[list[int], list[int]],
+    prev_dc: int,
+) -> tuple[list[int], int]:
+    """Decode ONE block's zigzag coefficients (list of 64 ints) plus
+    the new DC predictor — the shared entropy kernel of the gray and
+    color decode loops."""
+    zz = [0] * 64
+    cat = reader.read_huff(dc_tab)
+    prev_dc += _extend(reader.read_bits(cat), cat)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = reader.read_huff(ac_tab)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += rs >> 4
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        cat = rs & 0xF
+        zz[i] = _extend(reader.read_bits(cat), cat)
+        i += 1
+    return zz, prev_dc
+
+
+def _idct_batch(zz_rows: list[list[int]], qtab: list[int]) -> np.ndarray:
+    """Dezigzag + dequantize + IDCT a batch of blocks at once:
+    ``(n, 8, 8)`` level-shifted pixels.  The per-block arithmetic is
+    the same two 8x8 matmuls as the former per-block loop (stacked
+    matmul dispatches the identical dgemm per slice), so outputs are
+    bit-identical."""
+    zzs = np.asarray(zz_rows, dtype=np.float64)
+    coefs = np.empty_like(zzs)
+    coefs[:, _ZZ_IDX] = zzs * np.asarray(qtab, dtype=np.float64)
+    blocks = coefs.reshape(-1, 8, 8)
+    return np.matmul(np.matmul(_DCT.T, blocks), _DCT) + 128.0
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
@@ -306,7 +424,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     width = height = None
     comp_qtab = comp_dc = comp_ac = 0
     while pos < len(payload):
@@ -333,7 +451,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                htables[(tclass, tid)] = _build_decode_map(bits, vals)
+                htables[(tclass, tid)] = _build_flat_decode(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -364,35 +482,22 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     if qtab is None or dc_map is None or ac_map is None:
         raise ValueError("missing quantization or Huffman tables")
 
-    reader = _BitReader(payload, pos)
+    reader = _EntropyDecoder(payload, pos)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            cat = _read_huff(reader, dc_map)
-            prev_dc += _extend(reader.read_bits(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _read_huff(reader, ac_map)
-                if rs == 0x00:  # EOB
-                    break
-                run, cat = rs >> 4, rs & 0xF
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past end of block")
-                zz[i] = _extend(reader.read_bits(cat), cat)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for k in range(64):
-                coef[_ZIGZAG[k]] = zz[k] * qtab[k]
-            block = _idct(coef.reshape(8, 8)) + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    zz_rows: list[list[int]] = []
+    for _ in range(bh * bw):
+        zz, prev_dc = _decode_blocks_zz(reader, dc_map, ac_map, prev_dc)
+        zz_rows.append(zz)
+    # dezigzag + dequant + IDCT the whole scan at once (identical
+    # per-block arithmetic; see _idct_batch), then stitch the raster
+    # block grid back into the padded image
+    out = (
+        _idct_batch(zz_rows, qtab)
+        .reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
     pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pixels.tobytes()
 
@@ -458,42 +563,6 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
 
 
-def _encode_plane_blocks(
-    writer: _BitWriter,
-    block: np.ndarray,
-    quant: int,
-    prev_dc: int,
-    dc_codes: dict,
-    ac_codes: dict,
-) -> int:
-    """Entropy-code one 8x8 block; returns the new DC predictor."""
-    coef = np.rint(_fdct(block.astype(np.float64) - 128.0) / quant).astype(np.int64)
-    zz = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
-    cat, bits = _magnitude(zz[0] - prev_dc)
-    code, length = dc_codes[cat]
-    writer.write(code, length)
-    if cat:
-        writer.write(bits, cat)
-    run = 0
-    for i in range(1, 64):
-        if zz[i] == 0:
-            run += 1
-            continue
-        while run > 15:
-            zc, zl = ac_codes[0xF0]
-            writer.write(zc, zl)
-            run -= 16
-        cat, bits = _magnitude(zz[i])
-        code, length = ac_codes[(run << 4) | cat]
-        writer.write(code, length)
-        writer.write(bits, cat)
-        run = 0
-    if run:
-        ec, el = ac_codes[0x00]
-        writer.write(ec, el)
-    return zz[0]
-
-
 def encode_jpeg_color(
     pixels: bytes, width: int, height: int, quant: int = 1, subsampling: str = "4:2:0"
 ) -> bytes:
@@ -529,6 +598,13 @@ def encode_jpeg_color(
         cbp = cbp.reshape(mh * 8, vs, mw * 8, hs).mean(axis=(1, 3))
         crp = crp.reshape(mh * 8, vs, mw * 8, hs).mean(axis=(1, 3))
 
+    # batched FDCT/quantize/zigzag per plane (bit-identical per-block
+    # arithmetic, see _quantized_zz_blocks); the MCU walk below only
+    # sequences the precomputed blocks through the entropy coder
+    zz_y = _quantized_zz_blocks(yp, quant)
+    zz_cb = _quantized_zz_blocks(cbp, quant)
+    zz_cr = _quantized_zz_blocks(crp, quant)
+    y_cols = mw * hs
     writer = _BitWriter()
     dc = [0, 0, 0]
     for my in range(mh):
@@ -536,16 +612,14 @@ def encode_jpeg_color(
             for v in range(vs):  # Y blocks, raster order within the MCU
                 for h in range(hs):
                     by, bx = my * vs + v, mx * hs + h
-                    dc[0] = _encode_plane_blocks(
-                        writer,
-                        yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                        quant, dc[0], _DC_CODES, _AC_CODES,
+                    dc[0] = _write_block_zz(
+                        writer, zz_y[by * y_cols + bx], dc[0],
+                        _DC_CODES, _AC_CODES,
                     )
-            for ci, plane in ((1, cbp), (2, crp)):
-                dc[ci] = _encode_plane_blocks(
-                    writer,
-                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                    quant, dc[ci], _DC_CODES_C, _AC_CODES_C,
+            for ci, zz_c in ((1, zz_cb), (2, zz_cr)):
+                dc[ci] = _write_block_zz(
+                    writer, zz_c[my * mw + mx], dc[ci],
+                    _DC_CODES_C, _AC_CODES_C,
                 )
     writer.flush()
 
@@ -587,7 +661,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qtab)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
@@ -615,7 +689,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                htables[(tclass, tid)] = _build_decode_map(bits, vals)
+                htables[(tclass, tid)] = _build_flat_decode(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -660,41 +734,40 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
         np.zeros((mh * 8 * c[2], mw * 8 * c[1]), dtype=np.float64) for c in comps
     ]
     preds = [0] * len(comps)
-    reader = _BitReader(payload, pos)
+    for ci, dct, act in scan:
+        _, _, _, qid = comps[ci]
+        if (
+            qtables.get(qid) is None
+            or htables.get((0, dct)) is None
+            or htables.get((1, act)) is None
+        ):
+            raise ValueError("missing quantization or Huffman tables")
+    reader = _EntropyDecoder(payload, pos)
+    # entropy-decode the interleaved MCU stream (inherently sequential),
+    # accumulating each component's zigzag rows + block positions; the
+    # dezigzag/dequant/IDCT then runs batched per component
+    zz_rows: list[list[list[int]]] = [[] for _ in comps]
+    blk_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
     for my in range(mh):
         for mx in range(mw):
             for (ci, dct, act) in scan:
-                _, ch, cv, qid = comps[ci]
-                qtab = qtables.get(qid)
-                dc_map = htables.get((0, dct))
-                ac_map = htables.get((1, act))
-                if qtab is None or dc_map is None or ac_map is None:
-                    raise ValueError("missing quantization or Huffman tables")
+                _, ch, cv, _ = comps[ci]
+                dc_map = htables[(0, dct)]
+                ac_map = htables[(1, act)]
                 for v in range(cv):
                     for h in range(ch):
-                        zz = [0] * 64
-                        cat = _read_huff(reader, dc_map)
-                        preds[ci] += _extend(reader.read_bits(cat), cat)
-                        zz[0] = preds[ci]
-                        i = 1
-                        while i < 64:
-                            rs = _read_huff(reader, ac_map)
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            if i > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[i] = _extend(reader.read_bits(rs & 0xF), rs & 0xF)
-                            i += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        for k in range(64):
-                            coef[_ZIGZAG[k]] = zz[k] * qtab[k]
-                        block = _idct(coef.reshape(8, 8)) + 128.0
-                        by, bx = my * cv + v, mx * ch + h
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                        zz, preds[ci] = _decode_blocks_zz(
+                            reader, dc_map, ac_map, preds[ci]
+                        )
+                        zz_rows[ci].append(zz)
+                        blk_pos[ci].append((my * cv + v, mx * ch + h))
+    for ci, (_, _, _, qid) in enumerate(comps):
+        if not zz_rows[ci]:
+            continue
+        blocks = _idct_batch(zz_rows[ci], qtables[qid])
+        plane = planes[ci]
+        for (by, bx), block in zip(blk_pos[ci], blocks):
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     # clamp to sample domain, upsample by replication, crop, transform
     full = []
     for (cid, ch, cv, qid), plane in zip(comps, planes):

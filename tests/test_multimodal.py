@@ -512,3 +512,82 @@ def test_phash_near_under_cap_matches_self_join(spark):
         .select("ida", "idb").distinct().collect()
     )
     assert got == want and len(got) >= 6, (got, want)
+
+
+# ------------------------------------- JPEG codec fast-path equivalence
+
+
+def test_jpeg_batched_dct_matches_per_block_reference():
+    """The round-11 batched FDCT/IDCT must be bit-identical to the
+    per-block matmul reference (_fdct/_idct): stacked np.matmul
+    dispatches the same dgemm per slice, but pin it mechanically so a
+    numpy upgrade or a refactor to a different reduction order fails
+    here, not at the oracle gate."""
+    import numpy as np
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        _DCT,
+        _ZIGZAG,
+        _fdct,
+        _idct,
+        _idct_batch,
+        _quantized_zz_blocks,
+    )
+
+    rng = np.random.default_rng(11)
+    plane = rng.integers(0, 256, (24, 40)).astype(np.float64)
+    quant = 3
+    got = _quantized_zz_blocks(plane, quant)
+    bh, bw = 3, 5
+    for bi, zz in enumerate(got):
+        by, bx = divmod(bi, bw)
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = np.rint(_fdct(block) / quant).astype(np.int64)
+        want = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
+        assert zz == want, f"block {bi} diverged"
+    # decode side: batched dezigzag+dequant+IDCT vs per-block
+    qtab = [2] * 64
+    zz_rows = [list(rng.integers(-200, 200, 64)) for _ in range(7)]
+    batched = _idct_batch(zz_rows, qtab)
+    for i, zz in enumerate(zz_rows):
+        coef = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            coef[_ZIGZAG[k]] = zz[k] * qtab[k]
+        ref = _idct(coef.reshape(8, 8)) + 128.0
+        assert (batched[i] == ref).all(), f"IDCT block {i} diverged"
+    assert _DCT.shape == (8, 8)
+
+
+def test_jpeg_entropy_decoder_contract():
+    """The flat-table entropy reader preserves the old _BitReader's
+    observable contract: 0xFF00 unstuffing, 'unexpected marker' when a
+    read crosses a real marker, 'truncated' when bytes run out, and
+    'invalid Huffman code' for a non-code prefix."""
+    import pytest
+
+    from substreams_sink_clickhouse_spark.operators.jpeg_codec import (
+        _EntropyDecoder,
+        _build_flat_decode,
+    )
+
+    # one-code table: value 7 encoded as the single 1-bit code '0'
+    tab = _build_flat_decode([1] + [0] * 15, [7])
+    r = _EntropyDecoder(b"\x00\x00", 0)  # 16 zero bits
+    assert r.nbits == 16
+    assert [r.read_huff(tab) for _ in range(16)] == [7] * 16
+    with pytest.raises(ValueError, match="truncated JPEG entropy stream"):
+        r.read_huff(tab)
+    # 0xFF00 unstuffing keeps the 0xFF as DATA (8 one-bits)
+    assert _EntropyDecoder(b"\xff\x00", 0).nbits == 8
+    assert _EntropyDecoder(b"\xff\x00", 0).read_bits(8) == 0xFF
+    # a real marker terminates the stream: reading past it names it
+    r2 = _EntropyDecoder(b"\x00\xff\xd9", 0)
+    assert r2.nbits == 8
+    r2.read_bits(8)
+    with pytest.raises(ValueError, match="unexpected marker"):
+        r2.read_bits(1)
+    # an all-ones prefix that matches no code raises invalid
+    short_tab = _build_flat_decode([1] + [0] * 15, [3])  # only code '0'
+    r3 = _EntropyDecoder(b"\xff\x00", 0)  # stuffed 0xFF: 8 one-bits
+    with pytest.raises(ValueError, match="invalid Huffman code"):
+        r3.read_huff(short_tab)
