@@ -537,6 +537,18 @@ def extract_features_mip(assets: DataFrame) -> DataFrame:
     )
 
 
+def _parallel_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The documents fixture with scan parallelism decoupled from its
+    single row group: every decode entry's per-row Python (RIFF/BMP/
+    PNG/JPEG parse, resample, VAD) is the expensive stage, and a
+    one-row-group parquet file otherwise feeds ONE Python worker.
+    ``ensure_parallelism`` is a no-op whenever the input already has
+    splits, i.e. at any real corpus scale."""
+    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
+
+    return ensure_parallelism(load_table(spark, sf, "documents"))
+
+
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # unordered result set (SQL semantics): presentation sorts cost
@@ -570,7 +582,7 @@ FROM documents WHERE len(text) > 0 ORDER BY asset_id
 
 
 def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     return resize_assets(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
@@ -640,7 +652,7 @@ def audio_energies(assets: DataFrame) -> DataFrame:
 
 
 def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     return audio_energies(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
@@ -753,7 +765,7 @@ def _wav_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 
 
 def _multimodal_wav(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA)  # unordered
 
@@ -822,7 +834,7 @@ def _bmp_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 
 
 def _multimodal_bmp(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA)  # unordered
 
@@ -847,7 +859,7 @@ FROM px ORDER BY asset_id
 
 
 def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     return sample_frames(assets_from_documents(docs))  # unordered; see _multimodal_features
 
 
@@ -955,7 +967,7 @@ def _png_decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 
 
 def _multimodal_png(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_png_decode_batches, schema=BMP_SCHEMA)  # unordered
 
@@ -1048,7 +1060,7 @@ def _resize_decoded_batches(
 
 
 def _multimodal_resize_decoded(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_resize_decoded_batches, schema=BMP_SCHEMA)  # unordered
 
@@ -1156,13 +1168,10 @@ JPEG_SCHEMA = T.StructType(
 
 
 def _multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
-    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
-
-    # encode->decode is the per-row-expensive stage of this entry; the
-    # fixture's single-row-group scan would otherwise feed ONE Python
-    # worker (measured 4.4 s of 1-task executor time at sf0.1).
-    # ensure_parallelism is a no-op at real scale.
-    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    # encode->decode is the per-row-expensive stage of this entry
+    # (measured 4.4 s of 1-task executor time at sf0.1 before the
+    # fan-out); see _parallel_docs
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_jpeg_decode_batches, schema=JPEG_SCHEMA)  # unordered
 
@@ -1282,11 +1291,9 @@ JPEG_C_SCHEMA = T.StructType(
 
 
 def _multimodal_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
-    from substreams_sink_clickhouse_spark.functions.skew import ensure_parallelism
-
     # see _multimodal_jpeg: the color decode burned 9.3 s of 1-task
     # executor time at sf0.1 on the single-row-group fixture scan
-    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_jpeg_color_batches, schema=JPEG_C_SCHEMA)  # unordered
 
@@ -1419,7 +1426,7 @@ def _multimodal_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the deterministic source bytes."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     hashed = phash_assets(assets_from_documents(docs))
     return hashed.select(
         "asset_id",
@@ -1571,7 +1578,7 @@ def _multimodal_phash_near(spark: SparkSession, sf: str) -> DataFrame:
     MAX_BUCKET_SIZE hot-bucket cap with star-pair collapse, mirrored
     in the oracle.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = _parallel_docs(spark, sf)
     hashed = phash_assets(assets_from_documents(docs))
     ham = phash_near_pairs(hashed).withColumn(
         "hamming", F.expr("CAST(bit_count(la ^ lb) AS BIGINT)")
@@ -1721,8 +1728,10 @@ def _multimodal_vad(spark: SparkSession, sf: str) -> DataFrame:
     (e * n_windows > total) instead of comparing means, so there is no
     float anywhere and DuckDB replays the identical decision from the
     source text bytes.  Scale: one plan-pinned mapInPandas over the
-    asset batch, zero shuffle before the (unordered) result."""
-    docs = load_table(spark, sf, "documents")
+    asset batch, zero shuffle before the (unordered) result (the
+    round-robin fan-out riding the scan is ensure_parallelism's
+    local-fixture no-op-at-scale contract)."""
+    docs = _parallel_docs(spark, sf)
     assets = assets_from_documents(docs).select("asset_id", "payload")
     return assets.mapInPandas(_vad_batches, schema=VAD_SCHEMA)  # unordered
 

@@ -1373,7 +1373,17 @@ def _sim_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     the textbook cost of greedy k-center (sampling variants trade
     approximation for fewer scans, same operator shape).
     """
+    # the greedy loop runs KCENTER_K sequential scans of the SAME
+    # corpus (seed probe + k-1 argmax passes); persist it for exactly
+    # that window (guide §5) — the returned frame is a driver-built
+    # literal, so nothing escapes the persist scope.  A frame that is
+    # already persisted (the bench warm pool) is left untouched.
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf, "embeddings")
+    own_persist = None
+    if e.storageLevel == StorageLevel.NONE:
+        own_persist = e.persist()
     seed = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         "vec_id", "embedding"
     ).collect()[0]
@@ -1399,6 +1409,8 @@ def _sim_kcenter(spark: SparkSession, sf: str) -> DataFrame:
         centers.append(
             (t, int(pick["vec_id"]), float(pick["d"]), [float(x) for x in pick["embedding"]])
         )
+    if own_persist is not None:
+        own_persist.unpersist()
     return spark.createDataFrame(
         [(s, v, d) for s, v, d, _ in centers], "step int, vec_id long, dist double"
     ).orderBy("step")
