@@ -233,14 +233,26 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
         .withColumn("__sh", F.array_distinct(F.expr(_SHINGLES_SPARK)))
         .withColumn("__g", F.expr(f"transform(__sh, s -> {md5_long_sql('s')} % {MINHASH_P})"))
     )
-    return with_g.select(
+    # ONE fold carrying all k lane minima (round 11: the former
+    # per-lane formulation ran k separate interpreted array_min
+    # (transform(...)) passes per row, each allocating a shingle-sized
+    # array — measured 3.55 s -> 1.19 s for the signature stage at
+    # sf0.1, value-identical incl. the empty-shingle NULL case:
+    # least(NULL, x) = x, so an all-NULL lane stays NULL exactly like
+    # array_min over an empty transform).
+    a_lits = "array(" + ", ".join(f"{MINHASH_A[j]}L" for j in range(N_MINHASH)) + ")"
+    b_lits = "array(" + ", ".join(f"{MINHASH_B[j]}L" for j in range(N_MINHASH)) + ")"
+    sigs = with_g.select(
         "doc_id",
-        *[
-            F.expr(
-                f"array_min(transform(__g, g -> ({MINHASH_A[j]}L * g + {MINHASH_B[j]}L) % {MINHASH_P}))"
-            ).alias(f"mh{j}")
-            for j in range(N_MINHASH)
-        ],
+        F.expr(
+            f"aggregate(__g, array_repeat(CAST(NULL AS BIGINT), {N_MINHASH}), "
+            f"(acc, g) -> zip_with(acc, sequence(0, {N_MINHASH - 1}), "
+            f"(m, j) -> least(m, (element_at({a_lits}, j + 1) * g "
+            f"+ element_at({b_lits}, j + 1)) % {MINHASH_P})))"
+        ).alias("__mm"),
+    )
+    return sigs.select(
+        "doc_id", *[F.col("__mm")[j].alias(f"mh{j}") for j in range(N_MINHASH)]
     )
 
 
