@@ -539,6 +539,9 @@ def _q34_reachability(spark: SparkSession, sf: str) -> DataFrame:
         n.select("src", ((F.col("src") * 7 + 3) % 25).alias("dst"))
         .unionByName(n.select("src", ((F.col("src") * 11 + 5) % 25).alias("dst")))
         .distinct()
+        # materialized ONCE: every BFS round joins the same edge set,
+        # and without this each round re-runs the scan+union+distinct
+        .localCheckpoint()
     )
     # JVM-local seed row (a Python-list createDataFrame would cost one
     # Python-worker round-trip per partition on every BFS iteration)
@@ -572,7 +575,11 @@ def _q34_reachability(spark: SparkSession, sf: str) -> DataFrame:
         )
         if not new.take(1):
             break
-        visited = visited.unionByName(new).localCheckpoint()
+        # no second checkpoint: `new` is already materialized, so the
+        # accumulated union's legs are all checkpointed RDDs — the
+        # lineage stays flat without re-materializing the whole set
+        # every round (one job per round saved)
+        visited = visited.unionByName(new)
         frontier = new
     return visited.orderBy("node")
 
