@@ -366,6 +366,15 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     # bucket's ordered pairs with one shuffle.  Hot buckets (a degenerate
     # band shared by a large fraction of the corpus) are the known LSH
     # hazard — at scale, pre-count bucket sizes and drop/salt outliers.
+    # explicit fixed-width hash repartition on the band key (the
+    # groupBy reuses it — still one exchange): the bucket rows are a
+    # few bytes each, so AQE's byte-based coalescing would run the
+    # ~bucket-size× pair expansion downstream on 1-2 tasks (same
+    # compute-blind pinch as dedup_simhash, where the explicit width
+    # measured 13.1 s → 3.6 s)
+    bands = bands.repartition(
+        spark.sparkContext.defaultParallelism, "band_id", "band_val"
+    )
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -501,6 +510,20 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # Bucket expansion (see _dedup_minhash): fingerprints computed once,
     # one shuffle on the chunk key; Hamming distance evaluated inside
     # the per-bucket pair lambda.
+    #
+    # The shuffle is an EXPLICIT fixed-width hash repartition on the
+    # bucket key (which the groupBy reuses — still exactly one
+    # exchange), not the aggregation's implicit one: AQE coalesces
+    # implicit shuffles by INPUT bytes, and the bucket arrays are tiny
+    # (~16 B/doc/chunk) while the stage they feed expands ~bucket-size×
+    # into candidate pairs — compute-blind coalescing ran the whole
+    # expansion on 1-2 tasks (measured: full pipeline noop 13.1 s →
+    # 3.6 s at sf0.1 with the explicit width).  Width = cores, the
+    # right size for a compute-bound stage at any scale; the exchange
+    # still carries only fingerprints, never pairs.
+    chunks = chunks.repartition(
+        spark.sparkContext.defaultParallelism, "chunk_id", "chunk_val"
+    )
     buckets = (
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
@@ -592,8 +615,16 @@ def _shingle_common(aug: DataFrame) -> tuple[DataFrame, DataFrame]:
     oracle) is the standard document-frequency cutoff."""
     sh = _shingle_rows(aug)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # explicit fixed-width hash repartition on the shingle (the groupBy
+    # reuses it — still one exchange): bucket rows are ~16 B, so AQE's
+    # byte-based coalescing would run the pair expansion downstream on
+    # 1-2 tasks (the dedup_simhash pinch; explicit width measured
+    # 13.1 s → 3.6 s there)
+    sh_wide = sh.repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+    )
     shingle_buckets = _cap_buckets(
-        sh.groupBy("shingle")
+        sh_wide.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1),
         "ids",
