@@ -88,7 +88,7 @@ class Corpus:
         entry (band-bucket expansion, hot-bucket cap, no self-join)."""
         from substreams_sink_clickhouse_spark.operators.dedup import (
             _minhash_bands,
-            _pair_expand_capped,
+            _pair_rows_capped,
         )
 
         bands = _minhash_bands(self.df.select("doc_id", "text"))
@@ -98,18 +98,8 @@ class Corpus:
             .filter(F.size("ids") > 1)
         )
         return (
-            buckets.select(
-                F.explode(
-                    F.expr(
-                        _pair_expand_capped(
-                            "ids",
-                            "x AS doc_a, y AS doc_b",
-                            "element_at(ids, 1) AS doc_a, y AS doc_b",
-                        )
-                    )
-                ).alias("p")
-            )
-            .select("p.doc_a", "p.doc_b")
+            _pair_rows_capped(buckets.select("ids"), "ids")
+            .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
             .distinct()
         )
 

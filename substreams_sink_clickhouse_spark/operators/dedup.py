@@ -190,34 +190,63 @@ def _cap_buckets(buckets: DataFrame, arr_col: str) -> DataFrame:
     return buckets.filter(F.size(arr_col) <= MAX_BUCKET_SIZE)
 
 
-def _pair_expand(arr: str, fields: str) -> str:
-    """SQL for all strictly-ordered pairs (x < y) of a sorted array
-    column: ``struct(<fields>)`` is built from pair elements ``x`` and
-    ``y``.  The ``y > x`` filter makes the expansion value-identical
-    to a ``a.id < b.id`` self-join even when an id appears twice in a
-    bucket (the fixture operators emit per-bucket-distinct ids, but
-    the helper keeps join semantics regardless)."""
+def _pair_rows(buckets: DataFrame, arr: str) -> DataFrame:
+    """All strictly-ordered pairs (``x < y``) of an array column as
+    rows ``x``/``y`` (other columns flow through): two codegen
+    ``explode``s plus one value filter.
+
+    Round 12: this replaces the interpreted
+    ``flatten(transform(filter(slice(...))))`` higher-order chain —
+    HOFs have no codegen, so every candidate pair paid an interpreted
+    expression walk plus three intermediate array allocations, and the
+    whole pair array of a bucket materialized as ONE value before its
+    explode.  The Generate pipeline streams pairs through the same
+    WholeStageCodegen stage with zero per-pair allocation.
+
+    Value-identical multiset to the old expansion (and to an
+    ``a.id < b.id`` self-join): for values ``x < y`` with
+    multiplicities ``a``/``b`` in the array, both emit the pair
+    ``a*b`` times and neither ever pairs equal values, so every
+    consumer (``distinct`` / ``groupBy`` count) sees the same input.
+    The filter is on VALUES, not positions, so the array's sort order
+    does not matter here (cap star semantics below do rely on it)."""
     return (
-        f"flatten(transform({arr}, (x, i) -> "
-        f"transform(filter(slice({arr}, i + 2, size({arr}) - i - 1), y -> y > x), "
-        f"y -> struct({fields}))))"
+        buckets.select("*", F.explode(arr).alias("x"))
+        .select("*", F.explode(arr).alias("y"))
+        .filter(F.col("y") > F.col("x"))
     )
 
 
-def _pair_expand_capped(arr: str, fields: str, star_fields: str) -> str:
+def _pair_rows_capped(buckets: DataFrame, arr: str) -> DataFrame:
     """All strictly-ordered pairs under :data:`MAX_BUCKET_SIZE`;
-    over-cap buckets emit linear star pairs (each non-representative
-    member paired with ``element_at(arr, 1)``, the sorted minimum) —
-    an explicit "trivially-all-duplicate cluster" encoding instead of
-    a quadratic explosion or a silent drop.  Both CASE branches build
-    the same struct type, so the plan stays one expression."""
+    over-cap buckets emit linear star pairs (each non-first member
+    paired with ``element_at(arr, 1)``, the sorted minimum) — an
+    explicit "trivially-all-duplicate cluster" encoding instead of a
+    quadratic explosion or a silent drop.  Same Generate formulation
+    as :func:`_pair_rows`; the CASE inside each explode keeps the
+    over-cap branch linear (the outer generator sees one element, the
+    inner ``size-1``), so no quadratic row set is ever generated for
+    a hot bucket."""
     if MAX_BUCKET_SIZE is None:
-        return _pair_expand(arr, fields)
+        return _pair_rows(buckets, arr)
+    over = f"size({arr}) > {MAX_BUCKET_SIZE}"
     return (
-        f"CASE WHEN size({arr}) <= {MAX_BUCKET_SIZE} "
-        f"THEN {_pair_expand(arr, fields)} "
-        f"ELSE transform(slice({arr}, 2, size({arr}) - 1), "
-        f"y -> struct({star_fields})) END"
+        buckets.select(
+            "*",
+            F.explode(
+                F.expr(f"CASE WHEN {over} THEN slice({arr}, 1, 1) ELSE {arr} END")
+            ).alias("x"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN {over} THEN slice({arr}, 2, size({arr}) - 1) "
+                    f"ELSE {arr} END"
+                )
+            ).alias("y"),
+        )
+        .filter(F.expr(f"{over} OR y > x"))
     )
 
 
@@ -321,12 +350,8 @@ def _shingle_common_cached(
             "ids",
         )
         return (
-            buckets.select(
-                F.explode(
-                    F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))
-                ).alias("p")
-            )
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            _pair_rows(buckets.select("ids"), "ids")
+            .groupBy(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("common"))
         )
 
@@ -381,18 +406,8 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.size("ids") > 1)
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    _pair_expand_capped(
-                        "ids",
-                        "x AS doc_a, y AS doc_b",
-                        "element_at(ids, 1) AS doc_a, y AS doc_b",
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        _pair_rows_capped(buckets.select("ids"), "ids")
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .distinct()
     )
     # unordered result set (SQL semantics): the presentation sort cost
@@ -531,18 +546,12 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
     buckets = _cap_buckets(buckets, "ds")
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    _pair_expand(
-                        "ds",
-                        "x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                        "CAST(bit_count(x.sh ^ y.sh) AS INT) AS ham",
-                    )
-                )
-            ).alias("p")
+        _pair_rows(buckets.select("ds"), "ds")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(x.sh ^ y.sh) AS INT)").alias("ham"),
         )
-        .select("p.doc_a", "p.doc_b", "p.ham")
         # ham precedes the dedup shuffle: it is a pure function of the
         # pair, so filtering first is set-identical and the distinct()
         # exchange carries only qualifying pairs (guide §2.3: shuffle
@@ -630,10 +639,8 @@ def _shingle_common(aug: DataFrame) -> tuple[DataFrame, DataFrame]:
         "ids",
     )
     common = (
-        shingle_buckets.select(
-            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
-        )
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _pair_rows(shingle_buckets.select("ids"), "ids")
+        .groupBy(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return counts, common
@@ -714,16 +721,11 @@ def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     buckets = _cap_buckets(buckets, "vs")
     dot = _dot_expr("x.embedding", "y.embedding")
     nx, ny = _norm_expr("x.embedding"), _norm_expr("y.embedding")
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                _pair_expand(
-                    "vs",
-                    f"x.vec_id AS vec_a, y.vec_id AS vec_b, ({dot}) / (({nx}) * ({ny})) AS simx",
-                )
-            )
-        ).alias("p")
-    ).select("p.vec_a", "p.vec_b", "p.simx")
+    pairs = _pair_rows(buckets.select("vs"), "vs").select(
+        F.col("x.vec_id").alias("vec_a"),
+        F.col("y.vec_id").alias("vec_b"),
+        F.expr(f"({dot}) / (({nx}) * ({ny}))").alias("simx"),
+    )
     return (
         pairs.filter(F.col("simx") >= COSINE_DUP_THRESHOLD)
         .select(
@@ -1783,21 +1785,15 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         "vs",
     )
     dot = _dot_expr("x.emb", "y.emb")
-    pairs = clusters.select(
+    pairs = _pair_rows(clusters.select("cluster", "vs"), "vs").select(
         "cluster",
-        F.explode(
-            F.expr(
-                _pair_expand(
-                    "vs",
-                    f"y.vec_id AS vec, ({dot}) / (x.nrm * y.nrm) AS simx",
-                )
-            )
-        ).alias("p"),
+        F.col("y.vec_id").alias("vec"),
+        F.expr(f"({dot}) / (x.nrm * y.nrm)").alias("simx"),
     )
     return (
-        pairs.groupBy(F.col("p.vec").alias("vec_id"),
+        pairs.groupBy(F.col("vec").alias("vec_id"),
                       F.col("cluster").cast("long").alias("cluster"))
-        .agg(F.max("p.simx").alias("mx"))
+        .agg(F.max("simx").alias("mx"))
         .filter(F.col("mx") >= SEMANTIC_EPS)
         .select("vec_id", "cluster", F.round("mx", 6).alias("max_sim"))
         .orderBy("vec_id")

@@ -1520,7 +1520,7 @@ def phash_near_pairs(hashed: DataFrame) -> DataFrame:
     must be one codegen op, not 32 substring/conv string allocations
     (measured: the string form turned the 10x scale proof from
     seconds into minutes)."""
-    from substreams_sink_clickhouse_spark.operators.dedup import _pair_expand_capped
+    from substreams_sink_clickhouse_spark.operators.dedup import _pair_rows_capped
 
     with_long = hashed.select(
         "asset_id", F.expr("CAST(conv(phash, 16, -10) AS BIGINT)").alias("l")
@@ -1538,20 +1538,13 @@ def phash_near_pairs(hashed: DataFrame) -> DataFrame:
         .filter(F.size("ids") > 1)
     )
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    _pair_expand_capped(
-                        "ids",
-                        "x.asset_id AS ida, y.asset_id AS idb, "
-                        "x.l AS la, y.l AS lb",
-                        "element_at(ids, 1).asset_id AS ida, y.asset_id AS idb, "
-                        "element_at(ids, 1).l AS la, y.l AS lb",
-                    )
-                )
-            ).alias("p")
+        _pair_rows_capped(buckets.select("ids"), "ids")
+        .select(
+            F.col("x.asset_id").alias("ida"),
+            F.col("y.asset_id").alias("idb"),
+            F.col("x.l").alias("la"),
+            F.col("y.l").alias("lb"),
         )
-        .select("p.ida", "p.idb", "p.la", "p.lb")
         .distinct()
     )
 

@@ -39,18 +39,8 @@ def _pairs_for(docs):
         .filter(F.size("ids") > 1)
     )
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    dedup._pair_expand_capped(
-                        "ids",
-                        "x AS doc_a, y AS doc_b",
-                        "element_at(ids, 1) AS doc_a, y AS doc_b",
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        dedup._pair_rows_capped(buckets, "ids")
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .distinct()
     )
 
@@ -157,3 +147,84 @@ SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2
         dedup.MAX_BUCKET_SIZE = old
     assert got == want
     assert got == {(0, i) for i in range(1, 50)}
+
+
+def _hof_pair_expand_reference(arr: str, cap: int | None) -> str:
+    """The pre-round-12 interpreted HOF pair expansion, kept as the
+    value reference for the Generate-based enumerator that replaced
+    it (``_pair_rows`` / ``_pair_rows_capped``)."""
+    base = (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(filter(slice({arr}, i + 2, size({arr}) - i - 1), y -> y > x), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    if cap is None:
+        return base
+    return (
+        f"CASE WHEN size({arr}) <= {cap} THEN {base} "
+        f"ELSE transform(slice({arr}, 2, size({arr}) - 1), "
+        f"y -> struct(element_at({arr}, 1) AS doc_a, y AS doc_b)) END"
+    )
+
+
+def test_pair_rows_matches_interpreted_hof_reference(spark):
+    """Round-12 rewrite pin: the Generate-based pair enumerator is
+    MULTISET-identical (groupBy counts, not just the set) to the
+    interpreted flatten/transform/filter/slice chain it replaced —
+    including duplicate values inside a bucket, a bucket exactly at
+    the cap, and the over-cap star branch."""
+    old = dedup.MAX_BUCKET_SIZE
+    dedup.MAX_BUCKET_SIZE = 4
+    try:
+        rows = [
+            ([1, 2, 3],),            # plain under-cap
+            ([5, 5, 7, 9],),         # duplicates, exactly at cap
+            ([2, 4, 4, 6, 8],),      # over cap -> star pairs
+            ([1, 1, 1, 1, 1, 1],),   # over cap, all-equal values
+        ]
+        buckets = spark.createDataFrame(rows, "ids: array<int>")
+        got = sorted(
+            ((r["doc_a"], r["doc_b"]), r["n"])
+            for r in dedup._pair_rows_capped(buckets, "ids")
+            .groupBy(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        ref_sql = _hof_pair_expand_reference("ids", dedup.MAX_BUCKET_SIZE)
+        want = sorted(
+            ((r["p"]["doc_a"], r["p"]["doc_b"]), r["n"])
+            for r in buckets.select(F.explode(F.expr(ref_sql)).alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        dedup.MAX_BUCKET_SIZE = old
+    assert got == want
+    # and the uncapped enumerator against the uncapped reference
+    got_u = sorted(
+        ((r["doc_a"], r["doc_b"]), r["n"])
+        for r in dedup._pair_rows(buckets, "ids")
+        .groupBy(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want_u = sorted(
+        ((r["p"]["doc_a"], r["p"]["doc_b"]), r["n"])
+        for r in buckets.select(
+            F.explode(F.expr(_hof_pair_expand_reference("ids", None))).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got_u == want_u
+
+
+def test_pair_rows_plan_is_codegen_generate(spark):
+    """The enumerator must plan as Generate nodes (codegen explode),
+    not an interpreted higher-order expression."""
+    buckets = spark.createDataFrame([([1, 2, 3],)], "ids: array<int>")
+    plan = dedup._pair_rows_capped(buckets, "ids")._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan[:2000]
+    assert "flatten(transform" not in plan, plan[:2000]

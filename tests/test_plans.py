@@ -199,7 +199,7 @@ def test_bucket_expansion_equals_self_join(spark):
     multi-bucket membership."""
     from pyspark.sql import functions as F
 
-    from substreams_sink_clickhouse_spark.operators.dedup import _pair_expand
+    from substreams_sink_clickhouse_spark.operators.dedup import _pair_rows
 
     rows = [(b, d) for b, ds in
             [(0, [3, 1, 2]), (1, [5]), (2, [7, 7, 8]), (3, [9, 4, 6, 2])]
@@ -222,10 +222,9 @@ def test_bucket_expansion_equals_self_join(spark):
         .filter(F.size("ids") > 1)
     )
     expand_pairs = sorted(
-        (r["p"]["doc_a"], r["p"]["doc_b"])
-        for r in buckets.select(
-            F.explode(F.expr(_pair_expand("ids", "x AS doc_a, y AS doc_b"))).alias("p")
-        )
+        (r["doc_a"], r["doc_b"])
+        for r in _pair_rows(buckets, "ids")
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .distinct()
         .collect()
     )
