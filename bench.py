@@ -295,6 +295,27 @@ def main() -> None:
         except OSError:
             return
 
+    def evict_dedup_cores() -> None:
+        """Timed-region contract (round 12): the dedup shared-core memo
+        (``_CORE_CACHE``) persists CPU-dense intermediates (minhash
+        signatures, shingle rows) once per session+sf so the GATE's
+        many consumers of the same core don't recompute it.  Under the
+        bench, every timed rep must compute the full pipeline from the
+        parquet inputs — previously rep 1 built+persisted the signature
+        frame and reps 2-4 read it, so the best-of excluded the
+        signature build while the paired DuckDB leg recomputed it every
+        rep.  Evicting (and unpersisting) the cache before each rep
+        makes every rep pay the whole pipeline; ``dedup_minhash`` is
+        the only headline entry that reads the cache."""
+        from substreams_sink_clickhouse_spark.operators import dedup
+
+        for key, df in list(dedup._CORE_CACHE.items()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            dedup._CORE_CACHE.pop(key, None)
+
     loadavg_before = loadavg_1m()
     timings: dict[str, float] = {}
     loadavg_at_reps: dict[str, float] = {}
@@ -310,6 +331,7 @@ def main() -> None:
         if la is not None:
             loadavg_at_reps[name] = la
         for _ in range(4):
+            evict_dedup_cores()
             t0 = time.time()
             fn(sess(name), sf_dir).count()
             best = min(best, time.time() - t0)
@@ -321,6 +343,7 @@ def main() -> None:
         # shuffle-byte jump) the way it already self-adjudicates load
         if ui_port is not None:
             try:
+                evict_dedup_cores()
                 before = stage_shuffle_read_total(ui_port)
                 fn(sess(name), sf_dir).count()
                 shuffle_bytes[name] = stage_shuffle_read_total(ui_port) - before
@@ -344,6 +367,7 @@ def main() -> None:
     import concurrent.futures
 
     settle()
+    evict_dedup_cores()
     t0 = time.time()
     with concurrent.futures.ThreadPoolExecutor(max_workers=len(HEADLINE)) as pool:
         futures = [
@@ -407,8 +431,7 @@ def main() -> None:
         if oracle_total
         else None
     )
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
@@ -434,8 +457,20 @@ def main() -> None:
                 "engine_total_on_oracle_set_sec": engine_on_oracle_set,
                 "ratio_vs_oracle": ratio,
             }
-        )
     )
+    print(line)
+    # Durable copy of the SAME line: a consumer-side stdout/stderr
+    # interleaving race (round 10's driver parse failure) can never
+    # lose the round's numbers — parse from either source.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(out_path, "w", encoding="utf-8") as fh:
+            fh.write(line + "\n")
+        print(f"[bench] JSON line also written to {out_path}", file=sys.stderr)
+    except OSError:
+        pass
     print(
         "[rotation] driver correctness sample: rotate per SAMPLE_MANIFEST.json -- "
         "reproduce with: python tools/check_correctness.py /root/testdata/sf0.01 "
