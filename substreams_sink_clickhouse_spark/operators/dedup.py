@@ -1753,7 +1753,12 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
             .limit(SEMANTIC_K)
             .collect()
         ]
-        cents = lloyd_iterate(train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND)
+        # persist=False: train derives from the aug persist above —
+        # lloyd's own storageLevel check cannot see a persisted
+        # ancestor and would double-cache largely the same rows
+        cents = lloyd_iterate(
+            train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND, persist=False
+        )
     finally:
         aug.unpersist()
     a = F.expr(_argmin_cluster_expr(cents))

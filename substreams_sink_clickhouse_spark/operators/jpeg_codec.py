@@ -106,6 +106,12 @@ _AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
 #: four Annex-K tables; a 65,536-slot list pair per table).
 _FLAT_DECODE_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
 
+#: ~1-2 MB of Python ints per distinct DHT — only the four Annex-K
+#: tables recur in practice, so bound the cache (FIFO eviction) rather
+#: than let a long-lived executor decoding heterogeneous/adversarial
+#: JPEGs with many distinct tables grow it without bound.
+_FLAT_DECODE_CACHE_MAX = 16
+
 
 def _build_flat_decode(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
     key = (tuple(bits), tuple(vals))
@@ -125,6 +131,8 @@ def _build_flat_decode(bits: list[int], vals: list[int]) -> tuple[list[int], lis
             code += 1
             k += 1
         code <<= 1
+    if len(_FLAT_DECODE_CACHE) >= _FLAT_DECODE_CACHE_MAX:
+        _FLAT_DECODE_CACHE.pop(next(iter(_FLAT_DECODE_CACHE)))
     _FLAT_DECODE_CACHE[key] = (lens, syms)
     return lens, syms
 
@@ -350,6 +358,12 @@ class _EntropyDecoder:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:
+            # a malformed DHT can map a code to a category > 16; the
+            # 16-bit window below cannot serve it (baseline JPEG never
+            # emits one) — surface the decoder's documented error, not
+            # a bare negative-shift ValueError
+            raise ValueError("invalid Huffman code in JPEG stream")
         p = self.p
         if p + n > self.nbits:
             raise self._past_end()

@@ -357,7 +357,11 @@ def _argmin_cluster_expr(cents: list[list[float]]) -> str:
 
 
 def lloyd_iterate(
-    e: DataFrame, centroids: list[list[float]], iters: int, ndigits: int
+    e: DataFrame,
+    centroids: list[list[float]],
+    iters: int,
+    ndigits: int,
+    persist: bool = True,
 ) -> list[list[float]]:
     """``iters`` Lloyd refinement steps over a (vec_id, emb) frame —
     the shared trainer behind ``sim_kmeans`` and ``dedup_semantic``'s
@@ -379,11 +383,15 @@ def lloyd_iterate(
     more than one step will scan it (guide: persist only what is
     re-used; each Lloyd step is a fresh action over the same rows) and
     unpersisted before returning — callers holding their own persist
-    are left untouched."""
+    are left untouched.  ``persist=False`` opts out entirely: the
+    ``storageLevel`` check can only see a persist on the exact frame,
+    not on an ancestor, so a caller that already caches the frame this
+    one derives from (``_dedup_semantic``'s augmented corpus) passes
+    False instead of double-caching largely the same rows."""
     from pyspark import StorageLevel
 
     own_persist = None
-    if iters > 1 and e.storageLevel == StorageLevel.NONE:
+    if persist and iters > 1 and e.storageLevel == StorageLevel.NONE:
         own_persist = e.persist()
     try:
         for _ in range(iters):
@@ -1384,33 +1392,37 @@ def _sim_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     own_persist = None
     if e.storageLevel == StorageLevel.NONE:
         own_persist = e.persist()
-    seed = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
-        "vec_id", "embedding"
-    ).collect()[0]
-    centers = [(1, int(seed["vec_id"]), 0.0, [float(x) for x in seed["embedding"]])]
-    for t in range(2, KCENTER_K + 1):
-        mind = "least(" + ", ".join(
-            _sqdist_spark("embedding", emb) for _, _, _, emb in centers
-        ) + ")" if len(centers) > 1 else _sqdist_spark(
-            "embedding", centers[0][3]
-        )
-        pick = (
-            e.where(~F.col("vec_id").isin([vid for _, vid, _, _ in centers]))
-            .select(
-                "vec_id",
-                "embedding",
-                F.expr(mind).alias("mind"),
+    try:
+        seed = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            "vec_id", "embedding"
+        ).collect()[0]
+        centers = [(1, int(seed["vec_id"]), 0.0, [float(x) for x in seed["embedding"]])]
+        for t in range(2, KCENTER_K + 1):
+            mind = "least(" + ", ".join(
+                _sqdist_spark("embedding", emb) for _, _, _, emb in centers
+            ) + ")" if len(centers) > 1 else _sqdist_spark(
+                "embedding", centers[0][3]
             )
-            .orderBy(F.desc("mind"), "vec_id")
-            .limit(1)
-            .select("vec_id", F.round("mind", 6).alias("d"), "embedding")
-            .collect()[0]
-        )
-        centers.append(
-            (t, int(pick["vec_id"]), float(pick["d"]), [float(x) for x in pick["embedding"]])
-        )
-    if own_persist is not None:
-        own_persist.unpersist()
+            pick = (
+                e.where(~F.col("vec_id").isin([vid for _, vid, _, _ in centers]))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.expr(mind).alias("mind"),
+                )
+                .orderBy(F.desc("mind"), "vec_id")
+                .limit(1)
+                .select("vec_id", F.round("mind", 6).alias("d"), "embedding")
+                .collect()[0]
+            )
+            centers.append(
+                (t, int(pick["vec_id"]), float(pick["d"]), [float(x) for x in pick["embedding"]])
+            )
+    finally:
+        # mirror lloyd_iterate: an exception in the greedy collect loop
+        # must not leak the cached table for the session
+        if own_persist is not None:
+            own_persist.unpersist()
     return spark.createDataFrame(
         [(s, v, d) for s, v, d, _ in centers], "step int, vec_id long, dist double"
     ).orderBy("step")
