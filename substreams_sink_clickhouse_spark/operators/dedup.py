@@ -1718,21 +1718,23 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         _argmin_cluster_expr,
     )
 
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb0"),
-    )
-    copies = e.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr(
-            "transform(emb0, (x, i) -> x + CASE WHEN i = 0 THEN "
-            "CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
-        ).alias("emb0"),
-    )
-    aug = ensure_parallelism(e.unionByName(copies)).select(
-        "vec_id",
-        F.expr(f"transform(emb0, x -> round(x, {SEMANTIC_ROUND}))").alias("emb"),
-    )
+    def _aug(sess: SparkSession) -> DataFrame:
+        e = load_table(sess, sf, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb0"),
+        )
+        copies = e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(
+                "transform(emb0, (x, i) -> x + CASE WHEN i = 0 THEN "
+                "CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+            ).alias("emb0"),
+        )
+        return ensure_parallelism(e.unionByName(copies)).select(
+            "vec_id",
+            F.expr(f"transform(emb0, x -> round(x, {SEMANTIC_ROUND}))").alias("emb"),
+        )
+
     # trained coarse quantizer: first-K base vectors seed SEMANTIC_ITERS
     # Lloyd steps over a deterministic corpus SAMPLE (vec_id % MOD = 0
     # — faiss-style: the trainer sees a bounded slice, the assignment
@@ -1742,25 +1744,32 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     # collect + SEMANTIC_ITERS Lloyd steps) before the final plan ever
     # runs — persist it for exactly that window (guide §5: cache only
     # what is re-used), then release so the returned plan carries no
-    # hidden cache dependency
-    aug = aug.persist()
+    # hidden cache dependency.  Training actions run on the trainer
+    # profile (AQE off — fixed plan shapes where stage materialization
+    # is pure latency; round 12, A/B 4.2 -> 2.6 s noop at sf0.1); the
+    # RETURNED plan below is built on the caller's session, adaptive
+    # at scale as before.
+    from substreams_sink_clickhouse_spark.session import iterate_session
+
+    aug_t = _aug(iterate_session(spark)).persist()
     try:
-        train = aug.filter(F.col("vec_id") % SEMANTIC_TRAIN_MOD == 0)
+        train = aug_t.filter(F.col("vec_id") % SEMANTIC_TRAIN_MOD == 0)
         cents = [
             [float(x) for x in r["emb"]]
-            for r in aug.filter(F.col("vec_id") < 100000)
+            for r in aug_t.filter(F.col("vec_id") < 100000)
             .orderBy("vec_id")
             .limit(SEMANTIC_K)
             .collect()
         ]
-        # persist=False: train derives from the aug persist above —
+        # persist=False: train derives from the aug_t persist above —
         # lloyd's own storageLevel check cannot see a persisted
         # ancestor and would double-cache largely the same rows
         cents = lloyd_iterate(
             train, cents, SEMANTIC_ITERS, SEMANTIC_ROUND, persist=False
         )
     finally:
-        aug.unpersist()
+        aug_t.unpersist()
+    aug = _aug(spark)
     a = F.expr(_argmin_cluster_expr(cents))
     assigned = aug.select(
         "vec_id",

@@ -441,18 +441,28 @@ def _sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # Embeddings pre-rounded to KMEANS_ROUND decimals (SQL round =
     # half-away-from-zero in both engines, unlike Python's round): all
     # downstream arithmetic starts from bit-identical values.
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> round(CAST(x AS DOUBLE), {KMEANS_ROUND}))"
-        ).alias("emb"),
-    )
+    from substreams_sink_clickhouse_spark.session import iterate_session
+
+    def _emb(sess: SparkSession) -> DataFrame:
+        return load_table(sess, sf, "embeddings").select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> round(CAST(x AS DOUBLE), {KMEANS_ROUND}))"
+            ).alias("emb"),
+        )
+
+    # training actions (seed collect + Lloyd steps) run on the trainer
+    # profile — fixed plan shapes where AQE stage materialization is
+    # pure per-action latency (round 12); the returned aggregate below
+    # stays on the caller's session, adaptive at scale
+    e_t = _emb(iterate_session(spark))
     # deterministic init: the first K vectors by vec_id
     centroids = [
         [float(x) for x in r["emb"]]
-        for r in e.orderBy("vec_id").limit(KMEANS_K).collect()
+        for r in e_t.orderBy("vec_id").limit(KMEANS_K).collect()
     ]
-    centroids = lloyd_iterate(e, centroids, KMEANS_ITERS, KMEANS_ROUND)
+    centroids = lloyd_iterate(e_t, centroids, KMEANS_ITERS, KMEANS_ROUND)
+    e = _emb(spark)
     final = e.withColumn("a", F.expr(_argmin_cluster_expr(centroids)))
     return (
         final.groupBy(F.col("a")["c"].alias("cluster"))

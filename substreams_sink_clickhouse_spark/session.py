@@ -76,6 +76,32 @@ def interactive_session(spark: SparkSession, shuffle_partitions: int = 8) -> Spa
     return child
 
 
+#: applicationId -> memoized trainer child session (see iterate_session).
+_ITERATE_SESSIONS: dict[str, SparkSession] = {}
+
+
+def iterate_session(spark: SparkSession) -> SparkSession:
+    """Child session for the INTERMEDIATE actions of iterative trainers
+    (Lloyd seed collect + refinement steps): those plans are fixed
+    narrow scans plus one partial-aggregated shuffle whose result is a
+    k x d float matrix, so AQE's stage-by-stage materialization jobs
+    are pure per-action latency — the same argument as the bench's
+    interactive profile (A/B at sf0.1: dedup_semantic noop 4.2 s
+    adaptive vs 2.6 s with training on this profile).  Only training
+    actions run here; the RETURNED plan of every entry stays on the
+    caller's session, so cluster-scale executions of the entry itself
+    remain adaptive.  Memoized per application so repeated query
+    builds reuse one child instead of accumulating session state."""
+    app = spark.sparkContext.applicationId
+    got = _ITERATE_SESSIONS.get(app)
+    if got is None:
+        for stale in [k for k in _ITERATE_SESSIONS if k != app]:
+            del _ITERATE_SESSIONS[stale]
+        got = interactive_session(spark)
+        _ITERATE_SESSIONS[app] = got
+    return got
+
+
 def get_spark(
     app_name: str = "substreams-sink-clickhouse-spark",
     master: str | None = None,
