@@ -35,6 +35,7 @@ from substreams_sink_clickhouse_spark.catalog import Catalog, TableInfo
 from substreams_sink_clickhouse_spark.functions.localdata import empty_df
 from substreams_sink_clickhouse_spark.operators.merge import merge_changes
 from substreams_sink_clickhouse_spark.operators.spec import QuerySpec
+from substreams_sink_clickhouse_spark.session import stream_session
 from substreams_sink_clickhouse_spark.sources.tables import load_table
 
 
@@ -112,9 +113,10 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
-def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
+def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; returns the
-    sink table name."""
+    sink table (bound to the stream's own session — memory-sink temp
+    views are session-scoped)."""
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = _scratch_dir(f"sscs_{prefix}_ckpt_")
     query = (
@@ -126,7 +128,7 @@ def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> str:
         .start()
     )
     query.awaitTermination(300)
-    return sink_name
+    return df.sparkSession.table(sink_name)
 
 
 def _q43_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
@@ -135,16 +137,20 @@ def _q43_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     micro-batch but never shuffles the stream), then aggregated in
     complete mode.  The canonical 'enrich a CDC/event stream with a
     dimension' pattern."""
-    stream = _events_stream(spark, sf)
-    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    # micro-batch replays run on the cores-wide streaming profile
+    # (state-store partition count scales with the cluster — see
+    # session.stream_session); the memory-sink result frame is
+    # session-bound, so downstream reads come from the same child
+    ss = stream_session(spark)
+    stream = _events_stream(ss, sf)
+    n = load_table(ss, sf, "nation").select("n_nationkey", "n_name")
     enriched = stream.join(
         F.broadcast(n), (F.col("user_id") % 25) == F.col("n_nationkey")
     )
     agg = enriched.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
     )
-    sink = _run_to_memory(agg, "q43", "complete")
-    return spark.table(sink).orderBy("n_name")
+    return _run_to_memory(agg, "q43", "complete").orderBy("n_name")
 
 
 def _q44_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -153,7 +159,7 @@ def _q44_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     watermarked so join state is bounded (the watermark + interval
     bound the buffered range — THE requirement for an unbounded 100 TB
     stream join).  Pair counts per user."""
-    stream = _events_stream(spark, sf)
+    stream = _events_stream(stream_session(spark), sf)
     views = (
         stream.filter(F.col("event_type") == "view")
         .select(
@@ -179,9 +185,8 @@ def _q44_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES")),
         "inner",
     )
-    sink = _run_to_memory(pairs, "q44", "append")
     return (
-        spark.table(sink)
+        _run_to_memory(pairs, "q44", "append")
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
@@ -197,25 +202,14 @@ def _q25(spark: SparkSession, sf: str) -> DataFrame:
     is <= the terminal watermark — late/trailing windows stay unemitted,
     which the oracle reproduces arithmetically.
     """
-    stream = _events_stream(spark, sf)
+    stream = _events_stream(stream_session(spark), sf)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("ws"), "event_type", "cnt")
     )
-    sink_name = f"q25_sink_{uuid.uuid4().hex[:8]}"
-    checkpoint = _scratch_dir("sscs_q25_ckpt_")
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
-    return spark.table(sink_name).orderBy("ws", "event_type")
+    return _run_to_memory(agg, "q25_sink", "append").orderBy("ws", "event_type")
 
 
 def _q26(spark: SparkSession, sf: str) -> DataFrame:
@@ -574,14 +568,15 @@ def _q69_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (first-seen rows projected to their key), which makes the result
     order- and timing-independent and therefore oracle-checkable.
     """
-    stream = _events_stream(spark, sf)
+    stream = _events_stream(stream_session(spark), sf)
     deduped = (
         stream.withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    sink = _run_to_memory(deduped, "q69", "append")
-    return spark.table(sink).orderBy("user_id", "event_type")
+    return _run_to_memory(deduped, "q69", "append").orderBy(
+        "user_id", "event_type"
+    )
 
 
 _Q69_ORACLE = """
@@ -893,13 +888,12 @@ def _q100_stateful_stream_merge(spark: SparkSession, sf: str) -> DataFrame:
                 os.utime(os.path.join(d, fname), (ts, ts))
 
     raw = (
-        spark.readStream.schema("value string")
+        stream_session(spark).readStream.schema("value string")
         .option("maxFilesPerTrigger", "1")
         .text(os.path.join(stream_dir, "*"))
     )
     pending = streaming_pending_ops(decode_database_changes(raw, "value"))
-    sink = _run_to_memory(pending, "q100", "update")
-    emitted = spark.table(sink)
+    emitted = _run_to_memory(pending, "q100", "update")
     fields = F.from_json(
         "fields_json", "map<string,string>"
     )
