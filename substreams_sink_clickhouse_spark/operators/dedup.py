@@ -46,6 +46,8 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1788,6 +1790,18 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
             f"ORDER BY d, vec_id) - 1) div {SEMANTIC_POP}"
         ),
     ).withColumn("nrm", F.expr(_norm_expr("emb")))
+    # Explicit expansion width (round-12 scale decision, the deferred
+    # +1-exchange trade): the groupBy used to reuse the row_number
+    # window's cluster-only exchange, so AQE — byte-blind to the
+    # ~population× pair expansion downstream — coalesced the whole
+    # expansion stage to ~2 tasks.  Spreading across (cluster, sub)
+    # costs one extra pass over the embedding payloads and wins
+    # decisively: noop 3.01 -> 2.40 s at sf0.1 and 8.41 -> 3.41 s on
+    # the synthesized 10x corpus (SCALE.md).  Width = cores, scale-
+    # adaptive like the other expansion stages.
+    leafed = leafed.repartition(
+        spark.sparkContext.defaultParallelism, "cluster", "sub"
+    )
     clusters = _cap_buckets(
         leafed.groupBy("cluster", "sub")
         .agg(

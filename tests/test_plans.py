@@ -98,7 +98,11 @@ def test_semantic_dedup_has_no_cross_cluster_pairs(spark):
     df = D._dedup_semantic(spark, SF)
     plan = simple_plan(df)
     assert "Join" not in plan, plan[:2000]
-    assert count_shuffles(df) <= 3
+    # 4 since round 12: the pair expansion carries its own explicit
+    # (cluster, sub) exchange instead of reusing the window's
+    # cluster-only one (AQE coalesced the expansion stage to ~2 tasks;
+    # measured 8.4 -> 3.4 s noop on the 10x corpus — SCALE.md)
+    assert count_shuffles(df) <= 4
 
 
 def test_span_longest_streams_no_join(spark):
