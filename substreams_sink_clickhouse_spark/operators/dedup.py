@@ -483,21 +483,18 @@ SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2
 
 # ---------------------------------------------------------------- simhash
 
-def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Zero-shuffle fingerprints: word hashes stay an array column and
-    every bit's ±1 sum is a per-row higher-order fold (the explode +
-    32-way groupBy formulation shuffles the full word list; this one
-    shuffles nothing until the chunk join)."""
-    aug = _aug_docs(spark, sf)
-    hashed = aug.withColumn(
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) 32-bit simhash fingerprints for a (doc_id, text)
+    frame.  Zero-shuffle, map-only: word hashes stay an array column
+    and ONE fold over them carries all SIMHASH_BITS lane sums
+    (round 11: the former per-bit formulation ran 32 separate
+    interpreted aggregate() folds per row, re-walking the hash array
+    each time — measured 4.09 s -> 1.01 s for the fingerprint stage
+    at sf0.1, bit-identical sums since each lane folds the same ±1
+    terms in the same word order)."""
+    hashed = docs.withColumn(
         "__hw", F.expr(f"transform(split(lower(text), ' '), w -> {md5_long_sql('w')})")
     )
-    # ONE fold over the word hashes carrying all SIMHASH_BITS lane
-    # sums (round 11: the former per-bit formulation ran 32 separate
-    # interpreted aggregate() folds per row, re-walking the hash array
-    # each time — measured 4.09 s -> 1.01 s for the fingerprint stage
-    # at sf0.1, bit-identical sums since each lane folds the same ±1
-    # terms in the same word order)
     bit_sums = hashed.select(
         "doc_id",
         F.expr(
@@ -511,7 +508,13 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         f"(CASE WHEN ss[{j}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(SIMHASH_BITS)
     )
-    fp = bit_sums.select("doc_id", F.expr(sim_expr).alias("sh"))
+    return bit_sums.select("doc_id", F.expr(sim_expr).alias("sh"))
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-shuffle fingerprints (see :func:`simhash_fingerprints`);
+    the first shuffle is the chunk-bucket expansion below."""
+    fp = simhash_fingerprints(_aug_docs(spark, sf))
     chunk_structs = F.array(
         *[
             F.struct(

@@ -459,7 +459,15 @@ def _dv_replay_fixture(spark: SparkSession, sf: str):
         del _DV_REPLAY_CACHE[stale]
     from substreams_sink_clickhouse_spark.config import EngineConfig
     from substreams_sink_clickhouse_spark.engine import Engine
+    from substreams_sink_clickhouse_spark.session import iterate_session
 
+    # the replay runs on the fixed-plan-shape profile (AQE off): the
+    # ingest kernel is a pre-partitioned fold + bucket writes, so
+    # adaptive stage materialization is pure latency here — the same
+    # measured choice bench.py makes for its ingest leg (round 12 A/B:
+    # full 3-epoch replay 14.4 -> 11.5-12.9 s at sf0.1; results are
+    # identical and every consumer reads committed parquet state)
+    spark = iterate_session(spark)
     o = load_table(spark, sf, "orders")
     workdir = _scratch_dir("dv_gate_")  # atexit-cleaned
     stream = os.path.join(workdir, "stream")
