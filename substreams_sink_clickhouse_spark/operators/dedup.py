@@ -1119,9 +1119,12 @@ FROM (SELECT doc_id, source, text, string_split(lower(text), ' ') AS words
 
 
 def _kgram_rows(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents").withColumn(
-        "__words", F.split(F.lower("text"), " ")
-    )
+    # fan out the single-row-group fixture scan before the compute-
+    # dense kgram explode + per-gram MD5 (round 12: REST attribution
+    # showed the stage running 2.6 s on ONE task; no-op at real scale)
+    d = ensure_parallelism(
+        load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    ).withColumn("__words", F.split(F.lower("text"), " "))
     return d.select(
         "doc_id", "source", F.explode(F.expr(_KGRAMS_SPARK)).alias("g")
     )
