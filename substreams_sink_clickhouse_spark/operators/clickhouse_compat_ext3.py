@@ -1402,6 +1402,18 @@ def _q138_dialect_moments(spark: SparkSession, sf: str) -> DataFrame:
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
     out = spark.sql(clickhouse_to_spark_sql(_Q138_CLICKHOUSE_SQL))
+    # normalize IEEE negative zero (round 12): a symmetric group's
+    # third moment is numeric noise around 0 and DuckDB's round()
+    # preserves -0.0 while Spark lands on +0.0 (seen at sf0.001, 48
+    # rows).  x + 0.0 == x for every value EXCEPT -0.0 -> +0.0, so
+    # this is a no-op wherever the engines already agreed (verified:
+    # zero -0.0 rows at sf0.01/sf0.1); the oracle applies the same
+    # normalization.
+    out = out.select(
+        "h",
+        *[(F.col(c) + F.lit(0.0)).alias(c) for c in ("sd", "sk", "ku")],
+        "n",
+    )
     return out.orderBy("h")
 
 
@@ -1410,13 +1422,13 @@ WITH g AS (
   SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value FROM events),
 m AS (SELECT h, avg(value) AS mu FROM g GROUP BY h)
 SELECT h,
-       round(stddev_pop(value), 6) AS sd,
+       round(stddev_pop(value), 6) + 0.0 AS sd,
        round(CASE WHEN avg(pow(value - mu, 2)) <= 0 THEN NULL
                   ELSE avg(pow(value - mu, 3))
-                       / pow(avg(pow(value - mu, 2)), 1.5) END, 6) AS sk,
+                       / pow(avg(pow(value - mu, 2)), 1.5) END, 6) + 0.0 AS sk,
        round(CASE WHEN avg(pow(value - mu, 2)) <= 0 THEN NULL
                   ELSE avg(pow(value - mu, 4))
-                       / pow(avg(pow(value - mu, 2)), 2) END, 6) AS ku,
+                       / pow(avg(pow(value - mu, 2)), 2) END, 6) + 0.0 AS ku,
        count(*) AS n
 FROM g JOIN m USING (h)
 GROUP BY h ORDER BY h

@@ -112,15 +112,26 @@ def _q59_dict_get(spark: SparkSession, sf: str) -> DataFrame:
     nation = load_table(spark, sf, "nation")
     cust = load_table(spark, sf, "customer")
     lookup = dict_get(nation, "n_nationkey", "n_name", default="<unknown>")
+    # avg-balance rounding via exact integer cents (round 12): acctbal
+    # carries exactly 2 decimals, so per-row cents are unambiguous and
+    # sum_cents/n is an exact rational both engines round identically
+    # (half-away-from-zero on an exactly-representable k.5).  The old
+    # round(avg(double), 2) sat on a representation boundary at one
+    # sf0.001 group (4201.315: Spark's shortest-repr HALF_UP said .32,
+    # DuckDB's binary value said .31); values at sf0.01/sf0.1 are
+    # verified identical under both formulations (0 diffs).
     return (
         cust.select(
             lookup(F.col("c_nationkey")).alias("nation"),
-            "c_acctbal",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
         )
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            (
+                F.round(F.sum("cents").cast("double") / F.count(F.lit(1)))
+                / F.lit(100.0)
+            ).alias("avg_bal"),
         )
         .orderBy("nation")
     )
@@ -128,9 +139,11 @@ def _q59_dict_get(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q59_ORACLE = """
 WITH enriched AS (
-  SELECT coalesce(n_name, '<unknown>') AS nation, c_acctbal
+  SELECT coalesce(n_name, '<unknown>') AS nation,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
   FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
-SELECT nation, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+SELECT nation, count(*) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0 AS avg_bal
 FROM enriched GROUP BY nation ORDER BY nation
 """
 
